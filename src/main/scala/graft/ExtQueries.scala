@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.model.Tables
+import graft.sim.{DedupOps, VectorOps}
+
+/** [EXT] training-data-pipeline surface (SURVEY §2.11 X1-X4): dedup,
+  * similarity search, text analysis, multimodal columns. Heuristic /
+  * approximate operators (MinHash-LSH, SimHash, sign-LSH KNN, language
+  * ID) have no SQL oracle — the driver records rows-only checks and
+  * ScalaTest covers them against exact counterparts; everything exactly
+  * computable has a DuckDB twin.
+  */
+object ExtQueries {
+
+  /** DuckDB-side shingle CTE shared by the Jaccard oracle. */
+  private val shingleCte =
+    """WITH w AS (SELECT doc_id,
+      | regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+      | s AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 2),
+      |   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+      |   FROM w WHERE len(w) >= 3)""".stripMargin.replaceAll("\n", "")
+
+  val ext: Seq[Q] = Seq(
+
+    // X1 exact dedup: deterministic winner (min id) per distinct text
+    Q("x_dedup_exact",
+      (s, d) => DedupOps.exactDedup(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some("""SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text
+        | FROM documents GROUP BY text ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // X1 exact n-gram Jaccard pairs (inverted-index join in Spark,
+    // brute-force list ops in the DuckDB oracle)
+    Q("x_ngram_jaccard",
+      (s, d) => DedupOps.jaccardPairs(Tables.documents(s, d), "text", "doc_id",
+        n = 3, threshold = 0.2),
+      Some(shingleCte +
+        """ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE len(list_intersect(a.sh, b.sh)) > 0
+        |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+        | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""))),
+
+    // X1 MinHash-LSH near-dup (approximate candidates + exact verify) —
+    // rows-only driver check; recall vs exact Jaccard covered in ScalaTest
+    Q("x_dedup_minhash",
+      (s, d) => DedupOps.nearDupPairs(Tables.documents(s, d), "text", "doc_id",
+        n = 3, k = 32, bands = 8, threshold = 0.2),
+      None),
+
+    // X1 SimHash 64-bit fingerprints — rows-only (hash engine-specific)
+    Q("x_simhash",
+      (s, d) => DedupOps.simhash64(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id"),
+      None),
+
+    // X2 brute-force cosine top-10 (queries: vec_id<5, corpus: vec_id>=5)
+    Q("x_knn_cosine",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        VectorOps.knnBruteForce(
+          emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), 10)
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        | FROM embeddings WHERE vec_id < 5),
+        | c AS (SELECT vec_id AS neighbor_id, embedding AS ce
+        | FROM embeddings WHERE vec_id >= 5),
+        | sc AS (SELECT query_id, neighbor_id, round(
+        |   list_sum(list_transform(range(1, len(qe)+1),
+        |     i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |   (sqrt(list_sum(list_transform(range(1, len(qe)+1),
+        |     i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) *
+        |    sqrt(list_sum(list_transform(range(1, len(ce)+1),
+        |     i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))), 4) AS sim
+        |   FROM q CROSS JOIN c)
+        | SELECT query_id, neighbor_id, sim FROM (SELECT *, row_number()
+        |   OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        |   FROM sc) t WHERE rn <= 10
+        | ORDER BY query_id, sim DESC, neighbor_id"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // X2 sign-LSH bucketed KNN (the 100 TB path) — rows-only; recall vs
+    // brute force covered in ScalaTest
+    Q("x_knn_lsh",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        VectorOps.knnLsh(
+          emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), 10)
+      },
+      None),
+
+    // X4 language distribution (labels from the fixture)
+    Q("x_lang_distribution",
+      (s, d) => Tables.documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n")).orderBy("lang"),
+      Some("SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang")),
+
+    // X4 heuristic language ID — rows-only (heuristic, no SQL twin)
+    Q("x_lang_id",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      None),
+
+    // X4 per-doc text quality metrics (all exactly reproducible in SQL)
+    Q("x_text_quality",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.bpeishTokenCount(col("text")).as("n_bpeish"),
+        TextFunctions.charsPerToken(col("text")).as("chars_per_token"),
+        TextFunctions.charClassRatio(col("text"), "[0-9]").as("digit_ratio"),
+        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpeish,
+        | CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')) AS chars_per_token,
+        | CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
+        | CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> t IN ('the','a','an','of','and','to','in','is','for','on'))) AS DOUBLE)
+        |   / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""))),
+
+    // X4 corpus-level token accounting
+    Q("x_token_stats",
+      (s, d) => Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"),
+        max(TextFunctions.tokenCount(col("text"))).as("max_tokens"),
+        min(TextFunctions.tokenCount(col("text"))).as("min_tokens")),
+      Some("""SELECT count(*) AS n_docs,
+        | CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        | CAST(max(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS max_tokens,
+        | CAST(min(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS min_tokens
+        | FROM documents""".stripMargin.replaceAll("\n", ""))),
+
+    // X4 rolling-hash document fingerprint (same 64-bit-safe fold on both
+    // engines: h := (h*131 + code) mod 1e9+7)
+    Q("x_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT) ELSE
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(range(1, length(text) + 1),
+        |   i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |   (h, c) -> (h * 131 + c) % 1000000007) END AS fp
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""))),
+
+    // X3 multimodal: opaque binary payload + typed metadata (byte length
+    // is exactly checkable; decode/feature stages live in ops.Multimodal)
+    Q("x_multimodal_bytes",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", "")))
+  )
+}

@@ -1,0 +1,382 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.CoreOps
+import graft.ops.CoreOps.{exactSum, exactSumExpr}
+
+/** One registered, oracle-checked query per operator of SURVEY §2.
+  *
+  * Cross-engine determinism rules (every query obeys all three):
+  *   1. total-order sort keys on every output (SURVEY §5.2);
+  *   2. double aggregates go through exact decimal sums ([[CoreOps.exactSum]])
+  *      so results are bit-stable under any partitioning and equal to the
+  *      single-threaded DuckDB oracle;
+  *   3. numeric output types are pinned (BIGINT / DOUBLE) on both sides,
+  *      since Spark `size()`/`row_number()` are INT where DuckDB is BIGINT.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Queries {
+
+  /** Core, reference-traceable surface (SURVEY §2.1–§2.9). */
+  val core: Seq[Q] = Seq(
+
+    // S1 basic variant: closed-interval PK range scan (sync.py:44)
+    Q("s1_range_scan_closed",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_orderkey") >= 1000 && col("l_orderkey") <= 1100)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        | l_returnflag FROM lineitem
+        | WHERE l_orderkey >= 1000 AND l_orderkey <= 1100
+        | ORDER BY l_orderkey, l_linenumber""".stripMargin.replaceAll("\n", ""))),
+
+    // S1 pagination variant: half-open range scan (pagination.py:44)
+    Q("s1_range_scan_halfopen",
+      (s, d) => CoreOps.rangeScanHalfOpen(Tables.lineitem(s, d), "l_orderkey", 1000L, 1100L)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        | FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 1100
+        | ORDER BY l_orderkey, l_linenumber""".stripMargin.replaceAll("\n", ""))),
+
+    // S2/L1: deterministic pagination (vs ORDER-BY-less LIMIT/OFFSET,
+    // pagination.py:68 — SURVEY §3.4-5)
+    Q("s2_pagination",
+      (s, d) => CoreOps.paginate(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice"),
+        Seq(col("o_orderkey")), offset = 200, limit = 100),
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        | FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 200"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // P1: projection (the reference only ever does SELECT *, sync.py:44;
+    // the engine gets real column pruning from Catalyst)
+    Q("p1_projection",
+      (s, d) => Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_mktsegment").orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey")),
+
+    // P2: predicate filter pushed to the parquet scan
+    Q("p2_filter",
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_size") >= 25 && col("p_retailprice") > 900.0)
+        .select("p_partkey", "p_name", "p_size", "p_retailprice")
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name, p_size, p_retailprice FROM part
+        | WHERE p_size >= 25 AND p_retailprice > 900.0
+        | ORDER BY p_partkey""".stripMargin.replaceAll("\n", ""))),
+
+    // A1/A2/P3: bounds probe with IFNULL sentinel + real count
+    // (sync.py:163-166, sync.py:102)
+    Q("a1_bounds",
+      (s, d) => CoreOps.bounds(Tables.lineitem(s, d), "l_orderkey"),
+      Some("""SELECT CAST(coalesce(min(l_orderkey),0) AS BIGINT) AS min_id,
+        | CAST(coalesce(max(l_orderkey),0) AS BIGINT) AS max_id,
+        | count(*) AS cnt FROM lineitem""".stripMargin.replaceAll("\n", ""))),
+
+    // A1 on an empty relation: the (0,0) sentinel path (pagination.py:204)
+    Q("a1_bounds_empty",
+      (s, d) => CoreOps.bounds(
+        Tables.lineitem(s, d).filter(col("l_orderkey") < 0), "l_orderkey"),
+      Some("""SELECT CAST(coalesce(min(l_orderkey),0) AS BIGINT) AS min_id,
+        | CAST(coalesce(max(l_orderkey),0) AS BIGINT) AS max_id,
+        | count(*) AS cnt FROM lineitem WHERE l_orderkey < 0"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // F1-F5 scalar ladder: quote-doubling (sync.py:63), datetime render
+    // (sync.py:65), conditional, regex match (sync.py:143-144)
+    Q("f_scalar_ladder",
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d_iso"),
+        when(col("o_orderstatus") === "O", lit("OPEN"))
+          .otherwise(col("o_orderstatus")).as("status_label"),
+        regexp_replace(col("o_orderpriority"), "'", "''").as("escaped"),
+        col("o_orderpriority").rlike("^[12]").as("is_urgent"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS d_iso,
+        | CASE WHEN o_orderstatus = 'O' THEN 'OPEN' ELSE o_orderstatus END AS status_label,
+        | replace(o_orderpriority, '''', '''''') AS escaped,
+        | regexp_matches(o_orderpriority, '^[12]') AS is_urgent
+        | FROM orders ORDER BY o_orderkey""".stripMargin.replaceAll("\n", ""))),
+
+    // TPC-H Q1-shaped group-by aggregation (exact decimal sums)
+    Q("q1_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          exactSum(col("l_quantity")).as("sum_qty"),
+          exactSum(col("l_extendedprice")).as("sum_base"),
+          exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          count(lit(1)).as("cnt"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        | count(*) AS cnt, count(DISTINCT l_partkey) AS n_parts
+        | FROM lineitem GROUP BY l_returnflag, l_linestatus
+        | ORDER BY l_returnflag, l_linestatus""".stripMargin.replaceAll("\n", ""))),
+
+    // Broadcast-hash join: fact orders ⨝ small dim customer. At 100 TB the
+    // dim side stays broadcast-able; the fact side never shuffles.
+    Q("q_join_broadcast",
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // Multi-way join: lineitem ⨝ orders (shuffle, both large at scale)
+    // ⨝ broadcast dims customer/nation/region (TPC-H Q5 shape)
+    Q("q_join_multiway",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY r_name, n_name ORDER BY r_name, n_name"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // Left-semi join (EXISTS)
+    Q("q_semi_join",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer WHERE EXISTS
+        | (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        | ORDER BY c_custkey""".stripMargin.replaceAll("\n", ""))),
+
+    // Left-anti join (NOT EXISTS): customers with no high-value order
+    Q("q_anti_join",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS
+        | (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        | ORDER BY c_custkey""".stripMargin.replaceAll("\n", ""))),
+
+    // Left-outer join + null-aware count
+    Q("q_outer_join",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_custkey ORDER BY c_custkey"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // Window ranking: top-3 orders per customer (deterministic tiebreak)
+    Q("q_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        | CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        | FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // Window running aggregate (exact decimal running sum)
+    Q("q_window_running",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(exactSumExpr(col("o_totalprice"))).over(w).cast("double")
+              .as("running_spend"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        | FROM orders ORDER BY o_custkey, o_orderkey"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // Top-k: planned as TakeOrderedAndProject, no global sort
+    Q("q_topk",
+      (s, d) => CoreOps.topK(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        10, col("o_totalprice").desc, col("o_orderkey").asc),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // Set ops: UNION (distinct), INTERSECT, EXCEPT — Catalyst built-ins
+    Q("q_union",
+      (s, d) => Tables.customer(s, d).filter(col("c_custkey") < 500)
+        .select(col("c_custkey").as("k"))
+        .union(Tables.orders(s, d)
+          .filter(col("o_custkey") >= 400 && col("o_custkey") < 600)
+          .select(col("o_custkey").as("k")))
+        .distinct().orderBy("k"),
+      Some("""SELECT c_custkey AS k FROM customer WHERE c_custkey < 500
+        | UNION SELECT o_custkey AS k FROM orders
+        | WHERE o_custkey >= 400 AND o_custkey < 600 ORDER BY k"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    Q("q_intersect",
+      (s, d) => Tables.customer(s, d).filter(col("c_custkey") < 800)
+        .select(col("c_custkey").as("k"))
+        .intersect(Tables.orders(s, d).filter(col("o_custkey") >= 300)
+          .select(col("o_custkey").as("k")))
+        .orderBy("k"),
+      Some("""SELECT c_custkey AS k FROM customer WHERE c_custkey < 800
+        | INTERSECT SELECT o_custkey AS k FROM orders WHERE o_custkey >= 300
+        | ORDER BY k""".stripMargin.replaceAll("\n", ""))),
+
+    Q("q_except",
+      (s, d) => Tables.customer(s, d).filter(col("c_custkey") < 800)
+        .select(col("c_custkey").as("k"))
+        .except(Tables.orders(s, d).filter(col("o_custkey") >= 300)
+          .select(col("o_custkey").as("k")))
+        .orderBy("k"),
+      Some("""SELECT c_custkey AS k FROM customer WHERE c_custkey < 800
+        | EXCEPT SELECT o_custkey AS k FROM orders WHERE o_custkey >= 300
+        | ORDER BY k""".stripMargin.replaceAll("\n", ""))),
+
+    // DISTINCT
+    Q("q_distinct",
+      (s, d) => Tables.customer(s, d).select("c_mktsegment").distinct()
+        .orderBy("c_mktsegment"),
+      Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment")),
+
+    // ROLLUP grouping sets (nulls canonicalized for cross-engine ordering)
+    Q("q_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), exactSum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, '(all)') AS rf,
+        | coalesce(l_linestatus, '(all)') AS ls, count(*) AS cnt,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        | FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        | ORDER BY rf, ls""".stripMargin.replaceAll("\n", ""))),
+
+    // JSON extraction on the events.props payload ([EXT] §2.8 note)
+    Q("q_json_extract",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        | FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", ""))),
+
+    // Tumbling-window aggregation, batch twin of the streaming path (St2)
+    Q("st_tumbling_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("total_value"))
+        .orderBy("bucket", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS bucket, event_type,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        | FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // Sessionization (30-min gap), batch twin of session_window streaming
+    Q("st_sessionization",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              (col("ts").cast("double") - col("prev_ts").cast("double")) > 1800.0,
+              lit(1L)).otherwise(lit(0L)))
+          .groupBy("user_id")
+          .agg(sum(col("new_sess")).as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH x AS (SELECT user_id,
+        | CASE WHEN prev_ts IS NULL OR (epoch(ts) - epoch(prev_ts)) > 1800.0
+        |   THEN 1 ELSE 0 END AS new_sess
+        | FROM (SELECT user_id, ts, event_id,
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |   FROM events) t)
+        | SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+        | count(*) AS n_events FROM x GROUP BY user_id ORDER BY user_id"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // Latest-state-per-key: the batch semantics of a CDC upsert sink
+    // (ClickHouse ReplacingMergeTree ordering — SURVEY §2.9 St2)
+    Q("st_cdc_latest_state",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_event_type"),
+            col("value").as("last_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id AS last_event_id,
+        | event_type AS last_event_type, value AS last_value FROM (
+        | SELECT *, row_number() OVER (PARTITION BY user_id
+        |   ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        | WHERE rn = 1 ORDER BY user_id""".stripMargin.replaceAll("\n", "")))
+  )
+
+  /** Full registry: core + [EXT] training-data-pipeline surface. */
+  def registry: Seq[Q] = core ++ ExtQueries.ext
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

@@ -1,0 +1,44 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Accessors for the harness parquet tables (TESTDATA.md / FIXTURES.md).
+  *
+  * The reference discovers tables at runtime via `SHOW TABLES`
+  * (mysql_to_clickhouse_sync.py:155); here the catalog is the set of
+  * parquet files in an sf directory. All reads go through
+  * `spark.read.parquet` so Catalyst gets column pruning + filter
+  * pushdown on every query.
+  */
+object Tables {
+  /** The full harness catalog (TESTDATA.md). */
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Spark 4 rejects parquet TIMESTAMP(NANOS) columns (events.ts,
+    * TESTDATA) unless they're read as raw nanosecond longs; [[events]]
+    * then rebuilds a microsecond timestamp with exact integer division
+    * (`DIV`, not `/` — ns epochs exceed double's 53-bit mantissa).
+    */
+  def ensureNanosCompat(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    ensureNanosCompat(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame =
+    load(s, d, "events").withColumn("ts",
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

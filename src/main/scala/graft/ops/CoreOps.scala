@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference-traceable row operators (SURVEY §2.1/§2.2/§2.6) as
+  * `DataFrame => DataFrame` combinators. All are thin declarative wrappers
+  * — the point is that Catalyst sees plain Filter/Project/Sort/Limit nodes
+  * and pushes them into the parquet scan (PushedFilters / ReadSchema).
+  */
+object CoreOps {
+
+  /** S1 (basic variant): closed-interval PK range scan
+    * `pk >= lo AND pk <= hi` (mysql_to_clickhouse_sync.py:44).
+    */
+  def rangeScanClosed(df: DataFrame, pk: String, lo: Long, hi: Long): DataFrame =
+    df.filter(col(pk) >= lo && col(pk) <= hi)
+
+  /** S1 (pagination variant): half-open `pk >= lo AND pk < hi`
+    * (mysql_to_clickhouse_sync_pagination.py:44) — the duplicate-free
+    * form the engine uses everywhere.
+    */
+  def rangeScanHalfOpen(df: DataFrame, pk: String, lo: Long, hi: Long): DataFrame =
+    df.filter(col(pk) >= lo && col(pk) < hi)
+
+  /** S2/L1: deterministic pagination. The reference pages with
+    * `LIMIT offset, limit` and NO ORDER BY
+    * (mysql_to_clickhouse_sync_pagination.py:68) — nondeterministic under
+    * concurrent writes (SURVEY §3.4-5). The engine requires a total-order
+    * sort key; realized with Spark's native Offset operator (≥3.4).
+    */
+  def paginate(df: DataFrame, sortKeys: Seq[Column], offset: Int, limit: Int): DataFrame =
+    df.orderBy(sortKeys: _*).offset(offset).limit(limit)
+
+  /** A1: global bounds with the reference's `IFNULL(...,0)` sentinel
+    * (mysql_to_clickhouse_sync.py:163-166) plus a real COUNT (A2 — the
+    * reference only estimates `max-min+1`, sync.py:102).
+    */
+  def bounds(df: DataFrame, pk: String): DataFrame =
+    df.agg(
+      coalesce(min(col(pk)), lit(0L)).cast("long").as("min_id"),
+      coalesce(max(col(pk)), lit(0L)).cast("long").as("max_id"),
+      count(lit(1)).as("cnt"))
+
+  /** Top-k: `ORDER BY keys LIMIT k` → Spark plans TakeOrderedAndProject
+    * (no global sort; per-partition heaps + driver merge of k rows).
+    */
+  def topK(df: DataFrame, k: Int, keys: Column*): DataFrame =
+    df.orderBy(keys: _*).limit(k)
+
+  /** An exact decimal sum of a double column, returned as double.
+    *
+    * Doubles summed in parallel are order-dependent in the last ulp;
+    * decimal sums are exact and associative, so the result is bit-stable
+    * across any partitioning AND matches a single-threaded oracle
+    * (DuckDB) exactly. This is the engine-wide pattern for money-ish
+    * aggregates (also the reference's one real correctness battle —
+    * decimal trailing zeros, mysql_to_clickhouse_sync.py:77-83).
+    */
+  def exactSum(c: Column): Column =
+    sum(c.cast("decimal(28,6)")).cast("double")
+
+  /** Exact running/windowed variant of [[exactSum]]. */
+  def exactSumExpr(c: Column): Column = c.cast("decimal(28,6)")
+}

@@ -1,0 +1,105 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity primitives over `embedding: array<float>` columns
+  * ([EXT] X2, SURVEY §2.11). All math is done in DOUBLE with sequential
+  * left-to-right folds (`aggregate`) so results are reproducible and
+  * oracle-able; everything is codegen'd builtin expressions — no UDFs.
+  */
+object VectorOps {
+
+  private def asDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(asDouble(a), lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force top-k cosine neighbors: broadcast the (small) query set
+    * against the candidate corpus — ONE pass over the big side, no
+    * shuffle except the final per-query top-k (k·|queries| rows). This is
+    * the exact baseline; [[lshBuckets]] is the approximate scale path.
+    *
+    * Ranking uses the ROUNDED similarity (4 dp) plus the neighbor id as
+    * tiebreak, so the selected set is stable across engines/partitionings.
+    */
+  def knnBruteForce(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qe"), col("ce")), 4).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "sim")
+      .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH (seeded, driver-built,
+    * embedded as literals — tiny: nPlanes × dim doubles).
+    */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: bit i = sign(emb · plane_i). Cosine-similar
+    * vectors collide with high probability; at 100 TB the bucket id is
+    * the shuffle key, so each query only scans its bucket instead of the
+    * full corpus.
+    */
+  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column = {
+    val e = asDouble(emb)
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      val d = aggregate(zip_with(e, planeLit, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Multi-table sign-LSH bucket keys: `nTables` independent plane sets
+    * (different seeds); a row emits one `(table, bucket)` struct per
+    * table. Two vectors become candidates if they collide in ANY table —
+    * the standard recall amplifier for sign-LSH.
+    */
+  def lshKeys(emb: Column, nTables: Int, planesPerTable: Int, dim: Int): Column =
+    array((0 until nTables).map { t =>
+      val planes = hyperplanes(planesPerTable, dim, seed = 42L + t)
+      struct(lit(t).as("tbl"), lshBucket(emb, planes).as("bucket"))
+    }: _*)
+
+  /** Approximate top-k: bucket both sides with multi-table sign-LSH,
+    * equi-join on `(table, bucket)`, dedup candidate pairs, rank. Recall
+    * is tested against [[knnBruteForce]] in ScalaTest; it trades recall
+    * for turning an O(|Q|·|C|) cross join into an equi-join whose shuffle
+    * key is the bucket id.
+    */
+  def knnLsh(queries: DataFrame, candidates: DataFrame, k: Int,
+             nTables: Int = 6, planesPerTable: Int = 6, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = lshKeys(col("embedding"), nTables, planesPerTable, dim)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      explode(keys).as("key"))
+    val c = candidates.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), explode(keys).as("key"))
+    val scored = c.join(broadcast(q), "key")
+      .select(col("query_id"), col("neighbor_id"), col("qe"), col("ce"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qe"), col("ce")), 4).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "sim")
+      .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+  }
+}

@@ -84,7 +84,7 @@ object VectorOps {
     * key is the bucket id.
     */
   def knnLsh(queries: DataFrame, candidates: DataFrame, k: Int,
-             nTables: Int = 6, planesPerTable: Int = 6, dim: Int = 64): DataFrame = {
+             nTables: Int = 8, planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keys = lshKeys(col("embedding"), nTables, planesPerTable, dim)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),

@@ -1,0 +1,59 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("text").select(c).head().get(0)
+
+  test("tokenCount counts whitespace runs as single separators") {
+    assert(one("a b  c\t d", TextFunctions.tokenCount(col("text"))) == 4L)
+    assert(one("solo", TextFunctions.tokenCount(col("text"))) == 1L)
+  }
+
+  test("bpeish tokenizer splits letter/digit/punct runs") {
+    // "ab12,cd" → [ab][12][,][cd]
+    assert(one("ab12,cd", TextFunctions.bpeishTokenCount(col("text"))) == 4L)
+  }
+
+  test("fingerprint matches the hand-computed rolling hash") {
+    // "ab": ((0*131+97)%p)*131+98 % p = 12805
+    assert(one("ab", TextFunctions.fingerprint(col("text"))) == 12805L)
+    assert(one("", TextFunctions.fingerprint(col("text"))) == 0L)
+  }
+
+  test("langId identifies hand-labeled snippets") {
+    def lid(t: String): Any = one(t, TextFunctions.langId(col("text")))
+    assert(lid("the cat and the dog is in that house with food") == "en")
+    assert(lid("der hund und die katze ist nicht ein problem") == "de")
+    assert(lid("le chat et la maison est dans une rue") == "fr")
+    assert(lid("el perro es una mascota que vive por la casa como rey") == "es")
+    assert(lid("这 是 中文 文本") == "zh")
+    assert(lid("zzz qqq xxx") == "unknown")
+  }
+
+  test("stopwordRatio and charClassRatio are exact fractions") {
+    assert(one("the dog of war", TextFunctions.stopwordRatio(col("text"))) == 0.5)
+    assert(one("a1b2", TextFunctions.charClassRatio(col("text"), "[0-9]")) == 0.5)
+  }
+
+  test("wordShingles emits n-grams in order") {
+    val got = one("a b c d", TextFunctions.wordShingles(col("text"), 3))
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(got == Seq("a b c", "b c d"))
+    val short = one("a b", TextFunctions.wordShingles(col("text"), 3))
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(short == Seq("a b"))
+  }
+
+  test("qualityScore orders clean prose above digit soup") {
+    val clean = one("the quick brown fox jumps over the lazy dog and runs on",
+      TextFunctions.qualityScore(col("text"))).asInstanceOf[Double]
+    val soup = one("8237 1231 9999 0000 4857 1209 3333 7777",
+      TextFunctions.qualityScore(col("text"))).asInstanceOf[Double]
+    assert(clean > soup)
+  }
+}

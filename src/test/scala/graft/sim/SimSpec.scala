@@ -1,0 +1,71 @@
+package graft.sim
+
+import graft.SparkSpec
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+
+/** Approximate operators tested against their exact counterparts on the
+  * sf0.001 fixtures (SURVEY §5.2): MinHash-LSH recall vs exact Jaccard,
+  * sign-LSH KNN recall vs brute force, SimHash behavior on near-dups.
+  */
+class SimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash-LSH + exact-verify finds every high-jaccard pair (recall=1 here)") {
+    val docs = Tables.documents(spark, sf)
+    val exact = DedupOps.jaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = DedupOps.nearDupPairs(docs, "text", "doc_id", 3, 32, 8, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs at j>=0.5")
+    // approx ⊆ exact always (verify stage recomputes exact jaccard)
+    assert(approx.subsetOf(exact))
+    val recall = approx.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9 (found ${approx.size}/${exact.size})")
+  }
+
+  test("identical texts collide on every minhash component") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different words here now")).toDF("doc_id", "text")
+    val sig = DedupOps.minhashSignatures(df, "text", "doc_id", 3, 8).collect()
+      .map(r => r.getLong(0) -> (1 until 9).map(r.getLong)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (3L, "completely unrelated legal boilerplate concerning maritime insurance claims")
+    ).toDF("doc_id", "text")
+    val fp = DedupOps.simhash64(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(2L)) <= 12)
+    assert(ham(fp(1L), fp(3L)) > ham(fp(1L), fp(2L)))
+  }
+
+  test("cosine on known vectors") {
+    val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 1f), Array(1f, 1f)))
+      .toDF("a", "b")
+    val got = df.select(round(VectorOps.cosine(col("a"), col("b")), 6)).collect()
+      .map(_.getDouble(0))
+    assert(got(0) == 0.0)
+    assert(got(1) == 1.0)
+  }
+
+  test("sign-LSH KNN recalls most brute-force neighbors") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    val exact = VectorOps.knnBruteForce(q, c, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorOps.knnLsh(q, c, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH KNN recall $recall below 0.5")
+  }
+}

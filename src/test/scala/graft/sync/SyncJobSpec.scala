@@ -1,0 +1,49 @@
+package graft.sync
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** End-to-end snapshot sync on the sf0.001 fixture dir: row fidelity per
+  * table, strategy selection, checkpoint file (SURVEY §3.1 lifecycle).
+  */
+class SyncJobSpec extends SparkSpec {
+
+  test("full sync copies every table with exact row counts + checkpoint") {
+    val dest = Files.createTempDirectory("graft_sync_spec_").toString
+    val report = SyncJob.run(spark, sf, dest, SyncJob.harnessPk.get)
+      .collect().map(r => r.getAs[String]("table") -> r.getAs[Long]("rows")).toMap
+
+    assert(report.keySet == graft.model.Tables.all.toSet)
+    graft.model.Tables.all.foreach { t =>
+      val srcRows = spark.read.parquet(s"$sf/$t.parquet").count()
+      val dstRows = spark.read.parquet(s"$dest/$t.parquet").count()
+      assert(srcRows == dstRows, s"table $t: src=$srcRows dst=$dstRows")
+      assert(report(t) == srcRows)
+    }
+    assert(new java.io.File(s"$dest/_sync_metadata.json").isFile)
+    val meta = Files.readString(java.nio.file.Paths.get(s"$dest/_sync_metadata.json"))
+    assert(meta.contains("\"lineitem\""))
+    assert(meta.contains("\"max_pk\": 1499"))
+  }
+
+  test("include/exclude regex filters compose like the reference's") {
+    val names = Seq("orders", "orders_archive", "lineitem", "tmp_orders")
+    import scala.util.matching.Regex
+    // exclude beats include (exclude applied first, sync.py:158-159)
+    assert(SyncJob.filterTables(names, Some(new Regex("orders")),
+      Some(new Regex("tmp|archive"))) == Seq("orders"))
+    assert(SyncJob.filterTables(names, None, Some(new Regex("^tmp_"))) ==
+      Seq("orders", "orders_archive", "lineitem"))
+    assert(SyncJob.filterTables(names, Some(new Regex("^lineitem$")), None) ==
+      Seq("lineitem"))
+  }
+
+  test("large table gets range-chunked into ~rows/batch partitions") {
+    val dest = Files.createTempDirectory("graft_sync_chunks_").toString
+    val rpt = SyncJob.syncTable(spark, sf, dest, "lineitem", Some("l_orderkey"),
+      SyncJob.SyncConfig(batchSize = 1000L))
+    assert(rpt.strategy == "RangeChunks")
+    assert(rpt.partitions == 6) // 6000 rows / 1000
+    assert(rpt.minId == 0L && rpt.maxId == 1499L)
+  }
+}

@@ -158,6 +158,19 @@ object ExtQueries {
 
     // X3 multimodal: opaque binary payload + typed metadata (byte length
     // is exactly checkable; decode/feature stages live in ops.Multimodal)
+    // X3 multimodal decode/feature pipeline (stubbed decoder, real
+    // mapPartitions plumbing) — rows-only
+    Q("x_multimodal_features",
+      (s, d) => {
+        import graft.ops.Multimodal
+        val media = Multimodal.syntheticMedia(Tables.documents(s, d))
+        implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+        Multimodal.extractFeatures(media.as[Multimodal.MediaRow](enc))
+          .toDF().select(col("doc_id"), col("modality"), col("n_bytes"),
+            col("feature")).orderBy("doc_id")
+      },
+      None),
+
     Q("x_multimodal_bytes",
       (s, d) => Tables.documents(s, d).select(
         col("doc_id"),

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing ([EXT] X3, SURVEY §2.11): image/audio/video
+  * as opaque `binary` payloads with typed metadata, processed in
+  * partition-sized batches.
+  *
+  * The container has no image/audio codecs, so the DECODE KERNEL IS A
+  * STUB (`FakeDecoder` — deterministic bytes-in/features-out). Everything
+  * around it is the real engine surface: the schema contract, the
+  * `mapPartitions` batch shape (one decoder instance per partition, the
+  * Scala analog of a `mapInPandas` batch UDF), partitioning, and the
+  * feature-column output. Swapping `FakeDecoder.decode` for a JNI/codec
+  * call changes nothing structurally.
+  */
+object Multimodal {
+
+  final case class MediaRow(
+      doc_id: Long,
+      modality: String,            // "image" | "audio" | "video"
+      payload: Array[Byte],        // opaque encoded media
+      meta_width: Int,             // typed metadata travels beside payload
+      meta_height: Int,
+      meta_sample_rate: Int)
+
+  final case class MediaFeatures(
+      doc_id: Long,
+      modality: String,
+      n_bytes: Long,
+      feature: Array[Float])       // fixed-size embedding from the decoder
+
+  /** STUB decoder — stands in for an image/audio codec library.
+    * Deterministic so tests can assert exact outputs: "decodes" a payload
+    * into an 8-dim feature from byte statistics. A real deployment
+    * replaces ONLY this object.
+    */
+  object FakeDecoder {
+    val FeatureDim = 8
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val f = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < payload.length) {
+        f(i % FeatureDim) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      f
+    }
+  }
+
+  /** Manufacture a media table from the documents fixture: payload =
+    * UTF-8 bytes of the text (deterministic), metadata derived from
+    * lengths. Only exists because the harness ships no binary fixtures.
+    */
+  def syntheticMedia(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (pmod(col("doc_id"), lit(64)) * 16 + 16).cast("int").as("meta_width"),
+      (pmod(col("doc_id"), lit(48)) * 16 + 16).cast("int").as("meta_height"),
+      lit(16000).as("meta_sample_rate"))
+
+  /** Decode + feature-extract in partition-sized batches: one decoder
+    * per partition (amortized init — the reason for mapPartitions over a
+    * per-row UDF), rows streamed through it. Fully distributed; no
+    * driver materialization.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder init would happen here (codec handles etc.)
+      rows.map { r =>
+        MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong,
+          FakeDecoder.decode(r.payload))
+      }
+    }
+  }
+
+  /** Frame sampling for video payloads: split the payload into `n` fixed
+    * chunks ("frames") and explode — the per-frame fanout pattern used
+    * before a frame-level model. Pure expression work (codegen'd).
+    */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame =
+    media.filter(col("modality") === "video")
+      .select(col("doc_id"),
+        posexplode(split(decode(col("payload"), "UTF-8"),
+          s"(?<=\\G.{${256}})")).as(Seq("frame_idx", "frame_payload")))
+      .filter(col("frame_idx") < n)
+}

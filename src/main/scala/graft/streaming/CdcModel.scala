@@ -1,0 +1,40 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+/** CDC change-event model (St1/St2, SURVEY §2.9).
+  *
+  * The reference stops at persisting the binlog coordinates for "a future
+  * CDC consumer" (mysql_to_clickhouse_sync.py:175-181). This is that
+  * consumer's event shape: one row per binlog row-event, ordered by
+  * (ts, seq). `op` follows the usual row-event taxonomy; `payload` holds
+  * the after-image as JSON (before-image elided — ClickHouse-style
+  * ReplacingMergeTree application only needs key + after + tombstone).
+  */
+final case class ChangeEvent(
+    op: String,        // "insert" | "update" | "delete"
+    table: String,
+    key: Long,         // primary key of the affected row
+    ts: Timestamp,     // commit timestamp (event time)
+    seq: Long,         // total order within the log (binlog position analog)
+    payload: String)   // after-image JSON; ignored for deletes
+
+object ChangeEvent {
+  val Insert = "insert"
+  val Update = "update"
+  val Delete = "delete"
+}
+
+/** Typed view of the harness `events` fixture for typed streaming ops. */
+final case class Event(
+    event_id: Long,
+    ts: Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double,
+    props: String)
+
+/** State buffer for the running per-user aggregation demo. */
+final case class UserRunningState(n: Long, total: Double)
+
+final case class UserRunningOutput(user_id: Long, n: Long, total: Double)

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Snapshot-then-stream CDC application (St2 — the north star's
+  * "Structured Streaming reading the binlog, writing to ClickHouse",
+  * BASELINE.json). The binlog is fronted by a directory of change-event
+  * files (the standard file-fed stand-in when no broker is reachable;
+  * swapping in a Kafka/Debezium source changes ONE readStream line).
+  *
+  * Semantics follow ClickHouse ReplacingMergeTree, which is what the
+  * reference targets: the applied table keeps, per key, the row with the
+  * highest (ts, seq); a delete event is a tombstone that wins the same
+  * race. Apply is idempotent and commutative across micro-batches, so
+  * replays after failure converge — this is what makes the reference's
+  * "snapshot hole" trade-off (SURVEY §3.4-2) safe here too.
+  */
+object CdcPipeline {
+
+  val changeEventSchema: StructType = StructType(Seq(
+    StructField("op", StringType, nullable = false),
+    StructField("table", StringType, nullable = false),
+    StructField("key", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("payload", StringType, nullable = true)))
+
+  /** File-fed CDC source: watches `dir` for JSON change-event files in
+    * commit order. `maxFilesPerTrigger` bounds micro-batch size
+    * (backpressure — the `maxOffsetsPerTrigger` analog).
+    */
+  def fileCdcSource(spark: SparkSession, dir: String,
+                    maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(changeEventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** Latest-state-per-key over a change log: ReplacingMergeTree collapse.
+    * Deletes win like any other version, then drop as tombstones.
+    */
+  def latestState(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts").desc, col("seq").desc)
+    changes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= ChangeEvent.Delete)
+      .drop("rn")
+  }
+
+  /** Merge one micro-batch of changes into the parquet state table at
+    * `stateDir`: union existing state (as synthetic inserts that lose
+    * ties) with the new changes, re-collapse, rewrite.
+    *
+    * At 100 TB the rewrite step becomes a key-partitioned MERGE into a
+    * format with row-level upsert (ClickHouse itself, or an Iceberg/Delta
+    * table); the collapse logic — the part the engine owns — is
+    * identical: highest (ts, seq) wins per key.
+    */
+  def applyBatch(spark: SparkSession, batch: DataFrame, stateDir: String): Unit = {
+    val existing: DataFrame =
+      if (new java.io.File(stateDir).exists())
+        spark.read.parquet(stateDir)
+          .withColumn("op", lit(ChangeEvent.Insert))
+      else batch.limit(0)
+    val merged = latestState(
+      existing.select("op", "table", "key", "ts", "seq", "payload")
+        .unionByName(batch.select("op", "table", "key", "ts", "seq", "payload")))
+      .select("table", "key", "ts", "seq", "payload")
+    // write-then-swap (overwrite) keeps the state readable mid-merge
+    val tmp = stateDir + "_next"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = new java.io.File(stateDir)
+    if (target.exists()) {
+      val old = new java.io.File(stateDir + "_old")
+      deleteRec(old)
+      target.renameTo(old)
+      new java.io.File(tmp).renameTo(target)
+      deleteRec(old)
+    } else new java.io.File(tmp).renameTo(target)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(): Unit
+  }
+
+  /** Launch the continuous apply: change files → micro-batch upsert into
+    * the parquet state table, offsets tracked in `checkpointDir` (the
+    * Structured-Streaming form of the reference's metadata.txt).
+    */
+  def start(spark: SparkSession, changesDir: String, stateDir: String,
+            checkpointDir: String): StreamingQuery =
+    fileCdcSource(spark, changesDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(spark, batch, stateDir)
+      }
+      .start()
+
+  /** Snapshot-then-stream: batch-copy the current table state (the
+    * reference's whole program), then apply the change stream from the
+    * recorded offset forward. Returns the running query.
+    */
+  def snapshotThenStream(spark: SparkSession, snapshot: DataFrame,
+                         keyCol: String, tsCol: String,
+                         changesDir: String, stateDir: String,
+                         checkpointDir: String): StreamingQuery = {
+    val asState = snapshot.select(
+      lit("snapshot").as("table"),
+      col(keyCol).cast("long").as("key"),
+      col(tsCol).cast("timestamp").as("ts"),
+      lit(0L).as("seq"),
+      to_json(struct(snapshot.columns.map(col): _*)).as("payload"))
+    asState.write.mode(SaveMode.Overwrite).parquet(stateDir)
+    start(spark, changesDir, stateDir, checkpointDir)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operator surface (St2, SURVEY §2.9): watermarked
+  * tumbling/sliding/session windows, stream dedup, custom keyed state.
+  * All transforms are source-agnostic `DataFrame => DataFrame` — the same
+  * code runs on MemoryStream (tests), file-fed CDC directories, or a
+  * Kafka-fronted binlog feed; at scale the state store shards by
+  * grouping key across executors.
+  */
+object StreamOps {
+
+  /** Tumbling (or sliding, if `slide` differs) event-time window counts
+    * with late-data drop after `watermark`.
+    */
+  def windowedCounts(events: DataFrame, window: String = "1 hour",
+                     slide: Option[String] = None,
+                     watermark: String = "2 hours"): DataFrame = {
+    val w = slide.fold(org.apache.spark.sql.functions.window(col("ts"), window))(
+      s => org.apache.spark.sql.functions.window(col("ts"), window, s))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(w.as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("total_value"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+  }
+
+  /** Session windows (gap-based) per user — the streaming twin of the
+    * batch `st_sessionization` query.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("win.start").as("session_start"),
+        col("win.end").as("session_end"), col("user_id"), col("n_events"))
+
+  /** Streaming exact dedup by key within the watermark horizon —
+    * the streaming analog of the batch exact-dedup operator (X1).
+    */
+  def dedupByKey(events: DataFrame, keyCols: Seq[String],
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user
+    * count + total. Demonstrates the engine's stateful-processing surface
+    * (the piece Catalyst can't express declaratively).
+    */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunningOutput] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunningState, UserRunningOutput](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserRunningState]) =>
+          val prev = state.getOption.getOrElse(UserRunningState(0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserRunningState(
+            prev.n + batch.size,
+            prev.total + batch.map(_.value).sum)
+          state.update(next)
+          Iterator(UserRunningOutput(userId, next.n, next.total))
+      }
+  }
+}

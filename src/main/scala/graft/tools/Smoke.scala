@@ -26,6 +26,30 @@ object Smoke {
       val n = fn(spark, sfDir).count()
       println(s"[smoke] $name rows=$n")
     }
+
+    // Drive the CDC streaming pipeline end-to-end: snapshot → change
+    // files → checkpointed micro-batch upserts → final state.
+    import graft.streaming.{CdcPipeline, ChangeEvent}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_smoke_cdc_").toString
+    val changes = s"$base/changes"; new java.io.File(changes).mkdirs()
+    val snapshot = graft.model.Tables.customer(spark, sfDir)
+      .limit(10).withColumn("updated_at",
+        org.apache.spark.sql.functions.lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val q = CdcPipeline.snapshotThenStream(spark, snapshot, "c_custkey",
+      "updated_at", changes, s"$base/state", s"$base/ckpt")
+    q.processAllAvailable()
+    Seq(
+      ChangeEvent("update", "snapshot", 1L,
+        java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 1L, """{"seg":"X"}"""),
+      ChangeEvent("delete", "snapshot", 2L,
+        java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 2L, null))
+      .toDF().coalesce(1).write.mode("append").json(changes)
+    q.processAllAvailable()
+    q.stop()
+    val state = spark.read.parquet(s"$base/state")
+    println(s"[smoke] cdc_state rows=${state.count()} " +
+      s"updated=${state.filter($"key" === 1L && $"payload".contains("X")).count()}")
     spark.stop()
   }
 }

@@ -1,0 +1,161 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Structured-Streaming behavior on MemoryStream (SURVEY §5.2): window
+  * emission + late-data drop under watermark, stream dedup, custom keyed
+  * state, and the CDC apply pipeline end-to-end on a file-fed source.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  private def ev(id: Long, h: Int, m: Int, user: Long = 1L,
+                 typ: String = "click", v: Double = 1.0): Event =
+    Event(id, ts(h, m), user, typ, v, "{}")
+
+  test("windowed counts emit closed windows and drop late data") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.windowedCounts(input.toDF(), "1 hour", None, "1 hour")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 1, 10), ev(2, 1, 20), ev(3, 2, 30))
+      q.processAllAvailable()
+      // advance watermark far past hour-1 window: wm = 6:00 - 1h = 5:00
+      input.addData(ev(4, 6, 0))
+      q.processAllAvailable()
+      val closed = spark.table("win_out").collect()
+      assert(closed.exists(r =>
+        r.getAs[Timestamp]("window_start") == ts(1) && r.getAs[Long]("n") == 2))
+      // late arrival for the already-closed 1:00 window must be dropped
+      input.addData(ev(5, 1, 40))
+      q.processAllAvailable()
+      val after = spark.table("win_out").collect()
+      assert(after.length == closed.length, "late row re-opened a closed window")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.dedupByKey(input.toDF(), Seq("event_id"), "2 hours")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(10, 1, 0), ev(11, 1, 5))
+      q.processAllAvailable()
+      input.addData(ev(10, 1, 10)) // same event_id, later batch
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(10L, 11L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 1, 0, user = 7, v = 2.0), ev(2, 1, 1, user = 7, v = 3.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 2, 0, user = 7, v = 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("state_out")
+        .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      // two emissions: after batch1 (n=2,total=5), after batch2 (n=3,total=10)
+      assert(rows.contains((2L, 5.0)))
+      assert(rows.contains((3L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("session windows group by gap") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.sessionCounts(input.toDF(), "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 1:00 and 1:10 (one session), then 3:00 (new session)
+      input.addData(ev(1, 1, 0), ev(2, 1, 10), ev(3, 3, 0))
+      q.processAllAvailable()
+      input.addData(ev(4, 9, 0)) // push watermark to close sessions
+      q.processAllAvailable()
+      val sess = spark.table("sess_out").filter(col("user_id") === 1)
+        .collect().map(_.getAs[Long]("n_events")).sorted
+      assert(sess.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("CDC apply: insert/update/delete collapse to ReplacingMergeTree state") {
+    val changes1 = Seq(
+      ChangeEvent("insert", "t", 1L, ts(1), 1L, """{"v":1}"""),
+      ChangeEvent("insert", "t", 2L, ts(1), 2L, """{"v":2}"""),
+      ChangeEvent("update", "t", 1L, ts(2), 3L, """{"v":10}""")).toDF()
+    val changes2 = Seq(
+      ChangeEvent("delete", "t", 2L, ts(3), 4L, null),
+      ChangeEvent("insert", "t", 3L, ts(3), 5L, """{"v":3}""")).toDF()
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_state_").toString + "/state"
+    CdcPipeline.applyBatch(spark, changes1, stateDir)
+    CdcPipeline.applyBatch(spark, changes2, stateDir)
+    val state = spark.read.parquet(stateDir)
+      .select("key", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state == Map(1L -> """{"v":10}""", 3L -> """{"v":3}"""))
+    // idempotent replay: re-applying batch2 changes nothing
+    CdcPipeline.applyBatch(spark, changes2, stateDir)
+    val replayed = spark.read.parquet(stateDir).count()
+    assert(replayed == 2L)
+  }
+
+  test("file-fed CDC stream applies change files through checkpointed micro-batches") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc_e2e_").toString
+    val changesDir = s"$base/changes"; new java.io.File(changesDir).mkdirs()
+    val stateDir = s"$base/state"; val ckpt = s"$base/ckpt"
+    Seq(ChangeEvent("insert", "t", 1L, ts(1), 1L, """{"v":1}"""))
+      .toDF().coalesce(1).write.mode("append").json(changesDir)
+    val q = CdcPipeline.start(spark, changesDir, stateDir, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(stateDir).count() == 1L)
+      Seq(ChangeEvent("update", "t", 1L, ts(2), 2L, """{"v":9}"""),
+        ChangeEvent("insert", "t", 2L, ts(2), 3L, """{"v":2}"""))
+        .toDF().coalesce(1).write.mode("append").json(changesDir)
+      q.processAllAvailable()
+      val state = spark.read.parquet(stateDir).select("key", "payload")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(state == Map(1L -> """{"v":9}""", 2L -> """{"v":2}"""))
+    } finally q.stop()
+  }
+
+  test("snapshot-then-stream: batch snapshot becomes streaming state") {
+    val base = java.nio.file.Files.createTempDirectory("graft_snap_").toString
+    val changesDir = s"$base/changes"; new java.io.File(changesDir).mkdirs()
+    val stateDir = s"$base/state"; val ckpt = s"$base/ckpt"
+    val snapshot = Seq((1L, "a", ts(1)), (2L, "b", ts(1)))
+      .toDF("id", "name", "updated_at")
+    val q = CdcPipeline.snapshotThenStream(spark, snapshot, "id", "updated_at",
+      changesDir, stateDir, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(stateDir).count() == 2L)
+      Seq(ChangeEvent("delete", "snapshot", 1L, ts(2), 10L, null))
+        .toDF().coalesce(1).write.mode("append").json(changesDir)
+      q.processAllAvailable()
+      val keys = spark.read.parquet(stateDir).select("key")
+        .collect().map(_.getLong(0)).toSet
+      assert(keys == Set(2L))
+    } finally q.stop()
+  }
+}

@@ -7,9 +7,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one untimed warm-up action so JVM/codegen/FS init isn't billed to
+    // whichever query happens to run first
+    try spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().count()
+    catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,190 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hot scalar kernels as JVM statics invoked through Catalyst's
+  * `StaticInvoke` — a direct (codegen'd) method call per row, replacing
+  * interpreted higher-order array expressions (`aggregate`/`zip_with`
+  * folds) on the BENCH-hot paths. Semantics are bit-identical to the
+  * expression versions they replace (same double-precision operation
+  * order), so the DuckDB oracles keep matching.
+  */
+object Kernels {
+
+  /** Polynomial rolling hash over Unicode code points:
+    * h := (h*131 + codePoint) mod 1e9+7 — the [[TextFunctions.fingerprint]]
+    * fold (matches `ascii(substr(text,i,1))` per-character semantics).
+    */
+  def rollingFingerprint(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = (h * 131L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Dot product of two float arrays, accumulated left-to-right in
+    * double (same op order as the `zip_with`+`aggregate` fold).
+    */
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** Dot product of a float array with a double array (LSH planes). */
+  def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** L2 norm of a float array (double accumulation, sequential). */
+  def normF(a: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      acc += x * x
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  /** One-pass 64-bit SimHash: lowercase (UTF8String semantics, matching
+    * Spark's `lower`), whitespace-tokenize, xxhash64 each token with
+    * Spark's seed (42), ±1 bit votes, pack sign bits.
+    */
+  def simhash64(s: UTF8String): Long = {
+    val lowered = s.toLowerCase.trimAll().toString
+    if (lowered.isEmpty) return 0L
+    val sums = new Array[Int](64)
+    for (tok <- lowered.split("\\s+") if tok.nonEmpty) {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(UTF8String.fromString(tok), 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
+        i += 1
+      }
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      if (sums(i) > 0) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
+
+  /** Distinct word n-gram shingles of lowercased text, in first-occurrence
+    * order. Tokenization mirrors the expression pipeline it replaces —
+    * `split(trim(lower(text)), "\\s+")` with Spark semantics (lowercase
+    * via UTF8String, space-only trim, regex split keeping boundary
+    * empties) — so the DuckDB Jaccard oracle keeps matching. Docs shorter
+    * than `n` tokens yield an empty array.
+    */
+  def shingles(s: UTF8String, n: Int): ArrayData = {
+    val lowered = s.toLowerCase.toString
+    var lo = 0
+    var hi = lowered.length
+    while (lo < hi && lowered.charAt(lo) == ' ') lo += 1
+    while (hi > lo && lowered.charAt(hi - 1) == ' ') hi -= 1
+    val toks = lowered.substring(lo, hi).split("\\s+", -1)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** One-pass MinHash signature over a (distinct) shingle array: for each
+    * of `k` hash functions, the min of xxhash64(seed_i, shingle) across
+    * the array — seed chain identical to Spark's `xxhash64(lit(i), s)`
+    * (seed 42 folded through the int, then the string). One kernel call
+    * per row replaces k interpreted `transform` folds.
+    */
+  def minhashSig(sh: ArrayData, k: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val seeds = new Array[Long](k)
+    var i = 0
+    while (i < k) { seeds(i) = XXH64.hashInt(i, 42L); i += 1 }
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = sh.numElements()
+    var j = 0
+    while (j < n) {
+      val s = sh.getUTF8String(j)
+      i = 0
+      while (i < k) {
+        val h = XXH64.hashUTF8String(s, seeds(i))
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  // ---- Column wrappers ----------------------------------------------
+
+  private def invoke(dt: DataType, fn: String, args: Column*): Column =
+    ColumnBridge.column(StaticInvoke(
+      Kernels.getClass, dt, fn,
+      args.map(ColumnBridge.expression).toIndexedSeq,
+      inputTypes = Nil, propagateNull = true, returnNullable = false,
+      isDeterministic = true))
+
+  def fingerprintCol(text: Column): Column =
+    invoke(LongType, "rollingFingerprint", text)
+
+  def simhashCol(text: Column): Column = invoke(LongType, "simhash64", text)
+
+  def minhashCol(shingles: Column, k: Int): Column =
+    invoke(ArrayType(LongType, containsNull = false), "minhashSig",
+      shingles, org.apache.spark.sql.functions.lit(k))
+
+  def shinglesCol(text: Column, n: Int): Column =
+    invoke(ArrayType(StringType, containsNull = false), "shingles",
+      text, org.apache.spark.sql.functions.lit(n))
+
+  def dotFFCol(a: Column, b: Column): Column = invoke(DoubleType, "dotFF", a, b)
+  def dotFDCol(a: Column, b: Column): Column = invoke(DoubleType, "dotFD", a, b)
+  def normFCol(a: Column): Column = invoke(DoubleType, "normF", a)
+
+  /** Cosine similarity of two float-array embeddings (double math). */
+  def cosineFFCol(a: Column, b: Column): Column =
+    dotFFCol(a, b) / (normFCol(a) * normFCol(b))
+}

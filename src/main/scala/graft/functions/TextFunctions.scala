@@ -84,12 +84,7 @@ object TextFunctions {
     * step (h < 1e9+7, so h*131 + c < 2^37), so the same fold is
     * expressible in DuckDB (`list_reduce`) for an exact oracle.
     */
-  def fingerprint(text: Column): Column = {
-    val codes = transform(sequence(lit(1), length(text)),
-      i => ascii(text.substr(i, lit(1))).cast("long"))
-    when(length(text) === 0, lit(0L)).otherwise(
-      aggregate(codes, lit(0L), (h, c) => (h * lit(131L) + c) % lit(1000000007L)))
-  }
+  def fingerprint(text: Column): Column = Kernels.fingerprintCol(text)
 
   /** Word n-gram shingles (for Jaccard / MinHash dedup). */
   def wordShingles(text: Column, n: Int): Column = {

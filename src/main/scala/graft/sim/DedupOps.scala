@@ -20,19 +20,23 @@ object DedupOps {
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col(textCol))
 
-  /** Distinct `(id, shingle)` pairs: 3-word shingles over lowercased,
+  /** Per-doc DISTINCT shingle arrays: 3-word shingles over lowercased,
     * whitespace-split text. Docs shorter than `n` tokens emit nothing
     * (mirrors the DuckDB oracle's `range(len(w)-n+1)` semantics).
+    *
+    * Deduplication happens locally per row (`array_distinct`), NOT with a
+    * row-level `distinct()` — at 100 TB that saves a full shuffle of the
+    * exploded shingle stream, and set sizes come free from `size(sh)`.
     */
-  def shinglePairs(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val t = TextFunctions.tokens(lower(col(textCol)))
-    df.select(col(idCol), t.as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col(idCol), explode(
-        transform(sequence(lit(0), size(col("toks")) - n),
-          i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(n))))).as("shingle"))
-      .distinct()
-  }
+  def shingleArrays(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+        graft.functions.Kernels.shinglesCol(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Distinct `(id, shingle)` pairs — the exploded inverted-index form. */
+  def shinglePairs(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    shingleArrays(df, textCol, idCol, n)
+      .select(col(idCol), explode(col("sh")).as("shingle"))
 
   /** EXACT n-gram Jaccard similarity for all pairs above `threshold`,
     * computed with an inverted-index self-join (pairs are only generated
@@ -50,7 +54,13 @@ object DedupOps {
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxShingleDf: Option[Int] = None): DataFrame = {
-    val s = shinglePairs(df, textCol, idCol, n)
+    val sh = shingleArrays(df, textCol, idCol, n)
+    // hash-partition the inverted index ONCE on the join key: the a/b
+    // sides of the self-join are identical subplans, so ReuseExchange
+    // shuffles this stream a single time (and blocks AQE from trying to
+    // broadcast a million-row exploded side)
+    val s = sh.select(col(idCol), explode(col("sh")).as("shingle"))
+      .repartition(col("shingle"))
     val sPruned = maxShingleDf match {
       case Some(cap) =>
         val hot = s.groupBy("shingle").count().filter(col("count") > cap)
@@ -58,7 +68,8 @@ object DedupOps {
         s.join(broadcast(hot), Seq("shingle"), "left_anti")
       case None => s
     }
-    val sizes = s.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    // set sizes are a local projection off the arrays — no aggregation
+    val sizes = sh.select(col(idCol), size(col("sh")).cast("long").as("sz"))
     val a = sPruned.select(col(idCol).as("a_id"), col("shingle"))
     val b = sPruned.select(col(idCol).as("b_id"), col("shingle"))
     val inter = a.join(b, "shingle")
@@ -74,16 +85,17 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
-  /** MinHash signature columns: h_i = min over shingles of
-    * xxhash64(seed_i, shingle). One hash-aggregate produces all k
-    * components (k narrow agg columns, map-side combined).
+  /** MinHash signature columns: h_i = min over the doc's distinct
+    * shingles of xxhash64(seed_i, shingle). One codegen'd kernel call
+    * per row (Kernels.minhashSig; subexpression elimination collapses
+    * the k column references to a single evaluation) — signatures need
+    * NO shuffle; the first shuffle of the LSH pipeline is the band join.
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, k: Int = 32): DataFrame = {
-    val s = shinglePairs(df, textCol, idCol, n)
-    val aggs = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    s.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sh = shingleArrays(df, textCol, idCol, n)
+    val sig = graft.functions.Kernels.minhashCol(col("sh"), k)
+    sh.select(col(idCol) +: (0 until k).map(i => sig.getItem(i).as(s"h$i")): _*)
   }
 
   /** LSH banding over the signature: `bands` bands of `k/bands` rows
@@ -116,8 +128,9 @@ object DedupOps {
                    n: Int = 3, k: Int = 32, bands: Int = 8,
                    threshold: Double = 0.5): DataFrame = {
     val cand = minhashCandidates(df, textCol, idCol, n, k, bands)
-    val s = shinglePairs(df, textCol, idCol, n)
-    val sizes = s.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val sh = shingleArrays(df, textCol, idCol, n)
+    val s = sh.select(col(idCol), explode(col("sh")).as("shingle"))
+    val sizes = sh.select(col(idCol), size(col("sh")).cast("long").as("sz"))
     val inter = cand
       .join(s.select(col(idCol).as("a_id"), col("shingle")), "a_id")
       .join(s.select(col(idCol).as("b_id"), col("shingle")), Seq("b_id", "shingle"))
@@ -133,22 +146,14 @@ object DedupOps {
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/−1 weighted
-    * by token-hash bit i; fingerprint bit i = (sum_i > 0). Expressed as
-    * one explode + one 64-column hash-aggregate (map-side combined).
+    * by token-hash bit i; fingerprint bit i = (sum_i > 0). One codegen'd
+    * kernel call per row (Kernels.simhash64) — tokenize, xxhash64 (same
+    * seed-42 hash as Spark's `xxhash64`), bit-vote and pack in a single
+    * pass with no explode and no shuffle.
     */
-  def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = df.select(col(idCol),
-      explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1)
-        .otherwise(-1)).as(s"s$i"))
-    val sums = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map(i =>
-      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-    sums.select(col(idCol), fp.as("simhash"))
-  }
+  def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.Kernels.simhashCol(col(textCol)).as("simhash"))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -10,16 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  private def asDouble(a: Column): Column = transform(a, _.cast("double"))
+  import graft.functions.Kernels
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+  /** All three operate on `array<float>` embeddings with double
+    * accumulation, via codegen'd static kernels (Kernels.scala) — the
+    * interpreted `zip_with`+`aggregate` fold was the BENCH hotspot.
+    */
+  def dot(a: Column, b: Column): Column = Kernels.dotFFCol(a, b)
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(asDouble(a), lit(0.0), (acc, x) => acc + x * x))
+  def l2Norm(a: Column): Column = Kernels.normFCol(a)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  def cosine(a: Column, b: Column): Column = Kernels.cosineFFCol(a, b)
 
   /** Brute-force top-k cosine neighbors: broadcast the (small) query set
     * against the candidate corpus — ONE pass over the big side, no
@@ -56,15 +57,12 @@ object VectorOps {
     * the shuffle key, so each query only scans its bucket instead of the
     * full corpus.
     */
-  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column = {
-    val e = asDouble(emb)
+  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*)
-      val d = aggregate(zip_with(e, planeLit, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+      val d = Kernels.dotFDCol(emb, planeLit)
       when(d > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-  }
 
   /** Multi-table sign-LSH bucket keys: `nTables` independent plane sets
     * (different seeds); a row emits one `(table, bucket)` struct per

@@ -302,6 +302,77 @@ object Queries {
         | FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         | ORDER BY rf, ls""".stripMargin.replaceAll("\n", ""))),
 
+    // CUBE grouping sets (all 2^k grouping combinations)
+    Q("q_cube",
+      (s, d) => Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("cnt"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, '(all)') AS rf,
+        | coalesce(l_linestatus, '(all)') AS ls, count(*) AS cnt
+        | FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        | ORDER BY rf, ls""".stripMargin.replaceAll("\n", ""))),
+
+    // Date/time arithmetic (year/month/day extraction, interval add,
+    // day difference) — §2.8's missing date-function surface
+    Q("f_date_arith",
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+        datediff(to_date(lit("2024-06-01")), to_date(col("o_orderdate")))
+          .cast("long").as("days_to_jun1"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+        | CAST(month(o_orderdate) AS BIGINT) AS m,
+        | CAST(day(o_orderdate) AS BIGINT) AS dom,
+        | CAST(o_orderdate AS DATE) + 30 AS plus30,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-06-01') AS BIGINT) AS days_to_jun1
+        | FROM orders ORDER BY o_orderkey""".stripMargin.replaceAll("\n", ""))),
+
+    // Array-column functions over array<float> embeddings
+    Q("q_array_funcs",
+      (s, d) => Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("e_first"),
+        element_at(col("embedding"), 64).cast("double").as("e_last"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        | CAST(embedding[1] AS DOUBLE) AS e_first,
+        | CAST(embedding[64] AS DOUBLE) AS e_last
+        | FROM embeddings ORDER BY vec_id""".stripMargin.replaceAll("\n", ""))),
+
+    // HLL-sketch approximate distinct (rows-only: sketch estimates are
+    // engine-specific; the exact twin is q1_agg's count(DISTINCT))
+    Q("q_approx_distinct",
+      (s, d) => Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders")),
+      None),
+
+    // Sliding event-time windows (1h window, 30m slide): batch twin of
+    // the streaming sliding-window path — each event lands in 2 windows
+    Q("st_sliding_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("win.start").as("window_start"), col("n"))
+        .orderBy("window_start"),
+      Some("""WITH shifted AS (
+        | SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS window_start FROM events
+        | UNION ALL
+        | SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS TIMESTAMP) FROM events)
+        | SELECT window_start, count(*) AS n FROM shifted
+        | GROUP BY window_start ORDER BY window_start"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // JSON extraction on the events.props payload ([EXT] §2.8 note)
     Q("q_json_extract",
       (s, d) => Tables.events(s, d)

@@ -1,0 +1,41 @@
+package graft.sync
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Batch sinks (S5, SURVEY §2.1). The reference string-builds one
+  * `INSERT ... VALUES` per 1000-row batch over a fresh ClickHouse
+  * connection (mysql_to_clickhouse_sync.py:52-91) and swallows insert
+  * errors (sync.py:87-89). Spark's JDBC writer replaces all of it:
+  * PreparedStatement batching (no SQL-injection surface — SURVEY §3.4-4),
+  * one connection per partition task, failures propagate as task
+  * failures.
+  */
+object Sinks {
+
+  /** JDBC append sink. `batchSize` mirrors the reference's `--batch_size`
+    * (default 1000, sync.py:236); `numPartitions` caps concurrent
+    * connections the way `--max_workers` capped insert threads
+    * (sync.py:237). Works against any JDBC target incl. ClickHouse via
+    * its JDBC driver (none is shipped in this container, so this path is
+    * exercised only by code review; the parquet sink is the tested
+    * stand-in).
+    */
+  def jdbc(df: DataFrame, url: String, table: String,
+           props: java.util.Properties = new java.util.Properties(),
+           batchSize: Int = 1000, numPartitions: Option[Int] = None): Unit = {
+    val sized = numPartitions.fold(df)(n => df.coalesce(n))
+    sized.write
+      .mode(SaveMode.Append)
+      .option("batchsize", batchSize)
+      .option("isolationLevel", "NONE") // ClickHouse has no transactions
+      .jdbc(url, table, props)
+  }
+
+  /** Parquet sink with bounded file sizes — the tested sink. */
+  def parquet(df: DataFrame, path: String,
+              maxRecordsPerFile: Long = 1000000L): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+}

@@ -130,6 +130,28 @@ object ExtQueries {
         |   / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""))),
 
+    // X2 IVF-style ANN (corpus-adaptive clusters; LSH's complement) —
+    // rows-only; recall vs brute force covered in ScalaTest
+    Q("x_knn_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.sim.IvfOps.knnIvf(
+          emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), 10)
+      },
+      None),
+
+    // X4 corpus word-frequency top-50 (explode/Generate operator)
+    Q("x_word_freq",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(50),
+      Some("""SELECT word, count(*) AS n FROM (SELECT
+        | unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        | FROM documents) t GROUP BY word ORDER BY n DESC, word LIMIT 50"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // X4 corpus-level token accounting
     Q("x_token_stats",
       (s, d) => Tables.documents(s, d).agg(

@@ -158,6 +158,56 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** IVF probe: cosine of a float embedding against `c` centroids (flat
+    * row-major double array), returning the indices of the `nprobe`
+    * nearest centroids, best first. Selection sort over c entries —
+    * c is small by construction.
+    */
+  def ivfProbe(emb: ArrayData, centroidsFlat: ArrayData, c: Int, nprobe: Int): ArrayData = {
+    val dim = emb.numElements()
+    var embNorm = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = emb.getFloat(i).toDouble
+      embNorm += x * x
+      i += 1
+    }
+    embNorm = math.sqrt(embNorm)
+    val sims = new Array[Double](c)
+    var ci = 0
+    while (ci < c) {
+      var dot = 0.0
+      var norm = 0.0
+      i = 0
+      while (i < dim) {
+        val y = centroidsFlat.getDouble(ci * dim + i)
+        dot += emb.getFloat(i).toDouble * y
+        norm += y * y
+        i += 1
+      }
+      sims(ci) = if (norm == 0.0 || embNorm == 0.0) -2.0
+        else dot / (embNorm * math.sqrt(norm))
+      ci += 1
+    }
+    val n = math.min(nprobe, c)
+    val out = new Array[Any](n)
+    val taken = new Array[Boolean](c)
+    var r = 0
+    while (r < n) {
+      var best = -1
+      var bestSim = -3.0
+      ci = 0
+      while (ci < c) {
+        if (!taken(ci) && sims(ci) > bestSim) { best = ci; bestSim = sims(ci) }
+        ci += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   // ---- Column wrappers ----------------------------------------------
 
   private def invoke(dt: DataType, fn: String, args: Column*): Column =
@@ -179,6 +229,11 @@ object Kernels {
   def shinglesCol(text: Column, n: Int): Column =
     invoke(ArrayType(StringType, containsNull = false), "shingles",
       text, org.apache.spark.sql.functions.lit(n))
+
+  def ivfProbeCol(emb: Column, centroidsFlat: Column, c: Int, nprobe: Int): Column =
+    invoke(ArrayType(IntegerType, containsNull = false), "ivfProbe",
+      emb, centroidsFlat, org.apache.spark.sql.functions.lit(c),
+      org.apache.spark.sql.functions.lit(nprobe))
 
   def dotFFCol(a: Column, b: Column): Column = invoke(DoubleType, "dotFF", a, b)
   def dotFDCol(a: Column, b: Column): Column = invoke(DoubleType, "dotFD", a, b)

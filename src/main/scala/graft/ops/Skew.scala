@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation combinators for hot-key shuffles — the hand tool for
+  * when AQE's skew-join splitting isn't available (aggregations) or a
+  * replicated join beats runtime re-planning. At 100 TB a single hot key
+  * (null-ish foreign keys, celebrity users, empty-string tokens) can pin
+  * one reducer; salting fans it out `salt` ways deterministically.
+  */
+object Skew {
+
+  private def saltCol(salt: Int): Column =
+    pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int")
+
+  /** Salted equi-join: the (large, possibly skewed) left side gets a
+    * row-local salt; the small right side is replicated `salt` times so
+    * every (key, salt) bucket finds its match. Result set is identical
+    * to the plain join — only the shuffle layout changes (hot keys
+    * spread over `salt` reducers; right side grows ×salt, so use for
+    * genuinely small-ish right sides).
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 salt: Int): DataFrame = {
+    require(salt > 0)
+    val l = large.withColumn("__salt", saltCol(salt))
+    val s = small.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    l.join(s, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Salted two-phase aggregation: partial aggregate on (keys, salt) —
+    * hot keys split across reducers — then final combine on keys alone
+    * (tiny second shuffle: one row per (key, salt)). Provided for the
+    * decomposable aggregates the sync/analytics surface uses.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], salt: Int,
+                partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame = {
+    require(salt > 0)
+    val partial = df.withColumn("__salt", saltCol(salt))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    partial.groupBy(keys.map(col): _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
+  /** Salted COUNT per key. */
+  def saltedCount(df: DataFrame, keys: Seq[String], salt: Int): DataFrame =
+    saltedAgg(df, keys, salt,
+      Seq(count(lit(1)).as("__partial_cnt")),
+      Seq(sum(col("__partial_cnt")).as("cnt")))
+
+  /** Salted exact decimal SUM per key (same cross-engine-stable pattern
+    * as [[CoreOps.exactSum]]).
+    */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: Column,
+                salt: Int, as: String): DataFrame =
+    saltedAgg(df, keys, salt,
+      Seq(sum(valueCol.cast("decimal(28,6)")).as("__partial_sum")),
+      Seq(sum(col("__partial_sum")).cast("double").as(as)))
+}

@@ -55,6 +55,20 @@ class SimSpec extends SparkSpec {
     assert(got(1) == 1.0)
   }
 
+  test("IVF KNN recalls most brute-force neighbors and is a subset-scored exact rank") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    val exact = VectorOps.knnBruteForce(q, c, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = IvfOps.knnIvf(q, c, 10, c = 16, nprobe = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall below 0.5")
+  }
+
   test("sign-LSH KNN recalls most brute-force neighbors") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 5)

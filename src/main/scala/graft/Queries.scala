@@ -421,6 +421,37 @@ object Queries {
         | count(*) AS n_events FROM x GROUP BY user_id ORDER BY user_id"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // As-of (point-in-time) join: each click matched to the user's most
+    // recent prior-or-simultaneous purchase. Spark has no native asof
+    // operator — ours is the scalable union+window form (ops.AsOfJoin);
+    // the oracle uses DuckDB's native ASOF LEFT JOIN.
+    Q("q_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+            col("value").as("purchase_value"))
+        graft.ops.AsOfJoin.asOf(clicks, purchases, "user_id", "ts",
+          leftCols = Seq("click_id"),
+          valueCols = Seq("purchase_id", "purchase_value"),
+          leftTie = "click_id", rightTie = "purchase_id")
+          .select(col("click_id"), col("user_id"),
+            col("asof_purchase_id"), col("asof_purchase_value"))
+          .orderBy("click_id")
+      },
+      Some("""WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events
+        |  WHERE event_type = 'click'),
+        | p AS (SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase')
+        | SELECT c.click_id, c.user_id,
+        |  p.purchase_id AS asof_purchase_id,
+        |  p.purchase_value AS asof_purchase_value
+        | FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        | ORDER BY click_id""".stripMargin.replaceAll("\n", ""))),
+
     // Latest-state-per-key: the batch semantics of a CDC upsert sink
     // (ClickHouse ReplacingMergeTree ordering — SURVEY §2.9 St2)
     Q("st_cdc_latest_state",

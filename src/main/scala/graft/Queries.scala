@@ -302,6 +302,43 @@ object Queries {
         | FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         | ORDER BY rf, ls""".stripMargin.replaceAll("\n", ""))),
 
+    // String-function ladder (upper/substring/lpad/concat/reverse)
+    Q("f_string_funcs",
+      (s, d) => Tables.customer(s, d).select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        substring(col("c_name"), 10, 5).as("mid"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        concat(col("c_mktsegment"), lit("_"), col("c_name")).as("joined"),
+        reverse(col("c_mktsegment")).as("rev"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, upper(c_name) AS uname,
+        | substring(c_name, 10, 5) AS mid,
+        | lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        | c_mktsegment || '_' || c_name AS joined,
+        | reverse(c_mktsegment) AS rev
+        | FROM customer ORDER BY c_custkey""".stripMargin.replaceAll("\n", ""))),
+
+    // Window-function variety: lead, first_value, ntile
+    Q("q_window_variety",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first_value(col("o_orderkey")).over(w).as("first_order"),
+          ntile(4).over(w).cast("long").as("quartile"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | first_value(o_orderkey) OVER w AS first_order,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        | ORDER BY o_custkey, o_orderkey""".stripMargin.replaceAll("\n", ""))),
+
     // CUBE grouping sets (all 2^k grouping combinations)
     Q("q_cube",
       (s, d) => Tables.lineitem(s, d)

@@ -31,13 +31,19 @@ import scala.util.matching.Regex
   */
 object SyncJob {
 
-  /** CLI surface of the reference (sync.py:224-240, README.md:3-47). */
+  /** CLI surface of the reference (sync.py:224-240, README.md:3-47).
+    * `maxWorkers` is the outer table-level concurrency (`--max_workers`,
+    * default 10, sync.py:237) — here driver-side Futures each submitting
+    * an independent Spark job, so small-table jobs overlap while a big
+    * table's partitioned copy saturates the executors.
+    */
   final case class SyncConfig(
       includeTables: Option[Regex] = None,
       excludeTables: Option[Regex] = None,
       batchSize: Long = 1000L,
       smallTableThreshold: Long = 1000L,
-      maxPartitions: Int = 2048)
+      maxPartitions: Int = 2048,
+      maxWorkers: Int = 10)
 
   final case class TableReport(
       table: String, rows: Long, minId: Long, maxId: Long,
@@ -127,9 +133,21 @@ object SyncJob {
     import spark.implicits._
     graft.model.Tables.ensureNanosCompat(spark)
     val tables = filterTables(discoverTables(srcDir), cfg.includeTables, cfg.excludeTables)
-    val reports = tables.map(t => syncTable(spark, srcDir, destDir, t, pkFor(t), cfg))
-    writeCheckpoint(destDir, reports)
-    reports.toDF().orderBy("table")
+    // table-level fan-out (reference's outer ThreadPoolExecutor,
+    // sync.py:192-199) — unlike the reference, failures PROPAGATE
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(cfg.maxWorkers, math.max(1, tables.size))))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = tables.map(t => scala.concurrent.Future(
+        syncTable(spark, srcDir, destDir, t, pkFor(t), cfg)))
+      val reports = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf)
+      writeCheckpoint(destDir, reports)
+      reports.toDF().orderBy("table")
+    } finally pool.shutdown()
   }
 
   /** Harness PK mapping: dense integer key per TESTDATA table playing the

@@ -102,6 +102,26 @@ object CdcPipeline {
       }
       .start()
 
+  /** Launch the continuous apply from the custom binlog-tail source
+    * (graft.streaming.BinlogSource — a DataSourceV2 MicroBatchStream over
+    * an append-only change log, offset = log position) instead of the
+    * file-glob stand-in. Same downstream apply.
+    */
+  def startFromBinlog(spark: SparkSession, logPath: String, stateDir: String,
+                      checkpointDir: String,
+                      maxLinesPerTrigger: Long = 10000L): StreamingQuery =
+    spark.readStream
+      .format(classOf[BinlogSourceProvider].getName)
+      .option("path", logPath)
+      .option("maxLinesPerTrigger", maxLinesPerTrigger.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(spark, batch, stateDir)
+      }
+      .start()
+
   /** Snapshot-then-stream: batch-copy the current table state (the
     * reference's whole program), then apply the change stream from the
     * recorded offset forward. Returns the running query.

@@ -27,24 +27,32 @@ object Smoke {
       println(s"[smoke] $name rows=$n")
     }
 
-    // Drive the CDC streaming pipeline end-to-end: snapshot → change
-    // files → checkpointed micro-batch upserts → final state.
-    import graft.streaming.{CdcPipeline, ChangeEvent}
+    // Drive the CDC pipeline end-to-end over the custom binlog-tail
+    // source: snapshot state → appended change-log lines → checkpointed
+    // micro-batch upserts → final state.
+    import graft.streaming.{BinlogSource, CdcPipeline, ChangeEvent}
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_smoke_cdc_").toString
-    val changes = s"$base/changes"; new java.io.File(changes).mkdirs()
+    val log = s"$base/changes.binlog"
     val snapshot = graft.model.Tables.customer(spark, sfDir)
       .limit(10).withColumn("updated_at",
         org.apache.spark.sql.functions.lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
-    val q = CdcPipeline.snapshotThenStream(spark, snapshot, "c_custkey",
-      "updated_at", changes, s"$base/state", s"$base/ckpt")
+    val asState = snapshot.select(
+      org.apache.spark.sql.functions.lit("snapshot").as("table"),
+      org.apache.spark.sql.functions.col("c_custkey").cast("long").as("key"),
+      org.apache.spark.sql.functions.col("updated_at").as("ts"),
+      org.apache.spark.sql.functions.lit(0L).as("seq"),
+      org.apache.spark.sql.functions.to_json(
+        org.apache.spark.sql.functions.struct(snapshot.columns.map(
+          org.apache.spark.sql.functions.col): _*)).as("payload"))
+    asState.write.mode("overwrite").parquet(s"$base/state")
+    val q = CdcPipeline.startFromBinlog(spark, log, s"$base/state", s"$base/ckpt")
     q.processAllAvailable()
-    Seq(
+    BinlogSource.append(log, Seq(
       ChangeEvent("update", "snapshot", 1L,
         java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 1L, """{"seg":"X"}"""),
       ChangeEvent("delete", "snapshot", 2L,
-        java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 2L, null))
-      .toDF().coalesce(1).write.mode("append").json(changes)
+        java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 2L, null)))
     q.processAllAvailable()
     q.stop()
     val state = spark.read.parquet(s"$base/state")

@@ -139,6 +139,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom binlog MicroBatchStream tails the log with checkpointed offsets") {
+    val base = java.nio.file.Files.createTempDirectory("graft_binlog_").toString
+    val log = s"$base/changes.binlog"
+    val stateDir = s"$base/state"; val ckpt = s"$base/ckpt"
+    BinlogSource.append(log, Seq(
+      ChangeEvent("insert", "t", 1L, ts(1), 1L, """{"v":1}"""),
+      ChangeEvent("insert", "t", 2L, ts(1), 2L, """{"v":2}""")))
+    val q = CdcPipeline.startFromBinlog(spark, log, stateDir, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(stateDir).count() == 2L)
+      // append more events — the tail picks up ONLY the new lines
+      BinlogSource.append(log, Seq(
+        ChangeEvent("update", "t", 1L, ts(2), 3L, """{"v":10}"""),
+        ChangeEvent("delete", "t", 2L, ts(2), 4L, null),
+        ChangeEvent("insert", "t", 3L, ts(2), 5L, """{"v":3}""")))
+      q.processAllAvailable()
+      val state = spark.read.parquet(stateDir).select("key", "payload")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(state == Map(1L -> """{"v":10}""", 3L -> """{"v":3}"""))
+    } finally q.stop()
+
+    // restart from the checkpoint: committed offsets survive, no re-apply
+    val q2 = CdcPipeline.startFromBinlog(spark, log, stateDir, ckpt)
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(stateDir).count() == 2L)
+      BinlogSource.append(log, Seq(
+        ChangeEvent("insert", "t", 4L, ts(3), 6L, """{"v":4}""")))
+      q2.processAllAvailable()
+      assert(spark.read.parquet(stateDir).count() == 3L)
+    } finally q2.stop()
+  }
+
   test("snapshot-then-stream: batch snapshot becomes streaming state") {
     val base = java.nio.file.Files.createTempDirectory("graft_snap_").toString
     val changesDir = s"$base/changes"; new java.io.File(changesDir).mkdirs()

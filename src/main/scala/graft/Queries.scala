@@ -458,6 +458,28 @@ object Queries {
         | count(*) AS n_events FROM x GROUP BY user_id ORDER BY user_id"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // Theta/interval join: click ⨝ purchase of the same user within the
+    // preceding hour (batch twin of StreamOps.intervalJoin; the range
+    // predicate rides on the user_id equi-join, not a cross join)
+    Q("q_interval_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+        clicks.join(purchases, Seq("user_id"))
+          .filter(col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+            col("p_ts") <= col("c_ts"))
+          .select("click_id", "purchase_id", "user_id")
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        | FROM events c JOIN events p ON c.user_id = p.user_id
+        | AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+        | WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        | ORDER BY click_id, purchase_id""".stripMargin.replaceAll("\n", ""))),
+
     // As-of (point-in-time) join: each click matched to the user's most
     // recent prior-or-simultaneous purchase. Spark has no native asof
     // operator — ours is the scalable union+window form (ops.AsOfJoin);

@@ -51,6 +51,28 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream interval join: left events matched to right events of
+    * the same key within `[left.ts - lookback, left.ts]` — the streaming
+    * form of the as-of/attribution lookup (e.g. click → purchase within
+    * an hour). Watermarks on BOTH sides bound the join state Spark must
+    * retain; the time-range predicate is what makes state eviction
+    * possible at all, so it is mandatory here.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   lookback: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(keyCol).as("l_key"), col("ts").as("l_ts"),
+        col("event_id").as("l_event_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(keyCol).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"), col("value").as("r_value"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookback") &&
+        col("r_ts") <= col("l_ts"))
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * count + total. Demonstrates the engine's stateful-processing surface
     * (the piece Catalyst can't express declaratively).

@@ -97,6 +97,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within lookback only") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF(), buys.toDF(), "user_id", "1 hour", "2 hours")
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      // click at 3:00; purchases at 2:30 (in window), 1:00 (too old),
+      // 3:30 (after click — excluded)
+      clicks.addData(ev(100, 3, 0))
+      buys.addData(ev(200, 2, 30, v = 9.0), ev(201, 1, 0, v = 1.0),
+        ev(202, 3, 30, v = 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("ij_out")
+        .select("l_event_id", "r_event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((100L, 200L)))
+    } finally q.stop()
+  }
+
   test("CDC apply: insert/update/delete collapse to ReplacingMergeTree state") {
     val changes1 = Seq(
       ChangeEvent("insert", "t", 1L, ts(1), 1L, """{"v":1}"""),

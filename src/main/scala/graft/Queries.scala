@@ -458,6 +458,24 @@ object Queries {
         | count(*) AS n_events FROM x GROUP BY user_id ORDER BY user_id"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // SQL entry path + scalar subquery (Catalyst rewrites it to a join;
+    // the threshold uses the decimal-exact average so both engines
+    // compute the identical double)
+    Q("q_sql_subquery",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v
+          | WHERE o_totalprice > 3.0 * (SELECT
+          |   CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+          |   FROM orders_v)
+          | ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        | WHERE o_totalprice > 3.0 * (SELECT
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+        |  FROM orders)
+        | ORDER BY o_orderkey""".stripMargin.replaceAll("\n", ""))),
+
     // Theta/interval join: click ⨝ purchase of the same user within the
     // preceding hour (batch twin of StreamOps.intervalJoin; the range
     // predicate rides on the user_id equi-join, not a cross join)

@@ -48,6 +48,34 @@ object ExtQueries {
         |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
         | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""))),
 
+    // X1 duplicate-cluster resolution: connected components over the
+    // exact near-dup pairs; "keep one per cluster" = label == id.
+    // Oracle = recursive-CTE transitive closure in DuckDB.
+    Q("x_dedup_clusters",
+      (s, d) => DedupOps.connectedComponents(
+        DedupOps.jaccardPairs(Tables.documents(s, d), "text", "doc_id",
+          n = 3, threshold = 0.2))
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id"),
+      Some(("""WITH RECURSIVE w AS (SELECT doc_id,
+        | regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        | s AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 2),
+        |   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        |   FROM w WHERE len(w) >= 3),
+        | pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM s a
+        |   JOIN s b ON a.doc_id < b.doc_id
+        |   WHERE len(list_intersect(a.sh, b.sh)) > 0
+        |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2),
+        | e AS (SELECT a_id AS x, b_id AS y FROM pr
+        |   UNION ALL SELECT b_id, a_id FROM pr),
+        | nodes AS (SELECT DISTINCT x AS id FROM e),
+        | reach(id, r) AS (SELECT id, id FROM nodes
+        |   UNION SELECT reach.id, e.y FROM reach JOIN e ON reach.r = e.x)
+        | SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+        | FROM reach GROUP BY id ORDER BY doc_id""")
+        .stripMargin.replaceAll("\n", ""))),
+
     // X1 MinHash-LSH near-dup (approximate candidates + exact verify) —
     // rows-only driver check; recall vs exact Jaccard covered in ScalaTest
     Q("x_dedup_minhash",

@@ -157,4 +157,43 @@ object DedupOps {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over an undirected pair list `(a_id, b_id)` —
+    * duplicate-CLUSTER resolution: every doc in a component gets the
+    * component's minimum id as its label, so "keep one per cluster"
+    * is `label == id`.
+    *
+    * Algorithm: iterative min-label propagation (each round every node
+    * takes the min label in its neighborhood; converges in O(diameter)
+    * rounds — near-dup clusters are tiny-diameter in practice). Each
+    * round is one shuffle on node id; the driver only sees a change
+    * COUNT per round (no graph collect). This is the DataFrame form of
+    * the standard large-star/small-star CC used by production dedup.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
+                          bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "y")
+          .withColumnRenamed("label", "y_label"), "y")
+        .groupBy(col("x").as("id"))
+        .agg(min(col("y_label")).as("nbr_label"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next.localCheckpoint(eager = true) // truncate the growing lineage
+      converged = changed == 0L
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("component"))
+  }
 }

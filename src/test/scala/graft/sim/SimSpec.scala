@@ -46,6 +46,13 @@ class SimSpec extends SparkSpec {
     assert(ham(fp(1L), fp(3L)) > ham(fp(1L), fp(2L)))
   }
 
+  test("connected components labels every node with its cluster minimum") {
+    val pairs = Seq((2L, 5L), (5L, 9L), (11L, 12L)).toDF("a_id", "b_id")
+    val got = DedupOps.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 11L -> 11L, 12L -> 11L))
+  }
+
   test("cosine on known vectors") {
     val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 1f), Array(1f, 1f)))
       .toDF("a", "b")

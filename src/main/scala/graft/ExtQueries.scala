@@ -193,6 +193,22 @@ object ExtQueries {
         | CAST(min(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS min_tokens
         | FROM documents""".stripMargin.replaceAll("\n", ""))),
 
+    // SQL surface of the native kernels (GraftFunctions registration):
+    // identical semantics to x_fingerprint, called through spark.sql
+    Q("x_sql_kernel_fn",
+      (s, d) => {
+        graft.GraftFunctions.register(s)
+        Tables.documents(s, d).createOrReplaceTempView("documents_v")
+        s.sql("""SELECT doc_id, graft_fingerprint(text) AS fp
+          | FROM documents_v ORDER BY doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id, CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT) ELSE
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(range(1, length(text) + 1),
+        |   i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |   (h, c) -> (h * 131 + c) % 1000000007) END AS fp
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""))),
+
     // X4 rolling-hash document fingerprint (same 64-bit-safe fold on both
     // engines: h := (h*131 + code) mod 1e9+7)
     Q("x_fingerprint",

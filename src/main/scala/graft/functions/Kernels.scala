@@ -210,12 +210,35 @@ object Kernels {
 
   // ---- Column wrappers ----------------------------------------------
 
-  private def invoke(dt: DataType, fn: String, args: Column*): Column =
-    ColumnBridge.column(StaticInvoke(
-      Kernels.getClass, dt, fn,
-      args.map(ColumnBridge.expression).toIndexedSeq,
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Expression-level builder (shared by the Column wrappers and the SQL
+    * function registrations in graft.GraftExtensions).
+    */
+  private def invokeExpr(dt: DataType, fn: String, args: Seq[Expression]): Expression =
+    StaticInvoke(
+      Kernels.getClass, dt, fn, args.toIndexedSeq,
       inputTypes = Nil, propagateNull = true, returnNullable = false,
-      isDeterministic = true))
+      isDeterministic = true)
+
+  private def invoke(dt: DataType, fn: String, args: Column*): Column =
+    ColumnBridge.column(invokeExpr(dt, fn, args.map(ColumnBridge.expression)))
+
+  def fingerprintExpr(e: Expression): Expression =
+    invokeExpr(LongType, "rollingFingerprint", Seq(e))
+  def simhashExpr(e: Expression): Expression =
+    invokeExpr(LongType, "simhash64", Seq(e))
+  def shinglesExpr(text: Expression, n: Expression): Expression =
+    invokeExpr(ArrayType(StringType, containsNull = false), "shingles", Seq(text, n))
+  def minhashExpr(sh: Expression, k: Expression): Expression =
+    invokeExpr(ArrayType(LongType, containsNull = false), "minhashSig", Seq(sh, k))
+  def cosineExpr(a: Expression, b: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply}
+    Divide(
+      invokeExpr(DoubleType, "dotFF", Seq(a, b)),
+      Multiply(invokeExpr(DoubleType, "normF", Seq(a)),
+        invokeExpr(DoubleType, "normF", Seq(b))))
+  }
 
   def fingerprintCol(text: Column): Column =
     invoke(LongType, "rollingFingerprint", text)

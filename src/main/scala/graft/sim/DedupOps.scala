@@ -172,10 +172,14 @@ object DedupOps {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
                           bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
+    // materialize the edge list ONCE — otherwise every iteration's joins
+    // recompute the (possibly expensive) pair-generation pipeline
     val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
       .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
+      .localCheckpoint(eager = true)
     var labels = edges.select(col("x").as("id")).distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint(eager = true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -184,14 +188,16 @@ object DedupOps {
           .withColumnRenamed("label", "y_label"), "y")
         .groupBy(col("x").as("id"))
         .agg(min(col("y_label")).as("nbr_label"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      // one materialization per round carries BOTH the new label and the
+      // old one, so change-detection reads the checkpoint, not the plan
+      val next = labels.withColumnRenamed("label", "old")
+        .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next.localCheckpoint(eager = true) // truncate the growing lineage
-      converged = changed == 0L
+          least(col("old"), coalesce(col("nbr_label"), col("old"))).as("label"),
+          col("old"))
+        .localCheckpoint(eager = true)
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.select("id", "label")
       iter += 1
     }
     labels.select(col("id"), col("label").as("component"))

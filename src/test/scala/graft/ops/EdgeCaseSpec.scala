@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.model.Tables
+import graft.sim.{DedupOps, VectorOps}
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior: every operator must return an empty (or
+  * sentinel) result on empty input, never throw — at 100 TB some
+  * partition, bucket, or filtered branch is ALWAYS empty.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs = Tables.documents(spark, sf).filter(col("doc_id") < 0)
+  private def emptyEmb = Tables.embeddings(spark, sf).filter(col("vec_id") < 0)
+
+  test("pagination beyond the end returns empty") {
+    val out = CoreOps.paginate(Tables.customer(spark, sf),
+      Seq(col("c_custkey")), offset = 1000000, limit = 10)
+    assert(out.count() == 0L)
+  }
+
+  test("dedup operators on empty input return empty") {
+    assert(DedupOps.exactDedup(emptyDocs, "text", "doc_id").count() == 0L)
+    assert(DedupOps.jaccardPairs(emptyDocs, "text", "doc_id", 3, 0.1).count() == 0L)
+    assert(DedupOps.nearDupPairs(emptyDocs, "text", "doc_id").count() == 0L)
+    assert(DedupOps.simhash64(emptyDocs, "text", "doc_id").count() == 0L)
+  }
+
+  test("connected components on empty pair list returns empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(DedupOps.connectedComponents(empty).count() == 0L)
+  }
+
+  test("KNN with empty query or candidate side returns empty") {
+    val emb = Tables.embeddings(spark, sf)
+    assert(VectorOps.knnBruteForce(emptyEmb, emb, 5).count() == 0L)
+    assert(VectorOps.knnBruteForce(emb.limit(3), emptyEmb, 5).count() == 0L)
+    assert(VectorOps.knnLsh(emptyEmb, emb, 5).count() == 0L)
+  }
+
+  test("as-of join with empty right side yields all-null as-of columns") {
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 10L))
+      .toDF("user_id", "ts", "click_id")
+    val right = Seq.empty[(Long, java.sql.Timestamp, Long, Double)]
+      .toDF("user_id", "ts", "purchase_id", "purchase_value")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts",
+      Seq("click_id"), Seq("purchase_id", "purchase_value"),
+      "click_id", "purchase_id").collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("asof_purchase_id")))
+  }
+
+  test("kernels handle degenerate strings") {
+    val df = Seq("", " ", "x").toDF("text")
+    val fps = df.select(graft.functions.Kernels.fingerprintCol(col("text")))
+      .collect().map(_.getLong(0))
+    assert(fps(0) == 0L)           // empty
+    assert(fps(1) == 32L)          // single space = codepoint 32
+    assert(fps(2) == 'x'.toLong)
+    val sh = df.select(graft.functions.Kernels.shinglesCol(col("text"), 3))
+      .collect().map(_.getSeq[String](0))
+    assert(sh.forall(_.isEmpty))   // all shorter than 3 tokens
+  }
+}

@@ -131,6 +131,31 @@ object Queries {
         | FROM lineitem GROUP BY l_returnflag, l_linestatus
         | ORDER BY l_returnflag, l_linestatus""".stripMargin.replaceAll("\n", ""))),
 
+    // Typed-Dataset surface + custom Aggregator[IN,BUF,OUT] (§2.10):
+    // one-pass (count, exact decimal sum, min, max) per group
+    Q("q_typed_aggregator",
+      (s, d) => {
+        import s.implicits._
+        import graft.model.LineitemSlim
+        val ds = Tables.lineitem(s, d)
+          .select("l_returnflag", "l_quantity").as[LineitemSlim]
+        val agg = graft.functions.ExactStatsAggregator
+          .of[LineitemSlim](_.l_quantity).toColumn
+        ds.groupByKey(_.l_returnflag).agg(agg.name("stats"))
+          .toDF("l_returnflag", "stats")
+          .select(col("l_returnflag"),
+            col("stats.cnt").as("cnt"),
+            col("stats.sum").cast("double").as("sum_qty"),
+            col("stats.min").as("min_qty"),
+            col("stats.max").as("max_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS cnt,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // Broadcast-hash join: fact orders ⨝ small dim customer. At 100 TB the
     // dim side stays broadcast-able; the fact side never shuffles.
     Q("q_join_broadcast",

@@ -10,6 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `spark.read.parquet` so Catalyst gets column pruning + filter
   * pushdown on every query.
   */
+/** Typed row for the typed-Dataset surface (SURVEY §1.4: `Dataset[T]`
+  * where a fixed schema benefits from compile-time field checks).
+  */
+final case class LineitemSlim(l_returnflag: String, l_quantity: Double)
+
 object Tables {
   /** The full harness catalog (TESTDATA.md). */
   val all: Seq[String] = Seq(

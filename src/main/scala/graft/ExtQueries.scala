@@ -89,6 +89,22 @@ object ExtQueries {
         .orderBy("doc_id"),
       None),
 
+    // X1/X2 embedding-cosine near-dup pairs (exact all-pairs; scale path
+    // = same predicate over LSH/IVF candidates)
+    Q("x_dedup_embedding",
+      (s, d) => VectorOps.cosineDupPairs(Tables.embeddings(s, d), 0.4),
+      Some("""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+        | sc AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(
+        |   list_sum(list_transform(range(1, len(a.embedding)+1),
+        |     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |   (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+        |     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+        |    sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+        |     i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 4) AS cos_sim
+        |   FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        | SELECT a_id, b_id, cos_sim FROM sc WHERE cos_sim >= 0.4
+        | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""))),
+
     // X2 brute-force cosine top-10 (queries: vec_id<5, corpus: vec_id>=5)
     Q("x_knn_cosine",
       (s, d) => {

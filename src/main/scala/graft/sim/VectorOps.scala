@@ -44,6 +44,22 @@ object VectorOps {
       .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with
+    * cosine ≥ threshold, a.vec_id < b.vec_id. EXACT all-pairs form for
+    * oracle checking — the kernel cosine keeps the self-join compute
+    * cheap, but the pair space is O(n²): the 100 TB path is the same
+    * predicate over [[knnLsh]]/IVF candidates instead of the cross join.
+    */
+  def cosineDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a = vectors.select(col("vec_id").as("a_id"), col("embedding").as("ae"))
+    val b = vectors.select(col("vec_id").as("b_id"), col("embedding").as("be"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("ae"), col("be")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy("a_id", "b_id")
+  }
+
   /** Deterministic random hyperplanes for sign-LSH (seeded, driver-built,
     * embedded as literals — tiny: nPlanes × dim doubles).
     */

@@ -51,11 +51,17 @@ object VectorOps {
     * predicate over [[knnLsh]]/IVF candidates instead of the cross join.
     */
   def cosineDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
-    val a = vectors.select(col("vec_id").as("a_id"), col("embedding").as("ae"))
-    val b = vectors.select(col("vec_id").as("b_id"), col("embedding").as("be"))
+    // norms are precomputed once per input row, not per pair — the pair
+    // stage pays only the dot product (same IEEE ops as cosine(), so the
+    // oracle still matches bit-for-bit)
+    val a = vectors.select(col("vec_id").as("a_id"),
+      col("embedding").as("ae"), Kernels.normFCol(col("embedding")).as("an"))
+    val b = vectors.select(col("vec_id").as("b_id"),
+      col("embedding").as("be"), Kernels.normFCol(col("embedding")).as("bn"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(cosine(col("ae"), col("be")), 4).as("cos_sim"))
+        round(Kernels.dotFFCol(col("ae"), col("be")) /
+          (col("an") * col("bn")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy("a_id", "b_id")
   }

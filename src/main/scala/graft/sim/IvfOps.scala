@@ -26,14 +26,41 @@ object IvfOps {
       .select("embedding").collect()
       .flatMap(_.getSeq[Float](0).map(_.toDouble))
 
+  /** Lloyd-refined centroids: start from the deterministic sample, then
+    * `iters` rounds of assign (kernel nearest-centroid, distributed) →
+    * recenter (per-cluster per-dimension mean; only c×dim scalars ever
+    * reach the driver). Clusters that lose all members keep their
+    * previous centroid.
+    */
+  def kmeansCentroids(candidates: DataFrame, c: Int, iters: Int = 5): Array[Double] = {
+    var cents = centroids(candidates, c)
+    val dim = cents.length / c
+    for (_ <- 0 until iters) {
+      val flat = lit(cents)
+      val means = candidates
+        .withColumn("cluster",
+          Kernels.ivfProbeCol(col("embedding"), flat, c, 1).getItem(0))
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("d", "v")))
+        .groupBy("cluster", "d").agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+      val next = cents.clone()
+      means.foreach { r =>
+        next(r.getInt(0) * dim + r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next
+    }
+    cents
+  }
+
   /** Approximate top-k: assign candidates to their nearest centroid
     * (cluster = shuffle key), probe the `nprobe` nearest clusters per
     * query, rank within the probed set. One equi-join on cluster id
     * replaces the full cross join; recall is tested against brute force.
     */
   def knnIvf(queries: DataFrame, candidates: DataFrame, k: Int,
-             c: Int = 16, nprobe: Int = 4): DataFrame = {
-    val flat = lit(centroids(candidates, c))
+             c: Int = 16, nprobe: Int = 4,
+             centroidsFlat: Option[Array[Double]] = None): DataFrame = {
+    val flat = lit(centroidsFlat.getOrElse(centroids(candidates, c)))
     val cand = candidates.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ce"),
       Kernels.ivfProbeCol(col("embedding"), flat, c, 1).getItem(0).as("cluster"))

@@ -76,6 +76,23 @@ class SimSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall below 0.5")
   }
 
+  test("k-means-refined IVF centroids keep (or improve) recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    val exact = VectorOps.knnBruteForce(q, c, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = IvfOps.kmeansCentroids(c, c = 16, iters = 3)
+    assert(cents.length == 16 * 64)
+    val approx = IvfOps.knnIvf(q, c, 10, c = 16, nprobe = 6,
+      centroidsFlat = Some(cents))
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"k-means IVF recall $recall below 0.5")
+  }
+
   test("sign-LSH KNN recalls most brute-force neighbors") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 5)

@@ -196,6 +196,23 @@ object ExtQueries {
         | FROM documents) t GROUP BY word ORDER BY n DESC, word LIMIT 50"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // X4 composite quality score (same double-op order in both engines)
+    Q("x_quality_score",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, round(greatest(0.0,
+        | least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4 +
+        | least((CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> t IN ('the','a','an','of','and','to','in','is','for','on'))) AS DOUBLE)
+        |   / len(regexp_split_to_array(trim(text), '\s+'))) * 4.0, 1.0) * 0.4 -
+        | (CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |   / length(text)) * 0.5 -
+        | (CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+        |   / length(text)) * 0.3 + 0.2), 6) AS quality
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""))),
+
     // X4 corpus-level token accounting
     Q("x_token_stats",
       (s, d) => Tables.documents(s, d).agg(

@@ -435,6 +435,61 @@ object Queries {
         | GROUP BY window_start ORDER BY window_start"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // Pivot: rows → columns (one count column per l_linestatus value)
+    Q("q_pivot",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        | CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+        | CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+        | CAST(sum(CASE WHEN l_linestatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // from_json → typed MapType → explode (map fanout)
+    Q("q_json_map_explode",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          explode(from_json(col("props"), org.apache.spark.sql.types
+            .MapType(org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.LongType)))
+            .as(Seq("prop_key", "prop_value")))
+        .orderBy("event_id", "prop_key"),
+      Some("""SELECT event_id, prop_key,
+        | CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT) AS prop_value
+        | FROM (SELECT event_id, props, unnest(json_keys(props)) AS prop_key
+        |   FROM events) t
+        | ORDER BY event_id, prop_key""".stripMargin.replaceAll("\n", ""))),
+
+    // TPC-H Q3-shaped composite: selective dim filter → fact join →
+    // grouped revenue → top-10 (filters pushed, dims broadcast, top-k
+    // via TakeOrderedAndProject)
+    Q("q_tpch_q3",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderdate") < "2024-04-01"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_orderdate, o_orderpriority,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | WHERE o_orderdate < TIMESTAMP '2024-04-01'
+        |   AND c_mktsegment = 'BUILDING'
+        | GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        | ORDER BY revenue DESC, o_orderkey LIMIT 10"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // JSON extraction on the events.props payload ([EXT] §2.8 note)
     Q("q_json_extract",
       (s, d) => Tables.events(s, d)

@@ -195,6 +195,49 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("windowed aggregation resumes from checkpoint without duplicates") {
+    val base = java.nio.file.Files.createTempDirectory("graft_restart_").toString
+    val srcDir = s"$base/src"; new java.io.File(srcDir).mkdirs()
+    val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    import org.apache.spark.sql.functions.col
+
+    def startQuery() = StreamOps.windowedCounts(
+      spark.readStream.schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE, props STRING").json(srcDir),
+      "1 hour", None, "1 hour")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    Seq(ev(1, 1, 10), ev(2, 1, 20)).toDF()
+      .coalesce(1).write.mode("append").json(srcDir)
+    val q1 = startQuery()
+    try {
+      q1.processAllAvailable()
+      // close the 1:00 window by pushing the watermark
+      Seq(ev(3, 6, 0)).toDF().coalesce(1).write.mode("append").json(srcDir)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterFirst = spark.read.parquet(outDir)
+      .filter(col("window_start") === ts(1)).count()
+    assert(afterFirst == 1L, "closed 1:00 window emitted exactly once")
+
+    // restart on the same checkpoint; append data that closes hour 6
+    val q2 = startQuery()
+    try {
+      Seq(ev(4, 6, 5), ev(5, 12, 0)).toDF()
+        .coalesce(1).write.mode("append").json(srcDir)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out = spark.read.parquet(outDir)
+    // the 1:00 window must STILL appear exactly once (no re-emission
+    // across restart), and the 6:00 window counts pre- and post-restart
+    // events together
+    assert(out.filter(col("window_start") === ts(1)).count() == 1L)
+    val h6 = out.filter(col("window_start") === ts(6))
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(h6 == 2L, s"hour-6 window should count both events, got $h6")
+  }
+
   test("snapshot-then-stream: batch snapshot becomes streaming state") {
     val base = java.nio.file.Files.createTempDirectory("graft_snap_").toString
     val changesDir = s"$base/changes"; new java.io.File(changesDir).mkdirs()

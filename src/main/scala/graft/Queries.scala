@@ -244,6 +244,35 @@ object Queries {
         | FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // Same top-3-per-customer semantics as q_window_rank, but via the
+    // bounded-heap Aggregator (map-side combined, never sorts a full
+    // group) — both hash-match the same oracle shape
+    Q("q_grouped_topk_agg",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.TopKAggregator
+        import graft.functions.TopKAggregator.Ranked
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .as[(Long, Long, Double)]
+          .groupByKey(_._1)
+          .agg(TopKAggregator
+            .topOrders[(Long, Long, Double)](3, t => Ranked(t._2, t._3))
+            .toColumn.name("top"))
+          .flatMap { case (cust, buf) =>
+            buf.items.zipWithIndex.map { case (r, i) =>
+              (cust, r.o_orderkey, r.o_totalprice, (i + 1).toLong)
+            }
+          }
+          .toDF("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        | CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        | FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // Window running aggregate (exact decimal running sum)
     Q("q_window_running",
       (s, d) => {

@@ -184,6 +184,46 @@ object ExtQueries {
       },
       None),
 
+    // Capstone composition: the full curation pipeline in one plan —
+    // quality gate → exact dedup (min-id winner) → per-language corpus
+    // accounting. Every stage is individually oracled above; this checks
+    // the COMPOSITION end-to-end.
+    Q("x_corpus_curation",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("quality", TextFunctions.qualityScore(col("text")))
+          .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+          .filter(col("quality") >= 0.5 && col("n_tokens") >= 10)
+        val deduped = docs
+          .groupBy("text")
+          .agg(min(col("doc_id")).as("doc_id"),
+            first(col("lang")).as("lang"),
+            first(col("n_tokens")).as("n_tokens"))
+        deduped.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"))
+          .orderBy("lang")
+      },
+      Some("""WITH scored AS (SELECT doc_id, text, lang,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        | greatest(0.0,
+        |  least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4 +
+        |  least((CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> t IN ('the','a','an','of','and','to','in','is','for','on'))) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+'))) * 4.0, 1.0) * 0.4 -
+        |  (CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |    / length(text)) * 0.5 -
+        |  (CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+        |    / length(text)) * 0.3 + 0.2) AS quality
+        | FROM documents),
+        | kept AS (SELECT * FROM scored WHERE quality >= 0.5 AND n_tokens >= 10),
+        | deduped AS (SELECT min(doc_id) AS doc_id, any_value(lang) AS lang,
+        |   any_value(n_tokens) AS n_tokens FROM kept GROUP BY text)
+        | SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        | FROM deduped GROUP BY lang ORDER BY lang"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // X4 corpus word-frequency top-50 (explode/Generate operator)
     Q("x_word_freq",
       (s, d) => Tables.documents(s, d)

@@ -89,6 +89,13 @@ object ExtQueries {
         .orderBy("doc_id"),
       None),
 
+    // X1 SimHash-banded near-dup pairs (bit-band candidates + hamming
+    // verify) — rows-only; overlap with Jaccard near-dups in ScalaTest
+    Q("x_simhash_neardup",
+      (s, d) => DedupOps.simhashNearDup(Tables.documents(s, d), "text",
+        "doc_id", maxHamming = 6, bands = 8),
+      None),
+
     // X1/X2 embedding-cosine near-dup pairs (exact all-pairs; scale path
     // = same predicate over LSH/IVF candidates)
     Q("x_dedup_embedding",

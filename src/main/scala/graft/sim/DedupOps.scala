@@ -158,6 +158,39 @@ object DedupOps {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash-banded near-dup pairs: split the 64-bit fingerprint into
+    * `bands` equal bit-bands; docs sharing ANY band become candidates
+    * (an exact-match equi-join — near-dups within hamming distance
+    * `64/bands - 1` of each other are guaranteed to collide on ≥1 band
+    * by pigeonhole), then verify with the full hamming distance. Same
+    * candidates→verify shape as MinHash-LSH, but band keys are bit
+    * slices, not hashes.
+    */
+  def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
+                     maxHamming: Int = 6, bands: Int = 8): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val fp = simhash64(df, textCol, idCol)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * width)
+          .bitwiseAND((1L << width) - 1L).as("bits"))
+    }
+    val banded = fp.select(col(idCol), col("simhash"),
+      explode(array(bandCols: _*)).as("k"))
+      .select(col(idCol), col("simhash"), col("k.band").as("band"),
+        col("k.bits").as("bits"))
+    banded.as("x").join(banded.as("y"), Seq("band", "bits"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
+        col("x.simhash").as("a_fp"), col("y.simhash").as("b_fp"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
+        hamming64(col("a_fp"), col("b_fp")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a_id", "b_id")
+  }
+
   /** Connected components over an undirected pair list `(a_id, b_id)` —
     * duplicate-CLUSTER resolution: every doc in a component gets the
     * component's minimum id as its label, so "keep one per cluster"

@@ -53,6 +53,21 @@ class SimSpec extends SparkSpec {
     assert(got == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 11L -> 11L, 12L -> 11L))
   }
 
+  test("simhash-banded near-dup finds the high-jaccard pairs") {
+    val docs = Tables.documents(spark, sf)
+    val jacc = DedupOps.jaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = DedupOps.simhashNearDup(docs, "text", "doc_id",
+      maxHamming = 10, bands = 8)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jacc.nonEmpty)
+    val overlap = (jacc intersect sim).size.toDouble / jacc.size
+    assert(overlap >= 0.7,
+      s"simhash should find most jaccard near-dups, got $overlap")
+  }
+
   test("cosine on known vectors") {
     val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 1f), Array(1f, 1f)))
       .toDF("a", "b")

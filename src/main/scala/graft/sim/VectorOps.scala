@@ -92,10 +92,28 @@ object VectorOps {
     * the standard recall amplifier for sign-LSH.
     */
   def lshKeys(emb: Column, nTables: Int, planesPerTable: Int, dim: Int): Column =
-    array((0 until nTables).map { t =>
+    lshKeysMultiProbe(emb, nTables, planesPerTable, dim, probes = 0)
+
+  /** Multi-probe variant: besides each table's own bucket, also emit the
+    * buckets reachable by flipping each of the first `probes` sign bits —
+    * vectors near a hyperplane land on either side, so probing the
+    * adjacent buckets recovers them without adding tables. Applied to the
+    * (small) query side only; candidate storage/shuffle is unchanged.
+    */
+  def lshKeysMultiProbe(emb: Column, nTables: Int, planesPerTable: Int,
+                        dim: Int, probes: Int): Column = {
+    require(probes <= planesPerTable)
+    val keys = for {
+      t <- 0 until nTables
+      v <- -1 until probes
+    } yield {
       val planes = hyperplanes(planesPerTable, dim, seed = 42L + t)
-      struct(lit(t).as("tbl"), lshBucket(emb, planes).as("bucket"))
-    }: _*)
+      val base = lshBucket(emb, planes) // CSE collapses repeats per table
+      val bucket = if (v < 0) base else base.bitwiseXOR(lit(1L << v))
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }
+    array(keys: _*)
+  }
 
   /** Approximate top-k: bucket both sides with multi-table sign-LSH,
     * equi-join on `(table, bucket)`, dedup candidate pairs, rank. Recall
@@ -104,11 +122,14 @@ object VectorOps {
     * key is the bucket id.
     */
   def knnLsh(queries: DataFrame, candidates: DataFrame, k: Int,
-             nTables: Int = 8, planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
+             nTables: Int = 8, planesPerTable: Int = 4, dim: Int = 64,
+             multiProbe: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keys = lshKeys(col("embedding"), nTables, planesPerTable, dim)
+    val qKeys = lshKeysMultiProbe(col("embedding"), nTables, planesPerTable,
+      dim, multiProbe)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-      explode(keys).as("key"))
+      explode(qKeys).as("key"))
     val c = candidates.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ce"), explode(keys).as("key"))
     val scored = c.join(broadcast(q), "key")

@@ -120,5 +120,13 @@ class SimSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"LSH KNN recall $recall below 0.5")
+    // multi-probe must not lose candidates (supersets only) and should
+    // recover at least as many true neighbors
+    val probed = VectorOps.knnLsh(q, c, 10, multiProbe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probedRecall = (exact intersect probed).size.toDouble / exact.size
+    assert(probedRecall >= recall,
+      s"multi-probe recall $probedRecall below base $recall")
   }
 }

@@ -29,16 +29,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
+  private def arity(name: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${es.length}")
+      f(es)
+    }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_fingerprint" -> ((es: Seq[Expression]) =>
+    "graft_fingerprint" -> arity("graft_fingerprint", 1)(es =>
       Kernels.fingerprintExpr(es.head)),
-    "graft_simhash" -> ((es: Seq[Expression]) =>
+    "graft_simhash" -> arity("graft_simhash", 1)(es =>
       Kernels.simhashExpr(es.head)),
-    "graft_cosine" -> ((es: Seq[Expression]) =>
+    "graft_cosine" -> arity("graft_cosine", 2)(es =>
       Kernels.cosineExpr(es(0), es(1))),
-    "graft_shingles" -> ((es: Seq[Expression]) =>
+    "graft_shingles" -> arity("graft_shingles", 2)(es =>
       Kernels.shinglesExpr(es(0), es(1))),
-    "graft_minhash" -> ((es: Seq[Expression]) =>
+    "graft_minhash" -> arity("graft_minhash", 2)(es =>
       Kernels.minhashExpr(es(0), es(1))))
 
   /** Register all kernels as temp functions on a running session. */

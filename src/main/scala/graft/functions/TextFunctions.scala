@@ -70,13 +70,22 @@ object TextFunctions {
     val de = hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"))
     val fr = hits(Seq("le", "la", "les", "et", "est", "une", "dans", "pas"))
     val es = hits(Seq("el", "los", "las", "es", "una", "que", "por", "como"))
+    val it = hits(Seq("il", "gli", "di", "che", "non", "per", "sono", "della"))
+    val pt = hits(Seq("o", "os", "um", "uma", "não", "com", "para", "mais"))
+    val nl = hits(Seq("de", "het", "een", "van", "niet", "met", "voor", "zijn"))
     val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    val cyr = length(regexp_replace(text, "[^\\x{0400}-\\x{04ff}]", ""))
+    val all = Seq("en" -> en, "de" -> de, "fr" -> fr, "es" -> es,
+      "it" -> it, "pt" -> pt, "nl" -> nl)
+    val top = greatest(all.map(_._2): _*)
+    // priority order on ties: earlier languages win (en first)
+    val pick = all.reverse.foldLeft(lit("unknown")) { case (acc, (name, score)) =>
+      when(score === top, lit(name)).otherwise(acc)
+    }
     when(cjk > 0, lit("zh"))
-      .when(greatest(en, de, fr, es) === lit(0.0), lit("unknown"))
-      .when(en >= greatest(de, fr, es), lit("en"))
-      .when(de >= greatest(fr, es), lit("de"))
-      .when(fr >= es, lit("fr"))
-      .otherwise(lit("es"))
+      .when(cyr > 0, lit("ru"))
+      .when(top === lit(0.0), lit("unknown"))
+      .otherwise(pick)
   }
 
   /** Polynomial rolling-hash fingerprint over the character stream:

@@ -32,6 +32,10 @@ class TextFunctionsSpec extends SparkSpec {
     assert(lid("le chat et la maison est dans une rue") == "fr")
     assert(lid("el perro es una mascota que vive por la casa como rey") == "es")
     assert(lid("这 是 中文 文本") == "zh")
+    assert(lid("это русский текст про всё") == "ru")
+    assert(lid("il gatto non vive per sempre nella casa della nonna") == "it")
+    assert(lid("o cachorro é um animal não muito grande para casa") == "pt")
+    assert(lid("het huis is niet ver van een mooie stad met veel bomen") == "nl")
     assert(lid("zzz qqq xxx") == "unknown")
   }
 

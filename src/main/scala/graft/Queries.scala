@@ -156,6 +156,21 @@ object Queries {
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // Ordered-set aggregates: exact interpolated percentiles per group
+    Q("q_percentile",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS med_qty,
+        | quantile_cont(l_quantity, 0.9) AS p90_qty,
+        | quantile_cont(l_extendedprice, 0.25) AS p25_price
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // Broadcast-hash join: fact orders ⨝ small dim customer. At 100 TB the
     // dim side stays broadcast-able; the fact side never shuffles.
     Q("q_join_broadcast",

@@ -90,10 +90,12 @@ object ExtQueries {
       None),
 
     // X1 SimHash-banded near-dup pairs (bit-band candidates + hamming
-    // verify) — rows-only; overlap with Jaccard near-dups in ScalaTest
+    // verify) — rows-only; overlap with Jaccard near-dups in ScalaTest.
+    // 4×16-bit bands: random band collisions are ~1/65536 per band, and
+    // pigeonhole still guarantees recall for pairs within hamming 3.
     Q("x_simhash_neardup",
       (s, d) => DedupOps.simhashNearDup(Tables.documents(s, d), "text",
-        "doc_id", maxHamming = 6, bands = 8),
+        "doc_id", maxHamming = 3, bands = 4),
       None),
 
     // X1/X2 embedding-cosine near-dup pairs (exact all-pairs; scale path

@@ -156,6 +156,35 @@ object Queries {
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // Regex group extraction (F5 extended: capture groups, not just match)
+    Q("f_regex_extract",
+      (s, d) => Tables.customer(s, d).select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long").as("name_num"),
+        regexp_extract(col("c_mktsegment"), "^([A-Z]{3})", 1).as("seg3"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+        | CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+        | regexp_extract(c_mktsegment, '^([A-Z]{3})', 1) AS seg3
+        | FROM customer ORDER BY c_custkey""".stripMargin.replaceAll("\n", ""))),
+
+    // Conditional aggregation (filtered counts / sums per group)
+    Q("q_conditional_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(when(col("l_discount") > 0.05, 1)).as("n_discounted"),
+          count(when(col("l_tax") === 0.0, 1)).as("n_taxfree"),
+          exactSum(when(col("l_discount") > 0.05, col("l_extendedprice"))
+            .otherwise(lit(0.0))).as("discounted_base"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        | count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted,
+        | count(CASE WHEN l_tax = 0.0 THEN 1 END) AS n_taxfree,
+        | CAST(sum(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS discounted_base
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // Ordered-set aggregates: exact interpolated percentiles per group
     Q("q_percentile",
       (s, d) => Tables.lineitem(s, d)

@@ -58,6 +58,35 @@ object Smoke {
     val state = spark.read.parquet(s"$base/state")
     println(s"[smoke] cdc_state rows=${state.count()} " +
       s"updated=${state.filter($"key" === 1L && $"payload".contains("X")).count()}")
+
+    // Drive the full DB→DB sync against live embedded Derby databases
+    // (the reference's actual job: discover → filter → chunk → copy →
+    // checkpoint).
+    import graft.sync.{JdbcSource, JdbcSyncJob, SyncJob}
+    val dbBase = java.nio.file.Files.createTempDirectory("graft_smoke_db_").toString
+    val srcUrl = s"jdbc:derby:$dbBase/src;create=true"
+    val p = new java.util.Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(srcUrl)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE items (rowid BIGINT NOT NULL PRIMARY KEY, v VARCHAR(32))")
+      val ins = conn.prepareStatement("INSERT INTO items VALUES (?, ?)")
+      (0 until 2500).foreach { i =>
+        ins.setLong(1, i.toLong); ins.setString(2, s"item_$i"); ins.addBatch()
+      }
+      ins.executeBatch(); st.close(); ins.close()
+    } finally conn.close()
+    val jdbcReport = JdbcSyncJob.run(spark,
+      JdbcSyncJob.Endpoint(srcUrl, p),
+      JdbcSyncJob.Endpoint(s"jdbc:derby:$dbBase/dst;create=true", p),
+      pkFor = _ => Some("rowid"),
+      checkpointDir = s"$dbBase/ckpt",
+      cfg = SyncJob.SyncConfig(batchSize = 500L))
+    jdbcReport.show(5, truncate = false)
+    val copied = JdbcSource.read(spark,
+      s"jdbc:derby:$dbBase/dst", "ITEMS", p).count()
+    println(s"[smoke] jdbc_sync copied=$copied")
     spark.stop()
   }
 }

@@ -125,11 +125,14 @@ object CdcPipeline {
   /** Snapshot-then-stream: batch-copy the current table state (the
     * reference's whole program), then apply the change stream from the
     * recorded offset forward. Returns the running query.
+    * `useBinlog=true` tails a single change-log file via the custom
+    * [[BinlogSourceProvider]] instead of a JSON file directory.
     */
   def snapshotThenStream(spark: SparkSession, snapshot: DataFrame,
                          keyCol: String, tsCol: String,
                          changesDir: String, stateDir: String,
-                         checkpointDir: String): StreamingQuery = {
+                         checkpointDir: String,
+                         useBinlog: Boolean = false): StreamingQuery = {
     val asState = snapshot.select(
       lit("snapshot").as("table"),
       col(keyCol).cast("long").as("key"),
@@ -137,6 +140,7 @@ object CdcPipeline {
       lit(0L).as("seq"),
       to_json(struct(snapshot.columns.map(col): _*)).as("payload"))
     asState.write.mode(SaveMode.Overwrite).parquet(stateDir)
-    start(spark, changesDir, stateDir, checkpointDir)
+    if (useBinlog) startFromBinlog(spark, changesDir, stateDir, checkpointDir)
+    else start(spark, changesDir, stateDir, checkpointDir)
   }
 }

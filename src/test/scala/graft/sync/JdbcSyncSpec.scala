@@ -99,6 +99,38 @@ class JdbcSyncSpec extends SparkSpec {
     assert(meta.contains("\"max_pk\": 499"))
   }
 
+  test("north star: live-DB snapshot then binlog CDC stream") {
+    seeded
+    import graft.streaming.{BinlogSource, CdcPipeline, ChangeEvent}
+    import org.apache.spark.sql.functions.lit
+    val base = java.nio.file.Files.createTempDirectory("graft_ns_").toString
+    val log = s"$base/changes.binlog"
+    // phase 1: snapshot the live table (bounds recorded by the sync job
+    // are where the change stream starts)
+    val snapshot = JdbcSource.read(spark, url, "src_orders", props)
+      .withColumn("updated_at",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val q = CdcPipeline.snapshotThenStream(spark, snapshot, "rowid",
+      "updated_at", changesDir = log, stateDir = s"$base/state",
+      checkpointDir = s"$base/ckpt2", useBinlog = true)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$base/state").count() == 500L)
+      // phase 2: post-snapshot changes arrive on the binlog
+      BinlogSource.append(log, Seq(
+        ChangeEvent("insert", "snapshot", 500L,
+          java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 1L, """{"v":"new"}"""),
+        ChangeEvent("delete", "snapshot", 0L,
+          java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 2L, null)))
+      q.processAllAvailable()
+      val state = spark.read.parquet(s"$base/state")
+      assert(state.count() == 500L) // +1 insert, -1 delete
+      import org.apache.spark.sql.functions.col
+      assert(state.filter(col("key") === 500L).count() == 1L)
+      assert(state.filter(col("key") === 0L).count() == 0L)
+    } finally q.stop()
+  }
+
   test("batched JDBC sink round-trips exactly (PreparedStatement, no SQL strings)") {
     seeded
     val src = JdbcSource.read(spark, url, "src_orders", props)

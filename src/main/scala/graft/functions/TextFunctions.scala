@@ -95,11 +95,9 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = Kernels.fingerprintCol(text)
 
-  /** Word n-gram shingles (for Jaccard / MinHash dedup). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val t = tokens(lower(text))
-    val idx = sequence(lit(0), size(t) - lit(n))
-    when(size(t) < n, array(concat_ws(" ", t)))
-      .otherwise(transform(idx, i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
-  }
+  /** Word n-gram shingles (for Jaccard / MinHash dedup): the kernel
+    * semantics — DISTINCT shingles, empty for docs under `n` tokens —
+    * shared with every dedup operator and the DuckDB oracles.
+    */
+  def wordShingles(text: Column, n: Int): Column = Kernels.shinglesCol(text, n)
 }

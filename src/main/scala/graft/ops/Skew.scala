@@ -11,8 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  private def saltCol(salt: Int): Column =
-    pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int")
+  /** Deterministic per-row salt: hash of the WHOLE row. Any uniform
+    * assignment preserves correctness; determinism on recomputation is
+    * what matters — a nondeterministic salt (partition-id or monotonic
+    * id) can double-count or lose rows when a retried task re-salts rows
+    * whose earlier shuffle output was already fetched (the SPARK-23207
+    * failure class). Rows identical in every column share a salt, which
+    * is harmless: they are interchangeable.
+    */
+  private def saltCol(df: DataFrame, salt: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(salt.toLong)).cast("int")
 
   /** Salted equi-join: the (large, possibly skewed) left side gets a
     * row-local salt; the small right side is replicated `salt` times so
@@ -24,7 +32,7 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                  salt: Int): DataFrame = {
     require(salt > 0)
-    val l = large.withColumn("__salt", saltCol(salt))
+    val l = large.withColumn("__salt", saltCol(large, salt))
     val s = small.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     l.join(s, keys :+ "__salt").drop("__salt")
@@ -38,7 +46,7 @@ object Skew {
   def saltedAgg(df: DataFrame, keys: Seq[String], salt: Int,
                 partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame = {
     require(salt > 0)
-    val partial = df.withColumn("__salt", saltCol(salt))
+    val partial = df.withColumn("__salt", saltCol(df, salt))
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
     partial.groupBy(keys.map(col): _*)

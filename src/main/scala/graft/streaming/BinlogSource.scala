@@ -108,10 +108,34 @@ case class BinlogOffset(line: Long) extends Offset {
 }
 
 class BinlogMicroBatchStream(path: String, maxLinesPerTrigger: Long)
-    extends MicroBatchStream {
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
   override def initialOffset(): Offset = BinlogOffset(0L)
 
-  override def latestOffset(): Offset = BinlogOffset(BinlogSource.countLines(path))
+  /** Saturating add — `maxLinesPerTrigger` may be Long.MaxValue. */
+  private def capped(start: Long): Long = {
+    val cap = start + maxLinesPerTrigger
+    val end = BinlogSource.countLines(path)
+    if (cap < start) end else math.min(end, cap)
+  }
+
+  /** Admission control: the END offset Spark commits is already clamped
+    * to `maxLinesPerTrigger`, so no line between the clamp and a larger
+    * observed end can ever be skipped. (Clamping in planInputPartitions
+    * instead would silently drop the lines between the clamp and the
+    * committed end.)
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    BinlogOffset(capped(start.asInstanceOf[BinlogOffset].line))
+
+  override def reportLatestOffset(): Offset =
+    BinlogOffset(BinlogSource.countLines(path))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used (SupportsAdmissionControl)")
 
   override def deserializeOffset(json: String): Offset =
     BinlogOffset("""\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(0L))
@@ -123,9 +147,8 @@ class BinlogMicroBatchStream(path: String, maxLinesPerTrigger: Long)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[BinlogOffset].line
     val e = end.asInstanceOf[BinlogOffset].line
-    val bounded = math.min(e, s + maxLinesPerTrigger)
-    if (bounded <= s) Array.empty
-    else Array(BinlogPartition(path, s, bounded))
+    if (e <= s) Array.empty
+    else Array(BinlogPartition(path, s, e))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

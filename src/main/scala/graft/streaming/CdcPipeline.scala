@@ -40,37 +40,45 @@ object CdcPipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dir)
 
-  /** Latest-state-per-key over a change log: ReplacingMergeTree collapse.
-    * Deletes win like any other version, then drop as tombstones.
+  /** Latest-version-per-(table, key) over a change log: ReplacingMergeTree
+    * collapse. Keyed on BOTH table and key — different tables may reuse
+    * key values. Tombstones WIN and are KEPT (with their `op`): dropping
+    * them here would let an older event from a later micro-batch
+    * resurrect a deleted row, breaking commutativity. Read live rows
+    * through [[currentState]].
     */
   def latestState(changes: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("key"))
+    val w = Window.partitionBy(col("table"), col("key"))
       .orderBy(col("ts").desc, col("seq").desc)
     changes
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("op") =!= ChangeEvent.Delete)
+      .filter(col("rn") === 1)
       .drop("rn")
   }
 
+  /** The live rows of an applied state table (tombstones filtered). */
+  def currentState(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(stateDir).filter(col("op") =!= ChangeEvent.Delete)
+
   /** Merge one micro-batch of changes into the parquet state table at
-    * `stateDir`: union existing state (as synthetic inserts that lose
-    * ties) with the new changes, re-collapse, rewrite.
+    * `stateDir`: union existing state (tombstones included) with the new
+    * changes, re-collapse, rewrite. Apply is idempotent AND commutative
+    * across micro-batches because tombstones persist with their
+    * versions — replaying or reordering batches converges.
     *
     * At 100 TB the rewrite step becomes a key-partitioned MERGE into a
     * format with row-level upsert (ClickHouse itself, or an Iceberg/Delta
     * table); the collapse logic — the part the engine owns — is
-    * identical: highest (ts, seq) wins per key.
+    * identical: highest (ts, seq) wins per (table, key).
     */
   def applyBatch(spark: SparkSession, batch: DataFrame, stateDir: String): Unit = {
     val existing: DataFrame =
-      if (new java.io.File(stateDir).exists())
-        spark.read.parquet(stateDir)
-          .withColumn("op", lit(ChangeEvent.Insert))
+      if (new java.io.File(stateDir).exists()) spark.read.parquet(stateDir)
       else batch.limit(0)
     val merged = latestState(
       existing.select("op", "table", "key", "ts", "seq", "payload")
         .unionByName(batch.select("op", "table", "key", "ts", "seq", "payload")))
-      .select("table", "key", "ts", "seq", "payload")
+      .select("op", "table", "key", "ts", "seq", "payload")
     // write-then-swap (overwrite) keeps the state readable mid-merge
     val tmp = stateDir + "_next"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
@@ -134,6 +142,7 @@ object CdcPipeline {
                          checkpointDir: String,
                          useBinlog: Boolean = false): StreamingQuery = {
     val asState = snapshot.select(
+      lit(ChangeEvent.Insert).as("op"),
       lit("snapshot").as("table"),
       col(keyCol).cast("long").as("key"),
       col(tsCol).cast("timestamp").as("ts"),

@@ -35,22 +35,41 @@ object JdbcSyncJob {
     } finally conn.close()
   }
 
-  /** A1 bounds + real count, pushed to the source database. */
-  def boundsAndCount(spark: SparkSession, ep: Endpoint, table: String,
-                     pk: String): (Long, Long, Long) = {
-    val row = JdbcSource.read(spark, ep.url, table, ep.props).agg(
-      coalesce(min(col(pk)), lit(0L)).cast("long"),
-      coalesce(max(col(pk)), lit(0L)).cast("long"),
-      count(lit(1))).head()
-    (row.getLong(0), row.getLong(1), row.getLong(2))
+  /** A1 bounds + real count as ONE driver-side aggregate query on the
+    * source — the reference's `SELECT IFNULL(MIN/MAX(_rowid),0)` plus
+    * COUNT (sync.py:163-166) verbatim; never a row transfer. (A
+    * `spark.read.jdbc(...).agg(...)` would fetch the whole table: DSv1
+    * JDBC does not push aggregates.)
+    */
+  def boundsAndCount(ep: Endpoint, table: String, pk: String): (Long, Long, Long) = {
+    val conn = DriverManager.getConnection(ep.url, ep.props)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        s"SELECT COALESCE(MIN($pk), 0), COALESCE(MAX($pk), 0), COUNT(*) FROM $table")
+      rs.next()
+      (rs.getLong(1), rs.getLong(2), rs.getLong(3))
+    } finally conn.close()
   }
 
-  /** Copy one table src→dst with the planned strategy. */
+  /** Copy one table src→dst with the planned strategy. Tables without a
+    * usable PK take the single-partition fallback (the reference's
+    * LIMIT-pagination path, pagination.py:130-142) instead of being
+    * skipped. Empty tables still create the destination table.
+    */
   def syncTable(spark: SparkSession, src: Endpoint, dst: Endpoint,
-                table: String, pk: String,
+                table: String, pk: Option[String],
                 cfg: SyncJob.SyncConfig = SyncJob.SyncConfig()): SyncJob.TableReport = {
-    val (lo, hi, cnt) = boundsAndCount(spark, src, table, pk)
-    val strategy = ChunkPlanner.plan((lo, hi), cnt, hasAutoInc = true,
+    val (lo, hi, cnt) = pk match {
+      case Some(k) => boundsAndCount(src, table, k)
+      case None =>
+        val conn = DriverManager.getConnection(src.url, src.props)
+        try {
+          val rs = conn.createStatement()
+            .executeQuery(s"SELECT COUNT(*) FROM $table")
+          rs.next(); (0L, 0L, rs.getLong(1))
+        } finally conn.close()
+    }
+    val strategy = ChunkPlanner.plan((lo, hi), cnt, hasAutoInc = pk.isDefined,
       cfg.batchSize, cfg.smallTableThreshold)
     val (df, parts) = strategy match {
       case ChunkPlanner.Empty =>
@@ -59,17 +78,18 @@ object JdbcSyncJob {
         (JdbcSource.read(spark, src.url, table, src.props), 1)
       case ChunkPlanner.RangeChunks(_) =>
         val n = ChunkPlanner.numPartitions(cnt, cfg.batchSize, cfg.maxPartitions)
-        (JdbcSource.rangePartitionedRead(spark, src.url, table, pk, lo, hi,
+        (JdbcSource.rangePartitionedRead(spark, src.url, table, pk.get, lo, hi,
           n, src.props), n)
     }
-    if (cnt > 0L) Sinks.jdbc(df, dst.url, table, dst.props,
-      batchSize = cfg.batchSize.toInt)
+    // write even when empty so the destination table exists
+    Sinks.jdbc(df, dst.url, table, dst.props, batchSize = cfg.batchSize.toInt)
     SyncJob.TableReport(table, cnt, lo, hi,
       strategy.getClass.getSimpleName.stripSuffix("$"), parts)
   }
 
   /** Full run over the filtered catalog; writes the offsets checkpoint
-    * to `checkpointDir` and returns the per-table report.
+    * to `checkpointDir` and returns the per-table report. Tables with no
+    * known PK are still copied (single-partition fallback).
     */
   def run(spark: SparkSession, src: Endpoint, dst: Endpoint,
           pkFor: String => Option[String], checkpointDir: String,
@@ -78,8 +98,7 @@ object JdbcSyncJob {
     import spark.implicits._
     val tables = SyncJob.filterTables(discoverTables(src, schema),
       cfg.includeTables, cfg.excludeTables)
-    val reports = tables.flatMap(t => pkFor(t).map(pk =>
-      syncTable(spark, src, dst, t, pk, cfg)))
+    val reports = tables.map(t => syncTable(spark, src, dst, t, pkFor(t), cfg))
     SyncJob.writeCheckpoint(checkpointDir, reports)
     reports.toDF().orderBy("table")
   }

@@ -119,8 +119,14 @@ object SyncJob {
     */
   def writeCheckpoint(destDir: String, reports: Seq[TableReport]): Unit = {
     Files.createDirectories(Paths.get(destDir))
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val entries = reports.map(r =>
-      s"""    "${r.table}": {"max_pk": ${r.maxId}, "rows": ${r.rows}}""")
+      s"""    "${esc(r.table)}": {"max_pk": ${r.maxId}, "rows": ${r.rows}}""")
     val json = "{\n  \"offsets\": {\n" + entries.mkString(",\n") + "\n  }\n}\n"
     Files.writeString(Paths.get(s"$destDir/_sync_metadata.json"), json)
   }

@@ -37,16 +37,9 @@ object Smoke {
     val snapshot = graft.model.Tables.customer(spark, sfDir)
       .limit(10).withColumn("updated_at",
         org.apache.spark.sql.functions.lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
-    val asState = snapshot.select(
-      org.apache.spark.sql.functions.lit("snapshot").as("table"),
-      org.apache.spark.sql.functions.col("c_custkey").cast("long").as("key"),
-      org.apache.spark.sql.functions.col("updated_at").as("ts"),
-      org.apache.spark.sql.functions.lit(0L).as("seq"),
-      org.apache.spark.sql.functions.to_json(
-        org.apache.spark.sql.functions.struct(snapshot.columns.map(
-          org.apache.spark.sql.functions.col): _*)).as("payload"))
-    asState.write.mode("overwrite").parquet(s"$base/state")
-    val q = CdcPipeline.startFromBinlog(spark, log, s"$base/state", s"$base/ckpt")
+    val q = CdcPipeline.snapshotThenStream(spark, snapshot, "c_custkey",
+      "updated_at", changesDir = log, stateDir = s"$base/state",
+      checkpointDir = s"$base/ckpt", useBinlog = true)
     q.processAllAvailable()
     BinlogSource.append(log, Seq(
       ChangeEvent("update", "snapshot", 1L,
@@ -55,7 +48,7 @@ object Smoke {
         java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 2L, null)))
     q.processAllAvailable()
     q.stop()
-    val state = spark.read.parquet(s"$base/state")
+    val state = CdcPipeline.currentState(spark, s"$base/state")
     println(s"[smoke] cdc_state rows=${state.count()} " +
       s"updated=${state.filter($"key" === 1L && $"payload".contains("X")).count()}")
 

@@ -44,13 +44,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one("a1b2", TextFunctions.charClassRatio(col("text"), "[0-9]")) == 0.5)
   }
 
-  test("wordShingles emits n-grams in order") {
+  test("wordShingles emits distinct n-grams in order; short docs emit none") {
     val got = one("a b c d", TextFunctions.wordShingles(col("text"), 3))
       .asInstanceOf[scala.collection.Seq[String]]
     assert(got == Seq("a b c", "b c d"))
+    val dup = one("x y x y x y", TextFunctions.wordShingles(col("text"), 3))
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(dup == Seq("x y x", "y x y")) // deduplicated, first-occurrence order
     val short = one("a b", TextFunctions.wordShingles(col("text"), 3))
       .asInstanceOf[scala.collection.Seq[String]]
-    assert(short == Seq("a b"))
+    assert(short.isEmpty) // kernel semantics: under n tokens → no shingles
   }
 
   test("qualityScore orders clean prose above digit soup") {

@@ -131,14 +131,24 @@ class StreamingSpec extends SparkSpec {
       .createTempDirectory("graft_cdc_state_").toString + "/state"
     CdcPipeline.applyBatch(spark, changes1, stateDir)
     CdcPipeline.applyBatch(spark, changes2, stateDir)
-    val state = spark.read.parquet(stateDir)
+    val state = CdcPipeline.currentState(spark, stateDir)
       .select("key", "payload").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(state == Map(1L -> """{"v":10}""", 3L -> """{"v":3}"""))
+    // the tombstone for key 2 persists (commutativity across batches)
+    assert(spark.read.parquet(stateDir)
+      .filter(col("op") === "delete" && col("key") === 2L).count() == 1L)
     // idempotent replay: re-applying batch2 changes nothing
     CdcPipeline.applyBatch(spark, changes2, stateDir)
-    val replayed = spark.read.parquet(stateDir).count()
+    val replayed = CdcPipeline.currentState(spark, stateDir).count()
     assert(replayed == 2L)
+    // commutativity: a LATE batch with an event older than the tombstone
+    // must NOT resurrect key 2
+    CdcPipeline.applyBatch(spark, Seq(
+      ChangeEvent("insert", "t", 2L, ts(2), 99L, """{"v":"stale"}""")).toDF(),
+      stateDir)
+    assert(CdcPipeline.currentState(spark, stateDir)
+      .filter(col("key") === 2L).count() == 0L)
   }
 
   test("file-fed CDC stream applies change files through checkpointed micro-batches") {
@@ -150,12 +160,13 @@ class StreamingSpec extends SparkSpec {
     val q = CdcPipeline.start(spark, changesDir, stateDir, ckpt)
     try {
       q.processAllAvailable()
-      assert(spark.read.parquet(stateDir).count() == 1L)
+      assert(CdcPipeline.currentState(spark, stateDir).count() == 1L)
       Seq(ChangeEvent("update", "t", 1L, ts(2), 2L, """{"v":9}"""),
         ChangeEvent("insert", "t", 2L, ts(2), 3L, """{"v":2}"""))
         .toDF().coalesce(1).write.mode("append").json(changesDir)
       q.processAllAvailable()
-      val state = spark.read.parquet(stateDir).select("key", "payload")
+      val state = CdcPipeline.currentState(spark, stateDir)
+        .select("key", "payload")
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(state == Map(1L -> """{"v":9}""", 2L -> """{"v":2}"""))
     } finally q.stop()
@@ -171,14 +182,15 @@ class StreamingSpec extends SparkSpec {
     val q = CdcPipeline.startFromBinlog(spark, log, stateDir, ckpt)
     try {
       q.processAllAvailable()
-      assert(spark.read.parquet(stateDir).count() == 2L)
+      assert(CdcPipeline.currentState(spark, stateDir).count() == 2L)
       // append more events — the tail picks up ONLY the new lines
       BinlogSource.append(log, Seq(
         ChangeEvent("update", "t", 1L, ts(2), 3L, """{"v":10}"""),
         ChangeEvent("delete", "t", 2L, ts(2), 4L, null),
         ChangeEvent("insert", "t", 3L, ts(2), 5L, """{"v":3}""")))
       q.processAllAvailable()
-      val state = spark.read.parquet(stateDir).select("key", "payload")
+      val state = CdcPipeline.currentState(spark, stateDir)
+        .select("key", "payload")
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(state == Map(1L -> """{"v":10}""", 3L -> """{"v":3}"""))
     } finally q.stop()
@@ -187,11 +199,11 @@ class StreamingSpec extends SparkSpec {
     val q2 = CdcPipeline.startFromBinlog(spark, log, stateDir, ckpt)
     try {
       q2.processAllAvailable()
-      assert(spark.read.parquet(stateDir).count() == 2L)
+      assert(CdcPipeline.currentState(spark, stateDir).count() == 2L)
       BinlogSource.append(log, Seq(
         ChangeEvent("insert", "t", 4L, ts(3), 6L, """{"v":4}""")))
       q2.processAllAvailable()
-      assert(spark.read.parquet(stateDir).count() == 3L)
+      assert(CdcPipeline.currentState(spark, stateDir).count() == 3L)
     } finally q2.stop()
   }
 
@@ -248,11 +260,11 @@ class StreamingSpec extends SparkSpec {
       changesDir, stateDir, ckpt)
     try {
       q.processAllAvailable()
-      assert(spark.read.parquet(stateDir).count() == 2L)
+      assert(CdcPipeline.currentState(spark, stateDir).count() == 2L)
       Seq(ChangeEvent("delete", "snapshot", 1L, ts(2), 10L, null))
         .toDF().coalesce(1).write.mode("append").json(changesDir)
       q.processAllAvailable()
-      val keys = spark.read.parquet(stateDir).select("key")
+      val keys = CdcPipeline.currentState(spark, stateDir).select("key")
         .collect().map(_.getLong(0)).toSet
       assert(keys == Set(2L))
     } finally q.stop()

@@ -115,7 +115,7 @@ class JdbcSyncSpec extends SparkSpec {
       checkpointDir = s"$base/ckpt2", useBinlog = true)
     try {
       q.processAllAvailable()
-      assert(spark.read.parquet(s"$base/state").count() == 500L)
+      assert(CdcPipeline.currentState(spark, s"$base/state").count() == 500L)
       // phase 2: post-snapshot changes arrive on the binlog
       BinlogSource.append(log, Seq(
         ChangeEvent("insert", "snapshot", 500L,
@@ -123,7 +123,7 @@ class JdbcSyncSpec extends SparkSpec {
         ChangeEvent("delete", "snapshot", 0L,
           java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 2L, null)))
       q.processAllAvailable()
-      val state = spark.read.parquet(s"$base/state")
+      val state = CdcPipeline.currentState(spark, s"$base/state")
       assert(state.count() == 500L) // +1 insert, -1 delete
       import org.apache.spark.sql.functions.col
       assert(state.filter(col("key") === 500L).count() == 1L)

@@ -207,6 +207,45 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("maxLinesPerTrigger paces micro-batches without skipping lines") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pace_").toString
+    val log = s"$base/changes.binlog"
+    BinlogSource.append(log, (0 until 50).map(i =>
+      ChangeEvent("insert", "t", i.toLong, ts(1), i.toLong, s"""{"v":$i}""")))
+    val q = CdcPipeline.startFromBinlog(spark, log, s"$base/state",
+      s"$base/ckpt", maxLinesPerTrigger = 7L)
+    try {
+      q.processAllAvailable() // several 7-line batches until caught up
+      // every line applied exactly once — the pre-admission-control bug
+      // permanently skipped lines between the clamp and the observed end
+      assert(CdcPipeline.currentState(spark, s"$base/state").count() == 50L)
+    } finally q.stop()
+  }
+
+  test("unbounded trigger (default) survives multiple batches without overflow") {
+    val base = java.nio.file.Files.createTempDirectory("graft_unb_").toString
+    val log = s"$base/changes.binlog"
+    BinlogSource.append(log, Seq(
+      ChangeEvent("insert", "t", 1L, ts(1), 1L, """{"v":1}""")))
+    // no maxLinesPerTrigger option: the Long.MaxValue default used to
+    // overflow start+max on the second batch and drop everything after
+    val stream = spark.readStream
+      .format(classOf[BinlogSourceProvider].getName)
+      .option("path", log).load()
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        CdcPipeline.applyBatch(spark, b, s"$base/state")
+      }.start()
+    try {
+      q.processAllAvailable()
+      BinlogSource.append(log, Seq(
+        ChangeEvent("insert", "t", 2L, ts(2), 2L, """{"v":2}""")))
+      q.processAllAvailable()
+      assert(CdcPipeline.currentState(spark, s"$base/state").count() == 2L)
+    } finally q.stop()
+  }
+
   test("windowed aggregation resumes from checkpoint without duplicates") {
     val base = java.nio.file.Files.createTempDirectory("graft_restart_").toString
     val srcDir = s"$base/src"; new java.io.File(srcDir).mkdirs()

@@ -114,6 +114,23 @@ object ExtQueries {
         | SELECT a_id, b_id, cos_sim FROM sc WHERE cos_sim >= 0.4
         | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""))),
 
+    // X1/X2 scale-shaped embedding near-dup: sign-LSH candidate equi-join
+    // + exact cosine verify — same oracle as the exact form (recall 1.0 on
+    // the seeded planes), but the plan is bucketed, never a cross join
+    Q("x_dedup_embedding_lsh",
+      (s, d) => VectorOps.cosineDupPairsLsh(Tables.embeddings(s, d), 0.4),
+      Some("""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+        | sc AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(
+        |   list_sum(list_transform(range(1, len(a.embedding)+1),
+        |     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |   (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+        |     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+        |    sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+        |     i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 4) AS cos_sim
+        |   FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        | SELECT a_id, b_id, cos_sim FROM sc WHERE cos_sim >= 0.4
+        | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""))),
+
     // X2 brute-force cosine top-10 (queries: vec_id<5, corpus: vec_id>=5)
     Q("x_knn_cosine",
       (s, d) => {
@@ -155,12 +172,38 @@ object ExtQueries {
         .agg(count(lit(1)).as("n")).orderBy("lang"),
       Some("SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang")),
 
-    // X4 heuristic language ID — rows-only (heuristic, no SQL twin)
+    // X4 heuristic language ID — deterministic marker-word CASE ladder,
+    // so the oracle replays the exact same ladder in DuckDB SQL
     Q("x_lang_id",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id"),
-      None),
+      Some {
+        val markers = Seq(
+          "en" -> Seq("the", "and", "of", "is", "to", "in", "that", "with"),
+          "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+          "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "pas"),
+          "es" -> Seq("el", "los", "las", "es", "una", "que", "por", "como"),
+          "it" -> Seq("il", "gli", "di", "che", "non", "per", "sono", "della"),
+          "pt" -> Seq("o", "os", "um", "uma", "não", "com", "para", "mais"),
+          "nl" -> Seq("de", "het", "een", "van", "niet", "met", "voor", "zijn"))
+        val hitCols = markers.map { case (lang, ws) =>
+          val inList = ws.map(w => s"'$w'").mkString(", ")
+          s"CAST(len(list_filter(w, x -> x IN ($inList))) AS DOUBLE) AS $lang"
+        }.mkString(", ")
+        val top = "greatest(" + markers.map(_._1).mkString(", ") + ")"
+        val pick = markers.map { case (lang, _) =>
+          s"WHEN $lang = $top THEN '$lang'" }.mkString(" ")
+        s"""WITH t AS (SELECT doc_id, text,
+          | regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents),
+          | h AS (SELECT doc_id, text, $hitCols FROM t)
+          | SELECT doc_id, CASE
+          | WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+          | WHEN length(regexp_replace(text, '[^\\x{0400}-\\x{04ff}]', '', 'g')) > 0 THEN 'ru'
+          | WHEN $top = 0.0 THEN 'unknown'
+          | $pick END AS lang_pred
+          | FROM h ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+      }),
 
     // X4 per-doc text quality metrics (all exactly reproducible in SQL)
     Q("x_text_quality",
@@ -304,20 +347,39 @@ object ExtQueries {
         |   (h, c) -> (h * 131 + c) % 1000000007) END AS fp
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""))),
 
-    // X3 multimodal: opaque binary payload + typed metadata (byte length
-    // is exactly checkable; decode/feature stages live in ops.Multimodal)
     // X3 multimodal decode/feature pipeline (stubbed decoder, real
-    // mapPartitions plumbing) — rows-only
+    // mapPartitions plumbing). The 8-dim feature array is projected to
+    // per-dim double columns (f0..f7) so the driver's comparator — and a
+    // DuckDB twin reproducing the decoder's byte-sum/255.0 fold over the
+    // UTF-8 payload — can hash the result exactly.
     Q("x_multimodal_features",
       (s, d) => {
         import graft.ops.Multimodal
         val media = Multimodal.syntheticMedia(Tables.documents(s, d))
         implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+        val dims = (0 until Multimodal.FakeDecoder.FeatureDim).map(i =>
+          element_at(col("feature"), i + 1).cast("double").as(s"f$i"))
         Multimodal.extractFeatures(media.as[Multimodal.MediaRow](enc))
-          .toDF().select(col("doc_id"), col("modality"), col("n_bytes"),
-            col("feature")).orderBy("doc_id")
+          .toDF().select(col("doc_id") +: col("modality") +: col("n_bytes") +:
+            dims: _*).orderBy("doc_id")
       },
-      None),
+      Some {
+        // FakeDecoder dim d = (sum of payload bytes at positions i with
+        // i%8==d) / 255.0, rounded once to float32. Texts in the fixture
+        // are ASCII, so byte i of the UTF-8 payload == ascii(substr(i+1)).
+        val dims = (0 until 8).map(dd =>
+          s"CAST(CAST(coalesce(list_sum(list_transform(range(len(by)), " +
+            s"j -> CASE WHEN j % 8 = $dd THEN by[CAST(j AS INT) + 1] ELSE CAST(0 AS BIGINT) END)), 0) " +
+            s"/ 255.0 AS REAL) AS DOUBLE) AS f$dd").mkString(", ")
+        """WITH b AS (SELECT doc_id,
+          | (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+          | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          | list_transform(range(1, length(text) + 1),
+          |   i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS by
+          | FROM documents)
+          | SELECT doc_id, modality, n_bytes, """.stripMargin.replaceAll("\n", "") +
+          dims + " FROM b ORDER BY doc_id"
+      }),
 
     Q("x_multimodal_bytes",
       (s, d) => Tables.documents(s, d).select(

@@ -35,16 +35,24 @@ object Multimodal {
     * Deterministic so tests can assert exact outputs: "decodes" a payload
     * into an 8-dim feature from byte statistics. A real deployment
     * replaces ONLY this object.
+    *
+    * Each dim is an exact integer byte-sum divided ONCE by 255.0 (double)
+    * and rounded to float — a single well-defined IEEE rounding step, so
+    * the value is reproducible by any engine (the DuckDB oracle computes
+    * the same sum/divide/cast) with no accumulation-order sensitivity.
     */
   object FakeDecoder {
     val FeatureDim = 8
     def decode(payload: Array[Byte]): Array[Float] = {
-      val f = new Array[Float](FeatureDim)
+      val sums = new Array[Long](FeatureDim)
       var i = 0
       while (i < payload.length) {
-        f(i % FeatureDim) += (payload(i) & 0xff) / 255.0f
+        sums(i % FeatureDim) += (payload(i) & 0xff)
         i += 1
       }
+      val f = new Array[Float](FeatureDim)
+      i = 0
+      while (i < FeatureDim) { f(i) = (sums(i) / 255.0).toFloat; i += 1 }
       f
     }
   }

@@ -66,6 +66,41 @@ object VectorOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** The 100 TB shape of [[cosineDupPairs]]: sign-LSH bucket the vectors,
+    * equi-join on `(table, bucket)` for candidates, then EXACT cosine
+    * verify — identical output predicate, but the pair space is bucketed
+    * instead of O(n²) and the physical plan is a shuffled equi-join, not
+    * a cartesian product.
+    *
+    * One side of the self-join emits multi-probe keys (its bucket plus
+    * every single-bit flip), so a pair becomes a candidate iff its two
+    * bucket codes differ by ≤1 bit in ANY table — with the defaults the
+    * per-pair miss probability at cos=0.4 is ~6e-6, and on the fixed
+    * seeded planes recall vs the exact form is 1.0 (asserted in SimSpec).
+    */
+  def cosineDupPairsLsh(vectors: DataFrame, threshold: Double,
+                        nTables: Int = 16, planesPerTable: Int = 4,
+                        dim: Int = 64, probes: Int = 4): DataFrame = {
+    val base = vectors.select(col("vec_id"), col("embedding"),
+      Kernels.normFCol(col("embedding")).as("nrm"))
+    val a = base.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+      col("nrm").as("an"),
+      explode(lshKeysMultiProbe(col("embedding"), nTables, planesPerTable,
+        dim, probes)).as("key"))
+    val b = base.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+      col("nrm").as("bn"),
+      explode(lshKeys(col("embedding"), nTables, planesPerTable, dim)).as("key"))
+    a.join(b, "key")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("ae"), col("be"), col("an"), col("bn"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(Kernels.dotFFCol(col("ae"), col("be")) /
+          (col("an") * col("bn")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy("a_id", "b_id")
+  }
+
   /** Deterministic random hyperplanes for sign-LSH (seeded, driver-built,
     * embedded as literals — tiny: nPlanes × dim doubles).
     */

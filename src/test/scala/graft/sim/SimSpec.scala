@@ -68,6 +68,21 @@ class SimSpec extends SparkSpec {
       s"simhash should find most jaccard near-dups, got $overlap")
   }
 
+  test("LSH-bucketed embedding near-dup equals the exact form, with no cartesian plan") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = VectorOps.cosineDupPairs(emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = VectorOps.cosineDupPairsLsh(emb, 0.4)
+    val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs at cos>=0.4")
+    assert(got == exact, s"LSH near-dup must equal exact pairs " +
+      s"(missing ${(exact -- got).take(3)}, extra ${(got -- exact).take(3)})")
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be an equi-join, not an all-pairs join")
+  }
+
   test("cosine on known vectors") {
     val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 1f), Array(1f, 1f)))
       .toDF("a", "b")

@@ -79,21 +79,25 @@ object VectorOps {
     * seeded planes recall vs the exact form is 1.0 (asserted in SimSpec).
     */
   def cosineDupPairsLsh(vectors: DataFrame, threshold: Double,
-                        nTables: Int = 16, planesPerTable: Int = 4,
+                        nTables: Int = 8, planesPerTable: Int = 4,
                         dim: Int = 64, probes: Int = 4): DataFrame = {
-    val base = vectors.select(col("vec_id"), col("embedding"),
-      Kernels.normFCol(col("embedding")).as("nrm"))
-    val a = base.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
-      col("nrm").as("an"),
+    // candidate stage shuffles ONLY (id, key) pairs — embeddings rejoin
+    // after the (a_id, b_id) dedup, so the wide array columns never ride
+    // the candidate shuffle (at 100 TB that width is the cost driver)
+    val a = vectors.select(col("vec_id").as("a_id"),
       explode(lshKeysMultiProbe(col("embedding"), nTables, planesPerTable,
         dim, probes)).as("key"))
-    val b = base.select(col("vec_id").as("b_id"), col("embedding").as("be"),
-      col("nrm").as("bn"),
+    val b = vectors.select(col("vec_id").as("b_id"),
       explode(lshKeys(col("embedding"), nTables, planesPerTable, dim)).as("key"))
-    a.join(b, "key")
+    val cand = a.join(b, "key")
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("ae"), col("be"), col("an"), col("bn"))
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
+    val va = vectors.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+      Kernels.normFCol(col("embedding")).as("an"))
+    val vb = vectors.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+      Kernels.normFCol(col("embedding")).as("bn"))
+    cand.join(va, "a_id").join(vb, "b_id")
       .select(col("a_id"), col("b_id"),
         round(Kernels.dotFFCol(col("ae"), col("be")) /
           (col("an") * col("bn")), 4).as("cos_sim"))

@@ -23,10 +23,15 @@ import scala.jdk.CollectionConverters._
   * Log format: one TSV line per row-event,
   * `op\ttable\tkey\ttsMicros\tseq\tpayload` — the shape a binlog
   * decoder (or Debezium feed) would append. The streaming OFFSET is the
-  * line count: `latestOffset` observes the current end of log, each
-  * micro-batch reads `[start, end)` lines, and Spark's checkpoint
-  * persists the committed offset — exactly the role the reference's
-  * `metadata.txt` file position plays, but transactional with the sink.
+  * BYTE position of a line boundary — the same coordinate system as the
+  * reference's `SHOW MASTER STATUS` binlog position
+  * (mysql_to_clickhouse_sync.py:175-181), persisted by Spark's
+  * checkpoint transactionally with the sink. Byte offsets make every
+  * trigger O(newly-appended bytes): `latestOffset` seeks to the last
+  * committed position and scans only forward, and the reader seeks
+  * straight to its start — line-number offsets would force a full-file
+  * count per trigger plus an O(offset) skip per batch, O(n²) over a
+  * long-running stream.
   *
   * A binlog is inherently a serial stream per source server, so each
   * batch is one input partition (ordering preserved); parallelism at
@@ -68,20 +73,38 @@ object BinlogSource {
       java.nio.file.StandardOpenOption.APPEND)
   }
 
-  private[streaming] def countLines(path: String): Long = {
-    if (!Files.exists(Paths.get(path))) return 0L
-    val in = Files.newInputStream(Paths.get(path))
+  /** Byte position after the last newline within the next `maxLines`
+    * complete lines starting at `startByte` — i.e. the furthest offset a
+    * micro-batch may commit. Seeks to `startByte` and scans FORWARD only
+    * (never the history before it), so the total scan work over a
+    * stream's lifetime is O(log length), not O(n²). A trailing partial
+    * line (a writer mid-append) is never admitted: only positions
+    * directly after a '\n' are returned.
+    */
+  private[streaming] def advance(path: String, startByte: Long,
+                                 maxLines: Long): Long = {
+    if (!Files.exists(Paths.get(path))) return startByte
+    val ch = java.nio.channels.FileChannel.open(
+      Paths.get(path), java.nio.file.StandardOpenOption.READ)
     try {
-      var count = 0L
+      ch.position(startByte)
+      val in = java.nio.channels.Channels.newInputStream(ch)
       val buf = new Array[Byte](1 << 16)
+      var pos = startByte
+      var lastNl = startByte
+      var lines = 0L
       var n = in.read(buf)
-      while (n > 0) {
+      while (n > 0 && lines < maxLines) {
         var i = 0
-        while (i < n) { if (buf(i) == '\n') count += 1; i += 1 }
-        n = in.read(buf)
+        while (i < n && lines < maxLines) {
+          pos += 1
+          if (buf(i) == '\n') { lines += 1; lastNl = pos }
+          i += 1
+        }
+        n = if (lines < maxLines) in.read(buf) else 0
       }
-      count
-    } finally in.close()
+      lastNl
+    } finally ch.close()
   }
 }
 
@@ -103,8 +126,8 @@ class BinlogTable(props: Map[String, String]) extends Table with SupportsRead {
     }
 }
 
-case class BinlogOffset(line: Long) extends Offset {
-  override def json(): String = s"""{"line":$line}"""
+case class BinlogOffset(bytes: Long) extends Offset {
+  override def json(): String = s"""{"bytes":$bytes}"""
 }
 
 class BinlogMicroBatchStream(path: String, maxLinesPerTrigger: Long)
@@ -114,24 +137,23 @@ class BinlogMicroBatchStream(path: String, maxLinesPerTrigger: Long)
 
   override def initialOffset(): Offset = BinlogOffset(0L)
 
-  /** Saturating add — `maxLinesPerTrigger` may be Long.MaxValue. */
-  private def capped(start: Long): Long = {
-    val cap = start + maxLinesPerTrigger
-    val end = BinlogSource.countLines(path)
-    if (cap < start) end else math.min(end, cap)
-  }
-
   /** Admission control: the END offset Spark commits is already clamped
     * to `maxLinesPerTrigger`, so no line between the clamp and a larger
     * observed end can ever be skipped. (Clamping in planInputPartitions
     * instead would silently drop the lines between the clamp and the
-    * committed end.)
+    * committed end.) The scan starts at the committed offset — per
+    * trigger it touches only the bytes it admits.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    BinlogOffset(capped(start.asInstanceOf[BinlogOffset].line))
+    BinlogOffset(BinlogSource.advance(path,
+      start.asInstanceOf[BinlogOffset].bytes, maxLinesPerTrigger))
 
+  /** Monitoring only (never committed): the raw file size is an O(1)
+    * upper bound on the latest line boundary.
+    */
   override def reportLatestOffset(): Offset =
-    BinlogOffset(BinlogSource.countLines(path))
+    BinlogOffset(
+      if (Files.exists(Paths.get(path))) Files.size(Paths.get(path)) else 0L)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -145,8 +167,8 @@ class BinlogMicroBatchStream(path: String, maxLinesPerTrigger: Long)
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[BinlogOffset].line
-    val e = end.asInstanceOf[BinlogOffset].line
+    val s = start.asInstanceOf[BinlogOffset].bytes
+    val e = end.asInstanceOf[BinlogOffset].bytes
     if (e <= s) Array.empty
     else Array(BinlogPartition(path, s, e))
   }
@@ -158,34 +180,48 @@ class BinlogMicroBatchStream(path: String, maxLinesPerTrigger: Long)
     }
 }
 
-case class BinlogPartition(path: String, startLine: Long, endLine: Long)
+case class BinlogPartition(path: String, startByte: Long, endByte: Long)
   extends InputPartition
 
-/** Reads lines [startLine, endLine) of the log, parsing TSV → rows. */
+/** Reads bytes [startByte, endByte) of the log — a seek, then a single
+  * forward pass splitting on '\n' and parsing TSV → rows. Both bounds
+  * are line-boundary positions produced by [[BinlogSource.advance]], so
+  * the range always holds complete lines.
+  */
 class BinlogPartitionReader(p: BinlogPartition) extends PartitionReader[InternalRow] {
-  private val reader = Files.newBufferedReader(
-    Paths.get(p.path), StandardCharsets.UTF_8)
-  private var lineNo = 0L
+  private val channel = java.nio.channels.FileChannel.open(
+    Paths.get(p.path), java.nio.file.StandardOpenOption.READ)
+  channel.position(p.startByte)
+  private val in = new java.io.BufferedInputStream(
+    java.nio.channels.Channels.newInputStream(channel), 1 << 16)
+  private var pos = p.startByte
+  private val lineBuf = new java.io.ByteArrayOutputStream(256)
   private var current: InternalRow = _
-  // skip to startLine
-  while (lineNo < p.startLine && reader.readLine() != null) lineNo += 1
 
   override def next(): Boolean = {
-    if (lineNo >= p.endLine) return false
-    val line = reader.readLine()
-    if (line == null) return false
-    lineNo += 1
-    val f = line.split("\t", -1)
-    current = new GenericInternalRow(Array[Any](
-      UTF8String.fromString(f(0)),
-      UTF8String.fromString(f(1)),
-      f(2).toLong,
-      f(3).toLong,                       // micros since epoch (TimestampType)
-      f(4).toLong,
-      if (f(5) == "\\N") null else UTF8String.fromString(f(5))))
-    true
+    if (pos >= p.endByte) return false
+    lineBuf.reset()
+    var b = in.read()
+    while (b >= 0) {
+      pos += 1
+      if (b == '\n') {
+        val f = new String(lineBuf.toByteArray, StandardCharsets.UTF_8)
+          .split("\t", -1)
+        current = new GenericInternalRow(Array[Any](
+          UTF8String.fromString(f(0)),
+          UTF8String.fromString(f(1)),
+          f(2).toLong,
+          f(3).toLong,                   // micros since epoch (TimestampType)
+          f(4).toLong,
+          if (f(5) == "\\N") null else UTF8String.fromString(f(5))))
+        return true
+      }
+      lineBuf.write(b)
+      b = in.read()
+    }
+    false                                // EOF inside range: partial write
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+  override def close(): Unit = in.close()
 }

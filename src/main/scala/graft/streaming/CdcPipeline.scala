@@ -59,42 +59,61 @@ object CdcPipeline {
   /** The live rows of an applied state table (tombstones filtered). */
   def currentState(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(stateDir).filter(col("op") =!= ChangeEvent.Delete)
+      .drop("bucket")
+
+  /** Number of hash buckets a state table is partitioned into. Part of
+    * the state dir's on-disk contract: every writer of one state dir
+    * must use the same value.
+    */
+  val DefaultStateBuckets = 64
+
+  /** Deterministic state bucket of a change row — the partition key that
+    * makes the merge incremental.
+    */
+  private def withBucket(df: DataFrame, numBuckets: Int): DataFrame =
+    df.withColumn("bucket",
+      pmod(xxhash64(col("table"), col("key")), lit(numBuckets)).cast("int"))
 
   /** Merge one micro-batch of changes into the parquet state table at
-    * `stateDir`: union existing state (tombstones included) with the new
-    * changes, re-collapse, rewrite. Apply is idempotent AND commutative
-    * across micro-batches because tombstones persist with their
-    * versions — replaying or reordering batches converges.
+    * `stateDir`: the state is hash-partitioned into `numBuckets` buckets
+    * on (table, key), and a micro-batch rewrites ONLY the buckets its
+    * keys fall into — existing rows of untouched buckets are neither
+    * read nor written, so apply cost is proportional to the batch's key
+    * spread, not the state size. Within each touched bucket the union of
+    * old rows and new changes re-collapses to highest-(ts, seq) per
+    * (table, key); tombstones persist with their versions, so apply is
+    * idempotent AND commutative across micro-batches — replaying or
+    * reordering batches converges.
     *
-    * At 100 TB the rewrite step becomes a key-partitioned MERGE into a
-    * format with row-level upsert (ClickHouse itself, or an Iceberg/Delta
-    * table); the collapse logic — the part the engine owns — is
-    * identical: highest (ts, seq) wins per (table, key).
+    * Partition pruning serves the read side (only touched `bucket=`
+    * directories are scanned) and dynamic partition overwrite the write
+    * side (only partitions present in the merged output are replaced).
+    * At 100 TB the same layout maps onto a key-partitioned MERGE into a
+    * format with row-level upsert (ClickHouse ReplacingMergeTree itself,
+    * or an Iceberg/Delta table); the collapse logic the engine owns is
+    * identical.
     */
-  def applyBatch(spark: SparkSession, batch: DataFrame, stateDir: String): Unit = {
+  def applyBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
+                 numBuckets: Int = DefaultStateBuckets): Unit = {
+    val cols = Seq("op", "table", "key", "ts", "seq", "payload")
+    val bucketed = withBucket(batch.select(cols.map(col): _*), numBuckets)
+    val touched = bucketed.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted                 // ≤ numBuckets values
+    if (touched.isEmpty) return
     val existing: DataFrame =
-      if (new java.io.File(stateDir).exists()) spark.read.parquet(stateDir)
-      else batch.limit(0)
+      if (new java.io.File(stateDir).exists())
+        spark.read.parquet(stateDir)
+          .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      else bucketed.limit(0)
     val merged = latestState(
-      existing.select("op", "table", "key", "ts", "seq", "payload")
-        .unionByName(batch.select("op", "table", "key", "ts", "seq", "payload")))
-      .select("op", "table", "key", "ts", "seq", "payload")
-    // write-then-swap (overwrite) keeps the state readable mid-merge
-    val tmp = stateDir + "_next"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = new java.io.File(stateDir)
-    if (target.exists()) {
-      val old = new java.io.File(stateDir + "_old")
-      deleteRec(old)
-      target.renameTo(old)
-      new java.io.File(tmp).renameTo(target)
-      deleteRec(old)
-    } else new java.io.File(tmp).renameTo(target)
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
-    f.delete(): Unit
+      existing.select((cols :+ "bucket").map(col): _*)
+        .unionByName(bucketed.select((cols :+ "bucket").map(col): _*)))
+      .select((cols :+ "bucket").map(col): _*)
+    merged.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(stateDir)
   }
 
   /** Launch the continuous apply: change files → micro-batch upsert into
@@ -148,7 +167,9 @@ object CdcPipeline {
       col(tsCol).cast("timestamp").as("ts"),
       lit(0L).as("seq"),
       to_json(struct(snapshot.columns.map(col): _*)).as("payload"))
-    asState.write.mode(SaveMode.Overwrite).parquet(stateDir)
+    // same bucketed layout the streaming apply maintains
+    withBucket(asState, DefaultStateBuckets).write
+      .mode(SaveMode.Overwrite).partitionBy("bucket").parquet(stateDir)
     if (useBinlog) startFromBinlog(spark, changesDir, stateDir, checkpointDir)
     else start(spark, changesDir, stateDir, checkpointDir)
   }

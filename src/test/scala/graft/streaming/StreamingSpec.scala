@@ -151,6 +151,44 @@ class StreamingSpec extends SparkSpec {
       .filter(col("key") === 2L).count() == 0L)
   }
 
+  test("bucketed apply rewrites only the buckets a micro-batch touches") {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_bkt_").toString + "/state"
+    val seed = (0 until 200).map(i =>
+      ChangeEvent("insert", "t", i.toLong, ts(1), i.toLong, s"""{"v":$i}"""))
+    CdcPipeline.applyBatch(spark, seed.toDF(), stateDir)
+
+    def parquetFiles(): Map[String, Long] = {
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+        else if (f.getName.endsWith(".parquet")) out(f.getPath) = f.lastModified()
+      walk(new java.io.File(stateDir)); out.toMap
+    }
+    val before = parquetFiles()
+    assert(before.keys.map(p => "bucket=\\d+".r.findFirstIn(p).get).toSet.size > 4,
+      "seed batch should span several buckets")
+
+    CdcPipeline.applyBatch(spark,
+      Seq(ChangeEvent("update", "t", 42L, ts(2), 1000L, """{"v":"new"}""")).toDF(),
+      stateDir)
+    val after = parquetFiles()
+    val touched = spark.range(1).select(
+      pmod(xxhash64(lit("t"), lit(42L)), lit(CdcPipeline.DefaultStateBuckets))
+        .cast("int")).head().getInt(0)
+    // every added/removed/modified file lives in the touched bucket
+    val changed = (after.keySet ++ before.keySet)
+      .filter(p => before.get(p) != after.get(p))
+    assert(changed.nonEmpty)
+    changed.foreach(p => assert(p.contains(s"bucket=$touched"),
+      s"file outside touched bucket=$touched rewritten: $p"))
+    // and the merge result is still correct
+    assert(CdcPipeline.currentState(spark, stateDir).count() == 200L)
+    val v = CdcPipeline.currentState(spark, stateDir)
+      .filter(col("key") === 42L).select("payload").head().getString(0)
+    assert(v == """{"v":"new"}""")
+  }
+
   test("file-fed CDC stream applies change files through checkpointed micro-batches") {
     val base = java.nio.file.Files.createTempDirectory("graft_cdc_e2e_").toString
     val changesDir = s"$base/changes"; new java.io.File(changesDir).mkdirs()
@@ -205,6 +243,24 @@ class StreamingSpec extends SparkSpec {
       q2.processAllAvailable()
       assert(CdcPipeline.currentState(spark, stateDir).count() == 3L)
     } finally q2.stop()
+  }
+
+  test("byte-offset advance admits only complete lines, forward from start") {
+    val base = java.nio.file.Files.createTempDirectory("graft_adv_").toString
+    val log = s"$base/changes.binlog"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(log),
+      "a\tt\t1\t0\t1\tx\nbb\tt\t2\t0\t2\ty\npartial-no-newline")
+    val firstLine = "a\tt\t1\t0\t1\tx\n".length.toLong
+    val secondLine = firstLine + "bb\tt\t2\t0\t2\ty\n".length
+    // paced: one line per call, positions land exactly on line boundaries
+    assert(BinlogSource.advance(log, 0L, 1L) == firstLine)
+    assert(BinlogSource.advance(log, firstLine, 1L) == secondLine)
+    // unbounded: the trailing partial line is never admitted
+    assert(BinlogSource.advance(log, 0L, Long.MaxValue) == secondLine)
+    // no new complete line -> offset does not move
+    assert(BinlogSource.advance(log, secondLine, Long.MaxValue) == secondLine)
+    // missing file -> stay at start
+    assert(BinlogSource.advance(s"$base/nope", 5L, 1L) == 5L)
   }
 
   test("maxLinesPerTrigger paces micro-batches without skipping lines") {

@@ -41,6 +41,14 @@ object ChunkPlanner {
     */
   case object Paginated extends ScanStrategy
 
+  /** No usable PK but too many rows for one task: `numSplits` disjoint
+    * mod-hash partitions over any stable numeric column (`MOD(ABS(col),
+    * n) = i`). The reference pages a PK-less table single-threaded
+    * (pagination.py:134-142); at 100 TB one task per big table is the
+    * difference between a copy finishing and not.
+    */
+  final case class SyntheticSplit(numSplits: Int) extends ScanStrategy
+
   /** Nothing to copy (bounds sentinel on an empty table). */
   case object Empty extends ScanStrategy
 
@@ -83,10 +91,13 @@ object ChunkPlanner {
     *                    pagination.py:52-62)
     */
   def plan(bounds: (Long, Long), rowCount: Long, hasAutoInc: Boolean,
-           batch: Long, smallTableThreshold: Long = 1000L): ScanStrategy = {
+           batch: Long, smallTableThreshold: Long = 1000L,
+           maxPartitions: Int = 2048): ScanStrategy = {
     val (minId, maxId) = bounds
     if (rowCount == 0L) Empty
-    else if (!hasAutoInc) Paginated
+    else if (!hasAutoInc && rowCount <= smallTableThreshold) Paginated
+    else if (!hasAutoInc)
+      SyntheticSplit(numPartitions(rowCount, batch, maxPartitions))
     else if (minId == maxId && rowCount == 1L) SingleRow
     else if (rowCount <= smallTableThreshold) Paginated
     else RangeChunks(halfOpenChunks(minId, maxId, batch))

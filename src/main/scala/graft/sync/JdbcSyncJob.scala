@@ -23,6 +23,47 @@ object JdbcSyncJob {
 
   final case class Endpoint(url: String, props: Properties = new Properties())
 
+  /** `SHOW MASTER STATUS` row — the handoff coordinates a downstream
+    * binlog consumer resumes from (sync.py:175-177).
+    */
+  final case class MasterStatus(file: String, position: Long, gtid: String)
+
+  /** The reference's snapshot fence (sync.py:152-185), as injectable
+    * probes so the ORDERING — acquire lock → read catalog + bounds →
+    * record binlog coordinates → release — is testable without a MySQL
+    * server. On a real MySQL source: `acquire` runs `FLUSH TABLES WITH
+    * READ LOCK` + `START TRANSACTION WITH CONSISTENT SNAPSHOT`,
+    * `masterStatus` runs `SHOW MASTER STATUS`, `release` runs
+    * `UNLOCK TABLES` — all on ONE connection.
+    */
+  final case class SnapshotFence(
+      acquire: () => Unit = () => (),
+      masterStatus: () => Option[MasterStatus] = () => None,
+      release: () => Unit = () => ())
+
+  /** The reference's `metadata.txt` contract, byte for byte: three lines
+    * `binlog_file \n position \n gtid`, no trailing newline
+    * (sync.py:180-181). Written BEFORE any copy starts, while the fence
+    * holds — the coordinates must predate every copied row for the CDC
+    * consumer to observe each change at least once.
+    */
+  def writeMasterStatus(dir: String, st: MasterStatus): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/metadata.txt"),
+      s"${st.file}\n${st.position}\n${st.gtid}")
+  }
+
+  /** Parse a metadata.txt back into coordinates (consumer side). */
+  def readMasterStatus(dir: String): Option[MasterStatus] = {
+    val p = java.nio.file.Paths.get(s"$dir/metadata.txt")
+    if (!java.nio.file.Files.exists(p)) None
+    else java.nio.file.Files.readString(p).split("\n", -1) match {
+      case Array(f, pos, gtid) => Some(MasterStatus(f, pos.toLong, gtid))
+      case _ => None
+    }
+  }
+
   /** S3 catalog scan via DatabaseMetaData (driver-side, metadata only). */
   def discoverTables(ep: Endpoint, schema: Option[String] = None): Seq[String] = {
     val conn = DriverManager.getConnection(ep.url, ep.props)
@@ -32,6 +73,55 @@ object JdbcSyncJob {
       val names = scala.collection.mutable.ArrayBuffer.empty[String]
       while (rs.next()) names += rs.getString("TABLE_NAME")
       names.sorted.toSeq
+    } finally conn.close()
+  }
+
+  private val IntegerJdbcTypes: Set[Int] = Set(
+    java.sql.Types.TINYINT, java.sql.Types.SMALLINT,
+    java.sql.Types.INTEGER, java.sql.Types.BIGINT)
+
+  /** S4 PK introspection from JDBC metadata — the engine's analog of the
+    * reference's `SHOW COLUMNS ... Extra='auto_increment'` probe
+    * (pagination.py:52-62): the table's single-column INTEGER primary
+    * key, if it has one. Multi-column or non-integer PKs return None
+    * (they can't drive range chunking).
+    */
+  def introspectPk(ep: Endpoint, table: String,
+                   schema: Option[String] = None): Option[String] = {
+    val conn = DriverManager.getConnection(ep.url, ep.props)
+    try {
+      val md = conn.getMetaData
+      val rs = md.getPrimaryKeys(null, schema.orNull, table)
+      val pkCols = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (rs.next()) pkCols += rs.getString("COLUMN_NAME")
+      pkCols.toList match {
+        case pk :: Nil =>
+          val cols = md.getColumns(null, schema.orNull, table, pk)
+          if (cols.next() && IntegerJdbcTypes(cols.getInt("DATA_TYPE")))
+            Some(pk)
+          else None
+        case _ => None
+      }
+    } finally conn.close()
+  }
+
+  /** First integer-typed column of a table — the synthetic split key for
+    * PK-less parallel copies (mod-hash predicates need exact integer
+    * arithmetic; DOUBLE/DECIMAL-with-scale columns don't qualify).
+    */
+  def firstIntegerColumn(ep: Endpoint, table: String,
+                         schema: Option[String] = None): Option[String] = {
+    val conn = DriverManager.getConnection(ep.url, ep.props)
+    try {
+      val rs = conn.getMetaData.getColumns(null, schema.orNull, table, "%")
+      var best: Option[(Int, String)] = None
+      while (rs.next()) {
+        val ordinal = rs.getInt("ORDINAL_POSITION")
+        if (IntegerJdbcTypes(rs.getInt("DATA_TYPE")) &&
+          best.forall(_._1 > ordinal))
+          best = Some(ordinal -> rs.getString("COLUMN_NAME"))
+      }
+      best.map(_._2)
     } finally conn.close()
   }
 
@@ -51,31 +141,51 @@ object JdbcSyncJob {
     } finally conn.close()
   }
 
-  /** Copy one table src→dst with the planned strategy. Tables without a
-    * usable PK take the single-partition fallback (the reference's
-    * LIMIT-pagination path, pagination.py:130-142) instead of being
-    * skipped. Empty tables still create the destination table.
+  /** A1 bounds probe for one table: PK bounds + count when a PK exists,
+    * count only otherwise.
     */
-  def syncTable(spark: SparkSession, src: Endpoint, dst: Endpoint,
-                table: String, pk: Option[String],
+  def probeBounds(src: Endpoint, table: String,
+                  pk: Option[String]): (Long, Long, Long) = pk match {
+    case Some(k) => boundsAndCount(src, table, k)
+    case None =>
+      val conn = DriverManager.getConnection(src.url, src.props)
+      try {
+        val rs = conn.createStatement()
+          .executeQuery(s"SELECT COUNT(*) FROM $table")
+        rs.next(); (0L, 0L, rs.getLong(1))
+      } finally conn.close()
+  }
+
+  /** Copy one table src→dst with the planned strategy, bounds already
+    * probed (under the snapshot fence when [[run]] drives this). Tables
+    * without a usable PK but above the small-table threshold get a
+    * parallel synthetic split on any integer column; truly unsplittable
+    * tables fall back to one partition. Empty tables still create the
+    * destination table.
+    */
+  def copyTable(spark: SparkSession, src: Endpoint, dst: Endpoint,
+                table: String, pk: Option[String], bounds: (Long, Long, Long),
                 cfg: SyncJob.SyncConfig = SyncJob.SyncConfig()): SyncJob.TableReport = {
-    val (lo, hi, cnt) = pk match {
-      case Some(k) => boundsAndCount(src, table, k)
-      case None =>
-        val conn = DriverManager.getConnection(src.url, src.props)
-        try {
-          val rs = conn.createStatement()
-            .executeQuery(s"SELECT COUNT(*) FROM $table")
-          rs.next(); (0L, 0L, rs.getLong(1))
-        } finally conn.close()
-    }
+    val (lo, hi, cnt) = bounds
     val strategy = ChunkPlanner.plan((lo, hi), cnt, hasAutoInc = pk.isDefined,
-      cfg.batchSize, cfg.smallTableThreshold)
+      cfg.batchSize, cfg.smallTableThreshold, cfg.maxPartitions)
     val (df, parts) = strategy match {
       case ChunkPlanner.Empty =>
         (JdbcSource.read(spark, src.url, table, src.props).limit(0), 1)
       case ChunkPlanner.SingleRow | ChunkPlanner.Paginated =>
         (JdbcSource.read(spark, src.url, table, src.props), 1)
+      case ChunkPlanner.SyntheticSplit(n) =>
+        firstIntegerColumn(src, table) match {
+          case Some(c) =>
+            // disjoint + exhaustive predicates: every row satisfies
+            // exactly one (NULLs land in split 0)
+            val preds = (0 until n).map(i =>
+              if (i == 0) s"MOD(ABS($c), $n) = 0 OR $c IS NULL"
+              else s"MOD(ABS($c), $n) = $i").toArray
+            (spark.read.jdbc(src.url, table, preds, src.props), n)
+          case None =>
+            (JdbcSource.read(spark, src.url, table, src.props), 1)
+        }
       case ChunkPlanner.RangeChunks(_) =>
         val n = ChunkPlanner.numPartitions(cnt, cfg.batchSize, cfg.maxPartitions)
         (JdbcSource.rangePartitionedRead(spark, src.url, table, pk.get, lo, hi,
@@ -87,19 +197,45 @@ object JdbcSyncJob {
       strategy.getClass.getSimpleName.stripSuffix("$"), parts)
   }
 
-  /** Full run over the filtered catalog; writes the offsets checkpoint
-    * to `checkpointDir` and returns the per-table report. Tables with no
-    * known PK are still copied (single-partition fallback).
+  /** One-table convenience (probe + copy in one call, no fence). */
+  def syncTable(spark: SparkSession, src: Endpoint, dst: Endpoint,
+                table: String, pk: Option[String],
+                cfg: SyncJob.SyncConfig = SyncJob.SyncConfig()): SyncJob.TableReport =
+    copyTable(spark, src, dst, table, pk, probeBounds(src, table, pk), cfg)
+
+  /** Full run over the filtered catalog, in the reference's lifecycle
+    * order (sync.py:148-199): acquire the snapshot fence → catalog scan
+    * → per-table bounds probes → record the binlog coordinates
+    * (metadata.txt, BEFORE any copy) → release the fence → parallel
+    * copies from the fenced bounds. Writes the per-table offsets
+    * checkpoint to `checkpointDir` and returns the report. `pkFor`
+    * defaults to JDBC-metadata PK introspection ([[introspectPk]]).
     */
   def run(spark: SparkSession, src: Endpoint, dst: Endpoint,
           pkFor: String => Option[String], checkpointDir: String,
           cfg: SyncJob.SyncConfig = SyncJob.SyncConfig(),
-          schema: Option[String] = None): DataFrame = {
+          schema: Option[String] = None,
+          fence: SnapshotFence = SnapshotFence()): DataFrame = {
     import spark.implicits._
+    fence.acquire()
     val tables = SyncJob.filterTables(discoverTables(src, schema),
       cfg.includeTables, cfg.excludeTables)
-    val reports = tables.map(t => syncTable(spark, src, dst, t, pkFor(t), cfg))
+    val planned = tables.map { t =>
+      val pk = pkFor(t); (t, pk, probeBounds(src, t, pk))
+    }
+    fence.masterStatus().foreach(writeMasterStatus(checkpointDir, _))
+    fence.release()
+    val reports = planned.map { case (t, pk, b) =>
+      copyTable(spark, src, dst, t, pk, b, cfg)
+    }
     SyncJob.writeCheckpoint(checkpointDir, reports)
     reports.toDF().orderBy("table")
   }
+
+  /** [[run]] with metadata-introspected PKs (S4) — the zero-config path. */
+  def run(spark: SparkSession, src: Endpoint, dst: Endpoint,
+          checkpointDir: String, cfg: SyncJob.SyncConfig,
+          schema: Option[String], fence: SnapshotFence): DataFrame =
+    run(spark, src, dst, t => introspectPk(src, t, schema), checkpointDir,
+      cfg, schema, fence)
 }

@@ -91,7 +91,7 @@ object SyncJob {
       case None    => (0L, 0L, df.count())
     }
     val strategy = ChunkPlanner.plan((minId, maxId), cnt, pkCol.isDefined,
-      cfg.batchSize, cfg.smallTableThreshold)
+      cfg.batchSize, cfg.smallTableThreshold, cfg.maxPartitions)
 
     val (out, parts): (DataFrame, Int) = strategy match {
       case ChunkPlanner.Empty => (df.limit(0), 1)
@@ -101,11 +101,15 @@ object SyncJob {
         // LIMIT/OFFSET fallback, pagination.py:134-142)
         val ordered = pkCol.fold(df)(k => df.orderBy(col(k)))
         (ordered.coalesce(1), 1)
-      case ChunkPlanner.RangeChunks(chunks) =>
+      case ChunkPlanner.RangeChunks(_) | ChunkPlanner.SyntheticSplit(_) =>
         val n = ChunkPlanner.numPartitions(cnt, cfg.batchSize, cfg.maxPartitions)
-        // range-partition on the PK — the Spark-native form of the
-        // reference's [lo, hi) chunk loop (pagination.py:146-150)
-        (df.repartitionByRange(n, col(pkCol.get)), n)
+        // write AS SCANNED: the parquet source is already split by
+        // file/row-group (`maxPartitionBytes` governs chunk size — the
+        // role the reference's [lo, hi) chunk loop plays,
+        // pagination.py:146-150), so the copy plan is scan→sink with NO
+        // Exchange. A repartitionByRange here would insert a full
+        // sort-shuffle of every row into a copy that needs none.
+        (df, n)
     }
     out.write.mode(SaveMode.Overwrite).parquet(s"$destDir/$table.parquet")
     TableReport(table, cnt, minId, maxId, strategy.getClass.getSimpleName

@@ -47,7 +47,13 @@ class ChunkPlannerSpec extends AnyFunSuite {
     assert(plan((0L, 0L), 0L, hasAutoInc = true, 1000L) == Empty)
     assert(plan((7L, 7L), 1L, hasAutoInc = true, 1000L) == SingleRow)
     assert(plan((1L, 999L), 500L, hasAutoInc = true, 1000L) == Paginated)
-    assert(plan((1L, 5000L), 5000L, hasAutoInc = false, 1000L) == Paginated)
+    // small no-PK table: one ordered page; LARGE no-PK table: parallel
+    // synthetic split, never a one-task copy
+    assert(plan((0L, 0L), 500L, hasAutoInc = false, 1000L) == Paginated)
+    assert(plan((1L, 5000L), 5000L, hasAutoInc = false, 1000L) ==
+      SyntheticSplit(5))
+    assert(plan((0L, 0L), 10000000L, hasAutoInc = false, 10L,
+      maxPartitions = 64) == SyntheticSplit(64))
     plan((1L, 5000L), 5000L, hasAutoInc = true, 1000L) match {
       case RangeChunks(cs) => assert(cs.size == 5)
       case other => fail(s"expected RangeChunks, got $other")

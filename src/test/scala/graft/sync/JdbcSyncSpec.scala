@@ -131,6 +131,132 @@ class JdbcSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("PK introspection from JDBC metadata finds single-column integer PKs only") {
+    seeded
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE pk_str (name VARCHAR(10) NOT NULL PRIMARY KEY, v INT)")
+      st.execute("CREATE TABLE pk_multi (a BIGINT NOT NULL, b BIGINT NOT NULL, " +
+        "PRIMARY KEY (a, b))")
+      st.close()
+    } finally conn.close()
+    val ep = JdbcSyncJob.Endpoint(url, props)
+    assert(JdbcSyncJob.introspectPk(ep, "SRC_ORDERS").contains("ROWID"))
+    assert(JdbcSyncJob.introspectPk(ep, "PK_STR").isEmpty)   // non-integer
+    assert(JdbcSyncJob.introspectPk(ep, "PK_MULTI").isEmpty) // composite
+  }
+
+  test("PK-less large table copies in parallel via synthetic mod-hash split") {
+    seeded
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE no_pk_big (grp INT, label VARCHAR(32))")
+      val ins = conn.prepareStatement("INSERT INTO no_pk_big VALUES (?, ?)")
+      (0 until 10000).foreach { i =>
+        ins.setInt(1, i); ins.setString(2, s"row_$i"); ins.addBatch()
+        if (i % 1000 == 999) { ins.executeBatch(): Unit }
+      }
+      ins.executeBatch()
+      st.close(); ins.close()
+    } finally conn.close()
+
+    val dstDir = java.nio.file.Files
+      .createTempDirectory("graft_derby_nopk_").toString + "/db"
+    val dst = JdbcSyncJob.Endpoint(s"jdbc:derby:$dstDir;create=true", props)
+    val srcEp = JdbcSyncJob.Endpoint(url, props)
+    val rpt = JdbcSyncJob.syncTable(spark, srcEp, dst, "NO_PK_BIG",
+      pk = None, cfg = SyncJob.SyncConfig(batchSize = 1000L))
+    assert(rpt.strategy == "SyntheticSplit")
+    assert(rpt.partitions == 10, s"expected a 10-way parallel copy, got $rpt")
+    // byte-exact contents
+    val a = JdbcSource.read(spark, url, "NO_PK_BIG", props)
+      .orderBy("grp").collect().map(_.toSeq)
+    val b = JdbcSource.read(spark, dst.url, "NO_PK_BIG", props)
+      .orderBy("grp").collect().map(_.toSeq)
+    assert(b.length == 10000)
+    assert(a.sameElements(b))
+  }
+
+  test("snapshot fence: lock -> bounds -> master status -> unlock -> copy, " +
+    "metadata.txt in the reference's 3-line format") {
+    seeded
+    val events = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fence_").toString
+    val dstDir = java.nio.file.Files
+      .createTempDirectory("graft_derby_fence_dst_").toString + "/db"
+    val fence = JdbcSyncJob.SnapshotFence(
+      acquire = () => events += "acquire",
+      masterStatus = () => {
+        events += "status"
+        Some(JdbcSyncJob.MasterStatus("mysql-bin.000042", 154L,
+          "3E11FA47-71CA-11E1-9E33-C80AA9429562:1-5"))
+      },
+      release = () => events += "release")
+    JdbcSyncJob.run(spark,
+      JdbcSyncJob.Endpoint(url, props),
+      JdbcSyncJob.Endpoint(s"jdbc:derby:$dstDir;create=true", props),
+      pkFor = t => { events += s"pk:$t"; Some("rowid") },
+      checkpointDir = ckpt,
+      cfg = SyncJob.SyncConfig(
+        includeTables = Some(new scala.util.matching.Regex("(?i)^src_orders$"))),
+      fence = fence)
+
+    // exact lifecycle order: the binlog coordinates are read AFTER the
+    // fenced bounds probes and BEFORE release/copy (sync.py:148-185)
+    assert(events.toSeq == Seq("acquire", "pk:SRC_ORDERS", "status", "release"))
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$ckpt/metadata.txt"))
+    assert(meta == "mysql-bin.000042\n154\n3E11FA47-71CA-11E1-9E33-C80AA9429562:1-5")
+    assert(JdbcSyncJob.readMasterStatus(ckpt)
+      .contains(JdbcSyncJob.MasterStatus("mysql-bin.000042", 154L,
+        "3E11FA47-71CA-11E1-9E33-C80AA9429562:1-5")))
+  }
+
+  test("CLI parses the reference's flag surface and drives a full Derby sync") {
+    seeded
+    // argv -> config mapping (reference flags, defaults, validation)
+    val parsed = SyncCli.parse(Array(
+      "--mysql_host", "db1", "--mysql_port", "3306",
+      "--mysql_user", "u", "--mysql_password", "p", "--mysql_db", "shop",
+      "--clickhouse_host", "ch1", "--clickhouse_port", "8123",
+      "--clickhouse_user", "cu", "--clickhouse_password", "cp",
+      "--clickhouse_database", "dwh",
+      "--batch_size", "500", "--max_workers", "4",
+      "--include_tables", "^orders", "--exclude_tables", "tmp"))
+    parsed match {
+      case Right(c) =>
+        assert(c.srcUrl == "jdbc:mysql://db1:3306/shop")
+        assert(c.dstUrl == "jdbc:clickhouse://ch1:8123/dwh")
+        assert(c.srcProps.getProperty("user") == "u")
+        assert(c.sync.batchSize == 500L && c.sync.maxWorkers == 4)
+        assert(c.sync.includeTables.exists(_.findFirstIn("orders_x").isDefined))
+        assert(c.sync.excludeTables.exists(_.findFirstIn("a_tmp_b").isDefined))
+      case Left(e) => fail(e)
+    }
+    assert(SyncCli.parse(Array("--mysql_host", "h")).isLeft)  // missing required
+    assert(SyncCli.parse(Array("--bogus", "x")).isLeft)       // unknown flag
+    assert(SyncCli.parse(Array(
+      "--src_url", "jdbc:derby:x", "--dst_url", "jdbc:derby:y",
+      "--batch_size", "-3")).isLeft)                          // bad number
+
+    // end-to-end through the CLI path against live Derby endpoints
+    val dstDir = java.nio.file.Files
+      .createTempDirectory("graft_derby_cli_dst_").toString + "/db"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cli_ckpt_").toString
+    val Right(cli) = SyncCli.parse(Array(
+      "--src_url", url, "--dst_url", s"jdbc:derby:$dstDir;create=true",
+      "--include_tables", "(?i)^src_orders$",
+      "--batch_size", "100", "--checkpoint_dir", ckpt)): @unchecked
+    cli.srcProps.putAll(props); cli.dstProps.putAll(props)
+    SyncCli.runWith(spark, cli)
+    // PK came from metadata introspection (S4), chunked copy, full rows
+    assert(JdbcSource.read(spark, s"jdbc:derby:$dstDir", "SRC_ORDERS", props)
+      .count() == 500L)
+    assert(new java.io.File(s"$ckpt/_sync_metadata.json").isFile)
+  }
+
   test("batched JDBC sink round-trips exactly (PreparedStatement, no SQL strings)") {
     seeded
     val src = JdbcSource.read(spark, url, "src_orders", props)

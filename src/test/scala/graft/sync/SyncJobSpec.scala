@@ -46,4 +46,34 @@ class SyncJobSpec extends SparkSpec {
     assert(rpt.partitions == 6) // 6000 rows / 1000
     assert(rpt.minId == 0L && rpt.maxId == 1499L)
   }
+
+  test("chunked parquet copy plans scan->sink with no Exchange") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString): Unit
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val dest = Files.createTempDirectory("graft_sync_noshuffle_").toString
+      SyncJob.syncTable(spark, sf, dest, "lineitem", Some("l_orderkey"),
+        SyncJob.SyncConfig(batchSize = 1000L))
+      // listener delivery is async — wait for the write's plan
+      val deadline = System.nanoTime() + 30e9.toLong
+      var copyPlan: Option[String] = None
+      while (copyPlan.isEmpty && System.nanoTime() < deadline) {
+        copyPlan = plans.toArray(Array.empty[String])
+          .find(p => p.contains("WriteFiles") || p.contains("InsertInto"))
+        if (copyPlan.isEmpty) Thread.sleep(100)
+      }
+      assert(copyPlan.isDefined, "no write plan captured")
+      assert(!copyPlan.get.contains("Exchange"),
+        s"copy must be shuffle-free, got:\n${copyPlan.get}")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

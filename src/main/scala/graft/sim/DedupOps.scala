@@ -205,14 +205,24 @@ object DedupOps {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
                           bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
+    // RELIABLE checkpoints (not localCheckpoint): iterative lineage must
+    // survive executor loss — blocks stored on executors die with them,
+    // which on a 1000-executor cluster means some round's partition is
+    // gone before convergence. The checkpoint dir is the session's
+    // configured one (HDFS/object store on a real cluster); local mode
+    // falls back to a temp dir.
+    val spark = pairs.sparkSession
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(java.nio.file.Files
+        .createTempDirectory("graft_cc_ckpt_").toString)
     // materialize the edge list ONCE — otherwise every iteration's joins
     // recompute the (possibly expensive) pair-generation pipeline
     val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
       .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
-      .localCheckpoint(eager = true)
+      .checkpoint(eager = true)
     var labels = edges.select(col("x").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(eager = true)
+      .checkpoint(eager = true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -228,7 +238,7 @@ object DedupOps {
         .select(col("id"),
           least(col("old"), coalesce(col("nbr_label"), col("old"))).as("label"),
           col("old"))
-        .localCheckpoint(eager = true)
+        .checkpoint(eager = true)
       converged = next.filter(col("label") =!= col("old")).isEmpty
       labels = next.select("id", "label")
       iter += 1

@@ -225,9 +225,21 @@ object JdbcSyncJob {
     }
     fence.masterStatus().foreach(writeMasterStatus(checkpointDir, _))
     fence.release()
-    val reports = planned.map { case (t, pk, b) =>
-      copyTable(spark, src, dst, t, pk, b, cfg)
-    }
+    // table-level fan-out (the reference's outer ThreadPoolExecutor with
+    // --max_workers, sync.py:192-199): small-table jobs overlap while a
+    // big table's partitioned copy saturates the executors. Failures
+    // PROPAGATE (the reference logs and swallows, SURVEY §3.4-3).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(cfg.maxWorkers, math.max(1, planned.size))))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val reports =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(planned.map { case (t, pk, b) =>
+          scala.concurrent.Future(copyTable(spark, src, dst, t, pk, b, cfg))
+        }),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
     SyncJob.writeCheckpoint(checkpointDir, reports)
     reports.toDF().orderBy("table")
   }

@@ -158,6 +158,124 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  private val LangMarkers: Array[(String, java.util.HashSet[String])] = {
+    def set(ws: String*): java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      s
+    }
+    Array(
+      "en" -> set("the", "and", "of", "is", "to", "in", "that", "with"),
+      "de" -> set("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+      "fr" -> set("le", "la", "les", "et", "est", "une", "dans", "pas"),
+      "es" -> set("el", "los", "las", "es", "una", "que", "por", "como"),
+      "it" -> set("il", "gli", "di", "che", "non", "per", "sono", "della"),
+      "pt" -> set("o", "os", "um", "uma", "não", "com", "para", "mais"),
+      "nl" -> set("de", "het", "een", "van", "niet", "met", "voor", "zijn"))
+  }
+
+  /** One-pass language ID — identical decision ladder to the expression
+    * form it replaces ([[TextFunctions.langId]]'s documented semantics,
+    * mirrored by the x_lang_id DuckDB oracle): CJK char → zh, Cyrillic →
+    * ru, else the first of en/de/fr/es/it/pt/nl (in that priority order)
+    * whose marker-word hit count equals the maximum; all-zero hits →
+    * unknown. Replaces 7 interpreted higher-order `filter` lambdas (7
+    * token-array scans) with one tokenize + one hash probe per token.
+    */
+  def langId(s: UTF8String): UTF8String = {
+    val text = s.toString
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c >= 0x4e00 && c <= 0x9fff) return UTF8String.fromString("zh")
+      i += 1
+    }
+    i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c >= 0x0400 && c <= 0x04ff) return UTF8String.fromString("ru")
+      i += 1
+    }
+    // tokens = split(trim(lower(text)), "\s+"), Spark semantics (space-
+    // only trim, lowercase via UTF8String) — same as the shingles kernel
+    val lowered = s.toLowerCase.toString
+    var lo = 0
+    var hi = lowered.length
+    while (lo < hi && lowered.charAt(lo) == ' ') lo += 1
+    while (hi > lo && lowered.charAt(hi - 1) == ' ') hi -= 1
+    val toks = lowered.substring(lo, hi).split("\\s+", -1)
+    val counts = new Array[Int](LangMarkers.length)
+    var t = 0
+    while (t < toks.length) {
+      var l = 0
+      while (l < LangMarkers.length) {
+        if (LangMarkers(l)._2.contains(toks(t))) counts(l) += 1
+        l += 1
+      }
+      t += 1
+    }
+    var top = 0
+    var l = 0
+    while (l < counts.length) { if (counts(l) > top) top = counts(l); l += 1 }
+    if (top == 0) return UTF8String.fromString("unknown")
+    l = 0
+    while (counts(l) != top) l += 1
+    UTF8String.fromString(LangMarkers(l)._1)
+  }
+
+  private val planesCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Array[Double]]]()
+
+  /** Seeded gaussian hyperplanes, identical draw order to
+    * `VectorOps.hyperplanes` (same `scala.util.Random(seed)` sequence),
+    * cached per (seed, planes, dim).
+    */
+  private def planesFor(seed: Long, nPlanes: Int, dim: Int): Array[Array[Double]] =
+    planesCache.computeIfAbsent((seed, nPlanes, dim), k => {
+      val rng = new scala.util.Random(k._1)
+      Array.fill(k._2)(Array.fill(k._3)(rng.nextGaussian()))
+    })
+
+  /** Multi-table sign-LSH keys in one call: for table t (seed 42+t),
+    * bucket bit p = sign(emb · plane_p); besides the base bucket, emit
+    * the buckets reached by flipping each of the first `probes` bits
+    * (`probes = 0` → base keys only). Output rows are (tbl, bucket)
+    * structs in the same (table-major, base-then-flips) order as the
+    * expression form it replaces — whose literal plane arrays grew past
+    * the JVM method-size limit and knocked the whole stage out of
+    * codegen; one static call keeps the stage compiled.
+    */
+  def lshKeys(emb: ArrayData, nTables: Int, planesPerTable: Int,
+              dim: Int, probes: Int): ArrayData = {
+    val out = new Array[Any](nTables * (probes + 1))
+    var idx = 0
+    var t = 0
+    while (t < nTables) {
+      val planes = planesFor(42L + t, planesPerTable, dim)
+      var base = 0L
+      var p = 0
+      while (p < planesPerTable) {
+        val plane = planes(p)
+        val n = math.min(emb.numElements(), plane.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += emb.getFloat(i).toDouble * plane(i); i += 1 }
+        if (acc > 0) base |= (1L << p)
+        p += 1
+      }
+      var v = -1
+      while (v < probes) {
+        val bucket = if (v < 0) base else base ^ (1L << v)
+        out(idx) = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](t, bucket))
+        idx += 1
+        v += 1
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** IVF probe: cosine of a float embedding against `c` centroids (flat
     * row-major double array), returning the indices of the `nprobe`
     * nearest centroids, best first. Selection sort over c entries —
@@ -261,6 +379,20 @@ object Kernels {
   def dotFFCol(a: Column, b: Column): Column = invoke(DoubleType, "dotFF", a, b)
   def dotFDCol(a: Column, b: Column): Column = invoke(DoubleType, "dotFD", a, b)
   def normFCol(a: Column): Column = invoke(DoubleType, "normF", a)
+
+  def langIdCol(text: Column): Column = invoke(StringType, "langId", text)
+
+  private val LshKeyType: DataType = ArrayType(StructType(Seq(
+    StructField("tbl", IntegerType, nullable = false),
+    StructField("bucket", LongType, nullable = false))), containsNull = false)
+
+  def lshKeysCol(emb: Column, nTables: Int, planesPerTable: Int,
+                 dim: Int, probes: Int): Column =
+    invoke(LshKeyType, "lshKeys", emb,
+      org.apache.spark.sql.functions.lit(nTables),
+      org.apache.spark.sql.functions.lit(planesPerTable),
+      org.apache.spark.sql.functions.lit(dim),
+      org.apache.spark.sql.functions.lit(probes))
 
   /** Cosine similarity of two float-array embeddings (double math). */
   def cosineFFCol(a: Column, b: Column): Column =

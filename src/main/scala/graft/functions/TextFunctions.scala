@@ -58,35 +58,14 @@ object TextFunctions {
   }
 
   /** Language-ID by stopword/character heuristics (n-gram-free variant:
-    * per-language marker-word hit counts + a CJK character check). Emits
-    * one of en/de/fr/es/zh/unknown. Heuristic, so no SQL oracle — covered
-    * by ScalaTest with hand-labeled snippets.
+    * per-language marker-word hit counts + CJK/Cyrillic character
+    * checks). Emits one of en/de/fr/es/it/pt/nl/zh/ru/unknown; ties pick
+    * the earlier language (en first). Decision ladder is deterministic,
+    * so the x_lang_id DuckDB oracle replays it exactly. Implemented as a
+    * one-pass kernel ([[Kernels.langId]]) — the expression form paid 7
+    * interpreted higher-order `filter` scans per row.
     */
-  def langId(text: Column): Column = {
-    val t = tokens(lower(text))
-    def hits(words: Seq[String]): Column =
-      size(filter(t, x => x.isInCollection(words))).cast("double")
-    val en = hits(Seq("the", "and", "of", "is", "to", "in", "that", "with"))
-    val de = hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"))
-    val fr = hits(Seq("le", "la", "les", "et", "est", "une", "dans", "pas"))
-    val es = hits(Seq("el", "los", "las", "es", "una", "que", "por", "como"))
-    val it = hits(Seq("il", "gli", "di", "che", "non", "per", "sono", "della"))
-    val pt = hits(Seq("o", "os", "um", "uma", "não", "com", "para", "mais"))
-    val nl = hits(Seq("de", "het", "een", "van", "niet", "met", "voor", "zijn"))
-    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
-    val cyr = length(regexp_replace(text, "[^\\x{0400}-\\x{04ff}]", ""))
-    val all = Seq("en" -> en, "de" -> de, "fr" -> fr, "es" -> es,
-      "it" -> it, "pt" -> pt, "nl" -> nl)
-    val top = greatest(all.map(_._2): _*)
-    // priority order on ties: earlier languages win (en first)
-    val pick = all.reverse.foldLeft(lit("unknown")) { case (acc, (name, score)) =>
-      when(score === top, lit(name)).otherwise(acc)
-    }
-    when(cjk > 0, lit("zh"))
-      .when(cyr > 0, lit("ru"))
-      .when(top === lit(0.0), lit("unknown"))
-      .otherwise(pick)
-  }
+  def langId(text: Column): Column = Kernels.langIdCol(text)
 
   /** Polynomial rolling-hash fingerprint over the character stream:
     * `h := (h*131 + code(c)) mod 1e9+7`. Stays in a 64-bit range at every

@@ -138,20 +138,16 @@ object VectorOps {
     * vectors near a hyperplane land on either side, so probing the
     * adjacent buckets recovers them without adding tables. Applied to the
     * (small) query side only; candidate storage/shuffle is unchanged.
+    *
+    * One kernel call per row (Kernels.lshKeys): the literal-plane
+    * expression form ([[lshBucket]], kept for tests/one-off bucketing)
+    * exceeded the JVM method-size limit at production table counts and
+    * disabled whole-stage codegen for the entire stage.
     */
   def lshKeysMultiProbe(emb: Column, nTables: Int, planesPerTable: Int,
                         dim: Int, probes: Int): Column = {
     require(probes <= planesPerTable)
-    val keys = for {
-      t <- 0 until nTables
-      v <- -1 until probes
-    } yield {
-      val planes = hyperplanes(planesPerTable, dim, seed = 42L + t)
-      val base = lshBucket(emb, planes) // CSE collapses repeats per table
-      val bucket = if (v < 0) base else base.bitwiseXOR(lit(1L << v))
-      struct(lit(t).as("tbl"), bucket.as("bucket"))
-    }
-    array(keys: _*)
+    Kernels.lshKeysCol(emb, nTables, planesPerTable, dim, probes)
   }
 
   /** Approximate top-k: bucket both sides with multi-table sign-LSH,

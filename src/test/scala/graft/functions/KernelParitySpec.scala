@@ -43,6 +43,68 @@ class KernelParitySpec extends SparkSpec {
     assert(viaKernel == viaExpr)
   }
 
+  test("langId kernel equals the expression-form decision ladder") {
+    val docs = Tables.documents(spark, sf)
+    // the expression form the kernel replaced, verbatim
+    val t = TextFunctions.tokens(lower(col("text")))
+    def hits(words: Seq[String]) =
+      size(filter(t, x => x.isInCollection(words))).cast("double")
+    val all = Seq(
+      "en" -> hits(Seq("the", "and", "of", "is", "to", "in", "that", "with")),
+      "de" -> hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit")),
+      "fr" -> hits(Seq("le", "la", "les", "et", "est", "une", "dans", "pas")),
+      "es" -> hits(Seq("el", "los", "las", "es", "una", "que", "por", "como")),
+      "it" -> hits(Seq("il", "gli", "di", "che", "non", "per", "sono", "della")),
+      "pt" -> hits(Seq("o", "os", "um", "uma", "não", "com", "para", "mais")),
+      "nl" -> hits(Seq("de", "het", "een", "van", "niet", "met", "voor", "zijn")))
+    val top = greatest(all.map(_._2): _*)
+    val pick = all.reverse.foldLeft(lit("unknown")) { case (acc, (name, score)) =>
+      when(score === top, lit(name)).otherwise(acc)
+    }
+    val exprForm =
+      when(length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", "")) > 0, lit("zh"))
+        .when(length(regexp_replace(col("text"), "[^\\x{0400}-\\x{04ff}]", "")) > 0, lit("ru"))
+        .when(top === lit(0.0), lit("unknown"))
+        .otherwise(pick)
+    val mixed = docs.select(col("doc_id"), col("text"))
+      .union(spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(90001L, "der hund ist nicht mit der katze"),
+        org.apache.spark.sql.Row(90002L, "  le chat est dans la maison  "),
+        org.apache.spark.sql.Row(90003L, "这是一个测试"),
+        org.apache.spark.sql.Row(90004L, "Это тест"),
+        org.apache.spark.sql.Row(90005L, ""),
+        org.apache.spark.sql.Row(90006L, "zzz qqq xxx")),
+        docs.select("doc_id", "text").schema))
+    val k = mixed.select(col("doc_id"), TextFunctions.langId(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val e = mixed.select(col("doc_id"), exprForm)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(k == e)
+  }
+
+  test("lshKeys kernel equals the expression-form buckets (incl. probes)") {
+    import graft.sim.VectorOps
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val (nT, nP, dim, probes) = (3, 4, 64, 2)
+    val kernel = emb.select(col("vec_id"),
+      Kernels.lshKeysCol(col("embedding"), nT, nP, dim, probes).as("keys"))
+    val exprKeys = {
+      val keys = for { t <- 0 until nT; v <- -1 until probes } yield {
+        val planes = VectorOps.hyperplanes(nP, dim, seed = 42L + t)
+        val base = VectorOps.lshBucket(col("embedding"), planes)
+        val bucket = if (v < 0) base else base.bitwiseXOR(lit(1L << v))
+        struct(lit(t).as("tbl"), bucket.as("bucket"))
+      }
+      array(keys: _*)
+    }
+    val expr = emb.select(col("vec_id"), exprKeys.as("keys"))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getInt(0), x.getLong(1)))).toMap
+    assert(toMap(kernel) == toMap(expr))
+  }
+
   test("exact decimal sums are bit-identical under any repartitioning") {
     val li = Tables.lineitem(spark, sf)
     def total(parts: Int): Double = li.repartition(parts)

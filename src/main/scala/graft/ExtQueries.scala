@@ -381,6 +381,99 @@ object ExtQueries {
           dims + " FROM b ORDER BY doc_id"
       }),
 
+    // X4 PII redaction — email/phone scrubbing before training. The
+    // fixture has no PII, so deterministic synthetic PII is appended
+    // first (both engines build the identical string), then redacted;
+    // n_emails/n_phones count what was matched.
+    Q("x_pii_redact",
+      (s, d) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+        val withPii = concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(regexp_extract_all(withPii, lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(withPii, lit(phoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(withPii, emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+        | text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+        |   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        | FROM documents)
+        | SELECT doc_id,
+        | CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(t, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        | regexp_replace(regexp_replace(t,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        | FROM p ORDER BY doc_id""".stripMargin.replaceAll("\n", ""))),
+
+    // X4 deterministic stratified sample: 10% per language, selection by
+    // a salted-hash rank so the sample is stable across engines, runs,
+    // and partitionings (one shuffle on the stratum key; no RNG).
+    Q("x_stratified_sample",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val rankKey = pmod(col("doc_id") * lit(2654435761L), lit(1000000007L))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(rankKey, col("doc_id"))
+        val tot = Window.partitionBy(col("lang"))
+        Tables.documents(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("tot", count(lit(1)).over(tot))
+          .filter(col("rn") <= ceil(col("tot") * lit(0.1)))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH r AS (SELECT doc_id, lang,
+        | CAST(row_number() OVER (PARTITION BY lang
+        |   ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS BIGINT) AS rn,
+        | count(*) OVER (PARTITION BY lang) AS tot
+        | FROM documents)
+        | SELECT doc_id, lang FROM r WHERE rn <= ceil(tot * 0.1)
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""))),
+
+    // X4 character-trigram corpus profile (the classic lang-id feature
+    // extractor): top-20 trigrams of lowercased text by frequency
+    Q("x_char_trigrams",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(expr(
+          "CASE WHEN length(text) >= 3 THEN " +
+            "transform(sequence(1, length(text) - 2), i -> substr(lower(text), i, 3)) " +
+            "ELSE array() END")).as("tri"))
+        .groupBy("tri").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tri"))
+        .limit(20),
+      Some("""SELECT tri, count(*) AS n FROM (SELECT
+        | unnest(CASE WHEN length(text) >= 3 THEN
+        |   list_transform(range(1, length(text) - 1),
+        |     i -> substr(lower(text), CAST(i AS INT), 3))
+        |   ELSE [] END) AS tri
+        | FROM documents) t GROUP BY tri ORDER BY n DESC, tri LIMIT 20"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // X4 token-length histogram (decade buckets): corpus length profile
+    Q("x_length_histogram",
+      (s, d) => Tables.documents(s, d)
+        .select((floor(TextFunctions.tokenCount(col("text")) / lit(10)) * 10)
+          .cast("long").as("bucket"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+        .orderBy("bucket"),
+      Some("""SELECT
+        | CAST(floor(len(regexp_split_to_array(trim(text), '\s+')) / 10) * 10 AS BIGINT) AS bucket,
+        | count(*) AS n_docs,
+        | CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
+        | FROM documents GROUP BY bucket ORDER BY bucket"""
+        .stripMargin.replaceAll("\n", ""))),
+
     Q("x_multimodal_bytes",
       (s, d) => Tables.documents(s, d).select(
         col("doc_id"),

@@ -13,6 +13,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Switch the session's streaming state store to RocksDB. The default
+    * HDFS-backed provider keeps every key in executor heap — fine for
+    * tests, an OOM at 100 TB where stream-dedup/window state is
+    * key-cardinality-sized. RocksDB spills to local disk with changelog
+    * checkpointing, the standard large-state choice. Affects queries
+    * STARTED after the call (provider is read at query start).
+    */
+  def useRocksDbStateStore(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   /** Tumbling (or sliding, if `slide` differs) event-time window counts
     * with late-data drop after `watermark`.
     */

@@ -60,6 +60,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful stream runs on the RocksDB state store (the 100 TB provider)") {
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    StreamOps.useRocksDbStateStore(spark)
+    val input = MemoryStream[Event]
+    val q = StreamOps.dedupByKey(input.toDF(), Seq("event_id"), "2 hours")
+      .writeStream.format("memory").queryName("rocks_out")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(20, 1, 0), ev(21, 1, 5))
+      q.processAllAvailable()
+      input.addData(ev(20, 1, 10))
+      q.processAllAvailable()
+      val ids = spark.table("rocks_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(20L, 21L))
+      // the state operator really ran on RocksDB, not the default store
+      val mem = q.lastProgress.stateOperators
+      assert(mem.nonEmpty && mem.head.customMetrics.containsKey("rocksdbGetCount"),
+        s"expected rocksdb metrics, got ${mem.headOption.map(_.customMetrics)}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -47,7 +47,9 @@ object GraftFunctions {
     "graft_shingles" -> arity("graft_shingles", 2)(es =>
       Kernels.shinglesExpr(es(0), es(1))),
     "graft_minhash" -> arity("graft_minhash", 2)(es =>
-      Kernels.minhashExpr(es(0), es(1))))
+      Kernels.minhashExpr(es(0), es(1))),
+    "graft_lang_id" -> arity("graft_lang_id", 1)(es =>
+      Kernels.langIdExpr(es.head)))
 
   /** Register all kernels as temp functions on a running session. */
   def register(spark: SparkSession): Unit =

@@ -344,6 +344,8 @@ object Kernels {
 
   def fingerprintExpr(e: Expression): Expression =
     invokeExpr(LongType, "rollingFingerprint", Seq(e))
+  def langIdExpr(e: Expression): Expression =
+    invokeExpr(StringType, "langId", Seq(e))
   def simhashExpr(e: Expression): Expression =
     invokeExpr(LongType, "simhash64", Seq(e))
   def shinglesExpr(text: Expression, n: Expression): Expression =

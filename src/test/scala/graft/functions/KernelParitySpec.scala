@@ -105,6 +105,20 @@ class KernelParitySpec extends SparkSpec {
     assert(toMap(kernel) == toMap(expr))
   }
 
+  test("graft_lang_id is callable from plain SQL and matches the Column form") {
+    graft.GraftFunctions.register(spark)
+    Tables.documents(spark, sf).limit(50).createOrReplaceTempView("docs_kp")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_lang_id(text) AS l FROM docs_kp")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaCol = Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"), TextFunctions.langId(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaSql == viaCol)
+    val err = intercept[Exception](spark.sql("SELECT graft_lang_id()").collect())
+    assert(err.getMessage.contains("graft_lang_id expects 1 argument"))
+  }
+
   test("exact decimal sums are bit-identical under any repartitioning") {
     val li = Tables.lineitem(spark, sf)
     def total(parts: Int): Double = li.repartition(parts)

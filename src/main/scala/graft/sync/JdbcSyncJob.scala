@@ -244,6 +244,58 @@ object JdbcSyncJob {
     reports.toDF().orderBy("table")
   }
 
+  /** Incremental resume — the consumer of the offsets checkpoint a
+    * previous [[run]] recorded (St1): per table, copy ONLY the rows with
+    * `pk > max_pk` from the checkpoint, APPEND them to the destination,
+    * and roll the checkpoint forward. Tables without a recorded offset
+    * (or without a PK) fall back to a full copy. The delta predicate
+    * pushes down to the source and the delta itself is range-partitioned,
+    * so resume cost is O(new rows) regardless of table size.
+    */
+  def resume(spark: SparkSession, src: Endpoint, dst: Endpoint,
+             pkFor: String => Option[String], checkpointDir: String,
+             cfg: SyncJob.SyncConfig = SyncJob.SyncConfig(),
+             schema: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val offsets = SyncJob.readCheckpoint(checkpointDir)
+    val tables = SyncJob.filterTables(discoverTables(src, schema),
+      cfg.includeTables, cfg.excludeTables)
+    val reports = tables.map { t =>
+      (pkFor(t), offsets.get(t)) match {
+        case (Some(k), Some(lastMax)) =>
+          val (lo, hi, cnt) = {
+            val conn = DriverManager.getConnection(src.url, src.props)
+            try {
+              val st = conn.prepareStatement(
+                s"SELECT COALESCE(MIN($k), 0), COALESCE(MAX($k), 0), COUNT(*) " +
+                  s"FROM $t WHERE $k > ?")
+              st.setLong(1, lastMax)
+              val rs = st.executeQuery()
+              rs.next()
+              (rs.getLong(1), rs.getLong(2), rs.getLong(3))
+            } finally conn.close()
+          }
+          if (cnt == 0L)
+            // nothing new: keep the old high-water mark (bounds sentinel
+            // would regress the checkpoint to 0)
+            SyncJob.TableReport(t, 0L, lastMax, lastMax, "Resume", 0)
+          else {
+            val n = ChunkPlanner.numPartitions(cnt, cfg.batchSize, cfg.maxPartitions)
+            // the explicit filter does the row selection (pushed down);
+            // the read bounds only shape the partitions
+            val df = JdbcSource.rangePartitionedRead(spark, src.url, t, k,
+              lo, hi, n, src.props).filter(col(k) > lastMax)
+            Sinks.jdbc(df, dst.url, t, dst.props, batchSize = cfg.batchSize.toInt)
+            SyncJob.TableReport(t, cnt, lo, hi, "Resume", n)
+          }
+        case (pk, _) => syncTable(spark, src, dst, t, pk, cfg)
+      }
+    }
+    SyncJob.writeCheckpoint(checkpointDir, reports)
+    reports.toDF().orderBy("table")
+  }
+
   /** [[run]] with metadata-introspected PKs (S4) — the zero-config path. */
   def run(spark: SparkSession, src: Endpoint, dst: Endpoint,
           checkpointDir: String, cfg: SyncJob.SyncConfig,

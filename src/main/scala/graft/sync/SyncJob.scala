@@ -135,6 +135,28 @@ object SyncJob {
     Files.writeString(Paths.get(s"$destDir/_sync_metadata.json"), json)
   }
 
+  /** Read the per-table high-water offsets back (the consumer side of
+    * [[writeCheckpoint]]): table → max_pk at snapshot time. Missing file
+    * → empty (first run).
+    */
+  def readCheckpoint(destDir: String): Map[String, Long] = {
+    val p = Paths.get(s"$destDir/_sync_metadata.json")
+    if (!Files.exists(p)) return Map.empty
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(p))
+    val off = root.get("offsets")
+    if (off == null) Map.empty
+    else {
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      val it = off.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        out(e.getKey) = e.getValue.get("max_pk").asLong()
+      }
+      out.toMap
+    }
+  }
+
   /** Full run: Phase 1 catalog+bounds+checkpoint, Phase 2 parallel copy.
     * Returns the per-table report as a DataFrame (the flagship `entry`).
     */

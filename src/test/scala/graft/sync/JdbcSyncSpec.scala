@@ -257,6 +257,59 @@ class JdbcSyncSpec extends SparkSpec {
     assert(new java.io.File(s"$ckpt/_sync_metadata.json").isFile)
   }
 
+  test("incremental resume copies only rows above the recorded high-water mark") {
+    seeded
+    // dedicated source table: this test grows it after the snapshot, so
+    // it must not share src_orders with the other tests
+    def insertInto(from: Int, until: Int): Unit = {
+      val conn = DriverManager.getConnection(url)
+      try {
+        val ins = conn.prepareStatement("INSERT INTO res_orders VALUES (?, ?, ?)")
+        (from until until).foreach { i =>
+          ins.setLong(1, i.toLong); ins.setString(2, s"order_$i")
+          ins.setDouble(3, i * 1.25); ins.addBatch()
+        }
+        ins.executeBatch(); ins.close()
+      } finally conn.close()
+    }
+    locally {
+      val conn = DriverManager.getConnection(url)
+      try conn.createStatement().execute(
+        "CREATE TABLE res_orders (rowid BIGINT NOT NULL PRIMARY KEY, " +
+          "name VARCHAR(64), amount DOUBLE)")
+      finally conn.close()
+    }
+    insertInto(0, 500)
+    val dstDir = java.nio.file.Files
+      .createTempDirectory("graft_derby_res_dst_").toString + "/db"
+    val dst = JdbcSyncJob.Endpoint(s"jdbc:derby:$dstDir;create=true", props)
+    val srcEp = JdbcSyncJob.Endpoint(url, props)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_res_ckpt_").toString
+    val cfg = SyncJob.SyncConfig(
+      includeTables = Some(new scala.util.matching.Regex("(?i)^res_orders$")),
+      batchSize = 100L)
+    JdbcSyncJob.run(spark, srcEp, dst, _ => Some("rowid"), ckpt, cfg)
+    assert(JdbcSource.read(spark, dst.url, "RES_ORDERS", props).count() == 500L)
+    assert(SyncJob.readCheckpoint(ckpt).values.toSeq == Seq(499L))
+
+    // new rows land on the source after the snapshot
+    insertInto(500, 600)
+
+    val rpt = JdbcSyncJob.resume(spark, srcEp, dst, _ => Some("rowid"), ckpt, cfg)
+      .collect().map(r => (r.getAs[String]("table"), r.getAs[Long]("rows"),
+        r.getAs[String]("strategy"))).toSeq
+    assert(rpt == Seq(("RES_ORDERS", 100L, "Resume")))
+    val copied = JdbcSource.read(spark, dst.url, "RES_ORDERS", props)
+    assert(copied.count() == 600L)                       // appended, not re-copied
+    assert(copied.select(countDistinct(col("rowid"))).head().getLong(0) == 600L)
+    assert(SyncJob.readCheckpoint(ckpt)("RES_ORDERS") == 599L) // rolled forward
+
+    // idempotent when nothing is new; high-water mark never regresses
+    JdbcSyncJob.resume(spark, srcEp, dst, _ => Some("rowid"), ckpt, cfg)
+    assert(JdbcSource.read(spark, dst.url, "RES_ORDERS", props).count() == 600L)
+    assert(SyncJob.readCheckpoint(ckpt)("RES_ORDERS") == 599L)
+  }
+
   test("batched JDBC sink round-trips exactly (PreparedStatement, no SQL strings)") {
     seeded
     val src = JdbcSource.read(spark, url, "src_orders", props)

@@ -21,9 +21,14 @@ object Bench {
     // so the timing covers the real work each query claims to do
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      // -1 marks a failed query — a swallowed exception must not read as
+      // a normal (fast!) timing
+      val secs =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      name -> secs
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -174,6 +174,12 @@ object Kernels {
       "nl" -> set("de", "het", "een", "van", "niet", "met", "voor", "zijn"))
   }
 
+  private val LangZh = UTF8String.fromString("zh")
+  private val LangRu = UTF8String.fromString("ru")
+  private val LangUnknown = UTF8String.fromString("unknown")
+  private val LangCodes: Array[UTF8String] =
+    LangMarkers.map(m => UTF8String.fromString(m._1))
+
   /** One-pass language ID — identical decision ladder to the expression
     * form it replaces ([[TextFunctions.langId]]'s documented semantics,
     * mirrored by the x_lang_id DuckDB oracle): CJK char → zh, Cyrillic →
@@ -187,13 +193,13 @@ object Kernels {
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      if (c >= 0x4e00 && c <= 0x9fff) return UTF8String.fromString("zh")
+      if (c >= 0x4e00 && c <= 0x9fff) return LangZh
       i += 1
     }
     i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      if (c >= 0x0400 && c <= 0x04ff) return UTF8String.fromString("ru")
+      if (c >= 0x0400 && c <= 0x04ff) return LangRu
       i += 1
     }
     // tokens = split(trim(lower(text)), "\s+"), Spark semantics (space-
@@ -217,10 +223,10 @@ object Kernels {
     var top = 0
     var l = 0
     while (l < counts.length) { if (counts(l) > top) top = counts(l); l += 1 }
-    if (top == 0) return UTF8String.fromString("unknown")
+    if (top == 0) return LangUnknown
     l = 0
     while (counts(l) != top) l += 1
-    UTF8String.fromString(LangMarkers(l)._1)
+    LangCodes(l)
   }
 
   private val planesCache =

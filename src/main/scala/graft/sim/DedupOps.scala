@@ -204,25 +204,44 @@ object DedupOps {
     * the standard large-star/small-star CC used by production dedup.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
-                          bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
-    // RELIABLE checkpoints (not localCheckpoint): iterative lineage must
-    // survive executor loss — blocks stored on executors die with them,
-    // which on a 1000-executor cluster means some round's partition is
-    // gone before convergence. The checkpoint dir is the session's
-    // configured one (HDFS/object store on a real cluster); local mode
-    // falls back to a temp dir.
+                          bCol: String = "b_id", maxIter: Int = 20,
+                          workDir: Option[String] = None): DataFrame = {
+    // RELIABLE per-round materialization (not localCheckpoint): iterative
+    // lineage must survive executor loss — blocks stored on executors die
+    // with them, which on a 1000-executor cluster means some round's
+    // partition is gone before convergence. Rounds persist as parquet
+    // under `workDir` (pass an HDFS/object-store path on a cluster; the
+    // session checkpoint dir, then a driver temp dir, are the fallbacks —
+    // the latter only works in local mode), and each round's files are
+    // DELETED once the next round lands, so a long job leaks nothing but
+    // the final labels (cleaned when the work dir is).
     val spark = pairs.sparkSession
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(java.nio.file.Files
-        .createTempDirectory("graft_cc_ckpt_").toString)
+    val base = workDir
+      .orElse(spark.sparkContext.getCheckpointDir)
+      .getOrElse {
+        require(spark.sparkContext.isLocal,
+          "connectedComponents on a cluster needs a shared-FS workDir " +
+            "(or spark.sparkContext.setCheckpointDir)")
+        java.nio.file.Files.createTempDirectory("graft_cc_").toString
+      }
+    val dir = s"$base/cc_${java.util.UUID.randomUUID().toString.take(8)}"
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    def rm(p: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(hadoopConf).delete(path, true): Unit
+    }
+    def materialize(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$dir/$name")
+      spark.read.parquet(s"$dir/$name")
+    }
     // materialize the edge list ONCE — otherwise every iteration's joins
     // recompute the (possibly expensive) pair-generation pipeline
-    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
-      .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
-      .checkpoint(eager = true)
-    var labels = edges.select(col("x").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .checkpoint(eager = true)
+    val edges = materialize(
+      pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+        .union(pairs.select(col(bCol).as("x"), col(aCol).as("y"))), "edges")
+    var labels = materialize(
+      edges.select(col("x").as("id")).distinct()
+        .withColumn("label", col("id")), "labels_0")
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -232,17 +251,19 @@ object DedupOps {
         .groupBy(col("x").as("id"))
         .agg(min(col("y_label")).as("nbr_label"))
       // one materialization per round carries BOTH the new label and the
-      // old one, so change-detection reads the checkpoint, not the plan
-      val next = labels.withColumnRenamed("label", "old")
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("old"), coalesce(col("nbr_label"), col("old"))).as("label"),
-          col("old"))
-        .checkpoint(eager = true)
+      // old one, so change-detection reads stored data, not the plan
+      val next = materialize(
+        labels.withColumnRenamed("label", "old")
+          .join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("old"), coalesce(col("nbr_label"), col("old"))).as("label"),
+            col("old")), s"labels_${iter + 1}")
       converged = next.filter(col("label") =!= col("old")).isEmpty
       labels = next.select("id", "label")
+      rm(s"$dir/labels_$iter")
       iter += 1
     }
+    rm(s"$dir/edges")
     labels.select(col("id"), col("label").as("component"))
   }
 }

@@ -159,8 +159,16 @@ class BinlogMicroBatchStream(path: String, maxLinesPerTrigger: Long)
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is used (SupportsAdmissionControl)")
 
-  override def deserializeOffset(json: String): Offset =
+  override def deserializeOffset(json: String): Offset = {
+    // refuse pre-byte-offset checkpoints outright: a line NUMBER read as
+    // a byte position would silently start mid-line (corrupt rows or a
+    // reader crash) — an explicit restart-from-scratch beats either
+    if (json.contains("\"line\""))
+      throw new IllegalStateException(
+        s"incompatible binlog checkpoint (line-based): $json — " +
+          "delete the checkpoint dir to restart from the log head")
     BinlogOffset("""\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(0L))
+  }
 
   override def commit(end: Offset): Unit = ()
 
@@ -192,19 +200,33 @@ class BinlogPartitionReader(p: BinlogPartition) extends PartitionReader[Internal
   private val channel = java.nio.channels.FileChannel.open(
     Paths.get(p.path), java.nio.file.StandardOpenOption.READ)
   channel.position(p.startByte)
-  private val in = new java.io.BufferedInputStream(
-    java.nio.channels.Channels.newInputStream(channel), 1 << 16)
+  private val in = java.nio.channels.Channels.newInputStream(channel)
   private var pos = p.startByte
+  // chunked scan: refill a 64 KB buffer and slice lines out of it — no
+  // per-byte stream calls on the per-row hot path
+  private val buf = new Array[Byte](1 << 16)
+  private var bufLen = 0
+  private var bufPos = 0
   private val lineBuf = new java.io.ByteArrayOutputStream(256)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     if (pos >= p.endByte) return false
     lineBuf.reset()
-    var b = in.read()
-    while (b >= 0) {
-      pos += 1
-      if (b == '\n') {
+    while (true) {
+      if (bufPos >= bufLen) {
+        bufLen = in.read(buf)
+        bufPos = 0
+        if (bufLen <= 0) return false    // EOF inside range: partial write
+      }
+      var i = bufPos
+      while (i < bufLen && buf(i) != '\n') i += 1
+      lineBuf.write(buf, bufPos, i - bufPos)
+      pos += i - bufPos
+      bufPos = i
+      if (i < bufLen) {                  // consumed the newline
+        bufPos += 1
+        pos += 1
         val f = new String(lineBuf.toByteArray, StandardCharsets.UTF_8)
           .split("\t", -1)
         current = new GenericInternalRow(Array[Any](
@@ -216,10 +238,8 @@ class BinlogPartitionReader(p: BinlogPartition) extends PartitionReader[Internal
           if (f(5) == "\\N") null else UTF8String.fromString(f(5))))
         return true
       }
-      lineBuf.write(b)
-      b = in.read()
     }
-    false                                // EOF inside range: partial write
+    false
   }
 
   override def get(): InternalRow = current

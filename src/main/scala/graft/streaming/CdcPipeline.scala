@@ -57,9 +57,11 @@ object CdcPipeline {
   }
 
   /** The live rows of an applied state table (tombstones filtered). */
-  def currentState(spark: SparkSession, stateDir: String): DataFrame =
+  def currentState(spark: SparkSession, stateDir: String): DataFrame = {
+    recoverBuckets(stateDir)
     spark.read.parquet(stateDir).filter(col("op") =!= ChangeEvent.Delete)
       .drop("bucket")
+  }
 
   /** Number of hash buckets a state table is partitioned into. Part of
     * the state dir's on-disk contract: every writer of one state dir
@@ -86,15 +88,19 @@ object CdcPipeline {
     * reordering batches converges.
     *
     * Partition pruning serves the read side (only touched `bucket=`
-    * directories are scanned) and dynamic partition overwrite the write
-    * side (only partitions present in the merged output are replaced).
-    * At 100 TB the same layout maps onto a key-partitioned MERGE into a
-    * format with row-level upsert (ClickHouse ReplacingMergeTree itself,
-    * or an Iceberg/Delta table); the collapse logic the engine owns is
-    * identical.
+    * directories are scanned); the write side stages the merged buckets
+    * in a sibling directory and then swaps each touched bucket with a
+    * rename pair, healed by [[recoverBuckets]] — a crash at ANY point
+    * leaves every bucket's data on disk (staged, live, or `__old`), so
+    * replaying the micro-batch from the streaming checkpoint converges
+    * with no loss. At 100 TB the same layout maps onto a key-partitioned
+    * MERGE into a format with row-level upsert (ClickHouse
+    * ReplacingMergeTree itself, or an Iceberg/Delta table); the collapse
+    * logic the engine owns is identical.
     */
   def applyBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
                  numBuckets: Int = DefaultStateBuckets): Unit = {
+    recoverBuckets(stateDir)
     val cols = Seq("op", "table", "key", "ts", "seq", "payload")
     val bucketed = withBucket(batch.select(cols.map(col): _*), numBuckets)
     val touched = bucketed.select("bucket").distinct()
@@ -109,11 +115,49 @@ object CdcPipeline {
       existing.select((cols :+ "bucket").map(col): _*)
         .unionByName(bucketed.select((cols :+ "bucket").map(col): _*)))
       .select((cols :+ "bucket").map(col): _*)
-    merged.write
-      .mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket")
-      .parquet(stateDir)
+    // stage the touched buckets fully, then swap each into place:
+    // live -> __old, staged -> live, drop __old
+    val staging = new java.io.File(stateDir + "_staging")
+    deleteRec(staging)
+    merged.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(staging.getPath)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+    touched.foreach { b =>
+      val live = new java.io.File(s"$stateDir/bucket=$b")
+      val old = new java.io.File(s"$stateDir/bucket=${b}__old")
+      val staged = new java.io.File(s"${staging.getPath}/bucket=$b")
+      deleteRec(old)
+      if (live.exists() && !live.renameTo(old))
+        throw new java.io.IOException(s"cannot set aside $live")
+      if (!staged.renameTo(live))
+        throw new java.io.IOException(s"cannot publish $staged")
+      deleteRec(old)
+    }
+    deleteRec(staging)
+  }
+
+  /** Heal an interrupted bucket swap: a `bucket=N__old` with no live
+    * `bucket=N` means the crash hit between the two renames — restore
+    * the old data; with a live dir present the swap completed — drop the
+    * leftover. Idempotent; runs before every apply and read.
+    */
+  private def recoverBuckets(stateDir: String): Unit = {
+    val dir = new java.io.File(stateDir)
+    if (!dir.isDirectory) return
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.endsWith("__old"))
+      .foreach { old =>
+        val live = new java.io.File(dir, old.getName.stripSuffix("__old"))
+        if (live.exists()) deleteRec(old)
+        else if (!old.renameTo(live))
+          throw new java.io.IOException(s"cannot restore $old")
+      }
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(): Unit
   }
 
   /** Launch the continuous apply: change files → micro-batch upsert into

@@ -165,7 +165,9 @@ object JdbcSyncJob {
     */
   def copyTable(spark: SparkSession, src: Endpoint, dst: Endpoint,
                 table: String, pk: Option[String], bounds: (Long, Long, Long),
-                cfg: SyncJob.SyncConfig = SyncJob.SyncConfig()): SyncJob.TableReport = {
+                cfg: SyncJob.SyncConfig = SyncJob.SyncConfig(),
+                schema: Option[String] = None,
+                overwrite: Boolean = false): SyncJob.TableReport = {
     val (lo, hi, cnt) = bounds
     val strategy = ChunkPlanner.plan((lo, hi), cnt, hasAutoInc = pk.isDefined,
       cfg.batchSize, cfg.smallTableThreshold, cfg.maxPartitions)
@@ -175,7 +177,7 @@ object JdbcSyncJob {
       case ChunkPlanner.SingleRow | ChunkPlanner.Paginated =>
         (JdbcSource.read(spark, src.url, table, src.props), 1)
       case ChunkPlanner.SyntheticSplit(n) =>
-        firstIntegerColumn(src, table) match {
+        firstIntegerColumn(src, table, schema) match {
           case Some(c) =>
             // disjoint + exhaustive predicates: every row satisfies
             // exactly one (NULLs land in split 0)
@@ -192,7 +194,8 @@ object JdbcSyncJob {
           n, src.props), n)
     }
     // write even when empty so the destination table exists
-    Sinks.jdbc(df, dst.url, table, dst.props, batchSize = cfg.batchSize.toInt)
+    Sinks.jdbc(df, dst.url, table, dst.props, batchSize = cfg.batchSize.toInt,
+      overwrite = overwrite)
     SyncJob.TableReport(table, cnt, lo, hi,
       strategy.getClass.getSimpleName.stripSuffix("$"), parts)
   }
@@ -200,8 +203,11 @@ object JdbcSyncJob {
   /** One-table convenience (probe + copy in one call, no fence). */
   def syncTable(spark: SparkSession, src: Endpoint, dst: Endpoint,
                 table: String, pk: Option[String],
-                cfg: SyncJob.SyncConfig = SyncJob.SyncConfig()): SyncJob.TableReport =
-    copyTable(spark, src, dst, table, pk, probeBounds(src, table, pk), cfg)
+                cfg: SyncJob.SyncConfig = SyncJob.SyncConfig(),
+                schema: Option[String] = None,
+                overwrite: Boolean = false): SyncJob.TableReport =
+    copyTable(spark, src, dst, table, pk, probeBounds(src, table, pk), cfg,
+      schema, overwrite)
 
   /** Full run over the filtered catalog, in the reference's lifecycle
     * order (sync.py:148-199): acquire the snapshot fence → catalog scan
@@ -217,14 +223,20 @@ object JdbcSyncJob {
           schema: Option[String] = None,
           fence: SnapshotFence = SnapshotFence()): DataFrame = {
     import spark.implicits._
+    // fence held strictly across catalog + bounds + coordinate capture;
+    // released on ANY exit so a probe failure can't leave the source
+    // locked (FLUSH TABLES WITH READ LOCK held forever)
     fence.acquire()
-    val tables = SyncJob.filterTables(discoverTables(src, schema),
-      cfg.includeTables, cfg.excludeTables)
-    val planned = tables.map { t =>
-      val pk = pkFor(t); (t, pk, probeBounds(src, t, pk))
-    }
-    fence.masterStatus().foreach(writeMasterStatus(checkpointDir, _))
-    fence.release()
+    val planned =
+      try {
+        val tables = SyncJob.filterTables(discoverTables(src, schema),
+          cfg.includeTables, cfg.excludeTables)
+        val p = tables.map { t =>
+          val pk = pkFor(t); (t, pk, probeBounds(src, t, pk))
+        }
+        fence.masterStatus().foreach(writeMasterStatus(checkpointDir, _))
+        p
+      } finally fence.release()
     // table-level fan-out (the reference's outer ThreadPoolExecutor with
     // --max_workers, sync.py:192-199): small-table jobs overlap while a
     // big table's partitioned copy saturates the executors. Failures
@@ -236,7 +248,7 @@ object JdbcSyncJob {
     val reports =
       try scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(planned.map { case (t, pk, b) =>
-          scala.concurrent.Future(copyTable(spark, src, dst, t, pk, b, cfg))
+          scala.concurrent.Future(copyTable(spark, src, dst, t, pk, b, cfg, schema))
         }),
         scala.concurrent.duration.Duration.Inf)
       finally pool.shutdown()
@@ -289,7 +301,11 @@ object JdbcSyncJob {
             Sinks.jdbc(df, dst.url, t, dst.props, batchSize = cfg.batchSize.toInt)
             SyncJob.TableReport(t, cnt, lo, hi, "Resume", n)
           }
-        case (pk, _) => syncTable(spark, src, dst, t, pk, cfg)
+        case (pk, _) =>
+          // no incremental coordinate for this table: re-copy it WHOLE,
+          // truncating the destination first — an append here would
+          // duplicate every previously-copied row on each resume
+          syncTable(spark, src, dst, t, pk, cfg, schema, overwrite = true)
       }
     }
     SyncJob.writeCheckpoint(checkpointDir, reports)

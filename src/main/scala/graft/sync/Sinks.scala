@@ -22,10 +22,14 @@ object Sinks {
     */
   def jdbc(df: DataFrame, url: String, table: String,
            props: java.util.Properties = new java.util.Properties(),
-           batchSize: Int = 1000, numPartitions: Option[Int] = None): Unit = {
+           batchSize: Int = 1000, numPartitions: Option[Int] = None,
+           overwrite: Boolean = false): Unit = {
     val sized = numPartitions.fold(df)(n => df.coalesce(n))
     sized.write
-      .mode(SaveMode.Append)
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+      // on overwrite, TRUNCATE the existing table instead of dropping it
+      // (preserves target DDL — the reference never issues DDL either)
+      .option("truncate", overwrite.toString)
       .option("batchsize", batchSize)
       .option("isolationLevel", "NONE") // ClickHouse has no transactions
       .jdbc(url, table, props)

@@ -220,6 +220,30 @@ class StreamingSpec extends SparkSpec {
     assert(v == """{"v":"new"}""")
   }
 
+  test("interrupted bucket swap is healed: __old restores when live is missing") {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_rec_").toString + "/state"
+    val seed = (0 until 100).map(i =>
+      ChangeEvent("insert", "t", i.toLong, ts(1), i.toLong, s"""{"v":$i}"""))
+    CdcPipeline.applyBatch(spark, seed.toDF(), stateDir)
+    val buckets = new java.io.File(stateDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(buckets.length > 1)
+    // crash between the two renames: live was set aside, staged never
+    // published
+    val victim = buckets.head
+    val old = new java.io.File(victim.getPath + "__old")
+    assert(victim.renameTo(old))
+    assert(CdcPipeline.currentState(spark, stateDir).count() == 100L)
+    assert(victim.exists() && !old.exists())
+    // crash after publish: leftover __old beside a live dir is dropped
+    val survivor = buckets.last
+    val stale = new java.io.File(survivor.getPath + "__old")
+    java.nio.file.Files.createDirectories(stale.toPath)
+    assert(CdcPipeline.currentState(spark, stateDir).count() == 100L)
+    assert(survivor.exists() && !stale.exists())
+  }
+
   test("file-fed CDC stream applies change files through checkpointed micro-batches") {
     val base = java.nio.file.Files.createTempDirectory("graft_cdc_e2e_").toString
     val changesDir = s"$base/changes"; new java.io.File(changesDir).mkdirs()

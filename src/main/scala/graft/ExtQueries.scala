@@ -443,10 +443,8 @@ object ExtQueries {
     // extractor): top-20 trigrams of lowercased text by frequency
     Q("x_char_trigrams",
       (s, d) => Tables.documents(s, d)
-        .select(explode(expr(
-          "CASE WHEN length(text) >= 3 THEN " +
-            "transform(sequence(1, length(text) - 2), i -> substr(lower(text), i, 3)) " +
-            "ELSE array() END")).as("tri"))
+        .select(explode(
+          graft.functions.Kernels.charTrigramsCol(col("text"))).as("tri"))
         .groupBy("tri").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tri"))
         .limit(20),

@@ -229,6 +229,26 @@ object Kernels {
     LangCodes(l)
   }
 
+  /** All character trigrams of lowercased text (with repeats, in order) —
+    * the kernel form of `transform(sequence(1, length-2),
+    * i -> substr(lower(text), i, 3))`, which is interpreted per row.
+    * Code-unit based like the expression for BMP text (the fixtures are
+    * ASCII); docs under 3 chars yield an empty array.
+    */
+  def charTrigrams(s: UTF8String): ArrayData = {
+    val lowered = s.toLowerCase.toString
+    val n = lowered.length
+    if (n < 3)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 2)
+    var i = 0
+    while (i < n - 2) {
+      out(i) = UTF8String.fromString(lowered.substring(i, i + 3))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private val planesCache =
     new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Array[Double]]]()
 
@@ -389,6 +409,9 @@ object Kernels {
   def normFCol(a: Column): Column = invoke(DoubleType, "normF", a)
 
   def langIdCol(text: Column): Column = invoke(StringType, "langId", text)
+
+  def charTrigramsCol(text: Column): Column =
+    invoke(ArrayType(StringType, containsNull = false), "charTrigrams", text)
 
   private val LshKeyType: DataType = ArrayType(StructType(Seq(
     StructField("tbl", IntegerType, nullable = false),

@@ -105,6 +105,25 @@ class KernelParitySpec extends SparkSpec {
     assert(toMap(kernel) == toMap(expr))
   }
 
+  test("charTrigrams kernel equals the expression-form trigrams") {
+    val docs = Tables.documents(spark, sf).limit(100)
+      .select("doc_id", "text")
+      .union(spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(91001L, "ab"),
+        org.apache.spark.sql.Row(91002L, ""),
+        org.apache.spark.sql.Row(91003L, "AbCd eF")),
+        Tables.documents(spark, sf).select("doc_id", "text").schema))
+    val kernel = docs.select(col("doc_id"),
+      Kernels.charTrigramsCol(col("text")).as("tri"))
+    val exprForm = docs.select(col("doc_id"), expr(
+      "CASE WHEN length(text) >= 3 THEN " +
+        "transform(sequence(1, length(text) - 2), i -> substr(lower(text), i, 3)) " +
+        "ELSE array() END").as("tri"))
+    val k = kernel.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val e = exprForm.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(k == e)
+  }
+
   test("graft_lang_id is callable from plain SQL and matches the Column form") {
     graft.GraftFunctions.register(spark)
     Tables.documents(spark, sf).limit(50).createOrReplaceTempView("docs_kp")

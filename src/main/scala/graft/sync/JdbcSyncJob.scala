@@ -41,6 +41,36 @@ object JdbcSyncJob {
       masterStatus: () => Option[MasterStatus] = () => None,
       release: () => Unit = () => ())
 
+  /** The real MySQL fence — the reference's statements verbatim
+    * (sync.py:152-154,175,184), all on the ONE connection passed in.
+    * Plugs into [[run]]'s `fence` parameter when the source is MySQL;
+    * not exercised by tests (no MySQL server in the container), but the
+    * ordering contract it fills is test-pinned with a recording fence.
+    */
+  def mysqlFence(conn: java.sql.Connection): SnapshotFence = SnapshotFence(
+    acquire = () => {
+      val st = conn.createStatement()
+      try {
+        st.execute("FLUSH TABLES WITH READ LOCK")
+        st.execute("SET SESSION TRANSACTION ISOLATION LEVEL REPEATABLE READ")
+        st.execute("START TRANSACTION WITH CONSISTENT SNAPSHOT")
+      } finally st.close()
+    },
+    masterStatus = () => {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery("SHOW MASTER STATUS")
+        if (rs.next())
+          Some(MasterStatus(rs.getString("File"), rs.getLong("Position"),
+            Option(rs.getString("Executed_Gtid_Set")).getOrElse("")))
+        else None
+      } finally st.close()
+    },
+    release = () => {
+      val st = conn.createStatement()
+      try { st.execute("UNLOCK TABLES"): Unit } finally st.close()
+    })
+
   /** The reference's `metadata.txt` contract, byte for byte: three lines
     * `binlog_file \n position \n gtid`, no trailing newline
     * (sync.py:180-181). Written BEFORE any copy starts, while the fence

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Physical-plan regression pins for the scale properties the engine
+  * claims (SCALE.md): broadcasts where intended, top-k without a global
+  * sort, pushdown/pruning at the scan, and — registry-wide — no
+  * cartesian product that isn't an explicitly exact/brute-force oracle
+  * twin. A plan regression here is a 100 TB incident that local row
+  * counts would never catch.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("q_join_broadcast broadcasts the dimension side") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_topk plans TakeOrderedAndProject (no global sort)") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("p1_projection prunes the parquet ReadSchema to selected columns") {
+    val p = plan("p1_projection")
+    val read = "ReadSchema: [^,]*struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.contains("c_name") && !read.contains("c_comment"),
+      s"expected pruned ReadSchema, got: $read")
+  }
+
+  test("p2_filter pushes the range predicate into the scan") {
+    val p = plan("p2_filter")
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThan"),
+      s"expected pushed range filters in:\n$p")
+  }
+
+  test("no registered query plans an accidental cartesian join") {
+    // exact all-pairs / broadcast brute-force forms kept ON PURPOSE as
+    // oracle twins of their bucketed scale paths:
+    val intentional = Set(
+      "x_dedup_embedding",  // exact cross join — twin of x_dedup_embedding_lsh
+      "x_knn_cosine")       // broadcast brute force — twin of x_knn_lsh/x_knn_ivf
+    // iterative/eager queries run real jobs just to build their plan —
+    // their join shapes are asserted in their own suites
+    val eager = Set("x_dedup_clusters", "x_knn_ivf")
+    graft.SparkEntry.queries.keys
+      .filterNot(intentional).filterNot(eager).toSeq.sorted
+      .foreach { name =>
+        val p = plan(name)
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an all-pairs join:\n$p")
+      }
+  }
+}

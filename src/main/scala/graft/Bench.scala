@@ -33,7 +33,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val note = "timing=noop-sink full materialization (r01 used count(), " +
+      "which let the optimizer delete sorts/projections; totals are not " +
+      "directly comparable across that change); -1 marks a failed query"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","note":"$note"}""")
     spark.stop()
   }
 }

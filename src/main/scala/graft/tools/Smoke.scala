@@ -80,6 +80,27 @@ object Smoke {
     val copied = JdbcSource.read(spark,
       s"jdbc:derby:$dbBase/dst", "ITEMS", p).count()
     println(s"[smoke] jdbc_sync copied=$copied")
+
+    // Drive the reference's CLI surface end-to-end (argv → parse →
+    // introspected PKs → full sync), then the incremental resume path.
+    import graft.sync.SyncCli
+    val cliDst = s"jdbc:derby:$dbBase/cli_dst;create=true"
+    val cliCkpt = s"$dbBase/cli_ckpt"
+    SyncCli.parse(Array(
+      "--src_url", srcUrl, "--dst_url", cliDst,
+      "--batch_size", "500", "--checkpoint_dir", cliCkpt)) match {
+      case Right(cfg) =>
+        cfg.srcProps.putAll(p); cfg.dstProps.putAll(p)
+        SyncCli.runWith(spark, cfg)
+        val n = JdbcSource.read(spark, s"jdbc:derby:$dbBase/cli_dst", "ITEMS", p)
+          .count()
+        val resumed = JdbcSyncJob.resume(spark,
+          JdbcSyncJob.Endpoint(srcUrl, p),
+          JdbcSyncJob.Endpoint(cliDst, p),
+          _ => Some("rowid"), cliCkpt).count()
+        println(s"[smoke] cli_sync copied=$n resume_tables=$resumed")
+      case Left(err) => println(s"[smoke] cli_sync PARSE FAILED: $err")
+    }
     spark.stop()
   }
 }

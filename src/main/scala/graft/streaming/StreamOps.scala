@@ -24,6 +24,36 @@ object StreamOps {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
+  /** Stream enrichment against the LIVE CDC state table — the standard
+    * consumer of [[CdcPipeline]]'s output: each micro-batch re-reads the
+    * state dir and left-joins the events on `eventKey = key`, parsing
+    * the dimension payload with `payloadSchema`. Done inside
+    * `foreachBatch` (not a stream-static join) deliberately: a static
+    * DataFrame's file listing is resolved once at query start, so
+    * dimension updates the CDC apply lands BETWEEN batches would never
+    * become visible; re-reading per batch guarantees freshness. At
+    * scale the per-batch dim read is pruned to the joined buckets and
+    * broadcast when small — the classic slowly-changing-dimension
+    * lookup shape.
+    */
+  def enrichWithCdcState(events: DataFrame, stateDir: String, table: String,
+                         eventKey: String,
+                         payloadSchema: org.apache.spark.sql.types.StructType,
+                         outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dim = CdcPipeline.currentState(batch.sparkSession, stateDir)
+          .filter(col("table") === table)
+          .select(col("key").as("__dim_key"),
+            from_json(col("payload"), payloadSchema).as("dim"))
+        batch.join(dim, batch(eventKey) === col("__dim_key"), "left")
+          .drop("__dim_key")   // event columns + a `dim` struct (null = no match)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** Tumbling (or sliding, if `slide` differs) event-time window counts
     * with late-data drop after `watermark`.
     */

@@ -220,6 +220,34 @@ class StreamingSpec extends SparkSpec {
     assert(v == """{"v":"new"}""")
   }
 
+  test("stream enrichment sees CDC dimension updates between micro-batches") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_enrich_").toString
+    val stateDir = s"$base/state"
+    val segSchema = StructType(Seq(StructField("seg", StringType)))
+    CdcPipeline.applyBatch(spark, Seq(
+      ChangeEvent("insert", "dim", 7L, ts(1), 1L, """{"seg":"A"}""")).toDF(),
+      stateDir)
+    val input = MemoryStream[Event]
+    val q = StreamOps.enrichWithCdcState(input.toDF(), stateDir, "dim",
+      "user_id", segSchema, s"$base/out", s"$base/ckpt")
+    try {
+      input.addData(ev(1, 1, 0, user = 7))
+      q.processAllAvailable()
+      // the dimension changes BETWEEN batches (the CDC apply lands it)
+      CdcPipeline.applyBatch(spark, Seq(
+        ChangeEvent("update", "dim", 7L, ts(2), 2L, """{"seg":"B"}""")).toDF(),
+        stateDir)
+      input.addData(ev(2, 3, 0, user = 7), ev(3, 3, 1, user = 99))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+        .select(col("event_id"), col("dim.seg").as("seg"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out == Map(1L -> "A", 2L -> "B", 3L -> null))
+    } finally q.stop()
+  }
+
   test("interrupted bucket swap is healed: __old restores when live is missing") {
     val stateDir = java.nio.file.Files
       .createTempDirectory("graft_cdc_rec_").toString + "/state"

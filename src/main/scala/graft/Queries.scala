@@ -563,6 +563,43 @@ object Queries {
         | ORDER BY revenue DESC, o_orderkey LIMIT 10"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // TPC-H Q5 shape: six-table join — two broadcast dim chains (region→
+    // nation, via customer AND supplier nationkeys) over the fact
+    // shuffle, per-nation revenue. The co-nation predicate
+    // (c_nationkey = s_nationkey) makes both dim paths load-bearing.
+    Q("q_tpch_q5",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= "1996-01-01" &&
+            col("o_orderdate") < "1997-01-01"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name")),
+      Some("""SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | WHERE r_name = 'ASIA'
+        |   AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |   AND o_orderdate < TIMESTAMP '1997-01-01'
+        | GROUP BY n_name ORDER BY revenue DESC, n_name"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // JSON extraction on the events.props payload ([EXT] §2.8 note)
     Q("q_json_extract",
       (s, d) => Tables.events(s, d)

@@ -472,6 +472,30 @@ object ExtQueries {
         | FROM documents GROUP BY bucket ORDER BY bucket"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // X3 frame sampling: video payloads exploded into bounded fixed-size
+    // "frames" (the per-frame fanout before a frame-level model) — the
+    // registered form of ops.Multimodal.sampleFrames, exactly checkable
+    // because the synthetic payload is the UTF-8 text
+    Q("x_multimodal_frames",
+      (s, d) => {
+        import graft.ops.Multimodal
+        Multimodal.sampleFrames(
+          Multimodal.syntheticMedia(Tables.documents(s, d)), 3)
+          .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+            col("frame_payload"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+        | f AS (SELECT doc_id, unnest(list_transform(
+        |   range(least(CAST(3 AS BIGINT), CAST(ceil(length(text) / 256.0) AS BIGINT))),
+        |   i -> struct_pack(idx := i,
+        |     payload := substr(text, CAST(i * 256 + 1 AS INT), 256)))) AS fr
+        |   FROM v)
+        | SELECT doc_id, CAST(fr.idx AS BIGINT) AS frame_idx,
+        |   fr.payload AS frame_payload FROM f
+        | WHERE length(fr.payload) > 0
+        | ORDER BY doc_id, frame_idx""".stripMargin.replaceAll("\n", ""))),
+
     Q("x_multimodal_bytes",
       (s, d) => Tables.documents(s, d).select(
         col("doc_id"),

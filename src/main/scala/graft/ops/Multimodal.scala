@@ -97,4 +97,7 @@ object Multimodal {
         posexplode(split(decode(col("payload"), "UTF-8"),
           s"(?<=\\G.{${256}})")).as(Seq("frame_idx", "frame_payload")))
       .filter(col("frame_idx") < n)
+      // split keeps a trailing empty element on exact-multiple lengths
+      // (and for empty payloads) — an empty frame is not a frame
+      .filter(length(col("frame_payload")) > 0)
 }

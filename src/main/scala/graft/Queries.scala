@@ -185,6 +185,25 @@ object Queries {
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // Salted two-phase aggregation: hot keys fan out `salt` ways in the
+    // partial, recombine on the key alone — the oracle is the PLAIN
+    // group-by SQL, i.e. the check IS result-identity under salting
+    // (the decimal partial sums make even the double outputs bit-stable)
+    Q("q_salted_agg",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        graft.ops.Skew.saltedSum(li, Seq("l_returnflag"),
+            col("l_extendedprice"), salt = 8, as = "total_price")
+          .join(graft.ops.Skew.saltedCount(li, Seq("l_returnflag"), salt = 8),
+            Seq("l_returnflag"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price,
+        | count(*) AS cnt
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // Ordered-set aggregates: exact interpolated percentiles per group
     Q("q_percentile",
       (s, d) => Tables.lineitem(s, d)

@@ -204,6 +204,27 @@ object Queries {
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // Salted equi-join: hot join keys fan out across (key, salt)
+    // buckets, the small side replicated salt ways — oracled against
+    // the PLAIN join SQL (result-identity under salting)
+    Q("q_salted_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"))
+        val ords = Tables.orders(s, d)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        graft.ops.Skew.saltedJoin(li, ords, Seq("l_orderkey"), salt = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            exactSum(col("l_extendedprice")).as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // Ordered-set aggregates: exact interpolated percentiles per group
     Q("q_percentile",
       (s, d) => Tables.lineitem(s, d)

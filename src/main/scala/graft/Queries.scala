@@ -640,6 +640,32 @@ object Queries {
         | GROUP BY n_name ORDER BY revenue DESC, n_name"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // TPC-H Q10 shape: returned-item revenue per customer — fact filter
+    // (returnflag) → fact⨝fact shuffle → broadcast dims → grouped
+    // revenue → top-20 (TakeOrderedAndProject, never a global sort)
+    Q("q_tpch_q10",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20),
+      Some("""SELECT c_custkey, c_name, n_name,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | WHERE l_returnflag = 'R'
+        | GROUP BY c_custkey, c_name, n_name
+        | ORDER BY revenue DESC, c_custkey LIMIT 20"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // JSON extraction on the events.props payload ([EXT] §2.8 note)
     Q("q_json_extract",
       (s, d) => Tables.events(s, d)

@@ -34,8 +34,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val note = "timing=noop-sink full materialization (r01 used count(), " +
-      "which let the optimizer delete sorts/projections; totals are not " +
-      "directly comparable across that change); -1 marks a failed query"
+      "which let the optimizer delete sorts/projections) and the default " +
+      "parallelism is now local[32]/32 shuffle partitions (was 4) — " +
+      "totals are not directly comparable across either change; " +
+      "-1 marks a failed query"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","note":"$note"}""")
     spark.stop()
   }

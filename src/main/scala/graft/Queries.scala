@@ -190,14 +190,15 @@ object Queries {
     // group-by SQL, i.e. the check IS result-identity under salting
     // (the decimal partial sums make even the double outputs bit-stable)
     Q("q_salted_agg",
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
-        graft.ops.Skew.saltedSum(li, Seq("l_returnflag"),
-            col("l_extendedprice"), salt = 8, as = "total_price")
-          .join(graft.ops.Skew.saltedCount(li, Seq("l_returnflag"), salt = 8),
-            Seq("l_returnflag"))
-          .orderBy("l_returnflag")
-      },
+      (s, d) => graft.ops.Skew.saltedAgg(
+        Tables.lineitem(s, d), Seq("l_returnflag"), salt = 8,
+        partialAggs = Seq(
+          sum(col("l_extendedprice").cast("decimal(28,6)")).as("__psum"),
+          count(lit(1)).as("__pcnt")),
+        finalAggs = Seq(
+          sum(col("__psum")).cast("double").as("total_price"),
+          sum(col("__pcnt")).as("cnt")))
+        .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price,
         | count(*) AS cnt

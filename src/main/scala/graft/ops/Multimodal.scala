@@ -94,8 +94,11 @@ object Multimodal {
   def sampleFrames(media: DataFrame, n: Int): DataFrame =
     media.filter(col("modality") === "video")
       .select(col("doc_id"),
+        // (?s): frames must cut every 256 chars even across line
+        // terminators — without DOTALL a payload containing '\n' would
+        // chunk wrong (real decoded bytes contain everything)
         posexplode(split(decode(col("payload"), "UTF-8"),
-          s"(?<=\\G.{${256}})")).as(Seq("frame_idx", "frame_payload")))
+          s"(?s)(?<=\\G.{${256}})")).as(Seq("frame_idx", "frame_payload")))
       .filter(col("frame_idx") < n)
       // split keeps a trailing empty element on exact-multiple lengths
       // (and for empty payloads) — an empty frame is not a frame

@@ -43,14 +43,26 @@ object StreamOps {
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val dim = CdcPipeline.currentState(batch.sparkSession, stateDir)
-          .filter(col("table") === table)
-          .select(col("key").as("__dim_key"),
-            from_json(col("payload"), payloadSchema).as("dim"))
-        batch.join(dim, batch(eventKey) === col("__dim_key"), "left")
-          .drop("__dim_key")   // event columns + a `dim` struct (null = no match)
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the state table may not exist yet (enrichment started alongside
+        // the CDC apply) — events then carry a null dim, same as any
+        // unmatched key
+        val enriched =
+          if (new java.io.File(stateDir).exists()) {
+            val dim = CdcPipeline.currentState(batch.sparkSession, stateDir)
+              .filter(col("table") === table)
+              .select(col("key").as("__dim_key"),
+                from_json(col("payload"), payloadSchema).as("dim"))
+            batch.join(dim, batch(eventKey) === col("__dim_key"), "left")
+              .drop("__dim_key") // event columns + a `dim` struct (null = no match)
+          } else batch.withColumn("dim",
+            lit(null).cast(org.apache.spark.sql.types.StructType(
+              payloadSchema.fields)))
+        // foreachBatch is at-least-once: writing each batch into its own
+        // batch_id partition with overwrite makes REPLAY idempotent —
+        // a re-run batch replaces its earlier output instead of
+        // appending duplicates
+        enriched.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .start()
 

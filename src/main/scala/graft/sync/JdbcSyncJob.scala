@@ -59,7 +59,14 @@ object JdbcSyncJob {
     masterStatus = () => {
       val st = conn.createStatement()
       try {
-        val rs = st.executeQuery("SHOW MASTER STATUS")
+        // MySQL 8.4 removed SHOW MASTER STATUS (replaced by SHOW BINARY
+        // LOG STATUS); try the current form first, fall back to the
+        // reference's statement on older servers
+        val rs =
+          try st.executeQuery("SHOW BINARY LOG STATUS")
+          catch { case _: java.sql.SQLException =>
+            st.executeQuery("SHOW MASTER STATUS")
+          }
         if (rs.next())
           Some(MasterStatus(rs.getString("File"), rs.getLong("Position"),
             Option(rs.getString("Executed_Gtid_Set")).getOrElse("")))

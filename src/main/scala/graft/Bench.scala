@@ -30,15 +30,14 @@ object Bench {
         } catch { case _: Throwable => -1.0 }
       name -> secs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // keep the JSON line SHORT: the driver captures only the tail of the
+    // run output, and r02's full-precision line overflowed it (parsed:null)
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val note = "timing=noop-sink full materialization (r01 used count(), " +
-      "which let the optimizer delete sorts/projections) and the default " +
-      "parallelism is now local[32]/32 shuffle partitions (was 4) — " +
-      "totals are not directly comparable across either change; " +
-      "-1 marks a failed query"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","note":"$note"}""")
+    val note = "noop-sink full materialization; -1=failed query"
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","note":"$note"}""")
     spark.stop()
   }
 }

@@ -302,6 +302,59 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Query-directed multi-probe sign-LSH keys: same output contract as
+    * [[lshKeys]], but instead of flipping the FIRST `probes` bits, each
+    * table flips the `probes` bits with the smallest margin
+    * `|emb · plane|` — the hyperplanes the vector sits closest to, which
+    * are exactly the bits most likely to differ between two genuinely
+    * similar vectors. Directed probing reaches the recall of blind
+    * probing with fewer probe keys, shrinking the candidate join's
+    * fan-out (probes+1 keys per row per table).
+    */
+  def lshKeysDirected(emb: ArrayData, nTables: Int, planesPerTable: Int,
+                      dim: Int, probes: Int): ArrayData = {
+    val out = new Array[Any](nTables * (probes + 1))
+    var idx = 0
+    var t = 0
+    while (t < nTables) {
+      val planes = planesFor(42L + t, planesPerTable, dim)
+      val margins = new Array[Double](planesPerTable)
+      var base = 0L
+      var p = 0
+      while (p < planesPerTable) {
+        val plane = planes(p)
+        val n = math.min(emb.numElements(), plane.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += emb.getFloat(i).toDouble * plane(i); i += 1 }
+        if (acc > 0) base |= (1L << p)
+        margins(p) = math.abs(acc)
+        p += 1
+      }
+      out(idx) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](t, base))
+      idx += 1
+      val taken = new Array[Boolean](planesPerTable)
+      var v = 0
+      while (v < probes) {
+        var best = -1
+        var bestMargin = Double.MaxValue
+        var q = 0
+        while (q < planesPerTable) {
+          if (!taken(q) && margins(q) < bestMargin) { best = q; bestMargin = margins(q) }
+          q += 1
+        }
+        taken(best) = true
+        out(idx) = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](t, base ^ (1L << best)))
+        idx += 1
+        v += 1
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** IVF probe: cosine of a float embedding against `c` centroids (flat
     * row-major double array), returning the indices of the `nprobe`
     * nearest centroids, best first. Selection sort over c entries —
@@ -420,6 +473,14 @@ object Kernels {
   def lshKeysCol(emb: Column, nTables: Int, planesPerTable: Int,
                  dim: Int, probes: Int): Column =
     invoke(LshKeyType, "lshKeys", emb,
+      org.apache.spark.sql.functions.lit(nTables),
+      org.apache.spark.sql.functions.lit(planesPerTable),
+      org.apache.spark.sql.functions.lit(dim),
+      org.apache.spark.sql.functions.lit(probes))
+
+  def lshKeysDirectedCol(emb: Column, nTables: Int, planesPerTable: Int,
+                         dim: Int, probes: Int): Column =
+    invoke(LshKeyType, "lshKeysDirected", emb,
       org.apache.spark.sql.functions.lit(nTables),
       org.apache.spark.sql.functions.lit(planesPerTable),
       org.apache.spark.sql.functions.lit(dim),

@@ -80,13 +80,18 @@ object VectorOps {
     */
   def cosineDupPairsLsh(vectors: DataFrame, threshold: Double,
                         nTables: Int = 8, planesPerTable: Int = 4,
-                        dim: Int = 64, probes: Int = 4): DataFrame = {
+                        dim: Int = 64, probes: Int = 4,
+                        directed: Boolean = false): DataFrame = {
     // candidate stage shuffles ONLY (id, key) pairs — embeddings rejoin
     // after the (a_id, b_id) dedup, so the wide array columns never ride
     // the candidate shuffle (at 100 TB that width is the cost driver)
+    val probeKeys =
+      if (directed) Kernels.lshKeysDirectedCol(col("embedding"), nTables,
+        planesPerTable, dim, probes)
+      else lshKeysMultiProbe(col("embedding"), nTables, planesPerTable,
+        dim, probes)
     val a = vectors.select(col("vec_id").as("a_id"),
-      explode(lshKeysMultiProbe(col("embedding"), nTables, planesPerTable,
-        dim, probes)).as("key"))
+      explode(probeKeys).as("key"))
     val b = vectors.select(col("vec_id").as("b_id"),
       explode(lshKeys(col("embedding"), nTables, planesPerTable, dim)).as("key"))
     val cand = a.join(b, "key")

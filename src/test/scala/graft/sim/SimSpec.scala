@@ -83,6 +83,35 @@ class SimSpec extends SparkSpec {
       "candidate generation must be an equi-join, not an all-pairs join")
   }
 
+  test("query-directed probing: full-probe parity with blind, and >= blind recall at equal cost") {
+    import graft.functions.Kernels
+    val emb = Tables.embeddings(spark, sf)
+    // flipping ALL bits makes directed and blind reach the same buckets —
+    // the probe ORDER differs but the key SET per row must be identical
+    val both = emb.select(
+      Kernels.lshKeysCol(col("embedding"), 8, 4, 64, 4).as("blind"),
+      Kernels.lshKeysDirectedCol(col("embedding"), 8, 4, 64, 4).as("dir"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Any](0).toSet == r.getSeq[Any](1).toSet,
+        "directed probes=planes must reach the same key set as blind")
+    }
+    // directed probing raises recall in EXPECTATION, not pointwise (a
+    // blind flip can luckily catch a pair whose differing bit isn't a
+    // min-margin bit of either endpoint) — so pin a high absolute floor
+    // rather than per-fixture dominance
+    val exact = VectorOps.cosineDupPairs(emb, 0.4)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = VectorOps.cosineDupPairsLsh(emb, 0.4, probes = 2, directed = true)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dir.subsetOf(exact), "verify stage must keep output exact")
+    val recall = dir.size.toDouble / exact.size
+    assert(recall >= 0.9,
+      s"directed probes=2 recall $recall below 0.9 (${dir.size}/${exact.size})")
+  }
+
   test("cosine on known vectors") {
     val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 1f), Array(1f, 1f)))
       .toDF("a", "b")

@@ -715,6 +715,28 @@ object Queries {
         | count(*) AS n_events FROM x GROUP BY user_id ORDER BY user_id"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // Batch twin of StreamOps.dedupByKey: streaming dedup keeps the
+    // FIRST arrival per key; the deterministic batch equivalent keeps
+    // the earliest event (ts, then event_id tiebreak) per
+    // (user_id, event_type). One shuffle on the dedup key — the same
+    // key the streaming state store shards by.
+    Q("st_dedup_by_key",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_type", "event_id", "ts")
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id, ts FROM (
+        | SELECT user_id, event_type, event_id, ts,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |   ORDER BY ts, event_id) AS rn
+        | FROM events) t WHERE rn = 1
+        | ORDER BY user_id, event_type""".stripMargin.replaceAll("\n", ""))),
+
     // SQL entry path + scalar subquery (Catalyst rewrites it to a join;
     // the threshold uses the decimal-exact average so both engines
     // compute the identical double)

@@ -226,6 +226,55 @@ object Queries {
         | GROUP BY o_orderpriority ORDER BY o_orderpriority"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // Bucketed co-located join: lineitem and orders laid out bucketed on
+    // the join key (the pay-the-shuffle-ONCE layout), then joined with
+    // zero Exchange on either side — PlanShapeSpec pins the no-shuffle
+    // plan; the oracle is the plain join SQL (result identity under
+    // layout). At 100 TB the layout write replaces the per-query fact
+    // shuffle every repeated join would otherwise pay.
+    Q("q_bucketed_join",
+      (s, d) => {
+        import graft.ops.Bucketing
+        Bucketing.writeBucketed(Tables.lineitem(s, d)
+          .select("l_orderkey", "l_extendedprice"),
+          "graft_bkt_lineitem", "l_orderkey", 8)
+        Bucketing.writeBucketed(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+          "graft_bkt_orders", "o_orderkey", 8)
+        Bucketing.bucketedJoin(s, "graft_bkt_lineitem", "graft_bkt_orders",
+          "l_orderkey", "o_orderkey")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            exactSum(col("l_extendedprice")).as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // Partition-pruned scan: orders laid out partitioned by priority;
+    // the filter prunes to ONE directory at plan time (PartitionFilters,
+    // pinned in PlanShapeSpec) — at 100 TB the query reads 1/5 of the
+    // table without touching the rest. Oracle = plain filtered SQL.
+    Q("q_partition_pruning",
+      (s, d) => {
+        import graft.ops.Bucketing
+        Bucketing.writePartitioned(Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority"),
+          "graft_part_orders", "o_orderpriority")
+        s.table("graft_part_orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            exactSum(col("o_totalprice")).as("total"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        | FROM orders WHERE o_orderpriority = '1-URGENT'
+        | GROUP BY o_orderpriority""".stripMargin.replaceAll("\n", ""))),
+
     // Ordered-set aggregates: exact interpolated percentiles per group
     Q("q_percentile",
       (s, d) => Tables.lineitem(s, d)
@@ -665,6 +714,84 @@ object Queries {
         | WHERE l_returnflag = 'R'
         | GROUP BY c_custkey, c_name, n_name
         | ORDER BY revenue DESC, c_custkey LIMIT 20"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // TPC-H Q18 shape (large-volume orders): self-aggregate lineitem to
+    // find hot orders (HAVING), semi-join the fact back onto that small
+    // set BEFORE the wide joins — at 100 TB the hot-order set is tiny,
+    // so everything downstream of the first agg is cheap.
+    Q("q_tpch_q18",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val hot = li.groupBy("l_orderkey")
+          .agg(exactSum(col("l_quantity")).as("hot_qty"))
+          .filter(col("hot_qty") > 250.0)
+          .select("l_orderkey")
+        li.join(broadcast(hot), Seq("l_orderkey"), "left_semi")
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice")
+          .agg(exactSum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+            col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem
+        |   GROUP BY l_orderkey
+        |   HAVING CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) > 250.0)
+        | GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        | ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // TPC-H Q7 shape (volume shipping between a nation pair, by year):
+    // both nation dims filtered to the pair BEFORE broadcasting, so the
+    // fact rows that survive the supplier/customer joins are already
+    // pair-constrained — the OR predicate then only picks direction.
+    Q("q_tpch_q7",
+      (s, d) => {
+        val n1 = Tables.nation(s, d)
+          .filter(col("n_name").isin("NATION_1", "NATION_2"))
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d)
+          .filter(col("n_name").isin("NATION_1", "NATION_2"))
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= "1996-01-01" &&
+            col("l_shipdate") < "1998-01-01")
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | year(l_shipdate) AS l_year,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1998-01-01'
+        |   AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        | GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
         .stripMargin.replaceAll("\n", ""))),
 
     // JSON extraction on the events.props payload ([EXT] §2.8 note)

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed (pre-partitioned) table layout — the shuffle-free join path
+  * (SURVEY §4: "bucketing for co-located joins").
+  *
+  * A join between two tables bucketed on the join key with the SAME
+  * bucket count reads bucket i of each side into the same task: the
+  * sort-merge join runs with NO Exchange on either side. At 100 TB this
+  * is the difference between re-shuffling the fact table on every run
+  * and paying the shuffle ONCE at layout time — the standard warehouse
+  * trick for a fact table joined on the same key by many queries
+  * (lineitem ⨝ orders on orderkey here).
+  *
+  * The reference has no layout control at all (it row-streams INSERTs,
+  * mysql_to_clickhouse_sync.py:92-108); this is the Spark-native answer
+  * to the same "repeated big join" workload.
+  */
+object Bucketing {
+
+  /** The session catalog is in-memory: a table written by a PREVIOUS
+    * session is gone from the catalog but its warehouse directory
+    * survives, and a fresh `saveAsTable` then fails with
+    * LOCATION_ALREADY_EXISTS. Drop the catalog entry and clear any
+    * orphaned location before (re)writing a layout.
+    */
+  private def clearStale(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  /** Write `df` as a bucketed+sorted managed table (overwriting any
+    * previous layout). Bucket files are sorted on the key, so the
+    * bucketed join needs no Sort either when one file per bucket exists.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit = {
+    clearStale(df.sparkSession, table)
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /** Write `df` as a directory-partitioned managed table: one directory
+    * per distinct `partCol` value. A reader filtering on the partition
+    * column never opens the other directories (partition pruning — the
+    * plan's `PartitionFilters`), so a 100 TB table filtered to one
+    * partition costs one partition's scan, not a full pass + filter.
+    */
+  def writePartitioned(df: DataFrame, table: String, partCol: String): Unit = {
+    clearStale(df.sparkSession, table)
+    df.write.mode("overwrite").partitionBy(partCol).saveAsTable(table)
+  }
+
+  /** Bucket-aware inner equi-join of two saved bucketed tables. The
+    * `merge` hint pins the sort-merge strategy (AQE would otherwise
+    * broadcast a small side at test scale, hiding the layout win the
+    * plan test asserts: zero Exchange under the join).
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String,
+                   rightTable: String, leftKey: String,
+                   rightKey: String): DataFrame =
+    spark.table(leftTable).hint("merge")
+      .join(spark.table(rightTable).hint("merge"),
+        col(leftKey) === col(rightKey))
+}

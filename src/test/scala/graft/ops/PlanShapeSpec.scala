@@ -37,6 +37,26 @@ class PlanShapeSpec extends SparkSpec {
       s"expected pushed range filters in:\n$p")
   }
 
+  test("q_bucketed_join joins the bucketed layouts with no shuffle under the join") {
+    val p = plan("q_bucketed_join")
+    val lines = p.linesIterator.toSeq
+    val idx = lines.indexWhere(_.contains("SortMergeJoin"))
+    assert(idx >= 0, s"expected a sort-merge join in:\n$p")
+    // parents print above children: the agg/sort Exchanges sit ABOVE the
+    // join line; anything below it would mean the bucketed layout failed
+    // to align the join and a fact-table shuffle crept back in
+    assert(!lines.drop(idx).exists(_.contains("Exchange")),
+      s"bucketed join must not re-shuffle its inputs:\n$p")
+  }
+
+  test("q_partition_pruning prunes to the one matching partition directory") {
+    val p = plan("q_partition_pruning")
+    assert(p.contains("PartitionFilters: ["),
+      s"expected partition filters at the scan:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*1-URGENT".r.findFirstIn(p).isDefined,
+      s"priority predicate must prune partitions, not post-filter rows:\n$p")
+  }
+
   test("no registered query plans an accidental cartesian join") {
     // exact all-pairs / broadcast brute-force forms kept ON PURPOSE as
     // oracle twins of their bucketed scale paths:

@@ -313,7 +313,10 @@ object Kernels {
     */
   def lshKeysDirected(emb: ArrayData, nTables: Int, planesPerTable: Int,
                       dim: Int, probes: Int): ArrayData = {
-    val out = new Array[Any](nTables * (probes + 1))
+    // only planesPerTable distinct single-bit flips exist — clamp, don't
+    // walk the margin-selection loop past the last untaken plane
+    val nProbes = math.min(probes, planesPerTable)
+    val out = new Array[Any](nTables * (nProbes + 1))
     var idx = 0
     var t = 0
     while (t < nTables) {
@@ -336,7 +339,7 @@ object Kernels {
       idx += 1
       val taken = new Array[Boolean](planesPerTable)
       var v = 0
-      while (v < probes) {
+      while (v < nProbes) {
         var best = -1
         var bestMargin = Double.MaxValue
         var q = 0

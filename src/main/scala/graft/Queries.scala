@@ -490,6 +490,27 @@ object Queries {
         | FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         | ORDER BY rf, ls""".stripMargin.replaceAll("\n", ""))),
 
+    // Explicit GROUPING SETS — the asymmetric set pair ((rf), (ls)) that
+    // neither ROLLUP nor CUBE produces; same partial+final hash-agg
+    // expansion under the hood (one Expand, one shuffle)
+    Q("q_grouping_sets",
+      (s, d) => Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), exactSum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, '(all)') AS rf,
+        | coalesce(l_linestatus, '(all)') AS ls, count(*) AS cnt,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        | FROM lineitem
+        | GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        | ORDER BY rf, ls""".stripMargin.replaceAll("\n", ""))),
+
     // String-function ladder (upper/substring/lpad/concat/reverse)
     Q("f_string_funcs",
       (s, d) => Tables.customer(s, d).select(
@@ -902,6 +923,32 @@ object Queries {
         | FROM events c JOIN events p ON c.user_id = p.user_id
         | AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
         | WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        | ORDER BY click_id, purchase_id""".stripMargin.replaceAll("\n", ""))),
+
+    // Left-outer interval join, batch twin of
+    // StreamOps.intervalJoin(joinType="leftOuter"): every click kept,
+    // null purchase when none landed in the preceding hour
+    Q("q_interval_join_outer",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("purchase_id"))
+        clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+            col("p_ts") <= col("c_ts"),
+          "left")
+          .select("click_id", "purchase_id", "user_id")
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        | FROM (SELECT * FROM events WHERE event_type = 'click') c
+        | LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        | ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
         | ORDER BY click_id, purchase_id""".stripMargin.replaceAll("\n", ""))),
 
     // As-of (point-in-time) join: each click matched to the user's most

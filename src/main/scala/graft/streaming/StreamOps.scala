@@ -113,17 +113,25 @@ object StreamOps {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    lookback: String = "1 hour",
-                   watermark: String = "2 hours"): DataFrame = {
+                   watermark: String = "2 hours",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark)
       .select(col(keyCol).as("l_key"), col("ts").as("l_ts"),
         col("event_id").as("l_event_id"))
     val r = right.withWatermark("ts", watermark)
       .select(col(keyCol).as("r_key"), col("ts").as("r_ts"),
         col("event_id").as("r_event_id"), col("value").as("r_value"))
+    // leftOuter: an unmatched left row is emitted (null right columns)
+    // only once the watermark passes its join window — i.e. when Spark
+    // can PROVE no future right row can match. The same watermark +
+    // range predicate that bounds the join state also bounds the outer
+    // result's lateness; without them, outer emission (and state
+    // eviction) would be impossible.
     l.join(r,
       col("l_key") === col("r_key") &&
         col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookback") &&
-        col("r_ts") <= col("l_ts"))
+        col("r_ts") <= col("l_ts"),
+      joinType)
   }
 
   /** Custom keyed state via flatMapGroupsWithState: running per-user

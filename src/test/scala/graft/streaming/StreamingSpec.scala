@@ -150,6 +150,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched clicks after watermark passes") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF(), buys.toDF(), "user_id", "1 hour", "2 hours", "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("ij_outer_out")
+      .outputMode("append").start()
+    try {
+      // click 100 (3:00, window [2:00,3:00]) matches the 2:30 purchase;
+      // click 101 (4:30, window [3:30,4:30]) has no purchase in window —
+      // its null-right row may only appear after the watermark proves no
+      // future purchase can match
+      clicks.addData(ev(100, 3, 0), ev(101, 4, 30))
+      buys.addData(ev(200, 2, 30, v = 9.0))
+      q.processAllAvailable()
+      val matched = spark.table("ij_outer_out")
+        .filter(col("r_event_id").isNotNull)
+        .select("l_event_id", "r_event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(matched == Set((100L, 200L)))
+      // push both watermarks far past click 101's window
+      clicks.addData(ev(102, 20, 0))
+      buys.addData(ev(201, 20, 0, v = 1.0))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val unmatched = spark.table("ij_outer_out")
+        .filter(col("r_event_id").isNull)
+        .select("l_event_id").collect().map(_.getLong(0)).toSet
+      assert(unmatched.contains(101L),
+        s"expected click 101 emitted with null right, got $unmatched")
+    } finally q.stop()
+  }
+
   test("CDC apply: insert/update/delete collapse to ReplacingMergeTree state") {
     val changes1 = Seq(
       ChangeEvent("insert", "t", 1L, ts(1), 1L, """{"v":1}"""),

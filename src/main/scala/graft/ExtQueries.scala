@@ -7,11 +7,12 @@ import graft.model.Tables
 import graft.sim.{DedupOps, VectorOps}
 
 /** [EXT] training-data-pipeline surface (SURVEY §2.11 X1-X4): dedup,
-  * similarity search, text analysis, multimodal columns. Heuristic /
-  * approximate operators (MinHash-LSH, SimHash, sign-LSH KNN, language
-  * ID) have no SQL oracle — the driver records rows-only checks and
-  * ScalaTest covers them against exact counterparts; everything exactly
-  * computable has a DuckDB twin.
+  * similarity search, text analysis, multimodal columns. MinHash-LSH and
+  * SimHash register in PORTABLE hash mode (md5-derived, PortableHash) so
+  * even the approximate pipelines are hash-matched by generated DuckDB
+  * twins; only the genuinely sketch-/plane-bound operators (HLL,
+  * sign-LSH KNN, IVF KNN) are rows-only, each recall-tested in ScalaTest
+  * against its exact counterpart.
   */
 object ExtQueries {
 
@@ -22,6 +23,41 @@ object ExtQueries {
       | s AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 2),
       |   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
       |   FROM w WHERE len(w) >= 3)""".stripMargin.replaceAll("\n", "")
+
+  // ---- portable-hash DuckDB twins -----------------------------------
+  // The md5-derived dedup queries are exactly reproducible in SQL: both
+  // sides read their constants from graft.sim.PortableHash, so the
+  // generated oracle can't drift from the kernel arithmetic.
+
+  /** 48-bit md5 fold of a string expression (= Kernels.md5_48). */
+  private def md5Fold(expr: String): String =
+    s"list_reduce(list_transform(range(1,13), fi -> CAST(strpos('0123456789abcdef', " +
+      s"substr(md5($expr), CAST(fi AS INT), 1)) - 1 AS BIGINT)), (fa,fb) -> fa*16+fb)"
+
+  /** Per-doc portable MinHash signature columns h0..h{k-1} as a CTE chain
+    * (shingles → md5_48 mod P per shingle → k permutation minima).
+    */
+  private def minhashSigCte(k: Int): String = {
+    import graft.sim.PortableHash.{P, permA, permB}
+    val sigCols = (0 until k).map { i =>
+      s"list_min(list_transform(hm, h -> (${permA(i)}*h + ${permB(i)}) % $P)) AS h$i"
+    }.mkString(", ")
+    shingleCte +
+      s", hm AS (SELECT doc_id, sh, list_transform(sh, t -> (${md5Fold("t")}) % $P) AS hm FROM s)" +
+      s", sig AS (SELECT doc_id, sh, $sigCols FROM hm)"
+  }
+
+  /** Per-doc portable 48-bit SimHash fingerprints as a CTE chain. */
+  private val simhash48Cte = {
+    val bits = graft.sim.PortableHash.SimhashBits
+    val terms = (0 until bits).map { i =>
+      s"(CASE WHEN 2*len(list_filter(hv, h -> ((h >> $i) & 1) = 1)) > len(hv) " +
+        s"THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END)"
+    }.mkString(" + ")
+    "WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+      s"hv AS (SELECT doc_id, text, list_transform(toks, t -> ${md5Fold("t")}) AS hv FROM w), " +
+      s"fp AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE $terms END AS simhash FROM hv)"
+  }
 
   val ext: Seq[Q] = Seq(
 
@@ -76,27 +112,53 @@ object ExtQueries {
         | FROM reach GROUP BY id ORDER BY doc_id""")
         .stripMargin.replaceAll("\n", ""))),
 
-    // X1 MinHash-LSH near-dup (approximate candidates + exact verify) —
-    // rows-only driver check; recall vs exact Jaccard covered in ScalaTest
+    // X1 MinHash-LSH near-dup (band candidates + exact-Jaccard verify) in
+    // PORTABLE hash mode: md5-derived signatures are reproduced by the
+    // DuckDB twin, whose candidate set is the same OR-of-band-equality —
+    // so the approximate pipeline itself is hash-matched, not just
+    // recall-tested. (Production path stays xxhash64: DedupOpsSpec pins
+    // its recall vs exact Jaccard.)
     Q("x_dedup_minhash",
       (s, d) => DedupOps.nearDupPairs(Tables.documents(s, d), "text", "doc_id",
-        n = 3, k = 32, bands = 8, threshold = 0.2),
-      None),
+        n = 3, k = 16, bands = 8, threshold = 0.2, portable = true),
+      Some {
+        val bandPred = (0 until 8).map { b =>
+          (0 until 2).map(r => s"a.h${b * 2 + r} = b.h${b * 2 + r}")
+            .mkString("(", " AND ", ")")
+        }.mkString(" OR ")
+        minhashSigCte(16) +
+          s""", cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |   a.sh AS a_sh, b.sh AS b_sh FROM sig a JOIN sig b
+          |   ON a.doc_id < b.doc_id AND ($bandPred))
+          | SELECT a_id, b_id, jaccard FROM (SELECT a_id, b_id,
+          |   CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE) /
+          |     (len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))) AS jaccard
+          |   FROM cand) WHERE jaccard >= 0.2 ORDER BY a_id, b_id"""
+            .stripMargin.replaceAll("\n", "")
+      }),
 
-    // X1 SimHash 64-bit fingerprints — rows-only (hash engine-specific)
+    // X1 SimHash fingerprints, portable 48-bit mode — the DuckDB twin
+    // recomputes the md5-derived bit votes exactly. (64-bit xxhash64
+    // production form stays in DedupOps.simhash64, ScalaTest-covered.)
     Q("x_simhash",
-      (s, d) => DedupOps.simhash64(Tables.documents(s, d), "text", "doc_id")
+      (s, d) => DedupOps.simhash48(Tables.documents(s, d), "text", "doc_id")
         .orderBy("doc_id"),
-      None),
+      Some(simhash48Cte +
+        " SELECT doc_id, simhash FROM fp ORDER BY doc_id")),
 
     // X1 SimHash-banded near-dup pairs (bit-band candidates + hamming
-    // verify) — rows-only; overlap with Jaccard near-dups in ScalaTest.
-    // 4×16-bit bands: random band collisions are ~1/65536 per band, and
-    // pigeonhole still guarantees recall for pairs within hamming 3.
+    // verify), portable mode. bands=4 > maxHamming=3 ⇒ pigeonhole makes
+    // the band join lossless for qualifying pairs, so the output is
+    // EXACTLY {pairs: hamming ≤ 3} and the oracle needs no band logic.
     Q("x_simhash_neardup",
       (s, d) => DedupOps.simhashNearDup(Tables.documents(s, d), "text",
-        "doc_id", maxHamming = 3, bands = 4),
-      None),
+        "doc_id", maxHamming = 3, bands = 4, portable = true),
+      Some(simhash48Cte +
+        """ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        | FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        | WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""))),
 
     // X1/X2 embedding-cosine near-dup pairs (exact all-pairs; scale path
     // = same predicate over LSH/IVF candidates)

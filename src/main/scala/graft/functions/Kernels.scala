@@ -158,6 +158,82 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Portable 48-bit hash: the first 6 bytes of MD5(utf8 bytes), read
+    * big-endian — numerically equal to folding the first 12 hex chars of
+    * `md5(s)`, which any engine with an md5() string function (DuckDB,
+    * MySQL, Postgres, Spark itself) reproduces exactly. Always ≥ 0.
+    */
+  def md5_48(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val digest = md.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 6) { h = (h << 8) | (digest(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** Portable MinHash signature: h_i = min over shingles of
+    * (permA(i) * (md5_48(sh) mod P) + permB(i)) mod P, with the
+    * constants from [[graft.sim.PortableHash]] — the same arithmetic the
+    * generated DuckDB oracle runs, so signatures hash-match across
+    * engines. Same one-kernel-call-per-row shape as [[minhashSig]].
+    */
+  def minhashSigPortable(sh: ArrayData, k: Int): ArrayData = {
+    import graft.sim.PortableHash.{P, permA, permB}
+    val as = new Array[Long](k)
+    val bs = new Array[Long](k)
+    var i = 0
+    while (i < k) { as(i) = permA(i); bs(i) = permB(i); i += 1 }
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = sh.numElements()
+    var j = 0
+    while (j < n) {
+      val hm = md5_48(sh.getUTF8String(j)) % P
+      i = 0
+      while (i < k) {
+        val h = (as(i) * hm + bs(i)) % P
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Portable 48-bit SimHash: same tokenize/vote/pack pass as
+    * [[simhash64]] but over [[md5_48]] token hashes, so the fingerprint
+    * is reproducible by the generated DuckDB oracle. Empty/whitespace
+    * text → 0.
+    */
+  def simhash48(s: UTF8String): Long = {
+    val bits = graft.sim.PortableHash.SimhashBits
+    val lowered = s.toLowerCase.trimAll().toString
+    if (lowered.isEmpty) return 0L
+    val sums = new Array[Int](bits)
+    for (tok <- lowered.split("\\s+") if tok.nonEmpty) {
+      val h = md5_48(UTF8String.fromString(tok))
+      var i = 0
+      while (i < bits) {
+        if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
+        i += 1
+      }
+    }
+    var fp = 0L
+    var i = 0
+    while (i < bits) {
+      if (sums(i) > 0) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
+
   private val LangMarkers: Array[(String, java.util.HashSet[String])] = {
     def set(ws: String*): java.util.HashSet[String] = {
       val s = new java.util.HashSet[String]()
@@ -447,8 +523,16 @@ object Kernels {
 
   def simhashCol(text: Column): Column = invoke(LongType, "simhash64", text)
 
+  def simhash48Col(text: Column): Column = invoke(LongType, "simhash48", text)
+
+  def md5_48Col(text: Column): Column = invoke(LongType, "md5_48", text)
+
   def minhashCol(shingles: Column, k: Int): Column =
     invoke(ArrayType(LongType, containsNull = false), "minhashSig",
+      shingles, org.apache.spark.sql.functions.lit(k))
+
+  def minhashPortableCol(shingles: Column, k: Int): Column =
+    invoke(ArrayType(LongType, containsNull = false), "minhashSigPortable",
       shingles, org.apache.spark.sql.functions.lit(k))
 
   def shinglesCol(text: Column, n: Int): Column =

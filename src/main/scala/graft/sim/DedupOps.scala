@@ -92,9 +92,12 @@ object DedupOps {
     * NO shuffle; the first shuffle of the LSH pipeline is the band join.
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-                        n: Int = 3, k: Int = 32): DataFrame = {
+                        n: Int = 3, k: Int = 32,
+                        portable: Boolean = false): DataFrame = {
     val sh = shingleArrays(df, textCol, idCol, n)
-    val sig = graft.functions.Kernels.minhashCol(col("sh"), k)
+    val sig =
+      if (portable) graft.functions.Kernels.minhashPortableCol(col("sh"), k)
+      else graft.functions.Kernels.minhashCol(col("sh"), k)
     sh.select(col(idCol) +: (0 until k).map(i => sig.getItem(i).as(s"h$i")): _*)
   }
 
@@ -105,13 +108,20 @@ object DedupOps {
     * identical-band collisions are exactly the near-dup candidates).
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        n: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+                        n: Int = 3, k: Int = 32, bands: Int = 8,
+                        portable: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val rows = k / bands
-    val sig = minhashSignatures(df, textCol, idCol, n, k)
+    val sig = minhashSignatures(df, textCol, idCol, n, k, portable)
     val bandCols = (0 until bands).map { bnd =>
       val parts = (0 until rows).map(r => col(s"h${bnd * rows + r}"))
-      struct(lit(bnd).as("band"), xxhash64(parts: _*).as("bh"))
+      // production band key = 8-byte hash of the band's rows (narrow
+      // shuffle key); portable mode joins on the row VALUES themselves so
+      // the candidate set is exactly band-equality — no cross-engine hash
+      val key =
+        if (portable) struct(parts.zipWithIndex.map { case (c, r) => c.as(s"r$r") }: _*)
+        else xxhash64(parts: _*)
+      struct(lit(bnd).as("band"), key.as("bh"))
     }
     val banded = sig.select(col(idCol), explode(array(bandCols: _*)).as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
@@ -126,8 +136,9 @@ object DedupOps {
     */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, k: Int = 32, bands: Int = 8,
-                   threshold: Double = 0.5): DataFrame = {
-    val cand = minhashCandidates(df, textCol, idCol, n, k, bands)
+                   threshold: Double = 0.5,
+                   portable: Boolean = false): DataFrame = {
+    val cand = minhashCandidates(df, textCol, idCol, n, k, bands, portable)
     val sh = shingleArrays(df, textCol, idCol, n)
     val s = sh.select(col(idCol), explode(col("sh")).as("shingle"))
     val sizes = sh.select(col(idCol), size(col("sh")).cast("long").as("sz"))
@@ -155,6 +166,14 @@ object DedupOps {
     df.select(col(idCol),
       graft.functions.Kernels.simhashCol(col(textCol)).as("simhash"))
 
+  /** Portable 48-bit SimHash (md5-derived token hashes — reproducible by
+    * the DuckDB oracle; see [[PortableHash]]). Same vote/pack semantics
+    * as [[simhash64]].
+    */
+  def simhash48(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.Kernels.simhash48Col(col(textCol)).as("simhash"))
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -167,10 +186,19 @@ object DedupOps {
     * slices, not hashes.
     */
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
-                     maxHamming: Int = 6, bands: Int = 8): DataFrame = {
-    require(64 % bands == 0, "bands must divide 64")
-    val width = 64 / bands
-    val fp = simhash64(df, textCol, idCol)
+                     maxHamming: Int = 6, bands: Int = 8,
+                     portable: Boolean = false): DataFrame = {
+    val bits = if (portable) PortableHash.SimhashBits else 64
+    require(bits % bands == 0, s"bands must divide $bits")
+    // the oracle for the portable form has no band logic — it relies on
+    // the band join being LOSSLESS for qualifying pairs, which pigeonhole
+    // only guarantees when bands > maxHamming. The production path may
+    // trade recall for fewer bands.
+    require(!portable || maxHamming < bands,
+      "portable mode needs bands > maxHamming (pigeonhole-lossless)")
+    val width = bits / bands
+    val fp = if (portable) simhash48(df, textCol, idCol)
+             else simhash64(df, textCol, idCol)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash"), b * width)

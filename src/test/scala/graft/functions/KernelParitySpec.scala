@@ -138,6 +138,78 @@ class KernelParitySpec extends SparkSpec {
     assert(err.getMessage.contains("graft_lang_id expects 1 argument"))
   }
 
+  test("md5_48 kernel equals the hex-fold expression form (and DuckDB's)") {
+    // conv(substr(md5(s),1,12),16,10) is the same fold the generated
+    // DuckDB oracle runs — parity here pins the cross-engine contract
+    val docs = Tables.documents(spark, sf).limit(100)
+      .select(col("text")).union(spark.sql("SELECT 'hello' AS text"))
+    val both = docs.select(
+      Kernels.md5_48Col(col("text")).as("k"),
+      expr("CAST(conv(substr(md5(text), 1, 12), 16, 10) AS BIGINT)").as("e"))
+      .collect()
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)))
+    // known value: md5('hello') = 5d41402abc4b... → 0x5d41402abc4b
+    val hello = spark.sql("SELECT 'hello' AS t")
+      .select(Kernels.md5_48Col(col("t"))).head().getLong(0)
+    assert(hello == 102534830799947L)
+  }
+
+  test("portable minhash kernel equals the md5-expression minima") {
+    import graft.sim.PortableHash.{P, permA, permB}
+    val docs = Tables.documents(spark, sf).limit(30)
+    val viaKernel = graft.sim.DedupOps
+      .minhashSignatures(docs, "text", "doc_id", 3, 4, portable = true)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    val sh = graft.sim.DedupOps.shinglePairs(docs, "text", "doc_id", 3)
+      .withColumn("hm",
+        expr("CAST(conv(substr(md5(shingle), 1, 12), 16, 10) AS BIGINT)") % P)
+    val aggCols = (0 until 4).map(i =>
+      min((col("hm") * permA(i) + permB(i)) % P).as(s"h$i"))
+    val viaExpr = sh.groupBy("doc_id")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    assert(viaKernel == viaExpr)
+  }
+
+  test("simhash48 kernel equals an independent driver-side re-implementation") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val got = graft.sim.DedupOps.simhash48(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h48(s: String): Long = {
+      md.reset()
+      val d = md.digest(s.getBytes("UTF-8"))
+      (0 until 6).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL))
+    }
+    val exp = docs.select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      val sums = new Array[Int](48)
+      for (t <- toks; i <- 0 until 48)
+        sums(i) += (if (((h48(t) >>> i) & 1L) == 1L) 1 else -1)
+      r.getLong(0) -> (0 until 48).foldLeft(0L)((fp, i) =>
+        if (sums(i) > 0) fp | (1L << i) else fp)
+    }.toMap
+    assert(got == exp)
+  }
+
+  test("portable simhash near-dup output is exactly the hamming<=k pair set") {
+    // bands(4) > maxHamming(3) ⇒ pigeonhole: the banded candidate join
+    // must lose NO qualifying pair — the property the DuckDB oracle
+    // (which has no band logic) relies on
+    val docs = Tables.documents(spark, sf)
+    val viaBands = graft.sim.DedupOps
+      .simhashNearDup(docs, "text", "doc_id", maxHamming = 3, bands = 4,
+        portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fp = graft.sim.DedupOps.simhash48(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, fa) <- fp; (b, fb) <- fp if a < b
+      d = java.lang.Long.bitCount(fa ^ fb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(viaBands == brute)
+  }
+
   test("exact decimal sums are bit-identical under any repartitioning") {
     val li = Tables.lineitem(spark, sf)
     def total(parts: Int): Double = li.repartition(parts)

@@ -564,6 +564,59 @@ object ExtQueries {
         octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", "")))
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""))),
+
+    // X4/X1 deterministic train/valid/test assignment: split decided by a
+    // PORTABLE content-independent hash of (source, doc_id) — stable
+    // across runs, cluster sizes, and engines (the property that makes
+    // held-out sets reproducible at 100 TB; no shuffled sampling state).
+    // Narrow map-only plan: zero shuffles, zero joins.
+    Q("x_hash_split",
+      (s, d) => {
+        val key = concat(col("source"), lit("|"), col("doc_id").cast("string"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            (graft.functions.Kernels.md5_48Col(key) % 100).as("bucket"))
+          .select(col("doc_id"), col("bucket"),
+            when(col("bucket") < 90, "train")
+              .when(col("bucket") < 95, "valid")
+              .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, b AS bucket, CASE WHEN b < 90 THEN 'train' " +
+        "WHEN b < 95 THEN 'valid' ELSE 'test' END AS split FROM " +
+        s"(SELECT doc_id, (${md5Fold("source || '|' || CAST(doc_id AS VARCHAR)")}) % 100 AS b " +
+        "FROM documents) ORDER BY doc_id")),
+
+    // X4 repetition quality signals (the Gopher-style repetition rules):
+    // repeated-token fraction and most-frequent-token share per doc.
+    // top_count needs per-(doc,token) counts — explode + two keyed
+    // aggregations, both partial-aggregated map-side; the token stream
+    // never collects anywhere.
+    Q("x_repetition",
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          TextFunctions.tokens(lower(col("text"))).as("toks"))
+        val base = toks.select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+        val top = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max(col("c")).as("top_count"))
+        base.join(top, "doc_id")
+          .select(col("doc_id"),
+            (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+              .as("rep_ratio"),
+            (col("top_count").cast("double") / col("n_tokens"))
+              .as("top_tok_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+        | regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents)
+        | SELECT doc_id,
+        | 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS rep_ratio,
+        | CAST(list_max(list_transform(list_distinct(w),
+        |   x -> len(list_filter(w, t -> t = x)))) AS DOUBLE) / len(w) AS top_tok_frac
+        | FROM w ORDER BY doc_id""".stripMargin.replaceAll("\n", "")))
   )
 }

@@ -815,6 +815,83 @@ object Queries {
         | GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // TPC-H Q1 (pricing summary report) — the canonical scan-heavy
+    // aggregation: one pass over the fact filtered on shipdate, grouped
+    // on two low-cardinality flags. Partial (map-side) aggregation does
+    // almost all the work; the shuffle carries ≤ |groups|×partitions
+    // rows. Averages are derived FROM the decimal sums post-agg, so they
+    // equal the oracle's sum/count double division bit-for-bit.
+    Q("q_tpch_q1",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= "1999-01-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          exactSum(col("l_quantity")).as("sum_qty"),
+          exactSum(col("l_extendedprice")).as("sum_base_price"),
+          exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          exactSum(col("l_discount")).as("sum_disc"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"), col("sum_base_price"), col("sum_disc_price"),
+          col("sum_charge"),
+          (col("sum_qty") / col("count_order")).as("avg_qty"),
+          (col("sum_base_price") / col("count_order")).as("avg_price"),
+          (col("sum_disc") / col("count_order")).as("avg_disc"),
+          col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""WITH g AS (SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+        | CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc,
+        | count(*) AS count_order
+        | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-01-01'
+        | GROUP BY l_returnflag, l_linestatus)
+        | SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+        | sum_disc_price, sum_charge,
+        | sum_qty / count_order AS avg_qty,
+        | sum_base_price / count_order AS avg_price,
+        | sum_disc / count_order AS avg_disc, count_order
+        | FROM g ORDER BY l_returnflag, l_linestatus"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive brand/size/qty
+    // predicates): part is a broadcast dim; the OR-of-ANDs predicate
+    // can't prune the fact scan, but each disjunct's part-side half
+    // (brand, size) COULD pre-filter the broadcast — kept on the join
+    // output so the oracle sees the same evaluation, while the optimizer
+    // still pushes the l_quantity bounds (min 1, max 40 across
+    // disjuncts) into the parquet scan.
+    Q("q_tpch_q19",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
+            && col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)
+            && col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35)
+            && col("l_quantity").between(20, 40)))
+        .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_lines")),
+      Some("""SELECT
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        | count(*) AS n_lines
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |     AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |     AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |     AND l_quantity BETWEEN 20 AND 40)"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // JSON extraction on the events.props payload ([EXT] §2.8 note)
     Q("q_json_extract",
       (s, d) => Tables.events(s, d)

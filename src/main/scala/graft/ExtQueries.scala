@@ -47,6 +47,17 @@ object ExtQueries {
       s", sig AS (SELECT doc_id, sh, $sigCols FROM hm)"
   }
 
+  /** OR-of-band-equality predicate between sig rows `a` and `b` —
+    * the SQL twin of the engine's LSH band candidate join.
+    */
+  private def bandPred(k: Int, bands: Int): String = {
+    val rows = k / bands
+    (0 until bands).map { b =>
+      (0 until rows).map(r => s"a.h${b * rows + r} = b.h${b * rows + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+  }
+
   /** Per-doc portable 48-bit SimHash fingerprints as a CTE chain. */
   private val simhash48Cte = {
     val bits = graft.sim.PortableHash.SimhashBits
@@ -122,14 +133,10 @@ object ExtQueries {
       (s, d) => DedupOps.nearDupPairs(Tables.documents(s, d), "text", "doc_id",
         n = 3, k = 16, bands = 8, threshold = 0.2, portable = true),
       Some {
-        val bandPred = (0 until 8).map { b =>
-          (0 until 2).map(r => s"a.h${b * 2 + r} = b.h${b * 2 + r}")
-            .mkString("(", " AND ", ")")
-        }.mkString(" OR ")
         minhashSigCte(16) +
           s""", cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           |   a.sh AS a_sh, b.sh AS b_sh FROM sig a JOIN sig b
-          |   ON a.doc_id < b.doc_id AND ($bandPred))
+          |   ON a.doc_id < b.doc_id AND (${bandPred(16, 8)}))
           | SELECT a_id, b_id, jaccard FROM (SELECT a_id, b_id,
           |   CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE) /
           |     (len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))) AS jaccard
@@ -159,6 +166,34 @@ object ExtQueries {
         | FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         | WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""))),
+
+    // X1 × St2 streaming near-dup ingest, batch twin: per doc, is it a
+    // near-dup of an EARLIER doc (any shared LSH band + signature-
+    // estimated Jaccard ≥ 0.5), and of which. The stream form
+    // (NearDupIngest.start) is pinned to this twin in ScalaTest; the
+    // oracle recomputes the same portable signatures, band predicate,
+    // and component-match estimate in SQL.
+    Q("st_neardup_ingest",
+      (s, d) => graft.streaming.NearDupIngest.batchTwin(
+        Tables.documents(s, d), "text", "doc_id",
+        n = 3, k = 16, bands = 8, threshold = 0.5),
+      Some {
+        val est = (0 until 16)
+          .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        minhashSigCte(16) +
+          s""", pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |   ($est) / 16.0 AS est
+          |   FROM sig a JOIN sig b
+          |   ON a.doc_id < b.doc_id AND (${bandPred(16, 8)})),
+          | du AS (SELECT b_id AS doc_id, CAST(min(a_id) AS BIGINT) AS dup_match
+          |   FROM pr WHERE est >= 0.5 GROUP BY b_id)
+          | SELECT s.doc_id,
+          |   CAST(CASE WHEN du.dup_match IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+          |   coalesce(du.dup_match, -1) AS dup_of
+          | FROM sig s LEFT JOIN du ON s.doc_id = du.doc_id
+          | ORDER BY s.doc_id""".stripMargin.replaceAll("\n", "")
+      }),
 
     // X1/X2 embedding-cosine near-dup pairs (exact all-pairs; scale path
     // = same predicate over LSH/IVF candidates)

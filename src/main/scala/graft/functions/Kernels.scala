@@ -234,6 +234,22 @@ object Kernels {
     fp
   }
 
+  /** Fraction of equal components between two equal-length signature
+    * arrays — the MinHash estimator of Jaccard similarity (each
+    * component matches with probability J(A,B)). Empty → 0.
+    */
+  def sigEqFrac(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+
   private val LangMarkers: Array[(String, java.util.HashSet[String])] = {
     def set(ws: String*): java.util.HashSet[String] = {
       val s = new java.util.HashSet[String]()
@@ -526,6 +542,9 @@ object Kernels {
   def simhash48Col(text: Column): Column = invoke(LongType, "simhash48", text)
 
   def md5_48Col(text: Column): Column = invoke(LongType, "md5_48", text)
+
+  def sigEqFracCol(a: Column, b: Column): Column =
+    invoke(DoubleType, "sigEqFrac", a, b)
 
   def minhashCol(shingles: Column, k: Int): Column =
     invoke(ArrayType(LongType, containsNull = false), "minhashSig",

@@ -184,6 +184,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup ingest equals the batch twin under id-ordered arrival") {
+    implicit val ctx = spark.sqlContext
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").orderBy("doc_id")
+      .as[DocRow].collect()
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("neardup_ingest_").toString
+    val input = MemoryStream[DocRow]
+    val q = NearDupIngest.start(input.toDF(), s"$dir/state", s"$dir/out",
+      s"$dir/ckpt", threshold = 0.4)
+    try {
+      chunks.foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val streamed = spark.read.parquet(s"$dir/out")
+        .select("doc_id", "is_dup", "dup_of").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val twin = NearDupIngest.batchTwin(
+        graft.model.Tables.documents(spark, sf), threshold = 0.4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(twin.exists(_._2 == 1L), "fixture should contain near-dups")
+      assert(streamed == twin)
+      // state is signature-only and bucket-partitioned — the layout the
+      // pruned per-batch read depends on
+      val stateCols = spark.read.parquet(s"$dir/state").columns.toSet
+      assert(stateCols == Set("doc_id", "sig", "band", "bh", "bucket", "batch_id"))
+    } finally q.stop()
+  }
+
   test("CDC apply: insert/update/delete collapse to ReplacingMergeTree state") {
     val changes1 = Seq(
       ChangeEvent("insert", "t", 1L, ts(1), 1L, """{"v":1}"""),

@@ -65,9 +65,13 @@ object ExtQueries {
       s"(CASE WHEN 2*len(list_filter(hv, h -> ((h >> $i) & 1) = 1)) > len(hv) " +
         s"THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END)"
     }.mkString(" + ")
-    "WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
-      s"hv AS (SELECT doc_id, text, list_transform(toks, t -> ${md5Fold("t")}) AS hv FROM w), " +
-      s"fp AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE $terms END AS simhash FROM hv)"
+    // empty boundary tokens (text that is all whitespace, or tab/newline
+    // edges the space-only trim leaves behind) are filtered BEFORE
+    // hashing — the kernel skips them too, so no-token text → 0 on both
+    // sides without a special case
+    "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+      s"hv AS (SELECT doc_id, list_transform(list_filter(toks, ft -> ft <> ''), t -> ${md5Fold("t")}) AS hv FROM w), " +
+      s"fp AS (SELECT doc_id, $terms AS simhash FROM hv)"
   }
 
   val ext: Seq[Q] = Seq(
@@ -191,7 +195,7 @@ object ExtQueries {
           | SELECT s.doc_id,
           |   CAST(CASE WHEN du.dup_match IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
           |   coalesce(du.dup_match, -1) AS dup_of
-          | FROM sig s LEFT JOIN du ON s.doc_id = du.doc_id
+          | FROM documents s LEFT JOIN du ON s.doc_id = du.doc_id
           | ORDER BY s.doc_id""".stripMargin.replaceAll("\n", "")
       }),
 

@@ -207,17 +207,22 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  /** Portable 48-bit SimHash: same tokenize/vote/pack pass as
-    * [[simhash64]] but over [[md5_48]] token hashes, so the fingerprint
-    * is reproducible by the generated DuckDB oracle. Empty/whitespace
-    * text → 0.
+  /** Portable 48-bit SimHash: same vote/pack pass as [[simhash64]] but
+    * over [[md5_48]] token hashes, so the fingerprint is reproducible by
+    * the generated DuckDB oracle. Tokenization follows the oracle-parity
+    * convention of the [[shingles]]/[[langId]] kernels — space-only
+    * trim, regex split, empty tokens skipped (the oracle filters them
+    * out too). No-token text → 0.
     */
   def simhash48(s: UTF8String): Long = {
     val bits = graft.sim.PortableHash.SimhashBits
-    val lowered = s.toLowerCase.trimAll().toString
-    if (lowered.isEmpty) return 0L
+    val lowered = s.toLowerCase.toString
+    var lo = 0
+    var hi = lowered.length
+    while (lo < hi && lowered.charAt(lo) == ' ') lo += 1
+    while (hi > lo && lowered.charAt(hi - 1) == ' ') hi -= 1
     val sums = new Array[Int](bits)
-    for (tok <- lowered.split("\\s+") if tok.nonEmpty) {
+    for (tok <- lowered.substring(lo, hi).split("\\s+", -1) if tok.nonEmpty) {
       val h = md5_48(UTF8String.fromString(tok))
       var i = 0
       while (i < bits) {

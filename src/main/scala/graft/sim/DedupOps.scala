@@ -107,22 +107,32 @@ object DedupOps {
     * 100 TB path (shuffle keyed on (band, bandHash), skew-safe because
     * identical-band collisions are exactly the near-dup candidates).
     */
-  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        n: Int = 3, k: Int = 32, bands: Int = 8,
-                        portable: Boolean = false): DataFrame = {
+  /** LSH band structs `(band, bh)` over signature components addressed
+    * by `part(i)` — the ONE place the band layout is defined, shared by
+    * [[minhashCandidates]] and the streaming ingest (and mirrored by the
+    * generated DuckDB band predicate). Production band key = 8-byte hash
+    * of the band's rows (narrow shuffle key); portable mode joins on the
+    * row VALUES themselves so the candidate set is exactly
+    * band-equality — no cross-engine hash.
+    */
+  private[graft] def bandStructs(part: Int => Column, k: Int, bands: Int,
+                                 portable: Boolean): Seq[Column] = {
     require(k % bands == 0, "k must divide into equal bands")
     val rows = k / bands
-    val sig = minhashSignatures(df, textCol, idCol, n, k, portable)
-    val bandCols = (0 until bands).map { bnd =>
-      val parts = (0 until rows).map(r => col(s"h${bnd * rows + r}"))
-      // production band key = 8-byte hash of the band's rows (narrow
-      // shuffle key); portable mode joins on the row VALUES themselves so
-      // the candidate set is exactly band-equality — no cross-engine hash
+    (0 until bands).map { bnd =>
+      val parts = (0 until rows).map(r => part(bnd * rows + r))
       val key =
         if (portable) struct(parts.zipWithIndex.map { case (c, r) => c.as(s"r$r") }: _*)
         else xxhash64(parts: _*)
       struct(lit(bnd).as("band"), key.as("bh"))
     }
+  }
+
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, k: Int = 32, bands: Int = 8,
+                        portable: Boolean = false): DataFrame = {
+    val sig = minhashSignatures(df, textCol, idCol, n, k, portable)
+    val bandCols = bandStructs(i => col(s"h$i"), k, bands, portable)
     val banded = sig.select(col(idCol), explode(array(bandCols: _*)).as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
     banded.as("x").join(banded.as("y"), Seq("band", "bh"))

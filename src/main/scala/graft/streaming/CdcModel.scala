@@ -35,9 +35,9 @@ final case class Event(
     props: String)
 
 /** State buffer for the running per-user aggregation demo. */
-/** A document row as streamed into [[NearDupIngest]]. */
-final case class DocRow(doc_id: Long, text: String)
-
 final case class UserRunningState(n: Long, total: Double)
 
 final case class UserRunningOutput(user_id: Long, n: Long, total: Double)
+
+/** A document row as streamed into [[NearDupIngest]]. */
+final case class DocRow(doc_id: Long, text: String)

@@ -42,16 +42,13 @@ object NearDupIngest {
 
   /** Explode a signature table into band rows `(doc_id, sig, band, bh,
     * bucket)` — `bh` is the band's raw component values (the join key),
-    * `bucket` its stable partition-pruning bucket.
+    * `bucket` its stable partition-pruning bucket. Band layout comes
+    * from [[DedupOps.bandStructs]] — the same single source of truth the
+    * batch candidates and the generated DuckDB band predicate use.
     */
   def bandRows(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
-    require(k % bands == 0, "k must divide into equal bands")
-    val rows = k / bands
-    val bandCols = (0 until bands).map { bnd =>
-      val parts = (0 until rows).map(r => col("sig").getItem(bnd * rows + r))
-      struct(lit(bnd).as("band"),
-        struct(parts.zipWithIndex.map { case (c, i) => c.as(s"r$i") }: _*).as("bh"))
-    }
+    val bandCols = DedupOps.bandStructs(i => col("sig").getItem(i), k, bands,
+      portable = true)
     sigs.select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("sig"),
         col("b.band").as("band"), col("b.bh").as("bh"))
@@ -61,28 +58,34 @@ object NearDupIngest {
 
   /** Candidate pairs between two band-row sets: band equi-join, then the
     * signature-match estimate. One row per (a_id, b_id) — a pair sharing
-    * several bands is counted once.
+    * several bands is counted once. `ordered = true` (for self-joins)
+    * keeps only a_id < b_id, BEFORE the estimate projection and the pair
+    * dedup shuffle — half the orientations never cost anything.
     */
-  private def estPairs(a: DataFrame, b: DataFrame): DataFrame =
+  private def estPairs(a: DataFrame, b: DataFrame,
+                       ordered: Boolean = false): DataFrame =
     a.select(col("band"), col("bh"), col("doc_id").as("a_id"),
         col("sig").as("a_sig"))
       .join(b.select(col("band"), col("bh"), col("doc_id").as("b_id"),
         col("sig").as("b_sig")), Seq("band", "bh"))
-      .filter(col("a_id") =!= col("b_id"))
+      .filter(if (ordered) col("a_id") < col("b_id")
+              else col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"),
         Kernels.sigEqFracCol(col("a_sig"), col("b_sig")).as("est"))
       .dropDuplicates("a_id", "b_id")
 
-  /** Per-doc verdict from est-filtered pairs: `is_dup` 0/1, `dup_of` the
-    * min matching earlier id (−1 sentinel when novel — the reference's
-    * IFNULL convention, and it keeps the column non-null for the oracle).
+  /** Per-doc verdict from est-filtered pairs: one row per id in `ids`
+    * (docs too short to shingle are trivially novel — every arriving doc
+    * gets a verdict), `is_dup` 0/1, `dup_of` the min matching earlier id
+    * (−1 sentinel when novel — the reference's IFNULL convention, and it
+    * keeps the column non-null for the oracle).
     */
-  private def verdicts(sigs: DataFrame, pairs: DataFrame,
+  private def verdicts(ids: DataFrame, pairs: DataFrame,
                        threshold: Double): DataFrame = {
     val dups = pairs.filter(col("est") >= threshold)
       .groupBy(col("b_id").as("doc_id"))
       .agg(min(col("a_id")).as("dup_match"))
-    sigs.select("doc_id").join(dups, Seq("doc_id"), "left")
+    ids.join(dups, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("dup_match").isNotNull, 1L).otherwise(0L).as("is_dup"),
         coalesce(col("dup_match"), lit(-1L)).as("dup_of"))
@@ -97,7 +100,8 @@ object NearDupIngest {
                 bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     val sigs = sigTable(docs, textCol, idCol, n, k)
     val br = bandRows(sigs, k, bands)
-    verdicts(sigs, estPairs(br, br).filter(col("a_id") < col("b_id")), threshold)
+    verdicts(docs.select(col(idCol).as("doc_id")),
+      estPairs(br, br, ordered = true), threshold)
       .orderBy("doc_id")
   }
 
@@ -119,8 +123,15 @@ object NearDupIngest {
           // partitions this batch can possibly collide with
           val buckets = newBands.select("bucket").distinct()
             .collect().map(_.getInt(0)).toSeq
+          // FS-agnostic existence probe — stateDir is an HDFS/object-store
+          // path on a cluster, where java.io.File would silently say "no
+          // state" and every doc would read as novel
+          val statePath = new org.apache.hadoop.fs.Path(stateDir)
+          val stateExists = statePath
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(statePath)
           val crossPairs =
-            if (new java.io.File(stateDir).exists()) {
+            if (stateExists) {
               // batch_id < batchId excludes THIS batch's own rows on a
               // replay; the bucket filter prunes directories, so the
               // state scan is proportional to the batch's key spread
@@ -133,10 +144,9 @@ object NearDupIngest {
               .withColumn("a_id", lit(0L)).withColumn("b_id", lit(0L))
               .withColumn("est", lit(0.0))
               .select("a_id", "b_id", "est")
-          val localPairs = estPairs(newBands, newBands)
-            .filter(col("a_id") < col("b_id"))
+          val localPairs = estPairs(newBands, newBands, ordered = true)
           val out = verdicts(
-            newBands.select("doc_id").distinct(),
+            batch.select(col(idCol).as("doc_id")).distinct(),
             crossPairs.unionByName(localPairs), threshold)
           // overwrite-into-own-partition makes at-least-once replays
           // idempotent for BOTH sinks (same pattern as the CDC apply)

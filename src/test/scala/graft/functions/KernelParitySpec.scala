@@ -172,7 +172,16 @@ class KernelParitySpec extends SparkSpec {
   }
 
   test("simhash48 kernel equals an independent driver-side re-implementation") {
+    // edge rows exercise the oracle-parity tokenization: space-only trim,
+    // empty tokens skipped, no-token text → 0
     val docs = Tables.documents(spark, sf).limit(50)
+      .select("doc_id", "text")
+      .union(spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(92001L, "\tfoo bar"),
+        org.apache.spark.sql.Row(92002L, "   "),
+        org.apache.spark.sql.Row(92003L, ""),
+        org.apache.spark.sql.Row(92004L, "one\n two")),
+        Tables.documents(spark, sf).select("doc_id", "text").schema))
     val got = graft.sim.DedupOps.simhash48(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -182,7 +191,9 @@ class KernelParitySpec extends SparkSpec {
       (0 until 6).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL))
     }
     val exp = docs.select("doc_id", "text").collect().map { r =>
-      val toks = r.getString(1).toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      val toks = r.getString(1).toLowerCase
+        .dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+        .split("\\s+", -1).filter(_.nonEmpty)
       val sums = new Array[Int](48)
       for (t <- toks; i <- 0 until 48)
         sums(i) += (if (((h48(t) >>> i) & 1L) == 1L) 1 else -1)
@@ -190,6 +201,7 @@ class KernelParitySpec extends SparkSpec {
         if (sums(i) > 0) fp | (1L << i) else fp)
     }.toMap
     assert(got == exp)
+    assert(got(92002L) == 0L && got(92003L) == 0L)
   }
 
   test("portable simhash near-dup output is exactly the hamming<=k pair set") {

@@ -46,6 +46,18 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** [[writeBucketed]] only when the table isn't already in the session
+    * catalog — the pay-the-shuffle-ONCE contract: a repeated query run
+    * (bench priming + timed run, or many queries sharing a layout)
+    * reuses the existing layout instead of rebuilding it. A table left
+    * on disk by a PREVIOUS session is not in the in-memory catalog, so
+    * a fresh session still rebuilds (through [[clearStale]]).
+    */
+  def ensureBucketed(df: DataFrame, table: String, key: String,
+                     buckets: Int): Unit =
+    if (!df.sparkSession.catalog.tableExists(table))
+      writeBucketed(df, table, key, buckets)
+
   /** Write `df` as a directory-partitioned managed table: one directory
     * per distinct `partCol` value. A reader filtering on the partition
     * column never opens the other directories (partition pruning — the
@@ -56,6 +68,13 @@ object Bucketing {
     clearStale(df.sparkSession, table)
     df.write.mode("overwrite").partitionBy(partCol).saveAsTable(table)
   }
+
+  /** [[writePartitioned]] only when absent from the session catalog —
+    * same pay-once economics as [[ensureBucketed]].
+    */
+  def ensurePartitioned(df: DataFrame, table: String, partCol: String): Unit =
+    if (!df.sparkSession.catalog.tableExists(table))
+      writePartitioned(df, table, partCol)
 
   /** Bucket-aware inner equi-join of two saved bucketed tables. The
     * `merge` hint pins the sort-merge strategy (AQE would otherwise

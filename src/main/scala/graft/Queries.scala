@@ -417,6 +417,36 @@ object Queries {
         .stripMargin.replaceAll("\n", ""))),
 
     // Window running aggregate (exact decimal running sum)
+    // Value-based RANGE frame: peers within $1000 of spend below the
+    // current order, per customer. Unlike ROWS frames, a RANGE frame's
+    // membership is defined by ORDER-BY VALUE, so ties contribute
+    // identically regardless of their physical order — deterministic
+    // with no tiebreak column.
+    Q("q_window_range_frame",
+      (s, d) => {
+        // Spark's long-valued RANGE boundary needs an integral order key
+        // → order on exact cents (both engines round the same 2-decimal
+        // doubles to the same integers)
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(cents)
+          .rangeBetween(-100000L, Window.currentRow)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            count(lit(1)).over(w).as("n_in_band"),
+            sum(exactSumExpr(col("o_totalprice"))).over(w).cast("double")
+              .as("band_spend"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+        | count(*) OVER w AS n_in_band,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE) AS band_spend
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_custkey
+        |   ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+        |   RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW)
+        | ORDER BY o_orderkey""".stripMargin.replaceAll("\n", ""))),
+
     Q("q_window_running",
       (s, d) => {
         val w = Window.partitionBy(col("o_custkey"))
@@ -641,6 +671,26 @@ object Queries {
         | CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
         | CAST(sum(CASE WHEN l_linestatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // UNPIVOT (melt) — the inverse of PIVOT: measure columns become
+    // (measure, val) rows. Narrow map-side fanout, no shuffle.
+    Q("q_unpivot",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure"),
+      Some("""SELECT l_orderkey, l_linenumber, measure, val FROM (
+        | SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |   l_quantity AS val FROM lineitem WHERE l_orderkey <= 100
+        | UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |   l_extendedprice FROM lineitem WHERE l_orderkey <= 100
+        | UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+        |   l_discount FROM lineitem WHERE l_orderkey <= 100)
+        | ORDER BY l_orderkey, l_linenumber, measure"""
         .stripMargin.replaceAll("\n", ""))),
 
     // from_json → typed MapType → explode (map fanout)

@@ -17,7 +17,10 @@ import graft.functions.Kernels
   *
   * After either, plain SQL can call `graft_fingerprint(text)`,
   * `graft_simhash(text)`, `graft_cosine(a, b)`, `graft_shingles(text, n)`,
-  * `graft_minhash(shingles, k)` — all codegen'd StaticInvoke kernels.
+  * `graft_minhash(shingles, k)`, `graft_lang_id(text)`, and the portable
+  * cross-engine family `graft_md5_48(text)` / `graft_simhash48(text)` /
+  * `graft_minhash_portable(shingles, k)` — all codegen'd StaticInvoke
+  * kernels.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -49,7 +52,15 @@ object GraftFunctions {
     "graft_minhash" -> arity("graft_minhash", 2)(es =>
       Kernels.minhashExpr(es(0), es(1))),
     "graft_lang_id" -> arity("graft_lang_id", 1)(es =>
-      Kernels.langIdExpr(es.head)))
+      Kernels.langIdExpr(es.head)),
+    // portable (cross-engine md5-derived) hash family — see
+    // graft.sim.PortableHash
+    "graft_md5_48" -> arity("graft_md5_48", 1)(es =>
+      Kernels.md5_48Expr(es.head)),
+    "graft_simhash48" -> arity("graft_simhash48", 1)(es =>
+      Kernels.simhash48Expr(es.head)),
+    "graft_minhash_portable" -> arity("graft_minhash_portable", 2)(es =>
+      Kernels.minhashPortableExpr(es(0), es(1))))
 
   /** Register all kernels as temp functions on a running session. */
   def register(spark: SparkSession): Unit =

@@ -527,6 +527,13 @@ object Kernels {
     invokeExpr(StringType, "langId", Seq(e))
   def simhashExpr(e: Expression): Expression =
     invokeExpr(LongType, "simhash64", Seq(e))
+  def simhash48Expr(e: Expression): Expression =
+    invokeExpr(LongType, "simhash48", Seq(e))
+  def md5_48Expr(e: Expression): Expression =
+    invokeExpr(LongType, "md5_48", Seq(e))
+  def minhashPortableExpr(sh: Expression, k: Expression): Expression =
+    invokeExpr(ArrayType(LongType, containsNull = false),
+      "minhashSigPortable", Seq(sh, k))
   def shinglesExpr(text: Expression, n: Expression): Expression =
     invokeExpr(ArrayType(StringType, containsNull = false), "shingles", Seq(text, n))
   def minhashExpr(sh: Expression, k: Expression): Expression =

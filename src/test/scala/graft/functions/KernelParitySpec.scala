@@ -222,6 +222,24 @@ class KernelParitySpec extends SparkSpec {
     assert(viaBands == brute)
   }
 
+  test("portable hash family is callable from plain SQL and matches Column forms") {
+    graft.GraftFunctions.register(spark)
+    Tables.documents(spark, sf).limit(30).createOrReplaceTempView("docs_ph")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_md5_48(text) AS h, graft_simhash48(text) AS s,
+        | graft_minhash_portable(graft_shingles(text, 3), 4) AS m
+        | FROM docs_ph""".stripMargin)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Long](3)))).toMap
+    val viaCol = Tables.documents(spark, sf).limit(30)
+      .select(col("doc_id"), Kernels.md5_48Col(col("text")).as("h"),
+        Kernels.simhash48Col(col("text")).as("s"),
+        Kernels.minhashPortableCol(Kernels.shinglesCol(col("text"), 3), 4).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Long](3)))).toMap
+    assert(viaSql == viaCol)
+  }
+
   test("exact decimal sums are bit-identical under any repartitioning") {
     val li = Tables.lineitem(spark, sf)
     def total(parts: Int): Double = li.repartition(parts)

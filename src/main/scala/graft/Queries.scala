@@ -673,6 +673,81 @@ object Queries {
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // Ordered string aggregation (LISTAGG/string_agg): per-group sorted
+    // concat — deterministic because the collected list is sorted before
+    // joining (collect_list alone has no order guarantee under parallel
+    // aggregation).
+    Q("q_string_agg",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 500)
+        .groupBy("o_orderpriority")
+        .agg(
+          array_join(sort_array(collect_list(col("o_orderkey").cast("string"))),
+            ",").as("keys"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+        | string_agg(CAST(o_orderkey AS VARCHAR), ','
+        |   ORDER BY CAST(o_orderkey AS VARCHAR)) AS keys,
+        | count(*) AS n FROM orders WHERE o_orderkey <= 500
+        | GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // match each other instead of vanishing — the semantics ETL needs
+    // when joining on nullable dimensions. Null keys are synthesized
+    // with nullif (fixtures are null-free), and the output uses the
+    // reference's IFNULL(-1) sentinel so the compare never sees NULL.
+    Q("q_null_safe_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .select(nullif(col("c_nationkey") % 3, lit(1)).as("k"),
+            col("c_custkey"))
+        val su = Tables.supplier(s, d)
+          .select(nullif(col("s_nationkey") % 3, lit(1)).as("k"),
+            col("s_suppkey"))
+        c.join(su, c("k") <=> su("k"))
+          .groupBy(coalesce(c("k"), lit(-1L)).as("k"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("c_custkey")).as("n_cust"),
+            countDistinct(col("s_suppkey")).as("n_supp"))
+          .orderBy("k")
+      },
+      Some("""SELECT coalesce(ck, -1) AS k, count(*) AS n_pairs,
+        | count(DISTINCT c_custkey) AS n_cust,
+        | count(DISTINCT s_suppkey) AS n_supp
+        | FROM (SELECT nullif(c_nationkey % 3, 1) AS ck, c_custkey FROM customer) c
+        | JOIN (SELECT nullif(s_nationkey % 3, 1) AS sk, s_suppkey FROM supplier) s
+        | ON ck IS NOT DISTINCT FROM sk
+        | GROUP BY coalesce(ck, -1) ORDER BY k""".stripMargin.replaceAll("\n", ""))),
+
+    // Time-spine gap fill (sparse → dense resample): generate the full
+    // hourly spine between the corpus bounds, left-join the hourly
+    // counts, zero-fill the holes. The spine is rows-from-one-row
+    // (sequence + explode) — no driver loop; the join is
+    // spine ⟕ aggregated counts, both tiny next to the event scan.
+    Q("q_time_spine",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(date_trunc("hour", col("ts")).as("bucket"))
+        val bounds = ev.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+        val spine = bounds.select(
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+            .as("bucket"))
+        val counts = ev.groupBy("bucket").agg(count(lit(1)).as("n"))
+        spine.join(counts, Seq("bucket"), "left")
+          .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("bucket")
+      },
+      Some("""WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |   date_trunc('hour', max(ts)) AS hi FROM events),
+        | sp AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM b),
+        | c AS (SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+        |   FROM events GROUP BY 1)
+        | SELECT sp.bucket, coalesce(c.n, 0) AS n FROM sp
+        | LEFT JOIN c USING (bucket) ORDER BY bucket"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // UNPIVOT (melt) — the inverse of PIVOT: measure columns become
     // (measure, val) rows. Narrow map-side fanout, no shuffle.
     Q("q_unpivot",

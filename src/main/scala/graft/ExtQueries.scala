@@ -389,6 +389,78 @@ object ExtQueries {
         | FROM documents) t GROUP BY word ORDER BY n DESC, word LIMIT 50"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // X4 vocabulary build: token → dense id by frequency rank (count
+    // desc, token asc tiebreak — fully deterministic). The id assignment
+    // is a window over the aggregated vocab (|tokens| rows), not the
+    // token stream; at 100 TB the heavy input collapses in the map-side
+    // combine of the count.
+    Q("x_vocab",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // top-N FIRST (TakeOrderedAndProject: per-partition heaps, N rows
+        // to the driver-side stage), THEN the global rank window over
+        // only N rows — never a single-partition window over the full
+        // vocabulary, which at 100 TB is millions of tokens
+        val top = Tables.documents(s, d)
+          .select(explode(TextFunctions.tokens(lower(col("text")))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token")).limit(200)
+        top.select(col("token"), col("n"),
+          row_number().over(Window.orderBy(col("n").desc, col("token")))
+            .cast("long").as("token_id"))
+          .orderBy("token_id")
+      },
+      Some("""SELECT token, n, token_id FROM (SELECT token, n,
+        | CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id
+        | FROM (SELECT token, count(*) AS n FROM (SELECT
+        |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |   FROM documents) t GROUP BY token))
+        | WHERE token_id <= 200 ORDER BY token_id"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // X4 corpus encoding: each doc becomes (pos, token_id) rows via a
+    // broadcast join against the vocabulary — the tokenize-and-encode
+    // step of a training-data pipeline (out-of-vocab tokens map to the
+    // -1 sentinel; rows, not arrays, so the layout is shuffle-friendly
+    // and the oracle compare stays scalar).
+    Q("x_token_ids",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // same top-N-then-rank shape as x_vocab (no full-vocab window)
+        val vocab = Tables.documents(s, d)
+          .select(explode(TextFunctions.tokens(lower(col("text")))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token")).limit(100)
+          .select(col("token"),
+            row_number().over(Window.orderBy(col("n").desc, col("token")))
+              .cast("long").as("token_id"))
+        Tables.documents(s, d)
+          .filter(col("doc_id") <= 50)
+          .select(col("doc_id"),
+            posexplode(TextFunctions.tokens(lower(col("text")))))
+          .withColumnRenamed("pos", "pos0")
+          .select(col("doc_id"), col("pos0").cast("long").as("pos"),
+            col("col").as("token"))
+          .join(broadcast(vocab), Seq("token"), "left")
+          .select(col("doc_id"), col("pos"),
+            coalesce(col("token_id"), lit(-1L)).as("token_id"))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH v AS (SELECT token, token_id FROM (SELECT token,
+        | CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id
+        | FROM (SELECT token, count(*) AS n FROM (SELECT
+        |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |   FROM documents) t GROUP BY token)) WHERE token_id <= 100),
+        | w AS (SELECT doc_id,
+        |   regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |   FROM documents WHERE doc_id <= 50),
+        | tok AS (SELECT doc_id, unnest(list_transform(range(len(w)),
+        |   i -> struct_pack(pos := i, tk := w[i+1]))) AS u FROM w)
+        | SELECT tok.doc_id, CAST(tok.u.pos AS BIGINT) AS pos,
+        |   coalesce(v.token_id, -1) AS token_id
+        | FROM tok LEFT JOIN v ON tok.u.tk = v.token
+        | ORDER BY doc_id, pos""".stripMargin.replaceAll("\n", ""))),
+
     // X4 composite quality score (same double-op order in both engines)
     Q("x_quality_score",
       (s, d) => Tables.documents(s, d).select(

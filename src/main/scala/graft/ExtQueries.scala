@@ -58,6 +58,33 @@ object ExtQueries {
     }.mkString(" OR ")
   }
 
+  /** Frequency-ranked top-`n` vocabulary `(token, n, token_id)` — ids
+    * dense by (count desc, token) rank. Top-N FIRST
+    * (TakeOrderedAndProject: per-partition heaps), THEN the rank window
+    * over only N rows — never a single-partition window over the full
+    * vocabulary, which at 100 TB is millions of tokens. Shared by
+    * x_vocab and x_token_ids (and mirrored by [[vocabSql]]).
+    */
+  private def vocabTop(docs: org.apache.spark.sql.DataFrame, n: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(explode(TextFunctions.tokens(lower(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(n)
+      .select(col("token"), col("n"),
+        row_number().over(Window.orderBy(col("n").desc, col("token")))
+          .cast("long").as("token_id"))
+  }
+
+  /** DuckDB twin of [[vocabTop]] (subquery form, columns token/n/token_id). */
+  private def vocabSql(n: Int): String =
+    s"""(SELECT token, n, token_id FROM (SELECT token, n,
+      | CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id
+      | FROM (SELECT token, count(*) AS n FROM (SELECT
+      |   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      |   FROM documents) t GROUP BY token))
+      | WHERE token_id <= $n)""".stripMargin.replaceAll("\n", "")
+
   /** Per-doc portable 48-bit SimHash fingerprints as a CTE chain. */
   private val simhash48Cte = {
     val bits = graft.sim.PortableHash.SimhashBits
@@ -395,28 +422,8 @@ object ExtQueries {
     // token stream; at 100 TB the heavy input collapses in the map-side
     // combine of the count.
     Q("x_vocab",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        // top-N FIRST (TakeOrderedAndProject: per-partition heaps, N rows
-        // to the driver-side stage), THEN the global rank window over
-        // only N rows — never a single-partition window over the full
-        // vocabulary, which at 100 TB is millions of tokens
-        val top = Tables.documents(s, d)
-          .select(explode(TextFunctions.tokens(lower(col("text")))).as("token"))
-          .groupBy("token").agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("token")).limit(200)
-        top.select(col("token"), col("n"),
-          row_number().over(Window.orderBy(col("n").desc, col("token")))
-            .cast("long").as("token_id"))
-          .orderBy("token_id")
-      },
-      Some("""SELECT token, n, token_id FROM (SELECT token, n,
-        | CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id
-        | FROM (SELECT token, count(*) AS n FROM (SELECT
-        |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
-        |   FROM documents) t GROUP BY token))
-        | WHERE token_id <= 200 ORDER BY token_id"""
-        .stripMargin.replaceAll("\n", ""))),
+      (s, d) => vocabTop(Tables.documents(s, d), 200).orderBy("token_id"),
+      Some(s"SELECT token, n, token_id FROM ${vocabSql(200)} ORDER BY token_id")),
 
     // X4 corpus encoding: each doc becomes (pos, token_id) rows via a
     // broadcast join against the vocabulary — the tokenize-and-encode
@@ -425,34 +432,21 @@ object ExtQueries {
     // and the oracle compare stays scalar).
     Q("x_token_ids",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        // same top-N-then-rank shape as x_vocab (no full-vocab window)
-        val vocab = Tables.documents(s, d)
-          .select(explode(TextFunctions.tokens(lower(col("text")))).as("token"))
-          .groupBy("token").agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("token")).limit(100)
-          .select(col("token"),
-            row_number().over(Window.orderBy(col("n").desc, col("token")))
-              .cast("long").as("token_id"))
+        val vocab = vocabTop(Tables.documents(s, d), 100).drop("n")
         Tables.documents(s, d)
           .filter(col("doc_id") <= 50)
           .select(col("doc_id"),
             posexplode(TextFunctions.tokens(lower(col("text")))))
-          .withColumnRenamed("pos", "pos0")
-          .select(col("doc_id"), col("pos0").cast("long").as("pos"),
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
             col("col").as("token"))
           .join(broadcast(vocab), Seq("token"), "left")
           .select(col("doc_id"), col("pos"),
             coalesce(col("token_id"), lit(-1L)).as("token_id"))
           .orderBy("doc_id", "pos")
       },
-      Some("""WITH v AS (SELECT token, token_id FROM (SELECT token,
-        | CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id
-        | FROM (SELECT token, count(*) AS n FROM (SELECT
-        |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
-        |   FROM documents) t GROUP BY token)) WHERE token_id <= 100),
+      Some(s"""WITH v AS (SELECT token, token_id FROM ${vocabSql(100)}),
         | w AS (SELECT doc_id,
-        |   regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |   regexp_split_to_array(trim(lower(text)), '\\s+') AS w
         |   FROM documents WHERE doc_id <= 50),
         | tok AS (SELECT doc_id, unnest(list_transform(range(len(w)),
         |   i -> struct_pack(pos := i, tk := w[i+1]))) AS u FROM w)

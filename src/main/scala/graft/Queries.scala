@@ -416,7 +416,6 @@ object Queries {
         | FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn"""
         .stripMargin.replaceAll("\n", ""))),
 
-    // Window running aggregate (exact decimal running sum)
     // Value-based RANGE frame: peers within $1000 of spend below the
     // current order, per customer. Unlike ROWS frames, a RANGE frame's
     // membership is defined by ORDER-BY VALUE, so ties contribute
@@ -447,6 +446,7 @@ object Queries {
         |   RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW)
         | ORDER BY o_orderkey""".stripMargin.replaceAll("\n", ""))),
 
+    // Window running aggregate (exact decimal running sum)
     Q("q_window_running",
       (s, d) => {
         val w = Window.partitionBy(col("o_custkey"))

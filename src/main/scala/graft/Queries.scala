@@ -748,6 +748,44 @@ object Queries {
         | LEFT JOIN c USING (bucket) ORDER BY bucket"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // Ordered funnel (view → click → purchase): each stage is the
+    // earliest qualifying event STRICTLY AFTER the user's previous
+    // stage. Three keyed aggregations + equi-joins on user_id — every
+    // shuffle is on the user key, so the funnel scales with users, not
+    // with event volume (stage tables shrink monotonically).
+    Q("q_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") > col("v_ts"))
+          .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts") > col("c_ts"))
+          .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+        // stage-labeled rows (not a 1×1×1 cross join of scalar counts):
+        // keeps the registry's no-cartesian invariant absolute
+        v.agg(count(lit(1)).as("n")).select(lit("1_view").as("stage"), col("n"))
+          .unionByName(c.agg(count(lit(1)).as("n"))
+            .select(lit("2_click").as("stage"), col("n")))
+          .unionByName(p.agg(count(lit(1)).as("n"))
+            .select(lit("3_purchase").as("stage"), col("n")))
+          .orderBy("stage")
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |   WHERE event_type = 'view' GROUP BY 1),
+        | c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |   JOIN v ON e.user_id = v.user_id
+        |   WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+        | p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |   JOIN c ON e.user_id = c.user_id
+        |   WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+        | SELECT '1_view' AS stage, count(*) AS n FROM v
+        | UNION ALL SELECT '2_click', count(*) FROM c
+        | UNION ALL SELECT '3_purchase', count(*) FROM p
+        | ORDER BY stage""".stripMargin.replaceAll("\n", ""))),
+
     // UNPIVOT (melt) — the inverse of PIVOT: measure columns become
     // (measure, val) rows. Narrow map-side fanout, no shuffle.
     Q("q_unpivot",

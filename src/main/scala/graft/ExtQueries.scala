@@ -455,6 +455,51 @@ object ExtQueries {
         | FROM tok LEFT JOIN v ON tok.u.tk = v.token
         | ORDER BY doc_id, pos""".stripMargin.replaceAll("\n", ""))),
 
+    // X1 decontamination: held-out (test-split) docs that are near-dups
+    // of training-split docs — the standard pre-training hygiene check.
+    // Composes the deterministic hash split with the portable MinHash
+    // band join: train×test candidates come from shared bands only
+    // (never a cross join between the corpora), verified by the
+    // signature component-match estimate.
+    Q("x_contamination",
+      (s, d) => {
+        import graft.streaming.NearDupIngest
+        val docs = Tables.documents(s, d)
+        val split = docs.select(col("doc_id"),
+          (graft.functions.Kernels.md5_48Col(
+            concat(col("source"), lit("|"), col("doc_id").cast("string")))
+            % 100).as("bucket"))
+        val br = NearDupIngest.bandRows(
+          NearDupIngest.sigTable(docs, "text", "doc_id", 3, 16), 16, 8)
+        val trainB = br.join(
+          split.filter(col("bucket") < 95).select("doc_id"), "doc_id")
+        val testB = br.join(
+          split.filter(col("bucket") >= 95).select("doc_id"), "doc_id")
+        NearDupIngest.estPairs(trainB, testB)
+          .filter(col("est") >= 0.5)
+          .select(col("b_id").as("test_id"), col("a_id").as("train_id"),
+            col("est"))
+          .orderBy("test_id", "train_id")
+      },
+      Some {
+        val est = (0 until 16)
+          .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        minhashSigCte(16) +
+          s""", sp AS (SELECT doc_id,
+          |   (${md5Fold("source || '|' || CAST(doc_id AS VARCHAR)")}) % 100 AS bucket
+          |   FROM documents)
+          | SELECT test_id, train_id, est FROM (
+          |   SELECT pb.doc_id AS test_id, pa.doc_id AS train_id,
+          |     ($est) / 16.0 AS est
+          |   FROM sig a JOIN sp pa ON a.doc_id = pa.doc_id AND pa.bucket < 95
+          |   JOIN sig b ON (${bandPred(16, 8)})
+          |   JOIN sp pb ON b.doc_id = pb.doc_id AND pb.bucket >= 95
+          |     AND pb.doc_id <> pa.doc_id)
+          | WHERE est >= 0.5 ORDER BY test_id, train_id"""
+            .stripMargin.replaceAll("\n", "")
+      }),
+
     // X4 composite quality score (same double-op order in both engines)
     Q("x_quality_score",
       (s, d) => Tables.documents(s, d).select(

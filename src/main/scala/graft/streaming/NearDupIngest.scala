@@ -62,8 +62,8 @@ object NearDupIngest {
     * keeps only a_id < b_id, BEFORE the estimate projection and the pair
     * dedup shuffle — half the orientations never cost anything.
     */
-  private def estPairs(a: DataFrame, b: DataFrame,
-                       ordered: Boolean = false): DataFrame =
+  private[graft] def estPairs(a: DataFrame, b: DataFrame,
+                              ordered: Boolean = false): DataFrame =
     a.select(col("band"), col("bh"), col("doc_id").as("a_id"),
         col("sig").as("a_sig"))
       .join(b.select(col("band"), col("bh"), col("doc_id").as("b_id"),

@@ -47,6 +47,25 @@ object ExtQueries {
       s", sig AS (SELECT doc_id, sh, $sigCols FROM hm)"
   }
 
+  /** Signature component-match Jaccard estimate between sig rows `a`
+    * and `b` — the SQL twin of Kernels.sigEqFrac.
+    */
+  private def estSql(k: Int): String =
+    (0 until k).map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", s") / $k.0")
+
+  /** Deterministic split bucket of a document — hash of (source, doc_id),
+    * content-independent. ONE definition (Column + SQL twin) shared by
+    * x_hash_split and x_contamination: the decontamination check is only
+    * meaningful against the exact split the pipeline ships.
+    */
+  private def splitBucketCol: org.apache.spark.sql.Column =
+    graft.functions.Kernels.md5_48Col(
+      concat(col("source"), lit("|"), col("doc_id").cast("string"))) % 100
+
+  private val splitBucketSql: String =
+    s"(${md5Fold("source || '|' || CAST(doc_id AS VARCHAR)")}) % 100"
+
   /** OR-of-band-equality predicate between sig rows `a` and `b` —
     * the SQL twin of the engine's LSH band candidate join.
     */
@@ -209,12 +228,9 @@ object ExtQueries {
         Tables.documents(s, d), "text", "doc_id",
         n = 3, k = 16, bands = 8, threshold = 0.5),
       Some {
-        val est = (0 until 16)
-          .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
-          .mkString(" + ")
         minhashSigCte(16) +
           s""", pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-          |   ($est) / 16.0 AS est
+          |   ${estSql(16)} AS est
           |   FROM sig a JOIN sig b
           |   ON a.doc_id < b.doc_id AND (${bandPred(16, 8)})),
           | du AS (SELECT b_id AS doc_id, CAST(min(a_id) AS BIGINT) AS dup_match
@@ -465,40 +481,32 @@ object ExtQueries {
       (s, d) => {
         import graft.streaming.NearDupIngest
         val docs = Tables.documents(s, d)
-        val split = docs.select(col("doc_id"),
-          (graft.functions.Kernels.md5_48Col(
-            concat(col("source"), lit("|"), col("doc_id").cast("string")))
-            % 100).as("bucket"))
-        val br = NearDupIngest.bandRows(
-          NearDupIngest.sigTable(docs, "text", "doc_id", 3, 16), 16, 8)
-        val trainB = br.join(
-          split.filter(col("bucket") < 95).select("doc_id"), "doc_id")
-        val testB = br.join(
-          split.filter(col("bucket") >= 95).select("doc_id"), "doc_id")
-        NearDupIngest.estPairs(trainB, testB)
+        val split = docs.select(col("doc_id"), splitBucketCol.as("bucket"))
+        val sigs = NearDupIngest.sigTable(docs, "text", "doc_id", 3, 16)
+        // split-filter the 1-row-per-doc sig table, THEN explode bands:
+        // the doc_id joins move 1 row/doc, not 8 band rows each carrying
+        // the signature payload. Strictly train (< 90) — a valid-split
+        // near-dup is not train contamination.
+        def side(f: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+          NearDupIngest.bandRows(
+            sigs.join(split.filter(f).select("doc_id"), "doc_id"), 16, 8)
+        NearDupIngest.estPairs(side(col("bucket") < 90),
+            side(col("bucket") >= 95))
           .filter(col("est") >= 0.5)
           .select(col("b_id").as("test_id"), col("a_id").as("train_id"),
             col("est"))
           .orderBy("test_id", "train_id")
       },
-      Some {
-        val est = (0 until 16)
-          .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
-          .mkString(" + ")
-        minhashSigCte(16) +
-          s""", sp AS (SELECT doc_id,
-          |   (${md5Fold("source || '|' || CAST(doc_id AS VARCHAR)")}) % 100 AS bucket
-          |   FROM documents)
-          | SELECT test_id, train_id, est FROM (
-          |   SELECT pb.doc_id AS test_id, pa.doc_id AS train_id,
-          |     ($est) / 16.0 AS est
-          |   FROM sig a JOIN sp pa ON a.doc_id = pa.doc_id AND pa.bucket < 95
-          |   JOIN sig b ON (${bandPred(16, 8)})
-          |   JOIN sp pb ON b.doc_id = pb.doc_id AND pb.bucket >= 95
-          |     AND pb.doc_id <> pa.doc_id)
-          | WHERE est >= 0.5 ORDER BY test_id, train_id"""
-            .stripMargin.replaceAll("\n", "")
-      }),
+      Some(minhashSigCte(16) +
+        s""", sp AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
+        | SELECT test_id, train_id, est FROM (
+        |   SELECT pb.doc_id AS test_id, pa.doc_id AS train_id,
+        |     ${estSql(16)} AS est
+        |   FROM sig a JOIN sp pa ON a.doc_id = pa.doc_id AND pa.bucket < 90
+        |   JOIN sig b ON (${bandPred(16, 8)})
+        |   JOIN sp pb ON b.doc_id = pb.doc_id AND pb.bucket >= 95)
+        | WHERE est >= 0.5 ORDER BY test_id, train_id"""
+          .stripMargin.replaceAll("\n", ""))),
 
     // X4 composite quality score (same double-op order in both engines)
     Q("x_quality_score",
@@ -722,20 +730,16 @@ object ExtQueries {
     // held-out sets reproducible at 100 TB; no shuffled sampling state).
     // Narrow map-only plan: zero shuffles, zero joins.
     Q("x_hash_split",
-      (s, d) => {
-        val key = concat(col("source"), lit("|"), col("doc_id").cast("string"))
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            (graft.functions.Kernels.md5_48Col(key) % 100).as("bucket"))
-          .select(col("doc_id"), col("bucket"),
-            when(col("bucket") < 90, "train")
-              .when(col("bucket") < 95, "valid")
-              .otherwise("test").as("split"))
-          .orderBy("doc_id")
-      },
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), splitBucketCol.as("bucket"))
+        .select(col("doc_id"), col("bucket"),
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "valid")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id"),
       Some("SELECT doc_id, b AS bucket, CASE WHEN b < 90 THEN 'train' " +
         "WHEN b < 95 THEN 'valid' ELSE 'test' END AS split FROM " +
-        s"(SELECT doc_id, (${md5Fold("source || '|' || CAST(doc_id AS VARCHAR)")}) % 100 AS b " +
+        s"(SELECT doc_id, $splitBucketSql AS b " +
         "FROM documents) ORDER BY doc_id")),
 
     // X4 repetition quality signals (the Gopher-style repetition rules):

@@ -786,6 +786,38 @@ object Queries {
         | UNION ALL SELECT '3_purchase', count(*) FROM p
         | ORDER BY stage""".stripMargin.replaceAll("\n", ""))),
 
+    // Weekly retention cohorts: users grouped by signup week, counted
+    // distinct-active per week offset. Week truncation is Monday-based
+    // in both engines and both weeks are truncated, so the day
+    // difference is an exact multiple of 7 — the offset arithmetic is
+    // integer-exact. Shuffles key on user_id then (cohort, offset):
+    // both collapse fast under partial aggregation.
+    Q("q_retention_cohort",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cohort = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id")
+          .agg(to_date(date_trunc("week", min(col("ts")))).as("cw"))
+        val active = ev.select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("aw")).distinct()
+        cohort.join(active, "user_id")
+          .filter(col("aw") >= col("cw"))
+          .groupBy(col("cw").as("cohort"),
+            (datediff(col("aw"), col("cw")) / 7).cast("long").as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort", "week_offset")
+      },
+      Some("""WITH c AS (SELECT user_id,
+        |   CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+        |   FROM events WHERE event_type = 'signup' GROUP BY 1),
+        | a AS (SELECT DISTINCT user_id,
+        |   CAST(date_trunc('week', ts) AS DATE) AS aw FROM events)
+        | SELECT c.cw AS cohort,
+        |   CAST(date_diff('day', c.cw, a.aw) / 7 AS BIGINT) AS week_offset,
+        |   count(DISTINCT a.user_id) AS n_users
+        | FROM c JOIN a ON c.user_id = a.user_id AND a.aw >= c.cw
+        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", ""))),
+
     // UNPIVOT (melt) — the inverse of PIVOT: measure columns become
     // (measure, val) rows. Narrow map-side fanout, no shuffle.
     Q("q_unpivot",

@@ -173,4 +173,18 @@ class SimSpec extends SparkSpec {
     assert(probedRecall >= recall,
       s"multi-probe recall $probedRecall below base $recall")
   }
+
+  test("portable permutation constants are distinct, nonzero, in range") {
+    import PortableHash._
+    val k = 64
+    val as = (0 until k).map(permA)
+    val bs = (0 until k).map(permB)
+    assert(as.forall(a => a > 0 && a < P), "multipliers must be in (0, P)")
+    assert(bs.forall(b => b >= 0 && b < P), "offsets must be in [0, P)")
+    assert(as.distinct.size == k, "multipliers must be pairwise distinct")
+    assert(bs.distinct.size == k, "offsets must be pairwise distinct")
+    // products with any h < P stay inside a signed 64-bit long
+    assert(as.max <= (Long.MaxValue - P) / (P - 1),
+      "permutation product may overflow a signed long")
+  }
 }

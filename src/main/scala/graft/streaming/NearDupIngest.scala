@@ -105,6 +105,70 @@ object NearDupIngest {
       .orderBy("doc_id")
   }
 
+  /** Compact the ingest state: merge every `batch_id=*` partition into
+    * the NEWEST one and drop the rest — a long-running ingest otherwise
+    * accumulates one directory per micro-batch and every state read
+    * pays an ever-growing file listing. Call with the stream STOPPED
+    * (between runs); the checkpoint has committed past every existing
+    * batch, so `batch_id < next` still admits the merged rows.
+    *
+    * Crash-safe by duplicate tolerance: the swap order is
+    * staging-write → rename newest aside (`__old`) → rename staging in
+    * → delete `__old` → delete older batch dirs. Candidate pairs are
+    * deduped and verdicts take a min, so a reader that briefly sees a
+    * row in BOTH the merged dir and a not-yet-deleted older dir gets
+    * identical results; the only unreadable window (newest dir mid-
+    * rename) is healed by [[recoverState]], which every compact run
+    * performs first.
+    */
+  def compactState(spark: org.apache.spark.sql.SparkSession,
+                   stateDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    recoverState(spark, stateDir)
+    val batchDirs = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("batch_id="))
+    if (batchDirs.length < 2) return
+    val maxId = batchDirs.map(_.getName.stripPrefix("batch_id=").toLong).max
+    val merged = spark.read.parquet(stateDir)
+      .select("doc_id", "sig", "band", "bh", "bucket")
+    val staging = new Path(root, "_compact_tmp")
+    fs.delete(staging, true)
+    merged.write.mode("overwrite").partitionBy("bucket")
+      .parquet(staging.toString)
+    val live = new Path(root, s"batch_id=$maxId")
+    val old = new Path(root, s"batch_id=${maxId}__old")
+    fs.rename(live, old)
+    fs.rename(staging, live)
+    fs.delete(old, true)
+    batchDirs.map(_.getName.stripPrefix("batch_id=").toLong)
+      .filter(_ != maxId)
+      .foreach(id => fs.delete(new Path(root, s"batch_id=$id"), true))
+  }
+
+  /** Heal an interrupted [[compactState]] swap: a `__old` directory with
+    * no live sibling is renamed back (the staging rename never happened
+    * or half-happened); a leftover `_compact_tmp` is discarded either
+    * way (it is re-derivable).
+    */
+  def recoverState(spark: org.apache.spark.sql.SparkSession,
+                   stateDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.endsWith("__old")).foreach { old =>
+        val live = new Path(root, old.getName.stripSuffix("__old"))
+        if (!fs.exists(live)) { fs.rename(old, live); () }
+        else { fs.delete(old, true); () }
+      }
+    fs.delete(new Path(root, "_compact_tmp"), true)
+    ()
+  }
+
   /** Start the streaming ingest: verdicts land in `outDir/batch_id=N/`,
     * signature state in `stateDir/batch_id=N/bucket=B/`.
     */

@@ -211,6 +211,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest state compaction merges batches, heals swaps, stream resumes") {
+    implicit val ctx = spark.sqlContext
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").orderBy("doc_id")
+      .as[DocRow].collect()
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("neardup_compact_").toString
+    val state = s"$dir/state"
+    val input = MemoryStream[DocRow]
+    def run(cs: Seq[IndexedSeq[DocRow]]): Unit = {
+      val q = NearDupIngest.start(input.toDF(), state, s"$dir/out",
+        s"$dir/ckpt", threshold = 0.4)
+      try cs.foreach { c => input.addData(c); q.processAllAvailable() }
+      finally q.stop()
+    }
+    run(chunks.take(2).map(_.toIndexedSeq))
+    def stateKeys() = spark.read.parquet(state)
+      .select("doc_id", "band").distinct().count()
+    def batchDirs() = new java.io.File(state).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted
+    val before = stateKeys()
+    assert(batchDirs().length == 2)
+    NearDupIngest.compactState(spark, state)
+    assert(batchDirs().length == 1, "compaction should leave one batch dir")
+    assert(stateKeys() == before, "compaction must not change state content")
+    // interrupted swap: live dir renamed aside, staging never landed
+    val live = batchDirs().head
+    assert(new java.io.File(s"$state/$live")
+      .renameTo(new java.io.File(s"$state/${live}__old")))
+    NearDupIngest.recoverState(spark, state)
+    assert(batchDirs().sameElements(Array(live)), "recovery must restore the live dir")
+    assert(stateKeys() == before)
+    // the stream picks up after compaction: third chunk still matches
+    // the batch twin over the whole corpus
+    run(chunks.drop(2).map(_.toIndexedSeq))
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "is_dup", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val twin = NearDupIngest.batchTwin(
+      graft.model.Tables.documents(spark, sf), threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == twin)
+  }
+
   test("CDC apply: insert/update/delete collapse to ReplacingMergeTree state") {
     val changes1 = Seq(
       ChangeEvent("insert", "t", 1L, ts(1), 1L, """{"v":1}"""),

@@ -105,21 +105,32 @@ object NearDupIngest {
       .orderBy("doc_id")
   }
 
-  /** Compact the ingest state: merge every `batch_id=*` partition into
-    * the NEWEST one and drop the rest — a long-running ingest otherwise
-    * accumulates one directory per micro-batch and every state read
-    * pays an ever-growing file listing. Call with the stream STOPPED
-    * (between runs); the checkpoint has committed past every existing
-    * batch, so `batch_id < next` still admits the merged rows.
+  private val BatchDirRe = "^batch_id=(\\d+)$".r
+
+  /** Compact the ingest state: merge every batch partition EXCEPT the
+    * newest into the second-newest and drop the rest — a long-running
+    * ingest otherwise accumulates one directory per micro-batch and
+    * every state read pays an ever-growing file listing.
     *
-    * Crash-safe by duplicate tolerance: the swap order is
-    * staging-write → rename newest aside (`__old`) → rename staging in
-    * → delete `__old` → delete older batch dirs. Candidate pairs are
-    * deduped and verdicts take a min, so a reader that briefly sees a
-    * row in BOTH the merged dir and a not-yet-deleted older dir gets
-    * identical results; the only unreadable window (newest dir mid-
-    * rename) is healed by [[recoverState]], which every compact run
-    * performs first.
+    * Why the second-newest: the ONLY batch the engine can replay after
+    * a crash is the newest one on disk (batch N starts only after N−1's
+    * checkpoint committed), and a replayed batch N both filters
+    * `batch_id < N` and overwrites its own directory. Folding anything
+    * into `batch_id=N` would (a) hide the merged rows from N's replay
+    * and (b) let the replay's overwrite destroy them. Dirs < N are
+    * committed, so merging into N−1 is always replay-safe.
+    *
+    * Call between runs (stream stopped): a reader racing the rename
+    * pair could transiently see neither dir. A CRASH at any point is
+    * recoverable: the swap order is staging-write → rename aside
+    * (`__old`) → rename staging in → delete `__old` → delete older
+    * dirs, every rename checked (Hadoop signals failure by returning
+    * false — an unchecked rename here would delete the only copy);
+    * [[recoverState]] — run at the start of every compact AND before
+    * every micro-batch state read — heals the mid-swap window, and the
+    * later windows only leave rows duplicated between the merged dir
+    * and not-yet-deleted older dirs, which candidate-pair dedup and
+    * min-verdicts make harmless.
     */
   def compactState(spark: org.apache.spark.sql.SparkSession,
                    stateDir: String): Unit = {
@@ -128,30 +139,39 @@ object NearDupIngest {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
     recoverState(spark, stateDir)
-    val batchDirs = fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith("batch_id="))
-    if (batchDirs.length < 2) return
-    val maxId = batchDirs.map(_.getName.stripPrefix("batch_id=").toLong).max
+    def rename(src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"compactState: rename $src -> $dst failed")
+    val ids = fs.listStatus(root).map(_.getPath.getName).collect {
+      case BatchDirRe(id) => id.toLong
+    }.sorted
+    if (ids.length < 3) return
+    val target = ids(ids.length - 2)
+    val newest = ids.last
     val merged = spark.read.parquet(stateDir)
+      .filter(col("batch_id") =!= newest)
       .select("doc_id", "sig", "band", "bh", "bucket")
     val staging = new Path(root, "_compact_tmp")
     fs.delete(staging, true)
     merged.write.mode("overwrite").partitionBy("bucket")
       .parquet(staging.toString)
-    val live = new Path(root, s"batch_id=$maxId")
-    val old = new Path(root, s"batch_id=${maxId}__old")
-    fs.rename(live, old)
-    fs.rename(staging, live)
+    val live = new Path(root, s"batch_id=$target")
+    val old = new Path(root, s"batch_id=${target}__old")
+    rename(live, old)
+    rename(staging, live)
     fs.delete(old, true)
-    batchDirs.map(_.getName.stripPrefix("batch_id=").toLong)
-      .filter(_ != maxId)
+    ids.filter(id => id != target && id != newest)
       .foreach(id => fs.delete(new Path(root, s"batch_id=$id"), true))
   }
 
   /** Heal an interrupted [[compactState]] swap: a `__old` directory with
-    * no live sibling is renamed back (the staging rename never happened
-    * or half-happened); a leftover `_compact_tmp` is discarded either
-    * way (it is re-derivable).
+    * no live sibling is renamed back (the staging rename never
+    * happened); with a live sibling it is a superseded copy and is
+    * dropped. A leftover `_compact_tmp` is discarded either way (it is
+    * re-derivable). Runs before every micro-batch state read — a plain
+    * stream restart after a mid-swap crash must not silently lose the
+    * set-aside batch (and an unhealed `__old` dir would poison
+    * partition inference for `batch_id`).
     */
   def recoverState(spark: org.apache.spark.sql.SparkSession,
                    stateDir: String): Unit = {
@@ -162,8 +182,11 @@ object NearDupIngest {
     fs.listStatus(root).map(_.getPath)
       .filter(_.getName.endsWith("__old")).foreach { old =>
         val live = new Path(root, old.getName.stripSuffix("__old"))
-        if (!fs.exists(live)) { fs.rename(old, live); () }
-        else { fs.delete(old, true); () }
+        if (!fs.exists(live)) {
+          if (!fs.rename(old, live))
+            throw new java.io.IOException(
+              s"recoverState: rename $old -> $live failed")
+        } else { fs.delete(old, true); () }
       }
     fs.delete(new Path(root, "_compact_tmp"), true)
     ()
@@ -187,6 +210,10 @@ object NearDupIngest {
           // partitions this batch can possibly collide with
           val buckets = newBands.select("bucket").distinct()
             .collect().map(_.getInt(0)).toSeq
+          // heal any interrupted compaction swap BEFORE reading state — a
+          // plain restart after a mid-swap crash must see the set-aside
+          // batch (and its `__old` dir would poison partition inference)
+          recoverState(spark, stateDir)
           // FS-agnostic existence probe — stateDir is an HDFS/object-store
           // path on a cluster, where java.io.File would silently say "no
           // state" and every doc would read as novel

@@ -216,7 +216,7 @@ class StreamingSpec extends SparkSpec {
     val docs = graft.model.Tables.documents(spark, sf)
       .select("doc_id", "text").orderBy("doc_id")
       .as[DocRow].collect()
-    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    val chunks = docs.grouped((docs.length + 3) / 4).toSeq
     val dir = java.nio.file.Files.createTempDirectory("neardup_compact_").toString
     val state = s"$dir/state"
     val input = MemoryStream[DocRow]
@@ -226,26 +226,30 @@ class StreamingSpec extends SparkSpec {
       try cs.foreach { c => input.addData(c); q.processAllAvailable() }
       finally q.stop()
     }
-    run(chunks.take(2).map(_.toIndexedSeq))
+    run(chunks.take(3).map(_.toIndexedSeq))
     def stateKeys() = spark.read.parquet(state)
       .select("doc_id", "band").distinct().count()
     def batchDirs() = new java.io.File(state).listFiles()
       .map(_.getName).filter(_.startsWith("batch_id=")).sorted
     val before = stateKeys()
-    assert(batchDirs().length == 2)
+    assert(batchDirs().length == 3)
     NearDupIngest.compactState(spark, state)
-    assert(batchDirs().length == 1, "compaction should leave one batch dir")
+    // batches 0..1 merge into batch_id=1 (second-newest); the newest
+    // dir stays untouched because only IT can be replayed (and a replay
+    // overwrites its own dir)
+    assert(batchDirs().sameElements(Array("batch_id=1", "batch_id=2")),
+      s"got ${batchDirs().mkString(",")}")
     assert(stateKeys() == before, "compaction must not change state content")
-    // interrupted swap: live dir renamed aside, staging never landed
-    val live = batchDirs().head
-    assert(new java.io.File(s"$state/$live")
-      .renameTo(new java.io.File(s"$state/${live}__old")))
+    // interrupted swap: merged dir renamed aside, staging never landed
+    assert(new java.io.File(s"$state/batch_id=1")
+      .renameTo(new java.io.File(s"$state/batch_id=1__old")))
     NearDupIngest.recoverState(spark, state)
-    assert(batchDirs().sameElements(Array(live)), "recovery must restore the live dir")
+    assert(batchDirs().sameElements(Array("batch_id=1", "batch_id=2")),
+      "recovery must restore the live dir")
     assert(stateKeys() == before)
-    // the stream picks up after compaction: third chunk still matches
+    // the stream picks up after compaction: fourth chunk still matches
     // the batch twin over the whole corpus
-    run(chunks.drop(2).map(_.toIndexedSeq))
+    run(chunks.drop(3).map(_.toIndexedSeq))
     val streamed = spark.read.parquet(s"$dir/out")
       .select("doc_id", "is_dup", "dup_of").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

@@ -1096,6 +1096,294 @@ object Queries {
         |     AND l_quantity BETWEEN 20 AND 40)"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // TPC-H Q6 (forecasting revenue change) — the canonical predicate-
+    // pushdown probe: every filter (shipdate range, discount band,
+    // quantity cap) reaches the parquet scan, the aggregate is a single
+    // map-side fold, and the shuffle carries one partial row per
+    // partition. At 100 TB this query's cost is pure I/O on the pruned
+    // (l_shipdate, l_discount, l_quantity, l_extendedprice) columns.
+    Q("q_tpch_q6",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1997-01-01" &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(exactSum(col("l_extendedprice") * col("l_discount"))
+          .as("revenue"),
+          count(lit(1)).as("n_lines")),
+      Some("""SELECT
+        | CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        | count(*) AS n_lines
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1997-01-01'
+        |   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // TPC-H Q4 shape (order-priority checking): EXISTS decorrelated to a
+    // left-semi join — the probe side (orders) is date-pruned BEFORE the
+    // join, and the semi join carries only l_orderkey from the fact.
+    // (The fixture has no l_commitdate/l_receiptdate, so the EXISTS
+    // predicate is returned-lines rather than late-lines.)
+    Q("q_tpch_q4",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderdate") >= "1996-01-01" &&
+          col("o_orderdate") < "1996-04-01")
+        .join(Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R").select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS order_count FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |   AND o_orderdate < TIMESTAMP '1996-04-01'
+        |   AND EXISTS (SELECT 1 FROM lineitem
+        |     WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        | GROUP BY 1 ORDER BY o_orderpriority"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // TPC-H Q8 (national market share): the widest composite — eight
+    // table instances (nation twice, in customer-region and supplier-
+    // nationality roles). One fact⨝fact shuffle (lineitem⨝orders);
+    // every dim is filtered before broadcasting; the share is a
+    // conditional-over-total ratio derived from two exact sums in the
+    // SAME aggregate pass (one shuffle, not two).
+    Q("q_tpch_q8",
+      (s, d) => {
+        val custNation = Tables.nation(s, d)
+          .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+        val suppNation = Tables.nation(s, d)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("nation"))
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)
+            .filter(col("p_type") === "STANDARD").select("p_partkey")),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= "1996-01-01" &&
+              col("o_orderdate") < "1998-01-01"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(
+            exactSum(when(col("nation") === "NATION_1",
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .otherwise(lit(0.0))).as("nation_volume"),
+            exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("total_volume"))
+          .select(col("o_year"),
+            (col("nation_volume") / col("total_volume")).as("mkt_share"),
+            col("total_volume"))
+          .orderBy("o_year")
+      },
+      Some("""WITH v AS (SELECT year(o_orderdate) AS o_year,
+        | CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_1'
+        |   THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS nation_volume,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_volume
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        | JOIN region ON n1.n_regionkey = r_regionkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        | WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        |   AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |   AND o_orderdate < TIMESTAMP '1998-01-01'
+        | GROUP BY 1)
+        | SELECT o_year, nation_volume / total_volume AS mkt_share,
+        | total_volume FROM v ORDER BY o_year"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // TPC-H Q12 shape (shipping-priority classes): fact⨝fact join with
+    // conditional counts — count(CASE) is a map-side-combinable
+    // aggregate, so the shuffle after the join carries 2 longs per
+    // group. (No l_shipmode in the fixture; l_linestatus plays the
+    // class column.)
+    Q("q_tpch_q12",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= "1996-01-01" &&
+            col("l_shipdate") < "1997-01-01"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("high_line_count"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("low_line_count"))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+        | count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+        | count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1997-01-01'
+        | GROUP BY 1 ORDER BY l_linestatus"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // TPC-H Q13 (customer order-count distribution): left-outer join
+    // with a join-condition filter (NOT a post-filter — outer rows must
+    // survive), then two cascaded aggregations. The second groupBy keys
+    // on a count, collapsing 1 row per customer to 1 row per distinct
+    // count — cheap at any scale.
+    Q("q_tpch_q13",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count FROM customer
+        | LEFT JOIN orders ON c_custkey = o_custkey
+        |   AND o_orderpriority <> '1-URGENT'
+        | GROUP BY 1)
+        | GROUP BY 1 ORDER BY custdist DESC, c_count DESC"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // TPC-H Q14 (promotion effect): conditional revenue share over a
+    // one-month scan window. Both sums come out of ONE aggregate pass;
+    // the ratio is derived post-agg so it equals the oracle's division
+    // of the same two exact doubles bit-for-bit.
+    Q("q_tpch_q14",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-03-01" &&
+          col("l_shipdate") < "1996-04-01")
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          exactSum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .otherwise(lit(0.0))).as("promo_sum"),
+          exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("total_sum"),
+          count(lit(1)).as("n_lines"))
+        .select(
+          ((lit(100.0) * col("promo_sum")) / col("total_sum"))
+            .as("promo_revenue"),
+          col("n_lines")),
+      Some("""WITH g AS (SELECT
+        | CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |   THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS promo_sum,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_sum,
+        | count(*) AS n_lines
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |   AND l_shipdate < TIMESTAMP '1996-04-01')
+        | SELECT (100.0 * promo_sum) / total_sum AS promo_revenue, n_lines
+        | FROM g""".stripMargin.replaceAll("\n", ""))),
+
+    // TPC-H Q15 (top supplier): revenue-per-supplier CTE reused twice —
+    // once for the max, once for the winners. The max is a 1-row
+    // aggregate broadcast back as an EQUI-join key (exact decimal sums
+    // make double equality safe), never a driver collect or a
+    // nested-loop join.
+    Q("q_tpch_q15",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= "1996-01-01" &&
+            col("l_shipdate") < "1996-04-01")
+          .groupBy("l_suppkey")
+          .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("total_revenue"))
+        val mx = rev.agg(max(col("total_revenue")).as("rev_max"))
+        rev.join(broadcast(mx), col("total_revenue") === col("rev_max"))
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .select("s_suppkey", "s_name", "total_revenue")
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH revenue AS (SELECT l_suppkey AS supplier_no,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1996-04-01'
+        | GROUP BY 1)
+        | SELECT s_suppkey, s_name, total_revenue
+        | FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        | WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        | ORDER BY s_suppkey""".stripMargin.replaceAll("\n", ""))),
+
+    // TPC-H Q17 shape (small-quantity revenue): correlated per-part
+    // average decorrelated to a grouped aggregate. The fact is
+    // semi-reduced by the filtered part list FIRST, so the per-part
+    // average is computed over (and re-joined to) only the surviving
+    // slice — at 100 TB the avg table is |parts-in-brand| rows, not
+    // |parts|. The threshold uses an exact-decimal average so the `<`
+    // comparison is engine-stable.
+    Q("q_tpch_q17",
+      (s, d) => {
+        val pf = Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#3" && col("p_size") < 15)
+          .select("p_partkey")
+        val liP = Tables.lineitem(s, d)
+          .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        val avgQ = liP.groupBy(col("l_partkey").as("a_partkey"))
+          .agg((exactSum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+        liP.join(broadcast(avgQ), col("l_partkey") === col("a_partkey"))
+          .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+          .agg((exactSum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""WITH pf AS (SELECT p_partkey FROM part
+        |   WHERE p_brand = 'Brand#3' AND p_size < 15),
+        | lip AS (SELECT l.* FROM lineitem l
+        |   JOIN pf ON l_partkey = p_partkey),
+        | a AS (SELECT l_partkey AS a_partkey,
+        |   CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_qty
+        |   FROM lip GROUP BY 1)
+        | SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+        | count(*) AS n_lines
+        | FROM lip JOIN a ON l_partkey = a_partkey
+        | WHERE l_quantity < 0.5 * avg_qty"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // TPC-H Q22 shape (dormant rich customers): scalar-subquery
+    // threshold (planned as a 1-row subquery result pushed into the
+    // filter — no join node, so no nested loop) + NOT EXISTS
+    // decorrelated to a left-anti hash join against recent orders.
+    // (No c_phone in the fixture: nationkey plays the country code, and
+    // "no orders at all" is empty here — every customer has orders —
+    // so the anti side is the 2001+ window.)
+    Q("q_tpch_q22",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer_q22")
+        Tables.orders(s, d).createOrReplaceTempView("orders_q22")
+        s.sql("""SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+          | CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
+          | FROM customer_q22
+          | WHERE c_acctbal > (SELECT
+          |     CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+          |     FROM customer_q22 WHERE c_acctbal > 0.0)
+          |   AND NOT EXISTS (SELECT 1 FROM orders_q22
+          |     WHERE o_custkey = c_custkey
+          |       AND o_orderdate >= TIMESTAMP '2001-01-01')
+          | GROUP BY 1 ORDER BY cntrycode""".stripMargin)
+      },
+      Some("""SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
+        | FROM customer
+        | WHERE c_acctbal > (SELECT
+        |     CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+        |     FROM customer WHERE c_acctbal > 0.0)
+        |   AND NOT EXISTS (SELECT 1 FROM orders
+        |     WHERE o_custkey = c_custkey
+        |       AND o_orderdate >= TIMESTAMP '2001-01-01')
+        | GROUP BY 1 ORDER BY cntrycode"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // JSON extraction on the events.props payload ([EXT] §2.8 note)
     Q("q_json_extract",
       (s, d) => Tables.events(s, d)

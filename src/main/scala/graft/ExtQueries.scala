@@ -771,6 +771,139 @@ object ExtQueries {
         | 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS rep_ratio,
         | CAST(list_max(list_transform(list_distinct(w),
         |   x -> len(list_filter(w, t -> t = x)))) AS DOUBLE) / len(w) AS top_tok_frac
-        | FROM w ORDER BY doc_id""".stripMargin.replaceAll("\n", "")))
+        | FROM w ORDER BY doc_id""".stripMargin.replaceAll("\n", ""))),
+
+    // X4 TF-IDF: top-3 characteristic terms per document. The IDF is
+    // integer-scaled ((N·1e6) div df) instead of ln(N/df) — a deliberate
+    // engineering choice so ranking is exact integer arithmetic,
+    // bit-identical across engines and partitionings (ln() last-ulp
+    // rounding is libm-dependent). The per-doc top-k is a window over
+    // (doc_id)-partitioned candidates, never a global single-partition
+    // sort; the corpus size enters as an uncorrelated scalar subquery
+    // (1-row broadcast, no nested-loop join).
+    Q("x_tfidf_topk",
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("documents_tfidf")
+        s.sql("""WITH w AS (SELECT doc_id,
+          |   filter(split(trim(lower(text)), '\\s+'), t -> t <> '') AS toks
+          |   FROM documents_tfidf),
+          | tok AS (SELECT doc_id, term FROM w
+          |   LATERAL VIEW explode(toks) tt AS term),
+          | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+          | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          | s AS (SELECT doc_id, tf.term AS term,
+          |   tf * (((SELECT count(*) FROM documents_tfidf) * 1000000) div df) AS score
+          |   FROM tf JOIN df ON tf.term = df.term),
+          | r AS (SELECT doc_id, term, score,
+          |   CAST(row_number() OVER (PARTITION BY doc_id
+          |     ORDER BY score DESC, term) AS BIGINT) AS rk FROM s)
+          | SELECT doc_id, term, score, rk FROM r
+          | WHERE rk <= 3 AND doc_id < 50 ORDER BY doc_id, rk""".stripMargin)
+      },
+      Some("""WITH w AS (SELECT doc_id, list_filter(
+        |   regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+        |   FROM documents),
+        | tok AS (SELECT doc_id, unnest(toks) AS term FROM w),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT count(*) AS n_docs FROM documents),
+        | s AS (SELECT doc_id, tf.term AS term,
+        |   tf * ((n_docs * 1000000) // df) AS score
+        |   FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        | r AS (SELECT doc_id, term, score,
+        |   CAST(row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY score DESC, term) AS BIGINT) AS rk FROM s)
+        | SELECT doc_id, term, score, rk FROM r
+        | WHERE rk <= 3 AND doc_id < 50 ORDER BY doc_id, rk"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // X4 BM25 keyword search (k1=1.2, b=0.75): rank the corpus for a
+    // 3-term query. The classical score is rewritten in pure integer
+    // arithmetic — multiply numerator and denominator through by
+    // 10·totlen so the length normalization (1 - b + b·dl/avgdl)
+    // becomes (10·tf·totlen + 3·totlen + 9·dl·N), with a 22000× scale
+    // on the term factor to keep truncation below ranking resolution.
+    // Exact cross-engine ranking, no floats anywhere. Corpus constants
+    // (N, total length) are uncorrelated scalar subqueries.
+    Q("x_bm25_search",
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("documents_bm25")
+        s.sql("""WITH w AS (SELECT doc_id,
+          |   filter(split(trim(lower(text)), '\\s+'), t -> t <> '') AS toks
+          |   FROM documents_bm25),
+          | dl AS (SELECT doc_id, CAST(size(toks) AS BIGINT) AS dl FROM w),
+          | tok AS (SELECT doc_id, term FROM w
+          |   LATERAL VIEW explode(toks) tt AS term),
+          | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+          |   WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+          | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          | s AS (SELECT tf.doc_id AS doc_id,
+          |   (((SELECT count(*) FROM w) * 1000000) div df) *
+          |   ((22000 * tf * (SELECT sum(dl) FROM dl)) div
+          |    (10 * tf * (SELECT sum(dl) FROM dl) + 3 * (SELECT sum(dl) FROM dl)
+          |     + 9 * dl.dl * (SELECT count(*) FROM w))) AS score_t
+          |   FROM tf JOIN df ON tf.term = df.term
+          |   JOIN dl ON tf.doc_id = dl.doc_id)
+          | SELECT doc_id, sum(score_t) AS score FROM s
+          | GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
+      },
+      Some("""WITH w AS (SELECT doc_id, list_filter(
+        |   regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+        |   FROM documents),
+        | dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM w),
+        | tot AS (SELECT CAST(sum(dl) AS BIGINT) AS totlen, count(*) AS nd FROM dl),
+        | tok AS (SELECT doc_id, unnest(toks) AS term FROM w),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |   WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+        | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | s AS (SELECT tf.doc_id AS doc_id,
+        |   ((nd * 1000000) // df) *
+        |   ((22000 * tf * totlen) // (10 * tf * totlen + 3 * totlen
+        |     + 9 * dl.dl * nd)) AS score_t
+        |   FROM tf JOIN df ON tf.term = df.term
+        |   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot)
+        | SELECT doc_id, CAST(sum(score_t) AS BIGINT) AS score FROM s
+        | GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // X4 bigram language-model fluency score: P(w2|w1) estimated from
+    // corpus bigram/unigram counts, integer-scaled ((c2·1e6) div c1) so
+    // the per-doc sum is exact. Bigrams come from zip_with over two
+    // shifted slices (no positional self-join, no per-doc window); the
+    // count tables are vocab²-bounded so their joins broadcast at any
+    // corpus size.
+    Q("x_bigram_lm",
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("documents_lm")
+        s.sql("""WITH w AS (SELECT doc_id,
+          |   filter(split(trim(lower(text)), '\\s+'), t -> t <> '') AS toks
+          |   FROM documents_lm),
+          | bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM w
+          |   LATERAL VIEW explode(zip_with(
+          |     slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
+          |     (x, y) -> named_struct('w1', x, 'w2', y))) bb AS b
+          |   WHERE size(toks) >= 2),
+          | c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+          | c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+          | SELECT bg.doc_id AS doc_id, sum((c2 * 1000000) div c1) AS lm_score,
+          |   count(*) AS n_bigrams
+          | FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+          | JOIN c1 ON bg.w1 = c1.w1
+          | GROUP BY 1 ORDER BY doc_id""".stripMargin)
+      },
+      Some("""WITH w AS (SELECT doc_id, list_filter(
+        |   regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+        |   FROM documents),
+        | bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (SELECT doc_id,
+        |     unnest(list_transform(range(len(toks) - 1),
+        |       i -> struct_pack(w1 := toks[i + 1], w2 := toks[i + 2]))) AS u
+        |   FROM w WHERE len(toks) >= 2)),
+        | c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        | c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+        | SELECT bg.doc_id, CAST(sum((c2 * 1000000) // c1) AS BIGINT) AS lm_score,
+        | count(*) AS n_bigrams
+        | FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+        | JOIN c1 ON bg.w1 = c1.w1
+        | GROUP BY 1 ORDER BY bg.doc_id""".stripMargin.replaceAll("\n", "")))
   )
 }

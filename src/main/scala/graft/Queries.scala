@@ -1384,6 +1384,127 @@ object Queries {
         | GROUP BY 1 ORDER BY cntrycode"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // Window distribution functions (ntile / percent_rank / cume_dist):
+    // the order key includes o_orderkey so ntile's positional bucketing
+    // is total-ordered — with ties left unbroken its assignment would be
+    // engine-dependent. ntile is INT in Spark, BIGINT in DuckDB → cast.
+    Q("q_window_ntile",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          ntile(4).over(w).cast("long").as("tile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"))
+          .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+        | CAST(ntile(4) OVER w AS BIGINT) AS tile,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cdist
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_orderpriority
+        |   ORDER BY o_totalprice, o_orderkey)
+        | ORDER BY o_orderpriority, o_totalprice, o_orderkey"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // Window navigation over an explicit unbounded ROWS frame
+    // (first/last/nth) — last_value needs UNBOUNDED FOLLOWING or it
+    // degenerates to the current row in both engines.
+    Q("q_window_first_last",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          first(col("o_totalprice")).over(w).as("lo_price"),
+          last(col("o_totalprice")).over(w).as("hi_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+          .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+        | first_value(o_totalprice) OVER w AS lo_price,
+        | last_value(o_totalprice) OVER w AS hi_price,
+        | nth_value(o_totalprice, 2) OVER w AS second_price
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_orderpriority
+        |   ORDER BY o_totalprice, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        | ORDER BY o_orderpriority, o_totalprice, o_orderkey"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // Second-moment statistics (variance / stddev / covariance /
+    // correlation) derived from EXACT INTEGER sums of x, x², y, y², xy
+    // on the cent grid, in ONE aggregate pass. Built-in var_samp/corr
+    // use Welford-style streaming updates whose float rounding depends
+    // on partitioning and engine; even decimal sums of double PRODUCTS
+    // diverge at the last ulp (the double→decimal rounding of a product
+    // is conversion-algorithm-dependent — measured as 1-ulp hash
+    // mismatches at sf0.01). Integer cents make every sum exact; the
+    // only float ops are the final identical-order divisions, so the
+    // result is bit-stable across engines and partitionings. Σx² can
+    // exceed int64 (1.05e7² × 6e5 rows ≈ 6.6e19) → that one sum runs
+    // in DECIMAL.
+    Q("q_stats_moments",
+      (s, d) => {
+        val px = round(col("l_extendedprice") * 100).cast("long")
+        val dx = round(col("l_discount") * 100).cast("long")
+        val nD = col("n").cast("double")
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            // Σpx and Σ(px·dx) get decimal sums too: at ~6e11 rows
+            // (100 TB) their int64 sums would overflow (6e18 / 6e19)
+            sum(px.cast(org.apache.spark.sql.types.DecimalType(28, 0)))
+              .cast("double").as("sx"),
+            sum((px * px).cast(org.apache.spark.sql.types.DecimalType(28, 0)))
+              .cast("double").as("sxx"),
+            sum(dx).cast("double").as("sy"),
+            sum(dx * dx).cast("double").as("syy"),
+            sum((px * dx).cast(org.apache.spark.sql.types.DecimalType(28, 0)))
+              .cast("double").as("sxy"))
+          .select(col("l_returnflag"), col("n"),
+            ((col("sx") / nD) / lit(100.0)).as("mean_price"),
+            (((col("sxx") - (col("sx") * col("sx")) / nD)
+              / (nD - lit(1.0))) / lit(10000.0)).as("var_price"),
+            (((col("syy") - (col("sy") * col("sy")) / nD)
+              / (nD - lit(1.0))) / lit(10000.0)).as("var_disc"),
+            (((col("sxy") - (col("sx") * col("sy")) / nD)
+              / (nD - lit(1.0))) / lit(10000.0)).as("cov_price_disc"))
+          .select(col("l_returnflag"), col("n"), col("mean_price"),
+            col("var_price"), sqrt(col("var_price")).as("stddev_price"),
+            col("cov_price_disc"),
+            (col("cov_price_disc")
+              / (sqrt(col("var_price")) * sqrt(col("var_disc"))))
+              .as("corr_price_disc"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH c AS (SELECT l_returnflag,
+        | CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS px,
+        | CAST(round(l_discount * 100, 0) AS BIGINT) AS dx
+        | FROM lineitem),
+        | g AS (SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(px) AS DOUBLE) AS sx,
+        | CAST(sum(CAST(px * px AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
+        | CAST(sum(dx) AS DOUBLE) AS sy,
+        | CAST(sum(dx * dx) AS DOUBLE) AS syy,
+        | CAST(sum(px * dx) AS DOUBLE) AS sxy
+        | FROM c GROUP BY 1),
+        | m AS (SELECT l_returnflag, n,
+        | (sx / CAST(n AS DOUBLE)) / 100.0 AS mean_price,
+        | ((sxx - (sx * sx) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) / 10000.0 AS var_price,
+        | ((syy - (sy * sy) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) / 10000.0 AS var_disc,
+        | ((sxy - (sx * sy) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) / 10000.0 AS cov_price_disc
+        | FROM g)
+        | SELECT l_returnflag, n, mean_price, var_price,
+        | sqrt(var_price) AS stddev_price, cov_price_disc,
+        | cov_price_disc / (sqrt(var_price) * sqrt(var_disc)) AS corr_price_disc
+        | FROM m ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // JSON extraction on the events.props payload ([EXT] §2.8 note)
     Q("q_json_extract",
       (s, d) => Tables.events(s, d)

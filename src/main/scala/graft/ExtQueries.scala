@@ -104,6 +104,16 @@ object ExtQueries {
       |   FROM documents) t GROUP BY token))
       | WHERE token_id <= $n)""".stripMargin.replaceAll("\n", "")
 
+  /** Whitespace tokenization shared by the IR queries (TF-IDF / BM25 /
+    * bigram LM): space-only trim + skip-empties, expressed once per
+    * engine. Tokenizer drift between copies caused a real cross-engine
+    * bug before (simhash trim divergence) — keep both forms here only.
+    */
+  private val sparkToks =
+    """filter(split(trim(lower(text)), '\\s+'), t -> t <> '')"""
+  private val duckToks =
+    """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '')"""
+
   /** Per-doc portable 48-bit SimHash fingerprints as a CTE chain. */
   private val simhash48Cte = {
     val bits = graft.sim.PortableHash.SimhashBits
@@ -774,25 +784,27 @@ object ExtQueries {
         | FROM w ORDER BY doc_id""".stripMargin.replaceAll("\n", ""))),
 
     // X4 TF-IDF: top-3 characteristic terms per document. The IDF is
-    // integer-scaled ((N·1e6) div df) instead of ln(N/df) — a deliberate
-    // engineering choice so ranking is exact integer arithmetic,
-    // bit-identical across engines and partitionings (ln() last-ulp
-    // rounding is libm-dependent). The per-doc top-k is a window over
+    // integer-scaled ((N·1000) div df) instead of ln(N/df) — a
+    // deliberate engineering choice so ranking is exact integer
+    // arithmetic, bit-identical across engines and partitionings (ln()
+    // last-ulp rounding is libm-dependent). Scale 1000 keeps the score
+    // product tf·idf ≤ ~1e18 (inside int64) even at ~1e10 docs with
+    // 1e5-token spam documents. The per-doc top-k is a window over
     // (doc_id)-partitioned candidates, never a global single-partition
     // sort; the corpus size enters as an uncorrelated scalar subquery
-    // (1-row broadcast, no nested-loop join).
+    // over the BASE table (parquet-metadata count — not the tokenizing
+    // CTE), a 1-row broadcast with no nested-loop join.
     Q("x_tfidf_topk",
       (s, d) => {
         Tables.documents(s, d).createOrReplaceTempView("documents_tfidf")
-        s.sql("""WITH w AS (SELECT doc_id,
-          |   filter(split(trim(lower(text)), '\\s+'), t -> t <> '') AS toks
+        s.sql(s"""WITH w AS (SELECT doc_id, $sparkToks AS toks
           |   FROM documents_tfidf),
           | tok AS (SELECT doc_id, term FROM w
           |   LATERAL VIEW explode(toks) tt AS term),
           | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
           | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
           | s AS (SELECT doc_id, tf.term AS term,
-          |   tf * (((SELECT count(*) FROM documents_tfidf) * 1000000) div df) AS score
+          |   tf * (((SELECT count(*) FROM documents_tfidf) * 1000) div df) AS score
           |   FROM tf JOIN df ON tf.term = df.term),
           | r AS (SELECT doc_id, term, score,
           |   CAST(row_number() OVER (PARTITION BY doc_id
@@ -800,15 +812,13 @@ object ExtQueries {
           | SELECT doc_id, term, score, rk FROM r
           | WHERE rk <= 3 AND doc_id < 50 ORDER BY doc_id, rk""".stripMargin)
       },
-      Some("""WITH w AS (SELECT doc_id, list_filter(
-        |   regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS toks
-        |   FROM documents),
+      Some(s"""WITH w AS (SELECT doc_id, $duckToks AS toks FROM documents),
         | tok AS (SELECT doc_id, unnest(toks) AS term FROM w),
         | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
         | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         | n AS (SELECT count(*) AS n_docs FROM documents),
         | s AS (SELECT doc_id, tf.term AS term,
-        |   tf * ((n_docs * 1000000) // df) AS score
+        |   tf * ((n_docs * 1000) // df) AS score
         |   FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
         | r AS (SELECT doc_id, term, score,
         |   CAST(row_number() OVER (PARTITION BY doc_id
@@ -818,18 +828,21 @@ object ExtQueries {
         .stripMargin.replaceAll("\n", ""))),
 
     // X4 BM25 keyword search (k1=1.2, b=0.75): rank the corpus for a
-    // 3-term query. The classical score is rewritten in pure integer
-    // arithmetic — multiply numerator and denominator through by
-    // 10·totlen so the length normalization (1 - b + b·dl/avgdl)
-    // becomes (10·tf·totlen + 3·totlen + 9·dl·N), with a 22000× scale
-    // on the term factor to keep truncation below ranking resolution.
-    // Exact cross-engine ranking, no floats anywhere. Corpus constants
-    // (N, total length) are uncorrelated scalar subqueries.
+    // 3-term query in pure integer arithmetic — no floats anywhere, so
+    // scoring is bit-identical across engines and partitionings. The
+    // length normalization (1 - b + b·dl/avgdl) is integer-scaled as
+    // (10·tf + 3 + (9·dl·N) div totlen): pre-dividing the dl/avgdl term
+    // by totlen truncates it to unit resolution (≤ ~8% score error,
+    // identical on both engines) but keeps EVERY intermediate inside
+    // int64 up to ~1e10 docs / 1e5-token documents / ~2e13 total tokens
+    // — the through-multiplied form (10·tf·totlen + …) overflows int64
+    // exactly at the 100 TB scale this engine targets. Corpus constants
+    // (N from the base table's parquet metadata, totlen from the
+    // length table) enter as uncorrelated scalar subqueries.
     Q("x_bm25_search",
       (s, d) => {
         Tables.documents(s, d).createOrReplaceTempView("documents_bm25")
-        s.sql("""WITH w AS (SELECT doc_id,
-          |   filter(split(trim(lower(text)), '\\s+'), t -> t <> '') AS toks
+        s.sql(s"""WITH w AS (SELECT doc_id, $sparkToks AS toks
           |   FROM documents_bm25),
           | dl AS (SELECT doc_id, CAST(size(toks) AS BIGINT) AS dl FROM w),
           | tok AS (SELECT doc_id, term FROM w
@@ -838,18 +851,16 @@ object ExtQueries {
           |   WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
           | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
           | s AS (SELECT tf.doc_id AS doc_id,
-          |   (((SELECT count(*) FROM w) * 1000000) div df) *
-          |   ((22000 * tf * (SELECT sum(dl) FROM dl)) div
-          |    (10 * tf * (SELECT sum(dl) FROM dl) + 3 * (SELECT sum(dl) FROM dl)
-          |     + 9 * dl.dl * (SELECT count(*) FROM w))) AS score_t
+          |   (((SELECT count(*) FROM documents_bm25) * 1000) div df) *
+          |   ((22000 * tf) div (10 * tf + 3 +
+          |     (9 * dl.dl * (SELECT count(*) FROM documents_bm25))
+          |       div (SELECT sum(dl) FROM dl))) AS score_t
           |   FROM tf JOIN df ON tf.term = df.term
           |   JOIN dl ON tf.doc_id = dl.doc_id)
           | SELECT doc_id, sum(score_t) AS score FROM s
           | GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
       },
-      Some("""WITH w AS (SELECT doc_id, list_filter(
-        |   regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS toks
-        |   FROM documents),
+      Some(s"""WITH w AS (SELECT doc_id, $duckToks AS toks FROM documents),
         | dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM w),
         | tot AS (SELECT CAST(sum(dl) AS BIGINT) AS totlen, count(*) AS nd FROM dl),
         | tok AS (SELECT doc_id, unnest(toks) AS term FROM w),
@@ -857,9 +868,8 @@ object ExtQueries {
         |   WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
         | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         | s AS (SELECT tf.doc_id AS doc_id,
-        |   ((nd * 1000000) // df) *
-        |   ((22000 * tf * totlen) // (10 * tf * totlen + 3 * totlen
-        |     + 9 * dl.dl * nd)) AS score_t
+        |   ((nd * 1000) // df) *
+        |   ((22000 * tf) // (10 * tf + 3 + (9 * dl.dl * nd) // totlen)) AS score_t
         |   FROM tf JOIN df ON tf.term = df.term
         |   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot)
         | SELECT doc_id, CAST(sum(score_t) AS BIGINT) AS score FROM s
@@ -868,15 +878,15 @@ object ExtQueries {
 
     // X4 bigram language-model fluency score: P(w2|w1) estimated from
     // corpus bigram/unigram counts, integer-scaled ((c2·1e6) div c1) so
-    // the per-doc sum is exact. Bigrams come from zip_with over two
-    // shifted slices (no positional self-join, no per-doc window); the
-    // count tables are vocab²-bounded so their joins broadcast at any
-    // corpus size.
+    // the per-doc sum is exact (c2 ≤ c1 keeps each term ≤ 1e6; a doc's
+    // sum stays ≤ 1e6·dl — int64-safe at any corpus size). Bigrams come
+    // from zip_with over two shifted slices (no positional self-join,
+    // no per-doc window); the count tables are vocab²-bounded so their
+    // joins broadcast at any corpus size.
     Q("x_bigram_lm",
       (s, d) => {
         Tables.documents(s, d).createOrReplaceTempView("documents_lm")
-        s.sql("""WITH w AS (SELECT doc_id,
-          |   filter(split(trim(lower(text)), '\\s+'), t -> t <> '') AS toks
+        s.sql(s"""WITH w AS (SELECT doc_id, $sparkToks AS toks
           |   FROM documents_lm),
           | bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM w
           |   LATERAL VIEW explode(zip_with(
@@ -891,9 +901,7 @@ object ExtQueries {
           | JOIN c1 ON bg.w1 = c1.w1
           | GROUP BY 1 ORDER BY doc_id""".stripMargin)
       },
-      Some("""WITH w AS (SELECT doc_id, list_filter(
-        |   regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS toks
-        |   FROM documents),
+      Some(s"""WITH w AS (SELECT doc_id, $duckToks AS toks FROM documents),
         | bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (SELECT doc_id,
         |     unnest(list_transform(range(len(toks) - 1),
         |       i -> struct_pack(w1 := toks[i + 1], w2 := toks[i + 2]))) AS u

@@ -1446,7 +1446,12 @@ object Queries {
     // only float ops are the final identical-order divisions, so the
     // result is bit-stable across engines and partitionings. Σx² can
     // exceed int64 (1.05e7² × 6e5 rows ≈ 6.6e19) → that one sum runs
-    // in DECIMAL.
+    // in DECIMAL. The oracle converts its (hugeint-backed) sums to
+    // DOUBLE through a VARCHAR bridge: DuckDB's direct int128→double
+    // cast is not correctly rounded past 2^63 (measured 1-ulp drift on
+    // ~10% of values), while string→double and Spark's Decimal.toDouble
+    // both are — so the bridge keeps the bit-stability claim true past
+    // the 2^63 sum threshold.
     Q("q_stats_moments",
       (s, d) => {
         val px = round(col("l_extendedprice") * 100).cast("long")
@@ -1487,11 +1492,11 @@ object Queries {
         | CAST(round(l_discount * 100, 0) AS BIGINT) AS dx
         | FROM lineitem),
         | g AS (SELECT l_returnflag, count(*) AS n,
-        | CAST(sum(px) AS DOUBLE) AS sx,
-        | CAST(sum(CAST(px * px AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
-        | CAST(sum(dx) AS DOUBLE) AS sy,
-        | CAST(sum(dx * dx) AS DOUBLE) AS syy,
-        | CAST(sum(px * dx) AS DOUBLE) AS sxy
+        | CAST(CAST(sum(px) AS VARCHAR) AS DOUBLE) AS sx,
+        | CAST(CAST(sum(CAST(px * px AS DECIMAL(28,0))) AS VARCHAR) AS DOUBLE) AS sxx,
+        | CAST(CAST(sum(dx) AS VARCHAR) AS DOUBLE) AS sy,
+        | CAST(CAST(sum(dx * dx) AS VARCHAR) AS DOUBLE) AS syy,
+        | CAST(CAST(sum(px * dx) AS VARCHAR) AS DOUBLE) AS sxy
         | FROM c GROUP BY 1),
         | m AS (SELECT l_returnflag, n,
         | (sx / CAST(n AS DOUBLE)) / 100.0 AS mean_price,

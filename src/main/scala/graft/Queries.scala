@@ -284,6 +284,60 @@ object Queries {
         | FROM orders WHERE o_orderpriority = '1-URGENT'
         | GROUP BY o_orderpriority""".stripMargin.replaceAll("\n", ""))),
 
+    // Z-ORDER layout: lineitem laid out on the Morton curve of
+    // (l_partkey, l_suppkey), then filtered on ranges of BOTH columns.
+    // On the curve layout each file's min/max footer stats are tight in
+    // both dimensions, so a two-column range predicate prunes files/row
+    // groups — a linear sort key serves one dimension and scatters the
+    // other. Pay-once, dir-scoped layout like q_bucketed_join; the
+    // oracle is the plain filtered SQL (result identity under layout).
+    Q("q_zorder_layout",
+      (s, d) => {
+        import graft.ops.Bucketing
+        val tag = java.lang.Integer.toHexString(d.hashCode)
+        Bucketing.ensureZOrdered(Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity"),
+          s"graft_z_lineitem_$tag", "l_partkey", "l_suppkey", files = 16)
+        s.table(s"graft_z_lineitem_$tag")
+          .filter(col("l_partkey").between(100, 300) &&
+            col("l_suppkey").between(10, 40))
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        | l_quantity FROM lineitem
+        | WHERE l_partkey BETWEEN 100 AND 300
+        |   AND l_suppkey BETWEEN 10 AND 40
+        | ORDER BY l_orderkey, l_linenumber"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // Incremental aggregate maintenance: base (80%) and delta (20%) of
+    // the events stream are aggregated SEPARATELY into (count, decimal
+    // sum) partial states, then merged — proving
+    // merge(partial(A), partial(B)) == partial(A ∪ B) bit-for-bit
+    // against the oracle's single pass over everything. This is the
+    // materialized-view refresh path: new data costs O(delta) + an
+    // O(|keys|) fold, never a history re-scan.
+    Q("q_incremental_agg",
+      (s, d) => {
+        import graft.ops.IncrementalAgg
+        val ev = Tables.events(s, d)
+        val base = IncrementalAgg.partial(
+          ev.filter(pmod(col("event_id"), lit(5)) =!= 0), "event_type", "value")
+        val delta = IncrementalAgg.partial(
+          ev.filter(pmod(col("event_id"), lit(5)) === 0), "event_type", "value")
+        IncrementalAgg.finish(
+          IncrementalAgg.merge("event_type", Seq(base, delta)), "event_type")
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+        | CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_value
+        | FROM events GROUP BY 1 ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // Ordered-set aggregates: exact interpolated percentiles per group
     Q("q_percentile",
       (s, d) => Tables.lineitem(s, d)

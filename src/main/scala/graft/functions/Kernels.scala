@@ -178,6 +178,41 @@ object Kernels {
     h
   }
 
+  /** Morton (Z-order) interleave of the low 21 bits of two non-negative
+    * keys: bit i of `a` lands at position 2i, bit i of `b` at 2i+1 —
+    * a 42-bit space-filling-curve value. Sorting a table by this value
+    * clusters rows that are close in BOTH dimensions into the same
+    * parquet row groups, so min/max footer stats prune two-column range
+    * predicates (the standard lakehouse Z-ORDER layout; neither linear
+    * sort key can serve both dimensions). Keys wider than 21 bits keep
+    * their low 21 (locality, not identity — fine for a sort key).
+    */
+  def morton2(a: Long, b: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 21) {
+      z |= ((a >>> i) & 1L) << (2 * i)
+      z |= ((b >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  /** Inverse of [[morton2]]: (a, b) packed as (a & 0x1FFFFF) | (b << 21)
+    * — test/verification helper for the round-trip property.
+    */
+  def morton2Inverse(z: Long): Long = {
+    var a = 0L
+    var b = 0L
+    var i = 0
+    while (i < 21) {
+      a |= ((z >>> (2 * i)) & 1L) << i
+      b |= ((z >>> (2 * i + 1)) & 1L) << i
+      i += 1
+    }
+    a | (b << 21)
+  }
+
   /** Portable MinHash signature: h_i = min over shingles of
     * (permA(i) * (md5_48(sh) mod P) + permB(i)) mod P, with the
     * constants from [[graft.sim.PortableHash]] — the same arithmetic the
@@ -554,6 +589,9 @@ object Kernels {
   def simhash48Col(text: Column): Column = invoke(LongType, "simhash48", text)
 
   def md5_48Col(text: Column): Column = invoke(LongType, "md5_48", text)
+
+  def morton2Col(a: Column, b: Column): Column =
+    invoke(LongType, "morton2", a, b)
 
   def sigEqFracCol(a: Column, b: Column): Column =
     invoke(DoubleType, "sigEqFrac", a, b)

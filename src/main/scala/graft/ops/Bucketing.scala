@@ -76,6 +76,34 @@ object Bucketing {
     if (!df.sparkSession.catalog.tableExists(table))
       writePartitioned(df, table, partCol)
 
+  /** Write `df` Z-ORDERED on two integer keys: range-partitioned and
+    * sorted by the Morton interleave of (c1, c2), so rows close in BOTH
+    * dimensions land in the same files/row groups. Parquet min/max
+    * footer stats on c1 AND c2 then both prune a two-column range
+    * predicate — a linear sort on either column alone scatters the
+    * other across every file. At 100 TB this is the standard lakehouse
+    * answer to "two selective dimensions, one layout"; like bucketing,
+    * the curve sort is paid ONCE at layout time. The z column is kept
+    * in the table (a reader projecting the original columns never
+    * decodes it — columnar pruning makes it free).
+    */
+  def writeZOrdered(df: DataFrame, table: String, c1: String, c2: String,
+                    files: Int): Unit = {
+    clearStale(df.sparkSession, table)
+    df.withColumn("z",
+        graft.functions.Kernels.morton2Col(col(c1).cast("long"),
+          col(c2).cast("long")))
+      .repartitionByRange(files, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").saveAsTable(table)
+  }
+
+  /** [[writeZOrdered]] only when absent from the session catalog. */
+  def ensureZOrdered(df: DataFrame, table: String, c1: String, c2: String,
+                     files: Int): Unit =
+    if (!df.sparkSession.catalog.tableExists(table))
+      writeZOrdered(df, table, c1, c2, files)
+
   /** Bucket-aware inner equi-join of two saved bucketed tables. The
     * `merge` hint pins the sort-merge strategy (AQE would otherwise
     * broadcast a small side at test scale, hiding the layout win the

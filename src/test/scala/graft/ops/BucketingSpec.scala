@@ -52,4 +52,65 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS customer_b")
     }
   }
+
+  test("morton2 interleave round-trips and orders like the curve") {
+    import graft.functions.Kernels
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 2000) {
+      val a = rnd.nextLong().abs & 0x1FFFFFL
+      val b = rnd.nextLong().abs & 0x1FFFFFL
+      val packed = Kernels.morton2Inverse(Kernels.morton2(a, b))
+      assert((packed & 0x1FFFFFL) == a && (packed >>> 21) == b,
+        s"round-trip failed for ($a, $b)")
+    }
+    // interleaving property: bumping either coordinate past the other's
+    // contribution moves z monotonically within a fixed quadrant
+    assert(Kernels.morton2(0, 0) == 0L)
+    assert(Kernels.morton2(1, 0) == 1L)
+    assert(Kernels.morton2(0, 1) == 2L)
+    assert(Kernels.morton2(1, 1) == 3L)
+    assert(Kernels.morton2(2, 2) == 12L)
+  }
+
+  test("z-ordered layout clusters both dimensions into tight per-file boxes") {
+    try {
+      Bucketing.writeZOrdered(Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        "z_lineitem_spec", "l_partkey", "l_suppkey", files = 8)
+
+      // result identity under layout
+      val got = spark.table("z_lineitem_spec")
+        .filter(col("l_partkey").between(40, 90) &&
+          col("l_suppkey").between(2, 5))
+        .select("l_orderkey", "l_linenumber").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      val expected = Tables.lineitem(spark, sf)
+        .filter(col("l_partkey").between(40, 90) &&
+          col("l_suppkey").between(2, 5))
+        .select("l_orderkey", "l_linenumber").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == expected && got.nonEmpty)
+
+      // the layout's point: per-FILE min/max boxes are tight in BOTH
+      // dimensions, so footer stats can prune two-column predicates.
+      // Sum of per-file partkey ranges ≪ files × full range (an
+      // unsorted or suppkey-sorted layout gives ~full range per file).
+      val byFile = spark.table("z_lineitem_spec")
+        .select(input_file_name().as("f"), col("l_partkey"), col("l_suppkey"))
+        .groupBy("f")
+        .agg((max("l_partkey") - min("l_partkey")).as("pk_range"),
+          (max("l_suppkey") - min("l_suppkey")).as("sk_range"))
+        .collect()
+      assert(byFile.length > 1, "expected a multi-file layout")
+      val full = Tables.lineitem(spark, sf)
+        .agg((max("l_partkey") - min("l_partkey")).cast("double"),
+          (max("l_suppkey") - min("l_suppkey")).cast("double")).head()
+      val meanPk = byFile.map(_.getLong(1)).sum.toDouble / byFile.length
+      assert(meanPk < full.getDouble(0) * 0.6,
+        s"z-layout should shrink per-file partkey boxes: mean $meanPk " +
+          s"of full ${full.getDouble(0)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS z_lineitem_spec")
+    }
+  }
 }

@@ -338,6 +338,41 @@ object Queries {
         | FROM events GROUP BY 1 ORDER BY event_type"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // Binned-histogram quantile estimate — the mergeable, one-pass scale
+    // path next to q_percentile's exact sort-based form. The fixed grid
+    // makes the sketch deterministic, so (unlike HLL) it IS oracled:
+    // the DuckDB twin computes the same bin counts, cumulative walk,
+    // and in-bin interpolation in the same expression order.
+    Q("q_quantile_hist",
+      (s, d) => graft.ops.HistQuantile.estimate(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+        binWidth = 1050.0, qs = Seq("p50_est" -> 0.5, "p90_est" -> 0.9))
+        .orderBy("l_returnflag"),
+      Some("""WITH b AS (SELECT l_returnflag,
+        |   CAST(floor(l_extendedprice / 1050.0) AS BIGINT) AS bin,
+        |   count(*) AS cnt FROM lineitem GROUP BY 1, 2),
+        | c AS (SELECT l_returnflag, bin, cnt,
+        |   sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+        |   sum(cnt) OVER (PARTITION BY l_returnflag) AS total FROM b),
+        | t AS (SELECT l_returnflag, CAST(max(total) AS BIGINT) AS n
+        |   FROM c GROUP BY 1),
+        | p50 AS (SELECT l_returnflag, min(bin) AS qbin FROM c
+        |   WHERE cum >= 0.5 * total GROUP BY 1),
+        | e50 AS (SELECT c.l_returnflag, (c.bin * 1050.0) +
+        |   (((0.5 * c.total) - (c.cum - c.cnt)) / c.cnt) * 1050.0 AS p50_est
+        |   FROM c JOIN p50 ON c.l_returnflag = p50.l_returnflag
+        |     AND c.bin = p50.qbin),
+        | p90 AS (SELECT l_returnflag, min(bin) AS qbin FROM c
+        |   WHERE cum >= 0.9 * total GROUP BY 1),
+        | e90 AS (SELECT c.l_returnflag, (c.bin * 1050.0) +
+        |   (((0.9 * c.total) - (c.cum - c.cnt)) / c.cnt) * 1050.0 AS p90_est
+        |   FROM c JOIN p90 ON c.l_returnflag = p90.l_returnflag
+        |     AND c.bin = p90.qbin)
+        | SELECT t.l_returnflag, n, p50_est, p90_est FROM t
+        | JOIN e50 ON t.l_returnflag = e50.l_returnflag
+        | JOIN e90 ON t.l_returnflag = e90.l_returnflag
+        | ORDER BY t.l_returnflag""".stripMargin.replaceAll("\n", ""))),
+
     // Ordered-set aggregates: exact interpolated percentiles per group
     Q("q_percentile",
       (s, d) => Tables.lineitem(s, d)

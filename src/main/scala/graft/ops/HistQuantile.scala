@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One-pass binned quantile estimation — the scale path for percentiles.
+  *
+  * Exact `percentile` (q_percentile) buffers and sorts every group's
+  * values; at 100 TB that is the operator you cannot afford on a hot
+  * path. A fixed-grid histogram is one map-side-combinable aggregate
+  * (the bin counts are algebraic state, mergeable across partitions,
+  * increments, and days — the same state contract as
+  * [[IncrementalAgg]]), and the quantile is then interpolated inside
+  * the covering bin from `O(bins)` rows per group.
+  *
+  * Unlike t-digest/HLL-style sketches, the fixed grid is DETERMINISTIC:
+  * bin edges don't depend on data order or partitioning, so the
+  * estimate is bit-identical across engines — q_quantile_hist is
+  * hash-matched by a DuckDB twin, not a rows-only check. Estimate
+  * error is bounded by the bin width.
+  */
+object HistQuantile {
+
+  /** Per-group quantile estimates of `value` on a fixed grid of
+    * `binWidth`-wide bins anchored at 0. `qs` maps output column name →
+    * quantile fraction. Output: group, n, one column per entry of `qs`.
+    */
+  def estimate(df: DataFrame, group: String, value: String,
+               binWidth: Double, qs: Seq[(String, Double)]): DataFrame = {
+    val bins = df
+      .groupBy(col(group), floor(col(value) / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    // both windows are over the ≤|bins| aggregated rows per group, never
+    // the raw data
+    val c = bins
+      .withColumn("cum", sum(col("cnt"))
+        .over(Window.partitionBy(group).orderBy("bin")))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy(group)))
+
+    def estimateOne(name: String, q: Double): DataFrame = {
+      // rename the covering side's key: both sides descend from `c`, and
+      // Spark's self-join ambiguity check rejects same-name lineage
+      val covering = c.filter(col("cum") >= lit(q) * col("total"))
+        .groupBy(col(group)).agg(min(col("bin")).as("qbin"))
+        .withColumnRenamed(group, "qgrp")
+      c.join(covering,
+          col(group) === col("qgrp") && col("bin") === col("qbin"))
+        .select(col(group),
+          ((col("bin") * lit(binWidth)) +
+            (((lit(q) * col("total")) - (col("cum") - col("cnt")))
+              / col("cnt")) * lit(binWidth)).as(name))
+    }
+
+    val totals = c.groupBy(col(group)).agg(max(col("total")).as("n"))
+    qs.foldLeft(totals) { case (acc, (name, q)) =>
+      acc.join(estimateOne(name, q), group)
+    }
+  }
+}

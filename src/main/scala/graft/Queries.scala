@@ -1669,6 +1669,66 @@ object Queries {
         | FROM events) t WHERE rn = 1
         | ORDER BY user_id, event_type""".stripMargin.replaceAll("\n", ""))),
 
+    // SCD2 dimension history: each user's purchase stream becomes
+    // (value, valid_from, valid_to) rows — valid_to is the NEXT change's
+    // timestamp via lead() over a total order, open intervals closed
+    // with a sentinel. One window pass per user partition; the as-of
+    // join (q_asof_join) is the read side of this build.
+    Q("q_scd2_history",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("value").as("state_value"),
+            col("ts").as("valid_from"),
+            coalesce(lead(col("ts"), 1).over(w),
+              lit("9999-12-31 00:00:00").cast("timestamp")).as("valid_to"))
+          .orderBy("user_id", "valid_from")
+      },
+      Some("""SELECT user_id, value AS state_value, ts AS valid_from,
+        | coalesce(lead(ts, 1) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id),
+        |   TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+        | FROM events WHERE event_type = 'purchase'
+        | ORDER BY user_id, valid_from"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // Binned range join: purchases within 10 minutes after ANY click —
+    // a PURE range predicate with no equi-key, which planned naively is
+    // a nested-loop cross product. Bucketing time into bins the size of
+    // the range turns it into an equi-join: each click probes its bin
+    // and the next (a 2-element explode), the bin join meets only
+    // temporally-close rows, and the exact predicate verifies on that
+    // candidate set. Each qualifying pair matches in EXACTLY one bin
+    // (p's bin is a single value), so no dedup pass is needed. Same
+    // candidates-then-verify shape as the LSH dedup paths.
+    Q("q_range_bin_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val binSecs = 600L
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("ts").as("c_ts"))
+          .withColumn("bin", explode(array(
+            floor(unix_timestamp(col("c_ts")) / binSecs),
+            floor(unix_timestamp(col("c_ts")) / binSecs) + 1)))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+          .withColumn("bin", floor(unix_timestamp(col("p_ts")) / binSecs))
+        clicks.join(purchases, "bin")
+          .filter(col("p_ts") >= col("c_ts") &&
+            col("p_ts") < col("c_ts") + expr("INTERVAL 10 MINUTES"))
+          .select("click_id", "purchase_id")
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        | FROM (SELECT event_id, ts FROM events WHERE event_type = 'click') c
+        | JOIN (SELECT event_id, ts FROM events
+        |   WHERE event_type = 'purchase') p
+        | ON p.ts >= c.ts AND p.ts < c.ts + INTERVAL 10 MINUTE
+        | ORDER BY click_id, purchase_id"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // SQL entry path + scalar subquery (Catalyst rewrites it to a join;
     // the threshold uses the decimal-exact average so both engines
     // compute the identical double)

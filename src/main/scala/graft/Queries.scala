@@ -353,25 +353,16 @@ object Queries {
         |   count(*) AS cnt FROM lineitem GROUP BY 1, 2),
         | c AS (SELECT l_returnflag, bin, cnt,
         |   sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
-        |   sum(cnt) OVER (PARTITION BY l_returnflag) AS total FROM b),
-        | t AS (SELECT l_returnflag, CAST(max(total) AS BIGINT) AS n
-        |   FROM c GROUP BY 1),
-        | p50 AS (SELECT l_returnflag, min(bin) AS qbin FROM c
-        |   WHERE cum >= 0.5 * total GROUP BY 1),
-        | e50 AS (SELECT c.l_returnflag, (c.bin * 1050.0) +
-        |   (((0.5 * c.total) - (c.cum - c.cnt)) / c.cnt) * 1050.0 AS p50_est
-        |   FROM c JOIN p50 ON c.l_returnflag = p50.l_returnflag
-        |     AND c.bin = p50.qbin),
-        | p90 AS (SELECT l_returnflag, min(bin) AS qbin FROM c
-        |   WHERE cum >= 0.9 * total GROUP BY 1),
-        | e90 AS (SELECT c.l_returnflag, (c.bin * 1050.0) +
-        |   (((0.9 * c.total) - (c.cum - c.cnt)) / c.cnt) * 1050.0 AS p90_est
-        |   FROM c JOIN p90 ON c.l_returnflag = p90.l_returnflag
-        |     AND c.bin = p90.qbin)
-        | SELECT t.l_returnflag, n, p50_est, p90_est FROM t
-        | JOIN e50 ON t.l_returnflag = e50.l_returnflag
-        | JOIN e90 ON t.l_returnflag = e90.l_returnflag
-        | ORDER BY t.l_returnflag""".stripMargin.replaceAll("\n", ""))),
+        |   sum(cnt) OVER (PARTITION BY l_returnflag) AS total FROM b)
+        | SELECT l_returnflag, CAST(max(total) AS BIGINT) AS n,
+        | max(CASE WHEN cum >= 0.5 * total AND (cum - cnt) < 0.5 * total
+        |   THEN (bin * 1050.0) +
+        |     (((0.5 * total) - (cum - cnt)) / cnt) * 1050.0 END) AS p50_est,
+        | max(CASE WHEN cum >= 0.9 * total AND (cum - cnt) < 0.9 * total
+        |   THEN (bin * 1050.0) +
+        |     (((0.9 * total) - (cum - cnt)) / cnt) * 1050.0 END) AS p90_est
+        | FROM c GROUP BY 1 ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", ""))),
 
     // Ordered-set aggregates: exact interpolated percentiles per group
     Q("q_percentile",

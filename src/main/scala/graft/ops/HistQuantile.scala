@@ -25,6 +25,12 @@ object HistQuantile {
   /** Per-group quantile estimates of `value` on a fixed grid of
     * `binWidth`-wide bins anchored at 0. `qs` maps output column name →
     * quantile fraction. Output: group, n, one column per entry of `qs`.
+    *
+    * Every quantile comes out of ONE aggregation over the bin table: the
+    * covering bin is the unique row with `cum − cnt < q·total ≤ cum`
+    * (cum is strictly increasing over occupied bins), so each estimate
+    * is `max(CASE WHEN covering THEN interpolation END)` — no per-
+    * quantile self-join, and the raw data is binned exactly once.
     */
   def estimate(df: DataFrame, group: String, value: String,
                binWidth: Double, qs: Seq[(String, Double)]): DataFrame = {
@@ -38,23 +44,15 @@ object HistQuantile {
         .over(Window.partitionBy(group).orderBy("bin")))
       .withColumn("total", sum(col("cnt")).over(Window.partitionBy(group)))
 
-    def estimateOne(name: String, q: Double): DataFrame = {
-      // rename the covering side's key: both sides descend from `c`, and
-      // Spark's self-join ambiguity check rejects same-name lineage
-      val covering = c.filter(col("cum") >= lit(q) * col("total"))
-        .groupBy(col(group)).agg(min(col("bin")).as("qbin"))
-        .withColumnRenamed(group, "qgrp")
-      c.join(covering,
-          col(group) === col("qgrp") && col("bin") === col("qbin"))
-        .select(col(group),
-          ((col("bin") * lit(binWidth)) +
-            (((lit(q) * col("total")) - (col("cum") - col("cnt")))
-              / col("cnt")) * lit(binWidth)).as(name))
+    def estimateCol(q: Double): Column = {
+      val target = lit(q) * col("total")
+      max(when(col("cum") >= target && (col("cum") - col("cnt")) < target,
+        (col("bin") * lit(binWidth)) +
+          ((target - (col("cum") - col("cnt"))) / col("cnt")) * lit(binWidth)))
     }
 
-    val totals = c.groupBy(col(group)).agg(max(col("total")).as("n"))
-    qs.foldLeft(totals) { case (acc, (name, q)) =>
-      acc.join(estimateOne(name, q), group)
-    }
+    c.groupBy(col(group))
+      .agg(max(col("total")).as("n"),
+        qs.map { case (name, q) => estimateCol(q).as(name) }: _*)
   }
 }

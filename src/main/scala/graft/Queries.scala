@@ -25,6 +25,32 @@ final case class Q(
 
 object Queries {
 
+  /** partsupp derived from lineitem (the fixture ships no partsupp
+    * table): one row per observed (partkey, suppkey) with the line count
+    * and a min-unit-price supply-cost proxy. Used by the Q2/Q9/Q11/Q16/
+    * Q20 TPC-H shapes; [[psSql]] is the DuckDB twin, derived the same
+    * way so the two engines see the identical table. The cost proxy
+    * lives on an integer MICRO-DOLLAR grid: floor of the identical
+    * division double is engine-stable, and every downstream
+    * cost·quantity product is exact integer arithmetic — raw-double
+    * costs made Q9/Q11 diverge at the 6th decimal, because rounding a
+    * full-mantissa double into DECIMAL(28,6) is
+    * conversion-algorithm-dependent (same trap as q_stats_moments).
+    */
+  private def partsupp(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .agg(count(lit(1)).as("ps_linecount"),
+        min(floor(col("l_extendedprice") * lit(1000000.0) / col("l_quantity"))
+          .cast("long")).as("ps_supplycost"))
+
+  private val psSql: String =
+    """(SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      | count(*) AS ps_linecount,
+      | min(CAST(floor(l_extendedprice * 1000000.0 / l_quantity) AS BIGINT)) AS ps_supplycost
+      | FROM lineitem GROUP BY 1, 2)""".stripMargin.replaceAll("\n", "")
+
   /** Core, reference-traceable surface (SURVEY §2.1–§2.9). */
   val core: Seq[Q] = Seq(
 
@@ -1462,6 +1488,234 @@ object Queries {
         |     WHERE o_custkey = c_custkey
         |       AND o_orderdate >= TIMESTAMP '2001-01-01')
         | GROUP BY 1 ORDER BY cntrycode"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // TPC-H Q2 shape (min-cost supplier per part): the correlated MIN
+    // subquery decorrelated to a grouped min + exact-double equi-join
+    // (the q_tpch_q15 trick — min of per-row doubles is engine-stable).
+    // Region-filtered supply rows are built once and reused by both the
+    // min table and the winners join.
+    Q("q_tpch_q2",
+      (s, d) => {
+        val pse = partsupp(s, d)
+          .join(broadcast(Tables.supplier(s, d)),
+            col("ps_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("ps_partkey"), col("ps_supplycost"),
+            col("s_acctbal"), col("s_name"), col("n_name"))
+        val mn = pse.groupBy(col("ps_partkey").as("mn_partkey"))
+          .agg(min(col("ps_supplycost")).as("min_cost"))
+        pse.join(mn, col("ps_partkey") === col("mn_partkey") &&
+            col("ps_supplycost") === col("min_cost"))
+          .join(broadcast(Tables.part(s, d).filter(col("p_size") < 10)),
+            col("ps_partkey") === col("p_partkey"))
+          .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            "ps_supplycost")
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+            col("p_partkey"))
+          .limit(100)
+      },
+      Some(s"""WITH pse AS (SELECT ps_partkey, ps_supplycost, s_acctbal,
+        |   s_name, n_name FROM $psSql ps
+        |   JOIN supplier ON ps_suppkey = s_suppkey
+        |   JOIN nation ON s_nationkey = n_nationkey
+        |   JOIN region ON n_regionkey = r_regionkey
+        |   WHERE r_name = 'EUROPE'),
+        | mn AS (SELECT ps_partkey AS mn_partkey,
+        |   min(ps_supplycost) AS min_cost FROM pse GROUP BY 1)
+        | SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+        | FROM pse JOIN mn ON ps_partkey = mn_partkey
+        |   AND ps_supplycost = min_cost
+        | JOIN part ON ps_partkey = p_partkey
+        | WHERE p_size < 10
+        | ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // TPC-H Q9 shape (product-type profit by nation and year): the
+    // supply-cost side joins on the COMPOSITE (partkey, suppkey) key —
+    // partsupp is |parts|×|suppliers|-bounded, a real shuffle join at
+    // scale, while part/supplier/nation broadcast. Profit is one exact
+    // sum over (revenue − supply cost · qty).
+    Q("q_tpch_q9",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_name").like("%red%")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(partsupp(s, d),
+          col("ps_partkey") === col("l_partkey") &&
+            col("ps_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        // revenue joins the cost's micro-dollar grid: the 4-decimal
+        // product × 1e6 is integral-valued, so round() is exact on both
+        // engines; profit per row is then a pure int64 difference
+        .agg((sum((round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * lit(1000000.0)).cast("long")
+          - col("ps_supplycost") * col("l_quantity").cast("long"))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 0)))
+          .cast("double") / lit(1000000.0)).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc),
+      Some(s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        | CAST(sum(CAST(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |     * 1000000.0, 0) AS BIGINT)
+        |   - ps_supplycost * CAST(l_quantity AS BIGINT)
+        |   AS DECIMAL(28,0))) AS DOUBLE) / 1000000.0 AS sum_profit
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN $psSql ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | WHERE p_name LIKE '%red%'
+        | GROUP BY 1, 2 ORDER BY nation, o_year DESC"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // TPC-H Q11 shape (important supply concentration): grouped value
+    // vs a scalar fraction of the global total — SQL path so the
+    // threshold plans as an uncorrelated scalar subquery (1-row
+    // broadcast), not a join.
+    Q("q_tpch_q11",
+      (s, d) => {
+        partsupp(s, d).createOrReplaceTempView("partsupp_q11")
+        s.sql("""SELECT * FROM (SELECT ps_partkey,
+          |   CAST(sum(CAST(ps_supplycost * ps_linecount AS DECIMAL(28,0))) AS DOUBLE)
+          |     / 1000000.0 AS value
+          |   FROM partsupp_q11 GROUP BY 1)
+          | WHERE value > (SELECT
+          |   0.001 * (CAST(sum(CAST(ps_supplycost * ps_linecount AS DECIMAL(28,0))) AS DOUBLE)
+          |     / 1000000.0)
+          |   FROM partsupp_q11)
+          | ORDER BY value DESC, ps_partkey""".stripMargin)
+      },
+      Some(s"""SELECT * FROM (SELECT ps_partkey,
+        | CAST(sum(CAST(ps_supplycost * ps_linecount AS DECIMAL(28,0))) AS DOUBLE)
+        |   / 1000000.0 AS value
+        | FROM $psSql ps GROUP BY 1)
+        | WHERE value > (SELECT
+        | 0.001 * (CAST(sum(CAST(ps_supplycost * ps_linecount AS DECIMAL(28,0))) AS DOUBLE)
+        |   / 1000000.0)
+        | FROM $psSql ps2)
+        | ORDER BY value DESC, ps_partkey"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // TPC-H Q16 shape (supplier diversity per part class): anti join
+    // against the excluded-supplier list, then count(DISTINCT) per
+    // (brand, type, size) — the two-phase distinct expand is the
+    // scale-correct plan.
+    Q("q_tpch_q16",
+      (s, d) => partsupp(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))),
+          col("ps_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d)
+          .filter(col("s_acctbal") < 0.0).select("s_suppkey"),
+          col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size")),
+      Some(s"""SELECT p_brand, p_type, p_size,
+        | count(DISTINCT ps_suppkey) AS supplier_cnt
+        | FROM $psSql ps JOIN part ON p_partkey = ps_partkey
+        | WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |   AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |   AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |     WHERE s_acctbal < 0.0)
+        | GROUP BY 1, 2, 3
+        | ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // TPC-H Q20 shape (excess-stock suppliers): the correlated "more
+    // than half this part's volume" predicate decorrelates to a grouped
+    // totals table re-joined on partkey; the comparison
+    // (linecount·ns·2 > tot) is pure integer arithmetic. Suppliers
+    // reach the output through a semi join — never duplicated by their
+    // qualifying parts.
+    Q("q_tpch_q20",
+      (s, d) => {
+        val ps = partsupp(s, d)
+        val totals = ps.groupBy(col("ps_partkey").as("a_partkey"))
+          .agg(sum(col("ps_linecount")).as("tot"),
+            count(lit(1)).as("ns"))
+        val excess = ps.join(totals, col("ps_partkey") === col("a_partkey"))
+          .filter(col("ps_linecount") * col("ns") * lit(2) > col("tot"))
+          .select(col("ps_suppkey"))
+        Tables.supplier(s, d)
+          .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "s_name", "n_name")
+          .orderBy("s_suppkey")
+      },
+      Some(s"""WITH a AS (SELECT ps_partkey AS a_partkey,
+        |   CAST(sum(ps_linecount) AS BIGINT) AS tot, count(*) AS ns
+        |   FROM $psSql ps GROUP BY 1)
+        | SELECT s_suppkey, s_name, n_name FROM supplier
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | WHERE r_name = 'ASIA' AND s_suppkey IN (
+        |   SELECT ps_suppkey FROM $psSql ps JOIN a ON ps_partkey = a_partkey
+        |   WHERE ps_linecount * ns * 2 > tot)
+        | ORDER BY s_suppkey""".stripMargin.replaceAll("\n", ""))),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    // double-correlated EXISTS / NOT EXISTS, decorrelated to a semi and
+    // an anti join each carrying an extra non-equi residual
+    // (l2.suppkey ≠ l1.suppkey) on the orderkey equi-join. (No
+    // commitdate/receiptdate in the fixture: "late" = returned lines.)
+    Q("q_tpch_q21",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val l1 = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val l2 = li.select(col("l_orderkey").as("l2_orderkey"),
+          col("l_suppkey").as("l2_suppkey"))
+        val l3 = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("l3_orderkey"),
+            col("l_suppkey").as("l3_suppkey"))
+        l1
+          .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+            .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name") === "NATION_3")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(l2, col("l2_orderkey") === col("l_orderkey") &&
+            col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+          .join(l3, col("l3_orderkey") === col("l_orderkey") &&
+            col("l3_suppkey") =!= col("l_suppkey"), "left_anti")
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some("""SELECT s_name, count(*) AS numwait FROM lineitem l1
+        | JOIN supplier ON l1.l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN orders ON l1.l_orderkey = o_orderkey
+        | WHERE n_name = 'NATION_3' AND o_orderstatus = 'F'
+        |   AND l1.l_returnflag = 'R'
+        |   AND EXISTS (SELECT 1 FROM lineitem l2
+        |     WHERE l2.l_orderkey = l1.l_orderkey
+        |       AND l2.l_suppkey <> l1.l_suppkey)
+        |   AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |     WHERE l3.l_orderkey = l1.l_orderkey
+        |       AND l3.l_suppkey <> l1.l_suppkey
+        |       AND l3.l_returnflag = 'R')
+        | GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20"""
         .stripMargin.replaceAll("\n", ""))),
 
     // Window distribution functions (ntile / percent_rank / cume_dist):

@@ -1635,9 +1635,10 @@ object Queries {
         .stripMargin.replaceAll("\n", ""))),
 
     // TPC-H Q20 shape (excess-stock suppliers): the correlated "more
-    // than half this part's volume" predicate decorrelates to a grouped
-    // totals table re-joined on partkey; the comparison
-    // (linecount·ns·2 > tot) is pure integer arithmetic. Suppliers
+    // than half this part's PER-SUPPLIER MEAN volume" predicate
+    // (linecount > tot/(2·ns), cross-multiplied to the pure-integer
+    // linecount·ns·2 > tot) decorrelates to a grouped totals table
+    // re-joined on partkey. Suppliers
     // reach the output through a semi join — never duplicated by their
     // qualifying parts.
     Q("q_tpch_q20",
@@ -1925,18 +1926,22 @@ object Queries {
           .orderBy(col("ts"), col("event_id"))
         Tables.events(s, d)
           .filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("value").as("state_value"),
+          .select(col("user_id"), col("event_id").as("change_id"),
+            col("value").as("state_value"),
             col("ts").as("valid_from"),
             coalesce(lead(col("ts"), 1).over(w),
               lit("9999-12-31 00:00:00").cast("timestamp")).as("valid_to"))
-          .orderBy("user_id", "valid_from")
+          // change_id completes the total order: equal (user, ts) pairs
+          // would otherwise hash-flake between engines
+          .orderBy("user_id", "valid_from", "change_id")
       },
-      Some("""SELECT user_id, value AS state_value, ts AS valid_from,
+      Some("""SELECT user_id, event_id AS change_id, value AS state_value,
+        | ts AS valid_from,
         | coalesce(lead(ts, 1) OVER (PARTITION BY user_id
         |   ORDER BY ts, event_id),
         |   TIMESTAMP '9999-12-31 00:00:00') AS valid_to
         | FROM events WHERE event_type = 'purchase'
-        | ORDER BY user_id, valid_from"""
+        | ORDER BY user_id, valid_from, change_id"""
         .stripMargin.replaceAll("\n", ""))),
 
     // Binned range join: purchases within 10 minutes after ANY click —

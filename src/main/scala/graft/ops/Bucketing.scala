@@ -90,11 +90,28 @@ object Bucketing {
   def writeZOrdered(df: DataFrame, table: String, c1: String, c2: String,
                     files: Int): Unit = {
     clearStale(df.sparkSession, table)
-    df.withColumn("z",
-        graft.functions.Kernels.morton2Col(col(c1).cast("long"),
-          col(c2).cast("long")))
-      .repartitionByRange(files, col("z"))
-      .sortWithinPartitions("z")
+    // Range-normalize BOTH keys to 16 bits before interleaving: raw
+    // interleave lets the wider-domain key own the high curve bits (an
+    // 8-bit × 4-bit domain sorts almost purely by the first key), which
+    // silently degenerates to a linear sort. min/max are 2 scalars per
+    // column — footer-stats cheap, the bounded-driver-data exception
+    // IVF centroids already use.
+    val Seq(lo1, hi1, lo2, hi2) = {
+      val r = df.agg(min(col(c1)).cast("long"), max(col(c1)).cast("long"),
+        min(col(c2)).cast("long"), max(col(c2)).cast("long")).head()
+      Seq(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    def norm(c: String, lo: Long, hi: Long) =
+      floor((col(c).cast("long") - lit(lo)) * lit(65536.0)
+        / lit((hi - lo + 1).toDouble)).cast("long")
+    // internal key name: a user column named plainly "z" must survive
+    val zCol = "__graft_z"
+    df.withColumn(zCol,
+        graft.functions.Kernels.morton2Col(norm(c1, lo1, hi1),
+          norm(c2, lo2, hi2)))
+      .repartitionByRange(files, col(zCol))
+      .sortWithinPartitions(zCol)
+      .drop(zCol)
       .write.mode("overwrite").saveAsTable(table)
   }
 

@@ -35,6 +35,11 @@ object HistQuantile {
   def estimate(df: DataFrame, group: String, value: String,
                binWidth: Double, qs: Seq[(String, Double)]): DataFrame = {
     val bins = df
+      // quantile semantics ignore NULLs (as percentile/quantile_cont do);
+      // unfiltered they'd form a NULL bin that skews total and — since
+      // Spark and DuckDB order NULL bins on opposite ends — desyncs the
+      // cumulative walk between engines
+      .filter(col(value).isNotNull)
       .groupBy(col(group), floor(col(value) / binWidth).cast("long").as("bin"))
       .agg(count(lit(1)).as("cnt"))
     // both windows are over the ≤|bins| aggregated rows per group, never

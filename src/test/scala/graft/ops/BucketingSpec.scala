@@ -106,9 +106,16 @@ class BucketingSpec extends SparkSpec {
         .agg((max("l_partkey") - min("l_partkey")).cast("double"),
           (max("l_suppkey") - min("l_suppkey")).cast("double")).head()
       val meanPk = byFile.map(_.getLong(1)).sum.toDouble / byFile.length
+      val meanSk = byFile.map(_.getLong(2)).sum.toDouble / byFile.length
       assert(meanPk < full.getDouble(0) * 0.6,
         s"z-layout should shrink per-file partkey boxes: mean $meanPk " +
           s"of full ${full.getDouble(0)}")
+      // BOTH dimensions must cluster — a morton2 regression that sorts
+      // on one key alone keeps the partkey assertion green while the
+      // other dimension scatters to ~full range per file
+      assert(meanSk < full.getDouble(1) * 0.75,
+        s"z-layout should shrink per-file suppkey boxes too: mean $meanSk " +
+          s"of full ${full.getDouble(1)}")
     } finally {
       spark.sql("DROP TABLE IF EXISTS z_lineitem_spec")
     }

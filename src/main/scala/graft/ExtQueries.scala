@@ -10,11 +10,34 @@ import graft.sim.{DedupOps, VectorOps}
   * similarity search, text analysis, multimodal columns. MinHash-LSH and
   * SimHash register in PORTABLE hash mode (md5-derived, PortableHash) so
   * even the approximate pipelines are hash-matched by generated DuckDB
-  * twins; only the genuinely sketch-/plane-bound operators (HLL,
-  * sign-LSH KNN, IVF KNN) are rows-only, each recall-tested in ScalaTest
-  * against its exact counterpart.
+  * twins; sign-LSH KNN is oracled too (multi-probe candidate recall 1.0
+  * + exact re-rank ⇒ output identical to brute force); only HLL and IVF
+  * KNN stay rows-only (sketch- and centroid-bound), each tested in
+  * ScalaTest against its exact counterpart.
   */
 object ExtQueries {
+
+  /** Exact brute-force KNN SQL — the oracle for BOTH x_knn_cosine and
+    * x_knn_lsh (whose multi-probe config reproduces it exactly).
+    */
+  private val knnBruteSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      | FROM embeddings WHERE vec_id < 5),
+      | c AS (SELECT vec_id AS neighbor_id, embedding AS ce
+      | FROM embeddings WHERE vec_id >= 5),
+      | sc AS (SELECT query_id, neighbor_id, round(
+      |   list_sum(list_transform(range(1, len(qe)+1),
+      |     i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+      |   (sqrt(list_sum(list_transform(range(1, len(qe)+1),
+      |     i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) *
+      |    sqrt(list_sum(list_transform(range(1, len(ce)+1),
+      |     i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))), 4) AS sim
+      |   FROM q CROSS JOIN c)
+      | SELECT query_id, neighbor_id, sim FROM (SELECT *, row_number()
+      |   OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+      |   FROM sc) t WHERE rn <= 10
+      | ORDER BY query_id, sim DESC, neighbor_id"""
+      .stripMargin.replaceAll("\n", "")
 
   /** DuckDB-side shingle CTE shared by the Jaccard oracle. */
   private val shingleCte =
@@ -292,33 +315,23 @@ object ExtQueries {
         VectorOps.knnBruteForce(
           emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), 10)
       },
-      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-        | FROM embeddings WHERE vec_id < 5),
-        | c AS (SELECT vec_id AS neighbor_id, embedding AS ce
-        | FROM embeddings WHERE vec_id >= 5),
-        | sc AS (SELECT query_id, neighbor_id, round(
-        |   list_sum(list_transform(range(1, len(qe)+1),
-        |     i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
-        |   (sqrt(list_sum(list_transform(range(1, len(qe)+1),
-        |     i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) *
-        |    sqrt(list_sum(list_transform(range(1, len(ce)+1),
-        |     i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))), 4) AS sim
-        |   FROM q CROSS JOIN c)
-        | SELECT query_id, neighbor_id, sim FROM (SELECT *, row_number()
-        |   OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
-        |   FROM sc) t WHERE rn <= 10
-        | ORDER BY query_id, sim DESC, neighbor_id"""
-        .stripMargin.replaceAll("\n", ""))),
+      Some(knnBruteSql)),
 
-    // X2 sign-LSH bucketed KNN (the 100 TB path) — rows-only; recall vs
-    // brute force covered in ScalaTest
+    // X2 sign-LSH bucketed KNN (the 100 TB path). The final stage is an
+    // EXACT cosine re-rank with a deterministic tie-break, so candidate
+    // recall 1.0 makes the output bit-identical to brute force — and at
+    // multiProbe=4 (all 1-bit flips of every table's query bucket) it IS
+    // identical on the seeded planes (probed at sf0.01 AND sf0.1), so the
+    // exact cross-join SQL is a true oracle while the physical plan stays
+    // a bucketed equi-join.
     Q("x_knn_lsh",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         VectorOps.knnLsh(
-          emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), 10)
+          emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), 10,
+          multiProbe = 4)
       },
-      None),
+      Some(knnBruteSql)),
 
     // X4 language distribution (labels from the fixture)
     Q("x_lang_distribution",
@@ -381,7 +394,12 @@ object ExtQueries {
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""))),
 
     // X2 IVF-style ANN (corpus-adaptive clusters; LSH's complement) —
-    // rows-only; recall vs brute force covered in ScalaTest
+    // rows-only BY MEASUREMENT, not neglect: the fixture's rank-10
+    // neighbors include genuinely-far vectors (random cos≈0.2) that land
+    // in arbitrary clusters, so even nprobe=12/16 with Lloyd-refined
+    // centroids misses rows; output identity would require near-
+    // exhaustive probing, which defeats IVF. Recall floor pinned in
+    // SimSpec instead.
     Q("x_knn_ivf",
       (s, d) => {
         val emb = Tables.embeddings(s, d)

@@ -112,6 +112,20 @@ class SimSpec extends SparkSpec {
       s"directed probes=2 recall $recall below 0.9 (${dir.size}/${exact.size})")
   }
 
+  test("multi-probe LSH KNN is bit-identical to brute force, with no cartesian plan") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    val brute = VectorOps.knnBruteForce(q, c, 10).collect().toSeq
+    val lsh = VectorOps.knnLsh(q, c, 10, multiProbe = 4)
+    assert(lsh.collect().toSeq == brute,
+      "multiProbe=4 candidate recall must cover the full top-10 set")
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay a bucketed equi-join")
+  }
+
   test("cosine on known vectors") {
     val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 1f), Array(1f, 1f)))
       .toDF("a", "b")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.model.Tables
+import graft.ops.SeqPacking
 import graft.sim.{DedupOps, VectorOps}
 
 /** [EXT] training-data-pipeline surface (SURVEY §2.11 X1-X4): dedup,
@@ -407,6 +408,50 @@ object ExtQueries {
           emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), 10)
       },
       None),
+
+    // X4 sequence packing: greedy fixed-budget packing per hash shard,
+    // the batching step between corpus and trainer. The oracle replays
+    // the same reset-on-overflow scan as a recursive CTE per bucket.
+    Q("x_seq_packing",
+      (s, d) => SeqPacking.packStats(Tables.documents(s, d),
+        budget = 256L, buckets = 8),
+      Some("""WITH RECURSIVE d AS (SELECT doc_id % 8 AS bucket, doc_id,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        | row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        | FROM documents),
+        | r AS (SELECT bucket, rn, doc_id, n_tokens, n_tokens AS fill,
+        |   CAST(0 AS BIGINT) AS pack_id FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.bucket, d.rn, d.doc_id, d.n_tokens,
+        |   CASE WHEN r.fill + d.n_tokens > 256 THEN d.n_tokens
+        |        ELSE r.fill + d.n_tokens END,
+        |   CASE WHEN r.fill + d.n_tokens > 256 THEN r.pack_id + 1
+        |        ELSE r.pack_id END
+        |  FROM r JOIN d ON d.bucket = r.bucket AND d.rn = r.rn + 1)
+        | SELECT bucket, pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        | FROM r GROUP BY bucket, pack_id ORDER BY bucket, pack_id"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // X2 int8 embedding quantization stats — per-row map work whose
+    // every op is an order-fixed IEEE double, so the DuckDB twin matches
+    // bit-for-bit before the final rounding
+    Q("x_embed_quantize",
+      (s, d) => VectorOps.quantizeInt8Stats(Tables.embeddings(s, d)),
+      Some("""WITH e AS (SELECT vec_id,
+        | list_transform(embedding, qx -> CAST(qx AS DOUBLE)) AS xd FROM embeddings),
+        | s AS (SELECT vec_id, xd, greatest(
+        |   list_reduce(list_transform(xd, qx -> abs(qx)),
+        |     (qa, qb) -> greatest(qa, qb)) / 127.0, 1e-30) AS qscale FROM e)
+        | SELECT vec_id, round(qscale, 6) AS q_scale,
+        |  round(list_reduce(list_transform(xd,
+        |    qx -> abs(qx - round(qx/qscale)*qscale)),
+        |    (qa, qb) -> greatest(qa, qb)), 6) AS max_err,
+        |  round(list_sum(list_transform(xd,
+        |    qx -> (qx - round(qx/qscale)*qscale) * (qx - round(qx/qscale)*qscale)))
+        |    / len(xd), 9) AS mse
+        | FROM s ORDER BY vec_id""".stripMargin.replaceAll("\n", ""))),
 
     // Capstone composition: the full curation pipeline in one plan —
     // quality gate → exact dedup (min-id winner) → per-language corpus

@@ -161,6 +161,40 @@ object VectorOps {
     * for turning an O(|Q|·|C|) cross join into an equi-join whose shuffle
     * key is the bucket id.
     */
+  /** Per-vector symmetric int8 quantization stats ([EXT] X2 storage
+    * path): scale = max|x|/127, codes = round(x/scale), and the
+    * reconstruction error of dequantizing those codes. At 100 TB this is
+    * the difference between shipping 4 bytes and 1 byte per dimension;
+    * the stats quantify what that costs. Pure per-row map work — no
+    * shuffle, no UDF — and every op is an IEEE double with a fixed fold
+    * order, so a DuckDB twin reproduces it bit-for-bit.
+    */
+  def quantizeInt8Stats(vectors: DataFrame): DataFrame = {
+    val xd = transform(col("embedding"), x => x.cast("double"))
+    val maxAbs = aggregate(xd, lit(0.0), (a, x) => greatest(a, abs(x)))
+    // zero vectors would make the scale 0 and the codes NaN; the floor is
+    // far below any real float32 scale so it only bites the all-zero row
+    val scale = greatest(maxAbs / lit(127.0), lit(1e-30))
+    def dequantErr(x: Column, s: Column): Column =
+      abs(x - round(x / s) * s)
+    // the raw scale column must NOT share the output's name: lateral
+    // column alias resolution would rebind the error expressions to the
+    // 6-dp ROUNDED sibling alias and skew every stat by up to |q|·Δs
+    vectors
+      .withColumn("q_scale_raw", scale)
+      .select(
+        col("vec_id"),
+        round(col("q_scale_raw"), 6).as("q_scale"),
+        round(aggregate(xd, lit(0.0),
+          (a, x) => greatest(a, dequantErr(x, col("q_scale_raw")))), 6)
+          .as("max_err"),
+        round(aggregate(xd, lit(0.0), (a, x) => {
+          val d = x - round(x / col("q_scale_raw")) * col("q_scale_raw")
+          a + d * d
+        }) / size(col("embedding")), 9).as("mse"))
+      .orderBy("vec_id")
+  }
+
   def knnLsh(queries: DataFrame, candidates: DataFrame, k: Int,
              nTables: Int = 8, planesPerTable: Int = 4, dim: Int = 64,
              multiProbe: Int = 0): DataFrame = {

@@ -126,6 +126,20 @@ class SimSpec extends SparkSpec {
       "candidate generation must stay a bucketed equi-join")
   }
 
+  test("int8 quantization: positive scale, error bounded by half a step") {
+    val emb = Tables.embeddings(spark, sf)
+    val stats = VectorOps.quantizeInt8Stats(emb).collect()
+    assert(stats.length == emb.count())
+    stats.foreach { r =>
+      val scale = r.getAs[Double]("q_scale")
+      val maxErr = r.getAs[Double]("max_err")
+      assert(scale > 0.0)
+      // both sides are rounded to 6 dp, so allow one ulp of that grid
+      assert(maxErr <= scale * 0.5 + 1e-6,
+        s"dequant error $maxErr exceeds half step of scale $scale")
+    }
+  }
+
   test("cosine on known vectors") {
     val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 1f), Array(1f, 1f)))
       .toDF("a", "b")

@@ -90,6 +90,19 @@ object ExtQueries {
   private val splitBucketSql: String =
     s"(${md5Fold("source || '|' || CAST(doc_id AS VARCHAR)")}) % 100"
 
+  /** Portable per-doc uniform in [0,1) for temperature sampling — SALTED
+    * ("mix|") so the mix decision is independent of the train/valid/test
+    * split buckets above (same hash would correlate the two).
+    */
+  private def mixUniformCol: org.apache.spark.sql.Column =
+    graft.functions.Kernels.md5_48Col(
+      concat(lit("mix|"), col("source"), lit("|"),
+        col("doc_id").cast("string"))) / lit(281474976710656.0)
+
+  private val mixUniformSql: String =
+    s"(${md5Fold("'mix|' || d.source || '|' || CAST(d.doc_id AS VARCHAR)")})" +
+      " / 281474976710656.0"
+
   /** OR-of-band-equality predicate between sig rows `a` and `b` —
     * the SQL twin of the engine's LSH band candidate join.
     */
@@ -814,6 +827,49 @@ object ExtQueries {
         "WHEN b < 95 THEN 'valid' ELSE 'test' END AS split FROM " +
         s"(SELECT doc_id, $splitBucketSql AS b " +
         "FROM documents) ORDER BY doc_id")),
+
+    // X4/X1 temperature sampling (the multilingual data-mixing step):
+    // per-language keep rate ∝ n^(1/T) (T=2) normalized to a 60% token
+    // budget, keep decision by the same portable per-doc uniform as
+    // x_hash_split — so the mix is reproducible across runs, engines,
+    // and cluster sizes. sqrt weights land on an integer micro-grid
+    // (floor(sqrt(n)·1e6)) so the normalizing sum is EXACT and the
+    // per-language rates are engine-identical doubles. Plan: tiny
+    // per-language agg + bounded window, then a broadcast equi-join back
+    // onto the corpus — the big side stays map-only.
+    Q("x_temperature_mix",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val w = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val rates = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+          .withColumn("r", floor(sqrt(col("n")) * lit(1e6)).cast("long"))
+          .withColumn("p", least(lit(1.0),
+            lit(0.6) * sum(col("n")).over(w) * col("r") /
+              sum(col("r")).over(w) / col("n")))
+        val kept = docs
+          .join(broadcast(rates.select("lang", "p")), "lang")
+          .filter(mixUniformCol < col("p"))
+          .groupBy("lang").agg(count(lit(1)).as("kept"))
+        rates.join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("n").as("n_docs"),
+            coalesce(col("kept"), lit(0L)).as("kept"),
+            round(col("p"), 6).as("p"))
+          .orderBy("lang")
+      },
+      Some("WITH c AS (SELECT lang, count(*) AS n, " +
+        "CAST(floor(sqrt(count(*)) * 1000000.0) AS BIGINT) AS r " +
+        "FROM documents GROUP BY lang), " +
+        "t AS (SELECT lang, n, least(1.0, " +
+        "0.6 * (SELECT CAST(sum(n) AS BIGINT) FROM c) * r / " +
+        "(SELECT CAST(sum(r) AS BIGINT) FROM c) / n) AS p FROM c), " +
+        "k AS (SELECT d.lang, count(*) AS kept FROM documents d " +
+        "JOIN t ON d.lang = t.lang " +
+        s"WHERE $mixUniformSql < t.p GROUP BY d.lang) " +
+        "SELECT t.lang, t.n AS n_docs, " +
+        "CAST(coalesce(k.kept, 0) AS BIGINT) AS kept, round(t.p, 6) AS p " +
+        "FROM t LEFT JOIN k ON t.lang = k.lang ORDER BY t.lang")),
 
     // X4 repetition quality signals (the Gopher-style repetition rules):
     // repeated-token fraction and most-frequent-token share per doc.

@@ -829,8 +829,8 @@ object ExtQueries {
         "FROM documents) ORDER BY doc_id")),
 
     // X4/X1 temperature sampling (the multilingual data-mixing step):
-    // per-language keep rate ∝ n^(1/T) (T=2) normalized to a 60% token
-    // budget, keep decision by the same portable per-doc uniform as
+    // per-language keep rate ∝ n^(1/T) (T=2) normalized to a 60%
+    // DOCUMENT budget, keep decision by the same portable per-doc uniform as
     // x_hash_split — so the mix is reproducible across runs, engines,
     // and cluster sizes. sqrt weights land on an integer micro-grid
     // (floor(sqrt(n)·1e6)) so the normalizing sum is EXACT and the
@@ -861,8 +861,12 @@ object ExtQueries {
       Some("WITH c AS (SELECT lang, count(*) AS n, " +
         "CAST(floor(sqrt(count(*)) * 1000000.0) AS BIGINT) AS r " +
         "FROM documents GROUP BY lang), " +
+        // 0.6 must be a DOUBLE on the DuckDB side too: as a bare literal
+        // it parses as DECIMAL and the product chain is computed exactly,
+        // diverging from Spark's stepwise double arithmetic by ~1 ulp —
+        // enough to flip a keep decision at the 2^-48 uniform grid
         "t AS (SELECT lang, n, least(1.0, " +
-        "0.6 * (SELECT CAST(sum(n) AS BIGINT) FROM c) * r / " +
+        "CAST(0.6 AS DOUBLE) * (SELECT CAST(sum(n) AS BIGINT) FROM c) * r / " +
         "(SELECT CAST(sum(r) AS BIGINT) FROM c) / n) AS p FROM c), " +
         "k AS (SELECT d.lang, count(*) AS kept FROM documents d " +
         "JOIN t ON d.lang = t.lang " +

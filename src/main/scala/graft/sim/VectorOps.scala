@@ -155,12 +155,6 @@ object VectorOps {
     Kernels.lshKeysCol(emb, nTables, planesPerTable, dim, probes)
   }
 
-  /** Approximate top-k: bucket both sides with multi-table sign-LSH,
-    * equi-join on `(table, bucket)`, dedup candidate pairs, rank. Recall
-    * is tested against [[knnBruteForce]] in ScalaTest; it trades recall
-    * for turning an O(|Q|·|C|) cross join into an equi-join whose shuffle
-    * key is the bucket id.
-    */
   /** Per-vector symmetric int8 quantization stats ([EXT] X2 storage
     * path): scale = max|x|/127, codes = round(x/scale), and the
     * reconstruction error of dequantizing those codes. At 100 TB this is
@@ -195,6 +189,12 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Approximate top-k: bucket both sides with multi-table sign-LSH,
+    * equi-join on `(table, bucket)`, dedup candidate pairs, rank. Recall
+    * is tested against [[knnBruteForce]] in ScalaTest; it trades recall
+    * for turning an O(|Q|·|C|) cross join into an equi-join whose shuffle
+    * key is the bucket id.
+    */
   def knnLsh(queries: DataFrame, candidates: DataFrame, k: Int,
              nTables: Int = 8, planesPerTable: Int = 4, dim: Int = 64,
              multiProbe: Int = 0): DataFrame = {

@@ -1997,6 +1997,29 @@ object Queries {
         |  FROM orders)
         | ORDER BY o_orderkey""".stripMargin.replaceAll("\n", ""))),
 
+    // CORRELATED scalar subqueries (two per row, correlated on custkey):
+    // Catalyst decorrelates each into an aggregate + join on the
+    // correlation key — the plan to check is two shuffled joins on
+    // custkey, no per-row re-execution. The predicate is rewritten in
+    // multiply-through form (price·cnt > 2·sum) so both engines compare
+    // identical exact doubles instead of an order-sensitive avg.
+    Q("q_correlated_subquery",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
+          | WHERE o_totalprice * (SELECT count(*) FROM orders_v o2
+          |   WHERE o2.o_custkey = o.o_custkey)
+          |  > 2.0 * (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(28,6)))
+          |   AS DOUBLE) FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+          | ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        | WHERE o_totalprice * (SELECT count(*) FROM orders o2
+        |  WHERE o2.o_custkey = o.o_custkey)
+        | > 2.0 * (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(28,6)))
+        |  AS DOUBLE) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        | ORDER BY o_orderkey""".stripMargin.replaceAll("\n", ""))),
+
     // Theta/interval join: click ⨝ purchase of the same user within the
     // preceding hour (batch twin of StreamOps.intervalJoin; the range
     // predicate rides on the user_id equi-join, not a cross join)

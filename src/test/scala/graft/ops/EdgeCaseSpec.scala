@@ -40,6 +40,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(VectorOps.knnLsh(emptyEmb, emb, 5).count() == 0L)
   }
 
+  test("sequence packing on empty input returns empty; oversize doc gets its own pack") {
+    assert(SeqPacking.packDocs(emptyDocs, 64L, 4).count() == 0L)
+    // one doc far above the budget must still land in exactly one pack
+    val one = Seq((7L, ("tok " * 50).trim, "en", "src")).toDF(
+      "doc_id", "text", "lang", "source")
+    val packed = SeqPacking.packDocs(one, 8L, 4).collect()
+    assert(packed.length == 1 && packed.head.getAs[Long]("pack_id") == 0L)
+  }
+
+  test("quantization handles the all-zero vector without NaN") {
+    val z = Seq((1L, Array.fill(8)(0f))).toDF("vec_id", "embedding")
+    val r = VectorOps.quantizeInt8Stats(z).collect().head
+    assert(r.getAs[Double]("q_scale") == 0.0)   // rounds to 0 at 6 dp
+    assert(r.getAs[Double]("max_err") == 0.0)
+    assert(!r.getAs[Double]("mse").isNaN)
+    assert(VectorOps.quantizeInt8Stats(emptyEmb).count() == 0L)
+  }
+
   test("as-of join with empty right side yields all-null as-of columns") {
     val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 10L))
       .toDF("user_id", "ts", "click_id")

@@ -828,6 +828,34 @@ object ExtQueries {
         s"(SELECT doc_id, $splitBucketSql AS b " +
         "FROM documents) ORDER BY doc_id")),
 
+    // X4 context-window chunking (the complement of x_seq_packing):
+    // split each document into fixed 32-token chunks with the actual
+    // token-slice text — map-side explode, no shuffle; chunk count and
+    // slices are pure arithmetic so the DuckDB twin is exact.
+    Q("x_doc_chunking",
+      (s, d) => {
+        val toks = TextFunctions.tokens(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("w"))
+          .select(col("doc_id"), col("w"),
+            explode(sequence(lit(0),
+              ceil(size(col("w")) / lit(32.0)).cast("int") - 1)).as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+            least(lit(32), size(col("w")) - col("chunk_id") * 32)
+              .cast("long").as("chunk_tokens"),
+            array_join(slice(col("w"), col("chunk_id") * 32 + 1, lit(32)), " ")
+              .as("chunk_text"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        | regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        | c AS (SELECT doc_id, w, unnest(range(CAST(ceil(len(w)/32.0) AS BIGINT)))
+        |   AS chunk_id FROM t)
+        | SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(least(32, len(w) - chunk_id*32) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(w[(chunk_id*32+1):(chunk_id*32+32)], ' ') AS chunk_text
+        | FROM c ORDER BY doc_id, chunk_id""".stripMargin.replaceAll("\n", ""))),
+
     // X4/X1 temperature sampling (the multilingual data-mixing step):
     // per-language keep rate ∝ n^(1/T) (T=2) normalized to a 60%
     // DOCUMENT budget, keep decision by the same portable per-doc uniform as

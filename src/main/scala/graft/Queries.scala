@@ -804,19 +804,29 @@ object Queries {
     // when joining on nullable dimensions. Null keys are synthesized
     // with nullif (fixtures are null-free), and the output uses the
     // reference's IFNULL(-1) sentinel so the compare never sees NULL.
+    // With only 3 distinct key values the row-level join is many-to-many
+    // (|C|×|S|/3 pairs per key — at 100 TB that shuffle IS the job), so
+    // the engine aggregates each side per key FIRST and null-safe-joins
+    // the aggregates: n_pairs = n_c × n_s per key, the distinct counts
+    // come from their own side alone. Same result, O(|C|+|S|) shuffled.
     Q("q_null_safe_join",
       (s, d) => {
         val c = Tables.customer(s, d)
           .select(nullif(col("c_nationkey") % 3, lit(1)).as("k"),
             col("c_custkey"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_c"),
+            countDistinct(col("c_custkey")).as("n_cust"))
         val su = Tables.supplier(s, d)
           .select(nullif(col("s_nationkey") % 3, lit(1)).as("k"),
             col("s_suppkey"))
-        c.join(su, c("k") <=> su("k"))
-          .groupBy(coalesce(c("k"), lit(-1L)).as("k"))
-          .agg(count(lit(1)).as("n_pairs"),
-            countDistinct(col("c_custkey")).as("n_cust"),
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_s"),
             countDistinct(col("s_suppkey")).as("n_supp"))
+        c.join(su, c("k") <=> su("k"))
+          .select(coalesce(c("k"), lit(-1L)).as("k"),
+            (col("n_c") * col("n_s")).as("n_pairs"),
+            col("n_cust"), col("n_supp"))
           .orderBy("k")
       },
       Some("""SELECT coalesce(ck, -1) AS k, count(*) AS n_pairs,

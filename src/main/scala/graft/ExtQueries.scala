@@ -264,6 +264,28 @@ object ExtQueries {
         | WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""))),
 
+    // X1 edit-distance near-dup: the same pigeonhole-lossless band
+    // candidates, verified by Levenshtein on a 96-char prefix — the
+    // order-sensitive metric that separates re-edits from word-shuffled
+    // rewrites. Oracle = plain all-pairs predicate (band-free by the
+    // same pigeonhole argument); prefixes rejoin after pair dedup so
+    // full texts never ride the candidate shuffle.
+    Q("x_edit_distance",
+      (s, d) => DedupOps.editDistanceNearDup(Tables.documents(s, d),
+        "text", "doc_id", maxHamming = 3, bands = 4,
+        prefixLen = 96, maxEdit = 48),
+      Some(simhash48Cte +
+        """, pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        | FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        | WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+        | SELECT p.a_id, p.b_id, p.hamming,
+        | CAST(levenshtein(substr(da.text, 1, 96), substr(db.text, 1, 96)) AS BIGINT) AS edit_dist
+        | FROM pr p JOIN documents da ON p.a_id = da.doc_id
+        | JOIN documents db ON p.b_id = db.doc_id
+        | WHERE levenshtein(substr(da.text, 1, 96), substr(db.text, 1, 96)) <= 48
+        | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""))),
+
     // X1 × St2 streaming near-dup ingest, batch twin: per doc, is it a
     // near-dup of an EARLIER doc (any shared LSH band + signature-
     // estimated Jaccard ≥ 0.5), and of which. The stream form
@@ -827,6 +849,59 @@ object ExtQueries {
         "WHEN b < 95 THEN 'valid' ELSE 'test' END AS split FROM " +
         s"(SELECT doc_id, $splitBucketSql AS b " +
         "FROM documents) ORDER BY doc_id")),
+
+    // X1 cluster-atomic split: x_hash_split decides per DOCUMENT, which
+    // lets two near-duplicates straddle train and test — the leakage
+    // x_contamination then has to catch. This splits per duplicate
+    // CLUSTER: connected components over the exact-Jaccard near-dup
+    // graph label every doc (singletons = their own component), and the
+    // split hash keys on the COMPONENT id, so a cluster lands in one
+    // split wholesale. Same component/closure semantics as
+    // x_dedup_clusters (recursive-CTE oracle), same portable split hash
+    // as x_hash_split — salted "csplit|" so cluster assignment is
+    // independent of the per-doc buckets.
+    Q("x_cluster_split",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val comp = DedupOps.connectedComponents(
+          DedupOps.jaccardPairs(docs, "text", "doc_id",
+            n = 3, threshold = 0.2))
+          .select(col("id").as("doc_id"), col("component"))
+        val cbucket = graft.functions.Kernels.md5_48Col(
+          concat(lit("csplit|"), col("component").cast("string"))) % 100
+        docs.select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+          .select(col("doc_id"), col("component"),
+            when(cbucket < 30, "test").otherwise("train").as("split"))
+          .orderBy("doc_id")
+      },
+      Some(("""WITH RECURSIVE w AS (SELECT doc_id,
+        | regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        | s AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 2),
+        |   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        |   FROM w WHERE len(w) >= 3),
+        | pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM s a
+        |   JOIN s b ON a.doc_id < b.doc_id
+        |   WHERE len(list_intersect(a.sh, b.sh)) > 0
+        |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2),
+        | e AS (SELECT a_id AS x, b_id AS y FROM pr
+        |   UNION ALL SELECT b_id, a_id FROM pr),
+        | nodes AS (SELECT DISTINCT x AS id FROM e),
+        | reach(id, r) AS (SELECT id, id FROM nodes
+        |   UNION SELECT reach.id, e.y FROM reach JOIN e ON reach.r = e.x),
+        | comp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+        |   FROM reach GROUP BY id),
+        | lab AS (SELECT d.doc_id,
+        |   coalesce(comp.component, d.doc_id) AS component
+        |   FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id)
+        | SELECT doc_id, component, CASE WHEN (""")
+        .stripMargin.replaceAll("\n", "") +
+        md5Fold("'csplit|' || CAST(component AS VARCHAR)") +
+        ") % 100 < 30 THEN 'test' ELSE 'train' END AS split " +
+        "FROM lab ORDER BY doc_id")),
 
     // X4 context-window chunking (the complement of x_seq_packing):
     // split each document into fixed 32-token chunks with the actual

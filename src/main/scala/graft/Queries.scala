@@ -2127,7 +2127,57 @@ object Queries {
         | event_type AS last_event_type, value AS last_value FROM (
         | SELECT *, row_number() OVER (PARTITION BY user_id
         |   ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
-        | WHERE rn = 1 ORDER BY user_id""".stripMargin.replaceAll("\n", "")))
+        | WHERE rn = 1 ORDER BY user_id""".stripMargin.replaceAll("\n", ""))),
+
+    // Source-format round trips (S1/S5 beyond parquet+JDBC): the sync
+    // surface a reference user actually touches is "read rows, write
+    // rows" — these prove the CSV and JSONL paths carry every type the
+    // reference's §1.2 ladder covers (int, double, string, timestamp)
+    // byte-exactly. The write is sharded (one file per partition — the
+    // same parallel shape at any scale) and the read takes an EXPLICIT
+    // schema: inferSchema is an extra full pass over the data at 100 TB,
+    // and type drift (int→double) would silently poison downstream
+    // aggregates. The oracle aggregates the parquet original — result
+    // identity proves the round trip lossless.
+    Q("q_csv_roundtrip",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_csv_").toString
+        val o = Tables.orders(s, d)
+        o.write.mode("overwrite").option("header", "true").csv(tmp)
+        s.read.schema(o.schema).option("header", "true").csv(tmp)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            exactSum(col("o_totalprice")).as("total"),
+            max(col("o_orderdate")).as("last_date"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+        | max(o_orderdate) AS last_date,
+        | count(DISTINCT o_custkey) AS n_cust
+        | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    Q("q_jsonl_roundtrip",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_jsonl_").toString
+        val o = Tables.orders(s, d)
+        o.write.mode("overwrite").json(tmp)
+        s.read.schema(o.schema).json(tmp)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            exactSum(col("o_totalprice")).as("total"),
+            min(col("o_orderdate")).as("first_date"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+        | min(o_orderdate) AS first_date
+        | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replaceAll("\n", "")))
   )
 
   /** Full registry: core + [EXT] training-data-pipeline surface. */

@@ -241,6 +241,37 @@ object DedupOps {
     * COUNT per round (no graph collect). This is the DataFrame form of
     * the standard large-star/small-star CC used by production dedup.
     */
+  /** Edit-distance near-duplicate pairs: SimHash-band candidates verified
+    * by Levenshtein distance on a fixed-length text prefix. Hamming on
+    * the fingerprint is a bag-of-words similarity; the edit-distance
+    * verify adds an ORDER-sensitive metric (insertion/deletion/
+    * substitution cost), which separates true re-edits from
+    * word-shuffled rewrites.
+    * `bands > maxHamming` keeps the band join pigeonhole-lossless for
+    * qualifying pairs, so the oracle is the plain all-pairs predicate
+    * with no band logic. The candidate join carries only (id, simhash);
+    * the prefixes (bounded `prefixLen` chars, not the full document)
+    * rejoin AFTER the pair dedup — at corpus scale neither the band
+    * shuffle nor the verify join ever moves full texts.
+    */
+  def editDistanceNearDup(df: DataFrame, textCol: String, idCol: String,
+                          maxHamming: Int = 3, bands: Int = 4,
+                          prefixLen: Int = 96, maxEdit: Int = 48): DataFrame = {
+    require(maxHamming < bands,
+      "bands > maxHamming (pigeonhole-lossless, see simhashNearDup)")
+    val cand = simhashNearDup(df, textCol, idCol, maxHamming, bands,
+      portable = true)
+    val pre = df.select(col(idCol),
+      substring(col(textCol), 1, prefixLen).as("__prefix"))
+    cand
+      .join(pre.select(col(idCol).as("a_id"), col("__prefix").as("__ap")), "a_id")
+      .join(pre.select(col(idCol).as("b_id"), col("__prefix").as("__bp")), "b_id")
+      .select(col("a_id"), col("b_id"), col("hamming"),
+        levenshtein(col("__ap"), col("__bp")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxEdit)
+      .orderBy("a_id", "b_id")
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
                           bCol: String = "b_id", maxIter: Int = 20,
                           workDir: Option[String] = None): DataFrame = {

@@ -68,6 +68,31 @@ class SimSpec extends SparkSpec {
       s"simhash should find most jaccard near-dups, got $overlap")
   }
 
+  test("edit-distance near-dup equals the brute-force band-free predicate") {
+    val docs = Tables.documents(spark, sf)
+    // brute force: every pair, hamming + prefix-levenshtein predicate —
+    // the band candidates must reproduce it exactly (pigeonhole: any
+    // pair at hamming<=3 shares one of 4 bands)
+    val fp = DedupOps.simhash48(docs, "text", "doc_id")
+      .join(docs.select(col("doc_id"),
+        substring(col("text"), 1, 96).as("p")), "doc_id")
+    val a = fp.select(col("doc_id").as("a_id"), col("simhash").as("af"),
+      col("p").as("ap"))
+    val b = fp.select(col("doc_id").as("b_id"), col("simhash").as("bf"),
+      col("p").as("bp"))
+    val brute = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .filter(bit_count(col("af").bitwiseXOR(col("bf"))) <= 3)
+      .filter(levenshtein(col("ap"), col("bp")) <= 48)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = DedupOps.editDistanceNearDup(docs, "text", "doc_id",
+      maxHamming = 3, bands = 4, prefixLen = 96, maxEdit = 48)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain edit-distance near-dups")
+    assert(banded == brute)
+  }
+
   test("LSH-bucketed embedding near-dup equals the exact form, with no cartesian plan") {
     val emb = Tables.embeddings(spark, sf)
     val exact = VectorOps.cosineDupPairs(emb, 0.4)

@@ -552,6 +552,34 @@ object Queries {
         |   RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW)
         | ORDER BY o_orderkey""".stripMargin.replaceAll("\n", ""))),
 
+    // TIME-interval RANGE frame: per-user trailing-hour event count and
+    // exact spend — the sliding-window-per-row shape (rate limiting,
+    // velocity features) that tumbling/sliding windows can't express
+    // because the frame is anchored at EACH row's own timestamp. The
+    // order key is integer epoch-MICROSECONDS on both engines (Spark's
+    // long RANGE boundary; DuckDB epoch_us) — the fixture's timestamps
+    // are all sub-second-distinct, so second-floored keys would merge
+    // genuinely distinct instants into peer groups.
+    Q("q_window_time_range",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3599999999L, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(exactSumExpr(col("value"))).over(w).cast("double")
+              .as("spend_1h"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+        | count(*) OVER w AS n_1h,
+        | CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS spend_1h
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |   RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+        | ORDER BY event_id""".stripMargin.replaceAll("\n", ""))),
+
     // Window running aggregate (exact decimal running sum)
     Q("q_window_running",
       (s, d) => {
@@ -2177,6 +2205,39 @@ object Queries {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
         | min(o_orderdate) AS first_date
         | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // Schema evolution across parquet generations: a 100 TB table is
+    // written over months by evolving jobs — old files lack columns new
+    // ones carry. Two generations are written here (the even half
+    // WITHOUT o_totalprice, the odd half with it), read back in one scan
+    // with mergeSchema, and aggregated: the missing column surfaces as
+    // NULL, null-skipping aggregates stay correct, and nothing needs a
+    // backfill rewrite. The oracle replays the same generation split on
+    // the original table.
+    Q("q_schema_evolution",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_evo_").toString
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderkey") % 2 === 0).drop("o_totalprice")
+          .write.mode("overwrite").parquet(s"$tmp/gen1")
+        o.filter(col("o_orderkey") % 2 =!= 0)
+          .write.mode("overwrite").parquet(s"$tmp/gen2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$tmp/gen1", s"$tmp/gen2")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            count(col("o_totalprice")).as("n_priced"),
+            exactSum(col("o_totalprice")).as("priced_total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH t AS (SELECT o_orderstatus,
+        | CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_totalprice END AS tp
+        | FROM orders)
+        | SELECT o_orderstatus, count(*) AS n, count(tp) AS n_priced,
+        | CAST(sum(CAST(tp AS DECIMAL(28,6))) AS DOUBLE) AS priced_total
+        | FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus"""
         .stripMargin.replaceAll("\n", "")))
   )
 

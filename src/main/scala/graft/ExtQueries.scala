@@ -54,7 +54,7 @@ object ExtQueries {
   // generated oracle can't drift from the kernel arithmetic.
 
   /** 48-bit md5 fold of a string expression (= Kernels.md5_48). */
-  private def md5Fold(expr: String): String =
+  private[graft] def md5Fold(expr: String): String =
     s"list_reduce(list_transform(range(1,13), fi -> CAST(strpos('0123456789abcdef', " +
       s"substr(md5($expr), CAST(fi AS INT), 1)) - 1 AS BIGINT)), (fa,fb) -> fa*16+fb)"
 

@@ -2238,7 +2238,30 @@ object Queries {
         | SELECT o_orderstatus, count(*) AS n, count(tp) AS n_priced,
         | CAST(sum(CAST(tp AS DECIMAL(28,6))) AS DOUBLE) AS priced_total
         | FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus"""
-        .stripMargin.replaceAll("\n", "")))
+        .stripMargin.replaceAll("\n", ""))),
+
+    // Post-sync content validation (sync.Validate): the answer to "does
+    // the target now equal the source?" that the reference cannot give
+    // (it even swallows insert errors, sync.py:87-89). One order- and
+    // partition-independent digest per side — exact-decimal SUM of a
+    // portable 48-bit hash of each row's canonical rendering — so a
+    // 100 TB validation is one scan per side and a 16-byte compare. The
+    // DuckDB twin standing in for the "other engine" is the point: the
+    // hash family is plain md5, computable by any target database.
+    Q("q_sync_digest",
+      (s, d) => graft.sync.Validate.contentDigest(Tables.orders(s, d), Seq(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+        col("o_orderpriority"))),
+      Some("SELECT count(*) AS n_rows, CAST(sum(" +
+        ExtQueries.md5Fold(
+          "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)" +
+            " || '|' || o_orderstatus || '|' ||" +
+            " CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)" +
+            " || '|' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')" +
+            " || '|' || o_orderpriority") +
+        ") AS DECIMAL(38,0)) AS digest FROM orders"))
   )
 
   /** Full registry: core + [EXT] training-data-pipeline surface. */

@@ -26,6 +26,30 @@ class SyncJobSpec extends SparkSpec {
     assert(meta.contains("\"max_pk\": 1499"))
   }
 
+  test("content digest validates a copy and catches a tampered row") {
+    import org.apache.spark.sql.functions._
+    val dest = Files.createTempDirectory("graft_digest_spec_").toString
+    SyncJob.run(spark, sf, dest, SyncJob.harnessPk.get).collect()
+    def digest(dir: String) = {
+      val df = spark.read.parquet(s"$dir/orders.parquet")
+      Validate.contentDigest(df, df.columns.toSeq.map(col)).collect()(0)
+    }
+    val (src, dst) = (digest(sf), digest(dest))
+    assert(src == dst, s"copy digest mismatch: $src vs $dst")
+    // tamper ONE value in the copy → digest must move, count must not
+    val tampered = Files.createTempDirectory("graft_digest_bad_").toString
+    spark.read.parquet(s"$dest/orders.parquet")
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") === 7, col("o_totalprice") + 0.01)
+          .otherwise(col("o_totalprice")))
+      .write.parquet(s"$tampered/orders.parquet")
+    val bad = digest(tampered)
+    assert(bad.getAs[Long]("n_rows") == src.getAs[Long]("n_rows"))
+    assert(bad.getAs[java.math.BigDecimal]("digest") !=
+      src.getAs[java.math.BigDecimal]("digest"),
+      "tampered table must produce a different digest")
+  }
+
   test("include/exclude regex filters compose like the reference's") {
     val names = Seq("orders", "orders_archive", "lineitem", "tmp_orders")
     import scala.util.matching.Regex

@@ -2240,6 +2240,40 @@ object Queries {
         | FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // NULL-semantics pin: the cross-engine divergences that silently
+    // corrupt ETL — count(*) vs count(col), null-skipping sum/min over
+    // partially- and fully-null groups, and sort placement (Spark
+    // defaults NULLS FIRST on ASC where DuckDB defaults NULLS LAST, so
+    // the order is written EXPLICITLY on both sides). Nulls are
+    // synthesized from a fixture column; the all-null group ('P' rows at
+    // sf>=0.01 are sparse enough that %1 keeps one) exercises
+    // sum(empty)=NULL → IFNULL sentinel, the reference's P3 pattern.
+    Q("q_null_semantics",
+      (s, d) => {
+        val v = when(col("o_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("o_totalprice"))
+        val vAll = when(col("o_orderstatus") === "P", lit(null))
+          .otherwise(v)
+        Tables.orders(s, d)
+          .select(col("o_orderstatus"), vAll.cast("double").as("v"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("v")).as("n_vals"),
+            coalesce(exactSum(col("v")), lit(0.0)).as("total"),
+            coalesce(min(col("v")), lit(-1.0)).as("lo"))
+          .orderBy(asc_nulls_last("o_orderstatus"))
+      },
+      Some("""WITH t AS (SELECT o_orderstatus, CASE
+        | WHEN o_orderstatus = 'P' THEN NULL
+        | WHEN o_orderkey % 7 = 0 THEN NULL
+        | ELSE o_totalprice END AS v FROM orders)
+        | SELECT o_orderstatus, count(*) AS n_rows, count(v) AS n_vals,
+        | coalesce(CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE), 0.0) AS total,
+        | coalesce(min(v), -1.0) AS lo
+        | FROM t GROUP BY o_orderstatus
+        | ORDER BY o_orderstatus ASC NULLS LAST"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // Post-sync content validation (sync.Validate): the answer to "does
     // the target now equal the source?" that the reference cannot give
     // (it even swallows insert errors, sync.py:87-89). One order- and

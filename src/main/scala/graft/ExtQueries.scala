@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{Kernels, TextFunctions}
 import graft.model.Tables
 import graft.ops.SeqPacking
 import graft.sim.{DedupOps, VectorOps}
@@ -661,6 +661,37 @@ object ExtQueries {
         |   i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
         |   (h, c) -> (h * 131 + c) % 1000000007) END AS fp
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""))),
+
+    // X4 Unicode NFC canonicalization (Kernels.nfc, JDK Normalizer ==
+    // DuckDB nfc_normalize — both implement the Unicode-standard NFC
+    // tables). The ASCII fixture is normalization-invariant, so
+    // DECOMPOSED sequences (e+U+0301, n+U+0303, A+U+030A) are appended
+    // deterministically on both engines, then normalized: codepoint
+    // counts shrink by exactly the three combining marks and the
+    // portable fingerprint of the normalized text matches across
+    // engines — proving hash/dedup stages can run on canonical bytes
+    // regardless of which engine produced them.
+    Q("x_unicode_nfc",
+      (s, d) => {
+        // decomposed combining marks (acute/tilde/ring) via explicit
+        // escapes -- a composed literal would make NFC the identity
+        val synth = concat(col("text"),
+          lit(" cafe\u0301 nin\u0303o A\u030A"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          length(synth).cast("long").as("n_cp_raw"),
+          length(Kernels.nfcCol(synth)).cast("long").as("n_cp_nfc"),
+          (synth =!= Kernels.nfcCol(synth)).as("changed"),
+          Kernels.md5_48Col(Kernels.nfcCol(synth)).as("nfc_fp"))
+          .orderBy("doc_id")
+      },
+      Some("WITH t AS (SELECT doc_id, text || ' cafe' || chr(769) || " +
+        "' nin' || chr(771) || 'o A' || chr(778) AS raw FROM documents) " +
+        "SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_cp_raw, " +
+        "CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_cp_nfc, " +
+        "raw <> nfc_normalize(raw) AS changed, " +
+        md5Fold("nfc_normalize(raw)") + " AS nfc_fp " +
+        "FROM t ORDER BY doc_id")),
 
     // X4 rolling-hash document fingerprint (same 64-bit-safe fold on both
     // engines: h := (h*131 + code) mod 1e9+7)

@@ -17,7 +17,8 @@ import graft.functions.Kernels
   *
   * After either, plain SQL can call `graft_fingerprint(text)`,
   * `graft_simhash(text)`, `graft_cosine(a, b)`, `graft_shingles(text, n)`,
-  * `graft_minhash(shingles, k)`, `graft_lang_id(text)`, and the portable
+  * `graft_minhash(shingles, k)`, `graft_lang_id(text)`,
+  * `graft_nfc(text)`, and the portable
   * cross-engine family `graft_md5_48(text)` / `graft_simhash48(text)` /
   * `graft_minhash_portable(shingles, k)` — all codegen'd StaticInvoke
   * kernels.
@@ -60,7 +61,9 @@ object GraftFunctions {
     "graft_simhash48" -> arity("graft_simhash48", 1)(es =>
       Kernels.simhash48Expr(es.head)),
     "graft_minhash_portable" -> arity("graft_minhash_portable", 2)(es =>
-      Kernels.minhashPortableExpr(es(0), es(1))))
+      Kernels.minhashPortableExpr(es(0), es(1))),
+    "graft_nfc" -> arity("graft_nfc", 1)(es =>
+      Kernels.nfcExpr(es.head)))
 
   /** Register all kernels as temp functions on a running session. */
   def register(spark: SparkSession): Unit =

@@ -312,6 +312,24 @@ object Kernels {
   private val LangCodes: Array[UTF8String] =
     LangMarkers.map(m => UTF8String.fromString(m._1))
 
+  /** Unicode NFC normalization (JDK `java.text.Normalizer`) — corpus
+    * canonicalization BEFORE any hash/dedup/tokenize step: composed vs
+    * decomposed sequences (é as U+00E9 vs e+U+0301) are byte-different
+    * but render identically, so an un-normalized corpus under-dedups
+    * and splits token statistics. The NFC tables are Unicode-standard,
+    * which makes the output engine-portable (DuckDB `nfc_normalize`
+    * yields the identical string, hence identical downstream md5-48
+    * fingerprints). The fast path is free: `Normalizer.isNormalized`
+    * is a cheap scan that short-circuits the (dominant) already-NFC
+    * case without allocating.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** One-pass language ID — identical decision ladder to the expression
     * form it replaces ([[TextFunctions.langId]]'s documented semantics,
     * mirrored by the x_lang_id DuckDB oracle): CJK char → zh, Cyrillic →
@@ -618,6 +636,10 @@ object Kernels {
   def normFCol(a: Column): Column = invoke(DoubleType, "normF", a)
 
   def langIdCol(text: Column): Column = invoke(StringType, "langId", text)
+
+  def nfcCol(text: Column): Column = invoke(StringType, "nfc", text)
+  def nfcExpr(e: Expression): Expression =
+    invokeExpr(StringType, "nfc", Seq(e))
 
   def charTrigramsCol(text: Column): Column =
     invoke(ArrayType(StringType, containsNull = false), "charTrigrams", text)

@@ -2240,6 +2240,55 @@ object Queries {
         | FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // MERGE INTO (ops.Merge): the lakehouse upsert primitive — matched
+    // updates, matched deletes, unmatched inserts in ONE full-outer
+    // join pass, untouched rows passing through; unmatched updates/
+    // deletes are exercised too (keys that hit nothing) and must
+    // no-op like SQL MERGE's WHEN-MATCHED guards. The change set is
+    // derived deterministically from the base table on both engines;
+    // the oracle replays the same delete/update/insert algebra with
+    // set operations.
+    Q("q_merge_upsert",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+        val changes = o
+          .filter(col("o_orderkey") % 17 === 0 || col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 17 === 0, "D").otherwise("U")
+              .as("__action"),
+            col("o_custkey"), col("o_orderstatus"),
+            (col("o_totalprice") + 5.0).as("o_totalprice"))
+          .unionByName(o.filter(col("o_orderkey") % 23 === 0)
+            .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+              lit("I").as("__action"), col("o_custkey"),
+              lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice")))
+          // guard exercises: an update and a delete aimed at keys that
+          // match nothing — MERGE must silently no-op both
+          .unionByName(o.filter(col("o_orderkey") % 29 === 0)
+            .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+              lit("U").as("__action"), col("o_custkey"),
+              col("o_orderstatus"), col("o_totalprice")))
+          .unionByName(o.filter(col("o_orderkey") % 31 === 0)
+            .select((col("o_orderkey") + 300000000L).as("o_orderkey"),
+              lit("D").as("__action"), col("o_custkey"),
+              col("o_orderstatus"), col("o_totalprice")))
+        graft.ops.Merge.mergeInto(o, changes, "o_orderkey")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        | o_totalprice FROM orders),
+        | kept AS (SELECT * FROM base WHERE o_orderkey % 17 <> 0),
+        | upd AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |   CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 5.0
+        |     ELSE o_totalprice END AS o_totalprice FROM kept),
+        | ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+        |   'N' AS o_orderstatus, 1.0 AS o_totalprice FROM base
+        |   WHERE o_orderkey % 23 = 0)
+        | SELECT * FROM upd UNION ALL SELECT * FROM ins
+        | ORDER BY o_orderkey""".stripMargin.replaceAll("\n", ""))),
+
     // NULL-semantics pin: the cross-engine divergences that silently
     // corrupt ETL — count(*) vs count(col), null-skipping sum/min over
     // partially- and fully-null groups, and sort placement (Spark

@@ -20,6 +20,46 @@ class StreamingSpec extends SparkSpec {
                  typ: String = "click", v: Double = 1.0): Event =
     Event(id, ts(h, m), user, typ, v, "{}")
 
+  test("JSONL file-source ingest processes each file exactly once across restarts") {
+    // the continuous-corpus-ingest shape: a directory that keeps
+    // receiving JSONL shards, streamed into a parquet target with the
+    // checkpoint guaranteeing a file is never ingested twice — across a
+    // full stop/restart, and with a schema-explicit read (no inference
+    // pass, no type drift)
+    import java.nio.file.{Files, Paths}
+    val src = Files.createTempDirectory("graft_jsonl_src_").toString
+    val out = Files.createTempDirectory("graft_jsonl_out_").toString
+    val ckpt = Files.createTempDirectory("graft_jsonl_ckpt_").toString
+    def writeShard(name: String, rows: Seq[(Long, String)]): Unit = {
+      val body = rows.map { case (id, t) =>
+        s"""{"doc_id":$id,"text":"$t"}""" }.mkString("\n")
+      val tmp = Paths.get(src, s".$name.tmp")
+      Files.writeString(tmp, body)
+      Files.move(tmp, Paths.get(src, name),  // atomic publish
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).json(src)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000); ()
+    }
+    writeShard("shard0.json", Seq(1L -> "alpha", 2L -> "beta"))
+    runOnce()
+    writeShard("shard1.json", Seq(3L -> "gamma"))
+    runOnce()  // restart from checkpoint: shard0 must NOT re-ingest
+    runOnce()  // no new files: must be a no-op
+    val got = spark.read.parquet(out).as[(Long, String)].collect().toSet
+    assert(got == Set(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+  }
+
   test("windowed counts emit closed windows and drop late data") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Event]

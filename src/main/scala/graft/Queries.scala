@@ -2183,15 +2183,21 @@ object Queries {
     // same parallel shape at any scale) and the read takes an EXPLICIT
     // schema: inferSchema is an extra full pass over the data at 100 TB,
     // and type drift (int→double) would silently poison downstream
-    // aggregates. The oracle aggregates the parquet original — result
+    // aggregates. timestampFormat is pinned to MICROSECOND precision on
+    // both sides — Spark's default text format truncates to millis,
+    // which would silently round sub-milli timestamps. The scratch dir
+    // is keyed on (format, sf dir) and overwritten per run, not leaked
+    // per call. The oracle aggregates the parquet original — result
     // identity proves the round trip lossless.
     Q("q_csv_roundtrip",
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_csv_").toString
+        val tmp = CoreOps.scratchDir("csv_rt", d)
+        val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
         val o = Tables.orders(s, d)
-        o.write.mode("overwrite").option("header", "true").csv(tmp)
-        s.read.schema(o.schema).option("header", "true").csv(tmp)
+        o.write.mode("overwrite").option("header", "true")
+          .option("timestampFormat", tsFmt).csv(tmp)
+        s.read.schema(o.schema).option("header", "true")
+          .option("timestampFormat", tsFmt).csv(tmp)
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"),
             exactSum(col("o_totalprice")).as("total"),
@@ -2208,11 +2214,11 @@ object Queries {
 
     Q("q_jsonl_roundtrip",
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_jsonl_").toString
+        val tmp = CoreOps.scratchDir("jsonl_rt", d)
+        val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
         val o = Tables.orders(s, d)
-        o.write.mode("overwrite").json(tmp)
-        s.read.schema(o.schema).json(tmp)
+        o.write.mode("overwrite").option("timestampFormat", tsFmt).json(tmp)
+        s.read.schema(o.schema).option("timestampFormat", tsFmt).json(tmp)
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"),
             exactSum(col("o_totalprice")).as("total"),
@@ -2235,8 +2241,7 @@ object Queries {
     // the original table.
     Q("q_schema_evolution",
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_evo_").toString
+        val tmp = CoreOps.scratchDir("evo", d)
         val o = Tables.orders(s, d)
         o.filter(col("o_orderkey") % 2 === 0).drop("o_totalprice")
           .write.mode("overwrite").parquet(s"$tmp/gen1")
@@ -2355,14 +2360,21 @@ object Queries {
         round(col("o_totalprice") * 100).cast("long"),
         date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
         col("o_orderpriority"))),
-      Some("SELECT count(*) AS n_rows, CAST(sum(" +
-        ExtQueries.md5Fold(
-          "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)" +
-            " || '|' || o_orderstatus || '|' ||" +
-            " CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)" +
-            " || '|' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')" +
-            " || '|' || o_orderpriority") +
-        ") AS DECIMAL(38,0)) AS digest FROM orders"))
+      Some {
+        // mirror of Validate.canonicalField: escape '\' then '|', NULL
+        // → the lone '\N' sentinel (triple-quoted: backslashes literal)
+        def esc(x: String): String =
+          raw"""coalesce(replace(replace($x, '\', '\\'), '|', '\|'), '\N')"""
+        val rendered = Seq(
+          "CAST(o_orderkey AS VARCHAR)", "CAST(o_custkey AS VARCHAR)",
+          "o_orderstatus",
+          "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)",
+          "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')", "o_orderpriority")
+          .map(esc).mkString(" || '|' || ")
+        "SELECT count(*) AS n_rows, CAST(sum(" +
+          ExtQueries.md5Fold(rendered) +
+          ") AS DECIMAL(38,0)) AS digest FROM orders"
+      })
   )
 
   /** Full registry: core + [EXT] training-data-pipeline surface. */

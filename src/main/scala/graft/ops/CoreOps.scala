@@ -62,4 +62,18 @@ object CoreOps {
 
   /** Exact running/windowed variant of [[exactSum]]. */
   def exactSumExpr(c: Column): Column = c.cast("decimal(28,6)")
+
+  /** Deterministic per-(purpose, input-dir) scratch directory under the
+    * JVM temp root. Queries that stage data (format round trips, schema
+    * evolution) reuse and overwrite this dir on every run — a fresh
+    * createTempDirectory per call would leak a table copy per
+    * invocation until the disk fills.
+    */
+  def scratchDir(purpose: String, inputDir: String): String = {
+    val key = java.lang.Integer.toHexString(inputDir.hashCode)
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_scratch_${purpose}_$key")
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
 }

@@ -229,18 +229,6 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
-  /** Connected components over an undirected pair list `(a_id, b_id)` —
-    * duplicate-CLUSTER resolution: every doc in a component gets the
-    * component's minimum id as its label, so "keep one per cluster"
-    * is `label == id`.
-    *
-    * Algorithm: iterative min-label propagation (each round every node
-    * takes the min label in its neighborhood; converges in O(diameter)
-    * rounds — near-dup clusters are tiny-diameter in practice). Each
-    * round is one shuffle on node id; the driver only sees a change
-    * COUNT per round (no graph collect). This is the DataFrame form of
-    * the standard large-star/small-star CC used by production dedup.
-    */
   /** Edit-distance near-duplicate pairs: SimHash-band candidates verified
     * by Levenshtein distance on a fixed-length text prefix. Hamming on
     * the fingerprint is a bag-of-words similarity; the edit-distance
@@ -272,6 +260,18 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Connected components over an undirected pair list `(a_id, b_id)` —
+    * duplicate-CLUSTER resolution: every doc in a component gets the
+    * component's minimum id as its label, so "keep one per cluster"
+    * is `label == id`.
+    *
+    * Algorithm: iterative min-label propagation (each round every node
+    * takes the min label in its neighborhood; converges in O(diameter)
+    * rounds — near-dup clusters are tiny-diameter in practice). Each
+    * round is one shuffle on node id; the driver only sees a change
+    * COUNT per round (no graph collect). This is the DataFrame form of
+    * the standard large-star/small-star CC used by production dedup.
+    */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
                           bCol: String = "b_id", maxIter: Int = 20,
                           workDir: Option[String] = None): DataFrame = {
@@ -324,16 +324,19 @@ object DedupOps {
         .select(col("id"),
           least(col("old"), coalesce(col("nbr_label"), col("old"))).as("label"),
           col("old"))
-      // pointer jumping: compress label ← label(label) before storing.
-      // A label is always a node id in the same component, so the lookup
-      // self-join is safe, and taking the min keeps labels monotonically
-      // decreasing toward the component min. Each round then propagates
-      // ~2 hops instead of 1 — O(log diameter) rounds instead of
-      // O(diameter), which at 100 TB is the difference between 5 and 30
-      // shuffle rounds on a chain-shaped duplicate cluster. The lookup
-      // table is the narrow (id, label) relation, far cheaper per round
-      // than the extra edge join a non-jumped round would cost.
-      val lookup = stepped.select(col("id").as("label"),
+      // pointer jumping: compress label ← min(label, prev_label(label))
+      // before storing. A label is always a node id in the same
+      // component, so the lookup join is safe, and taking the min keeps
+      // labels monotonically decreasing toward the component min. Each
+      // round then propagates ~2 hops instead of 1 — O(log diameter)
+      // rounds instead of O(diameter), which at 100 TB is the
+      // difference between 5 and 30 shuffle rounds on a chain-shaped
+      // duplicate cluster. The lookup side reads the MATERIALIZED
+      // previous round (`labels`), not `stepped`: joining `stepped` to a
+      // projection of itself would plan the edge-join pipeline twice per
+      // round (only identical exchanges get reused, not the operators
+      // above them), silently doubling the dominant per-round cost.
+      val lookup = labels.select(col("id").as("label"),
         col("label").as("label2"))
       // one materialization per round carries BOTH the new label and the
       // old one, so change-detection reads stored data, not the plan

@@ -49,7 +49,9 @@ class StreamingSpec extends SparkSpec {
         .option("path", out).option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(60000); ()
+      val finished = q.awaitTermination(60000)
+      if (!finished) q.stop()  // don't leak an active query into the next run
+      assert(finished, "AvailableNow trigger did not drain within 60s")
     }
     writeShard("shard0.json", Seq(1L -> "alpha", 2L -> "beta"))
     runOnce()

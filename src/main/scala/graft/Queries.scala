@@ -780,14 +780,22 @@ object Queries {
         val rel = (a: org.apache.spark.sql.Column,
                    e: org.apache.spark.sql.Column) =>
           abs(a.cast("double") - e.cast("double")) / e.cast("double")
-        Tables.lineitem(s, d).agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
-          approx_count_distinct(col("l_partkey"), 0.05).as("__ap"),
-          approx_count_distinct(col("l_orderkey"), 0.05).as("__ao"))
+        // HLL is duplicate-insensitive, so both the exact count and the
+        // sketch run over a pre-distinct stream: one dedup shuffle per
+        // column (map-side partials), no Expand — mixing count(DISTINCT)
+        // with a non-distinct aggregate would expand the fact rows
+        // 3-way before the shuffle
+        def one(c: String, tag: String) = Tables.lineitem(s, d)
+          .select(col(c)).distinct()
+          .agg(count(lit(1)).as(s"exact_$tag"),
+            approx_count_distinct(col(c), 0.05).as(s"__a_$tag"))
+        // 1-row × 1-row combine: Catalyst folds any constant equi-key
+        // away, so this plans as a nested-loop join over two singleton
+        // aggregates — constant work, allowlisted in the plan sweep
+        one("l_partkey", "parts").crossJoin(one("l_orderkey", "orders"))
           .select(col("exact_parts"), col("exact_orders"),
-            (rel(col("__ap"), col("exact_parts")) <= 0.15).as("ok_parts"),
-            (rel(col("__ao"), col("exact_orders")) <= 0.15).as("ok_orders"))
+            (rel(col("__a_parts"), col("exact_parts")) <= 0.15).as("ok_parts"),
+            (rel(col("__a_orders"), col("exact_orders")) <= 0.15).as("ok_orders"))
       },
       Some("""SELECT count(DISTINCT l_partkey) AS exact_parts,
         | count(DISTINCT l_orderkey) AS exact_orders,

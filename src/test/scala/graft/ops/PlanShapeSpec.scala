@@ -62,7 +62,8 @@ class PlanShapeSpec extends SparkSpec {
     // oracle twins of their bucketed scale paths:
     val intentional = Set(
       "x_dedup_embedding",  // exact cross join — twin of x_dedup_embedding_lsh
-      "x_knn_cosine")       // broadcast brute force — twin of x_knn_lsh/x_knn_ivf
+      "x_knn_cosine",       // broadcast brute force — twin of x_knn_lsh/x_knn_ivf
+      "q_approx_distinct")  // 1-row × 1-row aggregate combine — constant work
     // iterative/eager queries run real jobs just to build their plan —
     // their join shapes are asserted in their own suites
     val eager = Set("x_dedup_clusters", "x_knn_ivf")

@@ -264,6 +264,39 @@ object ExtQueries {
         | WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""))),
 
+    // X3 multimodal pooled resize (the thumbnail/downsample verb beside
+    // decode/feature-extract/frame-sample): block-average pooling of the
+    // payload byte stream into 8 slices with integer slice bounds —
+    // exact integer sums/counts through the mapPartitions pass, one
+    // divide+round in the projection, replayed by the DuckDB twin with
+    // list_slice over the same bounds.
+    Q("x_multimodal_resize",
+      (s, d) => {
+        import graft.ops.Multimodal
+        val media = Multimodal.syntheticMedia(Tables.documents(s, d))
+        implicit val enc =
+          org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+        Multimodal.resizePooled(media.as[Multimodal.MediaRow](enc), k = 8)
+          .orderBy("doc_id")
+      },
+      Some {
+        val k = 8
+        val dims = (0 until k).map { j =>
+          val lo = s"($j * n) // $k"
+          val hi = s"(${j + 1} * n) // $k"
+          s"CASE WHEN $hi - $lo = 0 THEN 0.0 ELSE " +
+            s"round(list_sum(list_slice(by, $lo + 1, $hi)) * 1.0 / ($hi - $lo), 4) " +
+            s"END AS p$j"
+        }.mkString(", ")
+        """WITH b AS (SELECT doc_id,
+          | (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+          | list_transform(range(1, length(text) + 1),
+          |   i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS by,
+          | length(text) AS n FROM documents)
+          | SELECT doc_id, modality, """.stripMargin.replaceAll("\n", "") +
+          dims + " FROM b ORDER BY doc_id"
+      }),
+
     // X1 edit-distance near-dup: the same pigeonhole-lossless band
     // candidates, verified by Levenshtein on a 96-char prefix — the
     // order-sensitive metric that separates re-edits from word-shuffled

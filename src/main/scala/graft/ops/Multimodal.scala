@@ -87,6 +87,50 @@ object Multimodal {
     }
   }
 
+  /** Pooled resize/resample: the thumbnail (image) / downsample (audio)
+    * verb of the decode pipeline, on the stub decoder's byte "pixels" —
+    * the payload stream is block-average-pooled into `k` equal slices
+    * (slice j = byte indices [j·n/k, (j+1)·n/k), integer bounds). Sums
+    * and counts stay exact integers through the shuffle-free
+    * mapPartitions pass; the single divide + round happens once in the
+    * projection, so any engine reproduces the values bit-for-bit. A
+    * real deployment swaps the byte pooling for codec-aware scaling,
+    * keeping the batching/partitioning shape.
+    */
+  final case class MediaPooled(
+      doc_id: Long,
+      modality: String,
+      sums: Array[Long],
+      cnts: Array[Long])
+
+  def resizePooled(media: Dataset[MediaRow], k: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.payload
+        val n = b.length
+        val sums = new Array[Long](k)
+        val cnts = new Array[Long](k)
+        var j = 0
+        while (j < k) {
+          val lo = (j.toLong * n / k).toInt
+          val hi = ((j + 1).toLong * n / k).toInt
+          var i = lo
+          var s = 0L
+          while (i < hi) { s += (b(i) & 0xff); i += 1 }
+          sums(j) = s
+          cnts(j) = (hi - lo).toLong
+          j += 1
+        }
+        MediaPooled(r.doc_id, r.modality, sums, cnts)
+      }
+    }.select(col("doc_id") +: col("modality") +: (0 until k).map { j =>
+      when(col("cnts").getItem(j) === 0, lit(0.0))
+        .otherwise(round(col("sums").getItem(j) / col("cnts").getItem(j), 4))
+        .as(s"p$j")
+    }: _*)
+  }
+
   /** Frame sampling for video payloads: split the payload into `n` fixed
     * chunks ("frames") and explode — the per-frame fanout pattern used
     * before a frame-level model. Pure expression work (codegen'd).

@@ -477,6 +477,23 @@ object ExtQueries {
       },
       None),
 
+    // X2 IVF in the exhaustive-probe limit: nprobe = c probes every
+    // cluster, so each (query, candidate) pair is scored exactly once
+    // through the SAME cluster-keyed equi-join machinery — and the exact
+    // re-rank + deterministic tie-break make the output bit-identical to
+    // brute force BY CONSTRUCTION, not by tuning. This oracles the IVF
+    // assignment/probe/score/rank pipeline (the analog of x_knn_lsh's
+    // multi-probe identity) while x_knn_ivf above keeps the honest
+    // approximate configuration whose recall is pinned in SimSpec.
+    Q("x_knn_ivf_probeall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.sim.IvfOps.knnIvf(
+          emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), 10,
+          c = 16, nprobe = 16)
+      },
+      Some(knnBruteSql)),
+
     // X4 sequence packing: greedy fixed-budget packing per hash shard,
     // the batching step between corpus and trainer. The oracle replays
     // the same reset-on-overflow scan as a recursive CTE per bucket.
@@ -994,6 +1011,113 @@ object ExtQueries {
         |  CAST(least(32, len(w) - chunk_id*32) AS BIGINT) AS chunk_tokens,
         |  array_to_string(w[(chunk_id*32+1):(chunk_id*32+32)], ' ') AS chunk_text
         | FROM c ORDER BY doc_id, chunk_id""".stripMargin.replaceAll("\n", ""))),
+
+    // X4 per-domain document cap (the over-representation guard between
+    // crawl and corpus: no single source may contribute more than N
+    // documents, preference to the longest). One shuffle on source; the
+    // rank window is per-source — at 100 TB no domain's partition exceeds
+    // its own document count, and there is no global sort anywhere.
+    Q("x_domain_cap",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source"))
+          .orderBy(TextFunctions.tokenCount(col("text")).desc, col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 10)
+          .select(col("doc_id"), col("source"), col("rk"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH r AS (SELECT doc_id, source,
+        | CAST(row_number() OVER (PARTITION BY source
+        |   ORDER BY len(regexp_split_to_array(trim(text), '\s+')) DESC, doc_id)
+        |   AS BIGINT) AS rk
+        | FROM documents)
+        | SELECT doc_id, source, rk FROM r WHERE rk <= 10
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""))),
+
+    // X1 span-level exact dedup (the C4-style fine-grained pass: whole
+    // documents are rarely identical, but repeated boilerplate SPANS
+    // are everywhere): cut each doc into fixed 8-token spans, keep only
+    // the corpus-wide FIRST occurrence of each distinct span text
+    // (ordered by (doc_id, span position) — deterministic), reassemble
+    // the surviving spans per document. One shuffle on the span text
+    // (the dedup key), one on doc_id to reassemble; span fanout is
+    // bounded by corpus token count, and no window ever spans more rows
+    // than one span-text's duplicate set.
+    Q("x_span_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = TextFunctions.tokens(col("text"))
+        val spans = Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("w"))
+          .select(col("doc_id"), col("w"),
+            explode(sequence(lit(0),
+              ceil(size(col("w")) / lit(8.0)).cast("int") - 1)).as("cid"))
+          .select(col("doc_id"), col("cid").cast("long").as("cid"),
+            array_join(slice(col("w"), col("cid") * 8 + 1, lit(8)), " ")
+              .as("span"))
+        val w = Window.partitionBy(col("span"))
+          .orderBy(col("doc_id"), col("cid"))
+        spans.withColumn("rn", row_number().over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(
+                when(col("rn") === 1, struct(col("cid"), col("span"))))),
+              _.getField("span")), " ").as("cleaned_text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        | regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        | c AS (SELECT doc_id, w,
+        |   unnest(range(CAST(ceil(len(w)/8.0) AS BIGINT))) AS cid FROM t),
+        | sp AS (SELECT doc_id, cid,
+        |   array_to_string(w[(cid*8+1):(cid*8+8)], ' ') AS span FROM c),
+        | r AS (SELECT doc_id, cid, span, row_number() OVER (
+        |   PARTITION BY span ORDER BY doc_id, cid) AS rn FROM sp)
+        | SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+        |    ORDER BY cid), '') AS cleaned_text
+        | FROM r GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // X4 deterministic training-order shuffle: a reproducible global
+    // pseudo-random permutation with NO global sort — shard each doc by
+    // a salted portable hash (8 shards), rank within the shard by a
+    // SECOND salt (so shard assignment and intra-shard order are
+    // independent), and interleave shards round-robin:
+    // global_pos = (rank-1)*8 + shard. The rank window partitions by
+    // shard, so at 100 TB each sort covers 1/nshards of the corpus and
+    // shard count is the parallelism dial; the order is identical across
+    // runs, engines, and cluster layouts — the property that makes a
+    // training run resumable and an ablation comparable.
+    Q("x_train_shuffle",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val shard = graft.functions.Kernels.md5_48Col(
+          concat(lit("shard|"), col("source"), lit("|"),
+            col("doc_id").cast("string"))) % 8
+        val ord = graft.functions.Kernels.md5_48Col(
+          concat(lit("ord|"), col("source"), lit("|"),
+            col("doc_id").cast("string")))
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("ord"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), shard.as("shard"), ord.as("ord"))
+          .withColumn("global_pos",
+            (row_number().over(w).cast("long") - 1L) * 8L + col("shard"))
+          .select(col("doc_id"), col("shard"), col("global_pos"))
+          .orderBy("global_pos")
+      },
+      Some("SELECT doc_id, shard, " +
+        "(CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) " +
+        "AS BIGINT) - 1) * 8 + shard AS global_pos FROM (SELECT doc_id, " +
+        s"(${md5Fold("'shard|' || source || '|' || CAST(doc_id AS VARCHAR)")}) % 8 AS shard, " +
+        s"(${md5Fold("'ord|' || source || '|' || CAST(doc_id AS VARCHAR)")}) AS ord " +
+        "FROM documents) ORDER BY global_pos")),
 
     // X4/X1 temperature sampling (the multilingual data-mixing step):
     // per-language keep rate ∝ n^(1/T) (T=2) normalized to a 60%

@@ -476,6 +476,33 @@ object Queries {
         | GROUP BY c_custkey ORDER BY c_custkey"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // Full-outer join over two pre-aggregated sides (null rows on BOTH
+    // sides exercised by the disjoint-overlapping nation filters): the
+    // aggregate-before-join shape keeps the outer join tiny — 25 rows
+    // meet 15 rows regardless of fact cardinality
+    Q("q_full_outer_join",
+      (s, d) => {
+        val cust = Tables.customer(s, d).filter(col("c_nationkey") < 15)
+          .groupBy(col("c_nationkey").as("nk_c"))
+          .agg(count(lit(1)).as("n_cust"))
+        val supp = Tables.supplier(s, d).filter(col("s_nationkey") >= 10)
+          .groupBy(col("s_nationkey").as("nk_s"))
+          .agg(count(lit(1)).as("n_supp"))
+        cust.join(supp, col("nk_c") === col("nk_s"), "full_outer")
+          .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      Some("""WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+        |   FROM customer WHERE c_nationkey < 15 GROUP BY 1),
+        | s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+        |   FROM supplier WHERE s_nationkey >= 10 GROUP BY 1)
+        | SELECT coalesce(c.nk, s.nk) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        | FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        | ORDER BY nationkey""".stripMargin.replaceAll("\n", ""))),
+
     // Window ranking: top-3 orders per customer (deterministic tiebreak)
     Q("q_window_rank",
       (s, d) => {
@@ -800,6 +827,53 @@ object Queries {
       Some("""SELECT count(DISTINCT l_partkey) AS exact_parts,
         | count(DISTINCT l_orderkey) AS exact_orders,
         | true AS ok_parts, true AS ok_orders FROM lineitem"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // Approximate percentile (QuantileSummaries sketch) — oracled like
+    // the HLL query, via its bounded-error CONTRACT: approx_percentile
+    // guarantees the returned element's exact rank is within n/accuracy
+    // of the target under ANY partitioning/merge order, so the
+    // deterministic outputs are the exact interpolated percentiles plus
+    // flags asserting the sketch value's rank error stays inside 2× the
+    // bound (headroom for rank-definition off-by-ones). A sketch
+    // regression flips a flag and fails the hash. Plan: two scans — the
+    // 1-row sketch/exact aggregate broadcasts back over the fact for the
+    // rank-count pass; the sketch state is O(accuracy), mergeable, the
+    // scale path where the exact sort-per-group form (q_percentile) is
+    // not affordable.
+    Q("q_approx_percentile",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_extendedprice")
+        val oneRow = li.agg(
+          count(lit(1)).as("n"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("__a50"),
+          expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("__a95"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95_exact"))
+        li.join(broadcast(oneRow))
+          .agg(max(col("n")).as("n"),
+            max(col("p50_exact")).as("p50_exact"),
+            max(col("p95_exact")).as("p95_exact"),
+            sum(when(col("l_extendedprice") < col("__a50"), 1L)
+              .otherwise(0L)).as("__lt50"),
+            sum(when(col("l_extendedprice") <= col("__a50"), 1L)
+              .otherwise(0L)).as("__le50"),
+            sum(when(col("l_extendedprice") < col("__a95"), 1L)
+              .otherwise(0L)).as("__lt95"),
+            sum(when(col("l_extendedprice") <= col("__a95"), 1L)
+              .otherwise(0L)).as("__le95"))
+          .select(col("n"), col("p50_exact"), col("p95_exact"),
+            (col("__le50") >= lit(0.5) * col("n") - lit(2.0) * col("n") / 1000 &&
+             col("__lt50") <= lit(0.5) * col("n") + lit(2.0) * col("n") / 1000)
+              .as("ok_p50"),
+            (col("__le95") >= lit(0.95) * col("n") - lit(2.0) * col("n") / 1000 &&
+             col("__lt95") <= lit(0.95) * col("n") + lit(2.0) * col("n") / 1000)
+              .as("ok_p95"))
+      },
+      Some("""SELECT count(*) AS n,
+        | quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+        | quantile_cont(l_extendedprice, 0.95) AS p95_exact,
+        | true AS ok_p50, true AS ok_p95 FROM lineitem"""
         .stripMargin.replaceAll("\n", ""))),
 
     // Sliding event-time windows (1h window, 30m slide): batch twin of

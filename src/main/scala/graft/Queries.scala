@@ -310,6 +310,48 @@ object Queries {
         | FROM orders WHERE o_orderpriority = '1-URGENT'
         | GROUP BY o_orderpriority""".stripMargin.replaceAll("\n", ""))),
 
+    // DYNAMIC partition pruning: the static prune above needs the
+    // literal in the query; here the pruning values only exist at
+    // RUNTIME — a tiny dim table (priority → urgency class, written
+    // once, pay-once like the layouts) is filtered on a NON-partition
+    // attribute and joined to the partitioned fact on the partition
+    // column. Catalyst injects a dynamicpruningexpression subquery into
+    // the fact scan (pinned in PlanShapeSpec): the dim's surviving keys
+    // are computed first (broadcast reuse) and the fact reads ONLY the
+    // matching directories. At 100 TB this is the difference between
+    // scanning the whole fact and scanning the 2/5 of it the dim
+    // selects — without the user ever naming the partitions. Oracle =
+    // the dim semantics inlined as a plain IN filter.
+    Q("q_dynamic_pruning",
+      (s, d) => {
+        import graft.ops.Bucketing
+        val tag = java.lang.Integer.toHexString(d.hashCode)
+        Bucketing.ensurePartitioned(Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority"),
+          s"graft_part_orders_$tag", "o_orderpriority")
+        val dimName = s"graft_priority_dim_$tag"
+        if (!s.catalog.tableExists(dimName)) {
+          graft.ops.Bucketing.replaceTable(s, dimName,
+            Tables.orders(s, d).select(col("o_orderpriority")).distinct()
+              .withColumn("urgency_class",
+                when(col("o_orderpriority").startsWith("1-") ||
+                  col("o_orderpriority").startsWith("2-"), "high")
+                  .otherwise("normal")))
+        }
+        s.table(s"graft_part_orders_$tag")
+          .join(broadcast(s.table(dimName)
+            .filter(col("urgency_class") === "high")), "o_orderpriority")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            exactSum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        | FROM orders WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+        | GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // Z-ORDER layout: lineitem laid out on the Morton curve of
     // (l_partkey, l_suppkey), then filtered on ranges of BOTH columns.
     // On the curve layout each file's min/max footer stats are tight in

@@ -121,6 +121,52 @@ object Bucketing {
     if (!df.sparkSession.catalog.tableExists(table))
       writeZOrdered(df, table, c1, c2, files)
 
+  /** Plain managed-table (re)write with the same stale-location
+    * hygiene as the layout writers — for small dims that feed
+    * runtime-pruning joins.
+    */
+  def replaceTable(spark: SparkSession, table: String, df: DataFrame): Unit = {
+    clearStale(spark, table)
+    df.write.mode("overwrite").saveAsTable(table)
+  }
+
+  /** Small-file compaction — the table-maintenance pass every
+    * long-lived ingest needs: streaming sinks, CDC applies, and
+    * per-batch appends accrete files far below the scan-efficient size,
+    * and at 100 TB the file LISTING alone (plus one task per tiny file)
+    * comes to dominate reads. Rewrites a parquet directory into
+    * ceil(bytes / targetFileBytes) files: read with the existing
+    * schema, coalesce (no shuffle — merging files needs no
+    * repartitioning, and coalesce keeps the rewrite a pure scan→sink
+    * copy like the sync path), stage the result in a sibling dir, then
+    * swap with the same rename discipline as the CDC state merge
+    * (stage → `__old` → prune; every rename checked). Returns
+    * (filesBefore, filesAfter). Content identity under compaction is
+    * spec-pinned with the order-independent `sync.Validate` digest.
+    */
+  def compact(spark: SparkSession, dir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles.length
+    val bytes = dataFiles.map(_.getLen).sum
+    val target = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    if (before <= target) return (before, before)
+    val staged = new org.apache.hadoop.fs.Path(dir + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(dir + "__old")
+    fs.delete(staged, true); fs.delete(old, true)
+    spark.read.parquet(dir).coalesce(target)
+      .write.mode("overwrite").parquet(staged.toString)
+    require(fs.rename(path, old), s"compact: could not stage out $dir")
+    require(fs.rename(staged, path), s"compact: could not publish $staged")
+    fs.delete(old, true)
+    val after = fs.listStatus(path)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (before, after)
+  }
+
   /** Bucket-aware inner equi-join of two saved bucketed tables. The
     * `merge` hint pins the sort-merge strategy (AQE would otherwise
     * broadcast a small side at test scale, hiding the layout win the

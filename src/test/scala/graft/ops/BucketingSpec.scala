@@ -120,4 +120,27 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS z_lineitem_spec")
     }
   }
+
+  test("compact merges small files and preserves content exactly") {
+    import graft.sync.Validate
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_")
+      .resolve("t").toString
+    // simulate an accreted ingest: 24 tiny files
+    Tables.orders(spark, sf).repartition(24)
+      .write.mode("overwrite").parquet(dir)
+    val origCols = spark.read.parquet(dir).columns.toSeq
+    val before = Validate.contentDigest(spark.read.parquet(dir),
+      origCols.map(col)).head()
+    val (nBefore, nAfter) = Bucketing.compact(spark, dir, 64L * 1024 * 1024)
+    assert(nBefore == 24, s"expected 24 input files, saw $nBefore")
+    assert(nAfter < nBefore,
+      s"compaction must reduce file count: $nBefore -> $nAfter")
+    val after = Validate.contentDigest(spark.read.parquet(dir),
+      origCols.map(col)).head()
+    assert(before == after,
+      s"compaction changed content: $before vs $after")
+    // already-compact dirs are a no-op (no rewrite churn)
+    val (b2, a2) = Bucketing.compact(spark, dir, 64L * 1024 * 1024)
+    assert(b2 == a2 && b2 == nAfter, s"expected no-op, saw $b2 -> $a2")
+  }
 }

@@ -57,6 +57,40 @@ class PlanShapeSpec extends SparkSpec {
       s"priority predicate must prune partitions, not post-filter rows:\n$p")
   }
 
+  test("q_dynamic_pruning injects a runtime pruning subquery at the fact scan") {
+    val p = plan("q_dynamic_pruning")
+    assert(p.contains("dynamicpruning"),
+      s"expected dynamic partition pruning at the partitioned scan:\n$p")
+  }
+
+  test("selective fact⨝fact joins inject a runtime bloom filter") {
+    // InjectRuntimeFilter only fires for non-broadcast joins whose
+    // application side is big enough; the size thresholds are sized for
+    // real clusters, so pin the MECHANISM at fixture scale by lowering
+    // them for this test only
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val li = graft.model.Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_extendedprice")
+      val ords = graft.model.Tables.orders(spark, sf)
+        .filter(col("o_totalprice") > 400000.0)
+        .select("o_orderkey")
+      val p = li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        s"expected a runtime bloom filter on the fact side:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("no registered query plans an accidental cartesian join") {
     // exact all-pairs / broadcast brute-force forms kept ON PURPOSE as
     // oracle twins of their bucketed scale paths:

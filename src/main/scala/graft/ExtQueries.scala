@@ -494,6 +494,91 @@ object ExtQueries {
       },
       Some(knnBruteSql)),
 
+    // X2 IVF-PQ — the 100 TB MEMORY shape: the index carries one
+    // cluster int + m=8 PQ codes per vector instead of 64 floats, ADC
+    // scoring is 8 table lookups, and only rerank survivors ever touch
+    // real embeddings again. Unlike x_knn_lsh/x_knn_ivf_probeall this
+    // is NOT oracled by brute-force identity (the fixture's random
+    // geometry needs near-exhaustive rerank — measured) but the way
+    // x_dedup_minhash is: every stage (deterministic-sample codebooks,
+    // first-min-wins assignment, ordered ADC sums, windowed rerank,
+    // exact re-rank) is replayed arithmetic-exactly in the DuckDB twin,
+    // so the APPROXIMATE output itself is hash-matched cross-engine.
+    // SimSpec pins the recall floor vs brute force on top.
+    Q("x_knn_ivfpq",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.sim.IvfOps.knnIvfPq(
+          emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), 10,
+          c = 16, nprobe = 4, m = 8, ksub = 16, rerank = 50)
+      },
+      Some {
+        // shared sub-expressions: cosine (same op order as the kernels:
+        // dot and each squared-norm are independent left-to-right
+        // folds), per-subvector squared L2 (diff*diff accumulated in
+        // element order)
+        def cos(a: String, b: String): String =
+          s"""(list_sum(list_transform(range(1, 65),
+            | i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) /
+            | (sqrt(list_sum(list_transform(range(1, 65),
+            |   i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))) *
+            |  sqrt(list_sum(list_transform(range(1, 65),
+            |   i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))"""
+            .stripMargin.replaceAll("\n", "")
+        def subL2(a: String, b: String): String =
+          s"""list_sum(list_transform(range(1, 9), t ->
+            | (CAST($a[s*8+t] AS DOUBLE) - CAST($b[s*8+t] AS DOUBLE)) *
+            | (CAST($a[s*8+t] AS DOUBLE) - CAST($b[s*8+t] AS DOUBLE))))"""
+            .stripMargin.replaceAll("\n", "")
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+          |   FROM embeddings WHERE vec_id < 5),
+          | c AS (SELECT vec_id AS neighbor_id, embedding AS ce
+          |   FROM embeddings WHERE vec_id >= 5),
+          | samp AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+          |   embedding AS se FROM (SELECT vec_id, embedding FROM embeddings
+          |   WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16)),
+          | sub AS (SELECT CAST(unnest(range(8)) AS INT) AS s),
+          | cassign AS (SELECT neighbor_id, j AS cluster FROM (
+          |   SELECT c.neighbor_id, samp.j, row_number() OVER (
+          |     PARTITION BY c.neighbor_id
+          |     ORDER BY ${cos("ce", "se")} DESC, samp.j ASC) AS rn
+          |   FROM c CROSS JOIN samp) t WHERE rn = 1),
+          | qprobe AS (SELECT query_id, j AS cluster FROM (
+          |   SELECT q.query_id, samp.j, row_number() OVER (
+          |     PARTITION BY q.query_id
+          |     ORDER BY ${cos("qe", "se")} DESC, samp.j ASC) AS rn
+          |   FROM q CROSS JOIN samp) t WHERE rn <= 4),
+          | codes AS (SELECT neighbor_id, list(code ORDER BY s) AS cl FROM (
+          |   SELECT neighbor_id, s, j AS code FROM (
+          |     SELECT c.neighbor_id, sub.s, samp.j, row_number() OVER (
+          |       PARTITION BY c.neighbor_id, sub.s
+          |       ORDER BY ${subL2("ce", "se")} ASC, samp.j ASC) AS rn
+          |     FROM c CROSS JOIN sub CROSS JOIN samp) t WHERE rn = 1) t2
+          |   GROUP BY neighbor_id),
+          | qt AS (SELECT query_id, list(dist ORDER BY s, j) AS ql FROM (
+          |   SELECT q.query_id, sub.s, samp.j, ${subL2("qe", "se")} AS dist
+          |   FROM q CROSS JOIN sub CROSS JOIN samp) t GROUP BY query_id),
+          | adc AS (SELECT qp.query_id, ca.neighbor_id,
+          |   list_sum(list_transform(range(8),
+          |     s -> ql[s*16 + cl[s+1] + 1])) AS adc
+          |   FROM qprobe qp JOIN cassign ca ON qp.cluster = ca.cluster
+          |   JOIN codes ON codes.neighbor_id = ca.neighbor_id
+          |   JOIN qt ON qt.query_id = qp.query_id),
+          | surv AS (SELECT query_id, neighbor_id FROM (
+          |   SELECT query_id, neighbor_id, row_number() OVER (
+          |     PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rn
+          |   FROM adc) t WHERE rn <= 50),
+          | sc AS (SELECT sv.query_id, sv.neighbor_id,
+          |   round(${cos("qe", "ce")}, 4) AS sim
+          |   FROM surv sv JOIN q ON q.query_id = sv.query_id
+          |   JOIN c ON c.neighbor_id = sv.neighbor_id)
+          | SELECT query_id, neighbor_id, sim FROM (SELECT *, row_number()
+          |   OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+          |   FROM sc) t WHERE rn <= 10
+          | ORDER BY query_id, sim DESC, neighbor_id"""
+          .stripMargin.replaceAll("\n", "")
+      }),
+
     // X4 sequence packing: greedy fixed-budget packing per hash shard,
     // the batching step between corpus and trainer. The oracle replays
     // the same reset-on-overflow scan as a recursive CTE per bucket.

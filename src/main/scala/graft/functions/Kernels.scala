@@ -558,6 +558,89 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Product-quantization code assignment: split `emb` (dim) into `m`
+    * subvectors of dim/m, assign each to its nearest (squared-L2, first
+    * minimum wins — deterministic) codebook centroid. `codebooksFlat`
+    * layout: centroid j of subvector s occupies
+    * [((s*ksub)+j)*dsub, +dsub). Returns the m int codes — the
+    * compressed representation (m bytes at ksub≤256) that replaces
+    * dim floats in the scan at 100 TB.
+    */
+  def pqAssign(emb: ArrayData, codebooksFlat: ArrayData,
+               m: Int, ksub: Int): ArrayData = {
+    val dim = emb.numElements()
+    val dsub = dim / m
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < ksub) {
+        var dist = 0.0
+        var t = 0
+        val base = ((s * ksub) + j) * dsub
+        while (t < dsub) {
+          val diff = emb.getFloat(s * dsub + t).toDouble -
+            codebooksFlat.getDouble(base + t)
+          dist += diff * diff
+          t += 1
+        }
+        if (dist < bestD) { bestD = dist; best = j }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Per-query ADC distance table: squared L2 between each query
+    * subvector and each codebook centroid — m×ksub doubles computed
+    * ONCE per query, so scoring a candidate is m table lookups instead
+    * of a dim-length pass. Layout matches [[pqAssign]]: entry for
+    * (subvector s, centroid j) at s*ksub + j.
+    */
+  def pqTable(emb: ArrayData, codebooksFlat: ArrayData,
+              m: Int, ksub: Int): ArrayData = {
+    val dim = emb.numElements()
+    val dsub = dim / m
+    val out = new Array[Any](m * ksub)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < ksub) {
+        var dist = 0.0
+        var t = 0
+        val base = ((s * ksub) + j) * dsub
+        while (t < dsub) {
+          val diff = emb.getFloat(s * dsub + t).toDouble -
+            codebooksFlat.getDouble(base + t)
+          dist += diff * diff
+          t += 1
+        }
+        out(s * ksub + j) = dist
+        j += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** ADC score: approximate squared-L2 distance between the query
+    * behind `qtable` and the candidate behind `codes` — m lookups.
+    */
+  def pqAdc(codes: ArrayData, qtable: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += qtable.getDouble(s * ksub + codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
   // ---- Column wrappers ----------------------------------------------
 
   import org.apache.spark.sql.catalyst.expressions.Expression
@@ -630,6 +713,18 @@ object Kernels {
     invoke(ArrayType(IntegerType, containsNull = false), "ivfProbe",
       emb, centroidsFlat, org.apache.spark.sql.functions.lit(c),
       org.apache.spark.sql.functions.lit(nprobe))
+
+  def pqAssignCol(emb: Column, codebooksFlat: Column, m: Int, ksub: Int): Column =
+    invoke(ArrayType(IntegerType, containsNull = false), "pqAssign",
+      emb, codebooksFlat, org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(ksub))
+  def pqTableCol(emb: Column, codebooksFlat: Column, m: Int, ksub: Int): Column =
+    invoke(ArrayType(DoubleType, containsNull = false), "pqTable",
+      emb, codebooksFlat, org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(ksub))
+  def pqAdcCol(codes: Column, qtable: Column, ksub: Int): Column =
+    invoke(DoubleType, "pqAdc", codes, qtable,
+      org.apache.spark.sql.functions.lit(ksub))
 
   def dotFFCol(a: Column, b: Column): Column = invoke(DoubleType, "dotFF", a, b)
   def dotFDCol(a: Column, b: Column): Column = invoke(DoubleType, "dotFD", a, b)

@@ -52,6 +52,74 @@ object IvfOps {
     cents
   }
 
+  /** Deterministic per-subvector PQ codebooks: centroid j of subvector
+    * s is the s-th subvector of the j-th corpus vector by id (the same
+    * bounded deterministic-sample stance as [[centroids]]), flattened
+    * to the [[Kernels.pqAssign]] layout. ksub×dim doubles — tiny,
+    * travels as a broadcast literal; the corpus is never collected.
+    */
+  def pqCodebooks(candidates: DataFrame, m: Int, ksub: Int): Array[Double] = {
+    val sample = candidates.orderBy("vec_id").limit(ksub)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim must divide into $m subvectors")
+    val dsub = dim / m
+    val out = new Array[Double](m * ksub * dsub)
+    for (s <- 0 until m; j <- 0 until ksub; t <- 0 until dsub)
+      out(((s * ksub) + j) * dsub + t) = sample(j)(s * dsub + t)
+    out
+  }
+
+  /** IVF-PQ: the 100 TB memory shape for ANN. The index carries ONE int
+    * (cluster) + m small codes per vector — never the embedding — so
+    * the scan side is ~m bytes/vector instead of dim floats; scoring a
+    * candidate is m table lookups against the query's precomputed ADC
+    * table (squared L2). The probe join is the same cluster-keyed
+    * equi-join as [[knnIvf]]; ADC survivors (rerank per query, a
+    * per-query window over probed candidates only) rejoin their
+    * embeddings for an EXACT cosine re-rank with the deterministic
+    * brute-force tie-break — so with exhaustive probing and a
+    * sufficient rerank depth the output is bit-identical to brute
+    * force while the pipeline exercises the real compressed-index
+    * dataflow.
+    */
+  def knnIvfPq(queries: DataFrame, candidates: DataFrame, k: Int,
+               c: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+               rerank: Int = 50,
+               centroidsFlat: Option[Array[Double]] = None,
+               codebooksFlat: Option[Array[Double]] = None): DataFrame = {
+    val cents = lit(centroidsFlat.getOrElse(centroids(candidates, c)))
+    val books = lit(codebooksFlat.getOrElse(pqCodebooks(candidates, m, ksub)))
+    val index = candidates.select(col("vec_id").as("neighbor_id"),
+      Kernels.ivfProbeCol(col("embedding"), cents, c, 1).getItem(0)
+        .as("cluster"),
+      Kernels.pqAssignCol(col("embedding"), books, m, ksub).as("codes"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      Kernels.pqTableCol(col("embedding"), books, m, ksub).as("qt"),
+      explode(Kernels.ivfProbeCol(col("embedding"), cents, c, nprobe))
+        .as("cluster"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val survivors = index.join(broadcast(q), "cluster")
+      .select(col("query_id"), col("neighbor_id"),
+        Kernels.pqAdcCol(col("codes"), col("qt"), ksub).as("adc"))
+      .withColumn("rn", row_number().over(wAdc)).filter(col("rn") <= rerank)
+      .select("query_id", "neighbor_id")
+    val qe = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
+    val ce = candidates.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"))
+    val scored = survivors.join(broadcast(qe), "query_id").join(ce, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(Kernels.cosineFFCol(col("qe"), col("ce")), 4).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "sim")
+      .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+  }
+
   /** Approximate top-k: assign candidates to their nearest centroid
     * (cluster = shuffle key), probe the `nprobe` nearest clusters per
     * query, rank within the probed set. One equi-join on cluster id

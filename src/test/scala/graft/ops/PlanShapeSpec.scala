@@ -101,7 +101,8 @@ class PlanShapeSpec extends SparkSpec {
       "q_approx_percentile") // fact × 1-row sketch broadcast — O(1) inner loop
     // iterative/eager queries run real jobs just to build their plan —
     // their join shapes are asserted in their own suites
-    val eager = Set("x_dedup_clusters", "x_knn_ivf", "x_knn_ivf_probeall")
+    val eager = Set("x_dedup_clusters", "x_knn_ivf", "x_knn_ivf_probeall",
+      "x_knn_ivfpq")
     graft.SparkEntry.queries.keys
       .filterNot(intentional).filterNot(eager).toSeq.sorted
       .foreach { name =>

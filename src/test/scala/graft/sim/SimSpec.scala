@@ -188,6 +188,34 @@ class SimSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall below 0.5")
   }
 
+  test("IVF-PQ recalls brute-force neighbors through the compressed index") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    val exact = VectorOps.knnBruteForce(q, c, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // generous probe/rerank at the tiny fixture: the recall dial works
+    // exactly like IVF's nprobe + a rerank depth; the floor guards the
+    // pipeline (assignment → ADC → rerank) against silent regressions
+    val approx = IvfOps.knnIvfPq(q, c, 10, c = 16, nprobe = 12,
+      m = 8, ksub = 16, rerank = 100)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF-PQ recall $recall below 0.5")
+    // the ADC survivors are re-ranked EXACTLY, so every reported
+    // neighbor's sim equals the brute-force cosine (subset-exactness)
+    val bruteSims = VectorOps.knnBruteForce(q, c, 1000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    IvfOps.knnIvfPq(q, c, 10, c = 16, nprobe = 12, m = 8, ksub = 16,
+      rerank = 100).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bruteSims.get(key).contains(r.getDouble(2)),
+        s"IVF-PQ sim for $key diverges from the exact cosine")
+    }
+  }
+
   test("k-means-refined IVF centroids keep (or improve) recall") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 5)

@@ -193,6 +193,85 @@ object CdcPipeline {
       }
       .start()
 
+  /** Apply one CDC micro-batch into a JDBC target — the "writing to
+    * ClickHouse" leg of the north star, runnable against any JDBC
+    * engine. The batch first collapses to its latest row per
+    * (table, key) (same ReplacingMergeTree ordering as the parquet
+    * state), then each partition upserts its keys in one transaction:
+    * DELETE the key, INSERT the surviving row unless it is a
+    * tombstone. Each key appears exactly once after the collapse, so
+    * partitions never contend on a key, and a replayed micro-batch
+    * re-deletes and re-inserts identical rows — idempotent, the same
+    * convergence contract as [[applyBatch]]. Against ClickHouse
+    * ReplacingMergeTree the DELETE leg is unnecessary (versioned
+    * INSERTs collapse at merge time); the transactional form is the
+    * general-RDBMS discipline and is what the Derby test pins.
+    * Target DDL: (tbl VARCHAR, k BIGINT, ts TIMESTAMP, seq BIGINT,
+    * payload VARCHAR) with (tbl, k) unique — names chosen to dodge
+    * reserved words; the engine never issues DDL (reference stance).
+    */
+  def applyBatchJdbc(batch: DataFrame, url: String, table: String,
+                     props: java.util.Properties = new java.util.Properties(),
+                     batchSize: Int = 1000): Unit = {
+    val latest = latestState(batch)
+      .select(col("op"), col("table"), col("key"), col("ts"), col("seq"),
+        col("payload"))
+    latest.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          conn.setAutoCommit(false)
+          val del = conn.prepareStatement(
+            s"DELETE FROM $table WHERE tbl = ? AND k = ?")
+          val ins = conn.prepareStatement(
+            s"INSERT INTO $table (tbl, k, ts, seq, payload) VALUES (?, ?, ?, ?, ?)")
+          try {
+            var n = 0
+            rows.foreach { r =>
+              del.setString(1, r.getString(1))
+              del.setLong(2, r.getLong(2))
+              del.addBatch()
+              if (r.getString(0) != ChangeEvent.Delete) {
+                ins.setString(1, r.getString(1))
+                ins.setLong(2, r.getLong(2))
+                ins.setTimestamp(3, r.getTimestamp(3))
+                ins.setLong(4, r.getLong(4))
+                ins.setString(5, r.getString(5))
+                ins.addBatch()
+              }
+              n += 1
+              // flush deletes BEFORE inserts so a key's delete always
+              // precedes its re-insert within the flush group
+              if (n % batchSize == 0) { del.executeBatch(); ins.executeBatch() }
+            }
+            del.executeBatch(); ins.executeBatch()
+            conn.commit()
+          } finally { del.close(); ins.close() }
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** [[startFromBinlog]] with a JDBC target instead of the parquet
+    * state table: binlog tail → per-micro-batch transactional upsert.
+    */
+  def startFromBinlogJdbc(spark: SparkSession, logPath: String,
+                          url: String, table: String,
+                          props: java.util.Properties,
+                          checkpointDir: String,
+                          maxLinesPerTrigger: Long = 10000L): StreamingQuery =
+    spark.readStream
+      .format(classOf[BinlogSourceProvider].getName)
+      .option("path", logPath)
+      .option("maxLinesPerTrigger", maxLinesPerTrigger.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatchJdbc(batch, url, table, props)
+      }
+      .start()
+
   /** Snapshot-then-stream: batch-copy the current table state (the
     * reference's whole program), then apply the change stream from the
     * recorded offset forward. Returns the running query.

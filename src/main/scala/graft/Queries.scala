@@ -886,12 +886,20 @@ object Queries {
     Q("q_approx_percentile",
       (s, d) => {
         val li = Tables.lineitem(s, d).select("l_extendedprice")
+        // array form: ONE exact-percentile buffer and ONE sketch serve
+        // both quantiles (the exact global percentile materializes every
+        // value in a single aggregation buffer — the very cost the
+        // sketch path exists to avoid — so don't pay it twice)
         val oneRow = li.agg(
           count(lit(1)).as("n"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("__a50"),
-          expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("__a95"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
-          expr("percentile(l_extendedprice, 0.95)").as("p95_exact"))
+          expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 1000)")
+            .as("__pa"),
+          expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("__pe"))
+          .select(col("n"),
+            col("__pa").getItem(0).as("__a50"),
+            col("__pa").getItem(1).as("__a95"),
+            col("__pe").getItem(0).as("p50_exact"),
+            col("__pe").getItem(1).as("p95_exact"))
         li.join(broadcast(oneRow))
           .agg(max(col("n")).as("n"),
             max(col("p50_exact")).as("p50_exact"),

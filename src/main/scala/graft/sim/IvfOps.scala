@@ -71,6 +71,46 @@ object IvfOps {
     out
   }
 
+  /** Lloyd-refined PQ codebooks: start from the deterministic sample,
+    * then `iters` rounds of assign (kernel, distributed) → recenter
+    * (per-(subvector, code, dim) mean — only m×ksub×dsub scalars ever
+    * reach the driver, same bounded-driver-data stance as
+    * [[kmeansCentroids]]). Codes that lose all members keep their
+    * previous centroid. Refined codebooks tighten ADC's quantization
+    * error, which directly raises recall at a fixed rerank depth.
+    */
+  def pqKmeansCodebooks(candidates: DataFrame, m: Int, ksub: Int,
+                        iters: Int = 5): Array[Double] = {
+    var books = pqCodebooks(candidates, m, ksub)
+    val dim = {
+      val d = candidates.select("embedding").head().getSeq[Float](0).length
+      require(d % m == 0, s"dim $d must divide into $m subvectors"); d
+    }
+    val dsub = dim / m
+    for (_ <- 0 until iters) {
+      val flat = lit(books)
+      // (vector, s) → assigned code; (vector, d) → element; s = d/dsub
+      val means = candidates
+        .select(Kernels.pqAssignCol(col("embedding"), flat, m, ksub)
+          .as("codes"), col("embedding"))
+        .select(col("codes"), posexplode(col("embedding")).as(Seq("d", "v")))
+        .select((col("d") / dsub).cast("int").as("s"),
+          (col("d") % dsub).cast("int").as("t"),
+          element_at(col("codes"), (col("d") / dsub).cast("int") + 1)
+            .as("code"),
+          col("v").cast("double").as("v"))
+        .groupBy("s", "code", "t").agg(avg(col("v")).as("mean"))
+        .collect()
+      val next = books.clone()
+      means.foreach { r =>
+        next(((r.getInt(0) * ksub) + r.getInt(1)) * dsub + r.getInt(2)) =
+          r.getDouble(3)
+      }
+      books = next
+    }
+    books
+  }
+
   /** IVF-PQ: the 100 TB memory shape for ANN. The index carries ONE int
     * (cluster) + m small codes per vector — never the embedding — so
     * the scan side is ~m bytes/vector instead of dim floats; scoring a

@@ -81,4 +81,43 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().map(_.getSeq[String](0))
     assert(sh.forall(_.isEmpty))   // all shorter than 3 tokens
   }
+
+  test("IVF-PQ with empty query side returns empty") {
+    val emb = Tables.embeddings(spark, sf)
+    assert(graft.sim.IvfOps.knnIvfPq(emptyEmb, emb, 5).count() == 0L)
+  }
+
+  test("PQ assignment of the zero vector is deterministic and in range") {
+    import graft.functions.Kernels
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") >= 5)
+    val books = graft.sim.IvfOps.pqCodebooks(emb, m = 8, ksub = 16)
+    val zero = Seq(Tuple1(Array.fill(64)(0.0f))).toDF("embedding")
+    val codes = zero.select(
+      Kernels.pqAssignCol(col("embedding"), lit(books), 8, 16))
+      .head().getSeq[Int](0)
+    assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+  }
+
+  test("compact of a single-file (or empty) dir is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nocompact_")
+      .resolve("t").toString
+    Tables.region(spark, sf).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val (b, a) = Bucketing.compact(spark, dir)
+    assert(b == 1 && a == 1)
+    val empty = java.nio.file.Files.createTempDirectory("graft_emptydir_")
+      .toString
+    val (b2, a2) = Bucketing.compact(spark, empty)
+    assert(b2 == 0 && a2 == 0)
+  }
+
+  test("JDBC CDC apply of an empty micro-batch touches nothing") {
+    // an empty trigger must not even open a connection — the URL is
+    // unresolvable on purpose
+    val empty = Tables.events(spark, sf).filter(lit(false)).select(
+      lit("insert").as("op"), lit("t").as("table"), lit(1L).as("key"),
+      col("ts"), lit(1L).as("seq"), lit("{}").as("payload"))
+    graft.streaming.CdcPipeline.applyBatchJdbc(
+      empty, "jdbc:derby:/nonexistent/nope", "no_table")
+  }
 }

@@ -216,6 +216,32 @@ class SimSpec extends SparkSpec {
     }
   }
 
+  test("k-means-refined PQ codebooks keep (or improve) IVF-PQ recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    val exact = VectorOps.knnBruteForce(q, c, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallWith(books: Option[Array[Double]]): Double = {
+      val approx = IvfOps.knnIvfPq(q, c, 10, c = 16, nprobe = 12,
+        m = 8, ksub = 16, rerank = 100, codebooksFlat = books)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val refined = IvfOps.pqKmeansCodebooks(c, m = 8, ksub = 16, iters = 3)
+    assert(refined.length == 8 * 16 * 8)
+    val sampled = recallWith(None)
+    val kmeans = recallWith(Some(refined))
+    // Lloyd refinement tightens quantization error; on the fixture that
+    // must not LOSE recall (and in practice gains it) — pin no-regression
+    // plus the same absolute floor as the sampled-codebook test
+    assert(kmeans >= sampled - 0.04,
+      s"refined codebooks lost recall: $kmeans vs sampled $sampled")
+    assert(kmeans >= 0.5, s"refined IVF-PQ recall $kmeans below 0.5")
+  }
+
   test("k-means-refined IVF centroids keep (or improve) recall") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 5)

@@ -220,6 +220,80 @@ object ExtQueries {
         | FROM reach GROUP BY id ORDER BY doc_id""")
         .stripMargin.replaceAll("\n", ""))),
 
+    // X1 the APPLICATION of near-dup clustering — the row every dedup
+    // pipeline actually ships: one representative per duplicate cluster
+    // (the component minimum, which IS the component label by
+    // construction) with the cluster size, singletons included. The
+    // corpus keeps n_members=1 rows untouched and collapses each
+    // near-dup cluster to its earliest doc.
+    Q("x_neardup_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val comp = DedupOps.connectedComponents(
+          DedupOps.jaccardPairs(docs, "text", "doc_id",
+            n = 3, threshold = 0.2))
+          .select(col("id").as("doc_id"), col("component"))
+        docs.select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left")
+          .select(coalesce(col("component"), col("doc_id")).as("component"))
+          .groupBy("component")
+          .agg(count(lit(1)).as("n_members"))
+          .select(col("component").as("doc_id"), col("n_members"))
+          .orderBy("doc_id")
+      },
+      Some(("""WITH RECURSIVE w AS (SELECT doc_id,
+        | regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        | s AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 2),
+        |   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        |   FROM w WHERE len(w) >= 3),
+        | pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM s a
+        |   JOIN s b ON a.doc_id < b.doc_id
+        |   WHERE len(list_intersect(a.sh, b.sh)) > 0
+        |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2),
+        | e AS (SELECT a_id AS x, b_id AS y FROM pr
+        |   UNION ALL SELECT b_id, a_id FROM pr),
+        | nodes AS (SELECT DISTINCT x AS id FROM e),
+        | reach(id, r) AS (SELECT id, id FROM nodes
+        |   UNION SELECT reach.id, e.y FROM reach JOIN e ON reach.r = e.x),
+        | comp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+        |   FROM reach GROUP BY id),
+        | lab AS (SELECT d.doc_id,
+        |   coalesce(comp.component, d.doc_id) AS component
+        |   FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id)
+        | SELECT component AS doc_id, count(*) AS n_members
+        | FROM lab GROUP BY component ORDER BY doc_id""")
+        .stripMargin.replaceAll("\n", ""))),
+
+    // X2 per-group embedding centroids (domain/shard profiling — the
+    // aggregation half of embedding analytics): exact per-dimension
+    // means via the decimal-sum pattern, so the result is bit-stable
+    // under any partitioning and equal to the single-threaded oracle.
+    // Plan: posexplode (map-side) then ONE hash aggregate on
+    // (shard, dim) — 100 TB cost is the explode fanout (dim× rows),
+    // all map-side-combined.
+    Q("x_embedding_centroids",
+      (s, d) => Tables.embeddings(s, d)
+        .select((col("vec_id") % 4).as("shard"),
+          posexplode(col("embedding")).as(Seq("dpos", "v")))
+        .groupBy("shard", "dpos")
+        .agg(count(lit(1)).as("n"),
+          // widen float→double EXPLICITLY before the decimal cast so
+          // both engines take the identical double→decimal rounding
+          (graft.ops.CoreOps.exactSum(col("v").cast("double")) /
+            count(lit(1))).as("mean"))
+        .select(col("shard"), col("dpos").cast("long").as("dpos"),
+          col("n"), col("mean"))
+        .orderBy("shard", "dpos"),
+      Some("""SELECT vec_id % 4 AS shard,
+        | CAST(dpos - 1 AS BIGINT) AS dpos, count(*) AS n,
+        | CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+        |   / count(*) AS mean
+        | FROM (SELECT vec_id, unnest(embedding) AS v,
+        |   generate_subscripts(embedding, 1) AS dpos FROM embeddings) t
+        | GROUP BY shard, dpos ORDER BY shard, dpos"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // X1 MinHash-LSH near-dup (band candidates + exact-Jaccard verify) in
     // PORTABLE hash mode: md5-derived signatures are reproduced by the
     // DuckDB twin, whose candidate set is the same OR-of-band-equality —

@@ -1024,6 +1024,43 @@ object ExtQueries {
         | FROM documents) t GROUP BY tri ORDER BY n DESC, tri LIMIT 20"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // X4 BPE tokenizer TRAINING (the step that produces the merge table
+    // a real tokenizer ships): weighted classic form — one corpus-scale
+    // pass builds the word histogram, then every merge round works on
+    // |vocab| rows. The DuckDB twin unrolls the same rounds with the
+    // identical pair-count/tie-break/replace arithmetic (generated like
+    // the minhash CTEs), so the LEARNED MERGES hash-match cross-engine.
+    Q("x_bpe_train",
+      (s, d) => graft.ops.BpeTrain.train(Tables.documents(s, d), "text", 5),
+      Some {
+        val rounds = 5
+        val sb = new StringBuilder
+        sb ++= "WITH w0 AS (SELECT w, count(*) AS cnt FROM (SELECT " +
+          "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w " +
+          "FROM documents) t GROUP BY w), " +
+          "s0 AS (SELECT ' ' || array_to_string(list_transform(" +
+          "range(length(w)), i -> substr(w, CAST(i+1 AS INT), 1)), ' ') " +
+          "|| ' ' AS s, cnt FROM w0)"
+        for (r <- 1 to rounds) {
+          val rep = "replace(replace(s, ' '||b.lft||' '||b.rgt||' ', " +
+            "' '||b.lft||b.rgt||' '), ' '||b.lft||' '||b.rgt||' ', " +
+            "' '||b.lft||b.rgt||' ')"
+          sb ++= s", p$r AS (SELECT a[i+1] AS lft, a[i+2] AS rgt, " +
+            "sum(cnt) AS n FROM (SELECT cnt, a, unnest(range(len(a)-1)) " +
+            s"AS i FROM (SELECT cnt, string_split(trim(s), ' ') AS a " +
+            s"FROM s${r - 1}) t1) t2 GROUP BY 1, 2), " +
+            s"b$r AS (SELECT lft, rgt, n FROM p$r " +
+            "ORDER BY n DESC, lft, rgt LIMIT 1), " +
+            s"s$r AS (SELECT $rep AS s, cnt FROM s${r - 1} CROSS JOIN b$r b)"
+        }
+        sb ++= " " + (1 to rounds).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, lft, rgt, " +
+            s"lft||rgt AS merged, CAST(n AS BIGINT) AS n FROM b$r")
+          .mkString(" UNION ALL ")
+        sb ++= " ORDER BY round"
+        sb.toString
+      }),
+
     // X4 token-length histogram (decade buckets): corpus length profile
     Q("x_length_histogram",
       (s, d) => Tables.documents(s, d)

@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Hand-computed BPE merge sequences — the oracle pins cross-engine
+  * identity, this pins the SEMANTICS against worked examples.
+  */
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def merges(text: String, rounds: Int): Seq[(Long, String, String, String, Long)] =
+    BpeTrain.train(Seq((1L, text)).toDF("doc_id", "text"), "text", rounds)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+
+  test("weighted merge order follows pair frequency with lexicographic ties") {
+    // histogram: aab x2, ab x1
+    // round 1: (a,a)=2, (a,b)=3 -> merge (a,b) n=3
+    // round 2: ' a ab ' x2 -> (a,ab)=2 -> merge (a,ab) n=2
+    assert(merges("aab aab ab", 2) == Seq(
+      (1L, "a", "b", "ab", 3L),
+      (2L, "a", "ab", "aab", 2L)))
+  }
+
+  test("double-pass replace merges adjacent alternating occurrences") {
+    // single word 'abab': round-1 pairs (a,b)=2, (b,a)=1 -> merge (a,b);
+    // ' a b a b ' needs the second replace pass to reach ' ab ab '
+    // (one pass leaves ' ab a b ' — the shared-delimiter quirk)
+    // round 2 then sees (ab,ab)=1
+    assert(merges("abab", 2) == Seq(
+      (1L, "a", "b", "ab", 2L),
+      (2L, "ab", "ab", "abab", 1L)))
+  }
+
+  test("single-char words produce no pairs and training degrades gracefully") {
+    // only word 'a': no adjacent pairs at all -> zero merge rows
+    assert(merges("a a a", 3).isEmpty)
+  }
+}

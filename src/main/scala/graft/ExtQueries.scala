@@ -103,6 +103,33 @@ object ExtQueries {
     s"(${md5Fold("'mix|' || d.source || '|' || CAST(d.doc_id AS VARCHAR)")})" +
       " / 281474976710656.0"
 
+  /** Unrolled BPE-training CTE chain (w0 histogram → s0 char seqs →
+    * rounds of pairs/best/merged seqs) — the generated twin of
+    * ops.BpeTrain.train, shared by x_bpe_train and x_bpe_encode.
+    */
+  private def bpeTrainCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH w0 AS (SELECT w, count(*) AS cnt FROM (SELECT " +
+      "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w " +
+      "FROM documents) t GROUP BY w), " +
+      "s0 AS (SELECT ' ' || array_to_string(list_transform(" +
+      "range(length(w)), i -> substr(w, CAST(i+1 AS INT), 1)), ' ') " +
+      "|| ' ' AS s, cnt FROM w0)"
+    for (r <- 1 to rounds) {
+      val rep = "replace(replace(s, ' '||b.lft||' '||b.rgt||' ', " +
+        "' '||b.lft||b.rgt||' '), ' '||b.lft||' '||b.rgt||' ', " +
+        "' '||b.lft||b.rgt||' ')"
+      sb ++= s", p$r AS (SELECT a[i+1] AS lft, a[i+2] AS rgt, " +
+        "sum(cnt) AS n FROM (SELECT cnt, a, unnest(range(len(a)-1)) " +
+        s"AS i FROM (SELECT cnt, string_split(trim(s), ' ') AS a " +
+        s"FROM s${r - 1}) t1) t2 GROUP BY 1, 2), " +
+        s"b$r AS (SELECT lft, rgt, n FROM p$r " +
+        "ORDER BY n DESC, lft, rgt LIMIT 1), " +
+        s"s$r AS (SELECT $rep AS s, cnt FROM s${r - 1} CROSS JOIN b$r b)"
+    }
+    sb.toString
+  }
+
   /** OR-of-band-equality predicate between sig rows `a` and `b` —
     * the SQL twin of the engine's LSH band candidate join.
     */
@@ -1029,36 +1056,46 @@ object ExtQueries {
     // pass builds the word histogram, then every merge round works on
     // |vocab| rows. The DuckDB twin unrolls the same rounds with the
     // identical pair-count/tie-break/replace arithmetic (generated like
-    // the minhash CTEs), so the LEARNED MERGES hash-match cross-engine.
+    // the minhash CTEs; [[bpeTrainCtes]]), so the LEARNED MERGES
+    // hash-match cross-engine.
     Q("x_bpe_train",
       (s, d) => graft.ops.BpeTrain.train(Tables.documents(s, d), "text", 5),
       Some {
-        val rounds = 5
-        val sb = new StringBuilder
-        sb ++= "WITH w0 AS (SELECT w, count(*) AS cnt FROM (SELECT " +
-          "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w " +
-          "FROM documents) t GROUP BY w), " +
-          "s0 AS (SELECT ' ' || array_to_string(list_transform(" +
-          "range(length(w)), i -> substr(w, CAST(i+1 AS INT), 1)), ' ') " +
-          "|| ' ' AS s, cnt FROM w0)"
-        for (r <- 1 to rounds) {
-          val rep = "replace(replace(s, ' '||b.lft||' '||b.rgt||' ', " +
-            "' '||b.lft||b.rgt||' '), ' '||b.lft||' '||b.rgt||' ', " +
-            "' '||b.lft||b.rgt||' ')"
-          sb ++= s", p$r AS (SELECT a[i+1] AS lft, a[i+2] AS rgt, " +
-            "sum(cnt) AS n FROM (SELECT cnt, a, unnest(range(len(a)-1)) " +
-            s"AS i FROM (SELECT cnt, string_split(trim(s), ' ') AS a " +
-            s"FROM s${r - 1}) t1) t2 GROUP BY 1, 2), " +
-            s"b$r AS (SELECT lft, rgt, n FROM p$r " +
-            "ORDER BY n DESC, lft, rgt LIMIT 1), " +
-            s"s$r AS (SELECT $rep AS s, cnt FROM s${r - 1} CROSS JOIN b$r b)"
-        }
-        sb ++= " " + (1 to rounds).map(r =>
+        bpeTrainCtes(5) + " " + (1 to 5).map(r =>
           s"SELECT CAST($r AS BIGINT) AS round, lft, rgt, " +
             s"lft||rgt AS merged, CAST(n AS BIGINT) AS n FROM b$r")
-          .mkString(" UNION ALL ")
-        sb ++= " ORDER BY round"
-        sb.toString
+          .mkString(" UNION ALL ") + " ORDER BY round"
+      }),
+
+    // X4 BPE ENCODE — the apply half: re-tokenize every word by
+    // replaying the learned merges in round order (identical double-pass
+    // replace), reporting per-doc BPE token counts next to whitespace
+    // word counts. Train → encode is the full tokenizer lifecycle,
+    // end-to-end hash-matched: the twin extends the training CTE chain
+    // with the same per-word application.
+    Q("x_bpe_encode",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.ops.BpeTrain.encodeStats(docs, "text",
+          graft.ops.BpeTrain.train(docs, "text", 5), 5)
+      },
+      Some {
+        val reps = (1 to 5).foldLeft("s") { (inner, r) =>
+          s"replace(replace($inner, ' '||m$r.lft||' '||m$r.rgt||' ', " +
+            s"' '||m$r.lft||m$r.rgt||' '), ' '||m$r.lft||' '||m$r.rgt||' ', " +
+            s"' '||m$r.lft||m$r.rgt||' ')"
+        }
+        bpeTrainCtes(5) +
+          ", dw AS (SELECT doc_id, ' ' || array_to_string(list_transform(" +
+          "range(length(w)), i -> substr(w, CAST(i+1 AS INT), 1)), ' ') " +
+          "|| ' ' AS s FROM (SELECT doc_id, " +
+          "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w " +
+          "FROM documents) t), " +
+          s"ap AS (SELECT doc_id, $reps AS s FROM dw " +
+          (1 to 5).map(r => s"CROSS JOIN b$r m$r").mkString(" ") + ") " +
+          "SELECT doc_id, count(*) AS n_words, " +
+          "CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT) " +
+          "AS n_bpe_tokens FROM ap GROUP BY doc_id ORDER BY doc_id"
       }),
 
     // X4 token-length histogram (decade buckets): corpus length profile

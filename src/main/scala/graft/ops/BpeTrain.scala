@@ -84,16 +84,19 @@ object BpeTrain {
   /** Apply a learned merge table to the corpus — the ENCODE half: each
     * word re-tokenizes by replaying the merges in round order (same
     * double-pass replace as training), giving per-document BPE token
-    * counts next to the whitespace word count. The merge table rides
-    * as `rounds` broadcast 1-row joins over the word stream; the
-    * corpus side stays map-only (explode → string ops → re-aggregate
-    * on doc_id).
+    * counts next to the whitespace word count. Encoding is a pure
+    * function of the word, so the string work runs over DISTINCT words
+    * only — vocab-sized, not corpus-sized — and the corpus rejoins the
+    * encoded lengths by word (broadcast at any realistic vocab). The
+    * merge table rides as `rounds` broadcast 1-row joins over the
+    * distinct-word table.
     */
   def encodeStats(docs: DataFrame, textCol: String, merges: DataFrame,
                   rounds: Int): DataFrame = {
-    var seqs = docs.select(col("doc_id"),
+    val words = docs.select(col("doc_id"),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
-      .select(col("doc_id"),
+    var seqs = words.select("w").distinct()
+      .select(col("w"),
         concat(lit(" "),
           array_join(expr(
             "transform(sequence(0, length(w)-1), i -> substring(w, i+1, 1))"),
@@ -102,15 +105,15 @@ object BpeTrain {
     for (r <- 1 to rounds) {
       val b = broadcast(merges.filter(col("round") === r)
         .select(col("lft").as("__l"), col("rgt").as("__r")))
-      seqs = seqs.crossJoin(b).select(col("doc_id"),
+      seqs = seqs.crossJoin(b).select(col("w"),
         expr("""replace(
           replace(s, concat(' ', __l, ' ', __r, ' '), concat(' ', __l, __r, ' ')),
           concat(' ', __l, ' ', __r, ' '), concat(' ', __l, __r, ' '))""")
           .as("s"))
     }
-    seqs
-      .select(col("doc_id"),
-        size(split(trim(col("s")), " ")).cast("long").as("n_sym"))
+    val encoded = seqs.select(col("w"),
+      size(split(trim(col("s")), " ")).cast("long").as("n_sym"))
+    words.join(broadcast(encoded), "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
       .orderBy("doc_id")

@@ -1080,10 +1080,14 @@ object ExtQueries {
           graft.ops.BpeTrain.train(docs, "text", 5), 5)
       },
       Some {
+        // LEFT JOIN ON TRUE + CASE: a round the corpus never earned
+        // (empty b_r) is a no-op, matching the engine's skip — a CROSS
+        // JOIN would annihilate every row instead
         val reps = (1 to 5).foldLeft("s") { (inner, r) =>
-          s"replace(replace($inner, ' '||m$r.lft||' '||m$r.rgt||' ', " +
+          s"(CASE WHEN m$r.lft IS NULL THEN $inner ELSE " +
+            s"replace(replace($inner, ' '||m$r.lft||' '||m$r.rgt||' ', " +
             s"' '||m$r.lft||m$r.rgt||' '), ' '||m$r.lft||' '||m$r.rgt||' ', " +
-            s"' '||m$r.lft||m$r.rgt||' ')"
+            s"' '||m$r.lft||m$r.rgt||' ') END)"
         }
         bpeTrainCtes(5) +
           ", dw AS (SELECT doc_id, ' ' || array_to_string(list_transform(" +
@@ -1092,7 +1096,7 @@ object ExtQueries {
           "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w " +
           "FROM documents) t), " +
           s"ap AS (SELECT doc_id, $reps AS s FROM dw " +
-          (1 to 5).map(r => s"CROSS JOIN b$r m$r").mkString(" ") + ") " +
+          (1 to 5).map(r => s"LEFT JOIN b$r m$r ON TRUE").mkString(" ") + ") " +
           "SELECT doc_id, count(*) AS n_words, " +
           "CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT) " +
           "AS n_bpe_tokens FROM ap GROUP BY doc_id ORDER BY doc_id"

@@ -36,9 +36,13 @@ object BpeTrain {
   def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val spark: SparkSession = docs.sparkSession
     // ONE corpus-scale pass: the weighted word histogram, materialized
-    // so the unrolled round plans below never re-scan the corpus
-    val dir = CoreOps.scratchDir("bpe_hist",
-      docs.queryExecution.logical.toString + textCol)
+    // so the unrolled round plans below never re-scan the corpus.
+    // Keyed on the COLUMN NAME only (stable across invocations): plan
+    // strings embed fresh expression IDs per call, which would mint a
+    // new scratch dir per run — the per-invocation leak scratchDir
+    // exists to prevent. Distinct corpora sharing a column name just
+    // overwrite the same dir; each call reads back what it wrote.
+    val dir = CoreOps.scratchDir("bpe_hist", textCol)
     docs
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -87,12 +91,21 @@ object BpeTrain {
     * counts next to the whitespace word count. Encoding is a pure
     * function of the word, so the string work runs over DISTINCT words
     * only — vocab-sized, not corpus-sized — and the corpus rejoins the
-    * encoded lengths by word (broadcast at any realistic vocab). The
-    * merge table rides as `rounds` broadcast 1-row joins over the
-    * distinct-word table.
+    * encoded lengths by word (broadcast at any realistic vocab).
+    *
+    * The merge table is COLLECTED once: it is rounds-sized (the same
+    * bounded-driver-data exception as IVF centroids), collecting
+    * evaluates the lazy training plan exactly once instead of once per
+    * round, and rounds the corpus never earned (a merge table shorter
+    * than `rounds`) are skipped instead of annihilating the word table
+    * through an empty cross join.
     */
   def encodeStats(docs: DataFrame, textCol: String, merges: DataFrame,
                   rounds: Int): DataFrame = {
+    val learned = merges.orderBy("round")
+      .select("lft", "rgt").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .take(rounds)
     val words = docs.select(col("doc_id"),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
     var seqs = words.select("w").distinct()
@@ -102,14 +115,11 @@ object BpeTrain {
             "transform(sequence(0, length(w)-1), i -> substring(w, i+1, 1))"),
             " "),
           lit(" ")).as("s"))
-    for (r <- 1 to rounds) {
-      val b = broadcast(merges.filter(col("round") === r)
-        .select(col("lft").as("__l"), col("rgt").as("__r")))
-      seqs = seqs.crossJoin(b).select(col("w"),
-        expr("""replace(
-          replace(s, concat(' ', __l, ' ', __r, ' '), concat(' ', __l, __r, ' ')),
-          concat(' ', __l, ' ', __r, ' '), concat(' ', __l, __r, ' '))""")
-          .as("s"))
+    for ((l, r) <- learned) {
+      val pat = concat(lit(" "), lit(l), lit(" "), lit(r), lit(" "))
+      val rep = concat(lit(" "), lit(l), lit(r), lit(" "))
+      seqs = seqs.select(col("w"),
+        replace(replace(col("s"), pat, rep), pat, rep).as("s"))
     }
     val encoded = seqs.select(col("w"),
       size(split(trim(col("s")), " ")).cast("long").as("n_sym"))

@@ -148,6 +148,12 @@ object Bucketing {
               targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(dir + "__old")
+    // heal a mid-swap crash (the window between the two renames below:
+    // the data lives only at __old, the target is gone) — same recovery
+    // stance as the CDC state merge's recoverBuckets
+    if (!fs.exists(path) && fs.exists(old))
+      require(fs.rename(old, path), s"compact: could not restore $dir")
     val dataFiles = fs.listStatus(path)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val before = dataFiles.length
@@ -155,7 +161,6 @@ object Bucketing {
     val target = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     if (before <= target) return (before, before)
     val staged = new org.apache.hadoop.fs.Path(dir + "__compacting")
-    val old = new org.apache.hadoop.fs.Path(dir + "__old")
     fs.delete(staged, true); fs.delete(old, true)
     spark.read.parquet(dir).coalesce(target)
       .write.mode("overwrite").parquet(staged.toString)

@@ -62,6 +62,8 @@ object IvfOps {
     val sample = candidates.orderBy("vec_id").limit(ksub)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= ksub,
+      s"pqCodebooks needs >= $ksub candidate vectors, found ${sample.length}")
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim must divide into $m subvectors")
     val dsub = dim / m

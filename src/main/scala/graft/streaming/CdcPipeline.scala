@@ -246,6 +246,12 @@ object CdcPipeline {
             }
             del.executeBatch(); ins.executeBatch()
             conn.commit()
+          } catch { case e: Throwable =>
+            // roll back EXPLICITLY: close() with an open transaction is
+            // driver-defined (some engines commit on close), and a
+            // half-applied micro-batch must never become visible
+            try conn.rollback() catch { case _: Throwable => }
+            throw e
           } finally { del.close(); ins.close() }
         } finally conn.close()
       }

@@ -37,4 +37,16 @@ class BpeTrainSpec extends SparkSpec {
     // only word 'a': no adjacent pairs at all -> zero merge rows
     assert(merges("a a a", 3).isEmpty)
   }
+
+  test("encode skips rounds the corpus never earned instead of emptying out") {
+    // 'ab' yields exactly ONE merge; asking encode for 3 rounds must
+    // apply that one and ignore the rest — not annihilate the corpus
+    val docs = Seq((1L, "ab ab"), (2L, "cd")).toDF("doc_id", "text")
+    val m = BpeTrain.train(docs, "text", 1) // (a,b) n=2
+    val got = BpeTrain.encodeStats(docs, "text", m, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1: 2 words, each 'ab' = 1 symbol after the merge
+    // doc 2: 1 word 'cd' = 2 symbols (no merge learned for it)
+    assert(got == Seq((1L, 2L, 2L), (2L, 1L, 2L)))
+  }
 }

@@ -142,5 +142,15 @@ class BucketingSpec extends SparkSpec {
     // already-compact dirs are a no-op (no rewrite churn)
     val (b2, a2) = Bucketing.compact(spark, dir, 64L * 1024 * 1024)
     assert(b2 == a2 && b2 == nAfter, s"expected no-op, saw $b2 -> $a2")
+    // heal a simulated mid-swap crash: the target renamed away but the
+    // second rename never happened — data lives only at __old
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(dir + "__old")))
+    val (b3, a3) = Bucketing.compact(spark, dir, 64L * 1024 * 1024)
+    assert(b3 == a3 && b3 == nAfter, s"recovery should restore then no-op")
+    val healed = Validate.contentDigest(spark.read.parquet(dir),
+      origCols.map(col)).head()
+    assert(healed == before, "healed dir must hold the original content")
   }
 }

@@ -38,6 +38,62 @@ class BpeTrainSpec extends SparkSpec {
     assert(merges("a a a", 3).isEmpty)
   }
 
+  test("train + encode equal a direct statement of the semantics on seeded corpora") {
+    // driver-side reference: same weighted pair counts, same
+    // (n desc, left, right) tie-break, same double-pass non-overlapping
+    // replace (java String.replace == Spark/DuckDB replace semantics)
+    def refTrain(words: Seq[String], rounds: Int): Seq[(String, String, Long)] = {
+      var seqs = words.groupBy(identity).toSeq.map { case (w, ws) =>
+        (w.toSeq.mkString(" ", " ", " "), ws.size.toLong)
+      }
+      var out = Seq.empty[(String, String, Long)]
+      for (_ <- 1 to rounds) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        seqs.foreach { case (s, c) =>
+          val a = s.trim.split(" ").toSeq
+          a.zip(a.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+        }
+        if (counts.nonEmpty) {
+          val ((l, r), n) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+          out = out :+ ((l, r, n))
+          val (pat, rep) = (s" $l $r ", s" $l$r ")
+          seqs = seqs.map { case (s, c) =>
+            (s.replace(pat, rep).replace(pat, rep), c) }
+        }
+      }
+      out
+    }
+    def refEncode(w: String, ms: Seq[(String, String, Long)]): Long = {
+      var s = w.toSeq.mkString(" ", " ", " ")
+      ms.foreach { case (l, r, _) =>
+        val (pat, rep) = (s" $l $r ", s" $l$r ")
+        s = s.replace(pat, rep).replace(pat, rep)
+      }
+      s.trim.split(" ").length.toLong
+    }
+    val rng = new scala.util.Random(11)
+    for (_ <- 1 to 8) {
+      val alphabet = "abc"
+      def word() = Seq.fill(1 + rng.nextInt(5))(
+        alphabet(rng.nextInt(alphabet.length))).mkString
+      val docs = (1L to 4L).map(id =>
+        (id, Seq.fill(1 + rng.nextInt(6))(word()).mkString(" ")))
+      val df = docs.toDF("doc_id", "text")
+      val allWords = docs.flatMap(_._2.split(" "))
+      val expectedMerges = refTrain(allWords, 3)
+      val merges = BpeTrain.train(df, "text", 3)
+      assert(merges.collect().map(r =>
+        (r.getString(1), r.getString(2), r.getLong(4))).toSeq == expectedMerges)
+      val got = BpeTrain.encodeStats(df, "text", merges, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val expected = docs.map { case (id, text) =>
+        val ws = text.split(" ").toSeq
+        (id, ws.size.toLong, ws.map(refEncode(_, expectedMerges)).sum)
+      }
+      assert(got == expected)
+    }
+  }
+
   test("encode skips rounds the corpus never earned instead of emptying out") {
     // 'ab' yields exactly ONE merge; asking encode for 3 rounds must
     // apply that one and ignore the rest — not annihilate the corpus

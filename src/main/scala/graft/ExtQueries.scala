@@ -8,13 +8,15 @@ import graft.ops.SeqPacking
 import graft.sim.{DedupOps, VectorOps}
 
 /** [EXT] training-data-pipeline surface (SURVEY §2.11 X1-X4): dedup,
-  * similarity search, text analysis, multimodal columns. MinHash-LSH and
-  * SimHash register in PORTABLE hash mode (md5-derived, PortableHash) so
-  * even the approximate pipelines are hash-matched by generated DuckDB
-  * twins; sign-LSH KNN is oracled too (multi-probe candidate recall 1.0
-  * + exact re-rank ⇒ output identical to brute force); only HLL and IVF
-  * KNN stay rows-only (sketch- and centroid-bound), each tested in
-  * ScalaTest against its exact counterpart.
+  * similarity search, text analysis, multimodal columns. MinHash-LSH,
+  * SimHash, IVF-PQ, and BPE register in portable/generated-twin modes
+  * (PortableHash constants, unrolled round CTEs) so even the
+  * approximate pipelines are hash-matched by DuckDB twins; sign-LSH KNN
+  * is oracled by brute-force identity (multi-probe candidate recall 1.0
+  * + exact re-rank) and IVF KNN by its exhaustive-probe limit
+  * (x_knn_ivf_probeall). Only x_knn_ivf's honest approximate config
+  * stays rows-only (centroid-bound, by measurement), recall-pinned in
+  * ScalaTest.
   */
 object ExtQueries {
 

@@ -1053,6 +1053,52 @@ object ExtQueries {
         | FROM documents) t GROUP BY tri ORDER BY n DESC, tri LIMIT 20"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // [EXT] iterative graph analytics: 3-iteration PageRank over the
+    // co-purchase graph (parts sharing an order, symmetric by
+    // construction). Integer-exact micro-grid arithmetic (ops.PageRank)
+    // makes the fixed-iteration result partitioning-independent, so the
+    // DuckDB twin — the same iterations unrolled — hash-matches it, the
+    // BPE standard applied to graph analytics.
+    Q("x_pagerank",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")),
+            "l_orderkey")
+          .filter(col("src") =!= col("dst"))
+          .select("src", "dst")
+        graft.ops.PageRank.ranks(edges, 3)
+          .orderBy(col("rank").desc, col("id")).limit(20)
+          .select(col("id").as("part_id"), col("rank"))
+          .orderBy(col("rank").desc, col("part_id"))
+      },
+      Some {
+        val scale = "1000000000000"
+        val base = s"(($scale * 150) // 1000) // (SELECT n FROM nn)"
+        val sb = new StringBuilder
+        sb ++= "WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem), " +
+          "e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst " +
+          "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey " +
+          "AND a.l_partkey <> b.l_partkey), " +
+          "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src), " +
+          "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e " +
+          "UNION ALL SELECT dst FROM e) t), " +
+          "nn AS (SELECT count(*) AS n FROM nodes), " +
+          s"r0 AS (SELECT id, $scale // (SELECT n FROM nn) AS rank FROM nodes)"
+        for (i <- 1 to 3) {
+          sb ++= s", c$i AS (SELECT e.dst, r.rank // d.deg AS c FROM e " +
+            s"JOIN r${i - 1} r ON e.src = r.id JOIN deg d ON e.src = d.src), " +
+            s"s$i AS (SELECT dst, sum(c) AS s FROM c$i GROUP BY dst), " +
+            s"r$i AS (SELECT nodes.id, CAST($base + " +
+            s"(850 * coalesce(s$i.s, 0)) // 1000 AS BIGINT) AS rank " +
+            s"FROM nodes LEFT JOIN s$i ON nodes.id = s$i.dst)"
+        }
+        sb ++= " SELECT id AS part_id, rank FROM r3 " +
+          "ORDER BY rank DESC, part_id LIMIT 20"
+        sb.toString
+      }),
+
     // X4 BPE tokenizer TRAINING (the step that produces the merge table
     // a real tokenizer ships): weighted classic form — one corpus-scale
     // pass builds the word histogram, then every merge round works on

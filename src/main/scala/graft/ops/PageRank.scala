@@ -13,15 +13,27 @@ import org.apache.spark.sql.functions._
   * r0(v)   = SCALE div N
   * r'(v)   = (SCALE*150 div 1000) div N + (850 * Σ_{u→v} (r(u) div deg(u))) div 1000
   *
-  * Per iteration: one equi-join of the edge list with the rank table
-  * (shuffle on src), one aggregate on dst — the standard distributed
-  * PageRank shape. The edge list is materialized once to scratch (the
-  * unrolled lazy plan would otherwise recompute edge generation per
-  * iteration); only the node COUNT reaches the driver.
+  * Execution shape: the edge list and the per-node (id, deg) table are
+  * materialized ONCE to scratch parquet (reliable storage — an unrolled
+  * lazy plan would recompute edge generation and degrees every
+  * iteration, and executor-local caching of iterative state dies with
+  * an executor). Each iteration is then a single pass over the edges —
+  * the rank table (|V| rows of 3 longs) broadcasts into the edge join
+  * when it fits, so the only shuffle is the map-side-combined
+  * contribution sum on dst, carrying O(|V|) partials rather than O(|E|)
+  * rows — followed by a small parquet write of the next rank table.
+  * Beyond [[BroadcastMaxNodes]] nodes the join falls back to Catalyst's
+  * shuffle join (both sides keyed on src), the standard large-graph
+  * shape. Only the node COUNT reaches the driver.
   */
 object PageRank {
 
   val Scale = 1000000000000L
+
+  /** Rank tables up to ~4M nodes (3 longs/row ≈ 100 MB) broadcast; past
+    * that the per-iteration join shuffles edges and ranks on src.
+    */
+  val BroadcastMaxNodes = 4000000L
 
   /** Ranks after `iters` iterations over directed `edges` (src, dst).
     * Every node must have at least one outgoing edge (true for the
@@ -30,28 +42,41 @@ object PageRank {
     */
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
     val spark = edges.sparkSession
-    val dir = CoreOps.scratchDir("pagerank_edges", edges.columns.mkString)
+    val dir = CoreOps.scratchDir("pagerank", edges.columns.mkString)
     edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
-      .write.mode("overwrite").parquet(dir)
-    val e = spark.read.parquet(dir)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+      .write.mode("overwrite").parquet(s"$dir/edges")
+    val e = spark.read.parquet(s"$dir/edges")
+    // static per-node table: out-degree (null for sink-only nodes, which
+    // contribute nothing) — both endpoints exploded with an out-flag so
+    // node set and degree come out of ONE aggregation
+    e.select(explode(array(
+        struct(col("src").as("id"), lit(1L).as("out")),
+        struct(col("dst").as("id"), lit(0L).as("out")))).as("x"))
+      .select(col("x.id").as("id"), col("x.out").as("out"))
+      .groupBy("id").agg(expr("nullif(sum(out), 0L)").as("deg"))
+      .write.mode("overwrite").parquet(s"$dir/nodes")
+    val nodes = spark.read.parquet(s"$dir/nodes")
     val n = nodes.count()
-    var ranks = nodes.withColumn("rank", lit(Scale / n))
-    for (_ <- 1 to iters) {
+    def bcast(df: DataFrame): DataFrame =
+      if (n <= BroadcastMaxNodes) broadcast(df) else df
+
+    nodes.select(col("id"), col("deg"), lit(Scale / n).as("rank"))
+      .write.mode("overwrite").parquet(s"$dir/r0")
+    for (i <- 1 to iters) {
+      val r = spark.read.parquet(s"$dir/r${i - 1}")
       val contrib = e
-        .join(ranks.withColumnRenamed("id", "src"), "src")
-        .join(deg, "src")
+        .join(bcast(r.filter(col("deg").isNotNull)
+          .withColumnRenamed("id", "src")), "src")
         .select(col("dst"), expr("rank div deg").as("c"))
       val sums = contrib.groupBy("dst").agg(sum(col("c")).as("s"))
-      ranks = nodes
-        .join(sums.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .select(col("id"),
+      nodes
+        .join(bcast(sums.withColumnRenamed("dst", "id")), Seq("id"), "left")
+        .select(col("id"), col("deg"),
           (lit(Scale * 150L / 1000L / n) +
             expr("(850 * coalesce(s, 0L)) div 1000")).as("rank"))
+        .write.mode("overwrite").parquet(s"$dir/r$i")
     }
-    ranks
+    spark.read.parquet(s"$dir/r$iters").select("id", "rank")
   }
 }

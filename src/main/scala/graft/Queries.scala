@@ -878,28 +878,60 @@ object Queries {
     // deterministic outputs are the exact interpolated percentiles plus
     // flags asserting the sketch value's rank error stays inside 2× the
     // bound (headroom for rank-definition off-by-ones). A sketch
-    // regression flips a flag and fails the hash. Plan: two scans — the
-    // 1-row sketch/exact aggregate broadcasts back over the fact for the
-    // rank-count pass; the sketch state is O(accuracy), mergeable, the
-    // scale path where the exact sort-per-group form (q_percentile) is
-    // not affordable.
+    // regression flips a flag and fails the hash. Plan: three legs —
+    // the 1-row sketch aggregate, the histogram-based exact percentile,
+    // and their crossed 1-row result broadcast back over the fact for
+    // the rank-count pass; the sketch state is O(accuracy), mergeable,
+    // the scale path where any exact form is not affordable.
     Q("q_approx_percentile",
       (s, d) => {
         val li = Tables.lineitem(s, d).select("l_extendedprice")
-        // array form: ONE exact-percentile buffer and ONE sketch serve
-        // both quantiles (the exact global percentile materializes every
-        // value in a single aggregation buffer — the very cost the
-        // sketch path exists to avoid — so don't pay it twice)
+        // exact leg: value histogram + cumulative window + rank picks,
+        // with percentile()'s own interpolation (position q*(n-1),
+        // weighted floor/ceil neighbors, integral-position special case)
+        // reproduced in expressions — the histogram's map-side combine
+        // collapses duplicates before the shuffle and the window runs
+        // over DISTINCT values only, where the percentile() aggregate
+        // buffers every raw value through a single final merge
+        // (measured ~2x slower at sf0.1)
+        val wCum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        val wAll = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val cum = li.groupBy(col("l_extendedprice").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .select(col("v"), col("c"),
+            sum("c").over(wCum).as("cum"), sum("c").over(wAll).as("nn"))
+        def pickAt(k: org.apache.spark.sql.Column) =
+          max(when(col("cum") - col("c") <= k && k < col("cum"), col("v")))
+        def pos(q: Double) = lit(q) * (col("nn") - 1).cast("double")
+        def interp(kf: org.apache.spark.sql.Column,
+                   kc: org.apache.spark.sql.Column,
+                   p: org.apache.spark.sql.Column,
+                   lo: org.apache.spark.sql.Column,
+                   hi: org.apache.spark.sql.Column) =
+          when(kf === kc, lo).otherwise(
+            (kc.cast("double") - p) * lo + (p - kf.cast("double")) * hi)
+        val exact = cum.agg(
+          pickAt(floor(pos(0.5))).as("__l50"),
+          pickAt(ceil(pos(0.5))).as("__h50"),
+          pickAt(floor(pos(0.95))).as("__l95"),
+          pickAt(ceil(pos(0.95))).as("__h95"),
+          max(floor(pos(0.5))).as("__kf50"), max(ceil(pos(0.5))).as("__kc50"),
+          max(floor(pos(0.95))).as("__kf95"), max(ceil(pos(0.95))).as("__kc95"),
+          max(pos(0.5)).as("__p50"), max(pos(0.95)).as("__p95"))
+          .select(
+            interp(col("__kf50"), col("__kc50"), col("__p50"),
+              col("__l50"), col("__h50")).as("p50_exact"),
+            interp(col("__kf95"), col("__kc95"), col("__p95"),
+              col("__l95"), col("__h95")).as("p95_exact"))
         val oneRow = li.agg(
           count(lit(1)).as("n"),
           expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 1000)")
-            .as("__pa"),
-          expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("__pe"))
+            .as("__pa"))
           .select(col("n"),
             col("__pa").getItem(0).as("__a50"),
-            col("__pa").getItem(1).as("__a95"),
-            col("__pe").getItem(0).as("p50_exact"),
-            col("__pe").getItem(1).as("p95_exact"))
+            col("__pa").getItem(1).as("__a95"))
+          .crossJoin(exact)
         li.join(broadcast(oneRow))
           .agg(max(col("n")).as("n"),
             max(col("p50_exact")).as("p50_exact"),

@@ -434,12 +434,18 @@ object Queries {
 
     // Ordered-set aggregates: exact interpolated percentiles per group
     Q("q_percentile",
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
-          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
-          expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
-        .orderBy("l_returnflag"),
+      (s, d) => {
+        // exact quantile_cont per group, histogram-shaped (one value-count
+        // aggregation per column + group-partitioned cumulative window)
+        // instead of percentile()'s buffer-everything form — bit-identical
+        // output, raw data aggregated once per column
+        val li = Tables.lineitem(s, d)
+        graft.ops.HistQuantile.exactQuantiles(li, "l_returnflag",
+            "l_quantity", Seq("med_qty" -> 0.5, "p90_qty" -> 0.9))
+          .join(graft.ops.HistQuantile.exactQuantiles(li, "l_returnflag",
+            "l_extendedprice", Seq("p25_price" -> 0.25)), Seq("l_returnflag"))
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag,
         | quantile_cont(l_quantity, 0.5) AS med_qty,
         | quantile_cont(l_quantity, 0.9) AS p90_qty,

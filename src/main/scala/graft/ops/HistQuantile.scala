@@ -60,4 +60,41 @@ object HistQuantile {
       .agg(max(col("total")).as("n"),
         qs.map { case (name, q) => estimateCol(q).as(name) }: _*)
   }
+
+  /** EXACT per-group `quantile_cont` via the same histogram shape: value
+    * counts collapse duplicates map-side, the cumulative window runs
+    * over DISTINCT values partitioned BY GROUP (no global single
+    * partition), and `percentile()`'s interpolation — position q·(n−1),
+    * floor/ceil rank neighbors weighted by distance, integral-position
+    * special case — is reproduced in expressions, so the result is
+    * bit-identical to `percentile()`/`quantile_cont` while the raw data
+    * is aggregated exactly once instead of buffered whole through each
+    * group's final merge. Output: group, one double column per `qs`.
+    */
+  def exactQuantiles(df: DataFrame, group: String, value: String,
+                     qs: Seq[(String, Double)]): DataFrame = {
+    val c = df.filter(col(value).isNotNull)
+      .groupBy(col(group), col(value).cast("double").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.partitionBy(group)
+        .orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("nn", sum(col("c")).over(Window.partitionBy(group)))
+    // value at 0-indexed rank k is the unique row with cum − c ≤ k < cum
+    def pickAt(k: Column): Column =
+      max(when(col("cum") - col("c") <= k && k < col("cum"), col("v")))
+    val aggs = qs.flatMap { case (name, q) =>
+      val p = lit(q) * (col("nn") - 1).cast("double")
+      Seq(pickAt(floor(p)).as(s"__lo_$name"), pickAt(ceil(p)).as(s"__hi_$name"),
+        max(floor(p)).as(s"__kf_$name"), max(ceil(p)).as(s"__kc_$name"),
+        max(p).as(s"__p_$name"))
+    }
+    c.groupBy(col(group)).agg(aggs.head, aggs.tail: _*)
+      .select(col(group) +: qs.map { case (name, _) =>
+        when(col(s"__kf_$name") === col(s"__kc_$name"), col(s"__lo_$name"))
+          .otherwise(
+            (col(s"__kc_$name").cast("double") - col(s"__p_$name")) * col(s"__lo_$name") +
+            (col(s"__p_$name") - col(s"__kf_$name").cast("double")) * col(s"__hi_$name"))
+          .as(name)
+      }: _*)
+  }
 }

@@ -14,9 +14,10 @@ import graft.sim.{DedupOps, VectorOps}
   * approximate pipelines are hash-matched by DuckDB twins; sign-LSH KNN
   * is oracled by brute-force identity (multi-probe candidate recall 1.0
   * + exact re-rank) and IVF KNN by its exhaustive-probe limit
-  * (x_knn_ivf_probeall). Only x_knn_ivf's honest approximate config
-  * stays rows-only (centroid-bound, by measurement), recall-pinned in
-  * ScalaTest.
+  * (x_knn_ivf_probeall); x_knn_ivf's honest approximate config is
+  * stage-replayed (centroids → assignment → probe set → exact scoring)
+  * so its approximate output hash-matches too, with the recall floor
+  * additionally pinned in ScalaTest.
   */
 object ExtQueries {
 
@@ -565,20 +566,62 @@ object ExtQueries {
         |   / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""))),
 
-    // X2 IVF-style ANN (corpus-adaptive clusters; LSH's complement) —
-    // rows-only BY MEASUREMENT, not neglect: the fixture's rank-10
-    // neighbors include genuinely-far vectors (random cos≈0.2) that land
-    // in arbitrary clusters, so even nprobe=12/16 with Lloyd-refined
-    // centroids misses rows; output identity would require near-
-    // exhaustive probing, which defeats IVF. Recall floor pinned in
-    // SimSpec instead.
+    // X2 IVF-style ANN (corpus-adaptive clusters; LSH's complement).
+    // The honest approximate config (c=16, nprobe=4) is NOT oracled by
+    // brute-force identity (the fixture's random geometry would need
+    // near-exhaustive probing — measured) but by STAGE REPLAY, the same
+    // technique as x_knn_ivfpq: the DuckDB twin re-derives the
+    // deterministic-sample centroids, the cosine-ranked first-tie-wins
+    // cluster assignment, the nprobe=4 probe set, and the exact scoring
+    // over probed candidates — so the APPROXIMATE output itself is
+    // hash-matched cross-engine. SimSpec pins the recall floor vs brute
+    // force on top.
     Q("x_knn_ivf",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         graft.sim.IvfOps.knnIvf(
           emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), 10)
       },
-      None),
+      Some {
+        // cosine with the kernels' op order: dot and each squared norm
+        // are independent left-to-right folds (same helper shape as the
+        // x_knn_ivfpq twin, which hash-matches this arithmetic)
+        def cos(a: String, b: String): String =
+          s"""(list_sum(list_transform(range(1, 65),
+            | i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) /
+            | (sqrt(list_sum(list_transform(range(1, 65),
+            |   i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))) *
+            |  sqrt(list_sum(list_transform(range(1, 65),
+            |   i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))"""
+            .stripMargin.replaceAll("\n", "")
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+          |   FROM embeddings WHERE vec_id < 5),
+          | c AS (SELECT vec_id AS neighbor_id, embedding AS ce
+          |   FROM embeddings WHERE vec_id >= 5),
+          | samp AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+          |   embedding AS se FROM (SELECT vec_id, embedding FROM embeddings
+          |   WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16)),
+          | cassign AS (SELECT neighbor_id, j AS cluster FROM (
+          |   SELECT c.neighbor_id, samp.j, row_number() OVER (
+          |     PARTITION BY c.neighbor_id
+          |     ORDER BY ${cos("ce", "se")} DESC, samp.j ASC) AS rn
+          |   FROM c CROSS JOIN samp) t WHERE rn = 1),
+          | qprobe AS (SELECT query_id, j AS cluster FROM (
+          |   SELECT q.query_id, samp.j, row_number() OVER (
+          |     PARTITION BY q.query_id
+          |     ORDER BY ${cos("qe", "se")} DESC, samp.j ASC) AS rn
+          |   FROM q CROSS JOIN samp) t WHERE rn <= 4),
+          | sc AS (SELECT qp.query_id, ca.neighbor_id,
+          |   round(${cos("qe", "ce")}, 4) AS sim
+          |   FROM qprobe qp JOIN cassign ca ON qp.cluster = ca.cluster
+          |   JOIN q ON q.query_id = qp.query_id
+          |   JOIN c ON c.neighbor_id = ca.neighbor_id)
+          | SELECT query_id, neighbor_id, sim FROM (SELECT *, row_number()
+          |   OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+          |   FROM sc) t WHERE rn <= 10
+          | ORDER BY query_id, sim DESC, neighbor_id"""
+          .stripMargin.replaceAll("\n", "")
+      }),
 
     // X2 IVF in the exhaustive-probe limit: nprobe = c probes every
     // cluster, so each (query, candidate) pair is scored exactly once

@@ -2146,6 +2146,13 @@ object Queries {
     // timestamp via lead() over a total order, open intervals closed
     // with a sentinel. One window pass per user partition; the as-of
     // join (q_asof_join) is the read side of this build.
+    //
+    // Sentinel choice: 2200-01-01, not the traditional 9999-12-31 —
+    // year 9999 overflows ns-precision timestamp clients (pandas
+    // datetime64[ns] tops out at 2262-04-11), so the same instant
+    // stringifies differently depending on the reader's conversion
+    // path. Any sentinel safely beyond real data and inside the ns
+    // range is portable across every consumer.
     Q("q_scd2_history",
       (s, d) => {
         val w = Window.partitionBy(col("user_id"))
@@ -2156,7 +2163,7 @@ object Queries {
             col("value").as("state_value"),
             col("ts").as("valid_from"),
             coalesce(lead(col("ts"), 1).over(w),
-              lit("9999-12-31 00:00:00").cast("timestamp")).as("valid_to"))
+              lit("2200-01-01 00:00:00").cast("timestamp")).as("valid_to"))
           // change_id completes the total order: equal (user, ts) pairs
           // would otherwise hash-flake between engines
           .orderBy("user_id", "valid_from", "change_id")
@@ -2165,7 +2172,7 @@ object Queries {
         | ts AS valid_from,
         | coalesce(lead(ts, 1) OVER (PARTITION BY user_id
         |   ORDER BY ts, event_id),
-        |   TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+        |   TIMESTAMP '2200-01-01 00:00:00') AS valid_to
         | FROM events WHERE event_type = 'purchase'
         | ORDER BY user_id, valid_from, change_id"""
         .stripMargin.replaceAll("\n", ""))),
@@ -2541,9 +2548,12 @@ object Queries {
           "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)",
           "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')", "o_orderpriority")
           .map(esc).mkString(" || '|' || ")
-        "SELECT count(*) AS n_rows, CAST(sum(" +
+        // VARCHAR digest on both sides: DECIMAL(38,0) is exact in both
+        // engines but renders differently client-side (pyarrow Decimal
+        // vs DuckDB float64) — the string form is comparator-stable.
+        "SELECT count(*) AS n_rows, CAST(CAST(sum(" +
           ExtQueries.md5Fold(rendered) +
-          ") AS DECIMAL(38,0)) AS digest FROM orders"
+          ") AS DECIMAL(38,0)) AS VARCHAR) AS digest FROM orders"
       })
   )
 

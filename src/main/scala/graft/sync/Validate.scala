@@ -46,9 +46,17 @@ object Validate {
   def canonicalRow(cols: Seq[Column]): Column =
     concat_ws("|", cols.map(canonicalField): _*)
 
-  /** (n_rows, digest) of a table under the canonical rendering. */
+  /** (n_rows, digest) of a table under the canonical rendering.
+    *
+    * The digest is summed on DECIMAL(38,0) internally but EMITTED as a
+    * string: a decimal survives every engine's parquet writer, but its
+    * client-side rendering does not (pyarrow yields an exact Decimal,
+    * DuckDB's pandas bridge yields float64 — two spellings of the same
+    * value). A digest exists only to be compared, so the output column
+    * is the one canonical spelling every engine agrees on.
+    */
   def contentDigest(df: DataFrame, cols: Seq[Column]): DataFrame =
     df.select(graft.functions.Kernels.md5_48Col(canonicalRow(cols)).as("__h"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("__h").cast("decimal(38,0)")).as("digest"))
+        sum(col("__h").cast("decimal(38,0)")).cast("string").as("digest"))
 }

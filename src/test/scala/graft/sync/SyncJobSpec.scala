@@ -45,8 +45,7 @@ class SyncJobSpec extends SparkSpec {
       .write.parquet(s"$tampered/orders.parquet")
     val bad = digest(tampered)
     assert(bad.getAs[Long]("n_rows") == src.getAs[Long]("n_rows"))
-    assert(bad.getAs[java.math.BigDecimal]("digest") !=
-      src.getAs[java.math.BigDecimal]("digest"),
+    assert(bad.getAs[String]("digest") != src.getAs[String]("digest"),
       "tampered table must produce a different digest")
   }
 

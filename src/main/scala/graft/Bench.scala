@@ -21,7 +21,12 @@ object Bench {
     // so the timing covers the real work each query claims to do
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // args (dev-only; the driver passes none) restrict the run to a
+    // subset for fast iteration on individual query timings
+    val only = args.toSet
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       // -1 marks a failed query — a swallowed exception must not read as
       // a normal (fast!) timing
       val secs =

@@ -991,7 +991,11 @@ object ExtQueries {
     // mapPartitions plumbing). The 8-dim feature array is projected to
     // per-dim double columns (f0..f7) so the driver's comparator — and a
     // DuckDB twin reproducing the decoder's byte-sum/255.0 fold over the
-    // UTF-8 payload — can hash the result exactly.
+    // UTF-8 payload — can hash the result exactly. (That projection is
+    // why this query reads slower than its pre-oracle r3 form, which
+    // emitted the raw float array unchecked: the plan still decodes
+    // exactly once — one mapPartitions pass — and the delta is the
+    // oracle-ready 8-column widening, a price of being hash-checked.)
     Q("x_multimodal_features",
       (s, d) => {
         import graft.ops.Multimodal

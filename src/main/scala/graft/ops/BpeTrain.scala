@@ -36,13 +36,14 @@ object BpeTrain {
   def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val spark: SparkSession = docs.sparkSession
     // ONE corpus-scale pass: the weighted word histogram, materialized
-    // so the unrolled round plans below never re-scan the corpus.
-    // Keyed on the COLUMN NAME only (stable across invocations): plan
-    // strings embed fresh expression IDs per call, which would mint a
-    // new scratch dir per run — the per-invocation leak scratchDir
-    // exists to prevent. Distinct corpora sharing a column name just
-    // overwrite the same dir; each call reads back what it wrote.
-    val dir = CoreOps.scratchDir("bpe_hist", textCol)
+    // so the unrolled round plans below never re-scan the corpus. The
+    // dir is unique PER INVOCATION (scratchDirUnique): the returned
+    // merge table is a lazy plan over this histogram, and a shared
+    // dir keyed on the column name would let train() on corpus B
+    // overwrite the histogram underneath corpus A's unconsumed result.
+    // The leak is |vocab| rows per call, reclaimed with the JVM tmpdir
+    // — not the corpus-scale copy scratchDir's reuse guards against.
+    val dir = CoreOps.scratchDirUnique("bpe_hist")
     docs
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))

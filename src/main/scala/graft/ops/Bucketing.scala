@@ -143,6 +143,15 @@ object Bucketing {
     * (stage → `__old` → prune; every rename checked). Returns
     * (filesBefore, filesAfter). Content identity under compaction is
     * spec-pinned with the order-independent `sync.Validate` digest.
+    *
+    * CONCURRENCY CONTRACT — single writer, no concurrent readers: the
+    * two renames are not atomic together, so between `path→__old` and
+    * `__compacting→path` the directory is briefly absent, and after a
+    * mid-swap crash it stays absent until the next compact() call runs
+    * the heal below. This is the standard posture for a table-
+    * maintenance pass (run it in the ingest's own maintenance window);
+    * readers that must survive a concurrent compaction belong on a
+    * table format with a commit log, not raw directory parquet.
     */
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {

@@ -76,4 +76,20 @@ object CoreOps {
     java.nio.file.Files.createDirectories(p)
     p.toString
   }
+
+  /** Per-INVOCATION unique scratch directory — for operators that return
+    * a LAZY reader over what they staged (PageRank ranks, BPE word
+    * histograms). A shared deterministic dir ([[scratchDir]]) is unsafe
+    * there: a second invocation would overwrite the files underneath the
+    * first result's unevaluated plan, silently serving data from the
+    * wrong input. The cost is a small leak — one bounded-size artifact
+    * (|V| ranks, |vocab| counts — never a corpus-scale copy) per call,
+    * reclaimed with the JVM temp dir.
+    */
+  def scratchDirUnique(purpose: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir")),
+      s"graft_scratch_${purpose}_")
+    p.toString
+  }
 }

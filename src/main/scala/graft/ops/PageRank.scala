@@ -38,11 +38,19 @@ object PageRank {
   /** Ranks after `iters` iterations over directed `edges` (src, dst).
     * Every node must have at least one outgoing edge (true for the
     * symmetric graphs this engine builds) — dangling-mass handling is
-    * deliberately out of scope.
+    * deliberately out of scope. An empty edge set returns an empty
+    * (id, rank) frame rather than dividing by a zero node count.
+    *
+    * The scratch dir is unique PER INVOCATION ([[CoreOps.scratchDirUnique]]):
+    * the returned frame is a lazy reader of the final iteration's
+    * parquet, and a shared dir would let a second ranks() call (another
+    * graph, a concurrent bench) overwrite the files underneath an
+    * unevaluated first result. Iteration intermediates are deleted on
+    * the way out; only the final |V|-row table outlives the call.
     */
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
     val spark = edges.sparkSession
-    val dir = CoreOps.scratchDir("pagerank", edges.columns.mkString)
+    val dir = CoreOps.scratchDirUnique("pagerank")
     edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
       .write.mode("overwrite").parquet(s"$dir/edges")
@@ -58,6 +66,8 @@ object PageRank {
       .write.mode("overwrite").parquet(s"$dir/nodes")
     val nodes = spark.read.parquet(s"$dir/nodes")
     val n = nodes.count()
+    if (n == 0)
+      return spark.range(0).select(col("id"), col("id").as("rank"))
     def bcast(df: DataFrame): DataFrame =
       if (n <= BroadcastMaxNodes) broadcast(df) else df
 
@@ -77,6 +87,14 @@ object PageRank {
             expr("(850 * coalesce(s, 0L)) div 1000")).as("rank"))
         .write.mode("overwrite").parquet(s"$dir/r$i")
     }
+    // intermediates are dead once r$iters exists; the final table must
+    // outlive the call (the returned frame reads it lazily)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 until iters).foreach(i =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/r$i"), true))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/edges"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/nodes"), true)
     spark.read.parquet(s"$dir/r$iters").select("id", "rank")
   }
 }

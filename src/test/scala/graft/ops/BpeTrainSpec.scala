@@ -94,6 +94,19 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
+  test("a held, unconsumed merge table survives training on a second corpus") {
+    // per-invocation scratch dirs: train() returns a lazy plan over the
+    // staged word histogram, so training on corpus B (same column name)
+    // must not overwrite the histogram underneath corpus A's result
+    val a = BpeTrain.train(Seq((1L, "aab aab ab")).toDF("doc_id", "text"),
+      "text", 1)                            // NOT collected yet
+    val b = BpeTrain.train(Seq((1L, "xyz xyz")).toDF("doc_id", "text"),
+      "text", 1)
+    assert(b.collect().map(_.getString(3)).toSeq == Seq("xy"))
+    assert(a.collect().map(_.getString(3)).toSeq == Seq("ab"),
+      "first merge table must still reflect the FIRST corpus")
+  }
+
   test("encode skips rounds the corpus never earned instead of emptying out") {
     // 'ab' yields exactly ONE merge; asking encode for 3 rounds must
     // apply that one and ignore the rest — not annihilate the corpus

@@ -32,4 +32,26 @@ class PageRankSpec extends SparkSpec {
       .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
     assert(a == b, "integer-exact ranks must not depend on partitioning")
   }
+
+  test("a held, unevaluated result survives a second ranks() call") {
+    // per-invocation scratch dirs: ranks() returns a lazy reader, so a
+    // second call on a DIFFERENT graph must not overwrite the files
+    // underneath the first result
+    val g1 = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val g2 = (1L to 20L).flatMap(i => Seq((i, i + 100L), (i + 100L, i)))
+      .toDF("src", "dst")
+    val r1 = PageRank.ranks(g1, 2)          // NOT collected yet
+    val r2 = PageRank.ranks(g2, 2).collect()
+    val got1 = r1.collect()                 // evaluated after the 2nd call
+    assert(got1.map(_.getLong(0)).toSet == Set(1L, 2L),
+      "first result must still read the FIRST graph's ranks")
+    assert(r2.length == 40)
+  }
+
+  test("empty edge input yields an empty (id, rank) frame, not an error") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val r = PageRank.ranks(empty, 3)
+    assert(r.columns.toSeq == Seq("id", "rank"))
+    assert(r.count() == 0)
+  }
 }

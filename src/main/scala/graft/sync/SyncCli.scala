@@ -14,16 +14,30 @@ import scala.util.matching.Regex
   * `--dst_url` additionally accept ANY JDBC pair, since the engine is
   * not MySQL/ClickHouse-specific (tests drive it against embedded
   * Derby).
+  *
+  * Verbs (first non-flag argument; the reference has only the implicit
+  * first one):
+  *   - `sync` (default): one snapshot copy, the reference's program.
+  *   - `snapshot-then-stream`: the full lifecycle the reference only
+  *     PREPARES for — fenced snapshot copy + `metadata.txt` binlog
+  *     coordinates, then the CDC stream from `--binlog` applied to the
+  *     destination as transactional per-micro-batch upserts
+  *     ([[graft.streaming.CdcPipeline.startFromBinlogJdbc]]), running
+  *     until terminated. Requires `--binlog`; `--cdc_table` names the
+  *     destination change-state table (default `cdc_state`).
   */
 object SyncCli {
 
   final case class CliConfig(
+      verb: String,
       srcUrl: String,
       dstUrl: String,
       srcProps: Properties,
       dstProps: Properties,
       checkpointDir: String,
-      sync: SyncJob.SyncConfig)
+      sync: SyncJob.SyncConfig,
+      binlog: Option[String],
+      cdcTable: String)
 
   private val mysqlKeys = Seq("mysql_host", "mysql_port", "mysql_user",
     "mysql_password", "mysql_db")
@@ -33,10 +47,19 @@ object SyncCli {
   /** argv → config. `--flag value` pairs only (the reference's argparse
     * shape); unknown flags and dangling values are errors, not warnings.
     */
-  def parse(args: Array[String]): Either[String, CliConfig] = {
+  val Verbs = Set("sync", "snapshot-then-stream")
+
+  def parse(rawArgs: Array[String]): Either[String, CliConfig] = {
+    val (verb, args) = rawArgs.headOption match {
+      case Some(v) if !v.startsWith("--") =>
+        if (!Verbs(v)) return Left(
+          s"unknown verb '$v' (expected ${Verbs.mkString(" | ")})")
+        (v, rawArgs.drop(1))
+      case _ => ("sync", rawArgs)
+    }
     val known = (mysqlKeys ++ chKeys ++ Seq("batch_size", "max_workers",
       "include_tables", "exclude_tables", "src_url", "dst_url",
-      "checkpoint_dir")).toSet
+      "checkpoint_dir", "binlog", "cdc_table")).toSet
     val kv = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     while (i < args.length) {
@@ -82,18 +105,22 @@ object SyncCli {
       dstProps.setProperty("password", kv("clickhouse_password"))
       s"jdbc:clickhouse://${kv("clickhouse_host")}:${kv("clickhouse_port")}/${kv("clickhouse_database")}"
     }
+    if (verb == "snapshot-then-stream" && !kv.contains("binlog"))
+      return Left("snapshot-then-stream requires --binlog PATH")
     for {
       batch <- longOf("batch_size", 1000L)
       workers <- longOf("max_workers", 10L)
       include <- regexOf("include_tables")
       exclude <- regexOf("exclude_tables")
-    } yield CliConfig(srcUrl, dstUrl, srcProps, dstProps,
+    } yield CliConfig(verb, srcUrl, dstUrl, srcProps, dstProps,
       kv.getOrElse("checkpoint_dir", "."),
       SyncJob.SyncConfig(
         includeTables = include,
         excludeTables = exclude,
         batchSize = batch,
-        maxWorkers = workers.toInt))
+        maxWorkers = workers.toInt),
+      kv.get("binlog"),
+      kv.getOrElse("cdc_table", "cdc_state"))
   }
 
   /** Run one full sync from a parsed config (separate from `main` so
@@ -107,16 +134,36 @@ object SyncCli {
       .show(1000, truncate = false)
   }
 
+  /** The `snapshot-then-stream` verb: the reference's snapshot (fence →
+    * bounds → metadata.txt coordinates → copy) followed by the CDC
+    * stream it only prepares for — the change log at `c.binlog` applied
+    * to the destination as transactional per-micro-batch upserts into
+    * `c.cdcTable`. Returns the running query (the caller decides
+    * between awaitTermination — `main` — and processAllAvailable/stop —
+    * tests). The stream checkpoint lives UNDER the sync checkpoint dir,
+    * beside metadata.txt: one directory carries the whole lifecycle's
+    * resume state.
+    */
+  def runSnapshotThenStream(spark: SparkSession,
+                            c: CliConfig): org.apache.spark.sql.streaming.StreamingQuery = {
+    runWith(spark, c)
+    graft.streaming.CdcPipeline.startFromBinlogJdbc(spark, c.binlog.get,
+      c.dstUrl, c.cdcTable, c.dstProps,
+      checkpointDir = s"${c.checkpointDir}/cdc_checkpoint")
+  }
+
   def main(args: Array[String]): Unit = parse(args) match {
     case Left(err) =>
       System.err.println(s"error: $err")
-      System.err.println("usage: SyncCli --mysql_host H --mysql_port P " +
+      System.err.println("usage: SyncCli [sync|snapshot-then-stream] " +
+        "--mysql_host H --mysql_port P " +
         "--mysql_user U --mysql_password PW --mysql_db DB " +
         "--clickhouse_host H --clickhouse_port P --clickhouse_user U " +
         "--clickhouse_password PW --clickhouse_database DB " +
         "[--batch_size 1000] [--max_workers 10] " +
         "[--include_tables RE] [--exclude_tables RE] " +
-        "[--src_url JDBC] [--dst_url JDBC] [--checkpoint_dir DIR]")
+        "[--src_url JDBC] [--dst_url JDBC] [--checkpoint_dir DIR] " +
+        "[--binlog PATH] [--cdc_table cdc_state]")
       sys.exit(2)
     case Right(cfg) =>
       val spark = SparkSession.builder()
@@ -124,6 +171,10 @@ object SyncCli {
         .appName("graft-sync")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
-      try runWith(spark, cfg) finally spark.stop()
+      try {
+        if (cfg.verb == "snapshot-then-stream")
+          runSnapshotThenStream(spark, cfg).awaitTermination()
+        else runWith(spark, cfg)
+      } finally spark.stop()
   }
 }

@@ -257,6 +257,64 @@ class JdbcSyncSpec extends SparkSpec {
     assert(new java.io.File(s"$ckpt/_sync_metadata.json").isFile)
   }
 
+  test("snapshot-then-stream verb: CLI snapshot + binlog CDC upserts into the destination") {
+    seeded
+    import graft.streaming.{BinlogSource, ChangeEvent}
+    val base = java.nio.file.Files.createTempDirectory("graft_sts_").toString
+    val log = s"$base/changes.binlog"
+    val dstDir = java.nio.file.Files
+      .createTempDirectory("graft_derby_sts_dst_").toString + "/db"
+    val dstUrl = s"jdbc:derby:$dstDir;create=true"
+    // the engine never issues DDL (reference stance): the deployment
+    // provides the change-state table
+    locally {
+      val conn = DriverManager.getConnection(dstUrl)
+      try conn.createStatement().execute(
+        "CREATE TABLE cdc_state (tbl VARCHAR(64) NOT NULL, k BIGINT NOT NULL, " +
+          "ts TIMESTAMP, seq BIGINT, payload VARCHAR(1024), PRIMARY KEY (tbl, k))")
+      finally conn.close()
+    }
+    // pre-snapshot change already in the log: stream start replays it
+    BinlogSource.append(log, Seq(
+      ChangeEvent("insert", "src_orders", 1000L,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, """{"v":"pre"}""")))
+
+    // verb parse: --binlog required, defaults applied
+    assert(SyncCli.parse(Array("snapshot-then-stream",
+      "--src_url", url, "--dst_url", dstUrl)).isLeft)
+    assert(SyncCli.parse(Array("bogus-verb", "--src_url", "x")).isLeft)
+    val Right(cli) = SyncCli.parse(Array("snapshot-then-stream",
+      "--src_url", url, "--dst_url", dstUrl,
+      "--include_tables", "(?i)^src_orders$",
+      "--checkpoint_dir", s"$base/ckpt", "--binlog", log)): @unchecked
+    assert(cli.verb == "snapshot-then-stream" && cli.cdcTable == "cdc_state")
+    cli.srcProps.putAll(props); cli.dstProps.putAll(props)
+
+    val q = SyncCli.runSnapshotThenStream(spark, cli)
+    try {
+      // phase 1 (batch): snapshot copied, lifecycle checkpoint written
+      assert(JdbcSource.read(spark, dstUrl, "SRC_ORDERS", props).count() == 500L)
+      assert(new java.io.File(s"$base/ckpt/_sync_metadata.json").isFile)
+      q.processAllAvailable()
+      def stateRows(): Map[Long, (Long, Option[String])] =
+        JdbcSource.read(spark, dstUrl, "cdc_state", props)
+          .collect().map(r => r.getAs[Long]("K") ->
+            (r.getAs[Long]("SEQ"), Option(r.getAs[String]("PAYLOAD")))).toMap
+      assert(stateRows() == Map(1000L -> (1L, Some("""{"v":"pre"}"""))))
+      // phase 2: post-snapshot changes stream into the same destination
+      BinlogSource.append(log, Seq(
+        ChangeEvent("update", "src_orders", 1000L,
+          java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 2L, """{"v":"upd"}"""),
+        ChangeEvent("insert", "src_orders", 1001L,
+          java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 3L, """{"v":"new"}"""),
+        ChangeEvent("delete", "src_orders", 1001L,
+          java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 4L, null)))
+      q.processAllAvailable()
+      // update applied, insert+delete collapsed to the tombstone
+      assert(stateRows() == Map(1000L -> (2L, Some("""{"v":"upd"}"""))))
+    } finally q.stop()
+  }
+
   test("incremental resume copies only rows above the recorded high-water mark") {
     seeded
     // dedicated source table: this test grows it after the snapshot, so

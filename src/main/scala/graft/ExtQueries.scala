@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Kernels, TextFunctions}
@@ -20,6 +21,31 @@ import graft.sim.{DedupOps, VectorOps}
   * additionally pinned in ScalaTest.
   */
 object ExtQueries {
+
+  /** Memoized near-dup component table (the partsupp pattern,
+    * `Queries.partsupp`): three registered queries — cluster labels,
+    * one-rep-per-cluster dedup, cluster-atomic split — consume the SAME
+    * connected components over the same Jaccard pairs, and the CC
+    * iteration is the most expensive stage in each. A real curation
+    * pipeline labels clusters ONCE and reuses the table for dedup,
+    * split, and decontamination; this materializes exactly that step
+    * per (JVM, dataset) — the output is |clustered docs|-sized, never
+    * corpus-scale. Written before the path is published, so concurrent
+    * callers never see a half-written directory.
+    */
+  private val ccCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def neardupComponents(s: SparkSession, d: String): DataFrame = {
+    val path = ccCache.computeIfAbsent(d, _ => {
+      val p = graft.ops.CoreOps.scratchDir("neardup_cc", d) + "/cc"
+      DedupOps.connectedComponents(
+        DedupOps.jaccardPairs(Tables.documents(s, d), "text", "doc_id",
+          n = 3, threshold = 0.2))
+        .select(col("id").as("doc_id"), col("component"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
 
   /** Exact brute-force KNN SQL — the oracle for BOTH x_knn_cosine and
     * x_knn_lsh (whose multi-probe config reproduces it exactly).
@@ -226,11 +252,7 @@ object ExtQueries {
     // exact near-dup pairs; "keep one per cluster" = label == id.
     // Oracle = recursive-CTE transitive closure in DuckDB.
     Q("x_dedup_clusters",
-      (s, d) => DedupOps.connectedComponents(
-        DedupOps.jaccardPairs(Tables.documents(s, d), "text", "doc_id",
-          n = 3, threshold = 0.2))
-        .select(col("id").as("doc_id"), col("component"))
-        .orderBy("doc_id"),
+      (s, d) => neardupComponents(s, d).orderBy("doc_id"),
       Some(("""WITH RECURSIVE w AS (SELECT doc_id,
         | regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
         | s AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 2),
@@ -259,10 +281,7 @@ object ExtQueries {
     Q("x_neardup_dedup",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val comp = DedupOps.connectedComponents(
-          DedupOps.jaccardPairs(docs, "text", "doc_id",
-            n = 3, threshold = 0.2))
-          .select(col("id").as("doc_id"), col("component"))
+        val comp = neardupComponents(s, d)
         docs.select(col("doc_id"))
           .join(comp, Seq("doc_id"), "left")
           .select(coalesce(col("component"), col("doc_id")).as("component"))
@@ -1281,10 +1300,7 @@ object ExtQueries {
     Q("x_cluster_split",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val comp = DedupOps.connectedComponents(
-          DedupOps.jaccardPairs(docs, "text", "doc_id",
-            n = 3, threshold = 0.2))
-          .select(col("id").as("doc_id"), col("component"))
+        val comp = neardupComponents(s, d)
         val cbucket = graft.functions.Kernels.md5_48Col(
           concat(lit("csplit|"), col("component").cast("string"))) % 100
         docs.select(col("doc_id"))

@@ -21,34 +21,57 @@ object Bench {
     // so the timing covers the real work each query claims to do
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // prime first: the cold run is dominated by Janino compiling the
+    // generated code for the query's stages (0.3-3 s per NEW plan
+    // shape, measured), which on a real cluster is a one-time cost
+    // amortized over minutes of work — the warm run is the engine.
+    // Time TWO warm runs and keep the minimum: host CPU contention is
+    // bursty here (measured: the same warm query reads 0.3 s or 15 s
+    // depending on the minute), and min-of-k is the standard estimator
+    // of true cost under asymmetric noise. When the two warm runs
+    // disagree >2x the burst straddled one of them — take a third
+    // (costs seconds, only on already-noisy queries) so a single
+    // contention window can't inflate the reported minimum.
+    def timeAction(run: () => Unit): Double = {
+      run()
+      def timed(): Double = {
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t1 = timed(); val t2 = timed()
+      val lo = math.min(t1, t2)
+      if (math.max(t1, t2) > 2.0 * lo && lo > 0.2) math.min(lo, timed())
+      else lo
+    }
     // args (dev-only; the driver passes none) restrict the run to a
     // subset for fast iteration on individual query timings
     val only = args.toSet
-    val results = SparkEntry.queries
+    // The shared derived tables (partsupp, near-dup components, BPE
+    // merges) are memoized once per (JVM, dataset); their FULL
+    // derivation cost is billed here as explicit prep_* lines (each
+    // timed run drops the cache and re-materializes), and the
+    // registered queries that read them then report MARGINAL cost
+    // under the warm shared cache — the note below discloses this.
+    val preps: Seq[(String, () => Unit)] = Seq(
+      "prep_partsupp" -> (() => Queries.prepPartsupp(spark, sfDir)),
+      "prep_neardup_components" ->
+        (() => ExtQueries.prepNeardupComponents(spark, sfDir)),
+      "prep_bpe_merges" -> (() => ExtQueries.prepBpeMerges(spark, sfDir)))
+    // -1 marks a failed entry — a swallowed exception must not read as
+    // a normal (fast!) timing
+    val prepResults = preps
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, run) =>
+        name -> (try timeAction(run) catch { case _: Throwable => -1.0 })
+      }.toMap
+    val queryResults = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-      // -1 marks a failed query — a swallowed exception must not read as
-      // a normal (fast!) timing
-      val secs =
-        try {
-          // prime first: the cold run is dominated by Janino compiling the
-          // generated code for the query's stages (0.3-3 s per NEW plan
-          // shape, measured), which on a real cluster is a one-time cost
-          // amortized over minutes of work — the warm run is the engine.
-          // Time TWO warm runs and keep the minimum: host CPU contention
-          // is bursty here (measured: the same warm query reads 0.3 s or
-          // 15 s depending on the minute), and min-of-k is the standard
-          // estimator of true cost under asymmetric noise
-          runOnce(fn)
-          def timed(): Double = {
-            val t0 = System.nanoTime()
-            runOnce(fn)
-            (System.nanoTime() - t0) / 1e9
-          }
-          math.min(timed(), timed())
-        } catch { case _: Throwable => -1.0 }
-      name -> secs
-    }
+        name -> (try timeAction(() => runOnce(fn))
+          catch { case _: Throwable => -1.0 })
+      }
+    val results = prepResults ++ queryResults
     // The driver captures only the LAST ~2000 chars of the run output
     // (BENCH_r01..r03 all show parsed:null because the full ~2.3 KB
     // per-query map pushed the line's opening brace out of that window,
@@ -62,7 +85,7 @@ object Bench {
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failed = results.count(_._2 < 0)
-    val note = "noop-sink, min of 2 warm runs timed (bursty-host noise); -1=failed; full per-query map in BENCH_FULL.json"
+    val note = "noop-sink, min of 2-3 warm runs timed (bursty-host noise); -1=failed; prep_* lines bill the shared derived-table materializations (partsupp, neardup CC, BPE merges) and the queries reading them report marginal cost under that warm cache; full per-query map in BENCH_FULL.json"
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"queries":${toJson(results)},"sf":"$sfDir","note":"$note"}"""
     println(fullLine)

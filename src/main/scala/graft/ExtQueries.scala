@@ -30,13 +30,16 @@ object ExtQueries {
     * pipeline labels clusters ONCE and reuses the table for dedup,
     * split, and decontamination; this materializes exactly that step
     * per (JVM, dataset) — the output is |clustered docs|-sized, never
-    * corpus-scale. Written before the path is published, so concurrent
-    * callers never see a half-written directory.
+    * corpus-scale. Each JVM writes its OWN
+    * [[graft.ops.CoreOps.scratchDirUnique]] path (a deterministic
+    * shared dir would let two concurrent JVMs overwrite the directory
+    * the other is reading); the map gives once-per-JVM reuse, and
+    * fixture datasets are immutable for a JVM's lifetime.
     */
   private val ccCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def neardupComponents(s: SparkSession, d: String): DataFrame = {
     val path = ccCache.computeIfAbsent(d, _ => {
-      val p = graft.ops.CoreOps.scratchDir("neardup_cc", d) + "/cc"
+      val p = graft.ops.CoreOps.scratchDirUnique("neardup_cc") + "/cc"
       DedupOps.connectedComponents(
         DedupOps.jaccardPairs(Tables.documents(s, d), "text", "doc_id",
           n = 3, threshold = 0.2))
@@ -45,6 +48,14 @@ object ExtQueries {
       p
     })
     s.read.parquet(path)
+  }
+
+  /** Bench hook, as [[Queries.prepPartsupp]]: re-materialize with the
+    * full shingle→pairs→CC cost inside the caller's timer.
+    */
+  private[graft] def prepNeardupComponents(s: SparkSession, d: String): Unit = {
+    ccCache.remove(d)
+    neardupComponents(s, d)
   }
 
   /** Memoized learned BPE merge table (same pattern): training is the
@@ -57,12 +68,20 @@ object ExtQueries {
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def bpeMerges(s: SparkSession, d: String): DataFrame = {
     val path = bpeCache.computeIfAbsent(d, _ => {
-      val p = graft.ops.CoreOps.scratchDir("bpe_merges", d) + "/m"
+      val p = graft.ops.CoreOps.scratchDirUnique("bpe_merges") + "/m"
       graft.ops.BpeTrain.train(Tables.documents(s, d), "text", 5)
         .write.mode("overwrite").parquet(p)
       p
     })
     s.read.parquet(path)
+  }
+
+  /** Bench hook, as [[Queries.prepPartsupp]]: re-materialize with the
+    * full 5-round training cost inside the caller's timer.
+    */
+  private[graft] def prepBpeMerges(s: SparkSession, d: String): Unit = {
+    bpeCache.remove(d)
+    bpeMerges(s, d)
   }
 
   /** Exact brute-force KNN SQL — the oracle for BOTH x_knn_cosine and
@@ -631,6 +650,16 @@ object ExtQueries {
             |  sqrt(list_sum(list_transform(range(1, 65),
             |   i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))"""
             .stripMargin.replaceAll("\n", "")
+        // assignment/probe twin of Kernels.ivfProbe, which maps a
+        // zero-norm side to sim = -2.0 instead of dividing by zero —
+        // without the mirrored sentinel a zero vector in a future
+        // fixture would NULL the twin's ORDER BY and silently diverge
+        def cosSent(a: String, b: String): String = {
+          def n2(x: String) = s"""list_sum(list_transform(range(1, 65),
+            | i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE)))"""
+            .stripMargin.replaceAll("\n", "")
+          s"(CASE WHEN ${n2(a)} = 0 OR ${n2(b)} = 0 THEN -2.0 ELSE ${cos(a, b)} END)"
+        }
         s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
           |   FROM embeddings WHERE vec_id < 5),
           | c AS (SELECT vec_id AS neighbor_id, embedding AS ce
@@ -641,12 +670,12 @@ object ExtQueries {
           | cassign AS (SELECT neighbor_id, j AS cluster FROM (
           |   SELECT c.neighbor_id, samp.j, row_number() OVER (
           |     PARTITION BY c.neighbor_id
-          |     ORDER BY ${cos("ce", "se")} DESC, samp.j ASC) AS rn
+          |     ORDER BY ${cosSent("ce", "se")} DESC, samp.j ASC) AS rn
           |   FROM c CROSS JOIN samp) t WHERE rn = 1),
           | qprobe AS (SELECT query_id, j AS cluster FROM (
           |   SELECT q.query_id, samp.j, row_number() OVER (
           |     PARTITION BY q.query_id
-          |     ORDER BY ${cos("qe", "se")} DESC, samp.j ASC) AS rn
+          |     ORDER BY ${cosSent("qe", "se")} DESC, samp.j ASC) AS rn
           |   FROM q CROSS JOIN samp) t WHERE rn <= 4),
           | sc AS (SELECT qp.query_id, ca.neighbor_id,
           |   round(${cos("qe", "ce")}, 4) AS sim
@@ -713,6 +742,14 @@ object ExtQueries {
             | (CAST($a[s*8+t] AS DOUBLE) - CAST($b[s*8+t] AS DOUBLE)) *
             | (CAST($a[s*8+t] AS DOUBLE) - CAST($b[s*8+t] AS DOUBLE))))"""
             .stripMargin.replaceAll("\n", "")
+        // assignment/probe twin of Kernels.ivfProbe — mirror its
+        // zero-norm sentinel (-2.0), as in the x_knn_ivf twin
+        def cosSent(a: String, b: String): String = {
+          def n2(x: String) = s"""list_sum(list_transform(range(1, 65),
+            | i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE)))"""
+            .stripMargin.replaceAll("\n", "")
+          s"(CASE WHEN ${n2(a)} = 0 OR ${n2(b)} = 0 THEN -2.0 ELSE ${cos(a, b)} END)"
+        }
         s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
           |   FROM embeddings WHERE vec_id < 5),
           | c AS (SELECT vec_id AS neighbor_id, embedding AS ce
@@ -724,12 +761,12 @@ object ExtQueries {
           | cassign AS (SELECT neighbor_id, j AS cluster FROM (
           |   SELECT c.neighbor_id, samp.j, row_number() OVER (
           |     PARTITION BY c.neighbor_id
-          |     ORDER BY ${cos("ce", "se")} DESC, samp.j ASC) AS rn
+          |     ORDER BY ${cosSent("ce", "se")} DESC, samp.j ASC) AS rn
           |   FROM c CROSS JOIN samp) t WHERE rn = 1),
           | qprobe AS (SELECT query_id, j AS cluster FROM (
           |   SELECT q.query_id, samp.j, row_number() OVER (
           |     PARTITION BY q.query_id
-          |     ORDER BY ${cos("qe", "se")} DESC, samp.j ASC) AS rn
+          |     ORDER BY ${cosSent("qe", "se")} DESC, samp.j ASC) AS rn
           |   FROM q CROSS JOIN samp) t WHERE rn <= 4),
           | codes AS (SELECT neighbor_id, list(code ORDER BY s) AS cl FROM (
           |   SELECT neighbor_id, s, j AS code FROM (

@@ -53,17 +53,32 @@ object Queries {
     * lineitem shuffles per bench run into one; at 100 TB this is the
     * standard "materialize the shared derived dimension" step, and the
     * re-read side is |parts|×|suppliers|-bounded, not lineitem-sized.
-    * Keyed by dataset dir and written before the path is published, so
-    * concurrent callers never see a half-written directory.
+    * Each JVM writes its OWN [[CoreOps.scratchDirUnique]] path — a
+    * deterministic shared dir would let two concurrent JVMs (bench +
+    * tests) overwrite the directory the other is reading; the
+    * ConcurrentHashMap already gives once-per-JVM reuse, which is the
+    * only sharing intended. Fixture datasets are immutable for a JVM's
+    * lifetime, so within-JVM staleness cannot arise.
     */
   private val psCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def partsupp(s: SparkSession, d: String): DataFrame = {
     val path = psCache.computeIfAbsent(d, _ => {
-      val p = CoreOps.scratchDir("partsupp", d) + "/ps"
+      val p = CoreOps.scratchDirUnique("partsupp") + "/ps"
       partsuppPlan(s, d).write.mode("overwrite").parquet(p)
       p
     })
     s.read.parquet(path)
+  }
+
+  /** Bench hook: drop the memoized path and re-materialize, so the FULL
+    * derivation cost (one lineitem shuffle + write) lands inside the
+    * caller's timer. Bench bills this as its own `prep_partsupp` line;
+    * the TPC-H queries that read the table then report marginal cost
+    * under the warm shared cache, as the bench note discloses.
+    */
+  private[graft] def prepPartsupp(s: SparkSession, d: String): Unit = {
+    psCache.remove(d)
+    partsupp(s, d)
   }
 
   private val psSql: String =

@@ -63,16 +63,21 @@ object CoreOps {
   /** Exact running/windowed variant of [[exactSum]]. */
   def exactSumExpr(c: Column): Column = c.cast("decimal(28,6)")
 
-  /** Deterministic per-(purpose, input-dir) scratch directory under the
-    * JVM temp root. Queries that stage data (format round trips, schema
-    * evolution) reuse and overwrite this dir on every run — a fresh
-    * createTempDirectory per call would leak a table copy per
-    * invocation until the disk fills.
+  /** Deterministic per-(JVM, purpose, input-dir) scratch directory under
+    * the JVM temp root. Queries that stage data (format round trips,
+    * schema evolution) reuse and overwrite this dir on every run — a
+    * fresh createTempDirectory per call would leak a table copy per
+    * invocation until the disk fills. The pid in the path keeps the dir
+    * private to one JVM: without it, bench and tests running
+    * concurrently would overwrite the directory the other is mid-read
+    * on. Cost: one bounded staged copy per JVM, reclaimed with the temp
+    * root.
     */
   def scratchDir(purpose: String, inputDir: String): String = {
     val key = java.lang.Integer.toHexString(inputDir.hashCode)
+    val pid = ProcessHandle.current().pid()
     val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_scratch_${purpose}_$key")
+      sys.props("java.io.tmpdir"), s"graft_scratch_${purpose}_${key}_$pid")
     java.nio.file.Files.createDirectories(p)
     p.toString
   }

@@ -61,7 +61,9 @@ object AggPerf {
           sum(col("s_base")).cast("double").as("sum_base"),
           sum(col("s_disc")).cast("double").as("sum_disc_price"),
           sum(col("c")).as("cnt"),
-          count(lit(1)).as("n_parts"))
+          // count of non-null partkey groups — the exact aggregate the
+          // registered q1_agg ships, so the measured shape matches it
+          count(col("l_partkey")).as("n_parts"))
         .orderBy("l_returnflag", "l_linestatus")
     }
     spark.stop()

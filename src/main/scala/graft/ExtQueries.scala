@@ -1489,6 +1489,111 @@ object ExtQueries {
         | FROM r GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // X4 boilerplate removal by document frequency (the C4 recipe): a
+    // span that appears in MORE than dfMax distinct documents is
+    // boilerplate (headers, license blocks, nav chrome) and is removed
+    // from EVERY document — the complement of x_span_dedup, whose rule
+    // keeps the first occurrence. Two keyed shuffles (span-DF count,
+    // doc reassembly) and a shuffle equi-join on span — no all-pairs
+    // stage, so the shape survives 100 TB; the DF side is
+    // |unique spans| and aggregates map-side.
+    Q("x_boilerplate_df",
+      (s, d) => {
+        val dfMax = 2L
+        val toks = TextFunctions.tokens(col("text"))
+        val spans = Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("w"))
+          .select(col("doc_id"), col("w"),
+            explode(sequence(lit(0),
+              ceil(size(col("w")) / lit(8.0)).cast("int") - 1)).as("cid"))
+          .select(col("doc_id"), col("cid").cast("long").as("cid"),
+            array_join(slice(col("w"), col("cid") * 8 + 1, lit(8)), " ")
+              .as("span"))
+        val df = spans.groupBy("span")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        spans.join(df, "span")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("df") <= dfMax, 1L).otherwise(0L)).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(
+                when(col("df") <= dfMax, struct(col("cid"), col("span"))))),
+              _.getField("span")), " ").as("cleaned_text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        | regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        | c AS (SELECT doc_id, w,
+        |   unnest(range(CAST(ceil(len(w)/8.0) AS BIGINT))) AS cid FROM t),
+        | sp AS (SELECT doc_id, cid,
+        |   array_to_string(w[(cid*8+1):(cid*8+8)], ' ') AS span FROM c),
+        | df AS (SELECT span, count(DISTINCT doc_id) AS df FROM sp GROUP BY span)
+        | SELECT sp.doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN df.df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN df.df <= 2 THEN sp.span END, ' '
+        |    ORDER BY sp.cid), '') AS cleaned_text
+        | FROM sp JOIN df ON df.span = sp.span
+        | GROUP BY sp.doc_id ORDER BY sp.doc_id"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // X4 Count-Min sketch word frequencies — the sublinear-memory
+    // counter for 100 TB streams: the sketch is d×w = 4×64 integer
+    // cells, built in ONE map-side-combined shuffle onto 256 keys (no
+    // per-word state anywhere), and estimating a word costs d bucket
+    // lookups against the broadcast sketch. The exact-count leg exists
+    // only to pin the estimator's contract — est ≥ exact always (CM
+    // never underestimates), with overestimate bounded by collisions.
+    // Hashing is the portable md5_48 + permutation family
+    // (graft.sim.PortableHash), so the DuckDB twin replays the sketch
+    // arithmetic exactly and the output hash-matches cross-engine.
+    Q("x_cm_sketch",
+      (s, d) => {
+        import graft.sim.PortableHash.{P, permA, permB}
+        val W = 64L; val D = 4
+        val hashed = Tables.documents(s, d)
+          .select(explode(TextFunctions.tokens(lower(col("text")))).as("w"))
+          .select(col("w"), (Kernels.md5_48Col(col("w")) % P).as("h"))
+        def buckets = array((0 until D).map { j =>
+          struct(lit(j).as("j"),
+            (((lit(permA(j)) * col("h") + lit(permB(j))) % P) % W).as("b"))
+        }: _*)
+        val sketch = hashed
+          .select(explode(buckets).as("jb"))
+          .select(col("jb.j").as("j"), col("jb.b").as("b"))
+          .groupBy("j", "b").agg(count(lit(1)).as("cnt"))
+        val exact = hashed.groupBy("w", "h").agg(count(lit(1)).as("n_exact"))
+        exact
+          .select(col("w"), col("n_exact"), explode(buckets).as("jb"))
+          .select(col("w"), col("n_exact"),
+            col("jb.j").as("j"), col("jb.b").as("b"))
+          .join(broadcast(sketch), Seq("j", "b"))
+          .groupBy("w", "n_exact")
+          .agg(min(col("cnt")).as("n_est"))
+          .select(col("w"), col("n_exact"), col("n_est"),
+            (col("n_est") >= col("n_exact")).as("never_underestimates"))
+          .orderBy("w")
+      },
+      Some {
+        import graft.sim.PortableHash.{P, permA, permB}
+        val jconsts = (0 until 4)
+          .map(j => s"(${j}, ${permA(j)}, ${permB(j)})").mkString(", ")
+        s"""WITH wrd AS (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+          | '\\s+')) AS w FROM documents),
+          | h AS (SELECT w, (${md5Fold("w")}) % $P AS h FROM wrd),
+          | jc(j, a, o) AS (VALUES $jconsts),
+          | jb AS (SELECT h.w, h.h, jc.j,
+          |   ((jc.a * h.h + jc.o) % $P) % 64 AS b FROM h CROSS JOIN jc),
+          | sk AS (SELECT j, b, count(*) AS cnt FROM jb GROUP BY j, b),
+          | ex AS (SELECT w, count(*) AS n_exact FROM wrd GROUP BY w),
+          | pr AS (SELECT DISTINCT w, j, b FROM jb),
+          | est AS (SELECT pr.w, min(sk.cnt) AS n_est FROM pr
+          |   JOIN sk ON sk.j = pr.j AND sk.b = pr.b GROUP BY pr.w)
+          | SELECT ex.w, ex.n_exact, est.n_est,
+          |  est.n_est >= ex.n_exact AS never_underestimates
+          | FROM ex JOIN est ON est.w = ex.w ORDER BY ex.w"""
+          .stripMargin.replaceAll("\n", "")
+      }),
+
     // X4 deterministic training-order shuffle: a reproducible global
     // pseudo-random permutation with NO global sort — shard each doc by
     // a salted portable hash (8 shards), rank within the shard by a

@@ -285,6 +285,53 @@ object ExtQueries {
         |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
         | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""))),
 
+    // X1 directed shingle containment (the asymmetric near-dup
+    // detector: a mostly-inside-b pairs that Jaccard misses when b is
+    // much longer). Inverted-index candidates as in x_ngram_jaccard;
+    // both directions emitted since containment(a→b) ≠ containment(b→a).
+    Q("x_containment",
+      (s, d) => DedupOps.containmentPairs(Tables.documents(s, d), "text",
+        "doc_id", n = 3, threshold = 0.6),
+      Some(shingleCte +
+        """ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+        |   AS containment
+        | FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        | WHERE len(list_intersect(a.sh, b.sh)) > 0
+        |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+        |     >= 0.6
+        | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""))),
+
+    // X4 per-document n-gram novelty: the fraction of a doc's distinct
+    // shingles whose FIRST corpus occurrence (min doc_id) is this doc —
+    // the "is this crawl batch adding anything new?" curve. Integer
+    // ppm grid (no float division); two keyed shuffles (first-doc per
+    // shingle, per-doc rollup), both map-side combinable.
+    Q("x_ngram_novelty",
+      (s, d) => {
+        val ex = DedupOps.shinglePairs(Tables.documents(s, d), "text",
+          "doc_id", 3)
+        val first = ex.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+        ex.join(first, "shingle")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+            expr("(n_novel * 1000000L) div n_shingles").as("novelty_ppm"))
+          .orderBy("doc_id")
+      },
+      Some(shingleCte +
+        """, ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        | f AS (SELECT shingle, min(doc_id) AS first_doc FROM ex GROUP BY 1)
+        | SELECT ex.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST((sum(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+        |    * 1000000) // count(*) AS BIGINT) AS novelty_ppm
+        | FROM ex JOIN f ON f.shingle = ex.shingle
+        | GROUP BY 1 ORDER BY ex.doc_id""".stripMargin.replaceAll("\n", ""))),
+
     // X1 duplicate-cluster resolution: connected components over the
     // exact near-dup pairs; "keep one per cluster" = label == id.
     // Oracle = recursive-CTE transitive closure in DuckDB.
@@ -1593,6 +1640,62 @@ object ExtQueries {
           | FROM ex JOIN est ON est.w = ex.w ORDER BY ex.w"""
           .stripMargin.replaceAll("\n", "")
       }),
+
+    // X4 corpus drift detection: the two-sample Kolmogorov-Smirnov
+    // statistic between every source pair over the doc-length
+    // distribution — the standard "did this crawl batch shift?" gate
+    // before data enters a training mix. Kept EXACT and portable: the
+    // statistic is max_x |cdf_a(x) - cdf_b(x)| = ks_num/(n_a*n_b) and
+    // the query emits the integer numerator and the two counts instead
+    // of dividing (no floats anywhere). The only corpus-scale stage is
+    // the keyed (source, length) histogram count; everything after runs
+    // on |sources| x |distinct lengths| rows, with the CDF cumsum
+    // partitioned per source. Products ride DECIMAL(38,0) so
+    // cum*n stays exact past the ~3e9-doc int64 ceiling.
+    Q("x_ks_drift",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy(col("source"), col("n_chars"))
+          .agg(count(lit(1)).as("c"))
+        val sg = counts.select("source").distinct()
+          .crossJoin(counts.select("n_chars").distinct())
+          .join(counts, Seq("source", "n_chars"), "left")
+          .na.fill(0L, Seq("c"))
+        val w = Window.partitionBy("source").orderBy("n_chars")
+        val cdf = sg.withColumn("cum", sum(col("c")).over(w))
+        val tot = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        val a = cdf.join(tot, "source").select(col("source").as("src_a"),
+          col("n_chars"), col("cum").as("cum_a"), col("n").as("n_a"))
+        val b = cdf.join(tot, "source").select(col("source").as("src_b"),
+          col("n_chars"), col("cum").as("cum_b"), col("n").as("n_b"))
+        a.join(b, "n_chars").filter(col("src_a") < col("src_b"))
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+            abs(col("cum_a").cast("decimal(38,0)") * col("n_b") -
+                col("cum_b").cast("decimal(38,0)") * col("n_a")).as("diff"))
+          .groupBy("src_a", "src_b", "n_a", "n_b")
+          .agg(max(col("diff")).cast("long").as("ks_num"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH cnt AS (SELECT source, n_chars, count(*) AS c
+        | FROM documents GROUP BY 1, 2),
+        | sg AS (SELECT s.source, g.n_chars, coalesce(c.c, 0) AS c
+        |   FROM (SELECT DISTINCT source FROM cnt) s
+        |   CROSS JOIN (SELECT DISTINCT n_chars FROM cnt) g
+        |   LEFT JOIN cnt c ON c.source = s.source AND c.n_chars = g.n_chars),
+        | cdf AS (SELECT source, n_chars,
+        |   sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum FROM sg),
+        | tot AS (SELECT source, count(*) AS n FROM documents GROUP BY 1)
+        | SELECT a.source AS src_a, b.source AS src_b,
+        |  ta.n AS n_a, tb.n AS n_b,
+        |  CAST(max(abs(CAST(a.cum AS DECIMAL(38,0)) * tb.n -
+        |    CAST(b.cum AS DECIMAL(38,0)) * ta.n)) AS BIGINT) AS ks_num
+        | FROM cdf a JOIN cdf b
+        |   ON a.n_chars = b.n_chars AND a.source < b.source
+        | JOIN tot ta ON ta.source = a.source
+        | JOIN tot tb ON tb.source = b.source
+        | GROUP BY 1, 2, 3, 4 ORDER BY 1, 2"""
+        .stripMargin.replaceAll("\n", ""))),
 
     // X4 deterministic training-order shuffle: a reproducible global
     // pseudo-random permutation with NO global sort — shard each doc by

@@ -85,6 +85,32 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Directed shingle-containment pairs: containment(a→b) =
+    * |sh(a) ∩ sh(b)| / |sh(a)| ≥ threshold, a ≠ b — the asymmetric
+    * near-dup detector (quotations, partial copies, article-in-digest)
+    * that Jaccard misses when the containing document is much longer
+    * than the contained one. Same inverted-index shape as
+    * [[jaccardPairs]]: candidates are shared-shingle pairs only, never
+    * all-pairs, and the index shuffles once on the shingle key.
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleArrays(df, textCol, idCol, n)
+    val s = sh.select(col(idCol), explode(col("sh")).as("shingle"))
+      .repartition(col("shingle"))
+    val sizes = sh.select(col(idCol), size(col("sh")).cast("long").as("sz"))
+    val a = s.select(col(idCol).as("a_id"), col("shingle"))
+    val b = s.select(col(idCol).as("b_id"), col("shingle"))
+    a.join(b, "shingle")
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("a_id"), col("sz").as("a_sz")), "a_id")
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / col("a_sz")).as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy("a_id", "b_id")
+  }
+
   /** MinHash signature columns: h_i = min over the doc's distinct
     * shingles of xxhash64(seed_i, shingle). One codegen'd kernel call
     * per row (Kernels.minhashSig; subexpression elimination collapses

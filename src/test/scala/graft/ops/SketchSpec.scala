@@ -47,4 +47,18 @@ class SketchSpec extends SparkSpec {
     val joined = out.join(expected, "doc_id")
     assert(joined.filter(col("n_kept") =!= col("exp_kept")).count() == 0)
   }
+
+  test("x_ks_drift emits one bounded statistic per source pair") {
+    val out = graft.Queries.queries("x_ks_drift")(spark, sf)
+    val rows = out.collect()
+    val nSources = graft.model.Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    // one row per unordered pair, and 0 <= ks_num <= n_a*n_b (the KS
+    // statistic ks_num/(n_a*n_b) lives in [0, 1])
+    assert(rows.length == nSources * (nSources - 1) / 2)
+    assert(rows.forall { r =>
+      val ks = r.getAs[Long]("ks_num")
+      ks >= 0 && ks <= r.getAs[Long]("n_a") * r.getAs[Long]("n_b")
+    })
+  }
 }

@@ -551,6 +551,30 @@ object ExtQueries {
           | ORDER BY s.doc_id""".stripMargin.replaceAll("\n", "")
       }),
 
+    // X4 × St2 streaming Count-Min sketch, batch twin: the final
+    // streamed state (cell-wise sum of per-batch partial sketches)
+    // equals this one-pass corpus sketch EXACTLY — CM sketches are
+    // mergeable — and the stream is pinned to this twin in ScalaTest.
+    // The oracle replays the identical portable-hash cell assignment.
+    Q("st_cm_sketch",
+      (s, d) => graft.streaming.CmSketchIngest.batchTwin(
+        Tables.documents(s, d)),
+      Some {
+        import graft.sim.PortableHash.{P, permA, permB}
+        val jconsts = (0 until 4)
+          .map(j => s"(${j}, ${permA(j)}, ${permB(j)})").mkString(", ")
+        s"""WITH wrd AS (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+          | '\\s+')) AS w FROM documents),
+          | h AS (SELECT (${md5Fold("w")}) % $P AS h FROM wrd),
+          | jc(j, a, o) AS (VALUES $jconsts),
+          | jb AS (SELECT jc.j, ((jc.a * h.h + jc.o) % $P) % 64 AS b
+          |   FROM h CROSS JOIN jc)
+          | SELECT CAST(j AS BIGINT) AS j, CAST(b AS BIGINT) AS b,
+          |  count(*) AS cnt
+          | FROM jb GROUP BY 1, 2 ORDER BY 1, 2"""
+          .stripMargin.replaceAll("\n", "")
+      }),
+
     // X1/X2 embedding-cosine near-dup pairs (exact all-pairs; scale path
     // = same predicate over LSH/IVF candidates)
     Q("x_dedup_embedding",

@@ -253,6 +253,76 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CM sketch state merges to the one-pass corpus sketch") {
+    implicit val ctx = spark.sqlContext
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").orderBy("doc_id")
+      .as[DocRow].collect()
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("cm_ingest_").toString
+    val input = MemoryStream[DocRow]
+    val q = CmSketchIngest.start(input.toDF(), s"$dir/state", s"$dir/ckpt")
+    try {
+      chunks.foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+      // one partial per micro-batch, each <= d*w rows
+      val state = spark.read.parquet(s"$dir/state")
+      assert(state.select("batch_id").distinct().count() == chunks.length)
+      assert(state.groupBy("batch_id").count()
+        .filter(col("count") > CmSketchIngest.D * CmSketchIngest.W)
+        .count() == 0)
+      // mergeability: summed partials == the one-pass corpus sketch
+      val streamed = CmSketchIngest.sketch(spark, s"$dir/state").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val twin = CmSketchIngest.batchTwin(
+        graft.model.Tables.documents(spark, sf)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == twin)
+    } finally q.stop()
+  }
+
+  test("CM sketch compaction preserves cell sums exactly and heals crashes") {
+    implicit val ctx = spark.sqlContext
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").orderBy("doc_id")
+      .as[DocRow].collect()
+    val chunks = docs.grouped((docs.length + 3) / 4).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("cm_compact_").toString
+    val state = s"$dir/state"
+    val input = MemoryStream[DocRow]
+    def run(cs: Seq[IndexedSeq[DocRow]]): Unit = {
+      val q = CmSketchIngest.start(input.toDF(), state, s"$dir/ckpt")
+      try cs.foreach { c => input.addData(c); q.processAllAvailable() }
+      finally q.stop()
+    }
+    run(chunks.take(3).map(_.toIndexedSeq))
+    def cells() = CmSketchIngest.sketch(spark, state).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def dirs() = new java.io.File(state).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+    val before = cells()
+    assert(dirs().length == 3)
+    CmSketchIngest.compactState(spark, state)
+    // batches 0..1 summed into batch_id=1; newest untouched (replayable)
+    assert(dirs() == Seq("batch_id=1", "batch_id=2"))
+    assert(cells() == before, "compaction must not change any cell sum")
+    // simulate a crash mid-swap: marker on, older dirs still present —
+    // recovery must NOT double-count (staging holds the merged copy)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(state, "batch_id=1")
+    val staging = new org.apache.hadoop.fs.Path(state, "_compact_tmp")
+    assert(fs.rename(live, staging))
+    assert(fs.mkdirs(new org.apache.hadoop.fs.Path(state, "batch_id=1__old")))
+    assert(cells() == before, "recovery must reinstall the staged merge")
+    assert(dirs() == Seq("batch_id=1", "batch_id=2"))
+    // the stream resumes against the compacted state
+    run(chunks.drop(3).map(_.toIndexedSeq))
+    val twin = CmSketchIngest.batchTwin(
+      graft.model.Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cells() == twin)
+  }
+
   test("ingest state compaction merges batches, heals swaps, stream resumes") {
     implicit val ctx = spark.sqlContext
     val docs = graft.model.Tables.documents(spark, sf)

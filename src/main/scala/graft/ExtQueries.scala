@@ -1721,6 +1721,70 @@ object ExtQueries {
         | GROUP BY 1, 2, 3, 4 ORDER BY 1, 2"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // X4 temporal drift monitoring: the KS statistic between each day
+    // and the NEXT day over the event-value distribution — x_ks_drift's
+    // machinery pointed at time instead of source, the "did yesterday's
+    // pipeline change the data?" alarm. Values are binned to integer
+    // buckets first (floor — portable), because a continuous double
+    // column has |events| distinct values at 100 TB and the exact grid
+    // would be corpus-sized; binned-CDF KS is the standard monitoring
+    // form (a lower bound on the exact statistic). Same exact-integer
+    // numerator as x_ks_drift: no floats anywhere. The day-index
+    // row_number runs over |days| rows — never event-scale.
+    Q("x_daily_drift",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d).select(
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          floor(col("value")).cast("long").as("bkt"))
+        val counts = ev.groupBy("day", "bkt").agg(count(lit(1)).as("c"))
+        val sg = counts.select("day").distinct()
+          .crossJoin(counts.select("bkt").distinct())
+          .join(counts, Seq("day", "bkt"), "left")
+          .na.fill(0L, Seq("c"))
+        val w = Window.partitionBy("day").orderBy("bkt")
+        val cdf = sg.withColumn("cum", sum(col("c")).over(w))
+        val tot = ev.groupBy("day").agg(count(lit(1)).as("n"))
+        val di = counts.select("day").distinct()
+          .withColumn("di", row_number().over(Window.orderBy("day")))
+        val a = cdf.join(di, "day").join(tot, "day")
+          .select(col("di"), col("day").as("day_a"), col("bkt"),
+            col("cum").as("cum_a"), col("n").as("n_a"))
+        val b = cdf.join(di.withColumn("di", col("di") - 1), "day")
+          .join(tot, "day")
+          .select(col("di"), col("day").as("day_b"), col("bkt"),
+            col("cum").as("cum_b"), col("n").as("n_b"))
+        a.join(b, Seq("di", "bkt"))
+          .select(col("day_a"), col("day_b"), col("n_a"), col("n_b"),
+            abs(col("cum_a").cast("decimal(38,0)") * col("n_b") -
+                col("cum_b").cast("decimal(38,0)") * col("n_a")).as("diff"))
+          .groupBy("day_a", "day_b", "n_a", "n_b")
+          .agg(max(col("diff")).cast("long").as("ks_num"))
+          .orderBy("day_a")
+      },
+      Some("""WITH ev AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        | CAST(floor(value) AS BIGINT) AS bkt FROM events),
+        | cnt AS (SELECT day, bkt, count(*) AS c FROM ev GROUP BY 1, 2),
+        | sg AS (SELECT dd.day, g.bkt, coalesce(c.c, 0) AS c
+        |   FROM (SELECT DISTINCT day FROM cnt) dd
+        |   CROSS JOIN (SELECT DISTINCT bkt FROM cnt) g
+        |   LEFT JOIN cnt c ON c.day = dd.day AND c.bkt = g.bkt),
+        | cdf AS (SELECT day, bkt,
+        |   sum(c) OVER (PARTITION BY day ORDER BY bkt) AS cum FROM sg),
+        | tot AS (SELECT day, count(*) AS n FROM ev GROUP BY 1),
+        | di AS (SELECT day, row_number() OVER (ORDER BY day) AS di
+        |   FROM (SELECT DISTINCT day FROM cnt) t)
+        | SELECT a.day AS day_a, b.day AS day_b, ta.n AS n_a, tb.n AS n_b,
+        |  CAST(max(abs(CAST(ac.cum AS DECIMAL(38,0)) * tb.n -
+        |    CAST(bc.cum AS DECIMAL(38,0)) * ta.n)) AS BIGINT) AS ks_num
+        | FROM di a JOIN di b ON b.di = a.di + 1
+        | JOIN cdf ac ON ac.day = a.day
+        | JOIN cdf bc ON bc.day = b.day AND bc.bkt = ac.bkt
+        | JOIN tot ta ON ta.day = a.day
+        | JOIN tot tb ON tb.day = b.day
+        | GROUP BY 1, 2, 3, 4 ORDER BY 1"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // X4 deterministic training-order shuffle: a reproducible global
     // pseudo-random permutation with NO global sort — shard each doc by
     // a salted portable hash (8 shards), rank within the shard by a

@@ -94,10 +94,22 @@ object DedupOps {
     * all-pairs, and the index shuffles once on the shingle key.
     */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
-                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                       n: Int = 3, threshold: Double = 0.5,
+                       maxShingleDf: Option[Int] = None): DataFrame = {
     val sh = shingleArrays(df, textCol, idCol, n)
-    val s = sh.select(col(idCol), explode(col("sh")).as("shingle"))
+    val s0 = sh.select(col(idCol), explode(col("sh")).as("shingle"))
       .repartition(col("shingle"))
+    // same hot-key escape hatch as jaccardPairs: a boilerplate shingle
+    // shared by k docs contributes k² candidate rows — cap its DF and
+    // the containment estimate only loses pairs whose sole overlap is
+    // corpus-wide boilerplate
+    val s = maxShingleDf match {
+      case Some(cap) =>
+        val hot = s0.groupBy("shingle").count().filter(col("count") > cap)
+          .select("shingle")
+        s0.join(broadcast(hot), Seq("shingle"), "left_anti")
+      case None => s0
+    }
     val sizes = sh.select(col(idCol), size(col("sh")).cast("long").as("sz"))
     val a = s.select(col(idCol).as("a_id"), col("shingle"))
     val b = s.select(col(idCol).as("b_id"), col("shingle"))

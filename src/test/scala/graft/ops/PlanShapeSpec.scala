@@ -99,9 +99,10 @@ class PlanShapeSpec extends SparkSpec {
       "x_knn_cosine",       // broadcast brute force — twin of x_knn_lsh/x_knn_ivf
       "q_approx_distinct",  // 1-row × 1-row aggregate combine — constant work
       "q_approx_percentile", // fact × 1-row sketch broadcast — O(1) inner loop
-      "x_ks_drift")         // sources × distinct-lengths CDF grid: BOTH
+      "x_ks_drift",         // sources × distinct-lengths CDF grid: BOTH
                             // sides are post-aggregation outputs (never
                             // corpus-scale), the dense grid IS the algorithm
+      "x_daily_drift")      // days × value-buckets CDF grid — same shape
     // iterative/eager queries run real jobs just to build their plan —
     // their join shapes are asserted in their own suites
     val eager = Set("x_dedup_clusters", "x_knn_ivf", "x_knn_ivf_probeall",

@@ -61,4 +61,17 @@ class SketchSpec extends SparkSpec {
       ks >= 0 && ks <= r.getAs[Long]("n_a") * r.getAs[Long]("n_b")
     })
   }
+
+  test("x_daily_drift emits one bounded statistic per adjacent-day pair") {
+    val out = graft.Queries.queries("x_daily_drift")(spark, sf)
+    val rows = out.collect()
+    val nDays = graft.model.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions
+        .date_format(col("ts"), "yyyy-MM-dd")).distinct().count()
+    assert(rows.length == nDays - 1)
+    assert(rows.forall { r =>
+      val ks = r.getAs[Long]("ks_num")
+      ks >= 0 && ks <= r.getAs[Long]("n_a") * r.getAs[Long]("n_b")
+    })
+  }
 }

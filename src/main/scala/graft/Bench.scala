@@ -83,7 +83,8 @@ object Bench {
     def toJson(rs: Iterable[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // -1 failure sentinels must not subtract from the reported total
+    val total = results.values.filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     val note = "noop-sink, min of 2-3 warm runs timed (bursty-host noise); -1=failed; prep_* lines bill the shared derived-table materializations (partsupp, neardup CC, BPE merges) and the queries reading them report marginal cost under that warm cache; full per-query map in BENCH_FULL.json"
     val fullLine =

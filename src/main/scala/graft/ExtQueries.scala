@@ -137,6 +137,32 @@ object ExtQueries {
       s", sig AS (SELECT doc_id, sh, $sigCols FROM hm)"
   }
 
+  /** Cosine over 64-dim embedding lists with the kernels' op order (dot
+    * and each squared norm are independent left-to-right folds) — the
+    * shared sub-expression of the KNN oracle twins.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, 65),
+      | i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) /
+      | (sqrt(list_sum(list_transform(range(1, 65),
+      |   i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))) *
+      |  sqrt(list_sum(list_transform(range(1, 65),
+      |   i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))"""
+      .stripMargin.replaceAll("\n", "")
+
+  /** Assignment/probe twin of Kernels.ivfProbe, which maps a zero-norm
+    * side to sim = -2.0 instead of dividing by zero — without the
+    * mirrored sentinel a zero vector in a future fixture would NULL the
+    * twin's ORDER BY and silently diverge. ONE definition for both IVF
+    * twins so their zero-norm handling can't drift apart.
+    */
+  private def cosSentSql(a: String, b: String): String = {
+    def n2(x: String) = s"""list_sum(list_transform(range(1, 65),
+      | i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE)))"""
+      .stripMargin.replaceAll("\n", "")
+    s"(CASE WHEN ${n2(a)} = 0 OR ${n2(b)} = 0 THEN -2.0 ELSE ${cosSql(a, b)} END)"
+  }
+
   /** Signature component-match Jaccard estimate between sig rows `a`
     * and `b` — the SQL twin of Kernels.sigEqFrac.
     */
@@ -710,27 +736,12 @@ object ExtQueries {
           emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), 10)
       },
       Some {
-        // cosine with the kernels' op order: dot and each squared norm
-        // are independent left-to-right folds (same helper shape as the
-        // x_knn_ivfpq twin, which hash-matches this arithmetic)
-        def cos(a: String, b: String): String =
-          s"""(list_sum(list_transform(range(1, 65),
-            | i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) /
-            | (sqrt(list_sum(list_transform(range(1, 65),
-            |   i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))) *
-            |  sqrt(list_sum(list_transform(range(1, 65),
-            |   i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))"""
-            .stripMargin.replaceAll("\n", "")
-        // assignment/probe twin of Kernels.ivfProbe, which maps a
-        // zero-norm side to sim = -2.0 instead of dividing by zero —
-        // without the mirrored sentinel a zero vector in a future
-        // fixture would NULL the twin's ORDER BY and silently diverge
-        def cosSent(a: String, b: String): String = {
-          def n2(x: String) = s"""list_sum(list_transform(range(1, 65),
-            | i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE)))"""
-            .stripMargin.replaceAll("\n", "")
-          s"(CASE WHEN ${n2(a)} = 0 OR ${n2(b)} = 0 THEN -2.0 ELSE ${cos(a, b)} END)"
-        }
+        // shared twin helpers: [[cosSql]] (kernel op order, hash-matched
+        // by the x_knn_ivfpq twin too) and [[cosSentSql]] (ivfProbe's
+        // zero-norm sentinel) — hoisted so the two IVF twins share one
+        // definition of the cosine arithmetic
+        def cos(a: String, b: String): String = cosSql(a, b)
+        def cosSent(a: String, b: String): String = cosSentSql(a, b)
         s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
           |   FROM embeddings WHERE vec_id < 5),
           | c AS (SELECT vec_id AS neighbor_id, embedding AS ce
@@ -796,31 +807,16 @@ object ExtQueries {
           c = 16, nprobe = 4, m = 8, ksub = 16, rerank = 50)
       },
       Some {
-        // shared sub-expressions: cosine (same op order as the kernels:
-        // dot and each squared-norm are independent left-to-right
-        // folds), per-subvector squared L2 (diff*diff accumulated in
-        // element order)
-        def cos(a: String, b: String): String =
-          s"""(list_sum(list_transform(range(1, 65),
-            | i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) /
-            | (sqrt(list_sum(list_transform(range(1, 65),
-            |   i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))) *
-            |  sqrt(list_sum(list_transform(range(1, 65),
-            |   i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))"""
-            .stripMargin.replaceAll("\n", "")
+        // cosine helpers shared with the x_knn_ivf twin ([[cosSql]] /
+        // [[cosSentSql]]); per-subvector squared L2 (diff*diff
+        // accumulated in element order) is PQ-specific and stays local
+        def cos(a: String, b: String): String = cosSql(a, b)
+        def cosSent(a: String, b: String): String = cosSentSql(a, b)
         def subL2(a: String, b: String): String =
           s"""list_sum(list_transform(range(1, 9), t ->
             | (CAST($a[s*8+t] AS DOUBLE) - CAST($b[s*8+t] AS DOUBLE)) *
             | (CAST($a[s*8+t] AS DOUBLE) - CAST($b[s*8+t] AS DOUBLE))))"""
             .stripMargin.replaceAll("\n", "")
-        // assignment/probe twin of Kernels.ivfProbe — mirror its
-        // zero-norm sentinel (-2.0), as in the x_knn_ivf twin
-        def cosSent(a: String, b: String): String = {
-          def n2(x: String) = s"""list_sum(list_transform(range(1, 65),
-            | i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE)))"""
-            .stripMargin.replaceAll("\n", "")
-          s"(CASE WHEN ${n2(a)} = 0 OR ${n2(b)} = 0 THEN -2.0 ELSE ${cos(a, b)} END)"
-        }
         s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
           |   FROM embeddings WHERE vec_id < 5),
           | c AS (SELECT vec_id AS neighbor_id, embedding AS ce

@@ -63,6 +63,47 @@ object CoreOps {
   /** Exact running/windowed variant of [[exactSum]]. */
   def exactSumExpr(c: Column): Column = c.cast("decimal(28,6)")
 
+  /** Every scratch path embeds the owning pid as `_p<pid>`, and the
+    * first scratch request of a JVM sweeps temp-root dirs whose owner
+    * is no longer alive — so staged copies are reclaimed by the NEXT
+    * run even after a crash, and a live concurrent JVM's dirs are
+    * never touched. (A shutdown hook alone would miss kill -9.)
+    */
+  private val ScratchOwnerRe = ".*_p(\\d+)(?:_.*)?$".r
+  private lazy val sweepDeadScratch: Unit = {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val self = ProcessHandle.current().pid()
+    try {
+      val entries = java.nio.file.Files.list(root)
+      try entries.forEach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("graft_scratch_")) name match {
+          case ScratchOwnerRe(pid) =>
+            val id = pid.toLong
+            val alive = id == self ||
+              ProcessHandle.of(id).map[java.lang.Boolean](_.isAlive)
+                .orElse(java.lang.Boolean.FALSE)
+            if (!alive) deleteRecursively(p)
+          case _ =>
+            // no owner marker = written by a pre-marker code version,
+            // which no live process runs — reclaim
+            deleteRecursively(p)
+        }
+      } finally entries.close()
+    } catch { case _: java.io.IOException => () } // sweep is best-effort
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(p)) {
+      val children = java.nio.file.Files.list(p)
+      try children.iterator().asScala.foreach(deleteRecursively)
+      finally children.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+    ()
+  }
+
   /** Deterministic per-(JVM, purpose, input-dir) scratch directory under
     * the JVM temp root. Queries that stage data (format round trips,
     * schema evolution) reuse and overwrite this dir on every run — a
@@ -70,14 +111,14 @@ object CoreOps {
     * invocation until the disk fills. The pid in the path keeps the dir
     * private to one JVM: without it, bench and tests running
     * concurrently would overwrite the directory the other is mid-read
-    * on. Cost: one bounded staged copy per JVM, reclaimed with the temp
-    * root.
+    * on. Dead JVMs' dirs are reclaimed by the dead-owner sweep above.
     */
   def scratchDir(purpose: String, inputDir: String): String = {
+    sweepDeadScratch
     val key = java.lang.Integer.toHexString(inputDir.hashCode)
     val pid = ProcessHandle.current().pid()
     val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_scratch_${purpose}_${key}_$pid")
+      sys.props("java.io.tmpdir"), s"graft_scratch_${purpose}_${key}_p$pid")
     java.nio.file.Files.createDirectories(p)
     p.toString
   }
@@ -87,14 +128,17 @@ object CoreOps {
     * histograms). A shared deterministic dir ([[scratchDir]]) is unsafe
     * there: a second invocation would overwrite the files underneath the
     * first result's unevaluated plan, silently serving data from the
-    * wrong input. The cost is a small leak — one bounded-size artifact
-    * (|V| ranks, |vocab| counts — never a corpus-scale copy) per call,
-    * reclaimed with the JVM temp dir.
+    * wrong input. Each dir is a bounded-size artifact (|V| ranks,
+    * |vocab| counts — never a corpus-scale copy) that lives for the
+    * owning JVM's lifetime and is reclaimed by the dead-owner sweep on
+    * the next run.
     */
   def scratchDirUnique(purpose: String): String = {
+    sweepDeadScratch
+    val pid = ProcessHandle.current().pid()
     val p = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(sys.props("java.io.tmpdir")),
-      s"graft_scratch_${purpose}_")
+      s"graft_scratch_${purpose}_p${pid}_")
     p.toString
   }
 }

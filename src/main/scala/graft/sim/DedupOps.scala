@@ -51,23 +51,34 @@ object DedupOps {
     * the inverted-index fanout when exactness is not required (the
     * oracled query leaves it off).
     */
-  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                   n: Int = 3, threshold: Double = 0.5,
-                   maxShingleDf: Option[Int] = None): DataFrame = {
-    val sh = shingleArrays(df, textCol, idCol, n)
-    // hash-partition the inverted index ONCE on the join key: the a/b
-    // sides of the self-join are identical subplans, so ReuseExchange
-    // shuffles this stream a single time (and blocks AQE from trying to
-    // broadcast a million-row exploded side)
+  /** Shingle-partitioned inverted index `(id, shingle)`, optionally
+    * pruned of shingles shared by more than `maxShingleDf` docs (a
+    * boilerplate shingle in k docs contributes k² candidate rows —
+    * capping its DF only loses pairs whose sole overlap is corpus-wide
+    * boilerplate). Hash-partitioned ONCE on the join key: the a/b sides
+    * of a self-join are identical subplans, so ReuseExchange shuffles
+    * this stream a single time (and blocks AQE from trying to broadcast
+    * a million-row exploded side). Shared by [[jaccardPairs]] and
+    * [[containmentPairs]] so the cap and partitioning can't diverge.
+    */
+  private def invertedIndex(sh: DataFrame, idCol: String,
+                            maxShingleDf: Option[Int]): DataFrame = {
     val s = sh.select(col(idCol), explode(col("sh")).as("shingle"))
       .repartition(col("shingle"))
-    val sPruned = maxShingleDf match {
+    maxShingleDf match {
       case Some(cap) =>
         val hot = s.groupBy("shingle").count().filter(col("count") > cap)
           .select("shingle")
         s.join(broadcast(hot), Seq("shingle"), "left_anti")
       case None => s
     }
+  }
+
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = shingleArrays(df, textCol, idCol, n)
+    val sPruned = invertedIndex(sh, idCol, maxShingleDf)
     // set sizes are a local projection off the arrays — no aggregation
     val sizes = sh.select(col(idCol), size(col("sh")).cast("long").as("sz"))
     val a = sPruned.select(col(idCol).as("a_id"), col("shingle"))
@@ -97,19 +108,7 @@ object DedupOps {
                        n: Int = 3, threshold: Double = 0.5,
                        maxShingleDf: Option[Int] = None): DataFrame = {
     val sh = shingleArrays(df, textCol, idCol, n)
-    val s0 = sh.select(col(idCol), explode(col("sh")).as("shingle"))
-      .repartition(col("shingle"))
-    // same hot-key escape hatch as jaccardPairs: a boilerplate shingle
-    // shared by k docs contributes k² candidate rows — cap its DF and
-    // the containment estimate only loses pairs whose sole overlap is
-    // corpus-wide boilerplate
-    val s = maxShingleDf match {
-      case Some(cap) =>
-        val hot = s0.groupBy("shingle").count().filter(col("count") > cap)
-          .select("shingle")
-        s0.join(broadcast(hot), Seq("shingle"), "left_anti")
-      case None => s0
-    }
+    val s = invertedIndex(sh, idCol, maxShingleDf)
     val sizes = sh.select(col(idCol), size(col("sh")).cast("long").as("sz"))
     val a = s.select(col(idCol).as("a_id"), col("shingle"))
     val b = s.select(col(idCol).as("b_id"), col("shingle"))

@@ -70,7 +70,12 @@ object CoreOps {
     * never touched. (A shutdown hook alone would miss kill -9.)
     */
   private val ScratchOwnerRe = ".*_p(\\d+)(?:_.*)?$".r
-  private lazy val sweepDeadScratch: Unit = {
+  private lazy val sweepDeadScratch: Unit = sweepDeadScratchNow()
+
+  /** One sweep pass (normally run once per JVM via the lazy val above;
+    * package-visible so the deletion policy is pinned by a spec).
+    */
+  private[graft] def sweepDeadScratchNow(): Unit = {
     val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
     val self = ProcessHandle.current().pid()
     try {

@@ -328,6 +328,35 @@ object ExtQueries {
         |     >= 0.6
         | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""))),
 
+    // X1 PRODUCTION form of directed containment: the hot-shingle DF
+    // cap ON (maxShingleDf=2 at this SF — the anti-skew guard that
+    // makes the shape survive 100 TB, where one corpus-wide boilerplate
+    // shingle in k docs otherwise contributes k² candidate rows on a
+    // single join key). The cap is a deterministic function of the
+    // corpus, so the twin replays it exactly: prune shingles with
+    // df > cap, then compute BOTH the intersection and the set sizes
+    // over the pruned universe (same-universe numerator/denominator —
+    // scores are exact containments of the non-boilerplate shingle
+    // sets). Registered alongside the uncapped exact form
+    // (x_containment) the way x_dedup_embedding_lsh sits beside
+    // x_dedup_embedding: one oracle-exact twin, one scale path.
+    Q("x_containment_capped",
+      (s, d) => DedupOps.containmentPairs(Tables.documents(s, d), "text",
+        "doc_id", n = 3, threshold = 0.6, maxShingleDf = Some(2)),
+      Some(shingleCte +
+        """, ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        | hot AS (SELECT shingle FROM ex GROUP BY 1 HAVING count(*) > 2),
+        | pr AS (SELECT ex.* FROM ex ANTI JOIN hot USING (shingle)),
+        | sz AS (SELECT doc_id, count(*) AS sz FROM pr GROUP BY 1),
+        | inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |   count(*) AS inter FROM pr a JOIN pr b
+        |   ON a.shingle = b.shingle AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+        | SELECT a_id, b_id,
+        |  CAST(inter AS DOUBLE) / sz.sz AS containment
+        | FROM inter JOIN sz ON sz.doc_id = inter.a_id
+        | WHERE CAST(inter AS DOUBLE) / sz.sz >= 0.6
+        | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""))),
+
     // X4 per-document n-gram novelty: the fraction of a doc's distinct
     // shingles whose FIRST corpus occurrence (min doc_id) is this doc —
     // the "is this crawl batch adding anything new?" curve. Integer
@@ -1465,6 +1494,9 @@ object ExtQueries {
         val toks = TextFunctions.tokens(col("text"))
         Tables.documents(s, d)
           .select(col("doc_id"), toks.as("w"))
+          // empty token arrays must emit NO chunks (sequence(0,-1) is
+          // a descending 2-element array, not empty like range(0))
+          .filter(size(col("w")) > 0)
           .select(col("doc_id"), col("w"),
             explode(sequence(lit(0),
               ceil(size(col("w")) / lit(32.0)).cast("int") - 1)).as("chunk_id"))
@@ -1523,6 +1555,10 @@ object ExtQueries {
         val toks = TextFunctions.tokens(col("text"))
         val spans = Tables.documents(s, d)
           .select(col("doc_id"), toks.as("w"))
+          // empty token arrays must emit NO spans: Spark's
+          // sequence(0, -1) yields a descending [0, -1] (two phantom
+          // chunks) where the twin's range(0) is empty
+          .filter(size(col("w")) > 0)
           .select(col("doc_id"), col("w"),
             explode(sequence(lit(0),
               ceil(size(col("w")) / lit(8.0)).cast("int") - 1)).as("cid"))
@@ -1570,6 +1606,10 @@ object ExtQueries {
         val toks = TextFunctions.tokens(col("text"))
         val spans = Tables.documents(s, d)
           .select(col("doc_id"), toks.as("w"))
+          // empty token arrays must emit NO spans: Spark's
+          // sequence(0, -1) yields a descending [0, -1] (two phantom
+          // chunks) where the twin's range(0) is empty
+          .filter(size(col("w")) > 0)
           .select(col("doc_id"), col("w"),
             explode(sequence(lit(0),
               ceil(size(col("w")) / lit(8.0)).cast("int") - 1)).as("cid"))

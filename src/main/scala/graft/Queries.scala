@@ -2409,6 +2409,48 @@ object Queries {
         |   ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
         | WHERE rn = 1 ORDER BY user_id""".stripMargin.replaceAll("\n", ""))),
 
+    // St2 north star, real wire format: events → per-server MySQL
+    // binlog BINARY files (magic / FORMAT_DESCRIPTION+CRC32 / TABLE_MAP
+    // with 8.0 column-name metadata / WRITE_ROWS v2 / XID) → the
+    // MysqlBinlogSource scan (one partition per server log) → the same
+    // ReplacingMergeTree latest-state collapse as st_cdc_latest_state.
+    // The oracle never sees the binlog: it computes latest-state
+    // straight off the events table — result identity proves the
+    // encode→parse round trip byte-faithful (keys, µs timestamps,
+    // doubles, strings). Ordering uses the row's own TIMESTAMP2(6)
+    // payload value, not the second-granular event-header clock, so the
+    // collapse is exact and independent of how rows fell into files.
+    Q("st_cdc_binlog_state",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val dir = graft.streaming.MysqlBinlogFixture.encodeEvents(s, d)
+        val pSchema = StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("ts", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val raw = s.read
+          .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
+          .option("path", dir).load()
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        raw.filter(col("table") === "events" && col("op") === "insert")
+          .select(from_json(col("payload"), pSchema).as("p"))
+          .select(col("p.user_id").as("user_id"),
+            col("p.event_id").as("event_id"), col("p.ts").as("ts_us"),
+            col("p.event_type").as("event_type"), col("p.value").as("value"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_event_type"),
+            col("value").as("last_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id AS last_event_id,
+        | event_type AS last_event_type, value AS last_value FROM (
+        | SELECT *, row_number() OVER (PARTITION BY user_id
+        |   ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        | WHERE rn = 1 ORDER BY user_id""".stripMargin.replaceAll("\n", ""))),
+
     // Source-format round trips (S1/S5 beyond parquet+JDBC): the sync
     // surface a reference user actually touches is "read rows, write
     // rows" — these prove the CSV and JSONL paths carry every type the

@@ -75,6 +75,13 @@ object CoreOps {
   /** One sweep pass (normally run once per JVM via the lazy val above;
     * package-visible so the deletion policy is pinned by a spec).
     */
+  /** Markerless dirs younger than this are left alone: a dir with no
+    * `_p<pid>` marker is *presumed* pre-marker junk, but during an
+    * upgrade window a still-running old-version JVM may be mid-read on
+    * one — only age proves abandonment.
+    */
+  private[graft] val MarkerlessReclaimAgeMs: Long = 6L * 3600 * 1000
+
   private[graft] def sweepDeadScratchNow(): Unit = {
     val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
     val self = ProcessHandle.current().pid()
@@ -83,24 +90,42 @@ object CoreOps {
       try entries.forEach { p =>
         val name = p.getFileName.toString
         if (name.startsWith("graft_scratch_")) name match {
-          case ScratchOwnerRe(pid) =>
+          // Try(toLong): a crafted >19-digit "pid" suffix must read as
+          // not-a-marker (skipped below as too-young markerless), not
+          // throw out of the sweep and poison every scratch allocation
+          case ScratchOwnerRe(pid) if scala.util.Try(pid.toLong).isSuccess =>
             val id = pid.toLong
             val alive = id == self ||
               ProcessHandle.of(id).map[java.lang.Boolean](_.isAlive)
                 .orElse(java.lang.Boolean.FALSE)
             if (!alive) deleteRecursively(p)
           case _ =>
-            // no owner marker = written by a pre-marker code version,
-            // which no live process runs — reclaim
-            deleteRecursively(p)
+            // no (parseable) owner marker: pre-marker code wrote it —
+            // but an old-version JVM may still be running during an
+            // upgrade window, so only reclaim once it has sat untouched
+            // long past any job's lifetime
+            val age = System.currentTimeMillis() -
+              java.nio.file.Files.getLastModifiedTime(p,
+                java.nio.file.LinkOption.NOFOLLOW_LINKS).toMillis
+            if (age > MarkerlessReclaimAgeMs) deleteRecursively(p)
         }
       } finally entries.close()
-    } catch { case _: java.io.IOException => () } // sweep is best-effort
+      // NonFatal, not just IOException: the sweep runs inside every
+      // scratch allocation, and any single bad /tmp entry (unreadable
+      // attrs, race on deletion, …) must degrade to "skip", never to
+      // failing the caller's query
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
+  /** Deletes NOFOLLOW: a symlink (plantable by any local user in a
+    * world-writable tmpdir) is unlinked, never traversed — otherwise a
+    * `graft_scratch_* -> /home/...` link would make the sweep delete
+    * files outside the temp root.
+    */
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.isDirectory(p)) {
+    if (java.nio.file.Files.isDirectory(p,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
       val children = java.nio.file.Files.list(p)
       try children.iterator().asScala.foreach(deleteRecursively)
       finally children.close()

@@ -53,9 +53,12 @@ object DedupOps {
     */
   /** Shingle-partitioned inverted index `(id, shingle)`, optionally
     * pruned of shingles shared by more than `maxShingleDf` docs (a
-    * boilerplate shingle in k docs contributes k² candidate rows —
-    * capping its DF only loses pairs whose sole overlap is corpus-wide
-    * boilerplate). Hash-partitioned ONCE on the join key: the a/b sides
+    * boilerplate shingle in k docs contributes k² candidate rows; under
+    * the cap, scores are computed over the PRUNED shingle universe —
+    * both |A∩B| and the set sizes, see [[setSizes]] — so they are exact
+    * similarities of the docs' non-boilerplate shingle sets, and the
+    * cap is a deterministic function of the corpus that an oracle can
+    * replay). Hash-partitioned ONCE on the join key: the a/b sides
     * of a self-join are identical subplans, so ReuseExchange shuffles
     * this stream a single time (and blocks AQE from trying to broadcast
     * a million-row exploded side). Shared by [[jaccardPairs]] and
@@ -74,13 +77,28 @@ object DedupOps {
     }
   }
 
+  /** Per-doc set sizes over the SAME shingle universe the intersection
+    * is counted in. Uncapped, that's a local projection off the arrays
+    * (free); capped, sizes must be re-counted from the pruned index —
+    * dividing a pruned-universe numerator by a full-universe |sh(a)|
+    * would systematically underestimate every surviving pair's score
+    * and silently drop pairs whose overlap is partly boilerplate.
+    */
+  private def setSizes(sh: DataFrame, pruned: DataFrame, idCol: String,
+                       maxShingleDf: Option[Int]): DataFrame =
+    maxShingleDf match {
+      case Some(_) =>
+        pruned.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+      case None =>
+        sh.select(col(idCol), size(col("sh")).cast("long").as("sz"))
+    }
+
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxShingleDf: Option[Int] = None): DataFrame = {
     val sh = shingleArrays(df, textCol, idCol, n)
     val sPruned = invertedIndex(sh, idCol, maxShingleDf)
-    // set sizes are a local projection off the arrays — no aggregation
-    val sizes = sh.select(col(idCol), size(col("sh")).cast("long").as("sz"))
+    val sizes = setSizes(sh, sPruned, idCol, maxShingleDf)
     val a = sPruned.select(col(idCol).as("a_id"), col("shingle"))
     val b = sPruned.select(col(idCol).as("b_id"), col("shingle"))
     val inter = a.join(b, "shingle")
@@ -109,7 +127,7 @@ object DedupOps {
                        maxShingleDf: Option[Int] = None): DataFrame = {
     val sh = shingleArrays(df, textCol, idCol, n)
     val s = invertedIndex(sh, idCol, maxShingleDf)
-    val sizes = sh.select(col(idCol), size(col("sh")).cast("long").as("sz"))
+    val sizes = setSizes(sh, s, idCol, maxShingleDf)
     val a = s.select(col(idCol).as("a_id"), col("shingle"))
     val b = s.select(col(idCol).as("b_id"), col("shingle"))
     a.join(b, "shingle")

@@ -1,0 +1,592 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** MySQL binlog v4 BINARY format — parser (St2 north star: "Structured
+  * Streaming reading the MySQL binlog"). The reference records binlog
+  * coordinates for a future consumer (mysql_to_clickhouse_sync.py:175-181);
+  * this is that consumer's wire-format decoder, written from the
+  * publicly documented format (MySQL Internals manual, "Binary Log
+  * Versions" / "Row Based Replication"): 4-byte magic `FE 62 69 6E`,
+  * 19-byte v4 common event header, FORMAT_DESCRIPTION with per-type
+  * post-header lengths + CRC32 checksum algorithm flag, TABLE_MAP with
+  * column types/metadata (+ MySQL 8.0 `binlog_row_metadata=FULL`
+  * optional TLVs for column names/signedness), and v2 rows events
+  * (WRITE/UPDATE/DELETE_ROWS, codes 30/31/32) with columns-present and
+  * per-row null bitmaps.
+  *
+  * Scope: the row-image column types the sync surface carries (§1.2
+  * type ladder): TINY/SHORT/INT24/LONG/LONGLONG, FLOAT/DOUBLE, YEAR,
+  * DATE, DATETIME2/TIMESTAMP2 (big-endian packed, microsecond fsp),
+  * VARCHAR/VAR_STRING/STRING, BLOB. Everything else surfaces as a
+  * decode error naming the type code — never a silent wrong value.
+  *
+  * Pure JVM, no Spark dependency: shared by the DataSourceV2 scan
+  * ([[MysqlBinlogSource]]), the fixture writer ([[MysqlBinlogWriter]]),
+  * and the specs.
+  */
+object MysqlBinlog {
+
+  val Magic: Array[Byte] = Array(0xfe.toByte, 'b'.toByte, 'i'.toByte, 'n'.toByte)
+
+  // -- event type codes (enum_binlog_event_type, public) ---------------
+  val QUERY_EVENT = 2
+  val STOP_EVENT = 3
+  val ROTATE_EVENT = 4
+  val FORMAT_DESCRIPTION_EVENT = 15
+  val XID_EVENT = 16
+  val TABLE_MAP_EVENT = 19
+  val WRITE_ROWS_V1 = 23
+  val UPDATE_ROWS_V1 = 24
+  val DELETE_ROWS_V1 = 25
+  val WRITE_ROWS_EVENT = 30
+  val UPDATE_ROWS_EVENT = 31
+  val DELETE_ROWS_EVENT = 32
+  val GTID_EVENT = 33
+  val ANONYMOUS_GTID_EVENT = 34
+  val PREVIOUS_GTIDS_EVENT = 35
+
+  // -- column type codes (enum_field_types, public) --------------------
+  val T_DECIMAL = 0; val T_TINY = 1; val T_SHORT = 2; val T_LONG = 3
+  val T_FLOAT = 4; val T_DOUBLE = 5; val T_NULL = 6; val T_TIMESTAMP = 7
+  val T_LONGLONG = 8; val T_INT24 = 9; val T_DATE = 10; val T_TIME = 11
+  val T_DATETIME = 12; val T_YEAR = 13; val T_VARCHAR = 15; val T_BIT = 16
+  val T_TIMESTAMP2 = 17; val T_DATETIME2 = 18; val T_TIME2 = 19
+  val T_JSON = 245; val T_NEWDECIMAL = 246; val T_ENUM = 247
+  val T_SET = 248; val T_TINY_BLOB = 249; val T_MEDIUM_BLOB = 250
+  val T_LONG_BLOB = 251; val T_BLOB = 252; val T_VAR_STRING = 253
+  val T_STRING = 254; val T_GEOMETRY = 255
+
+  val CommonHeaderLen = 19
+  /** checksum algorithm codes (binlog_checksum_alg) */
+  val ChecksumOff = 0
+  val ChecksumCrc32 = 1
+
+  final case class EventHeader(
+      tsSec: Long,      // seconds since epoch, 4 bytes LE
+      eventType: Int,   // 1 byte
+      serverId: Long,   // 4 bytes LE
+      eventSize: Int,   // 4 bytes LE, full event incl. header + checksum
+      nextPos: Long,    // 4 bytes LE, file offset of the next event
+      flags: Int)       // 2 bytes LE
+
+  sealed trait Event { def header: EventHeader; def startPos: Long }
+
+  final case class FormatDescription(header: EventHeader, startPos: Long,
+      binlogVersion: Int, serverVersion: String, checksumAlg: Int,
+      postHeaderLen: Array[Int]) extends Event
+
+  final case class TableMap(header: EventHeader, startPos: Long,
+      tableId: Long, schemaName: String, tableName: String,
+      colTypes: Array[Int], colMeta: Array[Int],
+      nullable: Array[Boolean],
+      colNames: Option[Array[String]],
+      signedness: Option[Array[Boolean]]) extends Event
+
+  /** One decoded row image: values for present columns (null where the
+    * row's null bitmap says so), aligned to the table's column order —
+    * absent columns (not in the columns-present bitmap) are None.
+    */
+  final case class RowImage(values: Array[Option[AnyRef]])
+
+  final case class RowsEvent(header: EventHeader, startPos: Long,
+      tableId: Long, eventType: Int,
+      /** WRITE: (None, after); DELETE: (before, None); UPDATE: (before, after) */
+      rows: Seq[(Option[RowImage], Option[RowImage])]) extends Event
+
+  final case class Xid(header: EventHeader, startPos: Long, xid: Long) extends Event
+  final case class Rotate(header: EventHeader, startPos: Long,
+      position: Long, nextFile: String) extends Event
+  final case class Query(header: EventHeader, startPos: Long,
+      schema: String, query: String) extends Event
+  /** Recognized-but-not-decoded events (GTID, PREVIOUS_GTIDS, STOP…). */
+  final case class Opaque(header: EventHeader, startPos: Long) extends Event
+
+  final class BinlogFormatException(msg: String) extends RuntimeException(msg)
+
+  // -- primitive readers over a byte array -----------------------------
+  /** Little cursor over one event's bytes (events are KB-scale; the
+    * per-event copy is what lets the scan hand out immutable rows).
+    */
+  private final class Cur(val b: Array[Byte], var p: Int) {
+    def u1(): Int = { val v = b(p) & 0xff; p += 1; v }
+    def u2(): Int = u1() | (u1() << 8)
+    def u3(): Int = u1() | (u1() << 8) | (u1() << 16)
+    def u4(): Long = (u2().toLong | (u2().toLong << 16)) & 0xffffffffL
+    def u6(): Long = u4() | (u2().toLong << 32)
+    def i8(): Long = u4() | (u4() << 32)
+    /** big-endian unsigned, n bytes (temporal2 encodings) */
+    def beUInt(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 8) | (b(p + i) & 0xff); i += 1 }
+      p += n; v
+    }
+    def bytes(n: Int): Array[Byte] = {
+      val out = java.util.Arrays.copyOfRange(b, p, p + n); p += n; out
+    }
+    def str(n: Int): String = new String(bytes(n), StandardCharsets.UTF_8)
+    /** length-encoded integer (mysql packet lenenc) */
+    def lenenc(): Long = u1() match {
+      case v if v < 0xfb => v
+      case 0xfc => u2().toLong
+      case 0xfd => u3().toLong
+      case 0xfe => i8()
+      case v => throw new BinlogFormatException(s"bad lenenc prefix 0x${v.toHexString}")
+    }
+    def bitmap(nBits: Int): Array[Boolean] = {
+      val raw = bytes((nBits + 7) / 8)
+      Array.tabulate(nBits)(i => ((raw(i / 8) >> (i % 8)) & 1) == 1)
+    }
+    def remaining: Int = b.length - p
+  }
+
+  private def parseHeader(c: Cur): EventHeader =
+    EventHeader(tsSec = c.u4(), eventType = c.u1(), serverId = c.u4(),
+      eventSize = c.u4().toInt, nextPos = c.u4(), flags = c.u2())
+
+  // -- FORMAT_DESCRIPTION ----------------------------------------------
+  /** `full` = the ENTIRE event, header included: the FDE both announces
+    * the file's checksum algorithm and carries its own CRC32, and that
+    * CRC is computed over header+body minus the trailing 4 bytes — so
+    * detection and verification need the full event. Disambiguation is
+    * what a real client does: if the 5th-from-last byte reads as
+    * alg=CRC32 and the trailing 4 verify, the file is checksummed; a
+    * claimed CRC32 that fails to verify is refused, never guessed
+    * around (a post-header-len array byte of 1 cannot be mistaken for
+    * the alg flag unless the CRC also matches by accident).
+    */
+  private def parseFde(full: Array[Byte], h: EventHeader,
+                       start: Long): FormatDescription = {
+    val c = new Cur(full, CommonHeaderLen)
+    val ver = c.u2()
+    if (ver != 4) throw new BinlogFormatException(s"unsupported binlog version $ver")
+    val serverVersion = c.str(50).takeWhile(_ != 0.toChar)
+    c.u4() // create_timestamp
+    val headerLen = c.u1()
+    if (headerLen != CommonHeaderLen)
+      throw new BinlogFormatException(s"unsupported common header length $headerLen")
+    // the post-header-length array runs to the end of the event; servers
+    // >= 5.6.1 append checksum_alg (1 byte) + the FDE's own CRC32 (4)
+    val rest = c.remaining
+    val (nTypes, alg) =
+      if (rest >= 5 && full(full.length - 5) == ChecksumCrc32.toByte &&
+          crc32(full, full.length - 4) == readLe32(full, full.length - 4)) {
+        (rest - 5, ChecksumCrc32)
+      } else if (rest >= 5 && full(full.length - 5) == ChecksumCrc32.toByte) {
+        throw new BinlogFormatException(
+          "FORMAT_DESCRIPTION claims CRC32 but its own checksum fails")
+      } else if (rest >= 1 && full(full.length - 1) == ChecksumOff.toByte)
+        (rest - 1, ChecksumOff)
+      else (rest, ChecksumOff)
+    val phl = Array.fill(nTypes)(c.u1())
+    FormatDescription(h, start, ver, serverVersion, alg, phl)
+  }
+
+  private def crc32(b: Array[Byte], len: Int): Long = {
+    val crc = new java.util.zip.CRC32
+    crc.update(b, 0, len)
+    crc.getValue
+  }
+
+  private def readLe32(b: Array[Byte], off: Int): Long =
+    java.lang.Integer.toUnsignedLong(java.nio.ByteBuffer.wrap(b, off, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt)
+
+  // -- TABLE_MAP --------------------------------------------------------
+  /** optional-metadata TLV type codes (8.0 binlog_row_metadata) */
+  private val MetaSignedness = 1
+  private val MetaColumnName = 4
+
+  private def parseTableMap(c: Cur, h: EventHeader, start: Long,
+                            payloadEnd: Int): TableMap = {
+    val tableId = c.u6()
+    c.u2() // flags
+    val schemaLen = c.u1(); val schema = c.str(schemaLen); c.u1() // NUL
+    val tableLen = c.u1(); val table = c.str(tableLen); c.u1()   // NUL
+    val nCols = c.lenenc().toInt
+    val types = Array.fill(nCols)(c.u1())
+    val metaLen = c.lenenc().toInt
+    val metaEnd = c.p + metaLen
+    val meta = types.map {
+      case T_VARCHAR | T_VAR_STRING | T_BIT | T_NEWDECIMAL | T_STRING |
+           T_ENUM | T_SET => c.u2()
+      case T_BLOB | T_TINY_BLOB | T_MEDIUM_BLOB | T_LONG_BLOB | T_FLOAT |
+           T_DOUBLE | T_TIMESTAMP2 | T_DATETIME2 | T_TIME2 | T_JSON |
+           T_GEOMETRY => c.u1()
+      case _ => 0
+    }
+    if (c.p != metaEnd)
+      throw new BinlogFormatException(
+        s"TABLE_MAP metadata length drift: read ${c.p - (metaEnd - metaLen)} of $metaLen")
+    val nullable = c.bitmap(nCols)
+    // 8.0 optional metadata: TLV stream until payload end
+    var names: Option[Array[String]] = None
+    var signed: Option[Array[Boolean]] = None
+    while (c.p < payloadEnd) {
+      val t = c.u1(); val len = c.lenenc().toInt; val end = c.p + len
+      t match {
+        case MetaColumnName =>
+          val buf = Array.newBuilder[String]
+          while (c.p < end) { val l = c.lenenc().toInt; buf += c.str(l) }
+          names = Some(buf.result())
+        case MetaSignedness =>
+          // one bit per NUMERIC column, MSB first within each byte
+          val raw = c.bytes(len)
+          val numericIdx = types.indices.filter(i => isNumeric(types(i)))
+          val bits = numericIdx.indices.map { k =>
+            ((raw(k / 8) >> (7 - (k % 8))) & 1) == 0 // bit set = unsigned
+          }
+          val all = Array.fill(nCols)(true)
+          numericIdx.zip(bits).foreach { case (i, s) => all(i) = s }
+          signed = Some(all)
+        case _ => c.p = end // unknown TLV: skip (charsets, enum strings…)
+      }
+    }
+    TableMap(h, start, tableId, schema, table, types, meta, nullable,
+      names, signed)
+  }
+
+  private def isNumeric(t: Int): Boolean = t match {
+    case T_TINY | T_SHORT | T_INT24 | T_LONG | T_LONGLONG | T_FLOAT |
+         T_DOUBLE | T_NEWDECIMAL | T_YEAR => true
+    case _ => false
+  }
+
+  // -- rows events ------------------------------------------------------
+  private def parseRows(c: Cur, h: EventHeader, start: Long,
+                        payloadEnd: Int): RowsEvent = {
+    val tableId = c.u6()
+    c.u2() // flags
+    val extraLen = c.u2() // v2: includes its own 2 bytes
+    if (extraLen > 2) c.bytes(extraLen - 2)
+    val nCols = c.lenenc().toInt
+    val present1 = c.bitmap(nCols)
+    val present2 =
+      if (h.eventType == UPDATE_ROWS_EVENT) c.bitmap(nCols) else present1
+    val tm = currentTableMaps.get.get(tableId).getOrElse(
+      throw new BinlogFormatException(
+        s"rows event for table id $tableId with no preceding TABLE_MAP"))
+    val rows = Seq.newBuilder[(Option[RowImage], Option[RowImage])]
+    while (c.p < payloadEnd) {
+      h.eventType match {
+        case WRITE_ROWS_EVENT =>
+          rows += ((None, Some(parseRowImage(c, tm, present1))))
+        case DELETE_ROWS_EVENT =>
+          rows += ((Some(parseRowImage(c, tm, present1)), None))
+        case UPDATE_ROWS_EVENT =>
+          val before = parseRowImage(c, tm, present1)
+          val after = parseRowImage(c, tm, present2)
+          rows += ((Some(before), Some(after)))
+        case t => throw new BinlogFormatException(s"unsupported rows event type $t")
+      }
+    }
+    RowsEvent(h, start, tableId, h.eventType, rows.result())
+  }
+
+  private def parseRowImage(c: Cur, tm: TableMap,
+                            present: Array[Boolean]): RowImage = {
+    val nPresent = present.count(identity)
+    val nullBits = c.bitmap(nPresent)
+    val out = Array.fill[Option[AnyRef]](tm.colTypes.length)(None)
+    var k = 0
+    var i = 0
+    while (i < tm.colTypes.length) {
+      if (present(i)) {
+        out(i) =
+          if (nullBits(k)) Some(null)
+          else Some(decodeValue(c, tm.colTypes(i), tm.colMeta(i),
+            tm.signedness.map(_(i)).getOrElse(true)))
+        k += 1
+      }
+      i += 1
+    }
+    RowImage(out)
+  }
+
+  /** Decode one column value. Integers surface as java.lang.Long (sign
+    * per the TABLE_MAP signedness TLV, defaulting to signed), temporals
+    * as epoch-micros Long (TIMESTAMP2/DATETIME2; DATE as "yyyy-MM-dd"),
+    * strings as String, BLOBs as Array[Byte].
+    */
+  private def decodeValue(c: Cur, typ: Int, meta: Int, signed: Boolean): AnyRef = typ match {
+    case T_TINY =>
+      val v = c.u1(); java.lang.Long.valueOf(if (signed) v.toByte.toLong else v.toLong)
+    case T_SHORT =>
+      val v = c.u2(); java.lang.Long.valueOf(if (signed) v.toShort.toLong else v.toLong)
+    case T_INT24 =>
+      val v = c.u3()
+      java.lang.Long.valueOf(
+        if (signed && (v & 0x800000) != 0) v - 0x1000000 else v.toLong)
+    case T_LONG =>
+      val v = c.u4(); java.lang.Long.valueOf(if (signed) v.toInt.toLong else v)
+    case T_LONGLONG => java.lang.Long.valueOf(c.i8())
+    case T_YEAR =>
+      val v = c.u1(); java.lang.Long.valueOf(if (v == 0) 0L else 1900L + v)
+    case T_FLOAT =>
+      java.lang.Float.valueOf(java.lang.Float.intBitsToFloat(c.u4().toInt))
+    case T_DOUBLE =>
+      java.lang.Double.valueOf(java.lang.Double.longBitsToDouble(c.i8()))
+    case T_DATE =>
+      val v = c.u3()
+      val d = v & 31; val m = (v >> 5) & 15; val y = v >> 9
+      f"$y%04d-$m%02d-$d%02d"
+    case T_TIMESTAMP2 =>
+      val sec = c.beUInt(4)
+      java.lang.Long.valueOf(sec * 1000000L + fracMicros(c, meta))
+    case T_DATETIME2 =>
+      // 5-byte big-endian packed: 1 sign, 17 year*13+month, 5 day,
+      // 5 hour, 6 minute, 6 second (offset 0x8000000000)
+      val packed = c.beUInt(5) - 0x8000000000L
+      val ymd = packed >> 17; val hms = packed & ((1L << 17) - 1)
+      val ym = ymd >> 5; val day = ymd & 31
+      val year = ym / 13; val month = ym % 13
+      val hour = hms >> 12; val minute = (hms >> 6) & 63; val sec = hms & 63
+      val epochSec = java.time.LocalDateTime.of(year.toInt, month.toInt,
+        day.toInt, hour.toInt, minute.toInt, sec.toInt)
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+      java.lang.Long.valueOf(epochSec * 1000000L + fracMicros(c, meta))
+    case T_VARCHAR | T_VAR_STRING =>
+      val len = if (meta > 255) c.u2() else c.u1()
+      c.str(len)
+    case T_STRING =>
+      // meta packs real type + max length; CHAR(n) with n*charlen < 256
+      // uses a 1-byte length prefix
+      val max = meta & 0xff
+      val len = if (max > 255) c.u2() else c.u1()
+      c.str(len)
+    case T_BLOB =>
+      val len = (meta match {
+        case 1 => c.u1().toLong
+        case 2 => c.u2().toLong
+        case 3 => c.u3().toLong
+        case 4 => c.u4()
+        case m => throw new BinlogFormatException(s"BLOB length-bytes $m")
+      }).toInt
+      c.bytes(len)
+    case t =>
+      throw new BinlogFormatException(
+        s"unsupported column type $t (extend decodeValue for it)")
+  }
+
+  private def fracMicros(c: Cur, fsp: Int): Long = fsp match {
+    case 0 => 0L
+    case 1 | 2 => c.beUInt(1) * 10000L
+    case 3 | 4 => c.beUInt(2) * 100L
+    case 5 | 6 => c.beUInt(3)
+    case m => throw new BinlogFormatException(s"bad temporal fsp $m")
+  }
+
+  // table-id → TABLE_MAP context for the CURRENT parse call. Thread-local
+  // because parse() can run concurrently in different scan tasks; the
+  // map is (re)seeded per call, never shared across files.
+  private val currentTableMaps =
+    new ThreadLocal[scala.collection.mutable.Map[Long, TableMap]] {
+      override def initialValue() = scala.collection.mutable.Map.empty
+    }
+
+  /** Parse events in `bytes[from, until)` (file coordinates: `base` is
+    * the file offset of bytes(0)). `fde` supplies the checksum algorithm
+    * when resuming mid-file; pass None when the range starts at the file
+    * head (offset 0 including magic, or 4 at the first event).
+    *
+    * MySQL guarantees a TABLE_MAP directly before each statement's rows
+    * events, so any range that starts at an event-group boundary is
+    * self-contained; resuming INSIDE a group is refused loudly (no
+    * preceding TABLE_MAP) rather than mis-decoded.
+    */
+  def parse(bytes: Array[Byte], base: Long = 0L,
+            fde: Option[FormatDescription] = None): Vector[Event] = {
+    currentTableMaps.get.clear()
+    var p = 0
+    if (base == 0L) {
+      if (bytes.length < 4 || !java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(bytes, 0, 4), Magic))
+        throw new BinlogFormatException("bad binlog magic (want FE 62 69 6E)")
+      p = 4
+    }
+    var currentFde: Option[FormatDescription] = fde
+    val out = Vector.newBuilder[Event]
+    while (p + CommonHeaderLen <= bytes.length) {
+      val start = base + p
+      val c = new Cur(bytes, p)
+      val h = parseHeader(c)
+      if (h.eventSize < CommonHeaderLen)
+        throw new BinlogFormatException(s"event size ${h.eventSize} < header")
+      if (p + h.eventSize > bytes.length) {
+        // partial tail (writer mid-append): stop at the last whole event
+        p = bytes.length
+      } else {
+        val checksummed = h.eventType match {
+          case FORMAT_DESCRIPTION_EVENT => false // FDE verifies itself
+          case _ => currentFde.exists(_.checksumAlg == ChecksumCrc32)
+        }
+        val bodyEnd = p + h.eventSize - (if (checksummed) 4 else 0)
+        if (checksummed) {
+          val want = java.lang.Integer.toUnsignedLong(
+            java.nio.ByteBuffer.wrap(bytes, p + h.eventSize - 4, 4)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt)
+          val crc = new java.util.zip.CRC32
+          crc.update(bytes, p, h.eventSize - 4)
+          if (crc.getValue != want)
+            throw new BinlogFormatException(
+              s"CRC32 mismatch in event type ${h.eventType} at offset $start")
+        }
+        val ev: Event = h.eventType match {
+          case FORMAT_DESCRIPTION_EVENT =>
+            val f = parseFde(java.util.Arrays.copyOfRange(
+              bytes, p, p + h.eventSize), h, start)
+            currentFde = Some(f); f
+          case TABLE_MAP_EVENT =>
+            val tm = parseTableMap(c, h, start, bodyEnd)
+            currentTableMaps.get.update(tm.tableId, tm); tm
+          case WRITE_ROWS_EVENT | UPDATE_ROWS_EVENT | DELETE_ROWS_EVENT =>
+            parseRows(c, h, start, bodyEnd)
+          case WRITE_ROWS_V1 | UPDATE_ROWS_V1 | DELETE_ROWS_V1 =>
+            throw new BinlogFormatException(
+              "v1 rows events (5.1 format) not supported; use ROW v2")
+          case XID_EVENT => Xid(h, start, c.i8())
+          case ROTATE_EVENT =>
+            val pos = c.i8()
+            Rotate(h, start, pos, new String(
+              java.util.Arrays.copyOfRange(bytes, c.p, bodyEnd),
+              StandardCharsets.UTF_8))
+          case QUERY_EVENT =>
+            // post-header: thread_id(4) exec_time(4) schema_len(1)
+            // error_code(2) status_len(2); payload: status vars, schema,
+            // NUL, query text
+            c.u4(); c.u4()
+            val schemaLen = c.u1(); c.u2()
+            val statusLen = c.u2()
+            c.bytes(statusLen)
+            val schema = c.str(schemaLen); c.u1()
+            Query(h, start, schema, new String(
+              java.util.Arrays.copyOfRange(bytes, c.p, bodyEnd),
+              StandardCharsets.UTF_8))
+          case _ => Opaque(h, start)
+        }
+        out += ev
+        p += h.eventSize
+      }
+    }
+    out.result()
+  }
+
+  /** Parse a whole binlog file. */
+  def parseFile(path: String): Vector[Event] =
+    parse(Files.readAllBytes(Paths.get(path)))
+
+  /** Read ONLY the format description from a file head — O(1), used by
+    * the streaming scan to learn the checksum algorithm before seeking
+    * to a mid-file offset.
+    */
+  def readFde(path: String): FormatDescription = {
+    val ch = java.nio.channels.FileChannel.open(
+      Paths.get(path), java.nio.file.StandardOpenOption.READ)
+    try {
+      val head = new Array[Byte](4 + CommonHeaderLen)
+      readFully(ch, head, 0)
+      if (!java.util.Arrays.equals(java.util.Arrays.copyOfRange(head, 0, 4), Magic))
+        throw new BinlogFormatException("bad binlog magic")
+      val c = new Cur(head, 4)
+      val h = parseHeader(c)
+      if (h.eventType != FORMAT_DESCRIPTION_EVENT)
+        throw new BinlogFormatException(
+          s"first event is type ${h.eventType}, want FORMAT_DESCRIPTION")
+      val full = new Array[Byte](h.eventSize)
+      readFully(ch, full, 4)
+      parseFde(full, h, 4L)
+    } finally ch.close()
+  }
+
+  private def readFully(ch: java.nio.channels.FileChannel,
+                        buf: Array[Byte], pos: Long): Unit = {
+    val bb = java.nio.ByteBuffer.wrap(buf)
+    var off = pos
+    while (bb.hasRemaining) {
+      val n = ch.read(bb, off)
+      if (n < 0) throw new BinlogFormatException("truncated binlog header")
+      off += n
+    }
+  }
+
+  // -- ChangeEvent projection ------------------------------------------
+  /** Flatten parsed events into the engine's [[ChangeEvent]] rows: one
+    * per row-image, `op` insert/update/delete, `key` = first column of
+    * the decisive image (after for write/update, before for delete),
+    * `ts` = event-header timestamp (seconds — the binlog's own clock),
+    * `seq` = the event's file offset (the binlog position, as the
+    * reference records from SHOW MASTER STATUS) with the row's index
+    * within the event packed into the low bits so multi-row events keep
+    * a total order. `payload` = JSON of the decisive image's present
+    * columns, named by the TABLE_MAP's 8.0 optional column names
+    * (`binlog_row_metadata=FULL`), else `col_<i>`.
+    */
+  def changeEvents(events: Seq[Event]): Seq[ChangeEvent] = {
+    val tableMaps = scala.collection.mutable.Map[Long, TableMap]()
+    val out = Seq.newBuilder[ChangeEvent]
+    events.foreach {
+      case tm: TableMap => tableMaps(tm.tableId) = tm
+      case re: RowsEvent =>
+        val tm = tableMaps.getOrElse(re.tableId,
+          throw new BinlogFormatException(
+            s"rows event at ${re.startPos} references unknown table id ${re.tableId}"))
+        val op = re.eventType match {
+          case WRITE_ROWS_EVENT => ChangeEvent.Insert
+          case UPDATE_ROWS_EVENT => ChangeEvent.Update
+          case DELETE_ROWS_EVENT => ChangeEvent.Delete
+        }
+        re.rows.zipWithIndex.foreach { case ((before, after), i) =>
+          val img = (if (op == ChangeEvent.Delete) before else after).get
+          val key = img.values.headOption.flatten match {
+            case Some(l: java.lang.Long) => l.longValue()
+            case v => throw new BinlogFormatException(
+              s"first (key) column must be an integer type, got $v")
+          }
+          out += ChangeEvent(op, tm.tableName, key,
+            new java.sql.Timestamp(re.header.tsSec * 1000L),
+            re.startPos * 64 + math.min(i, 63),
+            if (op == ChangeEvent.Delete) null else imageJson(tm, img))
+        }
+      case _ => ()
+    }
+    out.result()
+  }
+
+  /** JSON render of a row image (present columns only). Doubles via
+    * Double.toString (round-trips exactly — the value survives
+    * binlog → JSON → Spark bit-identically), BLOBs as base64.
+    */
+  def imageJson(tm: TableMap, img: RowImage): String = {
+    val names = tm.colNames.getOrElse(
+      Array.tabulate(tm.colTypes.length)(i => s"col_$i"))
+    val fields = img.values.iterator.zipWithIndex.collect {
+      case (Some(v), i) =>
+        val rendered = v match {
+          case null => "null"
+          case l: java.lang.Long => l.toString
+          case d: java.lang.Double =>
+            if (d.isNaN || d.isInfinite) "\"" + d.toString + "\"" else d.toString
+          case f: java.lang.Float =>
+            if (f.isNaN || f.isInfinite) "\"" + f.toString + "\"" else f.toString
+          case b: Array[Byte] =>
+            "\"" + java.util.Base64.getEncoder.encodeToString(b) + "\""
+          case s: String => jsonStr(s)
+          case other => jsonStr(other.toString)
+        }
+        jsonStr(names(i)) + ":" + rendered
+    }
+    fields.mkString("{", ",", "}")
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+      case ch => ch.toString
+    } + "\""
+}

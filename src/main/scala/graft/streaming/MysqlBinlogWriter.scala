@@ -1,0 +1,303 @@
+package graft.streaming
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+
+import MysqlBinlog._
+
+/** MySQL binlog v4 BINARY format — writer. Produces spec-conformant
+  * files (the same layout `mysqlbinlog`/a replication client reads):
+  * magic, FORMAT_DESCRIPTION with per-type post-header lengths and
+  * CRC32 checksums, per-statement TABLE_MAP (+ 8.0
+  * `binlog_row_metadata=FULL` optional TLVs: SIGNEDNESS, COLUMN_NAME),
+  * WRITE/UPDATE/DELETE_ROWS v2, XID transaction fences, ROTATE.
+  *
+  * This is the in-sandbox stand-in for the one thing a live server
+  * would provide — the recorded log itself (README "Production
+  * boundary"): the engine-side consumer ([[MysqlBinlog]],
+  * [[MysqlBinlogSource]]) reads the real wire format, so swapping this
+  * writer for a `COM_BINLOG_DUMP_GTID` capture changes nothing
+  * downstream. Kept in main (not test) scope because the registered
+  * round-trip query encodes the harness fixture through it.
+  */
+object MysqlBinlogWriter {
+
+  /** Column description: `meta` follows TABLE_MAP metadata semantics
+    * (VARCHAR: max byte length; BLOB: length-prefix width; temporal2:
+    * fractional-second precision; FLOAT/DOUBLE: storage size).
+    */
+  final case class Col(name: String, typ: Int, meta: Int = 0,
+                       signed: Boolean = true, nullable: Boolean = true)
+
+  final case class TableDef(tableId: Long, schema: String, name: String,
+                            cols: Seq[Col])
+
+  /** Convenience column constructors for the §1.2 type ladder. */
+  object Col {
+    def bigint(name: String): Col = Col(name, T_LONGLONG)
+    def int(name: String): Col = Col(name, T_LONG)
+    def varchar(name: String, maxLen: Int): Col = Col(name, T_VARCHAR, maxLen)
+    def double(name: String): Col = Col(name, T_DOUBLE, 8)
+    /** microsecond TIMESTAMP (epoch-micros Long in/out) */
+    def timestamp6(name: String): Col = Col(name, T_TIMESTAMP2, 6)
+    /** microsecond DATETIME (epoch-micros Long in/out, UTC) */
+    def datetime6(name: String): Col = Col(name, T_DATETIME2, 6)
+    def blob(name: String): Col = Col(name, T_BLOB, 2)
+    def date(name: String): Col = Col(name, T_DATE)
+  }
+
+  /** Sequential writer over one binlog file. Not thread-safe (a binlog
+    * is a serial stream per server — one writer per file, the same
+    * constraint the real server has).
+    */
+  final class Writer(path: String, serverId: Long = 1L,
+                     checksum: Boolean = true,
+                     serverVersion: String = "8.0.36-graft") {
+    private val out = new BufferedOutputStream(new FileOutputStream(path))
+    private var pos: Long = 0L
+    private var clockSec: Long = 0L
+
+    /** binlog event-header timestamps are second-granular; the writer
+      * carries the last-set clock forward so callers set it per
+      * transaction, as the server stamps statement commit time.
+      */
+    def setClock(epochSec: Long): Unit = clockSec = epochSec
+
+    def position: Long = pos
+
+    // -- little byte builder --------------------------------------------
+    private final class B {
+      val bb = new java.io.ByteArrayOutputStream(256)
+      def u1(v: Int): B = { bb.write(v & 0xff); this }
+      def u2(v: Int): B = { u1(v); u1(v >> 8) }
+      def u3(v: Int): B = { u1(v); u1(v >> 8); u1(v >> 16) }
+      def u4(v: Long): B = { u2(v.toInt); u2((v >> 16).toInt) }
+      def u6(v: Long): B = { u4(v); u2((v >> 32).toInt) }
+      def i8(v: Long): B = { u4(v); u4(v >>> 32) }
+      def be(v: Long, n: Int): B = {
+        var i = n - 1
+        while (i >= 0) { bb.write(((v >> (8 * i)) & 0xff).toInt); i -= 1 }
+        this
+      }
+      def raw(a: Array[Byte]): B = { bb.write(a); this }
+      def str(s: String): B = raw(s.getBytes(StandardCharsets.UTF_8))
+      def lenenc(v: Long): B =
+        if (v < 0xfb) u1(v.toInt)
+        else if (v < 0x10000) { u1(0xfc); u2(v.toInt) }
+        else if (v < 0x1000000) { u1(0xfd); u3(v.toInt) }
+        else { u1(0xfe); i8(v) }
+      def bitmap(bits: Seq[Boolean]): B = {
+        val raw = new Array[Byte]((bits.length + 7) / 8)
+        bits.zipWithIndex.foreach { case (b, i) =>
+          if (b) raw(i / 8) = (raw(i / 8) | (1 << (i % 8))).toByte
+        }
+        this.raw(raw)
+      }
+      def bytes: Array[Byte] = bb.toByteArray
+    }
+
+    private def emit(eventType: Int, body: Array[Byte],
+                     checksummed: Boolean = true): Long = {
+      val start = pos
+      val withCrc = checksum && checksummed
+      val size = CommonHeaderLen + body.length + (if (withCrc) 4 else 0)
+      val h = new B()
+        .u4(clockSec).u1(eventType).u4(serverId)
+        .u4(size.toLong).u4(pos + size).u2(1) // flags: LOG_EVENT_BINLOG_IN_USE_F cleared on close; 1 = STMT_END-ish marker unused here
+        .bytes
+      out.write(h); out.write(body)
+      if (withCrc) {
+        val crc = new java.util.zip.CRC32
+        crc.update(h); crc.update(body)
+        out.write(new B().u4(crc.getValue).bytes)
+      }
+      pos += size
+      start
+    }
+
+    /** magic + FORMAT_DESCRIPTION — must be the first call. */
+    def begin(): Writer = {
+      out.write(Magic); pos = 4
+      // post-header lengths for event types 1..39 (8.0 layout; the
+      // array is consumed via the FDE itself, so readers use exactly
+      // these values)
+      val phl = new Array[Int](39)
+      phl(QUERY_EVENT - 1) = 13
+      phl(ROTATE_EVENT - 1) = 8
+      phl(FORMAT_DESCRIPTION_EVENT - 1) = 2 + 50 + 4 + 1 + 39
+      phl(TABLE_MAP_EVENT - 1) = 8
+      phl(WRITE_ROWS_V1 - 1) = 8; phl(UPDATE_ROWS_V1 - 1) = 8
+      phl(DELETE_ROWS_V1 - 1) = 8
+      phl(WRITE_ROWS_EVENT - 1) = 10; phl(UPDATE_ROWS_EVENT - 1) = 10
+      phl(DELETE_ROWS_EVENT - 1) = 10
+      phl(GTID_EVENT - 1) = 42; phl(ANONYMOUS_GTID_EVENT - 1) = 42
+      val b = new B().u2(4)
+      val ver = serverVersion.getBytes(StandardCharsets.UTF_8)
+      b.raw(java.util.Arrays.copyOf(ver, 50)) // NUL-padded to 50
+      b.u4(clockSec).u1(CommonHeaderLen)
+      phl.foreach(b.u1)
+      if (checksum) b.u1(ChecksumCrc32) else b.u1(ChecksumOff)
+      // the FDE's own CRC is computed like every other event's
+      emit(FORMAT_DESCRIPTION_EVENT, b.bytes, checksummed = checksum)
+      this
+    }
+
+    def tableMap(td: TableDef): Long = {
+      val b = new B().u6(td.tableId).u2(1)
+      val schema = td.schema.getBytes(StandardCharsets.UTF_8)
+      val name = td.name.getBytes(StandardCharsets.UTF_8)
+      b.u1(schema.length).raw(schema).u1(0)
+      b.u1(name.length).raw(name).u1(0)
+      b.lenenc(td.cols.length.toLong)
+      td.cols.foreach(c => b.u1(c.typ))
+      val meta = new B()
+      td.cols.foreach { c =>
+        c.typ match {
+          case T_VARCHAR | T_VAR_STRING | T_BIT | T_NEWDECIMAL | T_STRING |
+               T_ENUM | T_SET => meta.u2(c.meta)
+          case T_BLOB | T_TINY_BLOB | T_MEDIUM_BLOB | T_LONG_BLOB |
+               T_FLOAT | T_DOUBLE | T_TIMESTAMP2 | T_DATETIME2 | T_TIME2 |
+               T_JSON | T_GEOMETRY => meta.u1(c.meta)
+          case _ => ()
+        }
+      }
+      val metaBytes = meta.bytes
+      b.lenenc(metaBytes.length.toLong).raw(metaBytes)
+      b.bitmap(td.cols.map(_.nullable))
+      // 8.0 optional metadata (binlog_row_metadata=FULL subset):
+      // SIGNEDNESS — one bit per numeric column, MSB-first, set=UNSIGNED
+      val numeric = td.cols.filter(c => isNumericType(c.typ))
+      if (numeric.nonEmpty) {
+        val raw = new Array[Byte]((numeric.length + 7) / 8)
+        numeric.zipWithIndex.foreach { case (c, k) =>
+          if (!c.signed) raw(k / 8) = (raw(k / 8) | (1 << (7 - (k % 8)))).toByte
+        }
+        b.u1(1).lenenc(raw.length.toLong).raw(raw)
+      }
+      // COLUMN_NAME — length-prefixed names
+      val namesPayload = new B()
+      td.cols.foreach { c =>
+        val nb = c.name.getBytes(StandardCharsets.UTF_8)
+        namesPayload.lenenc(nb.length.toLong).raw(nb)
+      }
+      val np = namesPayload.bytes
+      b.u1(4).lenenc(np.length.toLong).raw(np)
+      emit(TABLE_MAP_EVENT, b.bytes)
+    }
+
+    private def isNumericType(t: Int): Boolean = t match {
+      case T_TINY | T_SHORT | T_INT24 | T_LONG | T_LONGLONG | T_FLOAT |
+           T_DOUBLE | T_NEWDECIMAL | T_YEAR => true
+      case _ => false
+    }
+
+    /** WRITE_ROWS v2. `rows` are full images aligned to `td.cols`. */
+    def writeRows(td: TableDef, rows: Seq[Array[AnyRef]]): Long =
+      rowsEvent(WRITE_ROWS_EVENT, td, rows.map(r => Seq(r)),
+        td.cols.indices.toSet)
+
+    /** UPDATE_ROWS v2: (before, after) image pairs. */
+    def updateRows(td: TableDef,
+                   pairs: Seq[(Array[AnyRef], Array[AnyRef])]): Long =
+      rowsEvent(UPDATE_ROWS_EVENT, td, pairs.map(p => Seq(p._1, p._2)),
+        td.cols.indices.toSet)
+
+    /** DELETE_ROWS v2. `presentCols` trims the row image to a column
+      * subset (`binlog_row_image=MINIMAL` — typically just the PK);
+      * values for absent columns are ignored.
+      */
+    def deleteRows(td: TableDef, rows: Seq[Array[AnyRef]],
+                   presentCols: Option[Set[Int]] = None): Long =
+      rowsEvent(DELETE_ROWS_EVENT, td, rows.map(r => Seq(r)),
+        presentCols.getOrElse(td.cols.indices.toSet))
+
+    private def rowsEvent(typ: Int, td: TableDef,
+                          rows: Seq[Seq[Array[AnyRef]]],
+                          present: Set[Int]): Long = {
+      val b = new B().u6(td.tableId).u2(1) // flags: STMT_END_F
+      b.u2(2) // v2 extra-data length (just its own two bytes)
+      b.lenenc(td.cols.length.toLong)
+      val presentBits = td.cols.indices.map(present.contains)
+      b.bitmap(presentBits)
+      if (typ == UPDATE_ROWS_EVENT) b.bitmap(presentBits) // after-image bitmap
+      val presentIdx = td.cols.indices.filter(present.contains)
+      rows.foreach { images =>
+        images.foreach { img =>
+          val nulls = presentIdx.map(i => img(i) == null)
+          b.bitmap(nulls)
+          presentIdx.foreach { i =>
+            if (img(i) != null) encodeValue(b, td.cols(i), img(i))
+          }
+        }
+      }
+      emit(typ, b.bytes)
+    }
+
+    private def encodeValue(b: B, c: Col, v: AnyRef): Unit = (c.typ, v) match {
+      case (T_TINY, l: java.lang.Long) => b.u1(l.toInt)
+      case (T_SHORT, l: java.lang.Long) => b.u2(l.toInt)
+      case (T_INT24, l: java.lang.Long) => b.u3(l.toInt)
+      case (T_LONG, l: java.lang.Long) => b.u4(l.longValue())
+      case (T_LONGLONG, l: java.lang.Long) => b.i8(l.longValue())
+      case (T_YEAR, l: java.lang.Long) =>
+        b.u1(if (l == 0L) 0 else (l - 1900L).toInt)
+      case (T_FLOAT, f: java.lang.Float) =>
+        b.u4(java.lang.Integer.toUnsignedLong(java.lang.Float.floatToIntBits(f)))
+      case (T_DOUBLE, d: java.lang.Double) =>
+        b.i8(java.lang.Double.doubleToLongBits(d))
+      case (T_DATE, s: String) =>
+        val d = java.time.LocalDate.parse(s)
+        b.u3(d.getDayOfMonth | (d.getMonthValue << 5) | (d.getYear << 9))
+      case (T_TIMESTAMP2, micros: java.lang.Long) =>
+        b.be(java.lang.Math.floorDiv(micros, 1000000L), 4)
+        fracBytes(b, java.lang.Math.floorMod(micros, 1000000L), c.meta)
+      case (T_DATETIME2, micros: java.lang.Long) =>
+        val dt = java.time.LocalDateTime.ofEpochSecond(
+          java.lang.Math.floorDiv(micros, 1000000L), 0,
+          java.time.ZoneOffset.UTC)
+        val ym = dt.getYear * 13L + dt.getMonthValue
+        val packed = 0x8000000000L +
+          ((ym << 22) | (dt.getDayOfMonth.toLong << 17) |
+            (dt.getHour.toLong << 12) | (dt.getMinute.toLong << 6) |
+            dt.getSecond.toLong)
+        b.be(packed, 5)
+        fracBytes(b, java.lang.Math.floorMod(micros, 1000000L), c.meta)
+      case (T_VARCHAR | T_VAR_STRING, s: String) =>
+        val raw = s.getBytes(StandardCharsets.UTF_8)
+        require(raw.length <= c.meta,
+          s"value longer (${raw.length}) than VARCHAR(${c.meta}) '${c.name}'")
+        if (c.meta > 255) b.u2(raw.length) else b.u1(raw.length)
+        b.raw(raw)
+      case (T_STRING, s: String) =>
+        val raw = s.getBytes(StandardCharsets.UTF_8)
+        if ((c.meta & 0xff) > 255) b.u2(raw.length) else b.u1(raw.length)
+        b.raw(raw)
+      case (T_BLOB, a: Array[Byte]) =>
+        c.meta match {
+          case 1 => b.u1(a.length); case 2 => b.u2(a.length)
+          case 3 => b.u3(a.length); case 4 => b.u4(a.length.toLong)
+          case m => throw new IllegalArgumentException(s"BLOB meta $m")
+        }
+        b.raw(a)
+      case (t, x) => throw new IllegalArgumentException(
+        s"cannot encode ${if (x == null) "null" else x.getClass.getName} as column type $t")
+    }
+
+    private def fracBytes(b: B, micros: Long, fsp: Int): Unit = fsp match {
+      case 0 => ()
+      case 1 | 2 => b.be(micros / 10000L, 1); ()
+      case 3 | 4 => b.be(micros / 100L, 2); ()
+      case 5 | 6 => b.be(micros, 3); ()
+      case m => throw new IllegalArgumentException(s"bad fsp $m")
+    }
+
+    /** transaction fence (commit marker) */
+    def xid(id: Long): Long = emit(XID_EVENT, new B().i8(id).bytes)
+
+    /** ROTATE to a successor file (the last event of a closed log) */
+    def rotate(nextFile: String, position: Long = 4L): Long =
+      emit(ROTATE_EVENT, new B().i8(position).str(nextFile).bytes)
+
+    def close(): Unit = { out.flush(); out.close() }
+  }
+}

@@ -281,6 +281,28 @@ class SimSpec extends SparkSpec {
       s"multi-probe recall $probedRecall below base $recall")
   }
 
+  test("capped containment scores use the pruned-universe denominator") {
+    // doc 1 has 4 shingles; "common header line" (df=3 across docs) is
+    // pruned under cap=2, and doc 2 shares doc 1's remaining 3 — so the
+    // 1→2 score must be counted AND sized over the pruned universe:
+    // inter=3, |sh(1)|_pruned=3 → containment 1.0. Dividing by the full
+    // |sh(1)|=4 (the pre-fix bug) would read 0.75.
+    val docs = Seq(
+      (1L, "common header line uniq1 uniq1b uniq1c"),
+      (2L, "common header line uniq1 uniq1b uniq1c trailer two"),
+      (3L, "common header line other stuff entirely")).toDF("doc_id", "text")
+    // 3-shingles: "common header line" appears in all 3 docs (df=3)
+    val capped = DedupOps.containmentPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.6, maxShingleDf = Some(2))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(capped.contains((1L, 2L)),
+      s"1→2 must survive the cap with a pruned-universe score: $capped")
+    assert(capped((1L, 2L)) === 1.0,
+      "numerator and denominator must share the pruned shingle universe")
+    // 1→3 overlaps ONLY on the pruned boilerplate → no pair under cap
+    assert(!capped.contains((1L, 3L)))
+  }
+
   test("portable permutation constants are distinct, nonzero, in range") {
     import PortableHash._
     val k = 64

@@ -1,0 +1,336 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import MysqlBinlog._
+import MysqlBinlogWriter.{Col, TableDef, Writer}
+
+/** Field-exact round-trip coverage of the binlog v4 wire format:
+  * [[MysqlBinlogWriter]] encodes, [[MysqlBinlog]] decodes, and every
+  * assertion is on decoded VALUES (not just event counts) — nulls,
+  * negative ints, unsigned ints, µs timestamps, quote/escape-bearing
+  * strings, BLOB bytes, minimal delete images. Pure JVM: no
+  * SparkSession, so the whole suite runs in milliseconds.
+  */
+class MysqlBinlogSpec extends AnyFunSuite {
+
+  private def tmpLog(): String =
+    Files.createTempFile("graft_binlog_spec_", ".binlog").toString
+
+  /** One table exercising the full §1.2 type ladder the source carries. */
+  private val ladder = TableDef(7L, "graft", "ladder", Seq(
+    Col.bigint("id"),
+    Col("tiny_s", T_TINY),
+    Col("tiny_u", T_TINY, signed = false),
+    Col("short_s", T_SHORT),
+    Col("med_s", T_INT24),
+    Col("int_s", T_LONG),
+    Col("yr", T_YEAR),
+    Col("f", T_FLOAT, 4),
+    Col.double("d"),
+    Col.date("dt"),
+    Col.timestamp6("ts6"),
+    Col.datetime6("dtm6"),
+    Col.varchar("vc", 300),
+    Col("ch", T_STRING, 40),
+    Col.blob("bl")))
+
+  private def ladderRow(id: Long): Array[AnyRef] = Array[AnyRef](
+    java.lang.Long.valueOf(id),
+    java.lang.Long.valueOf(-56L),              // signed TINY: wraps via byte
+    java.lang.Long.valueOf(200L),              // unsigned TINY: stays 200
+    java.lang.Long.valueOf(-30000L),
+    java.lang.Long.valueOf(-8123456L),
+    java.lang.Long.valueOf(-2000000000L),
+    java.lang.Long.valueOf(2024L),
+    java.lang.Float.valueOf(1.5f),
+    java.lang.Double.valueOf(-2.718281828459045),
+    "2024-02-29",                              // leap day through the u3 pack
+    java.lang.Long.valueOf(1700000000123456L), // µs TIMESTAMP2(6)
+    java.lang.Long.valueOf(1700000000654321L), // µs DATETIME2(6)
+    "it's a \"quoted\"\n\ttext — naïve ✓",     // quotes + escapes + non-ASCII
+    "fixed",
+    Array[Byte](0, 1, -1, 127, -128))
+
+  private def writeLadder(path: String, checksum: Boolean = true)
+      (body: Writer => Unit): Vector[Event] = {
+    val w = new Writer(path, serverId = 5L, checksum = checksum)
+    w.setClock(1700000000L)
+    w.begin()
+    body(w)
+    w.close()
+    parseFile(path)
+  }
+
+  private def rowsEvents(evs: Seq[Event]): Seq[RowsEvent] =
+    evs.collect { case r: RowsEvent => r }
+
+  test("WRITE_ROWS v2 round-trips the full type ladder field-exactly") {
+    val path = tmpLog()
+    val evs = writeLadder(path) { w =>
+      w.tableMap(ladder)
+      w.writeRows(ladder, Seq(ladderRow(1L)))
+      w.xid(1L)
+    }
+    val re = rowsEvents(evs).head
+    assert(re.eventType == WRITE_ROWS_EVENT)
+    val (before, after) = re.rows.head
+    assert(before.isEmpty)
+    val vals = after.get.values.map(_.get)
+    val want = ladderRow(1L)
+    assert(vals(0) == 1L && vals(1) == -56L && vals(2) == 200L)
+    assert(vals(3) == -30000L && vals(4) == -8123456L && vals(5) == -2000000000L)
+    assert(vals(6) == 2024L)
+    assert(vals(7) == 1.5f)
+    assert(vals(8) == -2.718281828459045)
+    assert(vals(9) == "2024-02-29")
+    assert(vals(10) == 1700000000123456L, "µs TIMESTAMP2 must survive exactly")
+    assert(vals(11) == 1700000000654321L, "µs DATETIME2 must survive exactly")
+    assert(vals(12) == want(12))
+    assert(vals(13) == "fixed")
+    assert(java.util.Arrays.equals(vals(14).asInstanceOf[Array[Byte]],
+      want(14).asInstanceOf[Array[Byte]]))
+  }
+
+  test("TABLE_MAP carries 8.0 column names and signedness TLVs") {
+    val path = tmpLog()
+    val evs = writeLadder(path) { w =>
+      w.tableMap(ladder); w.writeRows(ladder, Seq(ladderRow(1L)))
+    }
+    val tm = evs.collect { case t: TableMap => t }.head
+    assert(tm.schemaName == "graft" && tm.tableName == "ladder")
+    assert(tm.colNames.get.toSeq == ladder.cols.map(_.name))
+    // signedness covers numeric columns only; non-numerics default true
+    val signed = tm.signedness.get
+    assert(signed(1) && !signed(2), "tiny_u must decode as unsigned")
+    assert(signed(12), "VARCHAR is not in the signedness bitmap")
+  }
+
+  test("nullable columns round-trip nulls (null bitmap, not absent)") {
+    val path = tmpLog()
+    val row = ladderRow(2L)
+    row(12) = null; row(14) = null // vc, bl
+    val evs = writeLadder(path) { w =>
+      w.tableMap(ladder); w.writeRows(ladder, Seq(row))
+    }
+    val img = rowsEvents(evs).head.rows.head._2.get
+    assert(img.values(12).contains(null) && img.values(14).contains(null),
+      "null bitmap: present-but-null, not absent")
+    assert(img.values(0).contains(2L), "non-null neighbors unaffected")
+  }
+
+  test("UPDATE_ROWS v2 decodes before AND after images (two column bitmaps)") {
+    val path = tmpLog()
+    val before = ladderRow(3L)
+    val after = ladderRow(3L)
+    after(8) = java.lang.Double.valueOf(99.25)
+    after(12) = "updated ''text''"
+    val evs = writeLadder(path) { w =>
+      w.tableMap(ladder)
+      w.updateRows(ladder, Seq((before, after)))
+    }
+    val re = rowsEvents(evs).head
+    assert(re.eventType == UPDATE_ROWS_EVENT)
+    val (b, a) = re.rows.head
+    assert(b.get.values(8).contains(-2.718281828459045))
+    assert(a.get.values(8).contains(99.25))
+    assert(b.get.values(12).contains(ladderRow(3L)(12)))
+    assert(a.get.values(12).contains("updated ''text''"))
+  }
+
+  test("DELETE_ROWS with a MINIMAL row image leaves absent columns None") {
+    val path = tmpLog()
+    val evs = writeLadder(path) { w =>
+      w.tableMap(ladder)
+      w.deleteRows(ladder, Seq(ladderRow(4L)), presentCols = Some(Set(0)))
+    }
+    val re = rowsEvents(evs).head
+    assert(re.eventType == DELETE_ROWS_EVENT)
+    val (b, a) = re.rows.head
+    assert(a.isEmpty, "delete has no after image")
+    val img = b.get
+    assert(img.values(0).contains(4L), "the PK is present")
+    assert(img.values.drop(1).forall(_.isEmpty),
+      "binlog_row_image=MINIMAL: non-PK columns are absent, not null")
+  }
+
+  test("multi-row statements keep row order within one event") {
+    val path = tmpLog()
+    val evs = writeLadder(path) { w =>
+      w.tableMap(ladder)
+      w.writeRows(ladder, (10L to 14L).map(ladderRow))
+    }
+    val re = rowsEvents(evs).head
+    assert(re.rows.map(_._2.get.values(0).get) == (10L to 14L))
+  }
+
+  test("ROTATE decodes position and successor file name") {
+    val path = tmpLog()
+    val evs = writeLadder(path) { w =>
+      w.tableMap(ladder); w.writeRows(ladder, Seq(ladderRow(1L)))
+      w.rotate("binlog.000042", position = 4L)
+    }
+    val rot = evs.collect { case r: Rotate => r }.head
+    assert(rot.position == 4L && rot.nextFile == "binlog.000042")
+  }
+
+  test("checksum-off logs parse (FDE reports ChecksumOff) and values match") {
+    val path = tmpLog()
+    val evs = writeLadder(path, checksum = false) { w =>
+      w.tableMap(ladder); w.writeRows(ladder, Seq(ladderRow(9L)))
+    }
+    val fde = evs.collect { case f: FormatDescription => f }.head
+    assert(fde.checksumAlg == ChecksumOff)
+    assert(rowsEvents(evs).head.rows.head._2.get.values(0).contains(9L))
+  }
+
+  test("a corrupted checksummed event is refused loudly, never mis-decoded") {
+    val path = tmpLog()
+    writeLadder(path) { w =>
+      w.tableMap(ladder); w.writeRows(ladder, Seq(ladderRow(1L)))
+    }
+    val bytes = Files.readAllBytes(Paths.get(path))
+    bytes(bytes.length - 10) = (bytes(bytes.length - 10) ^ 0x5a).toByte
+    val ex = intercept[BinlogFormatException](parse(bytes))
+    assert(ex.getMessage.contains("CRC32 mismatch"))
+  }
+
+  test("a partial trailing event (writer mid-append) is dropped, not decoded") {
+    val path = tmpLog()
+    writeLadder(path) { w =>
+      w.tableMap(ladder)
+      w.writeRows(ladder, Seq(ladderRow(1L)))
+      w.tableMap(ladder)
+      w.writeRows(ladder, Seq(ladderRow(2L)))
+    }
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val whole = parse(bytes)
+    val lastSize = whole.last.header.eventSize
+    val truncated = parse(java.util.Arrays.copyOf(bytes, bytes.length - lastSize / 2))
+    assert(rowsEvents(truncated).map(_.rows.head._2.get.values(0).get) == Seq(1L))
+  }
+
+  test("v1 rows events (5.1 format) are refused by name, not mis-parsed") {
+    val path = tmpLog()
+    writeLadder(path, checksum = false) { w => w.tableMap(ladder) }
+    val base = Files.readAllBytes(Paths.get(path))
+    // hand-build a v1 WRITE_ROWS header (type 23) with an empty body
+    val size = CommonHeaderLen
+    val hdr = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.putInt(1700000000).put(WRITE_ROWS_V1.toByte).putInt(5)
+      .putInt(size).putInt(base.length + size).putShort(0)
+    val bytes = java.util.Arrays.copyOf(base, base.length + size)
+    System.arraycopy(hdr.array(), 0, bytes, base.length, size)
+    val ex = intercept[BinlogFormatException](parse(bytes))
+    assert(ex.getMessage.contains("v1 rows events"))
+  }
+
+  test("a rows event with no preceding TABLE_MAP in range is refused loudly") {
+    val path = tmpLog()
+    writeLadder(path) { w =>
+      w.tableMap(ladder); w.writeRows(ladder, Seq(ladderRow(1L)))
+    }
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val all = parse(bytes)
+    val rows = rowsEvents(all).head
+    val fde = all.collect { case f: FormatDescription => f }.head
+    // resume INSIDE the event group: at the rows event, past its TABLE_MAP
+    val tail = java.util.Arrays.copyOfRange(bytes, rows.startPos.toInt, bytes.length)
+    val ex = intercept[BinlogFormatException](
+      parse(tail, base = rows.startPos, fde = Some(fde)))
+    assert(ex.getMessage.contains("no preceding TABLE_MAP"))
+  }
+
+  test("mid-file resume at a safe boundary decodes the identical suffix") {
+    val path = tmpLog()
+    writeLadder(path) { w =>
+      w.tableMap(ladder); w.writeRows(ladder, Seq(ladderRow(1L))); w.xid(1L)
+      w.tableMap(ladder); w.writeRows(ladder, Seq(ladderRow(2L))); w.xid(2L)
+    }
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val all = parse(bytes)
+    val fde = all.collect { case f: FormatDescription => f }.head
+    // boundary: start of the second group's TABLE_MAP
+    val secondTm = all.collect { case t: TableMap => t }.apply(1)
+    val tail = java.util.Arrays.copyOfRange(
+      bytes, secondTm.startPos.toInt, bytes.length)
+    val resumed = parse(tail, base = secondTm.startPos, fde = Some(fde))
+    assert(rowsEvents(resumed).map(_.rows.head._2.get.values(0).get) == Seq(2L))
+    assert(resumed.collect { case x: Xid => x.xid } == Vector(2L))
+  }
+
+  test("changeEvents projects insert/update/delete with keys, order and JSON") {
+    val path = tmpLog()
+    val td = TableDef(9L, "graft", "t", Seq(
+      Col.bigint("k"), Col.varchar("v", 64), Col.double("x")))
+    def row(k: Long, v: String, x: Double) = Array[AnyRef](
+      java.lang.Long.valueOf(k), v, java.lang.Double.valueOf(x))
+    val evs = writeLadder(path) { w =>
+      w.tableMap(td); w.writeRows(td, Seq(row(1L, "a \"q\"", 1.5), row(2L, "b", 2.0)))
+      w.xid(1L)
+      w.tableMap(td); w.updateRows(td, Seq((row(1L, "a \"q\"", 1.5), row(1L, "a2", 9.0))))
+      w.xid(2L)
+      w.tableMap(td)
+      w.deleteRows(td, Seq(row(2L, null, 0.0)), presentCols = Some(Set(0)))
+      w.xid(3L)
+    }
+    val ces = changeEvents(evs)
+    assert(ces.map(_.op) == Seq("insert", "insert", "update", "delete"))
+    assert(ces.map(_.key) == Seq(1L, 2L, 1L, 2L))
+    assert(ces.map(_.seq) == ces.map(_.seq).sorted, "seq is monotone in log order")
+    assert(ces.map(_.seq).distinct.size == 4,
+      "rows within one event get distinct seq values")
+    assert(ces(0).payload == """{"k":1,"v":"a \"q\"","x":1.5}""",
+      "payload uses TABLE_MAP column names and JSON-escapes quotes")
+    assert(ces(2).payload == """{"k":1,"v":"a2","x":9.0}""",
+      "update projects the AFTER image")
+    assert(ces(3).payload == null, "delete is a tombstone: no payload")
+  }
+
+  test("advance() admits only whole events and never splits TABLE_MAP from rows") {
+    val path = tmpLog()
+    val td = TableDef(9L, "graft", "t", Seq(Col.bigint("k")))
+    writeLadder(path) { w =>
+      (1L to 3L).foreach { i =>
+        w.tableMap(td)
+        w.writeRows(td, Seq(Array[AnyRef](java.lang.Long.valueOf(i))))
+        w.xid(i)
+      }
+    }
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val all = parse(bytes)
+    val tmStarts = all.collect { case t: TableMap => t }.map(_.startPos).toSet
+    // pace one row event per trigger; every offset must be a real event
+    // boundary that is NOT the gap between a TABLE_MAP and its rows
+    var off = 4L
+    var seen = Vector.empty[Long]
+    var guard = 0
+    while (off < bytes.length && guard < 100) {
+      val next = MysqlBinlogSource.advance(path, off, maxEvents = 1L)
+      assert(next > off, s"advance must make progress from $off")
+      assert(all.exists(_.header.nextPos == next),
+        s"boundary $next must be a real event end")
+      assert(!all.exists(e => tmStarts.contains(e.startPos) &&
+        e.header.nextPos == next),
+        s"boundary $next directly after a TABLE_MAP would orphan its rows")
+      // the admitted range must parse standalone
+      val fde = all.collect { case f: FormatDescription => f }.head
+      val range = java.util.Arrays.copyOfRange(bytes, off.toInt, next.toInt)
+      parse(range, base = off, fde = Some(fde)) // must not throw
+      seen :+= next
+      off = next
+      guard += 1
+    }
+    assert(off == bytes.length, "pacing walks to exactly the file end")
+    assert(seen.size >= 3, "one row event per trigger needs >= 3 triggers")
+    // a partial tail is never admitted
+    val cut = Files.createTempFile("graft_binlog_cut_", ".binlog")
+    Files.write(cut, java.util.Arrays.copyOf(bytes, bytes.length - 3))
+    val lastWhole = MysqlBinlogSource.advance(cut.toString, 4L, Long.MaxValue)
+    assert(lastWhole == parse(java.util.Arrays.copyOf(bytes, bytes.length - 3))
+      .last.header.nextPos)
+  }
+}

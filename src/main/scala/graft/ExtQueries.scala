@@ -630,6 +630,37 @@ object ExtQueries {
           .stripMargin.replaceAll("\n", "")
       }),
 
+    // X4 × St2 streaming KS drift, batch twin: the drift read off the
+    // streamed per-source histogram state (KsDriftIngest.drift — one
+    // (source,bkt,c) partial per micro-batch, merged cell-wise) equals
+    // this one-pass corpus computation EXACTLY, because the binned
+    // histogram is mergeable even though the KS max is not. The stream
+    // is pinned to this twin in KsDriftIngestSpec; the oracle is the
+    // x_ks_drift SQL (bins on integer n_chars are the identity, so the
+    // binned statistic IS the exact statistic here).
+    Q("st_ks_drift",
+      (s, d) => graft.streaming.KsDriftIngest.batchTwin(
+        Tables.documents(s, d)),
+      Some("""WITH cnt AS (SELECT source, n_chars, count(*) AS c
+        | FROM documents GROUP BY 1, 2),
+        | sg AS (SELECT s.source, g.n_chars, coalesce(c.c, 0) AS c
+        |   FROM (SELECT DISTINCT source FROM cnt) s
+        |   CROSS JOIN (SELECT DISTINCT n_chars FROM cnt) g
+        |   LEFT JOIN cnt c ON c.source = s.source AND c.n_chars = g.n_chars),
+        | cdf AS (SELECT source, n_chars,
+        |   sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum FROM sg),
+        | tot AS (SELECT source, count(*) AS n FROM documents GROUP BY 1)
+        | SELECT a.source AS src_a, b.source AS src_b,
+        |  ta.n AS n_a, tb.n AS n_b,
+        |  CAST(max(abs(CAST(a.cum AS DECIMAL(38,0)) * tb.n -
+        |    CAST(b.cum AS DECIMAL(38,0)) * ta.n)) AS BIGINT) AS ks_num
+        | FROM cdf a JOIN cdf b
+        |   ON a.n_chars = b.n_chars AND a.source < b.source
+        | JOIN tot ta ON ta.source = a.source
+        | JOIN tot tb ON tb.source = b.source
+        | GROUP BY 1, 2, 3, 4 ORDER BY 1, 2"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // X1/X2 embedding-cosine near-dup pairs (exact all-pairs; scale path
     // = same predicate over LSH/IVF candidates)
     Q("x_dedup_embedding",

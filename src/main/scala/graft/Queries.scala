@@ -2451,6 +2451,51 @@ object Queries {
         |   ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
         | WHERE rn = 1 ORDER BY user_id""".stripMargin.replaceAll("\n", ""))),
 
+    // St2, full op surface on the wire: the same encode→parse→collapse
+    // round trip as st_cdc_binlog_state, but every row is rendered as
+    // MysqlBinlogFixture.mixedOp's WRITE/UPDATE/DELETE_ROWS — updates
+    // carry before+after images (the double column bitmap), deletes a
+    // binlog_row_image=MINIMAL key-only image, exactly MySQL's
+    // production shapes. The collapse keys on the decoded `key` and
+    // orders by `seq` (the byte position): a user's rows all land in
+    // one server log (hash partition) in (ts, event_id) order, so seq
+    // is a per-user total order that works for deletes too, whose
+    // MINIMAL image has no timestamp payload — the ReplacingMergeTree
+    // version column a real deployment derives from the binlog
+    // coordinate the reference snapshots (SHOW MASTER STATUS). A user
+    // whose LAST event is a delete vanishes from state; the oracle
+    // replays mixedOp arithmetic on the raw events table.
+    Q("st_cdc_binlog_mixed",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val dir = graft.streaming.MysqlBinlogFixture
+          .encodeEvents(s, d, mixed = true)
+        val pSchema = StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("ts", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val raw = s.read
+          .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
+          .option("path", dir).load()
+        val w = Window.partitionBy(col("src"), col("key"))
+          .orderBy(col("seq").desc)
+        raw.filter(col("table") === "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("op") =!= "delete")
+          .select(from_json(col("payload"), pSchema).as("p"))
+          .select(col("p.user_id").as("user_id"),
+            col("p.event_id").as("last_event_id"),
+            col("p.event_type").as("last_event_type"),
+            col("p.value").as("last_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id AS last_event_id,
+        | event_type AS last_event_type, value AS last_value FROM (
+        | SELECT *, row_number() OVER (PARTITION BY user_id
+        |   ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        | WHERE rn = 1 AND event_id % 17 <> 0
+        | ORDER BY user_id""".stripMargin.replaceAll("\n", ""))),
+
     // Source-format round trips (S1/S5 beyond parquet+JDBC): the sync
     // surface a reference user actually touches is "read rows, write
     // rows" — these prove the CSV and JSONL paths carry every type the

@@ -21,10 +21,11 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Spark 4 rejects parquet TIMESTAMP(NANOS) columns (events.ts,
-    * TESTDATA) unless they're read as raw nanosecond longs; [[events]]
-    * then rebuilds a microsecond timestamp with exact integer division
-    * (`DIV`, not `/` — ns epochs exceed double's 53-bit mantissa).
+  /** Spark 4 rejects parquet TIMESTAMP(NANOS) columns unless they're
+    * read as raw nanosecond longs; harmless when no nanos column exists.
+    * [[events]] then rebuilds a microsecond timestamp with exact integer
+    * division (`DIV`, not `/` — ns epochs exceed double's 53-bit
+    * mantissa).
     */
   def ensureNanosCompat(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -41,9 +42,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (read as a
+    * nanosecond long under [[ensureNanosCompat]]) and as TIMESTAMP(MICROS)
+    * without UTC adjustment (read as TIMESTAMP_NTZ) across testdata
+    * generations — normalize whatever arrived to session-local
+    * TimestampType so every downstream query sees one shape. The session
+    * timezone is pinned to UTC everywhere (Bench/Verify/specs), which
+    * makes the NTZ→LTZ cast value-preserving.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

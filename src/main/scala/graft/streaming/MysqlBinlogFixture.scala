@@ -34,15 +34,34 @@ object MysqlBinlogFixture {
       Col.timestamp6("ts"), Col.varchar("event_type", 64),
       Col.double("value"), Col.varchar("props", 4096)))
 
+  /** Deterministic op assignment for the MIXED encode: a rare DELETE
+    * (MINIMAL row image — PK only, the `binlog_row_image=MINIMAL`
+    * production shape), a frequent UPDATE (before+after images, the
+    * double-bitmap decode path), else INSERT. A pure function of the
+    * row so a SQL oracle can replay the classification.
+    */
+  def mixedOp(eventId: Long): String =
+    if (eventId % 17 == 0) "delete"
+    else if (eventId % 3 == 1) "update"
+    else "insert"
+
   /** Encode the sf-dir `events` table into `nServers` binlog files under
     * a per-JVM scratch dir; returns the dir. Deterministic end-to-end:
     * hash partitioning on user_id fixes each row's file, the
     * within-partition sort fixes its position, and the writer's clock
     * comes from row timestamps — so reruns rewrite byte-identical logs.
+    *
+    * `mixed = true` renders each row as [[mixedOp]]'s WRITE/UPDATE/
+    * DELETE_ROWS instead of all-WRITE — the full CDC op surface on the
+    * wire. Because a user's rows live in ONE file (hash partition) in
+    * (ts, event_id) order, the decoded `seq` (byte position) is a
+    * per-user total order even for deletes, whose MINIMAL image carries
+    * no timestamp payload.
     */
   def encodeEvents(spark: SparkSession, sfDir: String,
-                   nServers: Int = 4): String = {
-    val dir = CoreOps.scratchDir("mysql_binlog", sfDir)
+                   nServers: Int = 4, mixed: Boolean = false): String = {
+    val dir = CoreOps.scratchDir(
+      if (mixed) "mysql_binlog_mixed" else "mysql_binlog", sfDir)
     // clear stale logs (e.g. from an older nServers value): a leftover
     // file would replay ghost events into every downstream read
     val d = new java.io.File(dir)
@@ -76,8 +95,40 @@ object MysqlBinlogFixture {
                 java.lang.Double.valueOf(r.getDouble(4)),
                 r.getString(5))
             }.toSeq
-            w.tableMap(td)
-            w.writeRows(td, images)
+            if (!mixed) {
+              w.tableMap(td)
+              w.writeRows(td, images)
+            } else {
+              // one statement (TABLE_MAP + rows event) per consecutive
+              // same-op run, preserving the log's row order exactly —
+              // MySQL's own layout for a multi-statement transaction
+              var run = List.empty[Array[AnyRef]]
+              var runOp = ""
+              def flushRun(): Unit = if (run.nonEmpty) {
+                val imgs = run.reverse
+                w.tableMap(td)
+                runOp match {
+                  case "insert" => w.writeRows(td, imgs)
+                  case "update" =>
+                    // before image: the same row with a sentinel value —
+                    // ReplacingMergeTree apply reads only the after image
+                    w.updateRows(td, imgs.map { a =>
+                      val b = a.clone()
+                      b(4) = java.lang.Double.valueOf(-1.0)
+                      (b, a)
+                    })
+                  case "delete" =>
+                    w.deleteRows(td, imgs, presentCols = Some(Set(0)))
+                }
+                run = Nil
+              }
+              images.foreach { img =>
+                val op = mixedOp(img(1).asInstanceOf[java.lang.Long])
+                if (op != runOp) { flushRun(); runOp = op }
+                run ::= img
+              }
+              flushRun()
+            }
             txn += 1
             w.xid(txn)
           }

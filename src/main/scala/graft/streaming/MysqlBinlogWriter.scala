@@ -294,6 +294,12 @@ object MysqlBinlogWriter {
     /** transaction fence (commit marker) */
     def xid(id: Long): Long = emit(XID_EVENT, new B().i8(id).bytes)
 
+    /** Make everything written so far visible to a concurrent reader —
+      * the live-server shape a streaming tail sees: the log grows in
+      * place while the source's `advance` admits only whole events.
+      */
+    def flush(): Unit = out.flush()
+
     /** ROTATE to a successor file (the last event of a closed log) */
     def rotate(nextFile: String, position: Long = 4L): Long =
       emit(ROTATE_EVENT, new B().i8(position).str(nextFile).bytes)

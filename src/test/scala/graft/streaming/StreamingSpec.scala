@@ -723,4 +723,41 @@ class StreamingSpec extends SparkSpec {
       assert(keys == Set(2L))
     } finally q.stop()
   }
+
+  test("streaming KS drift state merges to the one-pass corpus statistic") {
+    implicit val ctx = spark.sqlContext
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").orderBy("doc_id")
+      .as[SourcedDoc].collect()
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("ks_ingest_").toString
+    val input = MemoryStream[SourcedDoc]
+    val q = KsDriftIngest.start(input.toDF(), s"$dir/state", s"$dir/ckpt")
+    try {
+      chunks.foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+      // one histogram partial per micro-batch, each bounded by the
+      // corpus cell grid |sources|x|bins| — state is never corpus-scale
+      val state = spark.read.parquet(s"$dir/state")
+      assert(state.select("batch_id").distinct().count() == chunks.length)
+      val gridCells = KsDriftIngest
+        .cellCounts(graft.model.Tables.documents(spark, sf)).count()
+      assert(state.groupBy("batch_id").count()
+        .filter(col("count") > gridCells).count() == 0)
+      // mergeability: the drift read off summed partials equals the
+      // one-pass corpus KS (the registered st_ks_drift twin) exactly
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val streamed = KsDriftIngest.drift(spark, s"$dir/state")
+        .collect().map(key).toSet
+      val twin = KsDriftIngest.batchTwin(
+        graft.model.Tables.documents(spark, sf)).collect().map(key).toSet
+      assert(twin.nonEmpty, "fixture must have >=2 sources to compare")
+      assert(streamed == twin)
+    } finally q.stop()
+  }
 }
+
+/** Test-only row for the KS drift ingest (MemoryStream needs a product
+  * encoder carrying the histogram's source and value columns).
+  */
+final case class SourcedDoc(doc_id: Long, source: String, n_chars: Long)

@@ -311,6 +311,33 @@ object ExtQueries {
         |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
         | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""))),
 
+    // X1 PRODUCTION two-stage near-dup: MinHash-LSH band candidates →
+    // EXACT Jaccard verify on candidates only (DedupOps.nearDupPairs —
+    // the shape sim/DedupOps documents as the 100 TB path: the band
+    // equi-join replaces all-pairs, the inverted-index verify touches
+    // candidate pairs only). The twin replays BOTH stages: the portable
+    // minhash signature + OR-of-band-equality candidate predicate, then
+    // brute-force exact Jaccard on those candidates — so a pair appears
+    // iff it (a) collides on ≥1 of the 8 two-row bands and (b) verifies
+    // ≥ the threshold. Sits beside the single-stage estimate form
+    // (x_neardup_dedup) and the exact all-pairs form (x_ngram_jaccard).
+    Q("x_neardup_twostage",
+      (s, d) => DedupOps.nearDupPairs(Tables.documents(s, d), "text",
+        "doc_id", n = 3, k = 16, bands = 8, threshold = 0.5,
+        portable = true),
+      Some(minhashSigCte(16) +
+        s""", cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |   a.sh AS a_sh, b.sh AS b_sh FROM sig a JOIN sig b
+        |   ON a.doc_id < b.doc_id AND (${bandPred(16, 8)}))
+        | SELECT a_id, b_id,
+        |  CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE) /
+        |   (len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))) AS jaccard
+        | FROM cand
+        | WHERE len(list_intersect(a_sh, b_sh)) > 0
+        |  AND CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE) /
+        |   (len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh))) >= 0.5
+        | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""))),
+
     // X1 directed shingle containment (the asymmetric near-dup
     // detector: a mostly-inside-b pairs that Jaccard misses when b is
     // much longer). Inverted-index candidates as in x_ngram_jaccard;

@@ -24,6 +24,25 @@ class SimSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall below 0.9 (found ${approx.size}/${exact.size})")
   }
 
+  test("registered two-stage form (portable, k=16): exact-verified candidates") {
+    // pins the x_neardup_twostage query's semantics: its pairs are
+    // exactly the exact-Jaccard-qualifying pairs that survive the band
+    // join — a subset of the all-pairs exact result with full precision
+    // (the verify stage recomputes true jaccard), and on this fixture
+    // the 8 two-row bands lose none of the seeded high-jaccard dups
+    val docs = Tables.documents(spark, sf)
+    val exact = DedupOps.jaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val two = DedupOps.nearDupPairs(docs, "text", "doc_id", 3, 16, 8, 0.5,
+      portable = true)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(two.subsetOf(exact), "two-stage pairs must verify exactly")
+    assert(two == exact,
+      s"banding dropped ${exact.size - two.size} of ${exact.size} " +
+        "fixture pairs — recall regression on the seeded dups")
+  }
+
   test("identical texts collide on every minhash component") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "totally different words here now")).toDF("doc_id", "text")

@@ -71,10 +71,21 @@ object PageRank {
     def bcast(df: DataFrame): DataFrame =
       if (n <= BroadcastMaxNodes) broadcast(df) else df
 
-    nodes.select(col("id"), col("deg"), lit(Scale / n).as("rank"))
-      .write.mode("overwrite").parquet(s"$dir/r0")
+    // Rank tables are |V| rows of 3 longs — file count scales with the
+    // graph (1 file per ~2M nodes, so sf0.1's 20k-node table is ONE
+    // file, a 1000-executor graph still writes hundreds): the dominant
+    // per-iteration cost at small |V| is file open/commit/schedule
+    // overhead of shuffle-partition-many tiny files, not bytes. The
+    // coalesce collapses only the post-shuffle (or post-broadcast-join)
+    // write stage — the contribution sum underneath keeps full
+    // parallelism.
+    val rankFiles = math.max(1L, math.min(256L, n / 2000000L)).toInt
+    // r0 is nodes + a CONSTANT rank column — computed lazily into
+    // iteration 1's join rather than written and re-read as its own
+    // parquet round trip
+    val rank0 = nodes.select(col("id"), col("deg"), lit(Scale / n).as("rank"))
     for (i <- 1 to iters) {
-      val r = spark.read.parquet(s"$dir/r${i - 1}")
+      val r = if (i == 1) rank0 else spark.read.parquet(s"$dir/r${i - 1}")
       val contrib = e
         .join(bcast(r.filter(col("deg").isNotNull)
           .withColumnRenamed("id", "src")), "src")
@@ -85,13 +96,14 @@ object PageRank {
         .select(col("id"), col("deg"),
           (lit(Scale * 150L / 1000L / n) +
             expr("(850 * coalesce(s, 0L)) div 1000")).as("rank"))
+        .coalesce(rankFiles)
         .write.mode("overwrite").parquet(s"$dir/r$i")
     }
     // intermediates are dead once r$iters exists; the final table must
     // outlive the call (the returned frame reads it lazily)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (0 until iters).foreach(i =>
+    (1 until iters).foreach(i =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/r$i"), true))
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/edges"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/nodes"), true)

@@ -102,6 +102,8 @@ class PlanShapeSpec extends SparkSpec {
       "x_ks_drift",         // sources × distinct-lengths CDF grid: BOTH
                             // sides are post-aggregation outputs (never
                             // corpus-scale), the dense grid IS the algorithm
+      "st_ks_drift",        // same CDF grid read off the streamed
+                            // histogram state (KsDriftIngest.ksPairs)
       "x_daily_drift")      // days × value-buckets CDF grid — same shape
     // iterative/eager queries run real jobs just to build their plan —
     // their join shapes are asserted in their own suites

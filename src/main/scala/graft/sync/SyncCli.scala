@@ -25,6 +25,11 @@ import scala.util.matching.Regex
   *     ([[graft.streaming.CdcPipeline.startFromBinlogJdbc]]), running
   *     until terminated. Requires `--binlog`; `--cdc_table` names the
   *     destination change-state table (default `cdc_state`).
+  *   - `drift-gate`: `snapshot-then-stream` with the statistical guard
+  *     composed in ([[runDriftGate]]): per-micro-batch KS drift of
+  *     `--drift_table`.`--drift_column` against the snapshot baseline
+  *     plus Count-Min hot-key stats, each batch's gate decision written
+  *     beside the checkpoint.
   */
 object SyncCli {
 
@@ -37,7 +42,17 @@ object SyncCli {
       checkpointDir: String,
       sync: SyncJob.SyncConfig,
       binlog: Option[String],
-      cdcTable: String)
+      cdcTable: String,
+      drift: Option[DriftGateConfig] = None)
+
+  /** `drift-gate` verb knobs: which source table/column the KS gate
+    * watches, and the statistic threshold that flips a batch's gate
+    * decision to blocked.
+    */
+  final case class DriftGateConfig(
+      table: String,
+      column: String,
+      threshold: Double)
 
   private val mysqlKeys = Seq("mysql_host", "mysql_port", "mysql_user",
     "mysql_password", "mysql_db")
@@ -47,7 +62,7 @@ object SyncCli {
   /** argv → config. `--flag value` pairs only (the reference's argparse
     * shape); unknown flags and dangling values are errors, not warnings.
     */
-  val Verbs = Set("sync", "snapshot-then-stream")
+  val Verbs = Set("sync", "snapshot-then-stream", "drift-gate")
 
   def parse(rawArgs: Array[String]): Either[String, CliConfig] = {
     val (verb, args) = rawArgs.headOption match {
@@ -59,7 +74,8 @@ object SyncCli {
     }
     val known = (mysqlKeys ++ chKeys ++ Seq("batch_size", "max_workers",
       "include_tables", "exclude_tables", "src_url", "dst_url",
-      "checkpoint_dir", "binlog", "cdc_table")).toSet
+      "checkpoint_dir", "binlog", "cdc_table",
+      "drift_table", "drift_column", "drift_threshold")).toSet
     val kv = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     while (i < args.length) {
@@ -105,13 +121,25 @@ object SyncCli {
       dstProps.setProperty("password", kv("clickhouse_password"))
       s"jdbc:clickhouse://${kv("clickhouse_host")}:${kv("clickhouse_port")}/${kv("clickhouse_database")}"
     }
-    if (verb == "snapshot-then-stream" && !kv.contains("binlog"))
-      return Left("snapshot-then-stream requires --binlog PATH")
+    if (verb != "sync" && !kv.contains("binlog"))
+      return Left(s"$verb requires --binlog PATH")
+    val drift: Either[String, Option[DriftGateConfig]] =
+      if (verb != "drift-gate") Right(None)
+      else (kv.get("drift_table"), kv.get("drift_column")) match {
+        case (Some(t), Some(c)) =>
+          val raw = kv.getOrElse("drift_threshold", "0.2")
+          raw.toDoubleOption.filter(x => x > 0 && x <= 1.0)
+            .toRight(s"--drift_threshold must be in (0, 1], got '$raw'")
+            .map(th => Some(DriftGateConfig(t, c, th)))
+        case _ =>
+          Left("drift-gate requires --drift_table T and --drift_column C")
+      }
     for {
       batch <- longOf("batch_size", 1000L)
       workers <- longOf("max_workers", 10L)
       include <- regexOf("include_tables")
       exclude <- regexOf("exclude_tables")
+      dg <- drift
     } yield CliConfig(verb, srcUrl, dstUrl, srcProps, dstProps,
       kv.getOrElse("checkpoint_dir", "."),
       SyncJob.SyncConfig(
@@ -120,7 +148,8 @@ object SyncCli {
         batchSize = batch,
         maxWorkers = workers.toInt),
       kv.get("binlog"),
-      kv.getOrElse("cdc_table", "cdc_state"))
+      kv.getOrElse("cdc_table", "cdc_state"),
+      dg)
   }
 
   /** Run one full sync from a parsed config (separate from `main` so
@@ -152,6 +181,92 @@ object SyncCli {
       checkpointDir = s"${c.checkpointDir}/cdc_checkpoint")
   }
 
+  /** The `drift-gate` verb: [[runSnapshotThenStream]]'s lifecycle with a
+    * statistical guard composed in — the minimal production hardening of
+    * the reference's blind re-copy loop (mysql_to_clickhouse_sync.py's
+    * sync copies whatever arrives; this flags when what arrives stops
+    * looking like what was snapshotted).
+    *
+    * At snapshot time the monitored column's binned histogram is read
+    * from the SOURCE and written once as the baseline. Then each CDC
+    * micro-batch, inside the same foreachBatch that applies the upserts:
+    *   - a `(source='stream', bkt, c)` histogram partial of the batch's
+    *     non-delete images lands in its own `batch_id=N` partition
+    *     (dynamic overwrite — an at-least-once replay rebuilds exactly
+    *     its own directory), the [[graft.streaming.KsDriftIngest]]
+    *     mergeable-state shape;
+    *   - a Count-Min partial over the batch's KEYS lands the same way —
+    *     the hot-key write-skew stats a capacity planner reads;
+    *   - the two-sample KS statistic between the baseline and the
+    *     merged stream histogram (exact integer numerator, as
+    *     everywhere) is appended to `drift/gate` as the batch's gate
+    *     decision row: `(batch_id, n_base, n_stream, ks, gated)`.
+    * The gate RECORDS rather than kills: per-batch decisions are
+    * idempotent state a supervising deployment polls to pause apply —
+    * killing the query from inside its own foreachBatch would lose the
+    * batch's already-committed upsert. State scale: histograms are
+    * ≤ |bins| rows per batch, sketches ≤ 256, gate rows 1 — never
+    * event-scale.
+    */
+  def runDriftGate(spark: SparkSession,
+                   c: CliConfig): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val dg = c.drift.get
+    runWith(spark, c)
+    val driftDir = s"${c.checkpointDir}/drift"
+    JdbcSource.read(spark, c.srcUrl, dg.table, c.srcProps)
+      .select(col(dg.column).cast("long").as("bkt"))
+      .groupBy("bkt").agg(count(lit(1)).as("c"))
+      .select(lit("baseline").as("source"), col("bkt"), col("c"))
+      .write.mode("overwrite").parquet(s"$driftDir/baseline")
+    spark.readStream
+      .format(classOf[graft.streaming.BinlogSourceProvider].getName)
+      .option("path", c.binlog.get)
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"${c.checkpointDir}/cdc_checkpoint")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.streaming.CdcPipeline.applyBatchJdbc(
+          batch, c.dstUrl, c.cdcTable, c.dstProps)
+        val watched = batch.filter(col("table") === dg.table)
+        watched
+          .filter(col("op") =!= graft.streaming.ChangeEvent.Delete)
+          .select(get_json_object(col("payload"), s"$$.${dg.column}")
+            .cast("long").as("bkt"))
+          .filter(col("bkt").isNotNull)
+          .groupBy("bkt").agg(count(lit(1)).as("c"))
+          .select(lit("stream").as("source"), col("bkt"), col("c"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$driftDir/hist")
+        graft.streaming.CmSketchIngest.cellCounts(
+            watched.select(col("key").cast("string").as("w")), "w")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$driftDir/sketch")
+        // explicit schema: a batch with no watched rows writes an
+        // empty partition-less dir, which schema inference would refuse
+        val union = spark.read.parquet(s"$driftDir/baseline")
+          .unionByName(spark.read
+            .schema("source STRING, bkt BIGINT, c BIGINT, batch_id BIGINT")
+            .parquet(s"$driftDir/hist")
+            .select("source", "bkt", "c"))
+        val gate = graft.streaming.KsDriftIngest.ksPairs(union)
+          .select(lit(batchId).as("batch_id"),
+            col("n_a").as("n_base"), col("n_b").as("n_stream"),
+            (col("ks_num").cast("double") /
+              (col("n_a").cast("double") * col("n_b"))).as("ks"))
+          .withColumn("gated", col("ks") > dg.threshold)
+        gate.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$driftDir/gate")
+        ()
+      }
+      .start()
+  }
+
   def main(args: Array[String]): Unit = parse(args) match {
     case Left(err) =>
       System.err.println(s"error: $err")
@@ -163,7 +278,8 @@ object SyncCli {
         "[--batch_size 1000] [--max_workers 10] " +
         "[--include_tables RE] [--exclude_tables RE] " +
         "[--src_url JDBC] [--dst_url JDBC] [--checkpoint_dir DIR] " +
-        "[--binlog PATH] [--cdc_table cdc_state]")
+        "[--binlog PATH] [--cdc_table cdc_state] " +
+        "[--drift_table T --drift_column C [--drift_threshold 0.2]]")
       sys.exit(2)
     case Right(cfg) =>
       val spark = SparkSession.builder()
@@ -172,9 +288,13 @@ object SyncCli {
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
       try {
-        if (cfg.verb == "snapshot-then-stream")
-          runSnapshotThenStream(spark, cfg).awaitTermination()
-        else runWith(spark, cfg)
+        cfg.verb match {
+          case "snapshot-then-stream" =>
+            runSnapshotThenStream(spark, cfg).awaitTermination()
+          case "drift-gate" =>
+            runDriftGate(spark, cfg).awaitTermination()
+          case _ => runWith(spark, cfg)
+        }
       } finally spark.stop()
   }
 }

@@ -315,6 +315,81 @@ class JdbcSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drift-gate verb: snapshot + CDC upserts + per-batch KS gate and key sketch") {
+    seeded
+    import graft.streaming.{BinlogSource, ChangeEvent}
+    val base = java.nio.file.Files.createTempDirectory("graft_dg_").toString
+    val log = s"$base/changes.binlog"
+    val dstDir = java.nio.file.Files
+      .createTempDirectory("graft_derby_dg_dst_").toString + "/db"
+    val dstUrl = s"jdbc:derby:$dstDir;create=true"
+    locally {
+      val conn = DriverManager.getConnection(dstUrl)
+      try conn.createStatement().execute(
+        "CREATE TABLE cdc_state (tbl VARCHAR(64) NOT NULL, k BIGINT NOT NULL, " +
+          "ts TIMESTAMP, seq BIGINT, payload VARCHAR(1024), PRIMARY KEY (tbl, k))")
+      finally conn.close()
+    }
+    def ev(key: Long, seq: Long, amount: Long) = ChangeEvent("insert",
+      "src_orders", key, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+      seq, s"""{"name":"o$key","amount":$amount}""")
+
+    // missing drift flags / bad threshold are parse errors
+    assert(SyncCli.parse(Array("drift-gate", "--src_url", url,
+      "--dst_url", dstUrl, "--binlog", log)).isLeft)
+    assert(SyncCli.parse(Array("drift-gate", "--src_url", url,
+      "--dst_url", dstUrl, "--binlog", log, "--drift_table", "t",
+      "--drift_column", "c", "--drift_threshold", "7")).isLeft)
+    val Right(cli) = SyncCli.parse(Array("drift-gate",
+      "--src_url", url, "--dst_url", dstUrl,
+      "--include_tables", "(?i)^src_orders$",
+      "--checkpoint_dir", s"$base/ckpt", "--binlog", log,
+      "--drift_table", "src_orders", "--drift_column", "amount",
+      "--drift_threshold", "0.3")): @unchecked
+    assert(cli.drift.contains(SyncCli.DriftGateConfig("src_orders", "amount", 0.3)))
+    cli.srcProps.putAll(props); cli.dstProps.putAll(props)
+
+    // batch 0: amounts spread like the snapshot (i*1.25 over 0..499) —
+    // the gate must stay open
+    BinlogSource.append(log, (0 until 6).map(i =>
+      ev(2000L + i, i + 1L, 100L * (i + 1))))
+    val q = SyncCli.runDriftGate(spark, cli)
+    try {
+      // phase 1: snapshot copied, baseline histogram written once
+      assert(JdbcSource.read(spark, dstUrl, "SRC_ORDERS", props).count() == 500L)
+      val baseline = spark.read.parquet(s"$base/ckpt/drift/baseline")
+      assert(baseline.agg(sum("c")).head().getLong(0) == 500L)
+      q.processAllAvailable()
+      // partition-dir inference types batch_id as int — normalize
+      def gate(): Map[Long, (Boolean, Double)] =
+        spark.read.parquet(s"$base/ckpt/drift/gate").collect()
+          .map(r => r.getAs[Number]("batch_id").longValue() ->
+            (r.getAs[Boolean]("gated"), r.getAs[Double]("ks"))).toMap
+      val g0 = gate()
+      assert(g0.nonEmpty && !g0.values.exists(_._1),
+        s"spread batch must not trip the gate: $g0")
+      // upserts still applied by the same foreachBatch
+      assert(JdbcSource.read(spark, dstUrl, "cdc_state", props).count() == 6L)
+
+      // batch 1: every change at one value — merged stream CDF collapses
+      // and the KS decision flips for the new batch only
+      BinlogSource.append(log, (0 until 10).map(i =>
+        ev(3000L + i, 100L + i, 5L)))
+      q.processAllAvailable()
+      val g1 = gate()
+      val lastBatch = g1.keys.max
+      assert(g1(lastBatch)._1,
+        s"skewed batch must trip the gate: $g1")
+      assert(g1.keys.size >= 2 && !g1(g1.keys.min)._1,
+        "earlier batches' decisions are immutable state")
+      // hot-key sketch partials: bounded cells per batch, never row-scale
+      val sketch = spark.read.parquet(s"$base/ckpt/drift/sketch")
+      assert(sketch.groupBy("batch_id").count()
+        .filter(col("count") > 256).count() == 0)
+      assert(JdbcSource.read(spark, dstUrl, "cdc_state", props).count() == 16L)
+    } finally q.stop()
+  }
+
   test("incremental resume copies only rows above the recorded high-water mark") {
     seeded
     // dedicated source table: this test grows it after the snapshot, so

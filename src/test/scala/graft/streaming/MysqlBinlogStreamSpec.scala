@@ -95,4 +95,56 @@ class MysqlBinlogStreamSpec extends SparkSpec {
       assert(after.select("seq").distinct().count() == after.count())
     } finally { q2.stop(); w.close() }
   }
+
+  test("binary wire to ReplacingMergeTree state through CdcPipeline") {
+    // the north-star seam end to end in STREAMING mode: a real-format
+    // binlog tailed by the micro-batch source, applied per batch to the
+    // bucketed CDC state table — insert, update (after image wins),
+    // delete (tombstone suppresses the key)
+    val base = Files.createTempDirectory("graft_binlog_cdc_").toString
+    val log = s"$base/server_0.binlog"
+    val stateDir = s"$base/state"
+    val w = new Writer(log, serverId = 1L)
+    w.setClock(1700000000L)
+    w.begin()
+    w.tableMap(td); w.writeRows(td, Seq(img(1L, "a"), img(2L, "b"), img(3L, "c")))
+    w.xid(1L)
+    w.tableMap(td); w.updateRows(td, Seq((img(2L, "b"), img(2L, "b2")))); w.xid(2L)
+    w.tableMap(td)
+    w.deleteRows(td, Seq(img(3L, null)), presentCols = Some(Set(0))); w.xid(3L)
+    w.flush()
+    val q = spark.readStream
+      .format(classOf[MysqlBinlogSourceProvider].getName)
+      .option("path", log)
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        CdcPipeline.applyBatch(spark, batch, stateDir)
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val state = CdcPipeline.currentState(spark, stateDir)
+        .select("key", "payload").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(state == Map(
+        1L -> """{"k":1,"v":"a"}""",
+        2L -> """{"k":2,"v":"b2"}"""))
+      // a LATE-arriving insert of key 3 whose server timestamp predates
+      // the tombstone must not resurrect it (the binlog header clock is
+      // the version column — commutativity held from the wire in), while
+      // the normally-clocked key 4 lands
+      w.setClock(1699999999L)
+      w.tableMap(td); w.writeRows(td, Seq(img(3L, "stale"))); w.xid(4L)
+      w.setClock(1700000300L)
+      w.tableMap(td); w.writeRows(td, Seq(img(4L, "d"))); w.xid(5L)
+      w.flush()
+      q.processAllAvailable()
+      val keys = CdcPipeline.currentState(spark, stateDir)
+        .select("key").collect().map(_.getLong(0)).toSet
+      assert(keys == Set(1L, 2L, 4L))
+    } finally { q.stop(); w.close() }
+  }
 }

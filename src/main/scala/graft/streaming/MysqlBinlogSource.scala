@@ -24,12 +24,15 @@ import scala.jdk.CollectionConverters._
   *     source server, so the file is the parallelism unit (many
   *     servers → many files → many partitions), exactly the sharding a
   *     100 TB multi-source deployment has.
-  *   - MICRO_BATCH: `path` is one growing file; the streaming offset is
-  *     the BYTE position of an event boundary — the same coordinate the
-  *     reference snapshots from SHOW MASTER STATUS. `latestOffset`
-  *     admits only whole events, never splits a TABLE_MAP from the rows
-  *     events it describes, and re-reads nothing: each trigger costs
-  *     O(newly appended bytes).
+  *   - MICRO_BATCH: `path` is the head of a growing log CHAIN; the
+  *     streaming offset is `(file, byte position of an event boundary)`
+  *     — the same (File, Position) coordinate pair the reference
+  *     snapshots from SHOW MASTER STATUS. `latestOffset` admits only
+  *     whole events, never splits a TABLE_MAP from the rows events it
+  *     describes, re-reads nothing (each trigger costs O(newly appended
+  *     bytes)), and FOLLOWS ROTATION: when a file is drained and closed
+  *     by a ROTATE event, the tail moves to the successor file exactly
+  *     as a replication client does.
   *
   * Output schema = the engine's ChangeEvent shape plus `src` (the
   * originating file, the "server id" at the file level): op, table,
@@ -86,10 +89,18 @@ object MysqlBinlogSource {
     * self-decoding (MySQL guarantees a TABLE_MAP immediately precedes
     * the rows events it describes). A partial trailing event (writer
     * mid-append) is never admitted.
+    *
+    * Returns `(safeByte, rotateTarget)`: when the scan drains the file
+    * to EOF and the LAST event is a ROTATE (a closed log's final event —
+    * the server moved on), `rotateTarget` carries the successor file
+    * resolved against this file's directory, and the stream's next
+    * trigger starts there. A rotate whose successor does not exist yet
+    * keeps the offset parked at this file's end — the tail simply
+    * retries until the server creates it.
     */
   private[streaming] def advance(path: String, startByte: Long,
-                                 maxEvents: Long): Long = {
-    if (!Files.exists(Paths.get(path))) return startByte
+                                 maxEvents: Long): (Long, Option[String]) = {
+    if (!Files.exists(Paths.get(path))) return (startByte, None)
     val size = Files.size(Paths.get(path))
     val ch = java.nio.channels.FileChannel.open(
       Paths.get(path), java.nio.file.StandardOpenOption.READ)
@@ -97,6 +108,9 @@ object MysqlBinlogSource {
       var pos = math.max(startByte, 4L)
       var safe = pos
       var rowEvents = 0L
+      var lastType = -1
+      var lastStart = -1L
+      var lastSize = 0
       val hdr = java.nio.ByteBuffer.allocate(MysqlBinlog.CommonHeaderLen)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       while (pos + MysqlBinlog.CommonHeaderLen <= size && rowEvents < maxEvents) {
@@ -104,13 +118,14 @@ object MysqlBinlogSource {
         var off = pos
         while (hdr.hasRemaining) {
           val n = ch.read(hdr, off)
-          if (n < 0) return safe
+          if (n < 0) return (safe, None)
           off += n
         }
         val eventType = hdr.get(4) & 0xff
         val eventSize = hdr.getInt(9)
         if (eventSize < MysqlBinlog.CommonHeaderLen || pos + eventSize > size)
-          return safe // partial or corrupt tail: stop at last safe boundary
+          return (safe, None) // partial/corrupt tail: stop at last boundary
+        lastType = eventType; lastStart = pos; lastSize = eventSize
         pos += eventSize
         if (eventType == MysqlBinlog.WRITE_ROWS_EVENT ||
             eventType == MysqlBinlog.UPDATE_ROWS_EVENT ||
@@ -118,8 +133,80 @@ object MysqlBinlogSource {
         // a boundary directly after TABLE_MAP would orphan its rows
         if (eventType != MysqlBinlog.TABLE_MAP_EVENT) safe = pos
       }
-      safe
+      val rotate =
+        if (safe != size) None
+        else if (lastType == MysqlBinlog.ROTATE_EVENT)
+          rotateSuccessor(ch, path, lastStart, lastSize)
+        else if (startByte >= size)
+          // parked at the EOF of a (possibly) closed log: an earlier
+          // trigger consumed the ROTATE while its successor didn't
+          // exist yet, so re-find the trailing event by header scan —
+          // the probe only runs on no-progress triggers
+          scanTrailingRotate(ch, path, size)
+        else None
+      (safe, rotate)
     } finally ch.close()
+  }
+
+  /** Header-scan the whole file to find whether its FINAL whole event is
+    * a ROTATE ending exactly at `size`; if so resolve its successor.
+    * Used by [[advance]] when the offset is already parked at EOF.
+    */
+  private def scanTrailingRotate(ch: java.nio.channels.FileChannel,
+                                 path: String, size: Long): Option[String] = {
+    var pos = 4L
+    var lastType = -1
+    var lastStart = -1L
+    var lastSize = 0
+    val hdr = java.nio.ByteBuffer.allocate(MysqlBinlog.CommonHeaderLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    while (pos + MysqlBinlog.CommonHeaderLen <= size) {
+      hdr.clear()
+      var off = pos
+      while (hdr.hasRemaining) {
+        val n = ch.read(hdr, off)
+        if (n < 0) return None
+        off += n
+      }
+      val eventType = hdr.get(4) & 0xff
+      val eventSize = hdr.getInt(9)
+      if (eventSize < MysqlBinlog.CommonHeaderLen || pos + eventSize > size)
+        return None
+      lastType = eventType; lastStart = pos; lastSize = eventSize
+      pos += eventSize
+    }
+    if (pos == size && lastType == MysqlBinlog.ROTATE_EVENT)
+      rotateSuccessor(ch, path, lastStart, lastSize)
+    else None
+  }
+
+  /** Decode a ROTATE event's successor name (post-header: 8-byte
+    * position, then the file name, minus the CRC32 trailer when the
+    * log's FDE declares checksums) and resolve it beside `path`. A
+    * successor that does not exist yet yields None — see [[advance]].
+    */
+  private def rotateSuccessor(ch: java.nio.channels.FileChannel,
+                              path: String, start: Long,
+                              size: Int): Option[String] = {
+    val bytes = new Array[Byte](size)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var off = start
+    while (bb.hasRemaining) {
+      val n = ch.read(bb, off)
+      if (n < 0) return None
+      off += n
+    }
+    val checksummed =
+      MysqlBinlog.readFde(path).checksumAlg == MysqlBinlog.ChecksumCrc32
+    val nameFrom = MysqlBinlog.CommonHeaderLen + 8
+    val nameTo = size - (if (checksummed) 4 else 0)
+    if (nameTo <= nameFrom) return None
+    val name = new String(bytes, nameFrom, nameTo - nameFrom,
+      java.nio.charset.StandardCharsets.UTF_8)
+    val parent = Paths.get(path).getParent
+    val next = (if (parent == null) Paths.get(name)
+                else parent.resolve(name)).toString
+    if (Files.exists(Paths.get(next))) Some(next) else None
   }
 }
 
@@ -168,9 +255,12 @@ class MysqlBinlogBatch(path: String) extends Batch {
     }
 }
 
-// -- micro-batch: byte offsets over one growing file -------------------
-case class MysqlBinlogOffset(bytes: Long) extends Offset {
-  override def json(): String = s"""{"format":"mysql-binlog","bytes":$bytes}"""
+// -- micro-batch: (file, byte) offsets over a growing log chain --------
+case class MysqlBinlogOffset(file: String, bytes: Long) extends Offset {
+  override def json(): String = {
+    val f = file.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"format":"mysql-binlog","file":"$f","bytes":$bytes}"""
+  }
 }
 
 case class MysqlBinlogRange(file: String, startByte: Long, endByte: Long)
@@ -184,14 +274,32 @@ class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long)
   /** 4 = directly after the magic: the first admitted range starts at
     * the FORMAT_DESCRIPTION event, which the parser requires anyway.
     */
-  override def initialOffset(): Offset = MysqlBinlogOffset(4L)
+  override def initialOffset(): Offset = MysqlBinlogOffset(path, 4L)
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    MysqlBinlogOffset(MysqlBinlogSource.advance(path,
-      start.asInstanceOf[MysqlBinlogOffset].bytes, maxEventsPerTrigger))
+  /** Advance within the offset's CURRENT file; when the file is drained
+    * and closed by a ROTATE whose successor exists, the returned offset
+    * jumps to `(successor, 4)` — the tail follows the server across log
+    * rotation exactly as a replication client does, one file per
+    * trigger. The rotated-away tail bytes stay billed to this trigger's
+    * range ([[planInputPartitions]] reads start.file to its stable
+    * closed-file end).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[MysqlBinlogOffset]
+    val (safe, rotate) =
+      MysqlBinlogSource.advance(s.file, s.bytes, maxEventsPerTrigger)
+    rotate match {
+      case Some(next) => MysqlBinlogOffset(next, 4L)
+      case None       => MysqlBinlogOffset(s.file, safe)
+    }
+  }
 
+  /** Informational only (progress reporting): the size of the
+    * CONFIGURED head file — after rotation the true backlog also spans
+    * successors, which the committed offsets track precisely.
+    */
   override def reportLatestOffset(): Offset =
-    MysqlBinlogOffset(
+    MysqlBinlogOffset(path,
       if (Files.exists(Paths.get(path))) Files.size(Paths.get(path)) else 4L)
 
   override def latestOffset(): Offset =
@@ -203,19 +311,33 @@ class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long)
       throw new IllegalStateException(
         s"incompatible checkpoint offset for mysql-binlog source: $json — " +
           "delete the checkpoint dir to restart from the log head")
-    MysqlBinlogOffset(
-      """"bytes":(\d+)""".r.findFirstMatchIn(json)
-        .map(_.group(1).toLong).getOrElse(4L))
+    val bytes = """"bytes":(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(4L)
+    // pre-rotation checkpoints carry no file field: they mean the
+    // configured head file
+    val file = """"file":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .getOrElse(path)
+    MysqlBinlogOffset(file, bytes)
   }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[MysqlBinlogOffset].bytes
-    val e = end.asInstanceOf[MysqlBinlogOffset].bytes
-    if (e <= s) Array.empty
-    else Array(MysqlBinlogRange(path, s, e))
+    val s = start.asInstanceOf[MysqlBinlogOffset]
+    val e = end.asInstanceOf[MysqlBinlogOffset]
+    if (s.file == e.file) {
+      if (e.bytes <= s.bytes) Array.empty
+      else Array(MysqlBinlogRange(s.file, s.bytes, e.bytes))
+    } else {
+      // rotation boundary: the range is the remaining tail of the
+      // closed predecessor (its size is stable — the server moved on);
+      // the successor's bytes start accruing next trigger from e.bytes=4
+      val tail = Files.size(Paths.get(s.file))
+      if (tail <= s.bytes) Array.empty
+      else Array(MysqlBinlogRange(s.file, s.bytes, tail))
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -309,7 +309,7 @@ class MysqlBinlogSpec extends AnyFunSuite {
     var seen = Vector.empty[Long]
     var guard = 0
     while (off < bytes.length && guard < 100) {
-      val next = MysqlBinlogSource.advance(path, off, maxEvents = 1L)
+      val (next, _) = MysqlBinlogSource.advance(path, off, maxEvents = 1L)
       assert(next > off, s"advance must make progress from $off")
       assert(all.exists(_.header.nextPos == next),
         s"boundary $next must be a real event end")
@@ -329,7 +329,7 @@ class MysqlBinlogSpec extends AnyFunSuite {
     // a partial tail is never admitted
     val cut = Files.createTempFile("graft_binlog_cut_", ".binlog")
     Files.write(cut, java.util.Arrays.copyOf(bytes, bytes.length - 3))
-    val lastWhole = MysqlBinlogSource.advance(cut.toString, 4L, Long.MaxValue)
+    val (lastWhole, _) = MysqlBinlogSource.advance(cut.toString, 4L, Long.MaxValue)
     assert(lastWhole == parse(java.util.Arrays.copyOf(bytes, bytes.length - 3))
       .last.header.nextPos)
   }

@@ -96,6 +96,65 @@ class MysqlBinlogStreamSpec extends SparkSpec {
     } finally { q2.stop(); w.close() }
   }
 
+  test("tail follows ROTATE into the successor log, exactly once, across restart") {
+    val base = Files.createTempDirectory("graft_binlog_rotate_").toString
+    val log1 = s"$base/bin.000001"; val log2 = s"$base/bin.000002"
+    val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val w1 = new Writer(log1, serverId = 1L)
+    w1.setClock(1700000000L)
+    w1.begin()
+    w1.tableMap(td); w1.writeRows(td, Seq(img(1L, "a"), img(2L, "b"))); w1.xid(1L)
+    // server closes the log: ROTATE is its final event — but the
+    // successor does not exist yet, so the tail must park at EOF
+    w1.rotate("bin.000002")
+    w1.flush()
+    def startQuery() = spark.readStream
+      .format(classOf[MysqlBinlogSourceProvider].getName)
+      .option("path", log1)
+      .option("maxEventsPerTrigger", "1")
+      .load()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).start()
+    val q = startQuery()
+    var w2: Writer = null
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() == 2L,
+        "predecessor rows drain while the successor is still absent")
+      // successor appears (its own magic + FDE, fresh byte positions)
+      w2 = new Writer(log2, serverId = 1L)
+      w2.setClock(1700000100L)
+      w2.begin()
+      w2.tableMap(td); w2.writeRows(td, Seq(img(3L, "c"))); w2.xid(1L)
+      w2.flush()
+      q.processAllAvailable()
+      val rows = spark.read.parquet(outDir)
+        .select("key", "src").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((1L, "bin.000001"), (2L, "bin.000001"),
+        (3L, "bin.000002")),
+        s"rotation must hand the tail to the successor, got $rows")
+    } finally q.stop()
+    // restart from checkpoint: the committed offset names the successor
+    // file — nothing before it is re-read, and the still-live writer's
+    // appends there keep flowing
+    val before = spark.read.parquet(outDir).count()
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() == before,
+        "restart across a rotation must re-read nothing")
+      w2.setClock(1700000200L)
+      w2.tableMap(td); w2.writeRows(td, Seq(img(4L, "d"))); w2.xid(2L)
+      w2.flush()
+      q2.processAllAvailable()
+      val after = spark.read.parquet(outDir)
+      assert(after.count() == before + 1)
+      assert(after.filter(col("key") === 4L).select("src").head().getString(0)
+        == "bin.000002")
+    } finally { q2.stop(); w2.close() }
+  }
+
   test("binary wire to ReplacingMergeTree state through CdcPipeline") {
     // the north-star seam end to end in STREAMING mode: a real-format
     // binlog tailed by the micro-batch source, applied per batch to the

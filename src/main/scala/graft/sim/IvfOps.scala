@@ -26,14 +26,35 @@ object IvfOps {
       .select("embedding").collect()
       .flatMap(_.getSeq[Float](0).map(_.toDouble))
 
+  /** PRODUCTION centroid seed: the `c` vectors with the smallest
+    * md5-derived hash of their id — a uniform pseudo-random sample of
+    * the corpus that is still fully deterministic and
+    * partitioning-independent (same ids win on any cluster layout,
+    * plans as top-c per-partition heaps, never a shuffle of the
+    * corpus). The first-`c`-by-id seed above stays for the
+    * oracle-replayable registered queries, but at real scale ids
+    * correlate with ingestion order (one day, one source), and seeding
+    * all centroids from one corner of the corpus starves k-means;
+    * hashing breaks that correlation with no randomness to reproduce.
+    * Swap in via `knnIvf(..., centroidsFlat = Some(hashSampleCentroids(...)))`
+    * or as the [[kmeansCentroids]] start.
+    */
+  def hashSampleCentroids(candidates: DataFrame, c: Int): Array[Double] =
+    candidates
+      .withColumn("h", Kernels.md5_48Col(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(c)
+      .select("embedding").collect()
+      .flatMap(_.getSeq[Float](0).map(_.toDouble))
+
   /** Lloyd-refined centroids: start from the deterministic sample, then
     * `iters` rounds of assign (kernel nearest-centroid, distributed) →
     * recenter (per-cluster per-dimension mean; only c×dim scalars ever
     * reach the driver). Clusters that lose all members keep their
     * previous centroid.
     */
-  def kmeansCentroids(candidates: DataFrame, c: Int, iters: Int = 5): Array[Double] = {
-    var cents = centroids(candidates, c)
+  def kmeansCentroids(candidates: DataFrame, c: Int, iters: Int = 5,
+                      init: Option[Array[Double]] = None): Array[Double] = {
+    var cents = init.getOrElse(centroids(candidates, c))
     val dim = cents.length / c
     for (_ <- 0 until iters) {
       val flat = lit(cents)

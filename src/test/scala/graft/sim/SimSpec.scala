@@ -207,6 +207,31 @@ class SimSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall below 0.5")
   }
 
+  test("hash-sampled centroids: partitioning-independent, corpus-spread, working") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    // deterministic under any physical layout — the scale contract
+    val a = IvfOps.hashSampleCentroids(c, 16)
+    val b = IvfOps.hashSampleCentroids(c.repartition(7), 16)
+    assert(a.sameElements(b),
+      "hash sample must not depend on partitioning")
+    // and an actual sample of the corpus, not its ingestion-order head
+    val head = IvfOps.centroids(c, 16)
+    assert(!a.sameElements(head),
+      "hash sample should differ from the first-c-by-id head seed")
+    // the swapped-in seed drives the same index end to end
+    val exact = VectorOps.knnBruteForce(q, c, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = IvfOps.knnIvf(q, c, 10, c = 16, nprobe = 6,
+      centroidsFlat = Some(a))
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall with hash-sampled seed $recall below 0.5")
+  }
+
   test("IVF-PQ recalls brute-force neighbors through the compressed index") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 5)

@@ -98,6 +98,14 @@ object MysqlBinlog {
   final case class Xid(header: EventHeader, startPos: Long, xid: Long) extends Event
   final case class Rotate(header: EventHeader, startPos: Long,
       position: Long, nextFile: String) extends Event
+  /** GTID_LOG_EVENT: the transaction's global id `uuid:gno` — the third
+    * coordinate of the reference's checkpoint (metadata.txt records
+    * file, position AND gtid, mysql_to_clickhouse_sync.py:175-181).
+    * The logical-clock block after gno (commit-parallelism hints) is
+    * skipped: replication positioning needs only the id.
+    */
+  final case class Gtid(header: EventHeader, startPos: Long,
+      flags: Int, uuid: String, gno: Long) extends Event
   final case class Query(header: EventHeader, startPos: Long,
       schema: String, query: String) extends Event
   /** Recognized-but-not-decoded events (GTID, PREVIOUS_GTIDS, STOP…). */
@@ -463,6 +471,15 @@ object MysqlBinlog {
             Query(h, start, schema, new String(
               java.util.Arrays.copyOfRange(bytes, c.p, bodyEnd),
               StandardCharsets.UTF_8))
+          case GTID_EVENT =>
+            val flags = c.u1()
+            val sid = c.bytes(16)
+            val gno = c.i8()
+            val hex = sid.map(b => f"${b & 0xff}%02x").mkString
+            Gtid(h, start, flags,
+              s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-" +
+                s"${hex.substring(12, 16)}-${hex.substring(16, 20)}-" +
+                hex.substring(20), gno)
           case _ => Opaque(h, start)
         }
         out += ev
@@ -522,6 +539,26 @@ object MysqlBinlog {
     * columns, named by the TABLE_MAP's 8.0 optional column names
     * (`binlog_row_metadata=FULL`), else `col_<i>`.
     */
+  /** Executed-GTID-set string of a parsed log, in MySQL's canonical
+    * `uuid:a-b:c,uuid2:d` interval notation — the value a deployment
+    * writes into the checkpoint's gtid line (the reference snapshots
+    * the same string from SHOW MASTER STATUS). Consecutive gnos
+    * collapse into ranges per source uuid; uuids sort lexically.
+    */
+  def gtidSet(events: Seq[Event]): String =
+    events.collect { case g: Gtid => g }
+      .groupBy(_.uuid).toSeq.sortBy(_._1)
+      .map { case (uuid, gs) =>
+        val nos = gs.map(_.gno).distinct.sorted
+        val ranges = nos.foldLeft(List.empty[(Long, Long)]) {
+          case ((a, b) :: tail, n) if n == b + 1 => (a, n) :: tail
+          case (acc, n) => (n, n) :: acc
+        }.reverse
+        uuid + ":" + ranges.map { case (a, b) =>
+          if (a == b) s"$a" else s"$a-$b"
+        }.mkString(":")
+      }.mkString(",")
+
   def changeEvents(events: Seq[Event]): Seq[ChangeEvent] = {
     val tableMaps = scala.collection.mutable.Map[Long, TableMap]()
     val out = Seq.newBuilder[ChangeEvent]

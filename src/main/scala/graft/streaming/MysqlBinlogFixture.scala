@@ -95,6 +95,12 @@ object MysqlBinlogFixture {
                 java.lang.Double.valueOf(r.getDouble(4)),
                 r.getString(5))
             }.toSeq
+            // every transaction carries its GTID, as a real 8.0 server's
+            // log does (gtid_mode=ON) — the decode path is exercised by
+            // every downstream read, and the per-server uuid makes
+            // MysqlBinlog.gtidSet over a parsed log a meaningful
+            // executed-set (the reference's metadata.txt gtid line)
+            w.gtid(f"00000000-0000-4000-8000-${100L + pid}%012d", txn + 1)
             if (!mixed) {
               w.tableMap(td)
               w.writeRows(td, images)

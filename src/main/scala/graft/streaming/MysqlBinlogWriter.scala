@@ -294,6 +294,23 @@ object MysqlBinlogWriter {
     /** transaction fence (commit marker) */
     def xid(id: Long): Long = emit(XID_EVENT, new B().i8(id).bytes)
 
+    /** GTID_LOG_EVENT preceding a transaction: flags + 16-byte source
+      * uuid + gno, then the 8.0 logical-clock block (type 2 +
+      * last_committed + sequence_number, zeroed — readers positioning a
+      * replica ignore it), matching the FDE's declared 42-byte
+      * post-header.
+      */
+    def gtid(uuid: String, gno: Long): Long = {
+      val hex = uuid.replace("-", "").toLowerCase
+      require(hex.length == 32 && hex.forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+        s"gtid uuid must be 32 hex digits, got '$uuid'")
+      val sid = hex.grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+      emit(GTID_EVENT,
+        new B().u1(1).raw(sid).i8(gno).u1(2).i8(0L).i8(0L).bytes)
+    }
+
     /** Make everything written so far visible to a concurrent reader —
       * the live-server shape a streaming tail sees: the log grows in
       * place while the source's `advance` admits only whole events.

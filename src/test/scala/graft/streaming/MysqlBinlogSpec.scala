@@ -176,6 +176,31 @@ class MysqlBinlogSpec extends AnyFunSuite {
     assert(rot.position == 4L && rot.nextFile == "binlog.000042")
   }
 
+  test("GTID events decode uuid:gno and fold into the executed-set string") {
+    val path = tmpLog()
+    val u1 = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    val u2 = "aaaaaaaa-bbbb-cccc-dddd-eeeeffff0000"
+    val evs = writeLadder(path) { w =>
+      // u1 txns 1,2 then a gap then 4; u2 a single txn — the shape
+      // SHOW MASTER STATUS renders as "u1:1-2:4,u2:7"
+      Seq(1L, 2L, 4L).foreach { gno =>
+        w.gtid(u1, gno)
+        w.tableMap(ladder); w.writeRows(ladder, Seq(ladderRow(gno)))
+        w.xid(gno)
+      }
+      w.gtid(u2, 7L)
+      w.tableMap(ladder); w.writeRows(ladder, Seq(ladderRow(7L)))
+      w.xid(7L)
+    }
+    val gtids = evs.collect { case g: Gtid => g }
+    assert(gtids.map(g => (g.uuid, g.gno)) ==
+      Seq((u1, 1L), (u1, 2L), (u1, 4L), (u2, 7L)))
+    assert(gtids.forall(_.flags == 1))
+    assert(gtidSet(evs) == s"$u1:1-2:4,$u2:7")
+    // row decoding is untouched by the interleaved GTID events
+    assert(rowsEvents(evs).size == 4)
+  }
+
   test("checksum-off logs parse (FDE reports ChecksumOff) and values match") {
     val path = tmpLog()
     val evs = writeLadder(path, checksum = false) { w =>

@@ -99,13 +99,15 @@ object MysqlBinlogSource {
     * retries until the server creates it.
     */
   private[streaming] def advance(path: String, startByte: Long,
-                                 maxEvents: Long): (Long, Option[String]) = {
+                                 maxEvents: Long,
+                                 maxBytes: Long = Long.MaxValue): (Long, Option[String]) = {
     if (!Files.exists(Paths.get(path))) return (startByte, None)
     val size = Files.size(Paths.get(path))
     val ch = java.nio.channels.FileChannel.open(
       Paths.get(path), java.nio.file.StandardOpenOption.READ)
     try {
       var pos = math.max(startByte, 4L)
+      val first = pos
       var safe = pos
       var rowEvents = 0L
       var lastType = -1
@@ -113,7 +115,11 @@ object MysqlBinlogSource {
       var lastSize = 0
       val hdr = java.nio.ByteBuffer.allocate(MysqlBinlog.CommonHeaderLen)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      while (pos + MysqlBinlog.CommonHeaderLen <= size && rowEvents < maxEvents) {
+      // the byte cap stops at the first SAFE boundary at or past it —
+      // whole events only, and ≥1 event per trigger so a single event
+      // larger than the cap still makes progress
+      while (pos + MysqlBinlog.CommonHeaderLen <= size && rowEvents < maxEvents
+             && (safe == first || safe - first < maxBytes)) {
         hdr.clear()
         var off = pos
         while (hdr.hasRemaining) {
@@ -224,7 +230,8 @@ class MysqlBinlogTable(props: Map[String, String]) extends Table with SupportsRe
         override def toBatch: Batch = new MysqlBinlogBatch(path)
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new MysqlBinlogMicroBatchStream(path,
-            options.getLong("maxEventsPerTrigger", Long.MaxValue))
+            options.getLong("maxEventsPerTrigger", Long.MaxValue),
+            options.getLong("maxBytesPerTrigger", Long.MaxValue))
       }
     }
 }
@@ -266,7 +273,8 @@ case class MysqlBinlogOffset(file: String, bytes: Long) extends Offset {
 case class MysqlBinlogRange(file: String, startByte: Long, endByte: Long)
   extends InputPartition
 
-class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long)
+class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long,
+                                  maxBytesPerTrigger: Long = Long.MaxValue)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
@@ -287,7 +295,8 @@ class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[MysqlBinlogOffset]
     val (safe, rotate) =
-      MysqlBinlogSource.advance(s.file, s.bytes, maxEventsPerTrigger)
+      MysqlBinlogSource.advance(s.file, s.bytes, maxEventsPerTrigger,
+        maxBytesPerTrigger)
     rotate match {
       case Some(next) => MysqlBinlogOffset(next, 4L)
       case None       => MysqlBinlogOffset(s.file, safe)

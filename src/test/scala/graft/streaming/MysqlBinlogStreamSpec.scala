@@ -96,6 +96,45 @@ class MysqlBinlogStreamSpec extends SparkSpec {
     } finally { q2.stop(); w.close() }
   }
 
+  test("byte-capped admission stops at whole-event boundaries, always progresses") {
+    val base = Files.createTempDirectory("graft_binlog_bytecap_").toString
+    val log = s"$base/bin.000001"
+    val w = new Writer(log, serverId = 1L)
+    w.setClock(1700000000L)
+    w.begin()
+    (1L to 6L).foreach { i =>
+      w.tableMap(td); w.writeRows(td, Seq(img(i, s"v$i"))); w.xid(i)
+    }
+    w.flush(); w.close()
+    val size = Files.size(java.nio.file.Paths.get(log))
+    // a 1-byte cap still admits one whole event group per call (progress
+    // guarantee), and every stop is a real event boundary
+    var off = 4L
+    var steps = 0
+    while (off < size && steps < 100) {
+      val (next, _) = MysqlBinlogSource.advance(log, off, Long.MaxValue, 1L)
+      assert(next > off, s"byte cap must not stall at $off")
+      off = next; steps += 1
+    }
+    assert(off == size)
+    assert(steps > 2, "a tiny cap must split the log across many triggers")
+    // a generous cap drains in one call to exactly EOF
+    assert(MysqlBinlogSource.advance(log, 4L, Long.MaxValue, 1L << 30)._1 == size)
+  }
+
+  test("pre-rotation checkpoint offsets deserialize to the head file") {
+    val s = new MysqlBinlogMicroBatchStream("/srv/bin.000007", 10L)
+    // a round-7 checkpoint carries no file field: it means the head file
+    assert(s.deserializeOffset("""{"format":"mysql-binlog","bytes":42}""")
+      == MysqlBinlogOffset("/srv/bin.000007", 42L))
+    // current offsets round-trip through their own json, quotes and all
+    val cur = MysqlBinlogOffset("""/data/od d"x/bin.000009""", 9000L)
+    assert(s.deserializeOffset(cur.json()) == cur)
+    intercept[IllegalStateException] {
+      s.deserializeOffset("""{"logOffset":3}""")
+    }
+  }
+
   test("tail follows ROTATE into the successor log, exactly once, across restart") {
     val base = Files.createTempDirectory("graft_binlog_rotate_").toString
     val log1 = s"$base/bin.000001"; val log2 = s"$base/bin.000002"

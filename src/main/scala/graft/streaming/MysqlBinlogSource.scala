@@ -75,6 +75,26 @@ object MysqlBinlogSource {
     } else Seq(path)
   }
 
+  /** Tail MANY server log chains as one stream — the multi-source
+    * deployment shape (a 100 TB estate is N servers × one serial log
+    * chain each). One micro-batch source per head file, unioned:
+    * Spark checkpoints each source's (file, byte) offset independently,
+    * every trigger advances all tails, and rotation/admission behave
+    * per chain exactly as for a single tail. Downstream keys on
+    * (src, key), so per-server ordering survives the union.
+    */
+  def unionTails(spark: org.apache.spark.sql.SparkSession,
+                 heads: Seq[String],
+                 options: Map[String, String] = Map.empty): org.apache.spark.sql.DataFrame = {
+    require(heads.nonEmpty, "unionTails needs at least one head file")
+    heads.map { h =>
+      var r = spark.readStream
+        .format(classOf[MysqlBinlogSourceProvider].getName)
+      options.foreach { case (k, v) => r = r.option(k, v) }
+      r.option("path", h).load()
+    }.reduce(_.unionByName(_))
+  }
+
   private[streaming] def toRow(e: ChangeEvent, src: String): InternalRow =
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(e.op), UTF8String.fromString(e.table), e.key,

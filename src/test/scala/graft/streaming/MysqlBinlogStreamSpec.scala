@@ -194,6 +194,47 @@ class MysqlBinlogStreamSpec extends SparkSpec {
     } finally { q2.stop(); w2.close() }
   }
 
+  test("unionTails: two server chains in one query, per-source offsets survive restart") {
+    val base = Files.createTempDirectory("graft_binlog_union_").toString
+    val logA = s"$base/srvA.binlog"; val logB = s"$base/srvB.binlog"
+    val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val wa = new Writer(logA, serverId = 1L)
+    wa.setClock(1700000000L); wa.begin()
+    wa.tableMap(td); wa.writeRows(td, Seq(img(1L, "a1"))); wa.xid(1L); wa.flush()
+    val wb = new Writer(logB, serverId = 2L)
+    wb.setClock(1700000000L); wb.begin()
+    wb.tableMap(td); wb.writeRows(td, Seq(img(1L, "b1"), img(2L, "b2")))
+    wb.xid(1L); wb.flush()
+    def startQuery() = MysqlBinlogSource
+      .unionTails(spark, Seq(logA, logB),
+        Map("maxEventsPerTrigger" -> "1"))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).start()
+    val q = startQuery()
+    try {
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir).select("src", "key").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == Set(("srvA.binlog", 1L), ("srvB.binlog", 1L),
+        ("srvB.binlog", 2L)))
+    } finally q.stop()
+    // restart: each chain resumes from ITS OWN committed (file, byte) —
+    // nothing re-read; a single chain growing advances only that tail
+    val before = spark.read.parquet(outDir).count()
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() == before)
+      wa.setClock(1700000100L)
+      wa.tableMap(td); wa.writeRows(td, Seq(img(2L, "a2"))); wa.xid(2L); wa.flush()
+      q2.processAllAvailable()
+      val after = spark.read.parquet(outDir).select("src", "key").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(after.length == before + 1)
+      assert(after.count(_ == ("srvA.binlog", 2L)) == 1)
+    } finally { q2.stop(); wa.close(); wb.close() }
+  }
+
   test("binary wire to ReplacingMergeTree state through CdcPipeline") {
     // the north-star seam end to end in STREAMING mode: a real-format
     // binlog tailed by the micro-batch source, applied per batch to the

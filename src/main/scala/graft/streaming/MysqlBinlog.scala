@@ -106,6 +106,13 @@ object MysqlBinlog {
     */
   final case class Gtid(header: EventHeader, startPos: Long,
       flags: Int, uuid: String, gno: Long) extends Event
+  /** PREVIOUS_GTIDS_EVENT: every 8.0 log's second event — the executed
+    * set as of this log's start, i.e. what a consumer resuming from
+    * this file may assume already applied. `set` is the canonical
+    * interval rendering (same notation as [[gtidSet]]).
+    */
+  final case class PreviousGtids(header: EventHeader, startPos: Long,
+      set: String) extends Event
   final case class Query(header: EventHeader, startPos: Long,
       schema: String, query: String) extends Event
   /** Recognized-but-not-decoded events (GTID, PREVIOUS_GTIDS, STOP…). */
@@ -475,11 +482,21 @@ object MysqlBinlog {
             val flags = c.u1()
             val sid = c.bytes(16)
             val gno = c.i8()
-            val hex = sid.map(b => f"${b & 0xff}%02x").mkString
-            Gtid(h, start, flags,
-              s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-" +
-                s"${hex.substring(12, 16)}-${hex.substring(16, 20)}-" +
-                hex.substring(20), gno)
+            Gtid(h, start, flags, uuidString(sid), gno)
+          case PREVIOUS_GTIDS_EVENT =>
+            // n_sids, then per sid: uuid(16) + n_intervals +
+            // (start, end)* with end EXCLUSIVE on the wire
+            val nSids = c.i8()
+            val parts = (0L until nSids).map { _ =>
+              val uuid = uuidString(c.bytes(16))
+              val nIv = c.i8()
+              val ivs = (0L until nIv).map { _ =>
+                val s0 = c.i8(); val e0 = c.i8()
+                if (s0 == e0 - 1) s"$s0" else s"$s0-${e0 - 1}"
+              }
+              uuid + ":" + ivs.mkString(":")
+            }
+            PreviousGtids(h, start, parts.sorted.mkString(","))
           case _ => Opaque(h, start)
         }
         out += ev
@@ -539,6 +556,13 @@ object MysqlBinlog {
     * columns, named by the TABLE_MAP's 8.0 optional column names
     * (`binlog_row_metadata=FULL`), else `col_<i>`.
     */
+  private def uuidString(sid: Array[Byte]): String = {
+    val hex = sid.map(b => f"${b & 0xff}%02x").mkString
+    s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-" +
+      s"${hex.substring(12, 16)}-${hex.substring(16, 20)}-" +
+      hex.substring(20)
+  }
+
   /** Executed-GTID-set string of a parsed log, in MySQL's canonical
     * `uuid:a-b:c,uuid2:d` interval notation — the value a deployment
     * writes into the checkpoint's gtid line (the reference snapshots

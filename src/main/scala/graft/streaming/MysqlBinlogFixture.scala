@@ -85,7 +85,13 @@ object MysqlBinlogFixture {
             val images = group.map { r =>
               val t = r.getTimestamp(2)
               val micros = t.getTime * 1000L + (t.getNanos / 1000) % 1000
-              if (!began) { w.setClock(micros / 1000000L); w.begin(); began = true }
+              if (!began) {
+                w.setClock(micros / 1000000L); w.begin()
+                // a real log's second event: the executed set at log
+                // start — empty for the first log of a fresh server
+                w.previousGtids(Seq.empty)
+                began = true
+              }
               else w.setClock(micros / 1000000L)
               Array[AnyRef](
                 java.lang.Long.valueOf(r.getLong(0)),

@@ -317,6 +317,22 @@ object MysqlBinlogWriter {
       */
     def flush(): Unit = out.flush()
 
+    /** PREVIOUS_GTIDS (a real log's second event): the executed set at
+      * this log's start. Intervals are CLOSED here (`(start, last)`)
+      * and encoded end-exclusive on the wire, as the server does.
+      */
+    def previousGtids(sets: Seq[(String, Seq[(Long, Long)])]): Long = {
+      val b = new B().i8(sets.length.toLong)
+      sets.foreach { case (uuid, ivs) =>
+        val hex = uuid.replace("-", "").toLowerCase
+        require(hex.length == 32, s"uuid must be 32 hex digits: '$uuid'")
+        b.raw(hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+        b.i8(ivs.length.toLong)
+        ivs.foreach { case (s, last) => b.i8(s).i8(last + 1) }
+      }
+      emit(PREVIOUS_GTIDS_EVENT, b.bytes)
+    }
+
     /** ROTATE to a successor file (the last event of a closed log) */
     def rotate(nextFile: String, position: Long = 4L): Long =
       emit(ROTATE_EVENT, new B().i8(position).str(nextFile).bytes)

@@ -201,6 +201,22 @@ class MysqlBinlogSpec extends AnyFunSuite {
     assert(rowsEvents(evs).size == 4)
   }
 
+  test("PREVIOUS_GTIDS decodes the executed set with closed-interval rendering") {
+    val path = tmpLog()
+    val u1 = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    val u2 = "aaaaaaaa-bbbb-cccc-dddd-eeeeffff0000"
+    val evs = writeLadder(path) { w =>
+      w.previousGtids(Seq(
+        u1 -> Seq((1L, 5L), (7L, 7L)),
+        u2 -> Seq((1L, 1L))))
+      w.tableMap(ladder); w.writeRows(ladder, Seq(ladderRow(1L)))
+    }
+    val pg = evs.collect { case p: PreviousGtids => p }.head
+    assert(pg.set == s"$u1:1-5:7,$u2:1",
+      "wire end-exclusive intervals must render closed, singletons bare")
+    assert(rowsEvents(evs).nonEmpty)
+  }
+
   test("checksum-off logs parse (FDE reports ChecksumOff) and values match") {
     val path = tmpLog()
     val evs = writeLadder(path, checksum = false) { w =>

@@ -251,7 +251,9 @@ class MysqlBinlogTable(props: Map[String, String]) extends Table with SupportsRe
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new MysqlBinlogMicroBatchStream(path,
             options.getLong("maxEventsPerTrigger", Long.MaxValue),
-            options.getLong("maxBytesPerTrigger", Long.MaxValue))
+            options.getLong("maxBytesPerTrigger", Long.MaxValue),
+            Option(options.get("startFile")),
+            Option(options.get("startPos")).map(_.toLong))
       }
     }
 }
@@ -294,15 +296,31 @@ case class MysqlBinlogRange(file: String, startByte: Long, endByte: Long)
   extends InputPartition
 
 class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long,
-                                  maxBytesPerTrigger: Long = Long.MaxValue)
+                                  maxBytesPerTrigger: Long = Long.MaxValue,
+                                  startFile: Option[String] = None,
+                                  startPos: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
-  /** 4 = directly after the magic: the first admitted range starts at
-    * the FORMAT_DESCRIPTION event, which the parser requires anyway.
+  /** Where a FRESH stream (no checkpoint yet) begins. Default is
+    * (head file, 4 = directly after the magic — the first admitted
+    * range starts at the FORMAT_DESCRIPTION event, which the parser
+    * requires anyway). `startFile`/`startPos` override it with a
+    * recorded SHOW-MASTER-STATUS coordinate — the reference's
+    * metadata.txt exists precisely so replication starts THERE, not at
+    * the log head (mysql_to_clickhouse_sync.py:175-183). startPos must
+    * be an event boundary (the server's reported position always is);
+    * a mid-event position fails the first range's parse loudly rather
+    * than mis-decoding. Once a checkpoint exists, its committed offset
+    * wins — the start options only seed the very first run.
     */
-  override def initialOffset(): Offset = MysqlBinlogOffset(path, 4L)
+  override def initialOffset(): Offset = {
+    val f = startFile.getOrElse(path)
+    startPos.foreach(p => require(p >= 4L,
+      s"startPos $p is inside the magic; positions start at 4"))
+    MysqlBinlogOffset(f, startPos.getOrElse(4L))
+  }
 
   /** Advance within the offset's CURRENT file; when the file is drained
     * and closed by a ROTATE whose successor exists, the returned offset

@@ -194,6 +194,48 @@ class MysqlBinlogStreamSpec extends SparkSpec {
     } finally { q2.stop(); w2.close() }
   }
 
+  test("startPos seeds a fresh stream at the snapshot fence coordinate") {
+    // the reference's lifecycle: copy the snapshot, record the master
+    // coordinate, then replicate FROM THERE — history before the fence
+    // must never be re-read, it is already in the snapshot
+    val base = Files.createTempDirectory("graft_binlog_fence_").toString
+    val log = s"$base/bin.000001"
+    val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val w = new Writer(log, serverId = 1L)
+    w.setClock(1700000000L); w.begin()
+    w.tableMap(td); w.writeRows(td, Seq(img(1L, "pre"), img(2L, "pre")))
+    w.xid(1L); w.flush()
+    val fence = Files.size(java.nio.file.Paths.get(log)) // SHOW MASTER STATUS
+    w.setClock(1700000100L)
+    w.tableMap(td); w.writeRows(td, Seq(img(3L, "post"))); w.xid(2L); w.flush()
+    def startQuery() = spark.readStream
+      .format(classOf[MysqlBinlogSourceProvider].getName)
+      .option("path", log)
+      .option("startPos", fence.toString)
+      .load()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).start()
+    val q = startQuery()
+    try {
+      q.processAllAvailable()
+      val keys = spark.read.parquet(outDir).select("key").collect()
+        .map(_.getLong(0)).toSet
+      assert(keys == Set(3L),
+        s"only post-fence events may stream, got $keys")
+    } finally q.stop()
+    // once a checkpoint exists it wins over the start option
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() == 1L)
+      w.setClock(1700000200L)
+      w.tableMap(td); w.writeRows(td, Seq(img(4L, "post2"))); w.xid(3L); w.flush()
+      q2.processAllAvailable()
+      assert(spark.read.parquet(outDir).select("key").collect()
+        .map(_.getLong(0)).toSet == Set(3L, 4L))
+    } finally { q2.stop(); w.close() }
+  }
+
   test("unionTails: two server chains in one query, per-source offsets survive restart") {
     val base = Files.createTempDirectory("graft_binlog_union_").toString
     val logA = s"$base/srvA.binlog"; val logB = s"$base/srvB.binlog"

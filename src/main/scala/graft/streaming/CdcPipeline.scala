@@ -278,6 +278,35 @@ object CdcPipeline {
       }
       .start()
 
+  /** [[startFromBinlogJdbc]] over the REAL MySQL wire format
+    * ([[MysqlBinlogSourceProvider]]) instead of the TSV stand-in, with
+    * the snapshot-fence start the reference's metadata.txt exists for:
+    * a fresh stream begins at `startPos` (the recorded SHOW-MASTER-
+    * STATUS position — history before it is already in the snapshot),
+    * a checkpointed one resumes from its committed (file, byte) offset.
+    * The `src` column rides along untouched; the apply collapses on
+    * (table, key) as everywhere.
+    */
+  def startFromMysqlBinlogJdbc(spark: SparkSession, logPath: String,
+                               url: String, table: String,
+                               props: java.util.Properties,
+                               checkpointDir: String,
+                               startPos: Option[Long] = None,
+                               maxEventsPerTrigger: Long = 10000L): StreamingQuery = {
+    var r = spark.readStream
+      .format(classOf[MysqlBinlogSourceProvider].getName)
+      .option("path", logPath)
+      .option("maxEventsPerTrigger", maxEventsPerTrigger.toString)
+    startPos.foreach(p => r = r.option("startPos", p.toString))
+    r.load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatchJdbc(batch.drop("src"), url, table, props)
+      }
+      .start()
+  }
+
   /** Snapshot-then-stream: batch-copy the current table state (the
     * reference's whole program), then apply the change stream from the
     * recorded offset forward. Returns the running query.

@@ -43,7 +43,9 @@ object SyncCli {
       sync: SyncJob.SyncConfig,
       binlog: Option[String],
       cdcTable: String,
-      drift: Option[DriftGateConfig] = None)
+      drift: Option[DriftGateConfig] = None,
+      binlogFormat: String = "tsv",
+      binlogStartPos: Option[Long] = None)
 
   /** `drift-gate` verb knobs: which source table/column the KS gate
     * watches, and the statistic threshold that flips a batch's gate
@@ -75,6 +77,7 @@ object SyncCli {
     val known = (mysqlKeys ++ chKeys ++ Seq("batch_size", "max_workers",
       "include_tables", "exclude_tables", "src_url", "dst_url",
       "checkpoint_dir", "binlog", "cdc_table",
+      "binlog_format", "binlog_start_pos",
       "drift_table", "drift_column", "drift_threshold")).toSet
     val kv = scala.collection.mutable.Map.empty[String, String]
     var i = 0
@@ -123,6 +126,17 @@ object SyncCli {
     }
     if (verb != "sync" && !kv.contains("binlog"))
       return Left(s"$verb requires --binlog PATH")
+    val binlogFormat = kv.getOrElse("binlog_format", "tsv")
+    if (binlogFormat != "tsv" && binlogFormat != "mysql")
+      return Left(s"--binlog_format must be tsv or mysql, got '$binlogFormat'")
+    val binlogStartPos = kv.get("binlog_start_pos") match {
+      case None => None
+      case Some(v) => v.toLongOption.filter(_ >= 4L) match {
+        case None => return Left(
+          s"--binlog_start_pos must be an integer >= 4, got '$v'")
+        case some => some
+      }
+    }
     val drift: Either[String, Option[DriftGateConfig]] =
       if (verb != "drift-gate") Right(None)
       else (kv.get("drift_table"), kv.get("drift_column")) match {
@@ -149,7 +163,9 @@ object SyncCli {
         maxWorkers = workers.toInt),
       kv.get("binlog"),
       kv.getOrElse("cdc_table", "cdc_state"),
-      dg)
+      dg,
+      binlogFormat,
+      binlogStartPos)
   }
 
   /** Run one full sync from a parsed config (separate from `main` so
@@ -176,9 +192,18 @@ object SyncCli {
   def runSnapshotThenStream(spark: SparkSession,
                             c: CliConfig): org.apache.spark.sql.streaming.StreamingQuery = {
     runWith(spark, c)
-    graft.streaming.CdcPipeline.startFromBinlogJdbc(spark, c.binlog.get,
-      c.dstUrl, c.cdcTable, c.dstProps,
-      checkpointDir = s"${c.checkpointDir}/cdc_checkpoint")
+    if (c.binlogFormat == "mysql")
+      // the real wire format, started at the recorded master position
+      // (--binlog_start_pos, i.e. metadata.txt's second line) so
+      // pre-snapshot history never replays
+      graft.streaming.CdcPipeline.startFromMysqlBinlogJdbc(spark,
+        c.binlog.get, c.dstUrl, c.cdcTable, c.dstProps,
+        checkpointDir = s"${c.checkpointDir}/cdc_checkpoint",
+        startPos = c.binlogStartPos)
+    else
+      graft.streaming.CdcPipeline.startFromBinlogJdbc(spark, c.binlog.get,
+        c.dstUrl, c.cdcTable, c.dstProps,
+        checkpointDir = s"${c.checkpointDir}/cdc_checkpoint")
   }
 
   /** The `drift-gate` verb: [[runSnapshotThenStream]]'s lifecycle with a
@@ -279,6 +304,7 @@ object SyncCli {
         "[--include_tables RE] [--exclude_tables RE] " +
         "[--src_url JDBC] [--dst_url JDBC] [--checkpoint_dir DIR] " +
         "[--binlog PATH] [--cdc_table cdc_state] " +
+        "[--binlog_format tsv|mysql] [--binlog_start_pos N] " +
         "[--drift_table T --drift_column C [--drift_threshold 0.2]]")
       sys.exit(2)
     case Right(cfg) =>

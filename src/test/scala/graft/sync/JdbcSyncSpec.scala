@@ -315,6 +315,70 @@ class JdbcSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("snapshot-then-stream over the REAL wire format from the recorded fence") {
+    seeded
+    import graft.streaming.MysqlBinlogWriter.{Col, TableDef, Writer}
+    val base = java.nio.file.Files.createTempDirectory("graft_sts_mysql_").toString
+    val log = s"$base/bin.000001"
+    val dstDir = java.nio.file.Files
+      .createTempDirectory("graft_derby_stsm_dst_").toString + "/db"
+    val dstUrl = s"jdbc:derby:$dstDir;create=true"
+    locally {
+      val conn = DriverManager.getConnection(dstUrl)
+      try conn.createStatement().execute(
+        "CREATE TABLE cdc_state (tbl VARCHAR(64) NOT NULL, k BIGINT NOT NULL, " +
+          "ts TIMESTAMP, seq BIGINT, payload VARCHAR(1024), PRIMARY KEY (tbl, k))")
+      finally conn.close()
+    }
+    val td = TableDef(31L, "shop", "src_orders",
+      Seq(Col.bigint("k"), Col.varchar("v", 64)))
+    def img(k: Long, v: String) = Array[AnyRef](
+      java.lang.Long.valueOf(k), v: AnyRef)
+    val w = new Writer(log, serverId = 7L)
+    w.setClock(1700000000L); w.begin()
+    // history BEFORE the snapshot: already inside the copied tables,
+    // must never replay into the change state
+    w.tableMap(td); w.writeRows(td, Seq(img(900L, "pre"))); w.xid(1L); w.flush()
+    val fence = java.nio.file.Files.size(java.nio.file.Paths.get(log))
+
+    assert(SyncCli.parse(Array("snapshot-then-stream",
+      "--src_url", url, "--dst_url", dstUrl, "--binlog", log,
+      "--binlog_format", "bogus")).isLeft)
+    val Right(cli) = SyncCli.parse(Array("snapshot-then-stream",
+      "--src_url", url, "--dst_url", dstUrl,
+      "--include_tables", "(?i)^src_orders$",
+      "--checkpoint_dir", s"$base/ckpt", "--binlog", log,
+      "--binlog_format", "mysql",
+      "--binlog_start_pos", fence.toString)): @unchecked
+    assert(cli.binlogFormat == "mysql" && cli.binlogStartPos.contains(fence))
+    cli.srcProps.putAll(props); cli.dstProps.putAll(props)
+
+    val q = SyncCli.runSnapshotThenStream(spark, cli)
+    try {
+      assert(JdbcSource.read(spark, dstUrl, "SRC_ORDERS", props).count() == 500L)
+      // post-fence wire changes: insert, update (after image wins),
+      // MINIMAL-image delete
+      w.setClock(1700000100L)
+      w.tableMap(td); w.writeRows(td, Seq(img(1000L, "n1"), img(1001L, "n2")))
+      w.xid(2L)
+      w.tableMap(td); w.updateRows(td, Seq((img(1000L, "n1"), img(1000L, "n1b"))))
+      w.xid(3L)
+      w.tableMap(td)
+      w.deleteRows(td, Seq(img(1001L, null)), presentCols = Some(Set(0)))
+      w.xid(4L)
+      w.flush()
+      q.processAllAvailable()
+      val state = JdbcSource.read(spark, dstUrl, "cdc_state", props)
+        .collect().map(r => r.getAs[Long]("K") ->
+          Option(r.getAs[String]("PAYLOAD"))).toMap
+      assert(!state.contains(900L),
+        "pre-fence history must not replay (it is in the snapshot)")
+      assert(state(1000L).contains("""{"k":1000,"v":"n1b"}"""))
+      assert(state.get(1001L).flatten.isEmpty,
+        "deleted key survives only as a tombstone")
+    } finally { q.stop(); w.close() }
+  }
+
   test("drift-gate verb: snapshot + CDC upserts + per-batch KS gate and key sketch") {
     seeded
     import graft.streaming.{BinlogSource, ChangeEvent}

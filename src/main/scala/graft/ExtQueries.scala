@@ -858,6 +858,55 @@ object ExtQueries {
           .stripMargin.replaceAll("\n", "")
       }),
 
+    // X2 IVF with the PRODUCTION centroid seed oracle-pinned: the same
+    // probe/assign/rerank plan as x_knn_ivf, but centroids come from
+    // IvfOps.hashSampleCentroids — the 16 candidates with the smallest
+    // md5(vec_id), the ingestion-order-free uniform sample a real
+    // corpus needs (docs/SCALE.md "Known limits"). The twin replays the
+    // hash ordering with the shared md5Fold arithmetic, so the seed
+    // itself — not just the index machinery — is hash-matched.
+    Q("x_knn_ivf_hashseed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cand = emb.filter(col("vec_id") >= 5)
+        graft.sim.IvfOps.knnIvf(
+          emb.filter(col("vec_id") < 5), cand, 10,
+          centroidsFlat = Some(graft.sim.IvfOps.hashSampleCentroids(cand, 16)))
+      },
+      Some {
+        def cos(a: String, b: String): String = cosSql(a, b)
+        def cosSent(a: String, b: String): String = cosSentSql(a, b)
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+          |   FROM embeddings WHERE vec_id < 5),
+          | c AS (SELECT vec_id AS neighbor_id, embedding AS ce
+          |   FROM embeddings WHERE vec_id >= 5),
+          | samp AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS j,
+          |   embedding AS se FROM (SELECT vec_id, embedding,
+          |     (${md5Fold("CAST(vec_id AS VARCHAR)")}) AS h
+          |   FROM embeddings WHERE vec_id >= 5
+          |   ORDER BY h, vec_id LIMIT 16)),
+          | cassign AS (SELECT neighbor_id, j AS cluster FROM (
+          |   SELECT c.neighbor_id, samp.j, row_number() OVER (
+          |     PARTITION BY c.neighbor_id
+          |     ORDER BY ${cosSent("ce", "se")} DESC, samp.j ASC) AS rn
+          |   FROM c CROSS JOIN samp) t WHERE rn = 1),
+          | qprobe AS (SELECT query_id, j AS cluster FROM (
+          |   SELECT q.query_id, samp.j, row_number() OVER (
+          |     PARTITION BY q.query_id
+          |     ORDER BY ${cosSent("qe", "se")} DESC, samp.j ASC) AS rn
+          |   FROM q CROSS JOIN samp) t WHERE rn <= 4),
+          | sc AS (SELECT qp.query_id, ca.neighbor_id,
+          |   round(${cos("qe", "ce")}, 4) AS sim
+          |   FROM qprobe qp JOIN cassign ca ON qp.cluster = ca.cluster
+          |   JOIN q ON q.query_id = qp.query_id
+          |   JOIN c ON c.neighbor_id = ca.neighbor_id)
+          | SELECT query_id, neighbor_id, sim FROM (SELECT *, row_number()
+          |   OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+          |   FROM sc) t WHERE rn <= 10
+          | ORDER BY query_id, sim DESC, neighbor_id"""
+          .stripMargin.replaceAll("\n", "")
+      }),
+
     // X2 IVF in the exhaustive-probe limit: nprobe = c probes every
     // cluster, so each (query, candidate) pair is scored exactly once
     // through the SAME cluster-keyed equi-join machinery — and the exact

@@ -108,8 +108,8 @@ class PlanShapeSpec extends SparkSpec {
     // iterative/eager queries run real jobs just to build their plan —
     // their join shapes are asserted in their own suites
     val eager = Set("x_dedup_clusters", "x_knn_ivf", "x_knn_ivf_probeall",
-      "x_knn_ivfpq", "x_neardup_dedup", "x_bpe_train", "x_bpe_encode",
-      "x_pagerank")
+      "x_knn_ivf_hashseed", "x_knn_ivfpq", "x_neardup_dedup",
+      "x_bpe_train", "x_bpe_encode", "x_pagerank")
     graft.SparkEntry.queries.keys
       .filterNot(intentional).filterNot(eager).toSeq.sorted
       .foreach { name =>

@@ -244,9 +244,15 @@ object SyncCli {
       .groupBy("bkt").agg(count(lit(1)).as("c"))
       .select(lit("baseline").as("source"), col("bkt"), col("c"))
       .write.mode("overwrite").parquet(s"$driftDir/baseline")
-    spark.readStream
-      .format(classOf[graft.streaming.BinlogSourceProvider].getName)
-      .option("path", c.binlog.get)
+    // same format/fence switches as the snapshot-then-stream leg: the
+    // gate composes over either the TSV stand-in or the real wire
+    val fmt =
+      if (c.binlogFormat == "mysql")
+        classOf[graft.streaming.MysqlBinlogSourceProvider].getName
+      else classOf[graft.streaming.BinlogSourceProvider].getName
+    var reader = spark.readStream.format(fmt).option("path", c.binlog.get)
+    c.binlogStartPos.foreach(p => reader = reader.option("startPos", p.toString))
+    reader
       .load()
       .writeStream
       .option("checkpointLocation", s"${c.checkpointDir}/cdc_checkpoint")
@@ -256,8 +262,11 @@ object SyncCli {
         val watched = batch.filter(col("table") === dg.table)
         watched
           .filter(col("op") =!= graft.streaming.ChangeEvent.Delete)
+          // via double: JSON renders numerics as "100.0", which the
+          // ANSI string→long cast rejects; double→long truncates to
+          // the same integer bin as the baseline's column cast
           .select(get_json_object(col("payload"), s"$$.${dg.column}")
-            .cast("long").as("bkt"))
+            .cast("double").cast("long").as("bkt"))
           .filter(col("bkt").isNotNull)
           .groupBy("bkt").agg(count(lit(1)).as("c"))
           .select(lit("stream").as("source"), col("bkt"), col("c"))

@@ -454,6 +454,62 @@ class JdbcSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drift-gate over the real wire format gates a skewed change stream") {
+    seeded
+    import graft.streaming.MysqlBinlogWriter.{Col, TableDef, Writer}
+    val base = java.nio.file.Files.createTempDirectory("graft_dgm_").toString
+    val log = s"$base/bin.000001"
+    val dstDir = java.nio.file.Files
+      .createTempDirectory("graft_derby_dgm_dst_").toString + "/db"
+    val dstUrl = s"jdbc:derby:$dstDir;create=true"
+    locally {
+      val conn = DriverManager.getConnection(dstUrl)
+      try conn.createStatement().execute(
+        "CREATE TABLE cdc_state (tbl VARCHAR(64) NOT NULL, k BIGINT NOT NULL, " +
+          "ts TIMESTAMP, seq BIGINT, payload VARCHAR(1024), PRIMARY KEY (tbl, k))")
+      finally conn.close()
+    }
+    val td = TableDef(41L, "shop", "src_orders",
+      Seq(Col.bigint("k"), Col.varchar("name", 64), Col.double("amount")))
+    val w = new Writer(log, serverId = 9L)
+    w.setClock(1700000000L); w.begin()
+    def rows(ks: Seq[(Long, Double)]): Unit = {
+      w.tableMap(td)
+      w.writeRows(td, ks.map { case (k, a) => Array[AnyRef](
+        java.lang.Long.valueOf(k), s"o$k": AnyRef,
+        java.lang.Double.valueOf(a)) })
+    }
+    // batch 0 mirrors the snapshot spread (amounts i*1.25 over 0..499)
+    rows(Seq(2000L -> 100.0, 2001L -> 200.0, 2002L -> 300.0,
+      2003L -> 400.0, 2004L -> 500.0, 2005L -> 600.0))
+    w.xid(1L); w.flush()
+    val Right(cli) = SyncCli.parse(Array("drift-gate",
+      "--src_url", url, "--dst_url", dstUrl,
+      "--include_tables", "(?i)^src_orders$",
+      "--checkpoint_dir", s"$base/ckpt", "--binlog", log,
+      "--binlog_format", "mysql",
+      "--drift_table", "src_orders", "--drift_column", "amount",
+      "--drift_threshold", "0.3")): @unchecked
+    cli.srcProps.putAll(props); cli.dstProps.putAll(props)
+    val q = SyncCli.runDriftGate(spark, cli)
+    try {
+      q.processAllAvailable()
+      def gate(): Map[Long, Boolean] =
+        spark.read.parquet(s"$base/ckpt/drift/gate").collect()
+          .map(r => r.getAs[Number]("batch_id").longValue() ->
+            r.getAs[Boolean]("gated")).toMap
+      assert(gate().nonEmpty && !gate().values.exists(identity))
+      assert(JdbcSource.read(spark, dstUrl, "cdc_state", props).count() == 6L)
+      // a wire batch collapsed onto one value trips the gate
+      w.setClock(1700000100L)
+      rows((0 until 10).map(i => (3000L + i) -> 5.0))
+      w.xid(2L); w.flush()
+      q.processAllAvailable()
+      val g = gate()
+      assert(g(g.keys.max), s"skewed wire batch must gate: $g")
+    } finally { q.stop(); w.close() }
+  }
+
   test("incremental resume copies only rows above the recorded high-water mark") {
     seeded
     // dedicated source table: this test grows it after the snapshot, so

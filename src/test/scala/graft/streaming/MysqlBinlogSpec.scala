@@ -94,6 +94,78 @@ class MysqlBinlogSpec extends AnyFunSuite {
       want(14).asInstanceOf[Array[Byte]]))
   }
 
+  test("fuzz: random schemas and rows round-trip field-exactly (seeded)") {
+    // seeded manual generator (offline cache has no scalacheck bridge):
+    // random column mixes over the type ladder, random row counts,
+    // nulls, negative ints, boundary longs, unicode/quote strings,
+    // random blobs — every field must survive the wire bit-exactly
+    val rng = new scala.util.Random(4242)
+    def randString(maxBytes: Int): String = {
+      val n = rng.nextInt(math.max(1, math.min(maxBytes / 4, 40)))
+      // code POINTS, not chars — indexing a String over an emoji would
+      // split its surrogate pair into unencodable lone halves
+      val alphabet = Seq("a", "b", "\"", "'", "\\", "\n", "\t", " ",
+        "µ", "ß", "∆", "😀", "中")
+      (0 until n).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    }
+    for (iter <- 1 to 120) {
+      val nCols = 1 + rng.nextInt(6)
+      val cols = (0 until nCols).map { i =>
+        rng.nextInt(6) match {
+          case 0 => Col.bigint(s"c$i")
+          case 1 => Col.int(s"c$i")
+          case 2 => Col.varchar(s"c$i", 16 + rng.nextInt(300))
+          case 3 => Col.double(s"c$i")
+          case 4 => Col.timestamp6(s"c$i")
+          case 5 => Col.blob(s"c$i")
+        }
+      }
+      val td = TableDef(50L + iter, "fz", s"t$iter", cols)
+      def value(c: Col): AnyRef =
+        if (rng.nextInt(5) == 0) null
+        else c.typ match {
+          case T_LONGLONG => java.lang.Long.valueOf(rng.nextLong() match {
+            case x if iter % 10 == 0 => Long.MinValue + math.abs(x % 3)
+            case x => x
+          })
+          case T_LONG => java.lang.Long.valueOf(
+            (rng.nextInt().toLong))
+          case T_VARCHAR => randString(c.meta)
+          case T_DOUBLE => java.lang.Double.valueOf(
+            java.lang.Double.longBitsToDouble(rng.nextLong()) match {
+              case d if d.isNaN => -0.0
+              case d => d
+            })
+          case T_TIMESTAMP2 => java.lang.Long.valueOf(
+            math.abs(rng.nextLong() % 4102444800000000L))
+          case T_BLOB =>
+            val b = new Array[Byte](rng.nextInt(300)); rng.nextBytes(b); b
+        }
+      val rows = (0 until (1 + rng.nextInt(4)))
+        .map(_ => cols.map(value).toArray)
+      val path = tmpLog()
+      val w = new Writer(path, serverId = 5L, checksum = iter % 3 != 0)
+      w.setClock(1700000000L); w.begin()
+      w.tableMap(td); w.writeRows(td, rows); w.xid(1L)
+      w.close()
+      val evs = parseFile(path)
+      val got = rowsEvents(evs).head.rows.map(_._2.get.values.map(_.orNull))
+      assert(got.size == rows.size)
+      rows.zip(got).foreach { case (want, g) =>
+        want.toSeq.zip(g).zip(cols).foreach { case ((wv, gv), c) =>
+          (wv, gv) match {
+            case (null, null) => ()
+            case (a: Array[Byte], b: Array[Byte]) =>
+              assert(java.util.Arrays.equals(a, b),
+                s"iter $iter ${c.name}: blob mismatch")
+            case _ => assert(wv == gv,
+              s"iter $iter ${c.name} (${c.typ}): $wv != $gv")
+          }
+        }
+      }
+    }
+  }
+
   test("TABLE_MAP carries 8.0 column names and signedness TLVs") {
     val path = tmpLog()
     val evs = writeLadder(path) { w =>

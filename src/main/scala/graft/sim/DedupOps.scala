@@ -366,6 +366,14 @@ object DedupOps {
     var labels = materialize(
       edges.select(col("x").as("id")).distinct()
         .withColumn("label", col("id")), "labels_0")
+    // label tables are |V| rows of 2 longs: as with the PageRank rank
+    // table, per-round cost at small |V| is dominated by
+    // shuffle-partition-many tiny files, so each round's write
+    // coalesces to a node-scaled count (the count reads the tiny
+    // stored labels_0, not the pair pipeline). Post-shuffle stage only
+    // — the edge join and aggregate underneath keep full parallelism.
+    val labelFiles =
+      math.max(1L, math.min(256L, labels.count() / 2000000L)).toInt
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -400,7 +408,8 @@ object DedupOps {
           .select(col("id"),
             least(col("label"), coalesce(col("label2"), col("label")))
               .as("label"),
-            col("old")), s"labels_${iter + 1}")
+            col("old"))
+          .coalesce(labelFiles), s"labels_${iter + 1}")
       converged = next.filter(col("label") =!= col("old")).isEmpty
       labels = next.select("id", "label")
       rm(s"$dir/labels_$iter")

@@ -113,10 +113,9 @@ object MysqlBinlogSource {
     * Returns `(safeByte, rotateTarget)`: when the scan drains the file
     * to EOF and the LAST event is a ROTATE (a closed log's final event —
     * the server moved on), `rotateTarget` carries the successor file
-    * resolved against this file's directory, and the stream's next
-    * trigger starts there. A rotate whose successor does not exist yet
-    * keeps the offset parked at this file's end — the tail simply
-    * retries until the server creates it.
+    * resolved against this file's directory (NOT existence-checked —
+    * the stream decides whether to follow now or park until the server
+    * creates it).
     */
   private[streaming] def advance(path: String, startByte: Long,
                                  maxEvents: Long,
@@ -160,56 +159,59 @@ object MysqlBinlogSource {
         if (eventType != MysqlBinlog.TABLE_MAP_EVENT) safe = pos
       }
       val rotate =
-        if (safe != size) None
-        else if (lastType == MysqlBinlog.ROTATE_EVENT)
+        if (safe == size && lastType == MysqlBinlog.ROTATE_EVENT)
           rotateSuccessor(ch, path, lastStart, lastSize)
-        else if (startByte >= size)
-          // parked at the EOF of a (possibly) closed log: an earlier
-          // trigger consumed the ROTATE while its successor didn't
-          // exist yet, so re-find the trailing event by header scan —
-          // the probe only runs on no-progress triggers
-          scanTrailingRotate(ch, path, size)
         else None
       (safe, rotate)
     } finally ch.close()
   }
 
   /** Header-scan the whole file to find whether its FINAL whole event is
-    * a ROTATE ending exactly at `size`; if so resolve its successor.
-    * Used by [[advance]] when the offset is already parked at EOF.
+    * a ROTATE ending exactly at `size`; returns the successor resolved
+    * beside `path` if it exists. Used for an offset already PARKED at
+    * the EOF of a closed log (an earlier trigger consumed the ROTATE
+    * while its successor didn't exist yet) — callers memoize per
+    * (file, size), since a closed file never changes, so the scan runs
+    * once per park rather than once per idle trigger.
     */
-  private def scanTrailingRotate(ch: java.nio.channels.FileChannel,
-                                 path: String, size: Long): Option[String] = {
-    var pos = 4L
-    var lastType = -1
-    var lastStart = -1L
-    var lastSize = 0
-    val hdr = java.nio.ByteBuffer.allocate(MysqlBinlog.CommonHeaderLen)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    while (pos + MysqlBinlog.CommonHeaderLen <= size) {
-      hdr.clear()
-      var off = pos
-      while (hdr.hasRemaining) {
-        val n = ch.read(hdr, off)
-        if (n < 0) return None
-        off += n
+  private[streaming] def trailingRotate(path: String,
+                                        size: Long): Option[String] = {
+    if (!Files.exists(Paths.get(path))) return None
+    val ch = java.nio.channels.FileChannel.open(
+      Paths.get(path), java.nio.file.StandardOpenOption.READ)
+    try {
+      var pos = 4L
+      var lastType = -1
+      var lastStart = -1L
+      var lastSize = 0
+      val hdr = java.nio.ByteBuffer.allocate(MysqlBinlog.CommonHeaderLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      while (pos + MysqlBinlog.CommonHeaderLen <= size) {
+        hdr.clear()
+        var off = pos
+        while (hdr.hasRemaining) {
+          val n = ch.read(hdr, off)
+          if (n < 0) return None
+          off += n
+        }
+        val eventType = hdr.get(4) & 0xff
+        val eventSize = hdr.getInt(9)
+        if (eventSize < MysqlBinlog.CommonHeaderLen || pos + eventSize > size)
+          return None
+        lastType = eventType; lastStart = pos; lastSize = eventSize
+        pos += eventSize
       }
-      val eventType = hdr.get(4) & 0xff
-      val eventSize = hdr.getInt(9)
-      if (eventSize < MysqlBinlog.CommonHeaderLen || pos + eventSize > size)
-        return None
-      lastType = eventType; lastStart = pos; lastSize = eventSize
-      pos += eventSize
-    }
-    if (pos == size && lastType == MysqlBinlog.ROTATE_EVENT)
-      rotateSuccessor(ch, path, lastStart, lastSize)
-    else None
+      if (pos == size && lastType == MysqlBinlog.ROTATE_EVENT)
+        rotateSuccessor(ch, path, lastStart, lastSize)
+      else None
+    } finally ch.close()
   }
 
   /** Decode a ROTATE event's successor name (post-header: 8-byte
     * position, then the file name, minus the CRC32 trailer when the
-    * log's FDE declares checksums) and resolve it beside `path`. A
-    * successor that does not exist yet yields None — see [[advance]].
+    * log's FDE declares checksums) and resolve it beside `path` —
+    * WITHOUT an existence check, so callers can cache the name while
+    * waiting for the server to create the file.
     */
   private def rotateSuccessor(ch: java.nio.channels.FileChannel,
                               path: String, start: Long,
@@ -230,9 +232,8 @@ object MysqlBinlogSource {
     val name = new String(bytes, nameFrom, nameTo - nameFrom,
       java.nio.charset.StandardCharsets.UTF_8)
     val parent = Paths.get(path).getParent
-    val next = (if (parent == null) Paths.get(name)
-                else parent.resolve(name)).toString
-    if (Files.exists(Paths.get(next))) Some(next) else None
+    Some((if (parent == null) Paths.get(name)
+          else parent.resolve(name)).toString)
   }
 }
 
@@ -330,12 +331,36 @@ class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long,
     * range ([[planInputPartitions]] reads start.file to its stable
     * closed-file end).
     */
+  /** Memo of one parked-at-EOF trailing-rotate probe: a CLOSED file at
+    * a given size never changes, so the header scan runs once per park;
+    * only the successor's cheap existence stat repeats per idle trigger.
+    */
+  private var parkProbe: Option[(String, Long, Option[String])] = None
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[MysqlBinlogOffset]
-    val (safe, rotate) =
+    val (safe, scanned) =
       MysqlBinlogSource.advance(s.file, s.bytes, maxEventsPerTrigger,
         maxBytesPerTrigger)
-    rotate match {
+    val rotate = scanned.orElse {
+      // no rotate seen in this call's scan; if we are PARKED at the EOF
+      // of what may be a closed log (an earlier trigger consumed the
+      // ROTATE before its successor existed), re-find the trailing
+      // rotate once and remember it
+      if (safe != s.bytes || !Files.exists(Paths.get(s.file))) None
+      else {
+        val size = Files.size(Paths.get(s.file))
+        if (safe < size) None
+        else parkProbe match {
+          case Some((f, sz, name)) if f == s.file && sz == size => name
+          case _ =>
+            val name = MysqlBinlogSource.trailingRotate(s.file, size)
+            parkProbe = Some((s.file, size, name))
+            name
+        }
+      }
+    }
+    rotate.filter(n => Files.exists(Paths.get(n))) match {
       case Some(next) => MysqlBinlogOffset(next, 4L)
       case None       => MysqlBinlogOffset(s.file, safe)
     }

@@ -49,6 +49,9 @@ object PageRank {
     * the way out; only the final |V|-row table outlives the call.
     */
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
+    // r0 is no longer materialized (it folds into iteration 1's join),
+    // so there is no stored table to return for a 0-iteration call
+    require(iters >= 1, s"ranks needs iters >= 1, got $iters")
     val spark = edges.sparkSession
     val dir = CoreOps.scratchDirUnique("pagerank")
     edges.select(col("src").cast("long"), col("dst").cast("long"))

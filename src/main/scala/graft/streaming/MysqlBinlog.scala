@@ -544,18 +544,6 @@ object MysqlBinlog {
     }
   }
 
-  // -- ChangeEvent projection ------------------------------------------
-  /** Flatten parsed events into the engine's [[ChangeEvent]] rows: one
-    * per row-image, `op` insert/update/delete, `key` = first column of
-    * the decisive image (after for write/update, before for delete),
-    * `ts` = event-header timestamp (seconds — the binlog's own clock),
-    * `seq` = the event's file offset (the binlog position, as the
-    * reference records from SHOW MASTER STATUS) with the row's index
-    * within the event packed into the low bits so multi-row events keep
-    * a total order. `payload` = JSON of the decisive image's present
-    * columns, named by the TABLE_MAP's 8.0 optional column names
-    * (`binlog_row_metadata=FULL`), else `col_<i>`.
-    */
   private def uuidString(sid: Array[Byte]): String = {
     val hex = sid.map(b => f"${b & 0xff}%02x").mkString
     s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-" +
@@ -583,7 +571,26 @@ object MysqlBinlog {
         }.mkString(":")
       }.mkString(",")
 
-  def changeEvents(events: Seq[Event]): Seq[ChangeEvent] = {
+  // -- ChangeEvent projection ------------------------------------------
+  /** Flatten parsed events into the engine's [[ChangeEvent]] rows: one
+    * per row-image, `op` insert/update/delete, `key` = first column of
+    * the decisive image (after for write/update, before for delete),
+    * `ts` = event-header timestamp (seconds — the binlog's own clock),
+    * `seq` = `seqBase` + the event's file offset (the binlog position,
+    * as the reference records from SHOW MASTER STATUS) with the row's
+    * index within the event packed into the low bits so multi-row
+    * events keep a total order. `seqBase` is the file's CHAIN EPOCH
+    * ([[MysqlBinlogSource.seqBase]] derives it from the log name's
+    * rotation suffix): within one file, byte position is a total
+    * version order, but rotation resets byte positions — without the
+    * epoch in the high bits, a same-second update early in the
+    * successor log would LOSE the (ts, seq) collapse to a stale row
+    * late in the predecessor. `payload` = JSON of the decisive image's
+    * present columns, named by the TABLE_MAP's 8.0 optional column
+    * names (`binlog_row_metadata=FULL`), else `col_<i>`.
+    */
+  def changeEvents(events: Seq[Event],
+                   seqBase: Long = 0L): Seq[ChangeEvent] = {
     val tableMaps = scala.collection.mutable.Map[Long, TableMap]()
     val out = Seq.newBuilder[ChangeEvent]
     events.foreach {
@@ -606,7 +613,7 @@ object MysqlBinlog {
           }
           out += ChangeEvent(op, tm.tableName, key,
             new java.sql.Timestamp(re.header.tsSec * 1000L),
-            re.startPos * 64 + math.min(i, 63),
+            seqBase + re.startPos * 64 + math.min(i, 63),
             if (op == ChangeEvent.Delete) null else imageJson(tm, img))
         }
       case _ => ()

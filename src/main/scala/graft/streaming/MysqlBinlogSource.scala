@@ -34,11 +34,15 @@ import scala.jdk.CollectionConverters._
   *     by a ROTATE event, the tail moves to the successor file exactly
   *     as a replication client does.
   *
-  * Output schema = the engine's ChangeEvent shape plus `src` (the
-  * originating file, the "server id" at the file level): op, table,
-  * key, ts, seq, payload. Downstream is [[CdcPipeline]] unchanged —
-  * which is the point: the bespoke TSV stand-in ([[BinlogSource]]) and
-  * this real-format source feed the same apply path.
+  * Output schema = the engine's ChangeEvent shape plus `src`: op,
+  * table, key, ts, seq, payload. In batch mode `src` is the file's
+  * basename (one file per server there); in micro-batch mode it is the
+  * CHAIN id — the configured head path — which stays constant across
+  * rotation and distinguishes servers that all name their logs
+  * `binlog.00000N` (the physical file is recoverable from seq's epoch
+  * bits). Downstream is [[CdcPipeline]] unchanged — which is the
+  * point: the bespoke TSV stand-in ([[BinlogSource]]) and this
+  * real-format source feed the same apply path.
   */
 class MysqlBinlogSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -95,6 +99,24 @@ object MysqlBinlogSource {
     }.reduce(_.unionByName(_))
   }
 
+  /** Chain epoch of a log file, from the numeric rotation suffix of its
+    * name (`bin.000042` → 42; no digits → 0), packed into seq's high
+    * bits: 19 bits of epoch over 44 bits of (byte position × 64), so
+    * the (ts, seq) version collapse stays a total order ACROSS rotation
+    * — byte positions reset in the successor file, and without the
+    * epoch a same-second update early in the new log would lose to a
+    * stale row late in the old one. Bounds: files to 256 GiB (MySQL
+    * caps at 1 GiB), 524 287 rotations before wrap (the suffix itself
+    * wraps at 999 999).
+    */
+  private[streaming] def seqBase(file: String): Long = {
+    val name = Paths.get(file).getFileName.toString
+    val digits = name.reverse.takeWhile(_.isDigit).reverse
+    val epoch = if (digits.isEmpty) 0L
+      else java.lang.Long.parseLong(digits.takeRight(18)) & 0x7FFFFL
+    epoch << 44
+  }
+
   private[streaming] def toRow(e: ChangeEvent, src: String): InternalRow =
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(e.op), UTF8String.fromString(e.table), e.key,
@@ -110,17 +132,22 @@ object MysqlBinlogSource {
     * the rows events it describes). A partial trailing event (writer
     * mid-append) is never admitted.
     *
-    * Returns `(safeByte, rotateTarget)`: when the scan drains the file
-    * to EOF and the LAST event is a ROTATE (a closed log's final event —
-    * the server moved on), `rotateTarget` carries the successor file
-    * resolved against this file's directory (NOT existence-checked —
-    * the stream decides whether to follow now or park until the server
-    * creates it).
+    * Returns [[Advance]]: `safe` is the boundary; `scannedToEof` is
+    * true when this call's scan covered the file through its last whole
+    * event (so `rotate` is authoritative for the file AT THIS SIZE and
+    * the caller may cache it); `rotate` carries a trailing ROTATE's
+    * successor resolved against this file's directory (NOT
+    * existence-checked — the stream decides whether to follow now or
+    * park until the server creates it).
     */
+  private[streaming] final case class Advance(safe: Long,
+                                              scannedToEof: Boolean,
+                                              rotate: Option[String])
+
   private[streaming] def advance(path: String, startByte: Long,
                                  maxEvents: Long,
-                                 maxBytes: Long = Long.MaxValue): (Long, Option[String]) = {
-    if (!Files.exists(Paths.get(path))) return (startByte, None)
+                                 maxBytes: Long = Long.MaxValue): Advance = {
+    if (!Files.exists(Paths.get(path))) return Advance(startByte, false, None)
     val size = Files.size(Paths.get(path))
     val ch = java.nio.channels.FileChannel.open(
       Paths.get(path), java.nio.file.StandardOpenOption.READ)
@@ -143,13 +170,13 @@ object MysqlBinlogSource {
         var off = pos
         while (hdr.hasRemaining) {
           val n = ch.read(hdr, off)
-          if (n < 0) return (safe, None)
+          if (n < 0) return Advance(safe, false, None)
           off += n
         }
         val eventType = hdr.get(4) & 0xff
         val eventSize = hdr.getInt(9)
         if (eventSize < MysqlBinlog.CommonHeaderLen || pos + eventSize > size)
-          return (safe, None) // partial/corrupt tail: stop at last boundary
+          return Advance(safe, false, None) // partial/corrupt tail
         lastType = eventType; lastStart = pos; lastSize = eventSize
         pos += eventSize
         if (eventType == MysqlBinlog.WRITE_ROWS_EVENT ||
@@ -158,54 +185,27 @@ object MysqlBinlogSource {
         // a boundary directly after TABLE_MAP would orphan its rows
         if (eventType != MysqlBinlog.TABLE_MAP_EVENT) safe = pos
       }
+      // authoritative for the file at this size only if this call's
+      // scan actually reached the last whole event from below
+      val coveredEof = first < size && pos == size
       val rotate =
-        if (safe == size && lastType == MysqlBinlog.ROTATE_EVENT)
+        if (coveredEof && safe == size &&
+            lastType == MysqlBinlog.ROTATE_EVENT)
           rotateSuccessor(ch, path, lastStart, lastSize)
         else None
-      (safe, rotate)
+      Advance(safe, coveredEof, rotate)
     } finally ch.close()
   }
 
-  /** Header-scan the whole file to find whether its FINAL whole event is
-    * a ROTATE ending exactly at `size`; returns the successor resolved
-    * beside `path` if it exists. Used for an offset already PARKED at
-    * the EOF of a closed log (an earlier trigger consumed the ROTATE
-    * while its successor didn't exist yet) — callers memoize per
-    * (file, size), since a closed file never changes, so the scan runs
-    * once per park rather than once per idle trigger.
+  /** Header-scan the whole file to find whether its FINAL whole event
+    * is a trailing ROTATE; returns the successor resolved beside
+    * `path` (not existence-checked). Used for an offset already PARKED
+    * at the EOF of a closed log whose scan verdict isn't memoized
+    * (e.g. a fresh stream restarted at EOF) — one full pass of
+    * [[advance]] from the head, which callers then cache.
     */
-  private[streaming] def trailingRotate(path: String,
-                                        size: Long): Option[String] = {
-    if (!Files.exists(Paths.get(path))) return None
-    val ch = java.nio.channels.FileChannel.open(
-      Paths.get(path), java.nio.file.StandardOpenOption.READ)
-    try {
-      var pos = 4L
-      var lastType = -1
-      var lastStart = -1L
-      var lastSize = 0
-      val hdr = java.nio.ByteBuffer.allocate(MysqlBinlog.CommonHeaderLen)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      while (pos + MysqlBinlog.CommonHeaderLen <= size) {
-        hdr.clear()
-        var off = pos
-        while (hdr.hasRemaining) {
-          val n = ch.read(hdr, off)
-          if (n < 0) return None
-          off += n
-        }
-        val eventType = hdr.get(4) & 0xff
-        val eventSize = hdr.getInt(9)
-        if (eventSize < MysqlBinlog.CommonHeaderLen || pos + eventSize > size)
-          return None
-        lastType = eventType; lastStart = pos; lastSize = eventSize
-        pos += eventSize
-      }
-      if (pos == size && lastType == MysqlBinlog.ROTATE_EVENT)
-        rotateSuccessor(ch, path, lastStart, lastSize)
-      else None
-    } finally ch.close()
-  }
+  private[streaming] def trailingRotate(path: String): Option[String] =
+    advance(path, 4L, Long.MaxValue, Long.MaxValue).rotate
 
   /** Decode a ROTATE event's successor name (post-header: 8-byte
     * position, then the file name, minus the CRC32 trailer when the
@@ -270,7 +270,8 @@ class MysqlBinlogBatch(path: String) extends Batch {
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val file = p.asInstanceOf[MysqlBinlogFilePartition].file
-        val events = MysqlBinlog.changeEvents(MysqlBinlog.parseFile(file))
+        val events = MysqlBinlog.changeEvents(MysqlBinlog.parseFile(file),
+          MysqlBinlogSource.seqBase(file))
         val src = Paths.get(file).getFileName.toString
         new PartitionReader[InternalRow] {
           private val it = events.iterator
@@ -339,22 +340,25 @@ class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[MysqlBinlogOffset]
-    val (safe, scanned) =
-      MysqlBinlogSource.advance(s.file, s.bytes, maxEventsPerTrigger,
-        maxBytesPerTrigger)
-    val rotate = scanned.orElse {
-      // no rotate seen in this call's scan; if we are PARKED at the EOF
-      // of what may be a closed log (an earlier trigger consumed the
-      // ROTATE before its successor existed), re-find the trailing
-      // rotate once and remember it
-      if (safe != s.bytes || !Files.exists(Paths.get(s.file))) None
+    val a = MysqlBinlogSource.advance(s.file, s.bytes, maxEventsPerTrigger,
+      maxBytesPerTrigger)
+    // a scan that covered the file's tail is authoritative at this
+    // size — remember its verdict (rotate name OR no-rotate) so idle
+    // triggers never rescan, and a rotate whose successor is still
+    // missing isn't forgotten and rediscovered by a full-file pass
+    if (a.scannedToEof) parkProbe = Some((s.file, a.safe, a.rotate))
+    val rotate = a.rotate.orElse {
+      // parked (no progress this trigger): the trailing-rotate verdict
+      // comes from the memo when an earlier call scanned this size, and
+      // from ONE header scan otherwise (e.g. a restart parked at EOF)
+      if (a.safe != s.bytes || !Files.exists(Paths.get(s.file))) None
       else {
         val size = Files.size(Paths.get(s.file))
-        if (safe < size) None
+        if (a.safe < size) None
         else parkProbe match {
           case Some((f, sz, name)) if f == s.file && sz == size => name
           case _ =>
-            val name = MysqlBinlogSource.trailingRotate(s.file, size)
+            val name = MysqlBinlogSource.trailingRotate(s.file)
             parkProbe = Some((s.file, size, name))
             name
         }
@@ -362,7 +366,7 @@ class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long,
     }
     rotate.filter(n => Files.exists(Paths.get(n))) match {
       case Some(next) => MysqlBinlogOffset(next, 4L)
-      case None       => MysqlBinlogOffset(s.file, safe)
+      case None       => MysqlBinlogOffset(s.file, a.safe)
     }
   }
 
@@ -412,7 +416,9 @@ class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // local copy: the factory ships to executors, the stream does not
+    val chainId = path
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val r = p.asInstanceOf[MysqlBinlogRange]
@@ -433,8 +439,14 @@ class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long,
           }
         } finally ch.close()
         val events = MysqlBinlog.changeEvents(
-          MysqlBinlog.parse(bytes, base = r.startByte, fde = Some(fde)))
-        val src = Paths.get(r.file).getFileName.toString
+          MysqlBinlog.parse(bytes, base = r.startByte, fde = Some(fde)),
+          MysqlBinlogSource.seqBase(r.file))
+        // src is the CHAIN identity — the configured head path, stable
+        // across rotation and unique across servers (a per-file
+        // basename would flip at every rotation and collide between
+        // servers that all name their logs binlog.00000N); the file a
+        // row physically came from is recoverable from seq's epoch bits
+        val src = chainId
         new PartitionReader[InternalRow] {
           private val it = events.iterator
           private var cur: InternalRow = _
@@ -446,4 +458,5 @@ class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long,
         }
       }
     }
+  }
 }

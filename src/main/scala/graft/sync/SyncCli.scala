@@ -131,6 +131,11 @@ object SyncCli {
       return Left(s"--binlog_format must be tsv or mysql, got '$binlogFormat'")
     val binlogStartPos = kv.get("binlog_start_pos") match {
       case None => None
+      case Some(_) if binlogFormat != "mysql" =>
+        // refuse rather than silently replay pre-snapshot history: the
+        // TSV stand-in source has no position option to honor
+        return Left(
+          "--binlog_start_pos requires --binlog_format mysql")
       case Some(v) => v.toLongOption.filter(_ >= 4L) match {
         case None => return Left(
           s"--binlog_start_pos must be an integer >= 4, got '$v'")
@@ -239,11 +244,25 @@ object SyncCli {
     val dg = c.drift.get
     runWith(spark, c)
     val driftDir = s"${c.checkpointDir}/drift"
-    JdbcSource.read(spark, c.srcUrl, dg.table, c.srcProps)
-      .select(col(dg.column).cast("long").as("bkt"))
-      .groupBy("bkt").agg(count(lit(1)).as("c"))
-      .select(lit("baseline").as("source"), col("bkt"), col("c"))
-      .write.mode("overwrite").parquet(s"$driftDir/baseline")
+    // write-once: the baseline is the distribution AT SNAPSHOT TIME.
+    // A supervisor restart re-runs this method while the stream resumes
+    // from checkpoint — re-baselining from the now-live source would
+    // fold any drift into the reference and silently open the gate,
+    // making recorded decisions unstable across restarts.
+    val baselinePath = new org.apache.hadoop.fs.Path(s"$driftDir/baseline")
+    val baselineFs = baselinePath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!baselineFs.exists(
+        new org.apache.hadoop.fs.Path(baselinePath, "_SUCCESS")))
+      JdbcSource.read(spark, c.srcUrl, dg.table, c.srcProps)
+        // NULLs drop on BOTH sides (the stream histogram can't bin
+        // them either) — keeping them only here would permanently
+        // inflate the KS numerator by the baseline's NULL mass
+        .select(col(dg.column).cast("long").as("bkt"))
+        .filter(col("bkt").isNotNull)
+        .groupBy("bkt").agg(count(lit(1)).as("c"))
+        .select(lit("baseline").as("source"), col("bkt"), col("c"))
+        .write.mode("overwrite").parquet(s"$driftDir/baseline")
     // same format/fence switches as the snapshot-then-stream leg: the
     // gate composes over either the TSV stand-in or the real wire
     val fmt =

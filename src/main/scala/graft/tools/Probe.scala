@@ -25,12 +25,18 @@ object Probe {
     var rounds = 2
     var cpus = 32
     val names = scala.collection.mutable.Buffer.empty[String]
+    def intArg(i: Int, flag: String): Int = {
+      if (i + 1 >= args.length) sys.error(s"$flag requires a value")
+      args(i + 1).toIntOption.filter(_ > 0)
+        .getOrElse(sys.error(s"$flag wants a positive int, got '${args(i + 1)}'"))
+    }
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--plan"   => plan = true; i += 1
-        case "--rounds" => rounds = args(i + 1).toInt; i += 2
-        case "--cpus"   => cpus = args(i + 1).toInt; i += 2
+        case "--rounds" => rounds = intArg(i, "--rounds"); i += 2
+        case "--cpus"   => cpus = intArg(i, "--cpus"); i += 2
+        case f if f.startsWith("--") => sys.error(s"unknown flag $f")
         case q          => names += q; i += 1
       }
     }

@@ -422,7 +422,7 @@ class MysqlBinlogSpec extends AnyFunSuite {
     var seen = Vector.empty[Long]
     var guard = 0
     while (off < bytes.length && guard < 100) {
-      val (next, _) = MysqlBinlogSource.advance(path, off, maxEvents = 1L)
+      val next = MysqlBinlogSource.advance(path, off, maxEvents = 1L).safe
       assert(next > off, s"advance must make progress from $off")
       assert(all.exists(_.header.nextPos == next),
         s"boundary $next must be a real event end")
@@ -442,7 +442,7 @@ class MysqlBinlogSpec extends AnyFunSuite {
     // a partial tail is never admitted
     val cut = Files.createTempFile("graft_binlog_cut_", ".binlog")
     Files.write(cut, java.util.Arrays.copyOf(bytes, bytes.length - 3))
-    val (lastWhole, _) = MysqlBinlogSource.advance(cut.toString, 4L, Long.MaxValue)
+    val lastWhole = MysqlBinlogSource.advance(cut.toString, 4L, Long.MaxValue).safe
     assert(lastWhole == parse(java.util.Arrays.copyOf(bytes, bytes.length - 3))
       .last.header.nextPos)
   }

@@ -112,14 +112,14 @@ class MysqlBinlogStreamSpec extends SparkSpec {
     var off = 4L
     var steps = 0
     while (off < size && steps < 100) {
-      val (next, _) = MysqlBinlogSource.advance(log, off, Long.MaxValue, 1L)
+      val next = MysqlBinlogSource.advance(log, off, Long.MaxValue, 1L).safe
       assert(next > off, s"byte cap must not stall at $off")
       off = next; steps += 1
     }
     assert(off == size)
     assert(steps > 2, "a tiny cap must split the log across many triggers")
     // a generous cap drains in one call to exactly EOF
-    assert(MysqlBinlogSource.advance(log, 4L, Long.MaxValue, 1L << 30)._1 == size)
+    assert(MysqlBinlogSource.advance(log, 4L, Long.MaxValue, 1L << 30).safe == size)
   }
 
   test("pre-rotation checkpoint offsets deserialize to the head file") {
@@ -170,9 +170,18 @@ class MysqlBinlogStreamSpec extends SparkSpec {
       val rows = spark.read.parquet(outDir)
         .select("key", "src").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
-      assert(rows == Set((1L, "bin.000001"), (2L, "bin.000001"),
-        (3L, "bin.000002")),
+      // src is the CHAIN id (the configured head), stable across the
+      // rotation; which physical file a row came from lives in seq's
+      // epoch bits instead
+      assert(rows == Set((1L, log1), (2L, log1), (3L, log1)),
         s"rotation must hand the tail to the successor, got $rows")
+      // the successor's rows sort AFTER the predecessor's in seq even
+      // though its byte positions restarted — the epoch bits carry the
+      // chain order, keeping (ts, seq) collapses correct across files
+      val seqs = spark.read.parquet(outDir).orderBy("key")
+        .select("seq").collect().map(_.getLong(0))
+      assert(seqs(2) > seqs(0) && seqs(2) > seqs(1),
+        s"epoch bits must order the successor after the predecessor: ${seqs.toSeq}")
     } finally q.stop()
     // restart from checkpoint: the committed offset names the successor
     // file — nothing before it is re-read, and the still-live writer's
@@ -190,7 +199,7 @@ class MysqlBinlogStreamSpec extends SparkSpec {
       val after = spark.read.parquet(outDir)
       assert(after.count() == before + 1)
       assert(after.filter(col("key") === 4L).select("src").head().getString(0)
-        == "bin.000002")
+        == log1, "the chain id stays the head file after restart too")
     } finally { q2.stop(); w2.close() }
   }
 
@@ -257,8 +266,9 @@ class MysqlBinlogStreamSpec extends SparkSpec {
       q.processAllAvailable()
       val got = spark.read.parquet(outDir).select("src", "key").collect()
         .map(r => (r.getString(0), r.getLong(1))).toSet
-      assert(got == Set(("srvA.binlog", 1L), ("srvB.binlog", 1L),
-        ("srvB.binlog", 2L)))
+      assert(got == Set((logA, 1L), (logB, 1L), (logB, 2L)),
+        "src carries each chain's head path — unique even when servers " +
+          "name their logs identically")
     } finally q.stop()
     // restart: each chain resumes from ITS OWN committed (file, byte) —
     // nothing re-read; a single chain growing advances only that tail
@@ -273,7 +283,7 @@ class MysqlBinlogStreamSpec extends SparkSpec {
       val after = spark.read.parquet(outDir).select("src", "key").collect()
         .map(r => (r.getString(0), r.getLong(1)))
       assert(after.length == before + 1)
-      assert(after.count(_ == ("srvA.binlog", 2L)) == 1)
+      assert(after.count(_ == ((logA, 2L))) == 1)
     } finally { q2.stop(); wa.close(); wb.close() }
   }
 

@@ -344,6 +344,11 @@ class JdbcSyncSpec extends SparkSpec {
     assert(SyncCli.parse(Array("snapshot-then-stream",
       "--src_url", url, "--dst_url", dstUrl, "--binlog", log,
       "--binlog_format", "bogus")).isLeft)
+    // a fence position without the mysql format would be silently
+    // un-honored by the TSV stand-in — refused at parse time instead
+    assert(SyncCli.parse(Array("snapshot-then-stream",
+      "--src_url", url, "--dst_url", dstUrl, "--binlog", log,
+      "--binlog_start_pos", "100")).isLeft)
     val Right(cli) = SyncCli.parse(Array("snapshot-then-stream",
       "--src_url", url, "--dst_url", dstUrl,
       "--include_tables", "(?i)^src_orders$",

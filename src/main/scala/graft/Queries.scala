@@ -2533,6 +2533,31 @@ object Queries {
         | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // ORC leg of the source-format matrix (parquet/CSV/JSONL/ORC — the
+    // lakehouse formats Spark ships): typed columnar round trip, no
+    // render formats to pin, aggregates compared against the original
+    // table so any value or type drift through the ORC writer/reader
+    // pair fails the hash
+    Q("q_orc_roundtrip",
+      (s, d) => {
+        val tmp = CoreOps.scratchDir("orc_rt", d)
+        val li = Tables.lineitem(s, d)
+        li.write.mode("overwrite").orc(tmp)
+        s.read.schema(li.schema).orc(tmp)
+          .groupBy("l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            exactSum(col("l_extendedprice")).as("total"),
+            max(col("l_shipdate")).as("last_ship"),
+            countDistinct(col("l_partkey")).as("n_parts"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+        | max(l_shipdate) AS last_ship,
+        | count(DISTINCT l_partkey) AS n_parts
+        | FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""
+        .stripMargin.replaceAll("\n", ""))),
+
     Q("q_jsonl_roundtrip",
       (s, d) => {
         val tmp = CoreOps.scratchDir("jsonl_rt", d)

@@ -680,7 +680,7 @@ object ExtQueries {
         | SELECT a.source AS src_a, b.source AS src_b,
         |  ta.n AS n_a, tb.n AS n_b,
         |  CAST(max(abs(CAST(a.cum AS DECIMAL(38,0)) * tb.n -
-        |    CAST(b.cum AS DECIMAL(38,0)) * ta.n)) AS BIGINT) AS ks_num
+        |    CAST(b.cum AS DECIMAL(38,0)) * ta.n)) AS DOUBLE) AS ks_num
         | FROM cdf a JOIN cdf b
         |   ON a.n_chars = b.n_chars AND a.source < b.source
         | JOIN tot ta ON ta.source = a.source
@@ -1813,12 +1813,14 @@ object ExtQueries {
     // distribution — the standard "did this crawl batch shift?" gate
     // before data enters a training mix. Kept EXACT and portable: the
     // statistic is max_x |cdf_a(x) - cdf_b(x)| = ks_num/(n_a*n_b) and
-    // the query emits the integer numerator and the two counts instead
-    // of dividing (no floats anywhere). The only corpus-scale stage is
-    // the keyed (source, length) histogram count; everything after runs
-    // on |sources| x |distinct lengths| rows, with the CDF cumsum
-    // partitioned per source. Products ride DECIMAL(38,0) so
-    // cum*n stays exact past the ~3e9-doc int64 ceiling.
+    // the query emits the numerator and the two counts instead of
+    // dividing. The only corpus-scale stage is the keyed (source,
+    // length) histogram count; everything after runs on |sources| x
+    // |distinct lengths| rows, with the CDF cumsum partitioned per
+    // source. Products ride DECIMAL(38,0) so cum*n stays exact past the
+    // ~3e9-doc int64 ceiling; the max surfaces as DOUBLE (a BIGINT cast
+    // would silently wrap past ~9.2e18 — the decimal→double conversion
+    // is correctly rounded and engine-portable instead).
     Q("x_ks_drift",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -1841,7 +1843,7 @@ object ExtQueries {
             abs(col("cum_a").cast("decimal(38,0)") * col("n_b") -
                 col("cum_b").cast("decimal(38,0)") * col("n_a")).as("diff"))
           .groupBy("src_a", "src_b", "n_a", "n_b")
-          .agg(max(col("diff")).cast("long").as("ks_num"))
+          .agg(max(col("diff")).cast("double").as("ks_num"))
           .orderBy("src_a", "src_b")
       },
       Some("""WITH cnt AS (SELECT source, n_chars, count(*) AS c
@@ -1856,7 +1858,7 @@ object ExtQueries {
         | SELECT a.source AS src_a, b.source AS src_b,
         |  ta.n AS n_a, tb.n AS n_b,
         |  CAST(max(abs(CAST(a.cum AS DECIMAL(38,0)) * tb.n -
-        |    CAST(b.cum AS DECIMAL(38,0)) * ta.n)) AS BIGINT) AS ks_num
+        |    CAST(b.cum AS DECIMAL(38,0)) * ta.n)) AS DOUBLE) AS ks_num
         | FROM cdf a JOIN cdf b
         |   ON a.n_chars = b.n_chars AND a.source < b.source
         | JOIN tot ta ON ta.source = a.source
@@ -1902,7 +1904,7 @@ object ExtQueries {
             abs(col("cum_a").cast("decimal(38,0)") * col("n_b") -
                 col("cum_b").cast("decimal(38,0)") * col("n_a")).as("diff"))
           .groupBy("day_a", "day_b", "n_a", "n_b")
-          .agg(max(col("diff")).cast("long").as("ks_num"))
+          .agg(max(col("diff")).cast("double").as("ks_num"))
           .orderBy("day_a")
       },
       Some("""WITH ev AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
@@ -1919,7 +1921,7 @@ object ExtQueries {
         |   FROM (SELECT DISTINCT day FROM cnt) t)
         | SELECT a.day AS day_a, b.day AS day_b, ta.n AS n_a, tb.n AS n_b,
         |  CAST(max(abs(CAST(ac.cum AS DECIMAL(38,0)) * tb.n -
-        |    CAST(bc.cum AS DECIMAL(38,0)) * ta.n)) AS BIGINT) AS ks_num
+        |    CAST(bc.cum AS DECIMAL(38,0)) * ta.n)) AS DOUBLE) AS ks_num
         | FROM di a JOIN di b ON b.di = a.di + 1
         | JOIN cdf ac ON ac.day = a.day
         | JOIN cdf bc ON bc.day = b.day AND bc.bkt = ac.bkt

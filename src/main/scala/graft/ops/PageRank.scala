@@ -78,10 +78,18 @@ object PageRank {
     // graph (1 file per ~2M nodes, so sf0.1's 20k-node table is ONE
     // file, a 1000-executor graph still writes hundreds): the dominant
     // per-iteration cost at small |V| is file open/commit/schedule
-    // overhead of shuffle-partition-many tiny files, not bytes. The
-    // coalesce collapses only the post-shuffle (or post-broadcast-join)
-    // write stage — the contribution sum underneath keeps full
-    // parallelism.
+    // overhead of shuffle-partition-many tiny files, not bytes. What
+    // the coalesce narrows depends on the join mode: with `sums`
+    // BROADCAST (|V| <= 4M) it collapses only the nodes-scan + join +
+    // write stage — the contribution sum completed on the broadcast
+    // side at full parallelism. In the large-graph SHUFFLE path the
+    // coalesce narrows the final reduce stage (the rank-sum reduce
+    // feeds the join exchange-free, so that whole stage runs at
+    // rankFiles tasks) — accepted DELIBERATELY over a per-iteration
+    // repartition shuffle of |V| rows: rankFiles scales 1-per-2M-nodes,
+    // bounding the narrowed stage at ~2M tiny rows per task up to the
+    // 256-file cap (|V| = 512M; past that, raise the cap before
+    // raising iters).
     val rankFiles = math.max(1L, math.min(256L, n / 2000000L)).toInt
     // r0 is nodes + a CONSTANT rank column — computed lazily into
     // iteration 1's join rather than written and re-read as its own

@@ -370,8 +370,12 @@ object DedupOps {
     // table, per-round cost at small |V| is dominated by
     // shuffle-partition-many tiny files, so each round's write
     // coalesces to a node-scaled count (the count reads the tiny
-    // stored labels_0, not the pair pipeline). Post-shuffle stage only
-    // — the edge join and aggregate underneath keep full parallelism.
+    // stored labels_0, not the pair pipeline). NOTE the coalesce
+    // narrows the round's FINAL reduce stage (the pointer-jump join's
+    // reduce side runs at labelFiles tasks, not just the write) —
+    // accepted over an extra per-round repartition shuffle because
+    // labelFiles scales 1-per-2M-nodes, bounding that stage at ~2M
+    // two-long rows per task up to the 256-file cap.
     val labelFiles =
       math.max(1L, math.min(256L, labels.count() / 2000000L)).toInt
     var converged = false

@@ -23,10 +23,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * The KS arithmetic is identical to the batch `x_ks_drift` query
   * (ExtQueries): exact integer cross-multiplied CDF numerators riding
-  * DECIMAL(38,0) — `ks = ks_num / (n_a*n_b)` — no floats anywhere, so
-  * the streamed state is DuckDB-oracle-checkable via the registered
-  * batch twin (`st_ks_drift`) and the stream is pinned to that twin in
-  * ScalaTest.
+  * DECIMAL(38,0) — `ks = ks_num / (n_a*n_b)` — surfaced as a
+  * correctly-rounded double (see [[ksPairs]]), so the streamed state is
+  * DuckDB-oracle-checkable via the registered batch twin
+  * (`st_ks_drift`) and the stream is pinned to that twin in ScalaTest.
   *
   * Reference tie-in: the reference's sync loop re-copies whole tables
   * blind (mysql_to_clickhouse_sync.py:185-200); a drift gate over the
@@ -75,7 +75,14 @@ object KsDriftIngest {
     * contributes its running cumulative), and the statistic's numerator
     * `max |cum_a*n_b - cum_b*n_a|` stays in exact integers
     * (DECIMAL(38,0) products — cum*n exceeds int64 past ~3e9 docs).
-    * Everything here is |sources|²×|bins|-scale, never corpus-scale.
+    * The max SURFACES as DOUBLE, never an integral cast: a BIGINT cast
+    * of the decimal would silently wrap (non-ANSI) once the numerator
+    * itself passes ~9.2e18, corrupting the statistic at exactly the
+    * scale the decimal arithmetic exists for. The decimal→double
+    * conversion is correctly rounded and engine-portable (exact below
+    * 2^53; ~15 significant digits above — far more than the KS ratio
+    * needs). Everything here is |sources|²×|bins|-scale, never
+    * corpus-scale.
     */
   def ksPairs(hist: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -95,7 +102,7 @@ object KsDriftIngest {
         abs(col("cum_a").cast("decimal(38,0)") * col("n_b") -
             col("cum_b").cast("decimal(38,0)") * col("n_a")).as("diff"))
       .groupBy("src_a", "src_b", "n_a", "n_b")
-      .agg(max(col("diff")).cast("long").as("ks_num"))
+      .agg(max(col("diff")).cast("double").as("ks_num"))
       .orderBy("src_a", "src_b")
   }
 

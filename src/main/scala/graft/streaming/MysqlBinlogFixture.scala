@@ -86,9 +86,11 @@ object MysqlBinlogFixture {
               val t = r.getTimestamp(2)
               val micros = t.getTime * 1000L + (t.getNanos / 1000) % 1000
               if (!began) {
+                // a real 8.0 log's head, in wire order: the FDE first
+                // (begin()), then PREVIOUS_GTIDS directly after it as
+                // the SECOND event — the executed set at log start,
+                // empty for the first log of a fresh server
                 w.setClock(micros / 1000000L); w.begin()
-                // a real log's second event: the executed set at log
-                // start — empty for the first log of a fresh server
                 w.previousGtids(Seq.empty)
                 began = true
               }
@@ -105,8 +107,11 @@ object MysqlBinlogFixture {
             // log does (gtid_mode=ON) — the decode path is exercised by
             // every downstream read, and the per-server uuid makes
             // MysqlBinlog.gtidSet over a parsed log a meaningful
-            // executed-set (the reference's metadata.txt gtid line)
+            // executed-set (the reference's metadata.txt gtid line).
+            // After the GTID, `BEGIN` as a Query event — the wire order
+            // a ROW-format server emits for every transaction
             w.gtid(f"00000000-0000-4000-8000-${100L + pid}%012d", txn + 1)
+            w.query("graft", "BEGIN")
             if (!mixed) {
               w.tableMap(td)
               w.writeRows(td, images)

@@ -99,23 +99,37 @@ object MysqlBinlogSource {
     }.reduce(_.unionByName(_))
   }
 
-  /** Chain epoch of a log file, from the numeric rotation suffix of its
-    * name (`bin.000042` → 42; no digits → 0), packed into seq's high
-    * bits: 19 bits of epoch over 44 bits of (byte position × 64), so
-    * the (ts, seq) version collapse stays a total order ACROSS rotation
-    * — byte positions reset in the successor file, and without the
-    * epoch a same-second update early in the new log would lose to a
-    * stale row late in the old one. Bounds: files to 256 GiB (MySQL
-    * caps at 1 GiB), 524 287 rotations before wrap (the suffix itself
-    * wraps at 999 999).
+  /** Chain EPOCH of a log file: the value packed into seq's high bits —
+    * 19 bits of epoch over 44 bits of (byte position × 64) — so the
+    * (ts, seq) version collapse stays a total order ACROSS rotation:
+    * byte positions reset in the successor file, and without the epoch
+    * a same-second update early in the new log would lose to a stale
+    * row late in the old one. Bounds: files to 256 GiB (MySQL caps at
+    * 1 GiB), 524 287 epochs.
+    *
+    * Who assigns it: the MICRO-BATCH stream carries the epoch in its
+    * offset and increments it at each rotation it follows — monotonic
+    * BY CONSTRUCTION, immune to suffix wrap or a successor named
+    * without a larger numeric tail. `fileEpoch` (the name's numeric
+    * suffix, `bin.000042` → 42) only SEEDS a fresh stream's first
+    * offset and serves the one-partition-per-file BATCH scan, where the
+    * sorted file list is the chain order; on a sane server chain the
+    * suffix increments by exactly 1 per rotation, so the two
+    * assignments agree. Suffixes beyond 19 bits are masked in the seed
+    * (the seed only needs to be SOME valid starting point; the stream's
+    * own arithmetic never wraps below [[maxEpoch]], where it fails
+    * loudly rather than reordering).
     */
-  private[streaming] def seqBase(file: String): Long = {
+  private[streaming] val maxEpoch = 0x7FFFFL
+
+  private[streaming] def fileEpoch(file: String): Long = {
     val name = Paths.get(file).getFileName.toString
     val digits = name.reverse.takeWhile(_.isDigit).reverse
-    val epoch = if (digits.isEmpty) 0L
-      else java.lang.Long.parseLong(digits.takeRight(18)) & 0x7FFFFL
-    epoch << 44
+    if (digits.isEmpty) 0L
+    else java.lang.Long.parseLong(digits.takeRight(18)) & maxEpoch
   }
+
+  private[streaming] def seqBase(file: String): Long = fileEpoch(file) << 44
 
   private[streaming] def toRow(e: ChangeEvent, src: String): InternalRow =
     new GenericInternalRow(Array[Any](
@@ -287,14 +301,25 @@ class MysqlBinlogBatch(path: String) extends Batch {
 }
 
 // -- micro-batch: (file, byte) offsets over a growing log chain --------
-case class MysqlBinlogOffset(file: String, bytes: Long) extends Offset {
+/** `epoch` is the chain's rotation count (seq's high bits) — tracked in
+  * the offset so it is monotonic by construction across rotation
+  * regardless of how the server names successors. `-1` marks an offset
+  * deserialized from a pre-epoch checkpoint: the effective epoch then
+  * falls back to the file name's numeric suffix, which is what those
+  * checkpoints' seq values were built from.
+  */
+case class MysqlBinlogOffset(file: String, bytes: Long,
+                             epoch: Long = -1L) extends Offset {
+  def effectiveEpoch: Long =
+    if (epoch >= 0L) epoch else MysqlBinlogSource.fileEpoch(file)
   override def json(): String = {
     val f = file.replace("\\", "\\\\").replace("\"", "\\\"")
-    s"""{"format":"mysql-binlog","file":"$f","bytes":$bytes}"""
+    s"""{"format":"mysql-binlog","file":"$f","bytes":$bytes,"epoch":$epoch}"""
   }
 }
 
-case class MysqlBinlogRange(file: String, startByte: Long, endByte: Long)
+case class MysqlBinlogRange(file: String, startByte: Long, endByte: Long,
+                            epoch: Long)
   extends InputPartition
 
 class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long,
@@ -321,7 +346,10 @@ class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long,
     val f = startFile.getOrElse(path)
     startPos.foreach(p => require(p >= 4L,
       s"startPos $p is inside the magic; positions start at 4"))
-    MysqlBinlogOffset(f, startPos.getOrElse(4L))
+    // seed the chain epoch from the start file's name ONCE; from here
+    // on the offset's own rotation count carries it
+    MysqlBinlogOffset(f, startPos.getOrElse(4L),
+      MysqlBinlogSource.fileEpoch(f))
   }
 
   /** Advance within the offset's CURRENT file; when the file is drained
@@ -365,8 +393,18 @@ class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long,
       }
     }
     rotate.filter(n => Files.exists(Paths.get(n))) match {
-      case Some(next) => MysqlBinlogOffset(next, 4L)
-      case None       => MysqlBinlogOffset(s.file, a.safe)
+      case Some(next) =>
+        // rotation increments the chain epoch — monotonic by
+        // construction, whatever the successor's name (suffix wrap, a
+        // renamed chain); past the 19-bit seq field, fail loudly
+        // rather than let the version collapse reorder
+        val e = s.effectiveEpoch + 1
+        if (e > MysqlBinlogSource.maxEpoch) throw new IllegalStateException(
+          s"binlog chain epoch $e exceeds the ${MysqlBinlogSource.maxEpoch} " +
+            "rotations the 19-bit seq epoch field can order; " +
+            "restart the chain from a fresh checkpoint")
+        MysqlBinlogOffset(next, 4L, e)
+      case None => MysqlBinlogOffset(s.file, a.safe, s.effectiveEpoch)
     }
   }
 
@@ -394,7 +432,11 @@ class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long,
     val file = """"file":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
       .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
       .getOrElse(path)
-    MysqlBinlogOffset(file, bytes)
+    // pre-epoch checkpoints carry no epoch field: -1 → effectiveEpoch
+    // falls back to the file-name suffix those checkpoints encoded with
+    val epoch = """"epoch":(-?\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    MysqlBinlogOffset(file, bytes, epoch)
   }
 
   override def commit(end: Offset): Unit = ()
@@ -405,14 +447,16 @@ class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long,
     val e = end.asInstanceOf[MysqlBinlogOffset]
     if (s.file == e.file) {
       if (e.bytes <= s.bytes) Array.empty
-      else Array(MysqlBinlogRange(s.file, s.bytes, e.bytes))
+      else Array(MysqlBinlogRange(s.file, s.bytes, e.bytes, s.effectiveEpoch))
     } else {
       // rotation boundary: the range is the remaining tail of the
       // closed predecessor (its size is stable — the server moved on);
-      // the successor's bytes start accruing next trigger from e.bytes=4
+      // the successor's bytes start accruing next trigger from e.bytes=4.
+      // The epoch is the PREDECESSOR's (these rows physically live in
+      // s.file); e.epoch = s.epoch + 1 applies from the next range on.
       val tail = Files.size(Paths.get(s.file))
       if (tail <= s.bytes) Array.empty
-      else Array(MysqlBinlogRange(s.file, s.bytes, tail))
+      else Array(MysqlBinlogRange(s.file, s.bytes, tail, s.effectiveEpoch))
     }
   }
 
@@ -440,7 +484,7 @@ class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long,
         } finally ch.close()
         val events = MysqlBinlog.changeEvents(
           MysqlBinlog.parse(bytes, base = r.startByte, fde = Some(fde)),
-          MysqlBinlogSource.seqBase(r.file))
+          r.epoch << 44)
         // src is the CHAIN identity — the configured head path, stable
         // across rotation and unique across servers (a per-file
         // basename would flip at every rotation and collide between

@@ -291,6 +291,19 @@ object MysqlBinlogWriter {
       case m => throw new IllegalArgumentException(s"bad fsp $m")
     }
 
+    /** QUERY_EVENT (statement text). An 8.0 ROW-format log emits
+      * `BEGIN` as each transaction's first statement event, directly
+      * after its GTID — [[MysqlBinlogFixture]] reproduces that wire
+      * order. Post-header (13 bytes, as the FDE declares): thread_id(4)
+      * exec_time(4) schema_len(1) error_code(2) status_len(2); payload:
+      * status vars (none here), schema name, NUL, query text.
+      */
+    def query(schema: String, sql: String): Long = {
+      val sb = schema.getBytes(StandardCharsets.UTF_8)
+      emit(QUERY_EVENT, new B().u4(0L).u4(0L).u1(sb.length).u2(0).u2(0)
+        .raw(sb).u1(0).str(sql).bytes)
+    }
+
     /** transaction fence (commit marker) */
     def xid(id: Long): Long = emit(XID_EVENT, new B().i8(id).bytes)
 

@@ -306,12 +306,26 @@ object SyncCli {
             .schema("source STRING, bkt BIGINT, c BIGINT, batch_id BIGINT")
             .parquet(s"$driftDir/hist")
             .select("source", "bkt", "c"))
-        val gate = graft.streaming.KsDriftIngest.ksPairs(union)
+        val pairs = graft.streaming.KsDriftIngest.ksPairs(union)
           .select(lit(batchId).as("batch_id"),
             col("n_a").as("n_base"), col("n_b").as("n_stream"),
-            (col("ks_num").cast("double") /
+            (col("ks_num") /
               (col("n_a").cast("double") * col("n_b"))).as("ks"))
           .withColumn("gated", col("ks") > dg.threshold)
+        // every batch writes an immutable decision row, even when the
+        // stream histogram is still empty (quiet stream, no watched
+        // rows yet) and ksPairs therefore has no 'stream' side: a
+        // supervising poller must be able to tell "gate open" from
+        // "not evaluated", so the not-evaluated case is an explicit
+        // (ks=null, gated=false) row rather than a missing partition
+        val gate =
+          if (pairs.isEmpty)
+            spark.range(1).select(lit(batchId).as("batch_id"),
+              lit(null).cast("long").as("n_base"),
+              lit(0L).as("n_stream"),
+              lit(null).cast("double").as("ks"),
+              lit(false).as("gated"))
+          else pairs
         gate.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(s"$driftDir/gate")

@@ -57,8 +57,8 @@ class SketchSpec extends SparkSpec {
     // statistic ks_num/(n_a*n_b) lives in [0, 1])
     assert(rows.length == nSources * (nSources - 1) / 2)
     assert(rows.forall { r =>
-      val ks = r.getAs[Long]("ks_num")
-      ks >= 0 && ks <= r.getAs[Long]("n_a") * r.getAs[Long]("n_b")
+      val ks = r.getAs[Double]("ks_num")
+      ks >= 0.0 && ks <= r.getAs[Long]("n_a").toDouble * r.getAs[Long]("n_b")
     })
   }
 
@@ -70,8 +70,8 @@ class SketchSpec extends SparkSpec {
         .date_format(col("ts"), "yyyy-MM-dd")).distinct().count()
     assert(rows.length == nDays - 1)
     assert(rows.forall { r =>
-      val ks = r.getAs[Long]("ks_num")
-      ks >= 0 && ks <= r.getAs[Long]("n_a") * r.getAs[Long]("n_b")
+      val ks = r.getAs[Double]("ks_num")
+      ks >= 0.0 && ks <= r.getAs[Long]("n_a").toDouble * r.getAs[Long]("n_b")
     })
   }
 }

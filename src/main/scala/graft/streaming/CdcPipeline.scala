@@ -282,7 +282,10 @@ object CdcPipeline {
     * ([[MysqlBinlogSourceProvider]]) instead of the TSV stand-in, with
     * the snapshot-fence start the reference's metadata.txt exists for:
     * a fresh stream begins at `startPos` (the recorded SHOW-MASTER-
-    * STATUS position — history before it is already in the snapshot),
+    * STATUS position — history before it is already in the snapshot) or
+    * at the first transaction past `startGtid` (the recorded
+    * Executed_Gtid_Set — metadata.txt's third line; GTID auto-position,
+    * valid even across a failover that renumbers log files),
     * a checkpointed one resumes from its committed (file, byte) offset.
     * The `src` column rides along untouched; the apply collapses on
     * (table, key) as everywhere.
@@ -292,12 +295,14 @@ object CdcPipeline {
                                props: java.util.Properties,
                                checkpointDir: String,
                                startPos: Option[Long] = None,
-                               maxEventsPerTrigger: Long = 10000L): StreamingQuery = {
+                               maxEventsPerTrigger: Long = 10000L,
+                               startGtid: Option[String] = None): StreamingQuery = {
     var r = spark.readStream
       .format(classOf[MysqlBinlogSourceProvider].getName)
       .option("path", logPath)
       .option("maxEventsPerTrigger", maxEventsPerTrigger.toString)
     startPos.foreach(p => r = r.option("startPos", p.toString))
+    startGtid.foreach(g => r = r.option("startGtid", g))
     r.load()
       .writeStream
       .option("checkpointLocation", checkpointDir)

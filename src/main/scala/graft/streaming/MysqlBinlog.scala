@@ -409,9 +409,15 @@ object MysqlBinlog {
     * events, so any range that starts at an event-group boundary is
     * self-contained; resuming INSIDE a group is refused loudly (no
     * preceding TABLE_MAP) rather than mis-decoded.
+    *
+    * `decodeRows = false` surfaces WRITE/UPDATE/DELETE_ROWS as [[Opaque]]
+    * (headers + CRC still verified) — the GTID auto-position scan walks
+    * whole files deciding executed/not per transaction and must not pay
+    * row-image decode for history it is about to skip.
     */
   def parse(bytes: Array[Byte], base: Long = 0L,
-            fde: Option[FormatDescription] = None): Vector[Event] = {
+            fde: Option[FormatDescription] = None,
+            decodeRows: Boolean = true): Vector[Event] = {
     currentTableMaps.get.clear()
     var p = 0
     if (base == 0L) {
@@ -456,7 +462,8 @@ object MysqlBinlog {
             val tm = parseTableMap(c, h, start, bodyEnd)
             currentTableMaps.get.update(tm.tableId, tm); tm
           case WRITE_ROWS_EVENT | UPDATE_ROWS_EVENT | DELETE_ROWS_EVENT =>
-            parseRows(c, h, start, bodyEnd)
+            if (decodeRows) parseRows(c, h, start, bodyEnd)
+            else Opaque(h, start)
           case WRITE_ROWS_V1 | UPDATE_ROWS_V1 | DELETE_ROWS_V1 =>
             throw new BinlogFormatException(
               "v1 rows events (5.1 format) not supported; use ROW v2")
@@ -550,6 +557,68 @@ object MysqlBinlog {
       s"${hex.substring(12, 16)}-${hex.substring(16, 20)}-" +
       hex.substring(20)
   }
+
+  // -- GTID set algebra -------------------------------------------------
+  /** Parsed GTID set: uuid → disjoint CLOSED [start, end] intervals,
+    * sorted ascending — the in-memory form of the canonical
+    * `uuid:a-b:c,uuid2:d` notation ([[gtidSet]], the reference's
+    * metadata.txt third line). Consumer side of GTID auto-position:
+    * containment decides which transactions a resuming stream skips.
+    */
+  type GtidSet = Map[String, Vector[(Long, Long)]]
+
+  /** Parse canonical interval notation; tolerates whitespace after the
+    * commas MySQL prints. Empty/blank → empty set. Malformed input
+    * throws [[BinlogFormatException]] naming the bad fragment — a
+    * mistyped start set must refuse, not silently skip nothing.
+    */
+  def parseGtidSet(s: String): GtidSet = {
+    if (s == null || s.trim.isEmpty) return Map.empty
+    s.split(",").map(_.trim).filter(_.nonEmpty).map { part =>
+      part.split(":").toList match {
+        case uuid :: ivs if ivs.nonEmpty &&
+            uuid.replace("-", "").length == 32 =>
+          val parsed = ivs.map { iv =>
+            iv.split("-", 2) match {
+              case Array(a) => (a.toLong, a.toLong)
+              case Array(a, b) =>
+                val (s0, e0) = (a.toLong, b.toLong)
+                if (e0 < s0) throw new BinlogFormatException(
+                  s"bad gtid interval '$iv' in '$part'")
+                (s0, e0)
+            }
+          }.sortBy(_._1).toVector
+          parsed.sliding(2).foreach {
+            case Vector((_, e0), (s1, _)) if s1 <= e0 =>
+              throw new BinlogFormatException(
+                s"overlapping gtid intervals in '$part'")
+            case _ => ()
+          }
+          uuid.toLowerCase -> parsed
+        case _ => throw new BinlogFormatException(
+          s"bad gtid set fragment '$part' (want uuid:a-b[:c-d...])")
+      }
+    }.toMap
+  }
+
+  /** Is `uuid:gno` in the set? */
+  def gtidContains(set: GtidSet, uuid: String, gno: Long): Boolean =
+    set.get(uuid.toLowerCase)
+      .exists(_.exists { case (a, b) => gno >= a && gno <= b })
+
+  /** Is every gtid of `sub` in `sup`? (Interval-wise: each sub-interval
+    * must fit inside one sup-interval — intervals are disjoint+sorted.)
+    * Drives the purged-history check: a file whose PREVIOUS_GTIDS is
+    * NOT a subset of the requested start set contains history from
+    * before the set was recorded that this chain no longer retains.
+    */
+  def gtidSubset(sub: GtidSet, sup: GtidSet): Boolean =
+    sub.forall { case (uuid, ivs) =>
+      val supIvs = sup.getOrElse(uuid, Vector.empty)
+      ivs.forall { case (a, b) =>
+        supIvs.exists { case (sa, sb) => sa <= a && b <= sb }
+      }
+    }
 
   /** Executed-GTID-set string of a parsed log, in MySQL's canonical
     * `uuid:a-b:c,uuid2:d` interval notation — the value a deployment

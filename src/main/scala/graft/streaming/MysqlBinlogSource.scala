@@ -138,6 +138,87 @@ object MysqlBinlogSource {
       e.seq, if (e.payload == null) null else UTF8String.fromString(e.payload),
       UTF8String.fromString(src)))
 
+  /** GTID auto-position, consumer side — what `CHANGE REPLICATION
+    * SOURCE TO SOURCE_AUTO_POSITION=1` does with the replica's executed
+    * set, run against a recorded chain: walk the chain from `head`,
+    * skip every transaction whose GTID is already in `executedSet` (the
+    * reference's metadata.txt third line / the fence's
+    * `Executed_Gtid_Set`), and return the offset of the FIRST
+    * unexecuted transaction's GTID event — `(file, byte, epoch)`, with
+    * the epoch accumulated exactly as the stream's own rotation-follow
+    * arithmetic would have. A chain whose every transaction is executed
+    * positions at the live tail's EOF (the stream parks there and
+    * follows growth).
+    *
+    * Refusals (all loud, never a silent wrong position):
+    *   - a file whose PREVIOUS_GTIDS is NOT a subset of `executedSet`
+    *     holds history from before the set was recorded that the chain
+    *     no longer retains — the MySQL "required GTIDs purged" error;
+    *   - a rows event before any GTID decision (anonymous transaction,
+    *     gtid_mode=OFF) cannot be classified executed-or-not.
+    *
+    * Cost: one pass over the skipped prefix reading headers + GTID
+    * bodies only (`decodeRows = false` — no row-image decode), ONCE per
+    * stream start; committed checkpoints take over from there.
+    */
+  private[streaming] def positionAfterGtids(head: String,
+                                            executedSet: String): MysqlBinlogOffset = {
+    val executed = MysqlBinlog.parseGtidSet(executedSet)
+    var file = head
+    var epoch = fileEpoch(head)
+    var result: MysqlBinlogOffset = null
+    while (result == null) {
+      val events = MysqlBinlog.parse(
+        Files.readAllBytes(Paths.get(file)), decodeRows = false)
+      var lastGtidExecuted: Option[Boolean] = None
+      val it = events.iterator
+      while (result == null && it.hasNext) it.next() match {
+        case pg: MysqlBinlog.PreviousGtids =>
+          if (!MysqlBinlog.gtidSubset(MysqlBinlog.parseGtidSet(pg.set), executed))
+            throw new IllegalStateException(
+              s"GTID auto-position: $file starts at executed set '${pg.set}' " +
+                s"not contained in the requested start set '$executedSet' — " +
+                "the chain no longer retains the history the set predates " +
+                "(MySQL: required GTIDs have been purged)")
+        case g: MysqlBinlog.Gtid =>
+          if (!MysqlBinlog.gtidContains(executed, g.uuid, g.gno))
+            result = MysqlBinlogOffset(file, g.startPos, epoch)
+          else lastGtidExecuted = Some(true)
+        case o: MysqlBinlog.Opaque
+            if (o.header.eventType == MysqlBinlog.WRITE_ROWS_EVENT ||
+                o.header.eventType == MysqlBinlog.UPDATE_ROWS_EVENT ||
+                o.header.eventType == MysqlBinlog.DELETE_ROWS_EVENT) &&
+              lastGtidExecuted.isEmpty =>
+          throw new IllegalStateException(
+            s"GTID auto-position: rows event at $file:${o.startPos} belongs " +
+              "to a transaction with no GTID (gtid_mode=OFF?) — cannot " +
+              "classify it against the start set")
+        case _ => ()
+      }
+      // every transaction in this file is executed: follow a trailing
+      // ROTATE into the successor, or park at the (live or
+      // successor-not-yet-created) tail's EOF — the stream's own
+      // rotate-follow takes over from there
+      if (result == null) events.lastOption match {
+        case Some(r: MysqlBinlog.Rotate) =>
+          val parent = Paths.get(file).getParent
+          val next = (if (parent == null) Paths.get(r.nextFile)
+                      else parent.resolve(r.nextFile)).toString
+          if (!Files.exists(Paths.get(next)))
+            result = MysqlBinlogOffset(file, Files.size(Paths.get(file)), epoch)
+          else {
+            file = next
+            epoch += 1
+            if (epoch > maxEpoch) throw new IllegalStateException(
+              s"binlog chain epoch $epoch exceeds the 19-bit seq field")
+          }
+        case _ =>
+          result = MysqlBinlogOffset(file, Files.size(Paths.get(file)), epoch)
+      }
+    }
+    result
+  }
+
   /** Next safe event-boundary offset admitting up to `maxEvents` ROW
     * events from `startByte` (4 = just past the magic for a fresh
     * stream). Reads only headers — O(events), no payload decode — and
@@ -268,7 +349,8 @@ class MysqlBinlogTable(props: Map[String, String]) extends Table with SupportsRe
             options.getLong("maxEventsPerTrigger", Long.MaxValue),
             options.getLong("maxBytesPerTrigger", Long.MaxValue),
             Option(options.get("startFile")),
-            Option(options.get("startPos")).map(_.toLong))
+            Option(options.get("startPos")).map(_.toLong),
+            Option(options.get("startGtid")))
       }
     }
 }
@@ -325,7 +407,8 @@ case class MysqlBinlogRange(file: String, startByte: Long, endByte: Long,
 class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long,
                                   maxBytesPerTrigger: Long = Long.MaxValue,
                                   startFile: Option[String] = None,
-                                  startPos: Option[Long] = None)
+                                  startPos: Option[Long] = None,
+                                  startGtid: Option[String] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
@@ -339,17 +422,28 @@ class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long,
     * the log head (mysql_to_clickhouse_sync.py:175-183). startPos must
     * be an event boundary (the server's reported position always is);
     * a mid-event position fails the first range's parse loudly rather
-    * than mis-decoding. Once a checkpoint exists, its committed offset
-    * wins — the start options only seed the very first run.
+    * than mis-decoding. `startGtid` instead derives the start from the
+    * executed-GTID set (metadata.txt's THIRD line) by scanning past
+    * already-executed transactions ([[MysqlBinlogSource.positionAfterGtids]])
+    * — MASTER_AUTO_POSITION, and the more robust coordinate: it stays
+    * valid across a source failover that renumbers log files. Once a
+    * checkpoint exists, its committed offset wins — the start options
+    * only seed the very first run.
     */
-  override def initialOffset(): Offset = {
-    val f = startFile.getOrElse(path)
-    startPos.foreach(p => require(p >= 4L,
-      s"startPos $p is inside the magic; positions start at 4"))
-    // seed the chain epoch from the start file's name ONCE; from here
-    // on the offset's own rotation count carries it
-    MysqlBinlogOffset(f, startPos.getOrElse(4L),
-      MysqlBinlogSource.fileEpoch(f))
+  override def initialOffset(): Offset = startGtid match {
+    case Some(g) =>
+      require(startFile.isEmpty && startPos.isEmpty,
+        "startGtid and startFile/startPos are mutually exclusive — " +
+          "GTID auto-position derives the file and position itself")
+      MysqlBinlogSource.positionAfterGtids(path, g)
+    case None =>
+      val f = startFile.getOrElse(path)
+      startPos.foreach(p => require(p >= 4L,
+        s"startPos $p is inside the magic; positions start at 4"))
+      // seed the chain epoch from the start file's name ONCE; from here
+      // on the offset's own rotation count carries it
+      MysqlBinlogOffset(f, startPos.getOrElse(4L),
+        MysqlBinlogSource.fileEpoch(f))
   }
 
   /** Advance within the offset's CURRENT file; when the file is drained

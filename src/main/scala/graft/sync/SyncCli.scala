@@ -45,7 +45,8 @@ object SyncCli {
       cdcTable: String,
       drift: Option[DriftGateConfig] = None,
       binlogFormat: String = "tsv",
-      binlogStartPos: Option[Long] = None)
+      binlogStartPos: Option[Long] = None,
+      binlogStartGtid: Option[String] = None)
 
   /** `drift-gate` verb knobs: which source table/column the KS gate
     * watches, and the statistic threshold that flips a batch's gate
@@ -77,7 +78,7 @@ object SyncCli {
     val known = (mysqlKeys ++ chKeys ++ Seq("batch_size", "max_workers",
       "include_tables", "exclude_tables", "src_url", "dst_url",
       "checkpoint_dir", "binlog", "cdc_table",
-      "binlog_format", "binlog_start_pos",
+      "binlog_format", "binlog_start_pos", "binlog_start_gtid",
       "drift_table", "drift_column", "drift_threshold")).toSet
     val kv = scala.collection.mutable.Map.empty[String, String]
     var i = 0
@@ -142,6 +143,22 @@ object SyncCli {
         case some => some
       }
     }
+    // GTID auto-position: same format-mandate as --binlog_start_pos,
+    // mutually exclusive with it (the GTID set derives file+position
+    // itself), and the set syntax is validated HERE — a mistyped set
+    // must fail the CLI, not skip nothing at stream start
+    val binlogStartGtid = kv.get("binlog_start_gtid") match {
+      case None => None
+      case Some(_) if binlogFormat != "mysql" =>
+        return Left("--binlog_start_gtid requires --binlog_format mysql")
+      case Some(_) if binlogStartPos.isDefined =>
+        return Left("--binlog_start_gtid and --binlog_start_pos are " +
+          "mutually exclusive (auto-position derives the position)")
+      case Some(v) =>
+        try { graft.streaming.MysqlBinlog.parseGtidSet(v); Some(v) }
+        catch { case e: Exception => return Left(
+          s"--binlog_start_gtid bad GTID set: ${e.getMessage}") }
+    }
     val drift: Either[String, Option[DriftGateConfig]] =
       if (verb != "drift-gate") Right(None)
       else (kv.get("drift_table"), kv.get("drift_column")) match {
@@ -170,7 +187,8 @@ object SyncCli {
       kv.getOrElse("cdc_table", "cdc_state"),
       dg,
       binlogFormat,
-      binlogStartPos)
+      binlogStartPos,
+      binlogStartGtid)
   }
 
   /** Run one full sync from a parsed config (separate from `main` so
@@ -199,12 +217,14 @@ object SyncCli {
     runWith(spark, c)
     if (c.binlogFormat == "mysql")
       // the real wire format, started at the recorded master position
-      // (--binlog_start_pos, i.e. metadata.txt's second line) so
+      // (--binlog_start_pos, metadata.txt's second line) or GTID set
+      // (--binlog_start_gtid, its third line — auto-position) so
       // pre-snapshot history never replays
       graft.streaming.CdcPipeline.startFromMysqlBinlogJdbc(spark,
         c.binlog.get, c.dstUrl, c.cdcTable, c.dstProps,
         checkpointDir = s"${c.checkpointDir}/cdc_checkpoint",
-        startPos = c.binlogStartPos)
+        startPos = c.binlogStartPos,
+        startGtid = c.binlogStartGtid)
     else
       graft.streaming.CdcPipeline.startFromBinlogJdbc(spark, c.binlog.get,
         c.dstUrl, c.cdcTable, c.dstProps,
@@ -271,6 +291,7 @@ object SyncCli {
       else classOf[graft.streaming.BinlogSourceProvider].getName
     var reader = spark.readStream.format(fmt).option("path", c.binlog.get)
     c.binlogStartPos.foreach(p => reader = reader.option("startPos", p.toString))
+    c.binlogStartGtid.foreach(g => reader = reader.option("startGtid", g))
     reader
       .load()
       .writeStream
@@ -347,6 +368,7 @@ object SyncCli {
         "[--src_url JDBC] [--dst_url JDBC] [--checkpoint_dir DIR] " +
         "[--binlog PATH] [--cdc_table cdc_state] " +
         "[--binlog_format tsv|mysql] [--binlog_start_pos N] " +
+        "[--binlog_start_gtid SET] " +
         "[--drift_table T --drift_column C [--drift_threshold 0.2]]")
       sys.exit(2)
     case Right(cfg) =>

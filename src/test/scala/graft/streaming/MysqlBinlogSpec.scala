@@ -446,4 +446,106 @@ class MysqlBinlogSpec extends AnyFunSuite {
     assert(lastWhole == parse(java.util.Arrays.copyOf(bytes, bytes.length - 3))
       .last.header.nextPos)
   }
+  test("GTID set algebra: parse, containment, subset") {
+    val u1 = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    val u2 = "aaaaaaaa-bbbb-cccc-dddd-eeeeffff0000"
+    val set = parseGtidSet(s"$u1:1-5:7, $u2:3")
+    assert(set(u1) == Vector((1L, 5L), (7L, 7L)))
+    assert(set(u2) == Vector((3L, 3L)))
+    assert(parseGtidSet("") == Map.empty && parseGtidSet(null) == Map.empty)
+    Seq(1L, 5L, 7L).foreach(g => assert(gtidContains(set, u1, g)))
+    Seq(0L, 6L, 8L).foreach(g => assert(!gtidContains(set, u1, g)))
+    assert(gtidContains(set, u1.toUpperCase, 3L), "uuid match is case-blind")
+    assert(!gtidContains(set, u2, 1L))
+    // subset: interval-wise containment, missing uuid = not contained
+    assert(gtidSubset(parseGtidSet(s"$u1:2-4"), set))
+    assert(gtidSubset(Map.empty, set) && gtidSubset(set, set))
+    assert(!gtidSubset(parseGtidSet(s"$u1:4-6"), set))
+    assert(!gtidSubset(parseGtidSet(s"$u2:3-4"), set))
+    assert(!gtidSubset(parseGtidSet("11111111-2222-3333-4444-555555555555:1"), set))
+    // malformed sets refuse loudly (the CLI guard rides on this)
+    intercept[BinlogFormatException](parseGtidSet("not-a-set"))
+    intercept[BinlogFormatException](parseGtidSet(s"$u1:5-2"))
+    intercept[BinlogFormatException](parseGtidSet(s"$u1:1-3:2-5"))
+    intercept[BinlogFormatException](parseGtidSet(s"$u1"))
+  }
+
+  test("QUERY events round-trip schema and statement text") {
+    val path = tmpLog()
+    val evs = writeLadder(path) { w =>
+      w.query("graft", "BEGIN")
+      w.tableMap(ladder); w.writeRows(ladder, Seq(ladderRow(1L)))
+    }
+    val q = evs.collect { case q: Query => q }.head
+    assert(q.schema == "graft" && q.query == "BEGIN")
+    assert(rowsEvents(evs).nonEmpty)
+  }
+
+  test("decodeRows=false surfaces rows events as Opaque with verified headers") {
+    val path = tmpLog()
+    writeLadder(path) { w =>
+      w.gtid("3e11fa47-71ca-11e1-9e33-c80aa9429562", 1L)
+      w.tableMap(ladder); w.writeRows(ladder, Seq(ladderRow(1L))); w.xid(1L)
+    }
+    val evs = parse(Files.readAllBytes(Paths.get(path)), decodeRows = false)
+    assert(evs.collect { case r: RowsEvent => r }.isEmpty)
+    assert(evs.exists(e => e.isInstanceOf[Opaque] &&
+      e.header.eventType == WRITE_ROWS_EVENT))
+    // GTIDs still decode — that's what the auto-position scan reads
+    assert(evs.collect { case g: Gtid => g }.map(_.gno) == Vector(1L))
+  }
+
+  test("GTID auto-position: skips executed transactions, follows rotation, parks when drained") {
+    val dir = Files.createTempDirectory("graft_gtid_pos_").toString
+    val u = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    val log1 = s"$dir/bin.000001"; val log2 = s"$dir/bin.000002"
+    val w1 = new Writer(log1, serverId = 5L)
+    w1.setClock(1700000000L); w1.begin()
+    w1.previousGtids(Seq.empty)
+    var gtidPos = Map.empty[Long, (String, Long)]
+    Seq(1L, 2L).foreach { gno =>
+      gtidPos += gno -> (log1, w1.position)
+      w1.gtid(u, gno); w1.query("graft", "BEGIN")
+      w1.tableMap(ladder); w1.writeRows(ladder, Seq(ladderRow(gno))); w1.xid(gno)
+    }
+    w1.rotate("bin.000002"); w1.close()
+    val w2 = new Writer(log2, serverId = 5L)
+    w2.setClock(1700000100L); w2.begin()
+    w2.previousGtids(Seq(u -> Seq((1L, 2L))))
+    Seq(3L, 4L).foreach { gno =>
+      gtidPos += gno -> (log2, w2.position)
+      w2.gtid(u, gno); w2.query("graft", "BEGIN")
+      w2.tableMap(ladder); w2.writeRows(ladder, Seq(ladderRow(gno))); w2.xid(gno)
+    }
+    w2.close()
+    // mid-file: first unexecuted txn within the head file
+    val at2 = MysqlBinlogSource.positionAfterGtids(log1, s"$u:1")
+    assert((at2.file, at2.bytes) == gtidPos(2L))
+    assert(at2.effectiveEpoch == 1L)
+    // across rotation: the whole head file is executed
+    val at3 = MysqlBinlogSource.positionAfterGtids(log1, s"$u:1-2")
+    assert((at3.file, at3.bytes) == gtidPos(3L))
+    assert(at3.effectiveEpoch == 2L, "epoch accumulates across the followed rotation")
+    val at4 = MysqlBinlogSource.positionAfterGtids(log1, s"$u:1-3")
+    assert((at4.file, at4.bytes) == gtidPos(4L))
+    // everything executed: park at the live tail's EOF
+    val park = MysqlBinlogSource.positionAfterGtids(log1, s"$u:1-4")
+    assert(park.file == log2 && park.bytes == Files.size(Paths.get(log2)))
+    // purged history: log2's PREVIOUS_GTIDS (u:1-2) is not contained in
+    // the requested set, so the needed history predates this chain
+    val ex = intercept[IllegalStateException](
+      MysqlBinlogSource.positionAfterGtids(log2, s"$u:1"))
+    assert(ex.getMessage.contains("purged"))
+  }
+
+  test("GTID auto-position refuses anonymous transactions") {
+    val path = tmpLog()
+    writeLadder(path) { w =>
+      w.tableMap(ladder); w.writeRows(ladder, Seq(ladderRow(1L))); w.xid(1L)
+    }
+    val ex = intercept[IllegalStateException](
+      MysqlBinlogSource.positionAfterGtids(path, 
+        "3e11fa47-71ca-11e1-9e33-c80aa9429562:1"))
+    assert(ex.getMessage.contains("no GTID"))
+  }
 }

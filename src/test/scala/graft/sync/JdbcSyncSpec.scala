@@ -349,6 +349,27 @@ class JdbcSyncSpec extends SparkSpec {
     assert(SyncCli.parse(Array("snapshot-then-stream",
       "--src_url", url, "--dst_url", dstUrl, "--binlog", log,
       "--binlog_start_pos", "100")).isLeft)
+    // the GTID auto-position flag mirrors the same guards: mysql format
+    // only, valid set syntax, and exclusive with the position flag
+    assert(SyncCli.parse(Array("snapshot-then-stream",
+      "--src_url", url, "--dst_url", dstUrl, "--binlog", log,
+      "--binlog_start_gtid", "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-3"))
+      .isLeft)
+    assert(SyncCli.parse(Array("snapshot-then-stream",
+      "--src_url", url, "--dst_url", dstUrl, "--binlog", log,
+      "--binlog_format", "mysql",
+      "--binlog_start_gtid", "not-a-gtid-set")).isLeft)
+    assert(SyncCli.parse(Array("snapshot-then-stream",
+      "--src_url", url, "--dst_url", dstUrl, "--binlog", log,
+      "--binlog_format", "mysql", "--binlog_start_pos", "100",
+      "--binlog_start_gtid", "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-3"))
+      .isLeft)
+    assert(SyncCli.parse(Array("snapshot-then-stream",
+      "--src_url", url, "--dst_url", dstUrl, "--binlog", log,
+      "--binlog_format", "mysql",
+      "--binlog_start_gtid", "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-3"))
+      .exists(_.binlogStartGtid.contains(
+        "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-3")))
     val Right(cli) = SyncCli.parse(Array("snapshot-then-stream",
       "--src_url", url, "--dst_url", dstUrl,
       "--include_tables", "(?i)^src_orders$",

@@ -379,6 +379,22 @@ object MysqlBinlog {
         case m => throw new BinlogFormatException(s"BLOB length-bytes $m")
       }).toInt
       c.bytes(len)
+    case T_JSON =>
+      // stored like a BLOB (meta = length-prefix width, 8.0 writes 4),
+      // containing a binary JSON document — decoded to canonical JSON
+      // TEXT, so downstream payload rendering treats it exactly like a
+      // JSON-shaped VARCHAR
+      val len = (meta match {
+        case 1 => c.u1().toLong
+        case 2 => c.u2().toLong
+        case 3 => c.u3().toLong
+        case 4 => c.u4()
+        case m => throw new BinlogFormatException(s"JSON length-bytes $m")
+      }).toInt
+      try MysqlJsonBinary.decode(c.bytes(len))
+      catch { case e: MysqlJsonBinary.JsonBinaryException =>
+        throw new BinlogFormatException(s"JSON column decode: ${e.getMessage}")
+      }
     case t =>
       throw new BinlogFormatException(
         s"unsupported column type $t (extend decodeValue for it)")

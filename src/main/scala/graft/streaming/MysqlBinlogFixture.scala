@@ -26,13 +26,16 @@ object MysqlBinlogFixture {
   import MysqlBinlogWriter._
 
   /** The `events` table's binlog column layout (first column = the CDC
-    * key, matching [[ChangeEvent.key]] semantics).
+    * key, matching [[ChangeEvent.key]] semantics). `props` is a true
+    * JSON column — a MySQL 8.0 source would store the JSON-shaped
+    * payload as type 245, so every fixture read exercises the binary
+    * JSON document decode ([[MysqlJsonBinary]]), not just VARCHAR.
     */
   def eventsTableDef(tableId: Long): TableDef = TableDef(
     tableId, "graft", "events", Seq(
       Col.bigint("user_id"), Col.bigint("event_id"),
       Col.timestamp6("ts"), Col.varchar("event_type", 64),
-      Col.double("value"), Col.varchar("props", 4096)))
+      Col.double("value"), Col.json("props")))
 
   /** Deterministic op assignment for the MIXED encode: a rare DELETE
     * (MINIMAL row image — PK only, the `binlog_row_image=MINIMAL`

@@ -44,6 +44,10 @@ object MysqlBinlogWriter {
     def datetime6(name: String): Col = Col(name, T_DATETIME2, 6)
     def blob(name: String): Col = Col(name, T_BLOB, 2)
     def date(name: String): Col = Col(name, T_DATE)
+    /** JSON column (binary JSON document, 4-byte length prefix as 8.0
+      * writes; values are JSON TEXT in and out)
+      */
+    def json(name: String): Col = Col(name, T_JSON, 4)
   }
 
   /** Sequential writer over one binlog file. Not thread-safe (a binlog
@@ -279,6 +283,15 @@ object MysqlBinlogWriter {
           case m => throw new IllegalArgumentException(s"BLOB meta $m")
         }
         b.raw(a)
+      case (T_JSON, s: String) =>
+        // value is JSON TEXT; the column stores the binary document
+        val doc = MysqlJsonBinary.encode(s)
+        c.meta match {
+          case 2 => b.u2(doc.length); case 3 => b.u3(doc.length)
+          case 4 => b.u4(doc.length.toLong)
+          case m => throw new IllegalArgumentException(s"JSON meta $m")
+        }
+        b.raw(doc)
       case (t, x) => throw new IllegalArgumentException(
         s"cannot encode ${if (x == null) "null" else x.getClass.getName} as column type $t")
     }

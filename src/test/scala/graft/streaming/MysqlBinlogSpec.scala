@@ -108,16 +108,31 @@ class MysqlBinlogSpec extends AnyFunSuite {
         "µ", "ß", "∆", "😀", "中")
       (0 until n).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
     }
+    // random canonical JSON text (object/array/scalar) for T_JSON cols
+    def randJson(depth: Int): String = rng.nextInt(if (depth > 2) 6 else 8) match {
+      case 0 => "null"
+      case 1 => if (rng.nextBoolean()) "true" else "false"
+      case 2 => (rng.nextInt(200000) - 100000).toString
+      case 3 => rng.nextLong().toString
+      case 4 => java.lang.Double.toString(rng.nextDouble() * 1e9)
+      case 5 => "\"" + (0 until rng.nextInt(10)).map(_ =>
+        "ab9µ中"(rng.nextInt(5))).mkString + "\""
+      case 6 => (0 until rng.nextInt(4)).map(_ => randJson(depth + 1))
+        .mkString("[", ",", "]")
+      case 7 => (0 until rng.nextInt(4)).zipWithIndex.map { case (_, i) =>
+        s""""k$i":${randJson(depth + 1)}""" }.mkString("{", ",", "}")
+    }
     for (iter <- 1 to 120) {
-      val nCols = 1 + rng.nextInt(6)
+      val nCols = 1 + rng.nextInt(7)
       val cols = (0 until nCols).map { i =>
-        rng.nextInt(6) match {
+        rng.nextInt(7) match {
           case 0 => Col.bigint(s"c$i")
           case 1 => Col.int(s"c$i")
           case 2 => Col.varchar(s"c$i", 16 + rng.nextInt(300))
           case 3 => Col.double(s"c$i")
           case 4 => Col.timestamp6(s"c$i")
           case 5 => Col.blob(s"c$i")
+          case 6 => Col.json(s"c$i")
         }
       }
       val td = TableDef(50L + iter, "fz", s"t$iter", cols)
@@ -140,6 +155,7 @@ class MysqlBinlogSpec extends AnyFunSuite {
             math.abs(rng.nextLong() % 4102444800000000L))
           case T_BLOB =>
             val b = new Array[Byte](rng.nextInt(300)); rng.nextBytes(b); b
+          case T_JSON => randJson(0)
         }
       val rows = (0 until (1 + rng.nextInt(4)))
         .map(_ => cols.map(value).toArray)
@@ -547,5 +563,76 @@ class MysqlBinlogSpec extends AnyFunSuite {
       MysqlBinlogSource.positionAfterGtids(path, 
         "3e11fa47-71ca-11e1-9e33-c80aa9429562:1"))
     assert(ex.getMessage.contains("no GTID"))
+  }
+  test("JSON columns round-trip text through the binary document format") {
+    val path = tmpLog()
+    val jt = TableDef(8L, "graft", "j", Seq(
+      Col.bigint("id"), Col.json("doc")))
+    val docs = Seq(
+      """{"k":69}""",
+      """{"a":[1,2,3],"b":{"c":"x","d":null},"e":true,"f":false}""",
+      """[]""", """{}""", """null""", """true""", """-32768""",
+      """32768""", """-2147483649""", """9007199254740993""",
+      """3.5""", """"just a string"""",
+      """{"nested":{"deep":[{"x":1},{"y":[[],{}]}]}}""",
+      """{"uni":"naïve ✓ \"q\" \n tab\t"}""")
+    val evs = writeLadder(path) { w =>
+      w.tableMap(jt)
+      w.writeRows(jt, docs.zipWithIndex.map { case (d, i) =>
+        Array[AnyRef](java.lang.Long.valueOf(i.toLong), d)
+      })
+    }
+    val got = rowsEvents(evs).head.rows.map(_._2.get.values(1).get)
+    // canonical text: compact, stored order — input chosen pre-canonical
+    assert(got.map(_.asInstanceOf[String]) == docs,
+      s"JSON docs must round-trip text-exactly")
+    // whitespace canonicalizes away; int/double distinction survives
+    val path2 = tmpLog()
+    val evs2 = writeLadder(path2) { w =>
+      w.tableMap(jt)
+      w.writeRows(jt, Seq(Array[AnyRef](java.lang.Long.valueOf(1L),
+        """{ "k" : 69 , "v" : 5.0 }""")))
+    }
+    assert(rowsEvents(evs2).head.rows.head._2.get.values(1).get ==
+      """{"k":69,"v":5.0}""")
+  }
+
+  test("fuzz: random JSON trees round-trip the binary document (seeded)") {
+    val rnd = new scala.util.Random(20260814L)
+    import MysqlJsonBinary._
+    def gen(depth: Int): JVal = rnd.nextInt(if (depth > 3) 7 else 9) match {
+      case 0 => JNull
+      case 1 => JBool(rnd.nextBoolean())
+      case 2 => JInt(rnd.nextInt(200000) - 100000L)
+      case 3 => JInt(rnd.nextLong())
+      case 4 => JDouble(rnd.nextDouble() * 1e6 - 5e5)
+      case 5 => JStr(rnd.alphanumeric.take(rnd.nextInt(40)).mkString +
+        (if (rnd.nextBoolean()) "\"\\naïve\n" else ""))
+      case 6 => JInt(rnd.nextInt(70000).toLong - 35000L)
+      case 7 => JArr(Vector.fill(rnd.nextInt(6))(gen(depth + 1)))
+      case 8 => JObj(Vector.tabulate(rnd.nextInt(6))(i =>
+        s"k${i}_${rnd.nextInt(100)}" -> gen(depth + 1)))
+    }
+    (1 to 300).foreach { i =>
+      val v = gen(0)
+      val text = render(v)
+      val decoded = decode(encode(text))
+      assert(decoded == text, s"fuzz case $i: $text != $decoded")
+    }
+  }
+
+  test("JSON large containers (4-byte offsets) decode; opaque types refuse") {
+    import MysqlJsonBinary._
+    // a value pushing the container past 64 KiB forces the LARGE form
+    val big = "x" * 70000
+    val text = s"""{"small":1,"big":"$big","tail":[1,2]}"""
+    assert(decode(encode(text)) == text)
+    val arr = "[" + (s""""$big",""") + "2,3]"
+    assert(decode(encode(arr)) == arr)
+    // opaque/unsupported type byte refuses loudly
+    val ex = intercept[JsonBinaryException](decode(Array(0x0f.toByte, 0x00)))
+    assert(ex.getMessage.contains("unsupported"))
+    // zero-length document (server-side NULL context) decodes to null
+    assert(decode(Array.emptyByteArray) == "null")
   }
 }

@@ -746,7 +746,8 @@ class StreamingSpec extends SparkSpec {
       // mergeability: the drift read off summed partials equals the
       // one-pass corpus KS (the registered st_ks_drift twin) exactly
       def key(r: org.apache.spark.sql.Row) =
-        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))
       val streamed = KsDriftIngest.drift(spark, s"$dir/state")
         .collect().map(key).toSet
       val twin = KsDriftIngest.batchTwin(

@@ -2496,6 +2496,38 @@ object Queries {
         | WHERE rn = 1 AND event_id % 17 <> 0
         | ORDER BY user_id""".stripMargin.replaceAll("\n", ""))),
 
+    // St2, binlog_row_image=MINIMAL on the wire: updates log before =
+    // PK ONLY and after = ONLY the changed column (value) — the
+    // log-shrinking setting production MySQL commonly runs. The decoder
+    // recovers the key from the before image when the decisive after
+    // image lacks it (changeEvents' MINIMAL fallback), and the payload
+    // carries just the present columns — so the collapse reads the key
+    // from the `key` column and the value from whichever (full insert /
+    // partial update) payload won. Same oracle arithmetic as the mixed
+    // query, projected to what MINIMAL carries.
+    Q("st_cdc_binlog_minimal",
+      (s, d) => {
+        val dir = graft.streaming.MysqlBinlogFixture
+          .encodeEvents(s, d, mixed = true, minimal = true)
+        val raw = s.read
+          .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
+          .option("path", dir).load()
+        val w = Window.partitionBy(col("src"), col("key"))
+          .orderBy(col("seq").desc)
+        raw.filter(col("table") === "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("op") =!= "delete")
+          .select(col("key").as("user_id"),
+            get_json_object(col("payload"), "$.value")
+              .cast("double").as("last_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, value AS last_value FROM (
+        | SELECT *, row_number() OVER (PARTITION BY user_id
+        |   ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        | WHERE rn = 1 AND event_id % 17 <> 0
+        | ORDER BY user_id""".stripMargin.replaceAll("\n", ""))),
+
     // Source-format round trips (S1/S5 beyond parquet+JDBC): the sync
     // surface a reference user actually touches is "read rows, write
     // rows" — these prove the CSV and JSONL paths carry every type the

@@ -691,7 +691,15 @@ object MysqlBinlog {
         }
         re.rows.zipWithIndex.foreach { case ((before, after), i) =>
           val img = (if (op == ChangeEvent.Delete) before else after).get
-          val key = img.values.headOption.flatten match {
+          // key = first column of the decisive image; under
+          // binlog_row_image=MINIMAL an UPDATE's after image carries
+          // ONLY changed columns, so when the PK is absent there it
+          // comes from the before image (PK-only by definition —
+          // MINIMAL exists to keep exactly that much)
+          val keyCol = img.values.headOption.flatten
+            .orElse(if (op == ChangeEvent.Update)
+              before.flatMap(_.values.headOption.flatten) else None)
+          val key = keyCol match {
             case Some(l: java.lang.Long) => l.longValue()
             case v => throw new BinlogFormatException(
               s"first (key) column must be an integer type, got $v")

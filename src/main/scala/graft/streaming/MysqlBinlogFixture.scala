@@ -60,11 +60,21 @@ object MysqlBinlogFixture {
     * (ts, event_id) order, the decoded `seq` (byte position) is a
     * per-user total order even for deletes, whose MINIMAL image carries
     * no timestamp payload.
+    *
+    * `minimal = true` (with `mixed`) encodes updates as
+    * `binlog_row_image=MINIMAL` statements: before image = PK only,
+    * after image = ONLY the changed column (`value`) — the
+    * log-shrinking production setting. Deletes are PK-only in both
+    * modes; inserts always carry every column (the statement sets them
+    * all, so MINIMAL's after image is full there too).
     */
   def encodeEvents(spark: SparkSession, sfDir: String,
-                   nServers: Int = 4, mixed: Boolean = false): String = {
+                   nServers: Int = 4, mixed: Boolean = false,
+                   minimal: Boolean = false): String = {
+    require(!minimal || mixed, "minimal row images apply to the mixed encode")
     val dir = CoreOps.scratchDir(
-      if (mixed) "mysql_binlog_mixed" else "mysql_binlog", sfDir)
+      if (minimal) "mysql_binlog_minimal"
+      else if (mixed) "mysql_binlog_mixed" else "mysql_binlog", sfDir)
     // clear stale logs (e.g. from an older nServers value): a leftover
     // file would replay ghost events into every downstream read
     val d = new java.io.File(dir)
@@ -129,6 +139,13 @@ object MysqlBinlogFixture {
                 w.tableMap(td)
                 runOp match {
                   case "insert" => w.writeRows(td, imgs)
+                  case "update" if minimal =>
+                    // MINIMAL: before = PK only, after = the changed
+                    // column only — the consumer recovers the key from
+                    // the before image (changeEvents' fallback)
+                    w.updateRows(td, imgs.map(a => (a, a)),
+                      beforePresent = Some(Set(0)),
+                      afterPresent = Some(Set(4)))
                   case "update" =>
                     // before image: the same row with a sentinel value —
                     // ReplacingMergeTree apply reads only the after image

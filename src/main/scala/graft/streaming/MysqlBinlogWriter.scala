@@ -195,16 +195,28 @@ object MysqlBinlogWriter {
       case _ => false
     }
 
-    /** WRITE_ROWS v2. `rows` are full images aligned to `td.cols`. */
+    /** WRITE_ROWS v2. `rows` are full images aligned to `td.cols`
+      * (under `binlog_row_image=MINIMAL` an INSERT's after image still
+      * carries every column — the statement sets them all).
+      */
     def writeRows(td: TableDef, rows: Seq[Array[AnyRef]]): Long =
       rowsEvent(WRITE_ROWS_EVENT, td, rows.map(r => Seq(r)),
         td.cols.indices.toSet)
 
-    /** UPDATE_ROWS v2: (before, after) image pairs. */
+    /** UPDATE_ROWS v2: (before, after) image pairs. `beforePresent` /
+      * `afterPresent` trim each side's column set independently —
+      * `binlog_row_image=MINIMAL` logs the before image as PK-only and
+      * the after image as ONLY the columns the statement changed (the
+      * two images have SEPARATE columns-present bitmaps on the wire,
+      * which is exactly why the format has two).
+      */
     def updateRows(td: TableDef,
-                   pairs: Seq[(Array[AnyRef], Array[AnyRef])]): Long =
+                   pairs: Seq[(Array[AnyRef], Array[AnyRef])],
+                   beforePresent: Option[Set[Int]] = None,
+                   afterPresent: Option[Set[Int]] = None): Long =
       rowsEvent(UPDATE_ROWS_EVENT, td, pairs.map(p => Seq(p._1, p._2)),
-        td.cols.indices.toSet)
+        beforePresent.getOrElse(td.cols.indices.toSet),
+        afterPresent.getOrElse(td.cols.indices.toSet))
 
     /** DELETE_ROWS v2. `presentCols` trims the row image to a column
       * subset (`binlog_row_image=MINIMAL` — typically just the PK);
@@ -215,18 +227,24 @@ object MysqlBinlogWriter {
       rowsEvent(DELETE_ROWS_EVENT, td, rows.map(r => Seq(r)),
         presentCols.getOrElse(td.cols.indices.toSet))
 
+    /** `present2` applies to every second image of each row (the UPDATE
+      * after image); non-update events pass the same set twice.
+      */
     private def rowsEvent(typ: Int, td: TableDef,
                           rows: Seq[Seq[Array[AnyRef]]],
-                          present: Set[Int]): Long = {
+                          present: Set[Int],
+                          present2: Set[Int] = null): Long = {
+      val p2 = if (present2 == null) present else present2
       val b = new B().u6(td.tableId).u2(1) // flags: STMT_END_F
       b.u2(2) // v2 extra-data length (just its own two bytes)
       b.lenenc(td.cols.length.toLong)
-      val presentBits = td.cols.indices.map(present.contains)
-      b.bitmap(presentBits)
-      if (typ == UPDATE_ROWS_EVENT) b.bitmap(presentBits) // after-image bitmap
-      val presentIdx = td.cols.indices.filter(present.contains)
+      b.bitmap(td.cols.indices.map(present.contains))
+      if (typ == UPDATE_ROWS_EVENT)
+        b.bitmap(td.cols.indices.map(p2.contains)) // after-image bitmap
       rows.foreach { images =>
-        images.foreach { img =>
+        images.zipWithIndex.foreach { case (img, k) =>
+          val pres = if (k % 2 == 1) p2 else present
+          val presentIdx = td.cols.indices.filter(pres.contains)
           val nulls = presentIdx.map(i => img(i) == null)
           b.bitmap(nulls)
           presentIdx.foreach { i =>

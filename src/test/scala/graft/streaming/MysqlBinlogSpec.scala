@@ -635,4 +635,44 @@ class MysqlBinlogSpec extends AnyFunSuite {
     // zero-length document (server-side NULL context) decodes to null
     assert(decode(Array.emptyByteArray) == "null")
   }
+  test("MINIMAL update images: separate before/after bitmaps, key fallback") {
+    val path = tmpLog()
+    val td = TableDef(9L, "graft", "m", Seq(
+      Col.bigint("id"), Col.varchar("name", 64), Col.double("score")))
+    val evs = writeLadder(path) { w =>
+      w.tableMap(td)
+      w.writeRows(td, Seq(Array[AnyRef](
+        java.lang.Long.valueOf(7L), "alice", java.lang.Double.valueOf(1.5))))
+      // binlog_row_image=MINIMAL: before = PK only, after = changed col
+      w.tableMap(td)
+      w.updateRows(td,
+        Seq((Array[AnyRef](java.lang.Long.valueOf(7L), null, null),
+             Array[AnyRef](null, null, java.lang.Double.valueOf(9.5)))),
+        beforePresent = Some(Set(0)), afterPresent = Some(Set(2)))
+    }
+    val upd = rowsEvents(evs).last.rows.head
+    val (before, after) = (upd._1.get, upd._2.get)
+    assert(before.values.toSeq == Seq(Some(7L), None, None),
+      "before image carries exactly the PK")
+    assert(after.values(0).isEmpty && after.values(1).isEmpty &&
+      after.values(2).contains(9.5),
+      "after image carries exactly the changed column")
+    // changeEvents: key falls back to the before image's PK, payload is
+    // the present columns of the decisive (after) image only
+    val ces = changeEvents(evs)
+    assert(ces.map(_.op) == Seq(ChangeEvent.Insert, ChangeEvent.Update))
+    assert(ces.last.key == 7L)
+    assert(ces.last.payload == """{"score":9.5}""")
+    // an update whose NEITHER image carries the key still refuses loudly
+    val path2 = tmpLog()
+    val evs2 = writeLadder(path2) { w =>
+      w.tableMap(td)
+      w.updateRows(td,
+        Seq((Array[AnyRef](null, "x", null),
+             Array[AnyRef](null, "y", null))),
+        beforePresent = Some(Set(1)), afterPresent = Some(Set(1)))
+    }
+    val ex = intercept[BinlogFormatException](changeEvents(evs2))
+    assert(ex.getMessage.contains("key"))
+  }
 }

@@ -250,7 +250,15 @@ object SyncCli {
     *   - the two-sample KS statistic between the baseline and the
     *     merged stream histogram (exact integer numerator, as
     *     everywhere) is appended to `drift/gate` as the batch's gate
-    *     decision row: `(batch_id, n_base, n_stream, ks, gated)`.
+    *     decision row: `(batch_id, n_base, n_stream, ks,
+    *     schema_changed, gated)`;
+    *   - the gate ALSO flips on schema-SHAPE change: the sorted
+    *     payload-field signature of the watched table's images is
+    *     recorded once (first non-empty batch) as the shape baseline,
+    *     and a later batch containing any other signature sets
+    *     `schema_changed` — a mid-chain ALTER changes what the
+    *     TABLE_MAP describes, which a KS statistic over one column
+    *     cannot see.
     * The gate RECORDS rather than kills: per-batch decisions are
     * idempotent state a supervising deployment polls to pause apply —
     * killing the query from inside its own foreachBatch would lose the
@@ -320,6 +328,36 @@ object SyncCli {
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(s"$driftDir/sketch")
+        // schema-shape guard: distinct sorted payload-field signatures
+        // of this batch (bounded by the number of distinct TABLE_MAP
+        // shapes in the batch — 1, or 2 the trigger an ALTER lands)
+        val sigs = watched
+          .filter(col("op") =!= graft.streaming.ChangeEvent.Delete)
+          .select(array_join(array_sort(
+            expr("json_object_keys(payload)")), ",").as("sig"))
+          .filter(col("sig").isNotNull)
+          .distinct().collect().map(_.getString(0)).toSet
+        val sigPath = new org.apache.hadoop.fs.Path(
+          s"$driftDir/schema_baseline.txt")
+        val sigFs = sigPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        // write-once, like the histogram baseline: the first observed
+        // shape IS the contract later batches are judged against
+        val baselineSigs: Set[String] =
+          if (sigFs.exists(sigPath)) {
+            val in = sigFs.open(sigPath)
+            try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+              .split("\n").filter(_.nonEmpty).toSet
+            finally in.close()
+          } else if (sigs.nonEmpty) {
+            val out = sigFs.create(sigPath, false)
+            try out.write(sigs.toSeq.sorted.mkString("\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+            sigs
+          } else Set.empty
+        val schemaChanged = sigs.exists(!baselineSigs.contains(_))
         // explicit schema: a batch with no watched rows writes an
         // empty partition-less dir, which schema inference would refuse
         val union = spark.read.parquet(s"$driftDir/baseline")
@@ -332,20 +370,25 @@ object SyncCli {
             col("n_a").as("n_base"), col("n_b").as("n_stream"),
             (col("ks_num") /
               (col("n_a").cast("double") * col("n_b"))).as("ks"))
-          .withColumn("gated", col("ks") > dg.threshold)
+          .withColumn("schema_changed", lit(schemaChanged))
+          .withColumn("gated",
+            col("ks") > dg.threshold || col("schema_changed"))
         // every batch writes an immutable decision row, even when the
         // stream histogram is still empty (quiet stream, no watched
         // rows yet) and ksPairs therefore has no 'stream' side: a
         // supervising poller must be able to tell "gate open" from
         // "not evaluated", so the not-evaluated case is an explicit
-        // (ks=null, gated=false) row rather than a missing partition
+        // (ks=null) row rather than a missing partition — it still
+        // carries the schema verdict (a batch CAN alter the shape while
+        // contributing nothing to the watched histogram)
         val gate =
           if (pairs.isEmpty)
             spark.range(1).select(lit(batchId).as("batch_id"),
               lit(null).cast("long").as("n_base"),
               lit(0L).as("n_stream"),
               lit(null).cast("double").as("ks"),
-              lit(false).as("gated"))
+              lit(schemaChanged).as("schema_changed"),
+              lit(schemaChanged).as("gated"))
           else pairs
         gate.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

@@ -397,4 +397,44 @@ class MysqlBinlogStreamSpec extends SparkSpec {
       assert(seqs.sorted.sameElements(seqs), "seq must ascend with key here")
     } finally { q2.stop(); w2.close() }
   }
+  test("mid-chain schema drift: an ALTERed table decodes on both sides of a rotation") {
+    // ALTER TABLE between rotations: the successor log's TABLE_MAP
+    // describes a DIFFERENT column set under the same table name (and a
+    // new table id, as the server assigns). Payload naming is per-event
+    // — each rows event decodes against ITS OWN TABLE_MAP — so the tail
+    // must surface pre-ALTER rows with the old fields and post-ALTER
+    // rows with the new ones, no restart, no cross-talk.
+    val base = Files.createTempDirectory("graft_binlog_alter_").toString
+    val log1 = s"$base/bin.000001"; val log2 = s"$base/bin.000002"
+    val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val w1 = new Writer(log1, serverId = 1L)
+    w1.setClock(1700000000L); w1.begin()
+    w1.tableMap(td); w1.writeRows(td, Seq(img(1L, "old"))); w1.xid(1L)
+    w1.rotate("bin.000002"); w1.close()
+    // post-ALTER shape: a third column appeared
+    val td2 = TableDef(12L, "graft", "t",
+      Seq(Col.bigint("k"), Col.varchar("v", 64), Col.bigint("n")))
+    val w2 = new Writer(log2, serverId = 1L)
+    w2.setClock(1700000100L); w2.begin()
+    w2.tableMap(td2)
+    w2.writeRows(td2, Seq(Array[AnyRef](java.lang.Long.valueOf(2L),
+      "new": AnyRef, java.lang.Long.valueOf(42L))))
+    w2.xid(1L); w2.flush()
+    val q = spark.readStream
+      .format(classOf[MysqlBinlogSourceProvider].getName)
+      .option("path", log1)
+      .load()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.read.parquet(outDir)
+        .select("key", "payload").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows == Map(
+        1L -> """{"k":1,"v":"old"}""",
+        2L -> """{"k":2,"v":"new","n":42}"""),
+        s"each side of the ALTER must decode against its own TABLE_MAP, got $rows")
+    } finally { q.stop(); w2.close() }
+  }
 }

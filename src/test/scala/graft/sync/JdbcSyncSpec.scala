@@ -533,6 +533,28 @@ class JdbcSyncSpec extends SparkSpec {
       q.processAllAvailable()
       val g = gate()
       assert(g(g.keys.max), s"skewed wire batch must gate: $g")
+      // schema-shape drift: an ALTER adds a column mid-stream — the new
+      // TABLE_MAP shape must flip the gate even though the KS column is
+      // still present and could look statistically fine
+      val td2 = TableDef(42L, "shop", "src_orders",
+        Seq(Col.bigint("k"), Col.varchar("name", 64),
+          Col.double("amount"), Col.varchar("region", 32)))
+      w.setClock(1700000200L)
+      w.tableMap(td2)
+      w.writeRows(td2, (0 until 4).map(i => Array[AnyRef](
+        java.lang.Long.valueOf(4000L + i), s"o$i": AnyRef,
+        java.lang.Double.valueOf(100.0 * (i + 1)), s"r$i": AnyRef)))
+      w.xid(3L); w.flush()
+      q.processAllAvailable()
+      val last = spark.read.parquet(s"$base/ckpt/drift/gate")
+        .orderBy(col("batch_id").desc).limit(1).collect().head
+      assert(last.getAs[Boolean]("schema_changed"),
+        "an ALTERed payload shape must be flagged")
+      assert(last.getAs[Boolean]("gated"),
+        "schema drift must flip the gate, not just the KS statistic")
+      // earlier decisions keep their recorded shape verdict
+      assert(spark.read.parquet(s"$base/ckpt/drift/gate")
+        .filter(col("schema_changed")).count() >= 1L)
     } finally { q.stop(); w.close() }
   }
 

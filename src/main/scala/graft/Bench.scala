@@ -1,7 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute loadavg — the noise-protocol signal (docs/SCALE.md): a
+    * judged bench row is only comparable when the host load at measure
+    * time is known, so both run endpoints ride in the artifact.
+    */
+  private def loadavg(): Double =
+    try java.nio.file.Files
+      .readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val wall0 = System.nanoTime()
+    val load0 = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -73,12 +85,16 @@ object Bench {
       }
     val results = prepResults ++ queryResults
     // The driver captures only the LAST ~2000 chars of the run output
-    // (BENCH_r01..r03 all show parsed:null because the full ~2.3 KB
-    // per-query map pushed the line's opening brace out of that window,
-    // and sbt appends its own "[success]" line after ours). So: print the
-    // full map on an EARLIER line (and persist it to BENCH_FULL.json for
-    // the judge), and make the FINAL line a compact headline — total plus
-    // the slowest queries — that always fits the tail window.
+    // and sbt appends its own "[success]" trailer after ours — a final
+    // line carrying the full ~4 KB per-query map would lose its opening
+    // brace to that window and land as parsed:null (BENCH_r01..r08 all
+    // did). So the artifact is TWO layers, both clean JSON:
+    //   - BENCH_FULL.json (+ an earlier stdout line): everything — the
+    //     full per-query map, harness wall seconds, start/end 1-min
+    //     loadavg (what the noise protocol needs), counts, note;
+    //   - the FINAL stdout line: the same metadata with only the top-10
+    //     slowest queries, sized well under the tail window so the
+    //     driver's BENCH_r{N}.json always json.load()s.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def toJson(rs: Iterable[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
@@ -86,16 +102,20 @@ object Bench {
     // -1 failure sentinels must not subtract from the reported total
     val total = results.values.filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    val note = "noop-sink, min of 2-3 warm runs timed (bursty-host noise); -1=failed; prep_* lines bill the shared derived-table materializations (partsupp, neardup CC, BPE merges) and the queries reading them report marginal cost under that warm cache; full per-query map in BENCH_FULL.json"
-    val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"queries":${toJson(results)},"sf":"$sfDir","note":"$note"}"""
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val load1 = loadavg()
+    def line(queries: Iterable[(String, Double)], note: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"wall_sec":${fmt(wallSec)},"loadavg_start":${fmt(load0)},"loadavg_end":${fmt(load1)},"queries":${toJson(queries)},"sf":"$sfDir","note":"$note"}"""
+    val fullNote = "noop-sink, min of 2-3 warm runs timed (bursty-host noise); -1=failed; prep_* lines bill the shared derived-table materializations (partsupp, neardup CC, BPE merges) and the queries reading them report marginal cost under that warm cache; loadavg is the 1-min /proc/loadavg at run start/end (noise protocol, docs/SCALE.md)"
+    val fullLine = line(results, fullNote)
     println(fullLine)
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => } // cwd may be read-only; headline still prints
-    val slowest = results.toSeq.sortBy(-_._2).take(20)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"queries":${toJson(slowest)},"sf":"$sfDir","note":"$note"}""")
+    val slowest = results.toSeq.sortBy(-_._2).take(10)
+    println(line(slowest,
+      "top-10 slowest shown; full per-query map in BENCH_FULL.json"))
     spark.stop()
   }
 }

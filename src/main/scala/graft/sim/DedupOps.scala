@@ -124,8 +124,18 @@ object DedupOps {
     */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        n: Int = 3, threshold: Double = 0.5,
-                       maxShingleDf: Option[Int] = None): DataFrame = {
-    val sh = shingleArrays(df, textCol, idCol, n)
+                       maxShingleDf: Option[Int] = None,
+                       maxOracleRows: Long = 20000L): DataFrame = {
+    // the UNCAPPED form is the oracle twin: without the hot-shingle DF
+    // cap, one corpus-wide boilerplate shingle in k docs contributes k²
+    // candidate rows on a single join key — guard it like the other
+    // exact twins (the capped form is the production path at any size)
+    val guarded =
+      if (maxShingleDf.isDefined) df
+      else VectorOps.guardQuadratic(df, maxOracleRows,
+        "containmentPairs without a DF cap (x_containment)",
+        "maxShingleDf / x_containment_capped")
+    val sh = shingleArrays(guarded, textCol, idCol, n)
     val s = invertedIndex(sh, idCol, maxShingleDf)
     val sizes = setSizes(sh, s, idCol, maxShingleDf)
     val a = s.select(col(idCol).as("a_id"), col("shingle"))

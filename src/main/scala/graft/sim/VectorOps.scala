@@ -12,6 +12,28 @@ object VectorOps {
 
   import graft.functions.Kernels
 
+  /** SF-guard for the documented O(n²) ORACLE-TWIN forms
+    * ([[cosineDupPairs]], [[knnBruteForce]]; also
+    * [[DedupOps.containmentPairs]] uncapped): they exist to
+    * hash-check the bucketed/capped production forms at oracle scale,
+    * and above `maxRows` they would quietly dominate any bench bill
+    * (the pair space is quadratic). So past the threshold they REFUSE,
+    * naming the production form to use — a loud refusal is the only
+    * honest behavior: downsampling would silently measure a different
+    * workload, and proceeding would bill n² at sf >= 1. The thresholds
+    * pass every driver SF (<= sf0.1: 2k vectors / 5k docs) and trip at
+    * the ~10x of sf1. Callers that KNOW better pass their own bound.
+    */
+  private[sim] def guardQuadratic(df: DataFrame, maxRows: Long,
+                                  what: String, scalePath: String): DataFrame = {
+    val n = df.count()
+    if (n > maxRows) throw new IllegalStateException(
+      s"$what is the O(n^2) oracle-twin form and refuses $n rows " +
+        s"(> $maxRows): at this size use the production form " +
+        s"($scalePath), or pass a larger maxOracleRows deliberately")
+    df
+  }
+
   /** All three operate on `array<float>` embeddings with double
     * accumulation, via codegen'd static kernels (Kernels.scala) — the
     * interpreted `zip_with`+`aggregate` fold was the BENCH hotspot.
@@ -30,10 +52,13 @@ object VectorOps {
     * Ranking uses the ROUNDED similarity (4 dp) plus the neighbor id as
     * tiebreak, so the selected set is stable across engines/partitionings.
     */
-  def knnBruteForce(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+  def knnBruteForce(queries: DataFrame, candidates: DataFrame, k: Int,
+                    maxOracleRows: Long = 10000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val c = guardQuadratic(candidates, maxOracleRows,
+      "knnBruteForce (x_knn_cosine)", "x_knn_ivf / x_knn_lsh")
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
     val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qe"), col("ce")), 4).as("sim"))
@@ -50,13 +75,17 @@ object VectorOps {
     * cheap, but the pair space is O(n²): the 100 TB path is the same
     * predicate over [[knnLsh]]/IVF candidates instead of the cross join.
     */
-  def cosineDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+  def cosineDupPairs(vectors: DataFrame, threshold: Double,
+                     maxOracleRows: Long = 10000L): DataFrame = {
+    val guarded = guardQuadratic(vectors, maxOracleRows,
+      "cosineDupPairs (x_dedup_embedding)",
+      "cosineDupPairsLsh / x_dedup_embedding_lsh")
     // norms are precomputed once per input row, not per pair — the pair
     // stage pays only the dot product (same IEEE ops as cosine(), so the
     // oracle still matches bit-for-bit)
-    val a = vectors.select(col("vec_id").as("a_id"),
+    val a = guarded.select(col("vec_id").as("a_id"),
       col("embedding").as("ae"), Kernels.normFCol(col("embedding")).as("an"))
-    val b = vectors.select(col("vec_id").as("b_id"),
+    val b = guarded.select(col("vec_id").as("b_id"),
       col("embedding").as("be"), Kernels.normFCol(col("embedding")).as("bn"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),

@@ -360,4 +360,24 @@ class SimSpec extends SparkSpec {
     assert(as.max <= (Long.MaxValue - P) / (P - 1),
       "permutation product may overflow a signed long")
   }
+  test("O(n^2) oracle twins refuse oversized inputs, naming the scale path") {
+    import org.apache.spark.sql.functions._
+    val vecs = spark.range(10001L).select(col("id").as("vec_id"),
+      array(lit(1.0f), lit(2.0f)).as("embedding"))
+    val e1 = intercept[IllegalStateException](
+      VectorOps.cosineDupPairs(vecs, 0.5))
+    assert(e1.getMessage.contains("x_dedup_embedding_lsh"))
+    val e2 = intercept[IllegalStateException](
+      VectorOps.knnBruteForce(vecs.limit(3), vecs, 5))
+    assert(e2.getMessage.contains("x_knn_ivf"))
+    val docs = spark.range(20001L).select(col("id").as("doc_id"),
+      concat(lit("w"), col("id")).as("text"))
+    val e3 = intercept[IllegalStateException](
+      DedupOps.containmentPairs(docs, "text", "doc_id"))
+    assert(e3.getMessage.contains("x_containment_capped"))
+    // the CAPPED production form takes any size (lazy — no refusal)
+    DedupOps.containmentPairs(docs, "text", "doc_id",
+      maxShingleDf = Some(2))
+    ()
+  }
 }

@@ -46,6 +46,20 @@ object MysqlBinlog {
   val GTID_EVENT = 33
   val ANONYMOUS_GTID_EVENT = 34
   val PREVIOUS_GTIDS_EVENT = 35
+  val TRANSACTION_PAYLOAD_EVENT = 40
+
+  /** TRANSACTION_PAYLOAD field-type codes (8.0.20+ compressed
+    * transactions; public libbinlogevents control_events.h): the event
+    * body is a TLV stream — each field a lenenc type, lenenc length,
+    * value — terminated by HEADER_END, after which the (compressed)
+    * concatenation of the transaction's ordinary events follows.
+    */
+  private val TpHeaderEnd = 0
+  private val TpPayloadSize = 1
+  private val TpCompressionType = 2
+  private val TpUncompressedSize = 3
+  val TpCompressionZstd = 0
+  val TpCompressionNone = 255
 
   // -- column type codes (enum_field_types, public) --------------------
   val T_DECIMAL = 0; val T_TINY = 1; val T_SHORT = 2; val T_LONG = 3
@@ -469,6 +483,12 @@ object MysqlBinlog {
             throw new BinlogFormatException(
               s"CRC32 mismatch in event type ${h.eventType} at offset $start")
         }
+        if (h.eventType == TRANSACTION_PAYLOAD_EVENT) {
+          // unwrap in place: the wrapped transaction's ordinary events
+          // replace the wrapper in the returned stream
+          out ++= tpUnwrap(c, h, start, bodyEnd, decodeRows)
+          p += h.eventSize
+        } else {
         val ev: Event = h.eventType match {
           case FORMAT_DESCRIPTION_EVENT =>
             val f = parseFde(java.util.Arrays.copyOfRange(
@@ -524,9 +544,92 @@ object MysqlBinlog {
         }
         out += ev
         p += h.eventSize
+        }
       }
     }
     out.result()
+  }
+
+  /** Unwrap one TRANSACTION_PAYLOAD_EVENT (8.0.20+ `binlog_transaction_
+    * compression=ON`): decode the TLV header, decompress the payload
+    * (zstd via the Spark-bundled zstd-jni, or NONE), and parse the
+    * inner ordinary events — which carry NO checksums (the wrapper's
+    * CRC, already verified by the caller, covers them).
+    *
+    * Position semantics: every inner event's `startPos` is REMAPPED to
+    * the wrapper's — decompressed offsets can exceed the wrapper's
+    * on-disk size, and a raw inner offset could then order a row of
+    * this transaction AFTER the next transaction's rows in the
+    * (ts, seq) collapse. With one shared position, [[changeEvents]]'
+    * row counter (which runs ACROSS consecutive rows events at the
+    * same position exactly for this case) keeps the intra-transaction
+    * order, saturating at 64 rows like any single oversized statement.
+    *
+    * The inner TABLE_MAP context is scoped to the transaction: the
+    * outer map is saved and restored around the inner parse (each
+    * statement re-emits its TABLE_MAP, inside or outside a wrapper).
+    */
+  private def tpUnwrap(c: Cur, h: EventHeader, start: Long, bodyEnd: Int,
+                       decodeRows: Boolean): Vector[Event] = {
+    var compression = TpCompressionNone
+    var uncompressedSize = -1L
+    var payloadSize = -1L
+    var sawEnd = false
+    while (!sawEnd) {
+      if (c.p >= bodyEnd)
+        throw new BinlogFormatException(
+          "TRANSACTION_PAYLOAD header missing its end mark")
+      c.lenenc().toInt match {
+        case TpHeaderEnd => sawEnd = true
+        case TpPayloadSize => c.lenenc(); payloadSize = c.lenenc()
+        case TpCompressionType => c.lenenc(); compression = c.lenenc().toInt
+        case TpUncompressedSize => c.lenenc(); uncompressedSize = c.lenenc()
+        case t =>
+          val len = c.lenenc().toInt // unknown field: skip by length
+          c.bytes(len)
+      }
+    }
+    val avail = bodyEnd - c.p
+    val take = if (payloadSize >= 0) {
+      if (payloadSize > avail) throw new BinlogFormatException(
+        s"TRANSACTION_PAYLOAD declares $payloadSize bytes, $avail present")
+      payloadSize.toInt
+    } else avail
+    val compressed = c.bytes(take)
+    val inner = compression match {
+      case TpCompressionNone => compressed
+      case TpCompressionZstd =>
+        if (uncompressedSize < 0) throw new BinlogFormatException(
+          "zstd TRANSACTION_PAYLOAD without an uncompressed-size field")
+        val out = com.github.luben.zstd.Zstd.decompress(
+          compressed, uncompressedSize.toInt)
+        if (out.length != uncompressedSize) throw new BinlogFormatException(
+          s"zstd payload decompressed to ${out.length}, " +
+            s"declared $uncompressedSize")
+        out
+      case x => throw new BinlogFormatException(
+        s"unsupported TRANSACTION_PAYLOAD compression type $x")
+    }
+    // inner events: v4 headers, no checksums; scope the TABLE_MAP
+    // context to the transaction
+    val saved = currentTableMaps.get.toMap
+    val innerEvents =
+      try parse(inner, base = 1L,
+        fde = Some(FormatDescription(h, start, 4, "tp-inner", ChecksumOff,
+          Array.empty)),
+        decodeRows = decodeRows)
+      finally {
+        currentTableMaps.get.clear()
+        currentTableMaps.get ++= saved
+      }
+    innerEvents.map {
+      case re: RowsEvent => re.copy(startPos = start)
+      case e: TableMap => e.copy(startPos = start)
+      case e: Xid => e.copy(startPos = start)
+      case e: Query => e.copy(startPos = start)
+      case e: Opaque => e.copy(startPos = start)
+      case e => e
+    }
   }
 
   /** Parse a whole binlog file. */
@@ -678,6 +781,13 @@ object MysqlBinlog {
                    seqBase: Long = 0L): Seq[ChangeEvent] = {
     val tableMaps = scala.collection.mutable.Map[Long, TableMap]()
     val out = Seq.newBuilder[ChangeEvent]
+    // row counter runs ACROSS consecutive rows events sharing one
+    // startPos: unwrapped TRANSACTION_PAYLOAD statements all carry the
+    // wrapper's position, and without the shared counter their rows
+    // would collide at seq granularity (saturates at 64 rows, the same
+    // bound a single oversized statement has always had)
+    var lastPos = -1L
+    var rowCounter = 0
     events.foreach {
       case tm: TableMap => tableMaps(tm.tableId) = tm
       case re: RowsEvent =>
@@ -689,7 +799,8 @@ object MysqlBinlog {
           case UPDATE_ROWS_EVENT => ChangeEvent.Update
           case DELETE_ROWS_EVENT => ChangeEvent.Delete
         }
-        re.rows.zipWithIndex.foreach { case ((before, after), i) =>
+        if (re.startPos != lastPos) { lastPos = re.startPos; rowCounter = 0 }
+        re.rows.foreach { case (before, after) =>
           val img = (if (op == ChangeEvent.Delete) before else after).get
           // key = first column of the decisive image; under
           // binlog_row_image=MINIMAL an UPDATE's after image carries
@@ -706,8 +817,9 @@ object MysqlBinlog {
           }
           out += ChangeEvent(op, tm.tableName, key,
             new java.sql.Timestamp(re.header.tsSec * 1000L),
-            seqBase + re.startPos * 64 + math.min(i, 63),
+            seqBase + re.startPos * 64 + math.min(rowCounter, 63),
             if (op == ChangeEvent.Delete) null else imageJson(tm, img))
+          rowCounter += 1
         }
       case _ => ()
     }

@@ -274,9 +274,13 @@ object MysqlBinlogSource {
           return Advance(safe, false, None) // partial/corrupt tail
         lastType = eventType; lastStart = pos; lastSize = eventSize
         pos += eventSize
+        // a TRANSACTION_PAYLOAD wrapper counts as one row event for
+        // pacing: its rows are invisible until decompression, and a
+        // header-only scan must still bound per-trigger admission
         if (eventType == MysqlBinlog.WRITE_ROWS_EVENT ||
             eventType == MysqlBinlog.UPDATE_ROWS_EVENT ||
-            eventType == MysqlBinlog.DELETE_ROWS_EVENT) rowEvents += 1
+            eventType == MysqlBinlog.DELETE_ROWS_EVENT ||
+            eventType == MysqlBinlog.TRANSACTION_PAYLOAD_EVENT) rowEvents += 1
         // a boundary directly after TABLE_MAP would orphan its rows
         if (eventType != MysqlBinlog.TABLE_MAP_EVENT) safe = pos
       }

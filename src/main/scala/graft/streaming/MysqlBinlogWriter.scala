@@ -122,13 +122,14 @@ object MysqlBinlogWriter {
     /** magic + FORMAT_DESCRIPTION — must be the first call. */
     def begin(): Writer = {
       out.write(Magic); pos = 4
-      // post-header lengths for event types 1..39 (8.0 layout; the
-      // array is consumed via the FDE itself, so readers use exactly
-      // these values)
-      val phl = new Array[Int](39)
+      // post-header lengths for event types 1..41 (8.0 layout incl.
+      // TRANSACTION_PAYLOAD=40 and HEARTBEAT_V2=41, both 0; the array
+      // is consumed via the FDE itself, so readers use exactly these
+      // values)
+      val phl = new Array[Int](41)
       phl(QUERY_EVENT - 1) = 13
       phl(ROTATE_EVENT - 1) = 8
-      phl(FORMAT_DESCRIPTION_EVENT - 1) = 2 + 50 + 4 + 1 + 39
+      phl(FORMAT_DESCRIPTION_EVENT - 1) = 2 + 50 + 4 + 1 + 41
       phl(TABLE_MAP_EVENT - 1) = 8
       phl(WRITE_ROWS_V1 - 1) = 8; phl(UPDATE_ROWS_V1 - 1) = 8
       phl(DELETE_ROWS_V1 - 1) = 8
@@ -337,6 +338,43 @@ object MysqlBinlogWriter {
 
     /** transaction fence (commit marker) */
     def xid(id: Long): Long = emit(XID_EVENT, new B().i8(id).bytes)
+
+    /** TRANSACTION_PAYLOAD_EVENT (8.0.20+
+      * `binlog_transaction_compression=ON`): wrap the events `body`
+      * writes — a whole transaction's BEGIN/TABLE_MAP/rows/XID — into
+      * one zstd-compressed wrapper event. The inner events are encoded
+      * checksum-free (the wrapper's CRC covers them, as on the real
+      * wire); the TLV header carries compression type, uncompressed
+      * size, and payload size, terminated by the end mark.
+      */
+    def transactionPayload(compress: Boolean = true)
+                          (body: Writer => Unit): Long = {
+      val tmp = java.nio.file.Files
+        .createTempFile("graft_tp_inner_", ".bin")
+      val inner = new Writer(tmp.toString, serverId, checksum = false)
+      inner.clockSec = clockSec
+      try body(inner) finally inner.close()
+      val raw = java.nio.file.Files.readAllBytes(tmp)
+      java.nio.file.Files.delete(tmp)
+      val payload =
+        if (compress) com.github.luben.zstd.Zstd.compress(raw, 3)
+        else raw
+      val b = new B()
+      // TLV: (type lenenc, length lenenc, value) — ints are lenenc too
+      def lenencLen(v: Long): Int =
+        if (v < 0xfb) 1 else if (v < 0x10000) 3
+        else if (v < 0x1000000) 4 else 9
+      b.u1(2).lenenc(1L)
+        .lenenc(if (compress) 0L else 255L) // compression type
+      if (compress)
+        b.u1(3).lenenc(lenencLen(raw.length.toLong).toLong)
+          .lenenc(raw.length.toLong) // uncompressed size
+      b.u1(1).lenenc(lenencLen(payload.length.toLong).toLong)
+        .lenenc(payload.length.toLong) // payload size
+      b.u1(0) // header end mark
+      b.raw(payload)
+      emit(TRANSACTION_PAYLOAD_EVENT, b.bytes)
+    }
 
     /** GTID_LOG_EVENT preceding a transaction: flags + 16-byte source
       * uuid + gno, then the 8.0 logical-clock block (type 2 +

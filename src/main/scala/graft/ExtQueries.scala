@@ -721,6 +721,43 @@ object ExtQueries {
         | SELECT a_id, b_id, cos_sim FROM sc WHERE cos_sim >= 0.4
         | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""))),
 
+    // X1/X2 semantic dedup, SemDeDup-shaped (cluster on broadcast
+    // centroids → within-cluster exact-cosine prune — the pair work is
+    // bounded per cluster, never corpus-quadratic; see sim/SemDedup).
+    // Registered with the PRODUCTION hash-sample centroid seed so the
+    // seed, the first-tie-wins assignment, the pair predicate, and the
+    // min-id keep rule are ALL hash-matched by the stage-replaying
+    // DuckDB twin (the x_knn_ivf_hashseed technique over the whole
+    // corpus instead of a query/candidate split).
+    Q("x_semdedup",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.sim.SemDedup.semDedup(emb, c = 16, tau = 0.4,
+          centroidsFlat = Some(graft.sim.IvfOps.hashSampleCentroids(emb, 16)))
+          .orderBy("vec_id")
+      },
+      Some {
+        def cos(a: String, b: String): String = cosSql(a, b)
+        def cosSent(a: String, b: String): String = cosSentSql(a, b)
+        s"""WITH v AS (SELECT vec_id, embedding AS ce FROM embeddings),
+          | samp AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS j,
+          |   embedding AS se FROM (SELECT vec_id, embedding,
+          |     (${md5Fold("CAST(vec_id AS VARCHAR)")}) AS h
+          |   FROM embeddings ORDER BY h, vec_id LIMIT 16)),
+          | cassign AS (SELECT vec_id, j AS cluster, ce FROM (
+          |   SELECT v.vec_id, samp.j, v.ce, row_number() OVER (
+          |     PARTITION BY v.vec_id
+          |     ORDER BY ${cosSent("ce", "se")} DESC, samp.j ASC) AS rn
+          |   FROM v CROSS JOIN samp) t WHERE rn = 1),
+          | dup AS (SELECT DISTINCT b.vec_id FROM cassign a JOIN cassign b
+          |   ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          |   WHERE round(${cos("a.ce", "b.ce")}, 4) >= 0.4)
+          | SELECT c.vec_id, CAST(c.cluster AS BIGINT) AS cluster,
+          |   CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+          | FROM cassign c LEFT JOIN dup d ON c.vec_id = d.vec_id
+          | ORDER BY c.vec_id""".stripMargin.replaceAll("\n", "")
+      }),
+
     // X2 brute-force cosine top-10 (queries: vec_id<5, corpus: vec_id>=5)
     Q("x_knn_cosine",
       (s, d) => {

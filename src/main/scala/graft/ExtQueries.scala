@@ -2173,6 +2173,71 @@ object ExtQueries {
         | GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // X4 DSIR-style importance weights for data selection (Xie et al.
+    // 2023, arXiv:2302.03169): hashed-unigram bucket features (md5_48
+    // mod 1024, the portable hash family), target = the corpus slice
+    // labeled lang='en', raw = everything; a doc's weight is the sum of
+    // its tokens' target/raw likelihood ratios. The paper's log-ratio
+    // sum is replaced by an integer-scaled ratio sum (the x_tfidf /
+    // x_bigram_lm technique): each term is ((n_t+1)*1e6) div (n_r+1)
+    // <= 1e6 — exact int64 arithmetic, so the score is bit-stable under
+    // any partitioning and replayed verbatim by the DuckDB twin (log's
+    // libm rounding is engine-dependent; a monotone-per-bucket proxy
+    // keeps the selection semantics). Scale shape: the bucket score
+    // table is 1024 rows (broadcast join), token explode is map-side,
+    // and the two aggregations key on bucket (tiny) and doc_id — no
+    // corpus-scale shuffle beyond the per-doc sum. Downstream resample
+    // = ORDER BY dsir_score DESC LIMIT k (TakeOrdered, no global sort).
+    Q("x_dsir",
+      (s, d) => {
+        graft.GraftFunctions.register(s)
+        Tables.documents(s, d).createOrReplaceTempView("documents_dsir")
+        s.sql(s"""WITH w AS (SELECT doc_id, lang, $sparkToks AS toks
+          |   FROM documents_dsir),
+          | tok AS (SELECT doc_id, lang, term FROM w
+          |   LATERAL VIEW explode(toks) tt AS term),
+          | tb AS (SELECT doc_id, lang,
+          |   graft_md5_48(term) % 1024 AS bucket FROM tok),
+          | nr AS (SELECT bucket, count(*) AS n_r FROM tb GROUP BY 1),
+          | nt AS (SELECT bucket, count(*) AS n_t FROM tb
+          |   WHERE lang = 'en' GROUP BY 1),
+          | sc AS (SELECT nr.bucket,
+          |   ((coalesce(n_t, CAST(0 AS BIGINT)) + 1) * 1000000) div (n_r + 1) AS s
+          |   FROM nr LEFT JOIN nt ON nr.bucket = nt.bucket),
+          | dw AS (SELECT tb.doc_id, sum(s) AS dsir_score,
+          |   count(*) AS n_toks
+          |   FROM tb JOIN sc ON tb.bucket = sc.bucket GROUP BY 1)
+          | SELECT dd.doc_id,
+          |   coalesce(n_toks, CAST(0 AS BIGINT)) AS n_toks,
+          |   coalesce(dsir_score, CAST(0 AS BIGINT)) AS dsir_score,
+          |   CASE WHEN coalesce(n_toks, CAST(0 AS BIGINT)) = 0
+          |     THEN CAST(0 AS BIGINT)
+          |     ELSE dsir_score div n_toks END AS dsir_per_token
+          | FROM documents_dsir dd LEFT JOIN dw ON dd.doc_id = dw.doc_id
+          | ORDER BY dd.doc_id""".stripMargin)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+        | tok AS (SELECT doc_id, lang, unnest(toks) AS term FROM w),
+        | tb AS (SELECT doc_id, lang,
+        |   (${md5Fold("term")}) % 1024 AS bucket FROM tok),
+        | nr AS (SELECT bucket, count(*) AS n_r FROM tb GROUP BY 1),
+        | nt AS (SELECT bucket, count(*) AS n_t FROM tb
+        |   WHERE lang = 'en' GROUP BY 1),
+        | sc AS (SELECT nr.bucket,
+        |   ((coalesce(n_t, CAST(0 AS BIGINT)) + 1) * 1000000) // (n_r + 1) AS s
+        |   FROM nr LEFT JOIN nt ON nr.bucket = nt.bucket),
+        | dw AS (SELECT tb.doc_id, CAST(sum(s) AS BIGINT) AS dsir_score,
+        |   count(*) AS n_toks
+        |   FROM tb JOIN sc ON tb.bucket = sc.bucket GROUP BY 1)
+        | SELECT dd.doc_id,
+        |   coalesce(n_toks, CAST(0 AS BIGINT)) AS n_toks,
+        |   coalesce(dsir_score, CAST(0 AS BIGINT)) AS dsir_score,
+        |   CASE WHEN coalesce(n_toks, CAST(0 AS BIGINT)) = 0
+        |     THEN CAST(0 AS BIGINT)
+        |     ELSE dsir_score // n_toks END AS dsir_per_token
+        | FROM documents dd LEFT JOIN dw ON dd.doc_id = dw.doc_id
+        | ORDER BY dd.doc_id""".stripMargin.replaceAll("\n", ""))),
+
     // X4 bigram language-model fluency score: P(w2|w1) estimated from
     // corpus bigram/unigram counts, integer-scaled ((c2·1e6) div c1) so
     // the per-doc sum is exact (c2 ≤ c1 keeps each term ≤ 1e6; a doc's

@@ -2528,6 +2528,63 @@ object Queries {
         | WHERE rn = 1 AND event_id % 17 <> 0
         | ORDER BY user_id""".stripMargin.replaceAll("\n", ""))),
 
+    // St2 + S6, DBLog-style incremental snapshot (sync/
+    // IncrementalSnapshot): a chunked table copy interleaved with the
+    // live binlog, each chunk fenced by its OWN low watermark instead
+    // of the reference's single pre-copy SHOW MASTER STATUS fence. The
+    // fixture simulates the interleaving deterministically: chunk i
+    // (keys with key % 4 == i) is "read" at a per-source watermark
+    // (i+1)/4 of the way through that source's log — its image is the
+    // latest-state replay of the log PREFIX up to the watermark — and
+    // the merge must reconstruct the exact final state from those four
+    // partially-stale images plus the full event stream: events after a
+    // chunk's watermark outrank its image, the image wins ties (the
+    // watermark is recorded before the read), a winning delete erases
+    // the key, and keys born after their chunk was read arrive from the
+    // log alone. Result identity with the full-replay oracle (the same
+    // SQL as st_cdc_binlog_mixed) proves the watermark algebra, not
+    // just the happy path.
+    Q("st_incremental_snapshot",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val dir = graft.streaming.MysqlBinlogFixture
+          .encodeEvents(s, d, mixed = true)
+        val raw = s.read
+          .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
+          .option("path", dir).load()
+          .filter(col("table") === "events")
+        val maxSeq = raw.groupBy("src").agg(max("seq").as("max_seq"))
+        val ev = raw.join(broadcast(maxSeq), "src")
+          .withColumn("wm", expr("(max_seq * ((key % 4) + 1)) div 4"))
+        val w = Window.partitionBy(col("src"), col("key"))
+          .orderBy(col("seq").desc)
+        val chunkImage = ev.filter(col("seq") <= col("wm"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("op") =!= "delete")
+          .select(col("src"), col("key"), col("payload"),
+            col("wm").as("version"))
+        val changes = ev.select(col("src"), col("key"), col("payload"),
+          col("seq").as("version"), col("op"))
+        val merged = graft.sync.IncrementalSnapshot
+          .merge(chunkImage, changes, Seq("src", "key"))
+        val pSchema = StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("ts", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        merged.select(from_json(col("payload"), pSchema).as("p"))
+          .select(col("p.user_id").as("user_id"),
+            col("p.event_id").as("last_event_id"),
+            col("p.event_type").as("last_event_type"),
+            col("p.value").as("last_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id AS last_event_id,
+        | event_type AS last_event_type, value AS last_value FROM (
+        | SELECT *, row_number() OVER (PARTITION BY user_id
+        |   ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        | WHERE rn = 1 AND event_id % 17 <> 0
+        | ORDER BY user_id""".stripMargin.replaceAll("\n", ""))),
+
     // Source-format round trips (S1/S5 beyond parquet+JDBC): the sync
     // surface a reference user actually touches is "read rows, write
     // rows" — these prove the CSV and JSONL paths carry every type the

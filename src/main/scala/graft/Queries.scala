@@ -2528,6 +2528,108 @@ object Queries {
         | WHERE rn = 1 AND event_id % 17 <> 0
         | ORDER BY user_id""".stripMargin.replaceAll("\n", ""))),
 
+    // St2, binlog_transaction_compression=ON (8.0.20+) on the wire:
+    // every transaction's BEGIN/TABLE_MAP/rows/XID rides inside one
+    // zstd TRANSACTION_PAYLOAD wrapper (GTID outside, as the server
+    // emits it), and the reader unwraps in place — same collapse, same
+    // oracle as the uncompressed st_cdc_binlog_state, proving the
+    // compressed and plain wire shapes decode identically.
+    Q("st_cdc_binlog_compressed",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val dir = graft.streaming.MysqlBinlogFixture
+          .encodeEvents(s, d, compressed = true)
+        val pSchema = StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("ts", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val raw = s.read
+          .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
+          .option("path", dir).load()
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        raw.filter(col("table") === "events" && col("op") === "insert")
+          .select(from_json(col("payload"), pSchema).as("p"))
+          .select(col("p.user_id").as("user_id"),
+            col("p.event_id").as("event_id"), col("p.ts").as("ts_us"),
+            col("p.event_type").as("event_type"), col("p.value").as("value"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_event_type"),
+            col("value").as("last_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id AS last_event_id,
+        | event_type AS last_event_type, value AS last_value FROM (
+        | SELECT *, row_number() OVER (PARTITION BY user_id
+        |   ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        | WHERE rn = 1 ORDER BY user_id""".stripMargin.replaceAll("\n", ""))),
+
+    // St2, GTID auto-position end to end: the fixture splits each
+    // server's log into two transaction phases at the corpus-midpoint
+    // event time and records each server's executed-GTID fragment AT
+    // the boundary (the fence — metadata.txt's third line, taken
+    // mid-stream). The read then positions by THAT set, exactly what
+    // `CHANGE REPLICATION SOURCE TO SOURCE_AUTO_POSITION=1` does: scan
+    // past executed transactions (header+GTID pass, no row decode),
+    // start at the first unexecuted one. The oracle is the latest-state
+    // collapse over ONLY the post-cutoff rows — if the skip missed or
+    // replayed anything, users whose last pre-cutoff event differs
+    // from their last post-cutoff event (or who vanish entirely)
+    // hash-mismatch. The streaming startGtid start is pinned to the
+    // same positionAfterGtids scan in MysqlBinlogStreamSpec.
+    Q("st_cdc_binlog_gtid",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val mm = Tables.events(s, d).agg(
+          min(unix_micros(col("ts"))).as("a"),
+          max(unix_micros(col("ts"))).as("b")).head()
+        val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+        val dir = graft.streaming.MysqlBinlogFixture
+          .encodeEvents(s, d, fenceCutoffMicros = Some(cut))
+        val executed = {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+            .iterator().asScala.map(_.toString)
+            .filter(_.endsWith(".fence")).toSeq.sorted
+            .map(f => new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(f)),
+              java.nio.charset.StandardCharsets.UTF_8).trim)
+            .filter(_.nonEmpty).mkString(",")
+        }
+        val raw = graft.streaming.MysqlBinlogSource.expand(dir)
+          .map(f => graft.streaming.MysqlBinlogSource
+            .batchReadFromGtid(s, f, executed))
+          .reduce(_.unionByName(_))
+        val pSchema = StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("ts", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        raw.filter(col("table") === "events" && col("op") === "insert")
+          .select(from_json(col("payload"), pSchema).as("p"))
+          .select(col("p.user_id").as("user_id"),
+            col("p.event_id").as("event_id"), col("p.ts").as("ts_us"),
+            col("p.event_type").as("event_type"), col("p.value").as("value"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_event_type"),
+            col("value").as("last_value"))
+          .orderBy("user_id")
+      },
+      Some("""WITH cut AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS t
+        |   FROM events),
+        | suf AS (SELECT * FROM events
+        |   WHERE epoch_us(ts) >= (SELECT t FROM cut))
+        | SELECT user_id, event_id AS last_event_id,
+        |  event_type AS last_event_type, value AS last_value FROM (
+        | SELECT *, row_number() OVER (PARTITION BY user_id
+        |   ORDER BY ts DESC, event_id DESC) AS rn FROM suf) t
+        | WHERE rn = 1 ORDER BY user_id""".stripMargin.replaceAll("\n", ""))),
+
     // St2 + S6, DBLog-style incremental snapshot (sync/
     // IncrementalSnapshot): a chunked table copy interleaved with the
     // live binlog, each chunk fenced by its OWN low watermark instead

@@ -67,19 +67,45 @@ object MysqlBinlogFixture {
     * log-shrinking production setting. Deletes are PK-only in both
     * modes; inserts always carry every column (the statement sets them
     * all, so MINIMAL's after image is full there too).
+    *
+    * `compressed = true` wraps every transaction's BEGIN/TABLE_MAP/
+    * rows/XID into one zstd TRANSACTION_PAYLOAD wrapper with the GTID
+    * outside it — the exact wire shape of an 8.0.20+ server running
+    * `binlog_transaction_compression=ON`.
+    *
+    * `fenceCutoffMicros = Some(t)` splits each server's log into two
+    * transaction phases at event-time `t`: rows with ts < t first
+    * (their own ≤64-row transactions), then the rest — and writes a
+    * `server_N.fence` file beside each log holding that server's
+    * executed-GTID fragment AT the phase boundary (empty when the
+    * server has no pre-cutoff rows). The union of the fragments is
+    * exactly what the reference snapshots as metadata.txt's gtid line
+    * mid-stream, so a GTID auto-position start from it must replay the
+    * post-cutoff rows and nothing else.
     */
   def encodeEvents(spark: SparkSession, sfDir: String,
                    nServers: Int = 4, mixed: Boolean = false,
-                   minimal: Boolean = false): String = {
+                   minimal: Boolean = false, compressed: Boolean = false,
+                   fenceCutoffMicros: Option[Long] = None): String = {
     require(!minimal || mixed, "minimal row images apply to the mixed encode")
+    require(!compressed || (!mixed && fenceCutoffMicros.isEmpty),
+      "the compressed encode is insert-only (payload wrapping of " +
+        "update/delete statements is covered by MysqlBinlogSpec)")
+    require(fenceCutoffMicros.isEmpty || !mixed,
+      "the fence-cutoff encode is insert-only (the GTID query's oracle " +
+        "replays a plain ts-suffix latest state)")
     val dir = CoreOps.scratchDir(
       if (minimal) "mysql_binlog_minimal"
-      else if (mixed) "mysql_binlog_mixed" else "mysql_binlog", sfDir)
+      else if (mixed) "mysql_binlog_mixed"
+      else if (compressed) "mysql_binlog_tp"
+      else if (fenceCutoffMicros.isDefined) "mysql_binlog_fence"
+      else "mysql_binlog", sfDir)
     // clear stale logs (e.g. from an older nServers value): a leftover
     // file would replay ghost events into every downstream read
     val d = new java.io.File(dir)
     Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".binlog")).foreach(_.delete())
+      .filter(f => f.getName.endsWith(".binlog") || f.getName.endsWith(".fence"))
+      .foreach(_.delete())
     Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("ts"),
         col("event_type"), col("value"), col("props"))
@@ -87,6 +113,7 @@ object MysqlBinlogFixture {
       .sortWithinPartitions(col("ts"), col("event_id"))
       .foreachPartition { (rows: Iterator[Row]) =>
         val pid = TaskContext.getPartitionId()
+        val uuid = f"00000000-0000-4000-8000-${100L + pid}%012d"
         val path = s"$dir/server_$pid.binlog"
         val tmp = s"$path.inprogress"
         val w = new Writer(tmp, serverId = 100L + pid)
@@ -94,7 +121,8 @@ object MysqlBinlogFixture {
           val td = eventsTableDef(23L)
           var began = false
           var txn = 0L
-          rows.grouped(64).foreach { group =>
+          def writeGroups(it: Iterator[Row]): Unit =
+          it.grouped(64).foreach { group =>
             val images = group.map { r =>
               val t = r.getTimestamp(2)
               val micros = t.getTime * 1000L + (t.getNanos / 1000) % 1000
@@ -123,7 +151,19 @@ object MysqlBinlogFixture {
             // executed-set (the reference's metadata.txt gtid line).
             // After the GTID, `BEGIN` as a Query event — the wire order
             // a ROW-format server emits for every transaction
-            w.gtid(f"00000000-0000-4000-8000-${100L + pid}%012d", txn + 1)
+            w.gtid(uuid, txn + 1)
+            if (compressed) {
+              // 8.0.20+ binlog_transaction_compression=ON wire shape:
+              // the GTID stays OUTSIDE; everything from BEGIN to the
+              // commit marker rides inside one zstd wrapper
+              txn += 1
+              w.transactionPayload() { inner =>
+                inner.query("graft", "BEGIN")
+                inner.tableMap(td)
+                inner.writeRows(td, images)
+                inner.xid(txn)
+              }
+            } else {
             w.query("graft", "BEGIN")
             if (!mixed) {
               w.tableMap(td)
@@ -168,6 +208,26 @@ object MysqlBinlogFixture {
             }
             txn += 1
             w.xid(txn)
+            }
+          }
+          fenceCutoffMicros match {
+            case Some(cut) =>
+              // phase 1 = the strict ts-prefix (rows are sorted by
+              // (ts, event_id) within the partition, so span() splits
+              // at the cutoff); the fence file records THIS server's
+              // executed set at the boundary — metadata.txt's gtid
+              // line, taken mid-stream
+              val (p1, p2) = rows.span { r =>
+                val t = r.getTimestamp(2)
+                t.getTime * 1000L + (t.getNanos / 1000) % 1000 < cut
+              }
+              writeGroups(p1)
+              val frag = if (txn > 0) s"$uuid:1-$txn" else ""
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$dir/server_$pid.fence"),
+                frag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              writeGroups(p2)
+            case None => writeGroups(rows)
           }
           if (!began) w.begin() // empty partition: a valid header-only log
         } finally w.close()

@@ -99,6 +99,41 @@ object MysqlBinlogSource {
     }.reduce(_.unionByName(_))
   }
 
+  /** GTID auto-position, BATCH form: read a recorded chain from the
+    * first transaction NOT in `executedSet` — the same
+    * [[positionAfterGtids]] scan the streaming tail runs at a
+    * `startGtid` start (their equivalence is pinned in
+    * MysqlBinlogStreamSpec), applied to the one-partition-per-file
+    * batch scan. The chain is walked from `head` across trailing
+    * ROTATEs; files wholly before the position are skipped entirely,
+    * and the position file's already-executed prefix is dropped by a
+    * `seq` lower bound (seq = epoch<<44 + bytePos*64 + row, so the
+    * byte position IS the order). Row-image decode only happens for
+    * files actually read — the skip costs one header+GTID pass.
+    */
+  def batchReadFromGtid(spark: org.apache.spark.sql.SparkSession,
+                        head: String,
+                        executedSet: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val off = positionAfterGtids(head, executedSet)
+    // chain files from the position file onward (successors via the
+    // same trailing-ROTATE walk the stream follows)
+    var files = Vector(off.file)
+    var cur = off.file
+    var continue = true
+    while (continue) trailingRotate(cur) match {
+      case Some(n) if Files.exists(Paths.get(n)) => files :+= n; cur = n
+      case _ => continue = false
+    }
+    val minSeq = (fileEpoch(off.file) << 44) + off.bytes * 64
+    files.map { f =>
+      val df = spark.read
+        .format(classOf[MysqlBinlogSourceProvider].getName)
+        .option("path", f).load()
+      if (f == off.file) df.filter(col("seq") >= lit(minSeq)) else df
+    }.reduce(_.unionByName(_))
+  }
+
   /** Chain EPOCH of a log file: the value packed into seq's high bits —
     * 19 bits of epoch over 44 bits of (byte position × 64) — so the
     * (ts, seq) version collapse stays a total order ACROSS rotation:

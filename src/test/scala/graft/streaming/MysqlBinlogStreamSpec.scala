@@ -437,4 +437,44 @@ class MysqlBinlogStreamSpec extends SparkSpec {
         s"each side of the ALTER must decode against its own TABLE_MAP, got $rows")
     } finally { q.stop(); w2.close() }
   }
+  test("batchReadFromGtid positions like the streaming startGtid, across rotation") {
+    // the BATCH leg of GTID auto-position (st_cdc_binlog_gtid's read):
+    // same chain shape as the streaming startGtid test — two files, the
+    // fence mid-file-2 — and the skip must behave identically: start
+    // set u:1-3 reads ONLY txn 4; a set ending mid-file-1 (u:1) reads
+    // the rest of file 1 AND follows the rotation into file 2
+    val base = Files.createTempDirectory("graft_binlog_gtid_batch_").toString
+    val u = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    val log1 = s"$base/bin.000001"; val log2 = s"$base/bin.000002"
+    val w1 = new Writer(log1, serverId = 1L)
+    w1.setClock(1700000000L); w1.begin()
+    w1.previousGtids(Seq.empty)
+    Seq(1L, 2L).foreach { gno =>
+      w1.gtid(u, gno); w1.query("graft", "BEGIN")
+      w1.tableMap(td); w1.writeRows(td, Seq(img(gno, s"pre$gno"))); w1.xid(gno)
+    }
+    w1.rotate("bin.000002"); w1.close()
+    val w2 = new Writer(log2, serverId = 1L)
+    w2.setClock(1700000100L); w2.begin()
+    w2.previousGtids(Seq(u -> Seq((1L, 2L))))
+    Seq(3L, 4L).foreach { gno =>
+      w2.gtid(u, gno); w2.query("graft", "BEGIN")
+      w2.tableMap(td); w2.writeRows(td, Seq(img(gno, s"v$gno"))); w2.xid(gno)
+    }
+    w2.close()
+    def keysFrom(set: String): Set[Long] =
+      MysqlBinlogSource.batchReadFromGtid(spark, log1, set)
+        .select("key").collect().map(_.getLong(0)).toSet
+    assert(keysFrom(s"$u:1-3") == Set(4L),
+      "the executed set must skip txns 1-3 exactly")
+    assert(keysFrom(s"$u:1") == Set(2L, 3L, 4L),
+      "a mid-file-1 position must read file 1's tail AND the successor")
+    assert(keysFrom(s"$u:1-4").isEmpty,
+      "a fully-executed chain reads nothing")
+    // seq ordering survives the chain walk: successor rows order last
+    val seqs = MysqlBinlogSource.batchReadFromGtid(spark, log1, s"$u:1")
+      .orderBy("key").select("seq").collect().map(_.getLong(0))
+    assert(seqs.sorted.sameElements(seqs),
+      "seq must ascend with key across the rotation")
+  }
 }

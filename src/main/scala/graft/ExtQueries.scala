@@ -2274,6 +2274,138 @@ object ExtQueries {
         | count(*) AS n_bigrams
         | FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
         | JOIN c1 ON bg.w1 = c1.w1
-        | GROUP BY 1 ORDER BY bg.doc_id""".stripMargin.replaceAll("\n", "")))
+        | GROUP BY 1 ORDER BY bg.doc_id""".stripMargin.replaceAll("\n", ""))),
+
+    // X4 Gopher-style quality rule battery (Rae et al. 2021 §A1.1 /
+    // Dolma's taggers — the published heuristic filter set): per doc,
+    // one boolean per rule plus the conjunction. All ratio thresholds
+    // are applied as INTEGER cross-multiplications (10*sym <= n_words
+    // instead of sym/n_words <= 0.1), so both engines decide every
+    // boundary case identically — no float division anywhere. Empty
+    // docs: every ratio rule passes vacuously (0 <= 0) and the
+    // word-count rule fails, so keep = 0 deterministically. Scale
+    // shape: a single narrow projection pass, no shuffle at all until
+    // the final presentation sort.
+    Q("x_gopher_rules",
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("documents_gq")
+        s.sql(s"""WITH t AS (SELECT doc_id, text, $sparkToks AS toks,
+          |   split(text, '\\n') AS ls FROM documents_gq),
+          | m AS (SELECT doc_id,
+          |   CAST(size(toks) AS BIGINT) AS n_words,
+          |   aggregate(toks, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS tot_len,
+          |   CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+          |     + CAST((length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT) AS n_sym,
+          |   CAST(size(ls) AS BIGINT) AS n_lines,
+          |   CAST(size(filter(ls, l -> startswith(ltrim(l), '-')
+          |     OR startswith(ltrim(l), '*'))) AS BIGINT) AS n_bullet,
+          |   CAST(size(filter(ls, l -> endswith(rtrim(l), '...'))) AS BIGINT) AS n_ellend,
+          |   CAST(size(filter(toks, x -> x rlike '[a-z]')) AS BIGINT) AS n_alpha,
+          |   CAST(size(array_intersect(toks, array('the', 'be', 'to', 'of',
+          |     'and', 'that', 'have', 'with'))) AS BIGINT) AS n_stop
+          |  FROM t)
+          | SELECT doc_id, n_words,
+          |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_word_count,
+          |  CAST(CASE WHEN 3 * n_words <= tot_len AND tot_len <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT) AS r_mean_len,
+          |  CAST(CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END AS BIGINT) AS r_symbol,
+          |  CAST(CASE WHEN 10 * n_bullet <= 9 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS r_bullet,
+          |  CAST(CASE WHEN 10 * n_ellend <= 3 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis,
+          |  CAST(CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+          |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+          |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+          |    AND 3 * n_words <= tot_len AND tot_len <= 10 * n_words
+          |    AND 10 * n_sym <= n_words
+          |    AND 10 * n_bullet <= 9 * n_lines
+          |    AND 10 * n_ellend <= 3 * n_lines
+          |    AND 5 * n_alpha >= 4 * n_words
+          |    AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          | FROM m ORDER BY doc_id""".stripMargin)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks,
+        |   str_split(text, chr(10)) AS ls FROM documents),
+        | m AS (SELECT doc_id,
+        |   len(toks) AS n_words,
+        |   CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS tot_len,
+        |   CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |     + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+        |   len(ls) AS n_lines,
+        |   len(list_filter(ls, l -> starts_with(ltrim(l), '-')
+        |     OR starts_with(ltrim(l), '*'))) AS n_bullet,
+        |   len(list_filter(ls, l -> ends_with(rtrim(l), '...'))) AS n_ellend,
+        |   len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+        |   len(list_intersect(toks, ['the', 'be', 'to', 'of',
+        |     'and', 'that', 'have', 'with'])) AS n_stop
+        |  FROM t)
+        | SELECT doc_id, n_words,
+        |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_word_count,
+        |  CAST(CASE WHEN 3 * n_words <= tot_len AND tot_len <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT) AS r_mean_len,
+        |  CAST(CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END AS BIGINT) AS r_symbol,
+        |  CAST(CASE WHEN 10 * n_bullet <= 9 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS r_bullet,
+        |  CAST(CASE WHEN 10 * n_ellend <= 3 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis,
+        |  CAST(CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+        |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+        |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+        |    AND 3 * n_words <= tot_len AND tot_len <= 10 * n_words
+        |    AND 10 * n_sym <= n_words
+        |    AND 10 * n_bullet <= 9 * n_lines
+        |    AND 10 * n_ellend <= 3 * n_lines
+        |    AND 5 * n_alpha >= 4 * n_words
+        |    AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        | FROM m ORDER BY doc_id""".stripMargin.replaceAll("\n", ""))),
+
+    // X4 CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    // each doc with the corpus bigram LM (x_bigram_lm's integer-exact
+    // arithmetic), then cut the corpus into head/middle/tail terciles
+    // by per-token score — the buckets CCNet uses to stratify
+    // CommonCrawl by LM fit. Docs too short for a bigram (< 2 tokens)
+    // score -1 and land in the tail, deterministically. The tercile cut
+    // is ntile(3) over a TOTAL order (score desc, doc_id) so both
+    // engines assign identical buckets; at scale the single global sort
+    // of (doc, score) pairs is the only corpus-wide exchange, and the
+    // count tables it joins stay vocab²-bounded (broadcast).
+    Q("x_perplexity_bucket",
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("documents_ppb")
+        s.sql(s"""WITH w AS (SELECT doc_id, $sparkToks AS toks
+          |   FROM documents_ppb),
+          | bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM w
+          |   LATERAL VIEW explode(zip_with(
+          |     slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
+          |     (x, y) -> named_struct('w1', x, 'w2', y))) bb AS b
+          |   WHERE size(toks) >= 2),
+          | c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+          | c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+          | dw AS (SELECT bg.doc_id AS doc_id,
+          |   sum((c2 * 1000000) div c1) div count(*) AS dpt
+          |   FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+          |   JOIN c1 ON bg.w1 = c1.w1 GROUP BY 1),
+          | sc AS (SELECT d.doc_id,
+          |   coalesce(dw.dpt, CAST(-1 AS BIGINT)) AS score_per_token
+          |   FROM documents_ppb d LEFT JOIN dw ON d.doc_id = dw.doc_id)
+          | SELECT doc_id, score_per_token,
+          |  CAST(ntile(3) OVER (ORDER BY score_per_token DESC, doc_id) AS BIGINT) AS tercile,
+          |  CASE ntile(3) OVER (ORDER BY score_per_token DESC, doc_id)
+          |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+          | FROM sc ORDER BY doc_id""".stripMargin)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        | bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (SELECT doc_id,
+        |     unnest(list_transform(range(len(toks) - 1),
+        |       i -> struct_pack(w1 := toks[i + 1], w2 := toks[i + 2]))) AS u
+        |   FROM w WHERE len(toks) >= 2)),
+        | c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        | c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        | dw AS (SELECT bg.doc_id AS doc_id,
+        |   CAST(sum((c2 * 1000000) // c1) // count(*) AS BIGINT) AS dpt
+        |   FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+        |   JOIN c1 ON bg.w1 = c1.w1 GROUP BY 1),
+        | sc AS (SELECT d.doc_id,
+        |   coalesce(dw.dpt, CAST(-1 AS BIGINT)) AS score_per_token
+        |   FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id)
+        | SELECT doc_id, score_per_token,
+        |  CAST(ntile(3) OVER (ORDER BY score_per_token DESC, doc_id) AS BIGINT) AS tercile,
+        |  CASE ntile(3) OVER (ORDER BY score_per_token DESC, doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        | FROM sc ORDER BY doc_id""".stripMargin.replaceAll("\n", "")))
   )
 }

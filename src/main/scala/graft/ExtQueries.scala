@@ -2406,6 +2406,66 @@ object ExtQueries {
         |  CAST(ntile(3) OVER (ORDER BY score_per_token DESC, doc_id) AS BIGINT) AS tercile,
         |  CASE ntile(3) OVER (ORDER BY score_per_token DESC, doc_id)
         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
-        | FROM sc ORDER BY doc_id""".stripMargin.replaceAll("\n", "")))
+        | FROM sc ORDER BY doc_id""".stripMargin.replaceAll("\n", ""))),
+
+    // X2 behavioral time-series similarity (top-k similarity search
+    // over sparse activity vectors — the streaming-top-k-similarity
+    // shape of EDBT '19/'20): each user's hourly event-count vector,
+    // most-similar peer by cosine, top-1 per user. Candidates come from
+    // an INVERTED INDEX on the hour bucket (only users co-active in
+    // some hour are ever paired — never user×user), the dot product is
+    // the join-then-group sum itself, and the ranking key is integer-
+    // exact: cos² in ppm = (dot²·1e6) div (na2·nb2), na2 constant per
+    // anchor, ties broken by peer id — so both engines pick the same
+    // peer at every tie. Int64 bounds: safe while dot < 3e6 (dot²·1e6
+    // < 2^63), i.e. per-pair shared-hour mass far above any real
+    // co-activity; the per-user norm join is a broadcast at any scale
+    // (|users| rows), and a hot hour (flash event co-activating
+    // everyone) is capped the same way x_containment_capped prunes
+    // high-DF shingles — drop the bucket, recount over the pruned
+    // universe.
+    Q("x_coactivity_peers",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("events_cap")
+        s.sql("""WITH hb AS (SELECT user_id, date_trunc('hour', ts) AS h,
+          |   count(*) AS c FROM events_cap GROUP BY 1, 2),
+          | nrm AS (SELECT user_id, sum(c * c) AS n2 FROM hb GROUP BY 1),
+          | dot AS (SELECT a.user_id AS a_id, b.user_id AS b_id,
+          |   sum(a.c * b.c) AS dot
+          |   FROM hb a JOIN hb b ON a.h = b.h AND a.user_id <> b.user_id
+          |   GROUP BY 1, 2),
+          | sc AS (SELECT a_id, b_id, dot,
+          |   (dot * dot * 1000000) div (na.n2 * nb.n2) AS score_ppm
+          |   FROM dot JOIN nrm na ON na.user_id = a_id
+          |   JOIN nrm nb ON nb.user_id = b_id),
+          | rk AS (SELECT a_id, b_id, dot, score_ppm, row_number() OVER (
+          |   PARTITION BY a_id ORDER BY score_ppm DESC, b_id) AS rn FROM sc)
+          | SELECT u.user_id, coalesce(rk.b_id, CAST(-1 AS BIGINT)) AS peer_id,
+          |  coalesce(rk.dot, CAST(0 AS BIGINT)) AS dot,
+          |  coalesce(rk.score_ppm, CAST(0 AS BIGINT)) AS score_ppm
+          | FROM (SELECT DISTINCT user_id FROM events_cap) u
+          | LEFT JOIN rk ON rk.a_id = u.user_id AND rk.rn = 1
+          | ORDER BY u.user_id""".stripMargin)
+      },
+      Some("""WITH hb AS (SELECT user_id, date_trunc('hour', ts) AS h,
+        |   count(*) AS c FROM events GROUP BY 1, 2),
+        | nrm AS (SELECT user_id, CAST(sum(c * c) AS BIGINT) AS n2
+        |   FROM hb GROUP BY 1),
+        | dot AS (SELECT a.user_id AS a_id, b.user_id AS b_id,
+        |   CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        |   FROM hb a JOIN hb b ON a.h = b.h AND a.user_id <> b.user_id
+        |   GROUP BY 1, 2),
+        | sc AS (SELECT a_id, b_id, dot,
+        |   CAST((dot * dot * 1000000) // (na.n2 * nb.n2) AS BIGINT) AS score_ppm
+        |   FROM dot JOIN nrm na ON na.user_id = a_id
+        |   JOIN nrm nb ON nb.user_id = b_id),
+        | rk AS (SELECT a_id, b_id, dot, score_ppm, row_number() OVER (
+        |   PARTITION BY a_id ORDER BY score_ppm DESC, b_id) AS rn FROM sc)
+        | SELECT u.user_id, coalesce(rk.b_id, CAST(-1 AS BIGINT)) AS peer_id,
+        |  coalesce(rk.dot, CAST(0 AS BIGINT)) AS dot,
+        |  coalesce(rk.score_ppm, CAST(0 AS BIGINT)) AS score_ppm
+        | FROM (SELECT DISTINCT user_id FROM events) u
+        | LEFT JOIN rk ON rk.a_id = u.user_id AND rk.rn = 1
+        | ORDER BY u.user_id""".stripMargin.replaceAll("\n", "")))
   )
 }

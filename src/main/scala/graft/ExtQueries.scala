@@ -2467,5 +2467,141 @@ object ExtQueries {
         | FROM (SELECT DISTINCT user_id FROM events) u
         | LEFT JOIN rk ON rk.a_id = u.user_id AND rk.rn = 1
         | ORDER BY u.user_id""".stripMargin.replaceAll("\n", "")))
-  )
+  ) ++ sketchQueries
+
+  /** Bloom-filter membership + winnowing fingerprints — registered
+    * separately only to keep the main list's size manageable.
+    */
+  private def sketchQueries: Seq[Q] = {
+    import graft.sim.PortableHash.{P, permA, permB}
+    // the 4-hash family shared with the CM sketch: h_j(x) = ((a_j·h +
+    // b_j) mod P) mod m over the portable 48-bit md5 hash — both
+    // engines inline THESE constants, so the bit positions can't drift
+    val jconsts = (0 until 2)
+      .map(j => s"(${j}, ${permA(j)}, ${permB(j)})").mkString(", ")
+    // Spark side: the k=2 hash constants ride in an EXPLODED inline
+    // array (a generate, map-side) rather than a 2-row constants table —
+    // a CROSS JOIN against inline VALUES plans as a nested-loop join,
+    // which the no-cartesian plan sweep rightly refuses
+    val jExplode = "LATERAL VIEW explode(array(" + (0 until 2)
+      .map(j => s"named_struct('a', ${permA(j)}L, 'o', ${permB(j)}L)")
+      .mkString(", ") + ")) jj AS jc"
+    val m = 131072L
+    Seq(
+    // X1 bloom-filter cross-split contamination screen: how much of
+    // each held-out doc's shingle set has the training split already
+    // seen? — THE bloom job at 100 TB, where the exact answer needs a
+    // corpus-wide shingle join but the sketch is a broadcastable bit
+    // table. The bloom here is not a driver-side opaque sketch: it is a
+    // ≤ m-row TABLE of set bit ids (k=2 portable hashes per history
+    // shingle, distinct), so the build is one bounded groupBy, the
+    // probe is a broadcast equi-join (a shingle is flagged ⟺ both its
+    // bits matched), and the WHOLE approximation — including every
+    // false positive — is replayed bit-for-bit by the DuckDB twin
+    // (m=2^17 is sized so FPs actually occur at fixture scale). The
+    // no-false-negative guarantee is oracle-checked per doc
+    // (n_flagged >= n_seen), not just asserted. At scale: the history
+    // side never leaves its aggregation (output ≤ m rows), the batch
+    // side is a map-side explode + broadcast probe — no corpus×corpus
+    // join anywhere.
+    Q("x_bloom_contamination",
+      (s, d) => {
+        graft.GraftFunctions.register(s)
+        Tables.documents(s, d).createOrReplaceTempView("documents_bl")
+        s.sql(s"""WITH w AS (SELECT doc_id, $sparkToks AS toks
+          |   FROM documents_bl),
+          | sh AS (SELECT doc_id, graft_md5_48(concat_ws(' ',
+          |     slice(toks, pos, 3))) % $P AS h
+          |   FROM w LATERAL VIEW explode(
+          |     sequence(1, size(toks) - 2)) pp AS pos
+          |   WHERE size(toks) >= 3),
+          | hist AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 < 8),
+          | batch AS (SELECT DISTINCT doc_id, h FROM sh WHERE doc_id % 10 >= 8),
+          | bloom AS (SELECT DISTINCT ((jc.a * h + jc.o) % $P) % $m AS bit
+          |   FROM hist $jExplode),
+          | probe AS (SELECT doc_id, h, ((jc.a * h + jc.o) % $P) % $m AS bit
+          |   FROM batch $jExplode),
+          | flag AS (SELECT p.doc_id, p.h,
+          |   CASE WHEN count(bl.bit) = 2 THEN 1 ELSE 0 END AS flagged
+          |   FROM probe p LEFT JOIN bloom bl ON p.bit = bl.bit
+          |   GROUP BY p.doc_id, p.h),
+          | truth AS (SELECT b.doc_id, b.h,
+          |   CASE WHEN hist.h IS NOT NULL THEN 1 ELSE 0 END AS seen
+          |   FROM batch b LEFT JOIN hist ON b.h = hist.h)
+          | SELECT f.doc_id, count(*) AS n_shingles,
+          |  CAST(sum(f.flagged) AS BIGINT) AS n_flagged,
+          |  CAST(sum(t.seen) AS BIGINT) AS n_seen
+          | FROM flag f JOIN truth t ON f.doc_id = t.doc_id AND f.h = t.h
+          | GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        | sh AS (SELECT doc_id, (${md5Fold(
+            "array_to_string(toks[pos:pos+2], ' ')")}) % $P AS h
+        |   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos
+        |     FROM w WHERE len(toks) >= 3)),
+        | hist AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 < 8),
+        | batch AS (SELECT DISTINCT doc_id, h FROM sh WHERE doc_id % 10 >= 8),
+        | jc(j, a, o) AS (VALUES $jconsts),
+        | bloom AS (SELECT DISTINCT ((a * h + o) % $P) % $m AS bit
+        |   FROM hist CROSS JOIN jc),
+        | probe AS (SELECT doc_id, h, ((a * h + o) % $P) % $m AS bit
+        |   FROM batch CROSS JOIN jc),
+        | flag AS (SELECT p.doc_id, p.h,
+        |   CASE WHEN count(bl.bit) = 2 THEN 1 ELSE 0 END AS flagged
+        |   FROM probe p LEFT JOIN bloom bl ON p.bit = bl.bit
+        |   GROUP BY p.doc_id, p.h),
+        | truth AS (SELECT b.doc_id, b.h,
+        |   CASE WHEN hist.h IS NOT NULL THEN 1 ELSE 0 END AS seen
+        |   FROM batch b LEFT JOIN hist ON b.h = hist.h)
+        | SELECT f.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(f.flagged) AS BIGINT) AS n_flagged,
+        |  CAST(sum(t.seen) AS BIGINT) AS n_seen
+        | FROM flag f JOIN truth t ON f.doc_id = t.doc_id AND f.h = t.h
+        | GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin.replaceAll("\n", ""))),
+
+    // X1 winnowing fingerprints (Schleimer/Wilkerson/Aiken '03 — the
+    // MOSS local fingerprinting scheme): hash every 3-token shingle,
+    // slide a w=4 window over the hash sequence, keep each window's
+    // MINIMUM — the guarantee that any shared run of ≥ w+k-1 tokens
+    // between two docs shares a fingerprint, at ~2/(w+1) the density of
+    // the full shingle set. Emitted as the DISTINCT selected VALUES per
+    // doc (position-free, so min() over a ROWS frame — identical
+    // frame semantics in both engines — needs no argmin tie rule).
+    // Shape: tokenize + window per doc is map-side; the only shuffle is
+    // the final presentation sort. Docs shorter than k+w-1 tokens
+    // contribute their (shorter) windows' minima; docs under k tokens
+    // have no shingles and are absent, same in both engines.
+    Q("x_winnowing",
+      (s, d) => {
+        graft.GraftFunctions.register(s)
+        Tables.documents(s, d).createOrReplaceTempView("documents_wn")
+        s.sql(s"""WITH w AS (SELECT doc_id, $sparkToks AS toks
+          |   FROM documents_wn),
+          | sh AS (SELECT doc_id, pos, graft_md5_48(concat_ws(' ',
+          |     slice(toks, pos, 3))) % $P AS h
+          |   FROM w LATERAL VIEW explode(
+          |     sequence(1, size(toks) - 2)) pp AS pos
+          |   WHERE size(toks) >= 3),
+          | wm AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id
+          |   ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+          |   pos, count(*) OVER (PARTITION BY doc_id) AS n
+          |   FROM sh)
+          | SELECT DISTINCT doc_id, fp FROM wm
+          | WHERE pos <= n - 3 OR n < 4
+          | ORDER BY doc_id, fp""".stripMargin)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        | sh AS (SELECT doc_id, pos, (${md5Fold(
+            "array_to_string(toks[pos:pos+2], ' ')")}) % $P AS h
+        |   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos
+        |     FROM w WHERE len(toks) >= 3)),
+        | wm AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id
+        |   ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |   pos, count(*) OVER (PARTITION BY doc_id) AS n
+        |   FROM sh)
+        | SELECT DISTINCT doc_id, fp FROM wm
+        | WHERE pos <= n - 3 OR n < 4
+        | ORDER BY doc_id, fp""".stripMargin.replaceAll("\n", "")))
+    )
+  }
 }

@@ -2601,7 +2601,30 @@ object ExtQueries {
         |   FROM sh)
         | SELECT DISTINCT doc_id, fp FROM wm
         | WHERE pos <= n - 3 OR n < 4
-        | ORDER BY doc_id, fp""".stripMargin.replaceAll("\n", "")))
+        | ORDER BY doc_id, fp""".stripMargin.replaceAll("\n", ""))),
+
+    // X1 × St2 streaming bloom ingest, batch twin: the final streamed
+    // bloom state (DISTINCT union of per-batch set-bit partials —
+    // blooms merge by bitwise OR) equals this one-pass corpus bit table
+    // EXACTLY, and the stream is pinned to this twin in ScalaTest
+    // (st_cm_sketch's pattern, with the simpler dup-harmless state).
+    // The oracle replays the kernel's distinct word 3-shingles and the
+    // identical portable-hash bit assignment.
+    Q("st_bloom_ingest",
+      (s, d) => graft.streaming.BloomIngest.batchTwin(Tables.documents(s, d)),
+      Some {
+        import graft.streaming.BloomIngest.{K, M}
+        val jvals = (0 until K)
+          .map(j => s"(${permA(j)}, ${permB(j)})").mkString(", ")
+        shingleCte +
+          s""", hm AS (SELECT DISTINCT (${md5Fold("t")}) % $P AS h
+          |   FROM (SELECT unnest(sh) AS t FROM s)),
+          | jc(a, o) AS (VALUES $jvals),
+          | bits AS (SELECT DISTINCT ((a * h + o) % $P) % $M AS bit
+          |   FROM hm CROSS JOIN jc)
+          | SELECT bit FROM bits ORDER BY bit"""
+            .stripMargin.replaceAll("\n", "")
+      })
     )
   }
 }

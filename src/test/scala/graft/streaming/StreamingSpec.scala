@@ -323,6 +323,53 @@ class StreamingSpec extends SparkSpec {
     assert(cells() == twin)
   }
 
+  test("streaming bloom state merges to the one-pass corpus bloom; probe has no false negatives") {
+    implicit val ctx = spark.sqlContext
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").orderBy("doc_id")
+      .as[DocRow].collect()
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("bloom_ingest_").toString
+    val state = s"$dir/state"
+    val input = MemoryStream[DocRow]
+    val q = BloomIngest.start(input.toDF(), state, s"$dir/ckpt")
+    try {
+      chunks.foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val raw = spark.read.parquet(state)
+      assert(raw.select("batch_id").distinct().count() == chunks.length)
+      // mergeability: distinct union of partials == one-pass corpus bloom
+      def bits() = BloomIngest.bloom(spark, state).collect()
+        .map(_.getLong(0)).toSet
+      val twin = BloomIngest.batchTwin(
+        graft.model.Tables.documents(spark, sf)).collect()
+        .map(_.getLong(0)).toSet
+      val before = bits()
+      assert(before == twin)
+      assert(before.size <= BloomIngest.M)
+      // probing the ingested docs themselves: every shingle is a true
+      // member, so the bloom must flag ALL of them (no false negatives)
+      val probed = BloomIngest.probe(spark, state,
+        graft.model.Tables.documents(spark, sf)).collect()
+      assert(probed.nonEmpty)
+      probed.foreach { r =>
+        assert(r.getLong(1) == r.getLong(2),
+          s"doc ${r.get(0)}: ${r.getLong(2)} of ${r.getLong(1)} shingles " +
+            "flagged — a bloom may never miss a true member")
+      }
+      // compaction: dup-harmless distinct state, staged swap, heal
+      BloomIngest.compactState(spark, state)
+      val dirs = new java.io.File(state).listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id=")).sorted
+      assert(dirs.sameElements(Array("batch_id=1", "batch_id=2")),
+        s"got ${dirs.mkString(",")}")
+      assert(bits() == twin, "compaction must not change the bit set")
+      // interrupted swap: live renamed aside, staging never landed
+      assert(new java.io.File(s"$state/batch_id=1")
+        .renameTo(new java.io.File(s"$state/batch_id=1__old")))
+      assert(bits() == twin, "recovery must restore the live dir")
+    } finally q.stop()
+  }
+
   test("ingest state compaction merges batches, heals swaps, stream resumes") {
     implicit val ctx = spark.sqlContext
     val docs = graft.model.Tables.documents(spark, sf)

@@ -2624,6 +2624,94 @@ object ExtQueries {
           |   FROM hm CROSS JOIN jc)
           | SELECT bit FROM bits ORDER BY bit"""
             .stripMargin.replaceAll("\n", "")
+      }),
+
+    // X2/X4 hybrid retrieval with reciprocal-rank fusion (Cormack et
+    // al. 2009 — what every lexical+vector search stack ships): fuse
+    // the BM25 keyword ranking (x_bm25_search's integer-scaled scores,
+    // unlimited) with a dense ranking by embedding cosine to a probe
+    // vector (doc 0's, collected driver-side — O(1), like the IVF
+    // centroids — so the similarity is a map-side kernel against a
+    // literal, no 1×N nested-loop join). RRF's 1/(60+rank) terms are
+    // integer-scaled (1e6 div (60+r)) — exact, engine-portable — and
+    // both rankings break ties by doc id, so the fused order is total.
+    // Docs outside the keyword match contribute only their dense term,
+    // as real RRF does. Scale shape: each ranking is a global top-order
+    // over its candidate set (lexical matches / similarity candidates),
+    // which at corpus scale becomes per-shard top-k + merge; the fused
+    // join is |candidates|-sized, never corpus².
+    Q("x_rrf_hybrid",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        docs.createOrReplaceTempView("documents_rrf")
+        val bm = s.sql(s"""WITH w AS (SELECT doc_id, $sparkToks AS toks
+          |   FROM documents_rrf),
+          | dl AS (SELECT doc_id, CAST(size(toks) AS BIGINT) AS dl FROM w),
+          | tok AS (SELECT doc_id, term FROM w
+          |   LATERAL VIEW explode(toks) tt AS term),
+          | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+          |   WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+          | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          | s AS (SELECT tf.doc_id AS doc_id,
+          |   (((SELECT count(*) FROM documents_rrf) * 1000) div df) *
+          |   ((22000 * tf) div (10 * tf + 3 +
+          |     (9 * dl.dl * (SELECT count(*) FROM documents_rrf))
+          |       div (SELECT sum(dl) FROM dl))) AS score_t
+          |   FROM tf JOIN df ON tf.term = df.term
+          |   JOIN dl ON tf.doc_id = dl.doc_id)
+          | SELECT doc_id, sum(score_t) AS score FROM s GROUP BY 1"""
+          .stripMargin)
+        val r1 = bm.withColumn("r1", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+          .select(col("doc_id"), col("r1"))
+        val emb = Tables.embeddings(s, d)
+        val pv = emb.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0)
+        val probeLit = array(pv.map(lit): _*)
+        val r2 = emb.filter(col("vec_id") =!= 0L)
+          .select(col("vec_id").as("doc_id"),
+            graft.functions.Kernels.cosineFFCol(col("embedding"), probeLit)
+              .as("cos"))
+          .withColumn("r2", row_number().over(
+            Window.orderBy(col("cos").desc, col("doc_id"))))
+          .select(col("doc_id"), col("r2"))
+        r2.join(r1, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            expr("""CAST(1000000 div (60 + r2) +
+              coalesce(1000000 div (60 + r1), 0) AS BIGINT)""").as("rrf_score"))
+          .orderBy(col("rrf_score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some {
+        def cosP(a: String, b: String): String = cosSql(a, b)
+        s"""WITH w AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        | dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM w),
+        | tot AS (SELECT CAST(sum(dl) AS BIGINT) AS totlen, count(*) AS nd FROM dl),
+        | tok AS (SELECT doc_id, unnest(toks) AS term FROM w),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |   WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+        | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | sb AS (SELECT tf.doc_id AS doc_id,
+        |   ((nd * 1000) // df) *
+        |   ((22000 * tf) // (10 * tf + 3 + (9 * dl.dl * nd) // totlen)) AS score_t
+        |   FROM tf JOIN df ON tf.term = df.term
+        |   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot),
+        | bm AS (SELECT doc_id, CAST(sum(score_t) AS BIGINT) AS score
+        |   FROM sb GROUP BY 1),
+        | r1 AS (SELECT doc_id, row_number() OVER (
+        |   ORDER BY score DESC, doc_id) AS r1 FROM bm),
+        | pv AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+        | cs AS (SELECT vec_id AS doc_id, ${cosP("embedding", "pe")} AS cos
+        |   FROM embeddings CROSS JOIN pv WHERE vec_id <> 0),
+        | r2 AS (SELECT doc_id, row_number() OVER (
+        |   ORDER BY cos DESC, doc_id) AS r2 FROM cs)
+        | SELECT r2.doc_id,
+        |  CAST(1000000 // (60 + r2.r2) +
+        |    coalesce(1000000 // (60 + r1.r1), 0) AS BIGINT) AS rrf_score
+        | FROM r2 LEFT JOIN r1 ON r2.doc_id = r1.doc_id
+        | ORDER BY rrf_score DESC, r2.doc_id LIMIT 20"""
+          .stripMargin.replaceAll("\n", "")
       })
     )
   }

@@ -2630,6 +2630,34 @@ object Queries {
         |   ORDER BY ts DESC, event_id DESC) AS rn FROM suf) t
         | WHERE rn = 1 ORDER BY user_id""".stripMargin.replaceAll("\n", ""))),
 
+    // St2, the binary-JSON VALUE path through the wire: `props` is a
+    // true JSON column in the fixture (type 245 — text → MySQL binary
+    // JSON in the Writer, decoded back to canonical compact text by
+    // MysqlJsonBinary on read), and this query aggregates a FIELD of
+    // that document per user — so a wrong offset table, endianness, or
+    // inlined-literal decode shows up as a hash mismatch against the
+    // source table, not just a survived parse. The numeric field is
+    // pulled by regex on both sides (whitespace differs between the
+    // source's rendering and the canonical decode; the digits don't).
+    Q("st_cdc_binlog_props",
+      (s, d) => {
+        val dir = graft.streaming.MysqlBinlogFixture.encodeEvents(s, d)
+        val raw = s.read
+          .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
+          .option("path", dir).load()
+        raw.filter(col("table") === "events" && col("op") === "insert")
+          .select(col("key").as("user_id"),
+            regexp_extract(get_json_object(col("payload"), "$.props"),
+              "[0-9]+", 0).cast("long").as("k"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS BIGINT) AS sum_k
+        | FROM events GROUP BY user_id ORDER BY user_id"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // St2 + S6, DBLog-style incremental snapshot (sync/
     // IncrementalSnapshot): a chunked table copy interleaved with the
     // live binlog, each chunk fenced by its OWN low watermark instead

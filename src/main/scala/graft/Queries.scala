@@ -2685,7 +2685,12 @@ object Queries {
           .filter(col("table") === "events")
         val maxSeq = raw.groupBy("src").agg(max("seq").as("max_seq"))
         val ev = raw.join(broadcast(maxSeq), "src")
-          .withColumn("wm", expr("(max_seq * ((key % 4) + 1)) div 4"))
+          // divide BEFORE multiplying: seq carries the chain epoch in
+          // bits 44+, so max_seq*4 would wrap Long for epochs >= 2^17;
+          // (max_seq div 4)*(k+1) <= max_seq never overflows, and the
+          // watermark only needs to be SOME deterministic mid-log
+          // position per chunk — its exact rounding is immaterial
+          .withColumn("wm", expr("(max_seq div 4) * ((key % 4) + 1)"))
         val w = Window.partitionBy(col("src"), col("key"))
           .orderBy(col("seq").desc)
         val chunkImage = ev.filter(col("seq") <= col("wm"))

@@ -54,8 +54,11 @@ object SemDedup {
     // O(model)-sized eager check (c rows to the driver): the pair join
     // below costs Σ sizeᵢ² — refuse loudly when one cluster breaks the
     // bound rather than silently billing a corpus-scale quadratic.
-    val biggest = assigned.groupBy("cluster").count()
-      .agg(max(col("count"))).head().getLong(0)
+    // max over ZERO groups is a null cell (empty input) — that's just
+    // "no cluster too big", not an error
+    val biggest = Option(assigned.groupBy("cluster").count()
+      .agg(max(col("count"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     if (biggest > maxClusterRows) throw new IllegalStateException(
       s"semDedup cluster of $biggest rows exceeds maxClusterRows=" +
         s"$maxClusterRows: raise c (clusters must track corpus size) or " +

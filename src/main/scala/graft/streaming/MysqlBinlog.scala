@@ -406,8 +406,15 @@ object MysqlBinlog {
         case m => throw new BinlogFormatException(s"JSON length-bytes $m")
       }).toInt
       try MysqlJsonBinary.decode(c.bytes(len))
-      catch { case e: MysqlJsonBinary.JsonBinaryException =>
-        throw new BinlogFormatException(s"JSON column decode: ${e.getMessage}")
+      catch {
+        case e: MysqlJsonBinary.JsonBinaryException =>
+          throw new BinlogFormatException(s"JSON column decode: ${e.getMessage}")
+        // a corrupt doc whose length prefix survives but whose offsets
+        // point past the payload indexes out of the array — still a
+        // format error, and the contract is a CLASSIFIED refusal
+        case e: IndexOutOfBoundsException =>
+          throw new BinlogFormatException(
+            s"JSON column decode: offset past document end (${e.getMessage})")
       }
     case t =>
       throw new BinlogFormatException(
@@ -601,6 +608,13 @@ object MysqlBinlog {
       case TpCompressionZstd =>
         if (uncompressedSize < 0) throw new BinlogFormatException(
           "zstd TRANSACTION_PAYLOAD without an uncompressed-size field")
+        // sanity-bound the DECLARED size before allocating: a corrupt
+        // (or hostile) header could otherwise demand gigabytes — or,
+        // past Int.MaxValue, wrap .toInt negative. MySQL caps one event
+        // at max_allowed_packet (1 GiB); refuse beyond it, loudly
+        if (uncompressedSize > (1L << 30)) throw new BinlogFormatException(
+          s"TRANSACTION_PAYLOAD declares $uncompressedSize uncompressed " +
+            "bytes — beyond the 1 GiB event bound, refusing the allocation")
         val out = com.github.luben.zstd.Zstd.decompress(
           compressed, uncompressedSize.toInt)
         if (out.length != uncompressedSize) throw new BinlogFormatException(
@@ -697,11 +711,16 @@ object MysqlBinlog {
       part.split(":").toList match {
         case uuid :: ivs if ivs.nonEmpty &&
             uuid.replace("-", "").length == 32 =>
+          // toLongOption, not toLong: 'uuid:5-' or 'uuid:x' must refuse
+          // with the fragment named, not leak a raw NumberFormatException
+          def gno(s: String, iv: String): Long = s.toLongOption.getOrElse(
+            throw new BinlogFormatException(
+              s"bad gtid interval '$iv' in '$part'"))
           val parsed = ivs.map { iv =>
             iv.split("-", 2) match {
-              case Array(a) => (a.toLong, a.toLong)
+              case Array(a) => val g = gno(a, iv); (g, g)
               case Array(a, b) =>
-                val (s0, e0) = (a.toLong, b.toLong)
+                val (s0, e0) = (gno(a, iv), gno(b, iv))
                 if (e0 < s0) throw new BinlogFormatException(
                   s"bad gtid interval '$iv' in '$part'")
                 (s0, e0)

@@ -219,6 +219,11 @@ object MysqlBinlogSource {
           if (!MysqlBinlog.gtidContains(executed, g.uuid, g.gno))
             result = MysqlBinlogOffset(file, g.startPos, epoch)
           else lastGtidExecuted = Some(true)
+        // transaction end: the GTID's classification covers exactly ITS
+        // transaction — without this reset, an ANONYMOUS transaction
+        // following an executed one would inherit Some(true) and be
+        // silently skipped instead of refused below
+        case _: MysqlBinlog.Xid => lastGtidExecuted = None
         case o: MysqlBinlog.Opaque
             if (o.header.eventType == MysqlBinlog.WRITE_ROWS_EVENT ||
                 o.header.eventType == MysqlBinlog.UPDATE_ROWS_EVENT ||

@@ -360,12 +360,16 @@ object MysqlBinlogWriter {
         if (compress) com.github.luben.zstd.Zstd.compress(raw, 3)
         else raw
       val b = new B()
-      // TLV: (type lenenc, length lenenc, value) — ints are lenenc too
+      // TLV: (type lenenc, length lenenc, value) — ints are lenenc too,
+      // and each declared length is net_length_size(value), the byte
+      // width of the value's OWN lenenc (MySQL's codec skips fields by
+      // this length, so 255 = NONE must declare 3, not 1)
       def lenencLen(v: Long): Int =
         if (v < 0xfb) 1 else if (v < 0x10000) 3
         else if (v < 0x1000000) 4 else 9
-      b.u1(2).lenenc(1L)
-        .lenenc(if (compress) 0L else 255L) // compression type
+      val ctype = if (compress) 0L else 255L
+      b.u1(2).lenenc(lenencLen(ctype).toLong)
+        .lenenc(ctype) // compression type
       if (compress)
         b.u1(3).lenenc(lenencLen(raw.length.toLong).toLong)
           .lenenc(raw.length.toLong) // uncompressed size

@@ -210,7 +210,14 @@ object MysqlJsonBinary {
 
   def decodeValue(doc: Array[Byte]): JVal = {
     if (doc.isEmpty) return JNull
-    value(doc(0) & 0xff, doc, 1, doc.length)
+    // a corrupt doc whose offsets/lengths point past the payload
+    // indexes out of the array — classify it, the same loud refusal
+    // every other malformed shape gets
+    try value(doc(0) & 0xff, doc, 1, doc.length)
+    catch {
+      case e: IndexOutOfBoundsException => throw new JsonBinaryException(
+        s"truncated or corrupt binary JSON document (${e.getMessage})")
+    }
   }
 
   private def u16(b: Array[Byte], p: Int): Int =

@@ -330,9 +330,14 @@ object SyncCli {
           .partitionBy("batch_id").parquet(s"$driftDir/sketch")
         // schema-shape guard: distinct sorted payload-field signatures
         // of this batch (bounded by the number of distinct TABLE_MAP
-        // shapes in the batch — 1, or 2 the trigger an ALTER lands)
+        // shapes in the batch — 1, or 2 the trigger an ALTER lands).
+        // INSERT images only: an insert's after image carries every
+        // column its statement set under ANY binlog_row_image mode,
+        // while a MINIMAL update's payload is just the changed columns
+        // — judging updates would flip the gate on row-image policy,
+        // not schema shape (and deletes have no payload at all)
         val sigs = watched
-          .filter(col("op") =!= graft.streaming.ChangeEvent.Delete)
+          .filter(col("op") === graft.streaming.ChangeEvent.Insert)
           .select(array_join(array_sort(
             expr("json_object_keys(payload)")), ",").as("sig"))
           .filter(col("sig").isNotNull)

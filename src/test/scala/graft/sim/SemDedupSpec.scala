@@ -25,6 +25,15 @@ class SemDedupSpec extends SparkSpec {
     assert(out(30L) == 1L, "orthogonal vector is untouched")
   }
 
+  test("an empty corpus yields an empty verdict, not an NPE") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    // max over zero groups is a null cell — the cluster-size guard must
+    // treat that as "nothing too big", and the centroid seed must be
+    // injectable since there is nothing to sample
+    assert(SemDedup.semDedup(empty, c = 2, tau = 0.9,
+      centroidsFlat = Some(Array.fill(2 * 4)(0.0))).count() == 0L)
+  }
+
   test("a near-dup pair split across clusters is NOT dropped (by design)") {
     // two identical vectors, but centroids chosen so each is its own
     // cluster seed: semdedup only prunes within a cluster — the

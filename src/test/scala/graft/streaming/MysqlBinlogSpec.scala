@@ -484,6 +484,10 @@ class MysqlBinlogSpec extends AnyFunSuite {
     intercept[BinlogFormatException](parseGtidSet(s"$u1:5-2"))
     intercept[BinlogFormatException](parseGtidSet(s"$u1:1-3:2-5"))
     intercept[BinlogFormatException](parseGtidSet(s"$u1"))
+    // non-numeric / dangling gnos refuse CLASSIFIED, naming the
+    // fragment — not a raw NumberFormatException
+    intercept[BinlogFormatException](parseGtidSet(s"$u1:5-"))
+    intercept[BinlogFormatException](parseGtidSet(s"$u1:x"))
   }
 
   test("QUERY events round-trip schema and statement text") {
@@ -560,9 +564,23 @@ class MysqlBinlogSpec extends AnyFunSuite {
       w.tableMap(ladder); w.writeRows(ladder, Seq(ladderRow(1L))); w.xid(1L)
     }
     val ex = intercept[IllegalStateException](
-      MysqlBinlogSource.positionAfterGtids(path, 
+      MysqlBinlogSource.positionAfterGtids(path,
         "3e11fa47-71ca-11e1-9e33-c80aa9429562:1"))
     assert(ex.getMessage.contains("no GTID"))
+    // the refusal must not be absorbed by a PRECEDING executed
+    // transaction: classification resets at each XID, so an anonymous
+    // txn after an executed one still refuses (ON_PERMISSIVE logs)
+    val u = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    val path2 = tmpLog()
+    writeLadder(path2) { w =>
+      w.gtid(u, 1L)
+      w.tableMap(ladder); w.writeRows(ladder, Seq(ladderRow(1L))); w.xid(1L)
+      // anonymous transaction (no GTID) — must be refused, not skipped
+      w.tableMap(ladder); w.writeRows(ladder, Seq(ladderRow(2L))); w.xid(2L)
+    }
+    val ex2 = intercept[IllegalStateException](
+      MysqlBinlogSource.positionAfterGtids(path2, s"$u:1"))
+    assert(ex2.getMessage.contains("no GTID"))
   }
   test("JSON columns round-trip text through the binary document format") {
     val path = tmpLog()
@@ -632,6 +650,11 @@ class MysqlBinlogSpec extends AnyFunSuite {
     // opaque/unsupported type byte refuses loudly
     val ex = intercept[JsonBinaryException](decode(Array(0x0f.toByte, 0x00)))
     assert(ex.getMessage.contains("unsupported"))
+    // a TRUNCATED doc (valid type byte, payload too short for it) is a
+    // classified refusal too, not a raw IndexOutOfBoundsException
+    intercept[JsonBinaryException](decode(Array(0x07.toByte, 0x01.toByte)))
+    intercept[JsonBinaryException](
+      decode(encode("""{"k":[1,2,3]}""").dropRight(4)))
     // zero-length document (server-side NULL context) decodes to null
     assert(decode(Array.emptyByteArray) == "null")
   }
@@ -723,6 +746,26 @@ class MysqlBinlogSpec extends AnyFunSuite {
     }
     assert(rowsEvents(evs2).head.rows.head._2.get.values(0).contains(9L))
     assert(wrapped.nonEmpty)
+    // wire conformance of the NONE header: the compression-type TLV's
+    // declared length must be net_length_size(255) = 3 (a consumer that
+    // skips fields BY LENGTH — as MySQL's codec does — would misparse a
+    // declared 1)
+    val raw2 = Files.readAllBytes(Paths.get(path2))
+    var off = 4
+    var tpBody = -1
+    while (tpBody < 0 && off + CommonHeaderLen <= raw2.length) {
+      val size = (raw2(off + 9) & 0xff) | ((raw2(off + 10) & 0xff) << 8) |
+        ((raw2(off + 11) & 0xff) << 16) | ((raw2(off + 12) & 0xff) << 24)
+      if ((raw2(off + 4) & 0xff) == TRANSACTION_PAYLOAD_EVENT)
+        tpBody = off + CommonHeaderLen
+      else off += size
+    }
+    assert(tpBody > 0, "TRANSACTION_PAYLOAD event not found")
+    assert((raw2(tpBody) & 0xff) == 2, "first TLV field is compression type")
+    assert((raw2(tpBody + 1) & 0xff) == 3,
+      "NONE (255) declares its 3-byte lenenc width")
+    assert((raw2(tpBody + 2) & 0xff) == 0xfc &&
+      (raw2(tpBody + 3) & 0xff) == 0xff && (raw2(tpBody + 4) & 0xff) == 0x00)
   }
 
   test("a corrupted TRANSACTION_PAYLOAD is refused by the wrapper CRC") {

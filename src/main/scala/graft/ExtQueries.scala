@@ -2430,10 +2430,12 @@ object ExtQueries {
         s.sql("""WITH hb AS (SELECT user_id, date_trunc('hour', ts) AS h,
           |   count(*) AS c FROM events_cap GROUP BY 1, 2),
           | nrm AS (SELECT user_id, sum(c * c) AS n2 FROM hb GROUP BY 1),
-          | dot AS (SELECT a.user_id AS a_id, b.user_id AS b_id,
+          | dh AS (SELECT a.user_id AS a_id, b.user_id AS b_id,
           |   sum(a.c * b.c) AS dot
-          |   FROM hb a JOIN hb b ON a.h = b.h AND a.user_id <> b.user_id
+          |   FROM hb a JOIN hb b ON a.h = b.h AND a.user_id < b.user_id
           |   GROUP BY 1, 2),
+          | dot AS (SELECT a_id, b_id, dot FROM dh
+          |   UNION ALL SELECT b_id AS a_id, a_id AS b_id, dot FROM dh),
           | sc AS (SELECT a_id, b_id, dot,
           |   (dot * dot * 1000000) div (na.n2 * nb.n2) AS score_ppm
           |   FROM dot JOIN nrm na ON na.user_id = a_id

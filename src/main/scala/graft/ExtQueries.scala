@@ -2714,6 +2714,100 @@ object ExtQueries {
         | FROM r2 LEFT JOIN r1 ON r2.doc_id = r1.doc_id
         | ORDER BY rrf_score DESC, r2.doc_id LIMIT 20"""
           .stripMargin.replaceAll("\n", "")
+      }),
+
+    // X2 MMR diversity re-ranking (Carbonell & Goldstein '98 — the
+    // standard retrieval diversifier): greedily pick 10 of the top-50
+    // cosine candidates, each step maximizing λ·rel(d) −
+    // (1−λ)·max_{s∈picked} sim(d,s), λ=0.5, ties to the smaller id.
+    // The greedy runs DRIVER-SIDE over the COLLECTED candidate set —
+    // 50×(64 floats + rel), O(model) like the IVF centroids, which is
+    // where real rerankers run it (the candidate cut is the distributed
+    // stage; the k·|C| greedy is service-side arithmetic) — with the
+    // kernels' exact dot/norm op order, so the DuckDB twin replays the
+    // ENTIRE selection (candidate cut, every step's argmax, tie rule)
+    // via a recursive CTE and must produce the identical pick sequence.
+    Q("x_mmr_rerank",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val pv = emb.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0)
+        val probeLit = array(pv.map(lit): _*)
+        val cands = emb.filter(col("vec_id") =!= 0L)
+          .select(col("vec_id").as("doc_id"),
+            graft.functions.Kernels.cosineFFCol(col("embedding"), probeLit)
+              .as("rel"), col("embedding"))
+          .orderBy(col("rel").desc, col("doc_id")).limit(50)
+          .collect()
+          .map(r => (r.getLong(0), r.getDouble(1),
+            r.getSeq[Float](2).toArray))
+        // driver mirror of Kernels.dotFF/normF: left-to-right double
+        // accumulation, sqrt per side — bit-identical to the SQL twin
+        def cosD(a: Array[Float], b: Array[Float]): Double = {
+          var dot = 0.0; var i = 0
+          val n = math.min(a.length, b.length)
+          while (i < n) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+          def nrm(v: Array[Float]): Double = {
+            var acc = 0.0; var j = 0
+            while (j < v.length) {
+              val x = v(j).toDouble; acc += x * x; j += 1
+            }
+            math.sqrt(acc)
+          }
+          dot / (nrm(a) * nrm(b))
+        }
+        val byId = cands.map(c => c._1 -> c._3).toMap
+        val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (picked.length < 10 && picked.length < cands.length) {
+          val best = cands.filter(c => !picked.contains(c._1)).map { c =>
+            val maxSim =
+              if (picked.isEmpty) 0.0
+              else picked.map(p => cosD(c._3, byId(p))).max
+            (0.5 * c._2 - 0.5 * maxSim, c._1)
+          }.minBy { case (score, id) => (-score, id) }
+          picked += best._2
+        }
+        import s.implicits._
+        picked.toSeq.zipWithIndex
+          .map { case (doc, i) => (i + 1L, doc) }
+          .toDF("rank", "doc_id")
+      },
+      Some {
+        def cosP(a: String, b: String): String = cosSql(a, b)
+        s"""WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+        | pv AS (SELECT embedding AS pe FROM e WHERE vec_id = 0),
+        | rel AS (SELECT vec_id AS doc_id, embedding,
+        |   ${cosP("embedding", "pe")} AS rel
+        |   FROM e CROSS JOIN pv WHERE vec_id <> 0),
+        | cand AS (SELECT doc_id, rel FROM rel
+        |   ORDER BY rel DESC, doc_id LIMIT 50),
+        | ps AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |   ${cosP("ea.embedding", "eb.embedding")} AS sim
+        |   FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
+        |   JOIN e ea ON ea.vec_id = a.doc_id
+        |   JOIN e eb ON eb.vec_id = b.doc_id),
+        | sel AS (
+        |   SELECT 1 AS step,
+        |     (SELECT doc_id FROM cand ORDER BY rel DESC, doc_id LIMIT 1) AS pick,
+        |     [(SELECT doc_id FROM cand ORDER BY rel DESC, doc_id LIMIT 1)] AS picked
+        |   UNION ALL
+        |   SELECT step + 1,
+        |     (SELECT d.doc_id FROM cand d
+        |      WHERE NOT list_contains(sel.picked, d.doc_id)
+        |      ORDER BY 0.5 * d.rel - 0.5 * coalesce((
+        |          SELECT max(p.sim) FROM ps p
+        |          WHERE p.a_id = d.doc_id AND list_contains(sel.picked, p.b_id)), 0.0)
+        |        DESC, d.doc_id LIMIT 1),
+        |     list_append(sel.picked, (SELECT d.doc_id FROM cand d
+        |      WHERE NOT list_contains(sel.picked, d.doc_id)
+        |      ORDER BY 0.5 * d.rel - 0.5 * coalesce((
+        |          SELECT max(p.sim) FROM ps p
+        |          WHERE p.a_id = d.doc_id AND list_contains(sel.picked, p.b_id)), 0.0)
+        |        DESC, d.doc_id LIMIT 1))
+        |   FROM sel WHERE step < 10)
+        | SELECT CAST(step AS BIGINT) AS rank, CAST(pick AS BIGINT) AS doc_id
+        | FROM sel ORDER BY rank"""
+          .stripMargin.replaceAll("\n", "")
       })
     )
   }

@@ -162,7 +162,16 @@ class MysqlBinlogSpec extends AnyFunSuite {
       val path = tmpLog()
       val w = new Writer(path, serverId = 5L, checksum = iter % 3 != 0)
       w.setClock(1700000000L); w.begin()
-      w.tableMap(td); w.writeRows(td, rows); w.xid(1L)
+      // every 4th case rides inside a TRANSACTION_PAYLOAD wrapper
+      // (zstd-compressed, or NONE every 8th) — the unwrap path must be
+      // transparent for ANY schema/row mix the plain path accepts
+      if (iter % 4 == 0)
+        w.transactionPayload(compress = iter % 8 != 0) { inner =>
+          inner.tableMap(td); inner.writeRows(td, rows); inner.xid(1L)
+        }
+      else {
+        w.tableMap(td); w.writeRows(td, rows); w.xid(1L)
+      }
       w.close()
       val evs = parseFile(path)
       val got = rowsEvents(evs).head.rows.map(_._2.get.values.map(_.orNull))

@@ -2733,16 +2733,24 @@ object ExtQueries {
         val pv = emb.filter(col("vec_id") === 0L)
           .select("embedding").head().getSeq[Float](0)
         val probeLit = array(pv.map(lit): _*)
+        val pvZero = pv.forall(_ == 0.0f)
         val cands = emb.filter(col("vec_id") =!= 0L)
           .select(col("vec_id").as("doc_id"),
-            graft.functions.Kernels.cosineFFCol(col("embedding"), probeLit)
+            when(lit(pvZero) ||
+                graft.functions.Kernels.normFCol(col("embedding")) === 0.0,
+              lit(-2.0))
+              .otherwise(graft.functions.Kernels
+                .cosineFFCol(col("embedding"), probeLit))
               .as("rel"), col("embedding"))
           .orderBy(col("rel").desc, col("doc_id")).limit(50)
           .collect()
           .map(r => (r.getLong(0), r.getDouble(1),
             r.getSeq[Float](2).toArray))
         // driver mirror of Kernels.dotFF/normF: left-to-right double
-        // accumulation, sqrt per side — bit-identical to the SQL twin
+        // accumulation, sqrt per side — bit-identical to the SQL twin,
+        // with the IVF twins' -2.0 zero-norm sentinel (0/0 = NaN would
+        // sort FIRST in DuckDB and LAST in Scala's total order — the
+        // one way the two greedys could silently diverge)
         def cosD(a: Array[Float], b: Array[Float]): Double = {
           var dot = 0.0; var i = 0
           val n = math.min(a.length, b.length)
@@ -2754,7 +2762,8 @@ object ExtQueries {
             }
             math.sqrt(acc)
           }
-          dot / (nrm(a) * nrm(b))
+          val (na, nb) = (nrm(a), nrm(b))
+          if (na == 0.0 || nb == 0.0) -2.0 else dot / (na * nb)
         }
         val byId = cands.map(c => c._1 -> c._3).toMap
         val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -2773,7 +2782,7 @@ object ExtQueries {
           .toDF("rank", "doc_id")
       },
       Some {
-        def cosP(a: String, b: String): String = cosSql(a, b)
+        def cosP(a: String, b: String): String = cosSentSql(a, b)
         s"""WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
         | pv AS (SELECT embedding AS pe FROM e WHERE vec_id = 0),
         | rel AS (SELECT vec_id AS doc_id, embedding,
@@ -2804,7 +2813,8 @@ object ExtQueries {
         |          SELECT max(p.sim) FROM ps p
         |          WHERE p.a_id = d.doc_id AND list_contains(sel.picked, p.b_id)), 0.0)
         |        DESC, d.doc_id LIMIT 1))
-        |   FROM sel WHERE step < 10)
+        |   FROM sel WHERE step < 10
+        |     AND step < (SELECT count(*) FROM cand))
         | SELECT CAST(step AS BIGINT) AS rank, CAST(pick AS BIGINT) AS doc_id
         | FROM sel ORDER BY rank"""
           .stripMargin.replaceAll("\n", "")

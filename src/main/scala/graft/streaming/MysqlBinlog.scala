@@ -405,16 +405,12 @@ object MysqlBinlog {
         case 4 => c.u4()
         case m => throw new BinlogFormatException(s"JSON length-bytes $m")
       }).toInt
+      // truncation/corruption classification (incl. out-of-bounds
+      // offsets) happens INSIDE decode — one wrapper covers every
+      // caller of the JSON codec
       try MysqlJsonBinary.decode(c.bytes(len))
-      catch {
-        case e: MysqlJsonBinary.JsonBinaryException =>
-          throw new BinlogFormatException(s"JSON column decode: ${e.getMessage}")
-        // a corrupt doc whose length prefix survives but whose offsets
-        // point past the payload indexes out of the array — still a
-        // format error, and the contract is a CLASSIFIED refusal
-        case e: IndexOutOfBoundsException =>
-          throw new BinlogFormatException(
-            s"JSON column decode: offset past document end (${e.getMessage})")
+      catch { case e: MysqlJsonBinary.JsonBinaryException =>
+        throw new BinlogFormatException(s"JSON column decode: ${e.getMessage}")
       }
     case t =>
       throw new BinlogFormatException(
@@ -608,13 +604,17 @@ object MysqlBinlog {
       case TpCompressionZstd =>
         if (uncompressedSize < 0) throw new BinlogFormatException(
           "zstd TRANSACTION_PAYLOAD without an uncompressed-size field")
-        // sanity-bound the DECLARED size before allocating: a corrupt
-        // (or hostile) header could otherwise demand gigabytes — or,
-        // past Int.MaxValue, wrap .toInt negative. MySQL caps one event
-        // at max_allowed_packet (1 GiB); refuse beyond it, loudly
-        if (uncompressedSize > (1L << 30)) throw new BinlogFormatException(
-          s"TRANSACTION_PAYLOAD declares $uncompressedSize uncompressed " +
-            "bytes — beyond the 1 GiB event bound, refusing the allocation")
+        // sanity-bound the DECLARED size before allocating: past
+        // Int.MaxValue, .toInt wraps negative and the JVM cannot hold
+        // the decode in one array anyway. A wrapper's UNCOMPRESSED
+        // payload is a whole transaction (many inner events), so no
+        // tighter per-event cap applies — refuse only what this decoder
+        // genuinely cannot represent, and say why
+        if (uncompressedSize > Int.MaxValue - 16L)
+          throw new BinlogFormatException(
+            s"TRANSACTION_PAYLOAD declares $uncompressedSize uncompressed " +
+              "bytes — beyond the JVM single-array decode limit; such " +
+              "transactions need streamed decompression")
         val out = com.github.luben.zstd.Zstd.decompress(
           compressed, uncompressedSize.toInt)
         if (out.length != uncompressedSize) throw new BinlogFormatException(

@@ -222,8 +222,15 @@ object MysqlBinlogSource {
         // transaction end: the GTID's classification covers exactly ITS
         // transaction — without this reset, an ANONYMOUS transaction
         // following an executed one would inherit Some(true) and be
-        // silently skipped instead of refused below
+        // silently skipped instead of refused below. XID is the
+        // transactional commit; a Query event OTHER than BEGIN (DDL, or
+        // COMMIT for non-transactional engines) also ends its
+        // transaction — BEGIN must NOT reset, it arrives between a GTID
+        // and its rows
         case _: MysqlBinlog.Xid => lastGtidExecuted = None
+        case q: MysqlBinlog.Query
+            if !q.query.trim.equalsIgnoreCase("BEGIN") =>
+          lastGtidExecuted = None
         case o: MysqlBinlog.Opaque
             if (o.header.eventType == MysqlBinlog.WRITE_ROWS_EVENT ||
                 o.header.eventType == MysqlBinlog.UPDATE_ROWS_EVENT ||

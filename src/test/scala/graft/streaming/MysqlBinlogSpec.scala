@@ -590,6 +590,22 @@ class MysqlBinlogSpec extends AnyFunSuite {
     val ex2 = intercept[IllegalStateException](
       MysqlBinlogSource.positionAfterGtids(path2, s"$u:1"))
     assert(ex2.getMessage.contains("no GTID"))
+    // a QUERY-terminated transaction (DDL — no XID on the wire) must
+    // not leak its classification over the following anonymous txn
+    // either; BEGIN, which sits between a GTID and its rows, must
+    val path3 = tmpLog()
+    writeLadder(path3) { w =>
+      w.gtid(u, 1L)
+      w.query("graft", "CREATE TABLE t2 (id INT)") // DDL txn, no XID
+      w.gtid(u, 2L)
+      w.query("graft", "BEGIN") // BEGIN must NOT reset txn 2's class
+      w.tableMap(ladder); w.writeRows(ladder, Seq(ladderRow(1L))); w.xid(1L)
+      // anonymous transaction after the executed ones: refuse
+      w.tableMap(ladder); w.writeRows(ladder, Seq(ladderRow(2L))); w.xid(2L)
+    }
+    val ex3 = intercept[IllegalStateException](
+      MysqlBinlogSource.positionAfterGtids(path3, s"$u:1-2"))
+    assert(ex3.getMessage.contains("no GTID"))
   }
   test("JSON columns round-trip text through the binary document format") {
     val path = tmpLog()

@@ -2818,7 +2818,71 @@ object ExtQueries {
         | SELECT CAST(step AS BIGINT) AS rank, CAST(pick AS BIGINT) AS doc_id
         | FROM sel ORDER BY rank"""
           .stripMargin.replaceAll("\n", "")
-      })
+      }),
+
+    // X4 χ² feature selection (the classic classifier-feature step —
+    // Manning/Schütze IR ch.13): score each hashed token bucket by its
+    // 2×2 contingency with the lang='en' class (doc-level presence) and
+    // keep the top 20. χ² = N·(ad−bc)² / ((a+b)(a+c)(b+d)(c+d)) is
+    // computed as an INTEGER-div score — every factor is a count, so
+    // both engines agree on every boundary; N·(ad−bc)² ≤ N·(N²/4)²
+    // stays in int64 up to ~6M docs, and past that the score only needs
+    // a common power-of-two downshift, not floats. Degenerate margins
+    // (bucket in no/all docs, class empty/universal) have χ² = 0 by
+    // definition — guarded, not divided. Scale shape: doc-level
+    // presence is one distinct per (doc, bucket), the contingency is a
+    // 1024-row aggregate (broadcast-sized), top-20 is a TakeOrdered.
+    Q("x_chi2_tokens",
+      (s, d) => {
+        graft.GraftFunctions.register(s)
+        Tables.documents(s, d).createOrReplaceTempView("documents_chi")
+        s.sql(s"""WITH w AS (SELECT doc_id, lang = 'en' AS pos,
+          |   $sparkToks AS toks FROM documents_chi),
+          | db AS (SELECT DISTINCT doc_id, pos,
+          |   graft_md5_48(term) % 1024 AS bucket
+          |   FROM w LATERAL VIEW explode(toks) tt AS term),
+          | tot AS (SELECT count(*) AS n,
+          |   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS npos
+          |   FROM documents_chi),
+          | ct AS (SELECT bucket,
+          |   CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS a,
+          |   CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS b
+          |   FROM db GROUP BY bucket),
+          | sc AS (SELECT bucket, a, b,
+          |   npos - a AS c, (n - npos) - b AS dd, n FROM ct CROSS JOIN tot),
+          | chi AS (SELECT bucket, a, b,
+          |   CASE WHEN (a + b) = 0 OR (a + c) = 0 OR (b + dd) = 0
+          |     OR (c + dd) = 0 THEN CAST(0 AS BIGINT)
+          |   ELSE (n * (a * dd - b * c) * (a * dd - b * c))
+          |     div ((a + b) * (a + c)) div ((b + dd) * (c + dd)) END AS chi2
+          |   FROM sc)
+          | SELECT bucket, a AS n_pos_docs, b AS n_neg_docs, chi2
+          | FROM chi ORDER BY chi2 DESC, bucket LIMIT 20""".stripMargin)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, lang = 'en' AS pos,
+        |   $duckToks AS toks FROM documents),
+        | db AS (SELECT DISTINCT doc_id, pos,
+        |   (${md5Fold("term")}) % 1024 AS bucket
+        |   FROM (SELECT doc_id, pos, unnest(toks) AS term FROM w)),
+        | tot AS (SELECT count(*) AS n,
+        |   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS npos
+        |   FROM documents),
+        | ct AS (SELECT bucket,
+        |   CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |   CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS b
+        |   FROM db GROUP BY bucket),
+        | sc AS (SELECT bucket, a, b,
+        |   npos - a AS c, (n - npos) - b AS dd, n FROM ct CROSS JOIN tot),
+        | chi AS (SELECT bucket, a, b,
+        |   CASE WHEN (a + b) = 0 OR (a + c) = 0 OR (b + dd) = 0
+        |     OR (c + dd) = 0 THEN CAST(0 AS BIGINT)
+        |   ELSE (n * (a * dd - b * c) * (a * dd - b * c))
+        |     // ((a + b) * (a + c)) // ((b + dd) * (c + dd)) END AS chi2
+        |   FROM sc)
+        | SELECT bucket, a AS n_pos_docs, b AS n_neg_docs,
+        |  CAST(chi2 AS BIGINT) AS chi2
+        | FROM chi ORDER BY chi2 DESC, bucket LIMIT 20"""
+        .stripMargin.replaceAll("\n", "")))
     )
   }
 }

@@ -2849,7 +2849,9 @@ object ExtQueries {
           |   CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS b
           |   FROM db GROUP BY bucket),
           | sc AS (SELECT bucket, a, b,
-          |   npos - a AS c, (n - npos) - b AS dd, n FROM ct CROSS JOIN tot),
+          |   (SELECT npos FROM tot) - a AS c,
+          |   ((SELECT n FROM tot) - (SELECT npos FROM tot)) - b AS dd,
+          |   (SELECT n FROM tot) AS n FROM ct),
           | chi AS (SELECT bucket, a, b,
           |   CASE WHEN (a + b) = 0 OR (a + c) = 0 OR (b + dd) = 0
           |     OR (c + dd) = 0 THEN CAST(0 AS BIGINT)
@@ -2872,7 +2874,9 @@ object ExtQueries {
         |   CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS b
         |   FROM db GROUP BY bucket),
         | sc AS (SELECT bucket, a, b,
-        |   npos - a AS c, (n - npos) - b AS dd, n FROM ct CROSS JOIN tot),
+        |   (SELECT npos FROM tot) - a AS c,
+        |   ((SELECT n FROM tot) - (SELECT npos FROM tot)) - b AS dd,
+        |   (SELECT n FROM tot) AS n FROM ct),
         | chi AS (SELECT bucket, a, b,
         |   CASE WHEN (a + b) = 0 OR (a + c) = 0 OR (b + dd) = 0
         |     OR (c + dd) = 0 THEN CAST(0 AS BIGINT)

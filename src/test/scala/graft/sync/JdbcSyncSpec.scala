@@ -405,6 +405,63 @@ class JdbcSyncSpec extends SparkSpec {
     } finally { q.stop(); w.close() }
   }
 
+  test("snapshot-then-stream resumes by GTID auto-position (metadata.txt's third line)") {
+    seeded
+    import graft.streaming.MysqlBinlogWriter.{Col, TableDef, Writer}
+    val base = java.nio.file.Files.createTempDirectory("graft_sts_gtid_").toString
+    val log = s"$base/bin.000001"
+    val dstDir = java.nio.file.Files
+      .createTempDirectory("graft_derby_stsg_dst_").toString + "/db"
+    val dstUrl = s"jdbc:derby:$dstDir;create=true"
+    locally {
+      val conn = DriverManager.getConnection(dstUrl)
+      try conn.createStatement().execute(
+        "CREATE TABLE cdc_state (tbl VARCHAR(64) NOT NULL, k BIGINT NOT NULL, " +
+          "ts TIMESTAMP, seq BIGINT, payload VARCHAR(1024), PRIMARY KEY (tbl, k))")
+      finally conn.close()
+    }
+    val u = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    val td = TableDef(33L, "shop", "src_orders",
+      Seq(Col.bigint("k"), Col.varchar("v", 64)))
+    def img(k: Long, v: String) = Array[AnyRef](
+      java.lang.Long.valueOf(k), v: AnyRef)
+    val w = new Writer(log, serverId = 9L)
+    w.setClock(1700000000L); w.begin()
+    w.previousGtids(Seq.empty)
+    // pre-fence history: txn u:1, already inside the snapshot
+    w.gtid(u, 1L); w.query("shop", "BEGIN")
+    w.tableMap(td); w.writeRows(td, Seq(img(900L, "pre"))); w.xid(1L)
+    w.flush()
+    // --- fence: Executed_Gtid_Set = u:1 (the metadata.txt gtid line) ---
+    val Right(cli) = SyncCli.parse(Array("snapshot-then-stream",
+      "--src_url", url, "--dst_url", dstUrl,
+      "--include_tables", "(?i)^src_orders$",
+      "--checkpoint_dir", s"$base/ckpt", "--binlog", log,
+      "--binlog_format", "mysql",
+      "--binlog_start_gtid", s"$u:1")): @unchecked
+    assert(cli.binlogStartGtid.contains(s"$u:1"))
+    cli.srcProps.putAll(props); cli.dstProps.putAll(props)
+    val q = SyncCli.runSnapshotThenStream(spark, cli)
+    try {
+      assert(JdbcSource.read(spark, dstUrl, "SRC_ORDERS", props).count() == 500L)
+      // post-fence transactions carry their GTIDs; only they may apply
+      w.setClock(1700000100L)
+      w.gtid(u, 2L); w.query("shop", "BEGIN")
+      w.tableMap(td); w.writeRows(td, Seq(img(1000L, "n1"))); w.xid(2L)
+      w.gtid(u, 3L); w.query("shop", "BEGIN")
+      w.tableMap(td); w.updateRows(td, Seq((img(1000L, "n1"), img(1000L, "n1b"))))
+      w.xid(3L)
+      w.flush()
+      q.processAllAvailable()
+      val state = JdbcSource.read(spark, dstUrl, "cdc_state", props)
+        .collect().map(r => r.getAs[Long]("K") ->
+          Option(r.getAs[String]("PAYLOAD"))).toMap
+      assert(!state.contains(900L),
+        "the executed set covers txn u:1 — it must not replay")
+      assert(state(1000L).contains("""{"k":1000,"v":"n1b"}"""))
+    } finally { q.stop(); w.close() }
+  }
+
   test("drift-gate verb: snapshot + CDC upserts + per-batch KS gate and key sketch") {
     seeded
     import graft.streaming.{BinlogSource, ChangeEvent}

@@ -2469,7 +2469,104 @@ object ExtQueries {
         | FROM (SELECT DISTINCT user_id FROM events) u
         | LEFT JOIN rk ON rk.a_id = u.user_id AND rk.rn = 1
         | ORDER BY u.user_id""".stripMargin.replaceAll("\n", "")))
-  ) ++ sketchQueries
+  ) ++ exactVectorQueries ++ sketchQueries
+
+  /** X2 exact-arithmetic Lloyd k-means (the clustering primitive under
+    * SemDeDup buckets, IVF coarse quantizers, and mixture analysis),
+    * oracled END TO END: both engines run the identical two Lloyd
+    * rounds in fixed-point integers (KMeansExact's contract — half-up
+    * quantization at 2^20, exact integer squared-L2, toward-zero
+    * centroid division, lowest-id tie-breaks, empty clusters keep
+    * their centroid), so the full iterate-assign-recenter loop is
+    * hash-matched, not just recall-tested. Scale shape: per round one
+    * MAP-ONLY assignment (k×dim literals in the plan, distances folded
+    * in codegen) and one k×dim-key hash aggregate (map-side combined;
+    * k×dim longs to the driver, the corpus never moves). The DuckDB
+    * twin unrolls the two rounds as CTEs.
+    */
+  private def exactVectorQueries: Seq[Q] = {
+    val k = 8
+    // one Lloyd round in DuckDB: assignment under centroids `cin`,
+    // then recentered centroids `cout` (keep-prev via LEFT JOIN).
+    def round(cin: String, a: String, u: String, cout: String): String =
+      "\n" + s"""| d$a AS (SELECT q.vec_id, c.cluster,
+        |   CAST(sum((q.vq - c.cq) * (q.vq - c.cq)) AS BIGINT) AS d2
+        |   FROM q JOIN $cin c ON q.dpos = c.dpos GROUP BY 1, 2),
+        | a$a AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster)
+        |     AS rn FROM d$a) WHERE rn = 1),
+        | u$u AS (SELECT a$a.cluster, q.dpos,
+        |   CAST(sum(q.vq) AS BIGINT) // count(*) AS cq
+        |   FROM a$a JOIN q USING (vec_id) GROUP BY 1, 2),
+        | $cout AS (SELECT $cin.cluster, $cin.dpos,
+        |   coalesce(u$u.cq, $cin.cq) AS cq FROM $cin
+        |   LEFT JOIN u$u ON $cin.cluster = u$u.cluster
+        |     AND $cin.dpos = u$u.dpos),"""
+    Seq(
+      Q("x_kmeans",
+        (s, d) => graft.sim.KMeansExact
+          .fit(Tables.embeddings(s, d), k = k, iters = 2)
+          .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+            col("d2")),
+        Some((s"""WITH e AS (SELECT vec_id,
+          |   generate_subscripts(embedding, 1) AS dpos,
+          |   unnest(embedding) AS v FROM embeddings),
+          | q AS (SELECT vec_id, dpos, CAST(floor(CAST(v AS DOUBLE)
+          |   * 1048576.0 + 0.5) AS BIGINT) AS vq FROM e),
+          | seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id)
+          |   - 1 AS cluster
+          |   FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+          | c0 AS (SELECT seed.cluster, q.dpos, q.vq AS cq
+          |   FROM seed JOIN q USING (vec_id)),""" +
+          round("c0", "0", "1", "c1") +
+          round("c1", "1", "2", "c2") + "\n" +
+          s"""| df AS (SELECT q.vec_id, c.cluster,
+          |   CAST(sum((q.vq - c.cq) * (q.vq - c.cq)) AS BIGINT) AS d2
+          |   FROM q JOIN c2 c ON q.dpos = c.dpos GROUP BY 1, 2)
+          | SELECT vec_id, cluster, d2 FROM (SELECT vec_id, cluster, d2,
+          |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster)
+          |     AS rn FROM df) WHERE rn = 1 ORDER BY vec_id""")
+          .stripMargin.replaceAll("\n", ""))),
+
+      // X2 top principal direction by power iteration over the EXACT
+      // integer scatter matrix (PcaPower's contract: half-up 2^20
+      // quantization, toward-zero mean, long-safe per-row products
+      // summed in DECIMAL/HUGEINT, BigInt matvec + integer
+      // renormalization on dim² driver-side scalars) — the whole
+      // variance-analysis loop is hash-matched across engines, like
+      // x_kmeans for clustering. Scale shape: one corpus pass with a
+      // dim²-per-row explode aggregated map-side onto dim² keys; the
+      // iteration itself never touches the corpus.
+      Q("x_pca_power",
+        (s, d) => graft.sim.PcaPower.topComponent(Tables.embeddings(s, d),
+          iters = 3),
+        Some {
+          def iter(n: Int, prevV: String): String =
+            ",\n" + s"""| w$n AS (SELECT s.i, sum(s.s * $prevV.v) AS w
+              |   FROM s JOIN $prevV ON s.j = $prevV.j GROUP BY 1),
+              | v$n AS (SELECT w$n.i AS j,
+              |   CASE WHEN (SELECT max(abs(w)) FROM w$n) = 0 THEN $prevV.v
+              |   ELSE (w$n.w * 1048576) // (SELECT max(abs(w)) FROM w$n)
+              |   END AS v FROM w$n JOIN $prevV ON w$n.i = $prevV.j)"""
+          (s"""WITH e AS (SELECT vec_id,
+            |   generate_subscripts(embedding, 1) - 1 AS d,
+            |   unnest(embedding) AS v FROM embeddings),
+            | q AS (SELECT vec_id, d, CAST(floor(CAST(v AS DOUBLE)
+            |   * 1048576.0 + 0.5) AS BIGINT) AS vq FROM e),
+            | m AS (SELECT d, CAST(sum(vq) AS BIGINT) // count(*) AS m
+            |   FROM q GROUP BY 1),
+            | c AS (SELECT q.vec_id, q.d, q.vq - m.m AS x
+            |   FROM q JOIN m USING (d)),
+            | s AS (SELECT a.d AS i, b.d AS j,
+            |   sum(CAST(a.x AS HUGEINT) * b.x) AS s FROM c a
+            |   JOIN c b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+            | v0 AS (SELECT d AS j, CAST(1048576 AS HUGEINT) AS v FROM m)""" +
+            iter(1, "v0") + iter(2, "v1") + iter(3, "v2") + "\n" +
+            """| SELECT CAST(v3.j AS BIGINT) AS dpos, CAST(v3.v AS BIGINT)
+            |   AS loading FROM v3 ORDER BY dpos""")
+            .stripMargin.replaceAll("\n", "")
+        }))
+  }
 
   /** Bloom-filter membership + winnowing fingerprints — registered
     * separately only to keep the main list's size manageable.

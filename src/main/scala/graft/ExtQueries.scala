@@ -2565,6 +2565,78 @@ object ExtQueries {
             """| SELECT CAST(v3.j AS BIGINT) AS dpos, CAST(v3.v AS BIGINT)
             |   AS loading FROM v3 ORDER BY dpos""")
             .stripMargin.replaceAll("\n", "")
+        }),
+
+      // X2 ANN quality evaluation: recall@10 of the honest approximate
+      // IVF config (c=16, nprobe=4 — x_knn_ivf's) against brute-force
+      // ground truth, per query in exact ppm. This is the eval loop
+      // every ANN deployment runs before trusting an index; here BOTH
+      // rankings are already hash-matched cross-engine (stage-replayed
+      // IVF, brute twin), so the metric itself is oracled — not just
+      // spot-checked in ScalaTest (SimSpec pins the floor; this pins
+      // the number). Ground truth is inherently O(queries×corpus):
+      // at scale you run it over a sampled query panel exactly like
+      // this 5-query one, never the full query log — the IVF side
+      // under eval stays the production cluster-keyed equi-join.
+      Q("x_ann_recall",
+        (s, d) => {
+          val emb = Tables.embeddings(s, d)
+          val q = emb.filter(col("vec_id") < 5)
+          val c = emb.filter(col("vec_id") >= 5)
+          val approx = graft.sim.IvfOps.knnIvf(q, c, 10)
+            .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+          val truth = graft.sim.VectorOps.knnBruteForce(q, c, 10)
+            .select("query_id", "neighbor_id")
+          truth
+            .join(approx, Seq("query_id", "neighbor_id"), "left")
+            .groupBy("query_id")
+            .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"),
+              count(lit(1)).as("n_true"))
+            .selectExpr("query_id", "CAST(hits AS BIGINT) AS hits",
+              "CAST(hits * 1000000 div n_true AS BIGINT) AS recall_ppm")
+            .orderBy("query_id")
+        },
+        Some {
+          def cos(a: String, b: String): String = cosSql(a, b)
+          def cosSent(a: String, b: String): String = cosSentSql(a, b)
+          s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+            |   FROM embeddings WHERE vec_id < 5),
+            | c AS (SELECT vec_id AS neighbor_id, embedding AS ce
+            |   FROM embeddings WHERE vec_id >= 5),
+            | samp AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+            |   embedding AS se FROM (SELECT vec_id, embedding FROM embeddings
+            |   WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16)),
+            | cassign AS (SELECT neighbor_id, j AS cluster FROM (
+            |   SELECT c.neighbor_id, samp.j, row_number() OVER (
+            |     PARTITION BY c.neighbor_id
+            |     ORDER BY ${cosSent("ce", "se")} DESC, samp.j ASC) AS rn
+            |   FROM c CROSS JOIN samp) t WHERE rn = 1),
+            | qprobe AS (SELECT query_id, j AS cluster FROM (
+            |   SELECT q.query_id, samp.j, row_number() OVER (
+            |     PARTITION BY q.query_id
+            |     ORDER BY ${cosSent("qe", "se")} DESC, samp.j ASC) AS rn
+            |   FROM q CROSS JOIN samp) t WHERE rn <= 4),
+            | asc_ AS (SELECT qp.query_id, ca.neighbor_id,
+            |   round(${cos("qe", "ce")}, 4) AS sim
+            |   FROM qprobe qp JOIN cassign ca ON qp.cluster = ca.cluster
+            |   JOIN q ON q.query_id = qp.query_id
+            |   JOIN c ON c.neighbor_id = ca.neighbor_id),
+            | ap AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number()
+            |   OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+            |   FROM asc_) t WHERE rn <= 10),
+            | bsc AS (SELECT query_id, neighbor_id,
+            |   round(${cos("qe", "ce")}, 4) AS sim FROM q CROSS JOIN c),
+            | bt AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number()
+            |   OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+            |   FROM bsc) t WHERE rn <= 10),
+            | j AS (SELECT bt.query_id,
+            |   sum(CASE WHEN ap.neighbor_id IS NULL THEN 0 ELSE 1 END) AS hits,
+            |   count(*) AS n_true FROM bt LEFT JOIN ap
+            |   ON bt.query_id = ap.query_id AND bt.neighbor_id = ap.neighbor_id
+            |   GROUP BY 1)
+            | SELECT query_id, CAST(hits AS BIGINT) AS hits,
+            |   CAST((hits * 1000000) // n_true AS BIGINT) AS recall_ppm
+            | FROM j ORDER BY query_id""".stripMargin.replaceAll("\n", "")
         }))
   }
 

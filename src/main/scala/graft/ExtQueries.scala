@@ -1465,6 +1465,57 @@ object ExtQueries {
         sb.toString
       }),
 
+    // [EXT] graph community detection: 2-round deterministic label
+    // propagation over the same co-purchase graph as x_pagerank
+    // (ops.LabelPropagation — majority neighbor label, ties to the
+    // smallest, so the fixed-round result is partitioning-independent
+    // and the DuckDB twin is just the rounds unrolled). Completes the
+    // graph-analytics trio: centrality (PageRank), connectivity
+    // (connected components), community structure (this). Top-20
+    // communities by size; all-id integer arithmetic.
+    Q("x_label_prop",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val edges = li
+          .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
+          .select(explode(expr(
+            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
+            .as("p"))
+          .select(col("p.src").as("src"), col("p.dst").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          // a pair can co-occur in many orders — votes are per distinct
+          // NEIGHBOR, not per co-purchase event (PageRank.ranks dedups
+          // internally; LPA takes the edge list as given)
+          .distinct()
+        graft.ops.LabelPropagation.communities(edges, iters = 2)
+          .groupBy("community").agg(count(lit(1)).as("n_nodes"))
+          .orderBy(col("n_nodes").desc, col("community")).limit(20)
+      },
+      Some {
+        def round(prev: String, n: Int): String =
+          s" v$n AS (SELECT e.dst AS id, l.label, count(*) AS n" +
+            s" FROM e JOIN $prev l ON e.src = l.id GROUP BY 1, 2)," +
+            s" w$n AS (SELECT id, label AS new_label FROM (SELECT id, label," +
+            s" row_number() OVER (PARTITION BY id ORDER BY n DESC, label ASC)" +
+            s" AS rn FROM v$n) t WHERE rn = 1)," +
+            s" l$n AS (SELECT $prev.id, coalesce(w$n.new_label, $prev.label)" +
+            s" AS label FROM $prev LEFT JOIN w$n ON $prev.id = w$n.id),"
+        "WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem), " +
+          "e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst " +
+          "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey " +
+          "AND a.l_partkey <> b.l_partkey), " +
+          "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e " +
+          "UNION ALL SELECT dst FROM e) t), " +
+          "l0 AS (SELECT id, id AS label FROM nodes)," +
+          round("l0", 1) + round("l1", 2) +
+          " fin AS (SELECT label AS community, count(*) AS n_nodes " +
+          "FROM l2 GROUP BY 1) " +
+          "SELECT CAST(community AS BIGINT) AS community, " +
+          "CAST(n_nodes AS BIGINT) AS n_nodes FROM fin " +
+          "ORDER BY n_nodes DESC, community LIMIT 20"
+      }),
+
     // X4 BPE tokenizer TRAINING (the step that produces the merge table
     // a real tokenizer ships): weighted classic form — one corpus-scale
     // pass builds the word histogram, then every merge round works on
@@ -2468,7 +2519,34 @@ object ExtQueries {
         |  coalesce(rk.score_ppm, CAST(0 AS BIGINT)) AS score_ppm
         | FROM (SELECT DISTINCT user_id FROM events) u
         | LEFT JOIN rk ON rk.a_id = u.user_id AND rk.rn = 1
-        | ORDER BY u.user_id""".stripMargin.replaceAll("\n", "")))
+        | ORDER BY u.user_id""".stripMargin.replaceAll("\n", ""))),
+
+    // X4 robust per-group outlier screening (Hampel 3-MAD rule —
+    // median/MAD instead of mean/stddev, which the outliers themselves
+    // corrupt): lower medians are actual data values at an exact sort
+    // index, so the whole statistic chain is deterministic and the
+    // DuckDB twin replays it index-for-index (ops.RobustStats). Scale
+    // shape: two sort-within-group windows + broadcast of the
+    // |groups|-row median table; HistQuantile's histogram form is the
+    // swap-in when values are low-cardinality.
+    Q("x_anomaly_mad",
+      (s, d) => graft.ops.RobustStats.madOutliers(
+        Tables.events(s, d), "event_type", "value"),
+      Some("""WITH v AS (SELECT event_type AS g, value AS v FROM events
+        |   WHERE value IS NOT NULL),
+        | r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v)
+        |   AS rn, count(*) OVER (PARTITION BY g) AS n FROM v),
+        | med AS (SELECT g, v AS med, n FROM r WHERE rn = (n - 1) // 2 + 1),
+        | dv AS (SELECT v.g, v.v, abs(v.v - med.med) AS d, med.med, med.n
+        |   FROM v JOIN med USING (g)),
+        | dr AS (SELECT g, d, row_number() OVER (PARTITION BY g ORDER BY d)
+        |   AS rn, count(*) OVER (PARTITION BY g) AS n FROM dv),
+        | mad AS (SELECT g, d AS mad FROM dr WHERE rn = (n - 1) // 2 + 1)
+        | SELECT dv.g AS event_type, CAST(dv.n AS BIGINT) AS n, dv.med AS med,
+        |   mad.mad AS mad, CAST(sum(CASE WHEN dv.d > 3.0 * mad.mad
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        | FROM dv JOIN mad USING (g) GROUP BY 1, 2, 3, 4
+        | ORDER BY event_type""".stripMargin.replaceAll("\n", "")))
   ) ++ exactVectorQueries ++ sketchQueries
 
   /** X2 exact-arithmetic Lloyd k-means (the clustering primitive under

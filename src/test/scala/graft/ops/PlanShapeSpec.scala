@@ -104,12 +104,16 @@ class PlanShapeSpec extends SparkSpec {
                             // corpus-scale), the dense grid IS the algorithm
       "st_ks_drift",        // same CDF grid read off the streamed
                             // histogram state (KsDriftIngest.ksPairs)
-      "x_daily_drift")      // days × value-buckets CDF grid — same shape
+      "x_daily_drift",      // days × value-buckets CDF grid — same shape
+      "x_ann_recall")       // recall EVAL: the ground-truth side is the
+                            // deliberate brute-force panel × corpus scan
     // iterative/eager queries run real jobs just to build their plan —
     // their join shapes are asserted in their own suites
     val eager = Set("x_dedup_clusters", "x_knn_ivf", "x_knn_ivf_probeall",
       "x_knn_ivf_hashseed", "x_knn_ivfpq", "x_neardup_dedup",
-      "x_bpe_train", "x_bpe_encode", "x_pagerank")
+      "x_bpe_train", "x_bpe_encode", "x_pagerank",
+      "x_kmeans", "x_pca_power") // Lloyd/power rounds collect mid-build;
+                                 // map-only shape pinned in their tests below
     graft.SparkEntry.queries.keys
       .filterNot(intentional).filterNot(eager).toSeq.sorted
       .foreach { name =>
@@ -118,5 +122,46 @@ class PlanShapeSpec extends SparkSpec {
           !p.contains("BroadcastNestedLoopJoin"),
           s"$name plans an all-pairs join:\n$p")
       }
+  }
+
+  test("k-means assignment pass is map-only (no Exchange)") {
+    import org.apache.spark.sql.functions._
+    val q = graft.model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), graft.sim.KMeansExact.quantizeCol(col("embedding")).as("qv"))
+    val cents = Array.fill(8 * 64)(0L)
+    val p = graft.sim.KMeansExact.assign(q, cents, 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"assignment must not shuffle — k×dim literals travel in the plan:\n$p")
+  }
+
+  test("PCA scatter aggregates map-side before its one shuffle") {
+    import org.apache.spark.sql.functions._
+    val q = graft.model.Tables.embeddings(spark, sf)
+      .select(graft.sim.KMeansExact.quantizeCol(col("embedding")).as("qv"))
+    val centered = q.select(zip_with(col("qv"),
+      lit(Array.fill(64)(0L)), (a, b) => a - b).as("c"))
+    val scatter = centered
+      .select(col("c"), posexplode(col("c")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("c")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg(sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("s"))
+    val p = scatter.queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"),
+      s"dim²-key scatter must partial-aggregate before the exchange:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"scatter should need exactly one shuffle:\n$p")
+  }
+
+  test("x_anomaly_mad broadcasts the per-group median tables") {
+    val p = plan("x_anomaly_mad")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"median and MAD tables must broadcast back onto the stream:\n$p")
+  }
+
+  test("x_label_prop keeps per-node vote pruning under WindowGroupLimit") {
+    val p = plan("x_label_prop")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn=1 winner cut should plan a group-limit, not a full sort+filter:\n$p")
   }
 }

@@ -69,7 +69,9 @@ object Bench {
       "prep_partsupp" -> (() => Queries.prepPartsupp(spark, sfDir)),
       "prep_neardup_components" ->
         (() => ExtQueries.prepNeardupComponents(spark, sfDir)),
-      "prep_bpe_merges" -> (() => ExtQueries.prepBpeMerges(spark, sfDir)))
+      "prep_bpe_merges" -> (() => ExtQueries.prepBpeMerges(spark, sfDir)),
+      "prep_copurchase_edges" ->
+        (() => ExtQueries.prepCoPurchaseEdges(spark, sfDir)))
     // -1 marks a failed entry — a swallowed exception must not read as
     // a normal (fast!) timing
     val prepResults = preps

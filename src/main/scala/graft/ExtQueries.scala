@@ -84,6 +84,37 @@ object ExtQueries {
     bpeMerges(s, d)
   }
 
+  /** Memoized distinct symmetric co-purchase edge set (parts sharing an
+    * order — per-order part-set expansion, one lineitem shuffle), same
+    * pattern: x_pagerank and x_label_prop analyze the SAME graph, and a
+    * real pipeline derives it once. Bench bills the derivation as its
+    * own prep_copurchase_edges line; the two graph queries report
+    * marginal cost over the shared table.
+    */
+  private val edgeCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val path = edgeCache.computeIfAbsent(d, _ => {
+      val p = graft.ops.CoreOps.scratchDirUnique("copurchase") + "/e"
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
+          .as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** Bench hook: re-derive the graph inside the caller's timer. */
+  private[graft] def prepCoPurchaseEdges(s: SparkSession, d: String): Unit = {
+    edgeCache.remove(d)
+    coPurchaseEdges(s, d)
+  }
+
   /** Exact brute-force KNN SQL — the oracle for BOTH x_knn_cosine and
     * x_knn_lsh (whose multi-probe config reproduces it exactly).
     */
@@ -1422,19 +1453,11 @@ object ExtQueries {
     // BPE standard applied to graph analytics.
     Q("x_pagerank",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey"))
-        // co-purchase pairs via per-order part-set expansion: one shuffle
-        // of lineitem (groupBy order) instead of the self-join's two,
-        // same distinct edge set (measured 1.5x faster at sf0.1)
-        val edges = li
-          .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
-          .select(explode(expr(
-            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
-            .as("p"))
-          .select(col("p.src").as("src"), col("p.dst").as("dst"))
-          .filter(col("src") =!= col("dst"))
-        graft.ops.PageRank.ranks(edges, 3)
+        // the shared memoized co-purchase graph (per-order part-set
+        // expansion: one lineitem shuffle instead of the self-join's
+        // two, measured 1.5x faster at sf0.1; derivation billed as
+        // prep_copurchase_edges, shared with x_label_prop)
+        graft.ops.PageRank.ranks(coPurchaseEdges(s, d), 3, prepared = true)
           .orderBy(col("rank").desc, col("id")).limit(20)
           .select(col("id").as("part_id"), col("rank"))
           .orderBy(col("rank").desc, col("part_id"))
@@ -1474,24 +1497,14 @@ object ExtQueries {
     // (connected components), community structure (this). Top-20
     // communities by size; all-id integer arithmetic.
     Q("x_label_prop",
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey"))
-        val edges = li
-          .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
-          .select(explode(expr(
-            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
-            .as("p"))
-          .select(col("p.src").as("src"), col("p.dst").as("dst"))
-          .filter(col("src") =!= col("dst"))
-          // a pair can co-occur in many orders — votes are per distinct
-          // NEIGHBOR, not per co-purchase event (PageRank.ranks dedups
-          // internally; LPA takes the edge list as given)
-          .distinct()
-        graft.ops.LabelPropagation.communities(edges, iters = 2)
+      (s, d) =>
+        // shared distinct co-purchase graph: votes are per distinct
+        // NEIGHBOR, not per co-purchase event, so the pre-distinct
+        // table is exactly the right edge semantics
+        graft.ops.LabelPropagation
+          .communities(coPurchaseEdges(s, d), iters = 2, prepared = true)
           .groupBy("community").agg(count(lit(1)).as("n_nodes"))
-          .orderBy(col("n_nodes").desc, col("community")).limit(20)
-      },
+          .orderBy(col("n_nodes").desc, col("community")).limit(20),
       Some {
         def round(prev: String, n: Int): String =
           s" v$n AS (SELECT e.dst AS id, l.label, count(*) AS n" +
@@ -2715,7 +2728,44 @@ object ExtQueries {
             | SELECT query_id, CAST(hits AS BIGINT) AS hits,
             |   CAST((hits * 1000000) // n_true AS BIGINT) AS recall_ppm
             | FROM j ORDER BY query_id""".stripMargin.replaceAll("\n", "")
-        }))
+        }),
+
+      // X2 × St2 streaming cluster profiles, batch twin: the final
+      // streamed state of ClusterProfileIngest — per-(cluster, dim)
+      // integer assignment sums under the FIXED seed centroids — equals
+      // this one-pass profile EXACTLY (assignment under fixed centroids
+      // is per-row, so partials merge cell-wise like CM cells), and the
+      // stream is pinned to this twin in ScalaTest. The oracle replays
+      // the seed assignment and the integer sums; `recenter` off this
+      // state is one exact Lloyd step, bit-equal to the corpus one.
+      Q("st_kmeans_profile",
+        (s, d) => {
+          val emb = Tables.embeddings(s, d)
+          val seed = graft.sim.KMeansExact.seedCentroids(
+            graft.sim.KMeansExact.quantized(emb), k)
+          graft.streaming.ClusterProfileIngest.batchTwin(emb, seed, k)
+        },
+        Some(s"""WITH e AS (SELECT vec_id,
+          |   generate_subscripts(embedding, 1) AS dpos,
+          |   unnest(embedding) AS v FROM embeddings),
+          | q AS (SELECT vec_id, dpos, CAST(floor(CAST(v AS DOUBLE)
+          |   * 1048576.0 + 0.5) AS BIGINT) AS vq FROM e),
+          | seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id)
+          |   - 1 AS cluster
+          |   FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+          | c0 AS (SELECT seed.cluster, q.dpos, q.vq AS cq
+          |   FROM seed JOIN q USING (vec_id)),
+          | d0 AS (SELECT q.vec_id, c.cluster,
+          |   CAST(sum((q.vq - c.cq) * (q.vq - c.cq)) AS BIGINT) AS d2
+          |   FROM q JOIN c0 c ON q.dpos = c.dpos GROUP BY 1, 2),
+          | a0 AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
+          |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster)
+          |     AS rn FROM d0) WHERE rn = 1)
+          | SELECT a0.cluster, CAST(q.dpos - 1 AS BIGINT) AS d,
+          |   CAST(sum(q.vq) AS BIGINT) AS s, count(*) AS n
+          | FROM a0 JOIN q USING (vec_id) GROUP BY 1, 2
+          | ORDER BY cluster, d""".stripMargin.replaceAll("\n", "")))
+    )
   }
 
   /** Bloom-filter membership + winnowing fingerprints — registered

@@ -48,16 +48,25 @@ object PageRank {
     * unevaluated first result. Iteration intermediates are deleted on
     * the way out; only the final |V|-row table outlives the call.
     */
-  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+  def ranks(edges: DataFrame, iters: Int,
+            prepared: Boolean = false): DataFrame = {
     // r0 is no longer materialized (it folds into iteration 1's join),
     // so there is no stored table to return for a 0-iteration call
     require(iters >= 1, s"ranks needs iters >= 1, got $iters")
     val spark = edges.sparkSession
     val dir = CoreOps.scratchDirUnique("pagerank")
-    edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct()
-      .write.mode("overwrite").parquet(s"$dir/edges")
-    val e = spark.read.parquet(s"$dir/edges")
+    // prepared = caller vouches the edge set is ALREADY distinct and
+    // backed by reliable storage (the shared co-purchase table) — skip
+    // the dedup shuffle + scratch copy that would otherwise re-pay the
+    // derivation every caller
+    val e = if (prepared)
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+    else {
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$dir/edges")
+      spark.read.parquet(s"$dir/edges")
+    }
     // static per-node table: out-degree (null for sink-only nodes, which
     // contribute nothing) — both endpoints exploded with an out-flag so
     // node set and degree come out of ONE aggregation

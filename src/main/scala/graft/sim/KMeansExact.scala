@@ -74,22 +74,32 @@ object KMeansExact {
       .drop("__d")
   }
 
+  /** `(idCol, qv)` — the quantized working set every stage reads. */
+  def quantized(vectors: DataFrame, idCol: String = "vec_id",
+                embCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol), quantizeCol(col(embCol)).as("qv"))
+
+  /** Seed centroids: the k smallest ids, cluster j = rank j
+    * (deterministic and oracle-replayable; for production seeding at
+    * scale prefer IvfOps.hashSampleCentroids' ingestion-order-free
+    * sample — the loop is seed-agnostic).
+    */
+  def seedCentroids(quantized: DataFrame, k: Int,
+                    idCol: String = "vec_id"): Array[Long] =
+    quantized.orderBy(idCol).limit(k)
+      .select("qv").collect()
+      .flatMap(_.getSeq[Long](0))
+
   /** Run `iters` Lloyd rounds from the first-k-by-id seed and return
     * the final assignment `(idCol, cluster, d2)` under the
     * post-iteration centroids, ordered by id.
     */
   def fit(vectors: DataFrame, k: Int, iters: Int,
           idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val quantized = vectors
-      .select(col(idCol), quantizeCol(col(embCol)).as("qv"))
+    val quantized = this.quantized(vectors, idCol, embCol)
     val dim = vectors.select(embCol).head().getSeq[Float](0).length
 
-    // Seed: the k smallest ids, cluster j = rank j (deterministic and
-    // oracle-replayable; for production seeding at scale prefer
-    // IvfOps.hashSampleCentroids' ingestion-order-free sample).
-    var cents: Array[Long] = quantized.orderBy(idCol).limit(k)
-      .select("qv").collect()
-      .flatMap(_.getSeq[Long](0))
+    var cents: Array[Long] = seedCentroids(quantized, k, idCol)
     require(cents.length == k * dim,
       s"kmeans seed needs $k vectors, found ${cents.length / math.max(dim, 1)}")
 

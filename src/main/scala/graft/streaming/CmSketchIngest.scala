@@ -60,86 +60,21 @@ object CmSketchIngest {
       .orderBy("j", "b")
   }
 
-  private val BatchDirRe = "^batch_id=(\\d+)$".r
-  private val OldDirRe = "^batch_id=(\\d+)__old$".r
-
   /** Compact the sketch state: sum every batch partial EXCEPT the newest
     * into one partial at the second-newest id and drop the rest — a
     * long-running ingest otherwise accumulates one directory per
-    * micro-batch and every read pays an ever-growing listing. Merging
-    * into the second-newest (not the newest) keeps replays safe, for
-    * the reasons documented at [[NearDupIngest.compactState]].
-    *
-    * Unlike the near-dup state, duplicated sketch rows are NOT harmless
-    * (summed cells would double-count), so the swap must be exactly
-    * recoverable. Order: write the merged partial to `_compact_tmp`
-    * (underscore-prefixed — invisible to parquet reads), THEN rename the
-    * live target dir to `batch_id=<target>__old` — the marker that a
-    * compaction is in flight, carrying the target id in its name — then
-    * delete the fully-merged older dirs, rename staging in, and drop the
-    * marker. A crash at any point leaves either no marker (nothing
-    * visible changed) or a marker from which [[recoverState]] — run at
-    * every compact start and every [[sketch]] read — deterministically
-    * finishes the same steps. Call between runs (stream stopped).
+    * micro-batch and every read pays an ever-growing listing. Duplicated
+    * sketch rows are NOT harmless (summed cells double-count), so the
+    * swap runs [[BatchState]]'s exactly-once staged protocol. Call
+    * between runs (stream stopped).
     */
-  def compactState(spark: SparkSession, stateDir: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(stateDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-    recoverState(spark, stateDir)
-    def rename(src: Path, dst: Path): Unit =
-      if (!fs.rename(src, dst))
-        throw new java.io.IOException(s"compactState: rename $src -> $dst failed")
-    val ids = fs.listStatus(root).map(_.getPath.getName).collect {
-      case BatchDirRe(id) => id.toLong
-    }.sorted
-    if (ids.length < 3) return
-    val newest = ids.last
-    val target = ids(ids.length - 2)
-    val merged = spark.read.parquet(stateDir)
-      .filter(col("batch_id") =!= newest)
-      .groupBy("j", "b").agg(sum(col("cnt")).as("cnt"))
-    val staging = new Path(root, "_compact_tmp")
-    fs.delete(staging, true)
-    merged.write.mode("overwrite").parquet(staging.toString)
-    rename(new Path(root, s"batch_id=$target"),
-      new Path(root, s"batch_id=${target}__old"))
-    ids.dropRight(2).foreach(id =>
-      fs.delete(new Path(root, s"batch_id=$id"), true))
-    rename(staging, new Path(root, s"batch_id=$target"))
-    fs.delete(new Path(root, s"batch_id=${target}__old"), true)
-  }
+  def compactState(spark: SparkSession, stateDir: String): Unit =
+    BatchState.compact(spark, stateDir,
+      _.groupBy("j", "b").agg(sum(col("cnt")).as("cnt")))
 
-  /** Finish an interrupted [[compactState]]. The `__old` marker names
-    * the target id, and the staging dir is always fully written before
-    * the marker appears, so recovery is deterministic: re-delete older
-    * dirs, install staging if the target is missing, drop the marker.
-    * Without a marker, a leftover staging dir is from a pre-marker
-    * crash — its content was never cut over, so it is simply dropped.
-    */
-  def recoverState(spark: SparkSession, stateDir: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(stateDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-    val names = fs.listStatus(root).map(_.getPath.getName)
-    val staging = new Path(root, "_compact_tmp")
-    names.collectFirst { case OldDirRe(t) => t.toLong } match {
-      case Some(target) =>
-        names.collect { case BatchDirRe(id) if id.toLong < target => id.toLong }
-          .foreach(id => fs.delete(new Path(root, s"batch_id=$id"), true))
-        val live = new Path(root, s"batch_id=$target")
-        if (!fs.exists(live)) {
-          if (!fs.rename(staging, live))
-            throw new java.io.IOException(
-              s"recoverState: rename $staging -> $live failed")
-        } else fs.delete(staging, true)
-        fs.delete(new Path(root, s"batch_id=${target}__old"), true)
-      case None =>
-        fs.delete(staging, true)
-    }
-  }
+  /** Finish an interrupted [[compactState]] ([[BatchState.recover]]). */
+  def recoverState(spark: SparkSession, stateDir: String): Unit =
+    BatchState.recover(spark, stateDir)
 
   /** Batch twin of the final streamed state: the sketch of the whole
     * corpus in one pass (registered as `st_cm_sketch` with a DuckDB

@@ -112,8 +112,10 @@ class PlanShapeSpec extends SparkSpec {
     val eager = Set("x_dedup_clusters", "x_knn_ivf", "x_knn_ivf_probeall",
       "x_knn_ivf_hashseed", "x_knn_ivfpq", "x_neardup_dedup",
       "x_bpe_train", "x_bpe_encode", "x_pagerank",
-      "x_kmeans", "x_pca_power") // Lloyd/power rounds collect mid-build;
+      "x_kmeans", "x_pca_power", // Lloyd/power rounds collect mid-build;
                                  // map-only shape pinned in their tests below
+      "x_label_prop") // rounds materialize to scratch (PageRank shape);
+                      // the per-round plan is pinned below
     graft.SparkEntry.queries.keys
       .filterNot(intentional).filterNot(eager).toSeq.sorted
       .foreach { name =>
@@ -159,9 +161,15 @@ class PlanShapeSpec extends SparkSpec {
       s"median and MAD tables must broadcast back onto the stream:\n$p")
   }
 
-  test("x_label_prop keeps per-node vote pruning under WindowGroupLimit") {
-    val p = plan("x_label_prop")
-    assert(p.contains("WindowGroupLimit"),
-      s"rn=1 winner cut should plan a group-limit, not a full sort+filter:\n$p")
+  test("label-prop vote round is pure hash aggregation — no Sort, no Window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val l = e.select(col("src").as("id"), col("src").as("label")).distinct()
+    val p = graft.ops.LabelPropagation.roundWinners(e, l)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), s"expected hash aggregates:\n$p")
+    assert(!p.contains("Window") && !p.linesIterator.exists(_.trim.startsWith("Sort")),
+      s"winner cut must not sort — max((n,−label)) is the order-free form:\n$p")
   }
 }

@@ -39,6 +39,14 @@ class SharedDerivedCacheSpec extends SparkSpec {
     assert(sig("x_bpe_train") == before)
   }
 
+  test("prepCoPurchaseEdges re-materializes to identical content for both graph queries") {
+    val beforeRank = sig("x_pagerank")
+    val beforeComm = sig("x_label_prop")
+    graft.ExtQueries.prepCoPurchaseEdges(spark, sf)
+    assert(sig("x_pagerank") == beforeRank)
+    assert(sig("x_label_prop") == beforeComm)
+  }
+
   test("re-materialization never overwrites a published path") {
     // lazily-read results captured BEFORE a prep must keep serving the
     // original data afterwards: scratchDirUnique gives every

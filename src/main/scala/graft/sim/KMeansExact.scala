@@ -97,7 +97,11 @@ object KMeansExact {
   def fit(vectors: DataFrame, k: Int, iters: Int,
           idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val quantized = this.quantized(vectors, idCol, embCol)
-    val dim = vectors.select(embCol).head().getSeq[Float](0).length
+    val first = vectors.select(embCol).take(1)
+    if (first.isEmpty) // no corpus → no centroids → empty assignment
+      return quantized.select(col(idCol), lit(0).cast("int").as("cluster"),
+        lit(0L).as("d2")).limit(0)
+    val dim = first(0).getSeq[Float](0).length
 
     var cents: Array[Long] = seedCentroids(quantized, k, idCol)
     require(cents.length == k * dim,

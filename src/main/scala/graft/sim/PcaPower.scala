@@ -48,6 +48,8 @@ object PcaPower {
       .groupBy("d").agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
       .collect()
     val dim = stats.length
+    if (dim == 0) // empty corpus → no dimensions → empty loading table
+      return Seq.empty[(Long, Long)].toDF("dpos", "loading")
     val means = new Array[Long](dim)
     stats.foreach(r => means(r.getInt(0)) = r.getLong(1) / r.getLong(2))
 

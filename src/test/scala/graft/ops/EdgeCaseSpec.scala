@@ -33,6 +33,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(DedupOps.connectedComponents(empty).count() == 0L)
   }
 
+  test("exact k-means / PCA / MAD / label-prop on empty input return empty") {
+    assert(graft.sim.KMeansExact.fit(emptyEmb, k = 8, iters = 2).count() == 0L)
+    assert(graft.sim.PcaPower.topComponent(emptyEmb).count() == 0L)
+    assert(RobustStats.madOutliers(
+      Tables.events(spark, sf).filter(col("event_id") < 0),
+      "event_type", "value").count() == 0L)
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(LabelPropagation.communities(noEdges, 2).count() == 0L)
+    assert(graft.streaming.ClusterProfileIngest
+      .profileRows(emptyEmb, Array.fill(8 * 64)(0L)).count() == 0L)
+  }
+
+  test("exact k-means with fewer vectors than k fails loudly, not wrongly") {
+    val three = Tables.embeddings(spark, sf).filter(col("vec_id") < 3)
+    val e = intercept[IllegalArgumentException] {
+      graft.sim.KMeansExact.fit(three, k = 8, iters = 1)
+    }
+    assert(e.getMessage.contains("seed needs"))
+  }
+
   test("KNN with empty query or candidate side returns empty") {
     val emb = Tables.embeddings(spark, sf)
     assert(VectorOps.knnBruteForce(emptyEmb, emb, 5).count() == 0L)

@@ -108,7 +108,7 @@ object Bench {
     val load1 = loadavg()
     def line(queries: Iterable[(String, Double)], note: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"wall_sec":${fmt(wallSec)},"loadavg_start":${fmt(load0)},"loadavg_end":${fmt(load1)},"queries":${toJson(queries)},"sf":"$sfDir","note":"$note"}"""
-    val fullNote = "noop-sink, min of 2-3 warm runs timed (bursty-host noise); -1=failed; prep_* lines bill the shared derived-table materializations (partsupp, neardup CC, BPE merges) and the queries reading them report marginal cost under that warm cache; loadavg is the 1-min /proc/loadavg at run start/end (noise protocol, docs/SCALE.md)"
+    val fullNote = "noop-sink, min of 2-3 warm runs timed (bursty-host noise); -1=failed; prep_* lines bill the shared derived-table materializations (partsupp, neardup CC, BPE merges, co-purchase edges) and the queries reading them report marginal cost under that warm cache; loadavg is the 1-min /proc/loadavg at run start/end (noise protocol, docs/SCALE.md)"
     val fullLine = line(results, fullNote)
     println(fullLine)
     try {

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Synchronous label-propagation community detection ([EXT] graph
@@ -25,14 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object LabelPropagation {
 
+  private val byVotes = Window.partitionBy("id")
+    .orderBy(col("n").desc, col("label").asc)
+
   /** One vote round: the winning neighbor label per node — majority,
-    * ties to the smallest label. The winner cut is a HASH AGGREGATE
-    * (max of the integer pair (n, −label), so "more votes, then
-    * smaller label" is the natural struct order — exact, order-free),
-    * not a sort window: measured faster per round than the
-    * row_number() form, and the plan stays two hash aggregates with no
-    * Sort/Window (pinned in PlanShapeSpec). Labels must be ≥ 0 for
-    * the negation trick — true for every id this engine feeds it.
+    * ties to the smallest label, cut with a per-node rn=1 window that
+    * plans WindowGroupLimit (per-partition top-1 heaps before the
+    * final per-key cut; pinned in PlanShapeSpec). A max-of-struct
+    * aggregate was tried instead and REJECTED: struct aggregation
+    * buffers are not hash-aggregable, so Spark plans it as
+    * SortAggregate with explicit per-partition Sorts — no cheaper than
+    * the window (measured equal at sf0.1) and a worse plan shape.
     */
   private[ops] def roundWinners(e: DataFrame, l: DataFrame,
                                 bcast: DataFrame => DataFrame = identity)
@@ -40,9 +44,9 @@ object LabelPropagation {
     e.join(bcast(l.withColumnRenamed("id", "src")), "src")
       .groupBy(col("dst").as("id"), col("label"))
       .agg(count(lit(1)).as("n"))
-      .groupBy("id")
-      .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("m"))
-      .select(col("id"), (-col("m.nl")).as("new_label"))
+      .withColumn("rn", row_number().over(byVotes))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("label").as("new_label"))
 
   /** `(id, community)` after `iters` synchronized rounds over the
     * directed edge list `(src, dst)` (pass a symmetric edge set for
@@ -68,8 +72,12 @@ object LabelPropagation {
       .write.mode("overwrite").parquet(s"$dir/nodes")
     val nodes = spark.read.parquet(s"$dir/nodes")
     val n = nodes.count()
-    if (n == 0)
+    if (n == 0) { // empty graph: clean the scratch this call created
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       return spark.range(0).select(col("id"), col("id").as("community"))
+    }
     def bcast(df: DataFrame): DataFrame =
       if (n <= PageRank.BroadcastMaxNodes) broadcast(df) else df
     val labelFiles = math.max(1L, math.min(256L, n / 2000000L)).toInt

@@ -31,6 +31,7 @@ object RobustStats {
     */
   def madOutliers(df: DataFrame, groupCol: String, valCol: String,
                   cut: Double = 3.0): DataFrame = {
+    val spark = df.sparkSession
     val v = df.select(col(groupCol).as("g"), col(valCol).as("v"))
       .filter(col("v").isNotNull)
 
@@ -43,12 +44,21 @@ object RobustStats {
         .select(col("g"), col(c).as(s"${c}_med"), col("n"))
     }
 
-    val med = lowerMedian(v, "v")
+    // Each median table is |groups| rows but sits on a corpus-sized
+    // sort window — and the deviation lineage is consumed twice (once
+    // to derive the MAD, once by the final aggregate). Materialize
+    // both tiny tables so each window executes exactly ONCE; the
+    // re-derived deviation pass is then scan + broadcast join only.
+    val dir = CoreOps.scratchDirUnique("mad")
+    lowerMedian(v, "v").write.mode("overwrite").parquet(s"$dir/med")
+    val med = spark.read.parquet(s"$dir/med")
     val dev = v.join(broadcast(med), "g")
       .select(col("g"), col("v"), abs(col("v") - col("v_med")).as("d"),
         col("v_med"), col("n"))
-    val mad = lowerMedian(dev.select(col("g"), col("d")), "d")
+    lowerMedian(dev.select(col("g"), col("d")), "d")
       .select(col("g"), col("d_med"))
+      .write.mode("overwrite").parquet(s"$dir/mad")
+    val mad = spark.read.parquet(s"$dir/mad")
     dev.join(broadcast(mad), "g")
       .groupBy("g")
       .agg(first(col("n")).as("n"), first(col("v_med")).as("med"),

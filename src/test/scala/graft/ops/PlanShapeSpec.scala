@@ -161,15 +161,18 @@ class PlanShapeSpec extends SparkSpec {
       s"median and MAD tables must broadcast back onto the stream:\n$p")
   }
 
-  test("label-prop vote round is pure hash aggregation — no Sort, no Window") {
+  test("label-prop vote round cuts winners under WindowGroupLimit, not SortAggregate") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val l = e.select(col("src").as("id"), col("src").as("label")).distinct()
     val p = graft.ops.LabelPropagation.roundWinners(e, l)
       .queryExecution.executedPlan.toString
-    assert(p.contains("HashAggregate"), s"expected hash aggregates:\n$p")
-    assert(!p.contains("Window") && !p.linesIterator.exists(_.trim.startsWith("Sort")),
-      s"winner cut must not sort — max((n,−label)) is the order-free form:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn=1 winner cut should plan per-partition group-limit heaps:\n$p")
+    // the rejected max-of-struct form planned SortAggregate (struct
+    // buffers are not hash-aggregable) — keep it out
+    assert(!p.contains("SortAggregate"),
+      s"vote counting must stay hash-aggregated:\n$p")
   }
 }

@@ -2302,6 +2302,66 @@ object ExtQueries {
         | FROM documents dd LEFT JOIN dw ON dd.doc_id = dw.doc_id
         | ORDER BY dd.doc_id""".stripMargin.replaceAll("\n", ""))),
 
+    // X4 DSIR SELECTION (the step x_dsir's weights exist for):
+    // weighted sampling without replacement as sequential Poisson /
+    // priority sampling (Ohlsson '98 — take the k smallest
+    // priority = u / weight), made engine-portable by integer
+    // arithmetic: u is the salted md5_48 of the doc id, priority =
+    // (u · 1000) div max(weight, 1) — exact division both engines,
+    // h·1000 < 2^59 so no overflow. Inclusion probability rises with
+    // the DSIR per-token weight exactly as importance resampling
+    // wants, yet the draw is reproducible on any cluster layout (no
+    // RNG state). Plan: the weight passes + one global TakeOrdered(k).
+    Q("x_dsir_resample",
+      (s, d) => {
+        graft.GraftFunctions.register(s)
+        Tables.documents(s, d).createOrReplaceTempView("documents_dsr")
+        s.sql(s"""WITH w AS (SELECT doc_id, lang, $sparkToks AS toks
+          |   FROM documents_dsr),
+          | tok AS (SELECT doc_id, lang, term FROM w
+          |   LATERAL VIEW explode(toks) tt AS term),
+          | tb AS (SELECT doc_id, lang,
+          |   graft_md5_48(term) % 1024 AS bucket FROM tok),
+          | nr AS (SELECT bucket, count(*) AS n_r FROM tb GROUP BY 1),
+          | nt AS (SELECT bucket, count(*) AS n_t FROM tb
+          |   WHERE lang = 'en' GROUP BY 1),
+          | sc AS (SELECT nr.bucket,
+          |   ((coalesce(n_t, CAST(0 AS BIGINT)) + 1) * 1000000) div (n_r + 1) AS s
+          |   FROM nr LEFT JOIN nt ON nr.bucket = nt.bucket),
+          | dw AS (SELECT tb.doc_id, sum(s) div count(*) AS wt
+          |   FROM tb JOIN sc ON tb.bucket = sc.bucket GROUP BY 1),
+          | pri AS (SELECT dd.doc_id,
+          |   coalesce(dw.wt, CAST(0 AS BIGINT)) AS wt,
+          |   (graft_md5_48(concat('dsir|', CAST(dd.doc_id AS STRING))) * 1000)
+          |     div greatest(coalesce(dw.wt, CAST(0 AS BIGINT)),
+          |       CAST(1 AS BIGINT)) AS priority
+          |   FROM documents_dsr dd LEFT JOIN dw ON dd.doc_id = dw.doc_id)
+          | SELECT doc_id, wt, priority FROM pri
+          | ORDER BY priority, doc_id LIMIT 100""".stripMargin)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+        | tok AS (SELECT doc_id, lang, unnest(toks) AS term FROM w),
+        | tb AS (SELECT doc_id, lang,
+        |   (${md5Fold("term")}) % 1024 AS bucket FROM tok),
+        | nr AS (SELECT bucket, count(*) AS n_r FROM tb GROUP BY 1),
+        | nt AS (SELECT bucket, count(*) AS n_t FROM tb
+        |   WHERE lang = 'en' GROUP BY 1),
+        | sc AS (SELECT nr.bucket,
+        |   ((coalesce(n_t, CAST(0 AS BIGINT)) + 1) * 1000000) // (n_r + 1) AS s
+        |   FROM nr LEFT JOIN nt ON nr.bucket = nt.bucket),
+        | dw AS (SELECT tb.doc_id,
+        |   CAST(sum(s) AS BIGINT) // count(*) AS wt
+        |   FROM tb JOIN sc ON tb.bucket = sc.bucket GROUP BY 1),
+        | pri AS (SELECT dd.doc_id,
+        |   coalesce(dw.wt, CAST(0 AS BIGINT)) AS wt,
+        |   ((${md5Fold("'dsir|' || CAST(dd.doc_id AS VARCHAR)")}) * 1000)
+        |     // greatest(coalesce(dw.wt, CAST(0 AS BIGINT)),
+        |       CAST(1 AS BIGINT)) AS priority
+        |   FROM documents dd LEFT JOIN dw ON dd.doc_id = dw.doc_id)
+        | SELECT doc_id, wt, CAST(priority AS BIGINT) AS priority FROM pri
+        | ORDER BY priority, doc_id LIMIT 100"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // X4 bigram language-model fluency score: P(w2|w1) estimated from
     // corpus bigram/unigram counts, integer-scaled ((c2·1e6) div c1) so
     // the per-doc sum is exact (c2 ≤ c1 keeps each term ≤ 1e6; a doc's
@@ -3183,6 +3243,72 @@ object ExtQueries {
         | SELECT bucket, a AS n_pos_docs, b AS n_neg_docs,
         |  CAST(chi2 AS BIGINT) AS chi2
         | FROM chi ORDER BY chi2 DESC, bucket LIMIT 20"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // X1 winnowing MATCH pairs (the report half of MOSS, on top of
+    // x_winnowing's fingerprints): doc pairs sharing >= 2 selected
+    // fingerprints, scored n_shared / min(|fp_a|, |fp_b|) in exact ppm.
+    // The pair join is an EQUI-join on the fingerprint value — never
+    // doc×doc — with the containment-style DF cap (fingerprints in
+    // > 16 docs are boilerplate; dropped, and BOTH the shared counts
+    // and the per-doc sizes are recounted over the pruned universe, the
+    // ADVICE-r8 lesson). Hot-key growth is the capped Σ df² of real
+    // fingerprint indexes.
+    Q("x_winnow_matches",
+      (s, d) => {
+        graft.GraftFunctions.register(s)
+        Tables.documents(s, d).createOrReplaceTempView("documents_wm")
+        s.sql(s"""WITH w AS (SELECT doc_id, $sparkToks AS toks
+          |   FROM documents_wm),
+          | sh AS (SELECT doc_id, pos, graft_md5_48(concat_ws(' ',
+          |     slice(toks, pos, 3))) % $P AS h
+          |   FROM w LATERAL VIEW explode(
+          |     sequence(1, size(toks) - 2)) pp AS pos
+          |   WHERE size(toks) >= 3),
+          | wm AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id
+          |   ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+          |   pos, count(*) OVER (PARTITION BY doc_id) AS n
+          |   FROM sh),
+          | fp AS (SELECT DISTINCT doc_id, fp FROM wm
+          |   WHERE pos <= n - 3 OR n < 4),
+          | fdf AS (SELECT fp, count(*) AS df FROM fp GROUP BY 1),
+          | keep AS (SELECT fp.doc_id, fp.fp FROM fp
+          |   JOIN fdf ON fp.fp = fdf.fp WHERE fdf.df <= 16),
+          | sz AS (SELECT doc_id, count(*) AS nfp FROM keep GROUP BY 1),
+          | pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |   count(*) AS n_shared FROM keep a
+          |   JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |   GROUP BY 1, 2)
+          | SELECT a_id, b_id, n_shared, (n_shared * 1000000)
+          |   div least(sa.nfp, sb.nfp) AS score_ppm
+          | FROM pr JOIN sz sa ON sa.doc_id = a_id
+          | JOIN sz sb ON sb.doc_id = b_id
+          | WHERE n_shared >= 2 ORDER BY a_id, b_id""".stripMargin)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        | sh AS (SELECT doc_id, pos, (${md5Fold(
+            "array_to_string(toks[pos:pos+2], ' ')")}) % $P AS h
+        |   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos
+        |     FROM w WHERE len(toks) >= 3)),
+        | wm AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id
+        |   ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |   pos, count(*) OVER (PARTITION BY doc_id) AS n
+        |   FROM sh),
+        | fp AS (SELECT DISTINCT doc_id, fp FROM wm
+        |   WHERE pos <= n - 3 OR n < 4),
+        | fdf AS (SELECT fp, count(*) AS df FROM fp GROUP BY 1),
+        | keep AS (SELECT fp.doc_id, fp.fp FROM fp
+        |   JOIN fdf ON fp.fp = fdf.fp WHERE fdf.df <= 16),
+        | sz AS (SELECT doc_id, count(*) AS nfp FROM keep GROUP BY 1),
+        | pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |   CAST(count(*) AS BIGINT) AS n_shared FROM keep a
+        |   JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |   GROUP BY 1, 2)
+        | SELECT a_id, b_id, n_shared, CAST((n_shared * 1000000)
+        |   // least(sa.nfp, sb.nfp) AS BIGINT) AS score_ppm
+        | FROM pr JOIN sz sa ON sa.doc_id = a_id
+        | JOIN sz sb ON sb.doc_id = b_id
+        | WHERE n_shared >= 2 ORDER BY a_id, b_id"""
         .stripMargin.replaceAll("\n", "")))
     )
   }

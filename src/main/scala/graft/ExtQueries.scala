@@ -2619,7 +2619,101 @@ object ExtQueries {
         |   mad.mad AS mad, CAST(sum(CASE WHEN dv.d > 3.0 * mad.mad
         |     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         | FROM dv JOIN mad USING (g) GROUP BY 1, 2, 3, 4
-        | ORDER BY event_type""".stripMargin.replaceAll("\n", "")))
+        | ORDER BY event_type""".stripMargin.replaceAll("\n", ""))),
+
+    // X2 distributed trajectory similarity search (REPOSE ICDE '21
+    // shape: reference points → metric lower bounds → candidate
+    // pruning → exact verify): each user's trajectory is the last 24
+    // event-type initials in (ts, event_id) order; 8 reference
+    // trajectories (smallest user ids, collected O(1) driver-side like
+    // IVF centroids) give every user an 8-dim edit-distance vector;
+    // edit distance is a METRIC, so |d(a,r)−d(b,r)| ≤ d(a,b) — pairs
+    // within τ=12 must land in adjacent τ-wide d0 bins (lossless bin
+    // EQUI-join, the q_range_bin_join pattern — never query×corpus as
+    // a nested loop) and must pass the max-over-refs lower bound
+    // before any DP runs. Exact Levenshtein only on survivors, which
+    // rejoin their trajectory strings IVF-rerank-style (the candidate
+    // join carries ids + distance vectors only). Queries are a panel
+    // (user_id % 30 — the REPOSE framing is query→corpus search, not
+    // all-pairs clustering; an all-pairs variant measured 25 s at
+    // sf0.1 because random fixtures don't cluster in metric space,
+    // where real behavioral data does). Output (nearest peer within
+    // τ, else -1) is exact regardless of how well the LB prunes.
+    Q("x_trajectory_knn",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("events_tj")
+        val base = s.sql("""WITH st AS (SELECT user_id, sort_array(
+          |   collect_list(named_struct('ts', ts, 'eid', event_id,
+          |     'c', substring(event_type, 1, 1)))) AS l
+          |   FROM events_tj GROUP BY user_id)
+          | SELECT user_id, array_join(transform(
+          |   slice(l, greatest(size(l) - 23, 1), 24), x -> x.c), '') AS traj
+          | FROM st""".stripMargin)
+        base.createOrReplaceTempView("traj_tj")
+        val refs = base.orderBy("user_id").limit(8).collect()
+          .map(_.getString(1))
+        val dcols = refs.zipWithIndex
+          .map { case (r, i) => s"CAST(levenshtein(traj, '$r') AS BIGINT) AS d$i" }
+          .mkString(", ")
+        val lbExpr = (0 until refs.length)
+          .map(i => s"abs(a.d$i - b.d$i)").mkString("greatest(", ", ", ")")
+        s.sql(s"""WITH t AS (SELECT user_id, traj, $dcols FROM traj_tj),
+          | bins AS (SELECT *, d0 div 12 AS bin FROM t),
+          | probe AS (SELECT user_id, ${(0 until refs.length)
+            .map(i => s"d$i").mkString(", ")}, pbin
+          |   FROM bins LATERAL VIEW explode(
+          |     array(bin - 1, bin, bin + 1)) pb AS pbin
+          |   WHERE user_id % 30 = 0),
+          | cand AS (SELECT a.user_id AS a_id, b.user_id AS b_id
+          |   FROM probe a JOIN bins b ON a.pbin = b.bin
+          |     AND a.user_id <> b.user_id WHERE $lbExpr <= 12),
+          | ex AS (SELECT c.a_id, c.b_id,
+          |   CAST(levenshtein(ta.traj, tb.traj) AS BIGINT) AS dist
+          |   FROM cand c JOIN traj_tj ta ON ta.user_id = c.a_id
+          |   JOIN traj_tj tb ON tb.user_id = c.b_id),
+          | hit AS (SELECT a_id, b_id, dist, row_number() OVER (
+          |   PARTITION BY a_id ORDER BY dist, b_id) AS rn
+          |   FROM ex WHERE dist <= 12)
+          | SELECT u.user_id, coalesce(h.b_id, CAST(-1 AS BIGINT)) AS peer_id,
+          |   coalesce(h.dist, CAST(-1 AS BIGINT)) AS dist
+          | FROM (SELECT user_id FROM traj_tj WHERE user_id % 30 = 0) u
+          | LEFT JOIN hit h ON h.a_id = u.user_id AND h.rn = 1
+          | ORDER BY u.user_id""".stripMargin)
+      },
+      Some("""WITH sq AS (SELECT user_id, ts, event_id,
+        |   substr(event_type, 1, 1) AS c FROM events),
+        | tr AS (SELECT user_id, array_to_string(
+        |   l[greatest(len(l) - 23, 1):], '') AS traj FROM
+        |   (SELECT user_id, list(c ORDER BY ts, event_id) AS l
+        |    FROM sq GROUP BY 1)),
+        | refs AS (SELECT row_number() OVER (ORDER BY user_id) AS rid,
+        |   traj AS rt FROM (SELECT user_id, traj FROM tr
+        |   ORDER BY user_id LIMIT 8)),
+        | rd AS (SELECT t.user_id, r.rid,
+        |   CAST(levenshtein(t.traj, r.rt) AS BIGINT) AS dr
+        |   FROM tr t CROSS JOIN refs r),
+        | b0 AS (SELECT user_id, dr // 12 AS bin FROM rd WHERE rid = 1),
+        | pair AS (SELECT a.user_id AS a_id, b.user_id AS b_id
+        |   FROM b0 a JOIN b0 b ON a.user_id <> b.user_id
+        |   AND a.user_id % 30 = 0
+        |   AND b.bin BETWEEN a.bin - 1 AND a.bin + 1),
+        | lb AS (SELECT p.a_id, p.b_id,
+        |   max(abs(ra.dr - rb.dr)) AS lb FROM pair p
+        |   JOIN rd ra ON ra.user_id = p.a_id
+        |   JOIN rd rb ON rb.user_id = p.b_id AND ra.rid = rb.rid
+        |   GROUP BY 1, 2),
+        | ex AS (SELECT lb.a_id, lb.b_id,
+        |   CAST(levenshtein(ta.traj, tb.traj) AS BIGINT) AS dist
+        |   FROM lb JOIN tr ta ON ta.user_id = lb.a_id
+        |   JOIN tr tb ON tb.user_id = lb.b_id WHERE lb.lb <= 12),
+        | hit AS (SELECT a_id, b_id, dist, row_number() OVER (
+        |   PARTITION BY a_id ORDER BY dist, b_id) AS rn
+        |   FROM ex WHERE dist <= 12)
+        | SELECT u.user_id, coalesce(h.b_id, CAST(-1 AS BIGINT)) AS peer_id,
+        |   coalesce(h.dist, CAST(-1 AS BIGINT)) AS dist
+        | FROM (SELECT user_id FROM tr WHERE user_id % 30 = 0) u
+        | LEFT JOIN hit h ON h.a_id = u.user_id AND h.rn = 1
+        | ORDER BY u.user_id""".stripMargin.replaceAll("\n", "")))
   ) ++ exactVectorQueries ++ sketchQueries
 
   /** X2 exact-arithmetic Lloyd k-means (the clustering primitive under

@@ -301,6 +301,44 @@ object ExtQueries {
   private val duckToks =
     """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '')"""
 
+  /** DSIR hashed-bucket weight chain (w/tok/tb/nr/nt/sc/dw) — ONE
+    * definition per engine, shared by x_dsir (the weights) and
+    * x_dsir_resample (the selection those weights exist for), so the
+    * bucket count, +1 smoothing, and 1e6 scale cannot drift between
+    * them (the sparkToks lesson applied to the scoring chain).
+    */
+  private def dsirWeightSpark(view: String): String =
+    s"""WITH w AS (SELECT doc_id, lang, $sparkToks AS toks
+      |   FROM $view),
+      | tok AS (SELECT doc_id, lang, term FROM w
+      |   LATERAL VIEW explode(toks) tt AS term),
+      | tb AS (SELECT doc_id, lang,
+      |   graft_md5_48(term) % 1024 AS bucket FROM tok),
+      | nr AS (SELECT bucket, count(*) AS n_r FROM tb GROUP BY 1),
+      | nt AS (SELECT bucket, count(*) AS n_t FROM tb
+      |   WHERE lang = 'en' GROUP BY 1),
+      | sc AS (SELECT nr.bucket,
+      |   ((coalesce(n_t, CAST(0 AS BIGINT)) + 1) * 1000000) div (n_r + 1) AS s
+      |   FROM nr LEFT JOIN nt ON nr.bucket = nt.bucket),
+      | dw AS (SELECT tb.doc_id, sum(s) AS dsir_score,
+      |   count(*) AS n_toks
+      |   FROM tb JOIN sc ON tb.bucket = sc.bucket GROUP BY 1)""".stripMargin
+
+  private val dsirWeightDuck: String =
+    s"""WITH w AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+      | tok AS (SELECT doc_id, lang, unnest(toks) AS term FROM w),
+      | tb AS (SELECT doc_id, lang,
+      |   (${md5Fold("term")}) % 1024 AS bucket FROM tok),
+      | nr AS (SELECT bucket, count(*) AS n_r FROM tb GROUP BY 1),
+      | nt AS (SELECT bucket, count(*) AS n_t FROM tb
+      |   WHERE lang = 'en' GROUP BY 1),
+      | sc AS (SELECT nr.bucket,
+      |   ((coalesce(n_t, CAST(0 AS BIGINT)) + 1) * 1000000) // (n_r + 1) AS s
+      |   FROM nr LEFT JOIN nt ON nr.bucket = nt.bucket),
+      | dw AS (SELECT tb.doc_id, CAST(sum(s) AS BIGINT) AS dsir_score,
+      |   count(*) AS n_toks
+      |   FROM tb JOIN sc ON tb.bucket = sc.bucket GROUP BY 1)""".stripMargin
+
   /** Per-doc portable 48-bit SimHash fingerprints as a CTE chain. */
   private val simhash48Cte = {
     val bits = graft.sim.PortableHash.SimhashBits
@@ -2256,21 +2294,7 @@ object ExtQueries {
       (s, d) => {
         graft.GraftFunctions.register(s)
         Tables.documents(s, d).createOrReplaceTempView("documents_dsir")
-        s.sql(s"""WITH w AS (SELECT doc_id, lang, $sparkToks AS toks
-          |   FROM documents_dsir),
-          | tok AS (SELECT doc_id, lang, term FROM w
-          |   LATERAL VIEW explode(toks) tt AS term),
-          | tb AS (SELECT doc_id, lang,
-          |   graft_md5_48(term) % 1024 AS bucket FROM tok),
-          | nr AS (SELECT bucket, count(*) AS n_r FROM tb GROUP BY 1),
-          | nt AS (SELECT bucket, count(*) AS n_t FROM tb
-          |   WHERE lang = 'en' GROUP BY 1),
-          | sc AS (SELECT nr.bucket,
-          |   ((coalesce(n_t, CAST(0 AS BIGINT)) + 1) * 1000000) div (n_r + 1) AS s
-          |   FROM nr LEFT JOIN nt ON nr.bucket = nt.bucket),
-          | dw AS (SELECT tb.doc_id, sum(s) AS dsir_score,
-          |   count(*) AS n_toks
-          |   FROM tb JOIN sc ON tb.bucket = sc.bucket GROUP BY 1)
+        s.sql(dsirWeightSpark("documents_dsir") + s"""
           | SELECT dd.doc_id,
           |   coalesce(n_toks, CAST(0 AS BIGINT)) AS n_toks,
           |   coalesce(dsir_score, CAST(0 AS BIGINT)) AS dsir_score,
@@ -2280,19 +2304,7 @@ object ExtQueries {
           | FROM documents_dsir dd LEFT JOIN dw ON dd.doc_id = dw.doc_id
           | ORDER BY dd.doc_id""".stripMargin)
       },
-      Some(s"""WITH w AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
-        | tok AS (SELECT doc_id, lang, unnest(toks) AS term FROM w),
-        | tb AS (SELECT doc_id, lang,
-        |   (${md5Fold("term")}) % 1024 AS bucket FROM tok),
-        | nr AS (SELECT bucket, count(*) AS n_r FROM tb GROUP BY 1),
-        | nt AS (SELECT bucket, count(*) AS n_t FROM tb
-        |   WHERE lang = 'en' GROUP BY 1),
-        | sc AS (SELECT nr.bucket,
-        |   ((coalesce(n_t, CAST(0 AS BIGINT)) + 1) * 1000000) // (n_r + 1) AS s
-        |   FROM nr LEFT JOIN nt ON nr.bucket = nt.bucket),
-        | dw AS (SELECT tb.doc_id, CAST(sum(s) AS BIGINT) AS dsir_score,
-        |   count(*) AS n_toks
-        |   FROM tb JOIN sc ON tb.bucket = sc.bucket GROUP BY 1)
+      Some(dsirWeightDuck + s"""
         | SELECT dd.doc_id,
         |   coalesce(n_toks, CAST(0 AS BIGINT)) AS n_toks,
         |   coalesce(dsir_score, CAST(0 AS BIGINT)) AS dsir_score,
@@ -2316,46 +2328,21 @@ object ExtQueries {
       (s, d) => {
         graft.GraftFunctions.register(s)
         Tables.documents(s, d).createOrReplaceTempView("documents_dsr")
-        s.sql(s"""WITH w AS (SELECT doc_id, lang, $sparkToks AS toks
-          |   FROM documents_dsr),
-          | tok AS (SELECT doc_id, lang, term FROM w
-          |   LATERAL VIEW explode(toks) tt AS term),
-          | tb AS (SELECT doc_id, lang,
-          |   graft_md5_48(term) % 1024 AS bucket FROM tok),
-          | nr AS (SELECT bucket, count(*) AS n_r FROM tb GROUP BY 1),
-          | nt AS (SELECT bucket, count(*) AS n_t FROM tb
-          |   WHERE lang = 'en' GROUP BY 1),
-          | sc AS (SELECT nr.bucket,
-          |   ((coalesce(n_t, CAST(0 AS BIGINT)) + 1) * 1000000) div (n_r + 1) AS s
-          |   FROM nr LEFT JOIN nt ON nr.bucket = nt.bucket),
-          | dw AS (SELECT tb.doc_id, sum(s) div count(*) AS wt
-          |   FROM tb JOIN sc ON tb.bucket = sc.bucket GROUP BY 1),
+        s.sql(dsirWeightSpark("documents_dsr") + s""",
           | pri AS (SELECT dd.doc_id,
-          |   coalesce(dw.wt, CAST(0 AS BIGINT)) AS wt,
+          |   coalesce(dw.dsir_score div dw.n_toks, CAST(0 AS BIGINT)) AS wt,
           |   (graft_md5_48(concat('dsir|', CAST(dd.doc_id AS STRING))) * 1000)
-          |     div greatest(coalesce(dw.wt, CAST(0 AS BIGINT)),
+          |     div greatest(coalesce(dw.dsir_score div dw.n_toks, CAST(0 AS BIGINT)),
           |       CAST(1 AS BIGINT)) AS priority
           |   FROM documents_dsr dd LEFT JOIN dw ON dd.doc_id = dw.doc_id)
           | SELECT doc_id, wt, priority FROM pri
           | ORDER BY priority, doc_id LIMIT 100""".stripMargin)
       },
-      Some(s"""WITH w AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
-        | tok AS (SELECT doc_id, lang, unnest(toks) AS term FROM w),
-        | tb AS (SELECT doc_id, lang,
-        |   (${md5Fold("term")}) % 1024 AS bucket FROM tok),
-        | nr AS (SELECT bucket, count(*) AS n_r FROM tb GROUP BY 1),
-        | nt AS (SELECT bucket, count(*) AS n_t FROM tb
-        |   WHERE lang = 'en' GROUP BY 1),
-        | sc AS (SELECT nr.bucket,
-        |   ((coalesce(n_t, CAST(0 AS BIGINT)) + 1) * 1000000) // (n_r + 1) AS s
-        |   FROM nr LEFT JOIN nt ON nr.bucket = nt.bucket),
-        | dw AS (SELECT tb.doc_id,
-        |   CAST(sum(s) AS BIGINT) // count(*) AS wt
-        |   FROM tb JOIN sc ON tb.bucket = sc.bucket GROUP BY 1),
+      Some(dsirWeightDuck + s""",
         | pri AS (SELECT dd.doc_id,
-        |   coalesce(dw.wt, CAST(0 AS BIGINT)) AS wt,
+        |   coalesce(dw.dsir_score // dw.n_toks, CAST(0 AS BIGINT)) AS wt,
         |   ((${md5Fold("'dsir|' || CAST(dd.doc_id AS VARCHAR)")}) * 1000)
-        |     // greatest(coalesce(dw.wt, CAST(0 AS BIGINT)),
+        |     // greatest(coalesce(dw.dsir_score // dw.n_toks, CAST(0 AS BIGINT)),
         |       CAST(1 AS BIGINT)) AS priority
         |   FROM documents dd LEFT JOIN dw ON dd.doc_id = dw.doc_id)
         | SELECT doc_id, wt, CAST(priority AS BIGINT) AS priority FROM pri
@@ -2684,7 +2671,7 @@ object ExtQueries {
         |   substr(event_type, 1, 1) AS c FROM events),
         | tr AS (SELECT user_id, array_to_string(
         |   l[greatest(len(l) - 23, 1):], '') AS traj FROM
-        |   (SELECT user_id, list(c ORDER BY ts, event_id) AS l
+        |   (SELECT user_id, list(c ORDER BY CAST(ts AS TIMESTAMP), event_id) AS l
         |    FROM sq GROUP BY 1)),
         | refs AS (SELECT row_number() OVER (ORDER BY user_id) AS rid,
         |   traj AS rt FROM (SELECT user_id, traj FROM tr
@@ -2940,6 +2927,37 @@ object ExtQueries {
       .map(j => s"named_struct('a', ${permA(j)}L, 'o', ${permB(j)}L)")
       .mkString(", ") + ")) jj AS jc"
     val m = 131072L
+    // Winnowing fingerprint CTE chain (w/sh/wm/fp) — ONE definition
+    // per engine shared by x_winnowing and x_winnow_matches, so the
+    // shingle width, window frame, and short-doc truncation rule
+    // cannot drift between the selector and the matcher (the
+    // sparkToks lesson: copies of hash logic drifted before).
+    def winnowFpSpark(view: String): String =
+      s"""WITH w AS (SELECT doc_id, $sparkToks AS toks
+        |   FROM $view),
+        | sh AS (SELECT doc_id, pos, graft_md5_48(concat_ws(' ',
+        |     slice(toks, pos, 3))) % $P AS h
+        |   FROM w LATERAL VIEW explode(
+        |     sequence(1, size(toks) - 2)) pp AS pos
+        |   WHERE size(toks) >= 3),
+        | wm AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id
+        |   ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |   pos, count(*) OVER (PARTITION BY doc_id) AS n
+        |   FROM sh),
+        | fp AS (SELECT DISTINCT doc_id, fp FROM wm
+        |   WHERE pos <= n - 3 OR n < 4)""".stripMargin
+    val winnowFpDuck: String =
+      s"""WITH w AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        | sh AS (SELECT doc_id, pos, (${md5Fold(
+            "array_to_string(toks[pos:pos+2], ' ')")}) % $P AS h
+        |   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos
+        |     FROM w WHERE len(toks) >= 3)),
+        | wm AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id
+        |   ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |   pos, count(*) OVER (PARTITION BY doc_id) AS n
+        |   FROM sh),
+        | fp AS (SELECT DISTINCT doc_id, fp FROM wm
+        |   WHERE pos <= n - 3 OR n < 4)""".stripMargin
     Seq(
     // X1 bloom-filter cross-split contamination screen: how much of
     // each held-out doc's shingle set has the training split already
@@ -3028,33 +3046,12 @@ object ExtQueries {
       (s, d) => {
         graft.GraftFunctions.register(s)
         Tables.documents(s, d).createOrReplaceTempView("documents_wn")
-        s.sql(s"""WITH w AS (SELECT doc_id, $sparkToks AS toks
-          |   FROM documents_wn),
-          | sh AS (SELECT doc_id, pos, graft_md5_48(concat_ws(' ',
-          |     slice(toks, pos, 3))) % $P AS h
-          |   FROM w LATERAL VIEW explode(
-          |     sequence(1, size(toks) - 2)) pp AS pos
-          |   WHERE size(toks) >= 3),
-          | wm AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id
-          |   ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-          |   pos, count(*) OVER (PARTITION BY doc_id) AS n
-          |   FROM sh)
-          | SELECT DISTINCT doc_id, fp FROM wm
-          | WHERE pos <= n - 3 OR n < 4
-          | ORDER BY doc_id, fp""".stripMargin)
+        s.sql(winnowFpSpark("documents_wn") +
+          " SELECT doc_id, fp FROM fp ORDER BY doc_id, fp")
       },
-      Some(s"""WITH w AS (SELECT doc_id, $duckToks AS toks FROM documents),
-        | sh AS (SELECT doc_id, pos, (${md5Fold(
-            "array_to_string(toks[pos:pos+2], ' ')")}) % $P AS h
-        |   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos
-        |     FROM w WHERE len(toks) >= 3)),
-        | wm AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id
-        |   ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-        |   pos, count(*) OVER (PARTITION BY doc_id) AS n
-        |   FROM sh)
-        | SELECT DISTINCT doc_id, fp FROM wm
-        | WHERE pos <= n - 3 OR n < 4
-        | ORDER BY doc_id, fp""".stripMargin.replaceAll("\n", ""))),
+      Some((winnowFpDuck +
+        " SELECT doc_id, fp FROM fp ORDER BY doc_id, fp")
+        .replaceAll("\n", ""))),
 
     // X1 × St2 streaming bloom ingest, batch twin: the final streamed
     // bloom state (DISTINCT union of per-batch set-bit partials —
@@ -3352,19 +3349,7 @@ object ExtQueries {
       (s, d) => {
         graft.GraftFunctions.register(s)
         Tables.documents(s, d).createOrReplaceTempView("documents_wm")
-        s.sql(s"""WITH w AS (SELECT doc_id, $sparkToks AS toks
-          |   FROM documents_wm),
-          | sh AS (SELECT doc_id, pos, graft_md5_48(concat_ws(' ',
-          |     slice(toks, pos, 3))) % $P AS h
-          |   FROM w LATERAL VIEW explode(
-          |     sequence(1, size(toks) - 2)) pp AS pos
-          |   WHERE size(toks) >= 3),
-          | wm AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id
-          |   ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-          |   pos, count(*) OVER (PARTITION BY doc_id) AS n
-          |   FROM sh),
-          | fp AS (SELECT DISTINCT doc_id, fp FROM wm
-          |   WHERE pos <= n - 3 OR n < 4),
+        s.sql(winnowFpSpark("documents_wm") + s""",
           | fdf AS (SELECT fp, count(*) AS df FROM fp GROUP BY 1),
           | keep AS (SELECT fp.doc_id, fp.fp FROM fp
           |   JOIN fdf ON fp.fp = fdf.fp WHERE fdf.df <= 16),
@@ -3379,17 +3364,7 @@ object ExtQueries {
           | JOIN sz sb ON sb.doc_id = b_id
           | WHERE n_shared >= 2 ORDER BY a_id, b_id""".stripMargin)
       },
-      Some(s"""WITH w AS (SELECT doc_id, $duckToks AS toks FROM documents),
-        | sh AS (SELECT doc_id, pos, (${md5Fold(
-            "array_to_string(toks[pos:pos+2], ' ')")}) % $P AS h
-        |   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos
-        |     FROM w WHERE len(toks) >= 3)),
-        | wm AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id
-        |   ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-        |   pos, count(*) OVER (PARTITION BY doc_id) AS n
-        |   FROM sh),
-        | fp AS (SELECT DISTINCT doc_id, fp FROM wm
-        |   WHERE pos <= n - 3 OR n < 4),
+      Some(winnowFpDuck + s""",
         | fdf AS (SELECT fp, count(*) AS df FROM fp GROUP BY 1),
         | keep AS (SELECT fp.doc_id, fp.fp FROM fp
         |   JOIN fdf ON fp.fp = fdf.fp WHERE fdf.df <= 16),

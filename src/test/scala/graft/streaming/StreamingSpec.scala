@@ -811,37 +811,42 @@ class StreamingSpec extends SparkSpec {
     val rows = embDf.select("vec_id", "embedding").orderBy("vec_id")
       .as[VecRow].collect()
     val seed = KMeansExact.seedCentroids(KMeansExact.quantized(embDf), 8)
-    val chunks = rows.grouped((rows.length + 2) / 3).toSeq
+    val chunks = rows.grouped((rows.length + 3) / 4).toSeq
     val dir = java.nio.file.Files.createTempDirectory("kprof_").toString
     val state = s"$dir/state"
     val input = MemoryStream[VecRow]
-    val q = ClusterProfileIngest.start(input.toDF(), state, s"$dir/ckpt", seed)
-    try {
-      chunks.foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
-      val raw = spark.read.parquet(state)
-      assert(raw.select("batch_id").distinct().count() == chunks.length)
-      assert(raw.groupBy("batch_id").count()
-        .filter(col("count") > 8L * 64L).count() == 0)
-      def cells() = ClusterProfileIngest.profile(spark, state).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-        .toSet
-      val twin = ClusterProfileIngest.batchTwin(embDf, seed).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-        .toSet
-      val before = cells()
-      assert(before == twin,
-        "summed per-batch profiles must equal the one-pass corpus profile")
-      // sum-merge compaction: exactly-once swap, cell sums unchanged
-      ClusterProfileIngest.compactState(spark, state)
-      assert(cells() == before, "compaction must not change any cell sum")
-      // recenter off the streamed state = one exact Lloyd step: the
-      // re-assigned inertia may not rise above the seed assignment
-      val next = ClusterProfileIngest.recenter(spark, state, seed)
-      def inertia(c: Array[Long]): Long =
-        KMeansExact.assign(KMeansExact.quantized(embDf), c, 8)
-          .agg(sum(col("d2"))).head().getLong(0)
-      assert(inertia(next) <= inertia(seed) + rows.length * 64L * 4L)
-    } finally q.stop()
+    def run(cs: Seq[IndexedSeq[VecRow]]): Unit = {
+      val q = ClusterProfileIngest.start(input.toDF(), state, s"$dir/ckpt", seed)
+      try cs.foreach { c => input.addData(c); q.processAllAvailable() }
+      finally q.stop()
+    }
+    run(chunks.take(3).map(_.toIndexedSeq))
+    val raw = spark.read.parquet(state)
+    assert(raw.select("batch_id").distinct().count() == 3)
+    assert(raw.groupBy("batch_id").count()
+      .filter(col("count") > 8L * 64L).count() == 0)
+    def cells() = ClusterProfileIngest.profile(spark, state).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // sum-merge compaction between runs: exactly-once swap, sums kept
+    val partial = cells()
+    ClusterProfileIngest.compactState(spark, state)
+    assert(cells() == partial, "compaction must not change any cell sum")
+    // restart from the checkpoint against the compacted state: the
+    // final merged profile must equal the one-pass corpus twin
+    run(chunks.drop(3).map(_.toIndexedSeq))
+    val twin = ClusterProfileIngest.batchTwin(embDf, seed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(cells() == twin,
+      "summed per-batch profiles must equal the one-pass corpus profile")
+    // recenter off the streamed state = one exact Lloyd step: the
+    // re-assigned inertia may not rise above the seed assignment
+    val next = ClusterProfileIngest.recenter(spark, state, seed)
+    def inertia(c: Array[Long]): Long =
+      KMeansExact.assign(KMeansExact.quantized(embDf), c, 8)
+        .agg(sum(col("d2"))).head().getLong(0)
+    assert(inertia(next) <= inertia(seed) + rows.length * 64L * 4L)
   }
 }
 

@@ -380,6 +380,55 @@ object ExtQueries {
         |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
         | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""))),
 
+    // X1 MinHash-LSH quality evaluation (x_ann_recall's pattern for
+    // the dedup surface): recall of the banded candidate pipeline
+    // against the exact-Jaccard pair set, plus the subset invariant
+    // n_inter == n_approx (the verify stage makes approx ⊆ exact BY
+    // CONSTRUCTION — a deviation is a bug, and the hash gate would
+    // catch it). Both sides are already hash-matched individually;
+    // this oracles the METRIC, complementing DedupOpsSpec's
+    // ScalaTest recall floor. Metric assembly is three counts on the
+    // driver — the distributed work is the two pair pipelines.
+    Q("x_minhash_recall",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val exact = DedupOps.jaccardPairs(docs, "text", "doc_id",
+          n = 3, threshold = 0.2).select("a_id", "b_id")
+        val approx = DedupOps.nearDupPairs(docs, "text", "doc_id",
+          n = 3, k = 16, bands = 8, threshold = 0.2, portable = true)
+          .select("a_id", "b_id")
+        val nEx = exact.count()
+        val nAp = approx.count()
+        val nInter = approx.join(exact, Seq("a_id", "b_id"), "left_semi")
+          .count()
+        import s.implicits._
+        Seq((nEx, nAp, nInter, nAp * 1000000L / math.max(nEx, 1L)))
+          .toDF("n_exact", "n_approx", "n_inter", "recall_ppm")
+      },
+      Some {
+        def jac(x: String, y: String): String =
+          s"CAST(len(list_intersect($x, $y)) AS DOUBLE) / " +
+            s"(len($x) + len($y) - len(list_intersect($x, $y)))"
+        minhashSigCte(16) +
+          s""", ex AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          |   FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |   WHERE len(list_intersect(a.sh, b.sh)) > 0
+          |     AND ${jac("a.sh", "b.sh")} >= 0.2),
+          | cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |   a.sh AS a_sh, b.sh AS b_sh FROM sig a JOIN sig b
+          |   ON a.doc_id < b.doc_id AND (${bandPred(16, 8)})),
+          | ap AS (SELECT a_id, b_id FROM cand
+          |   WHERE ${jac("a_sh", "b_sh")} >= 0.2)
+          | SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+          |  CAST((SELECT count(*) FROM ap) AS BIGINT) AS n_approx,
+          |  CAST((SELECT count(*) FROM ap JOIN ex
+          |    ON ap.a_id = ex.a_id AND ap.b_id = ex.b_id) AS BIGINT)
+          |    AS n_inter,
+          |  CAST(((SELECT count(*) FROM ap) * 1000000)
+          |    // greatest((SELECT count(*) FROM ex), 1) AS BIGINT)
+          |    AS recall_ppm""".stripMargin.replaceAll("\n", "")
+      }),
+
     // X1 PRODUCTION two-stage near-dup: MinHash-LSH band candidates →
     // EXACT Jaccard verify on candidates only (DedupOps.nearDupPairs —
     // the shape sim/DedupOps documents as the 100 TB path: the band

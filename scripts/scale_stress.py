@@ -40,6 +40,10 @@ for table, keys in SHIFTS.items():
         continue
     cols = [r[0] for r in con.execute(
         f"DESCRIBE SELECT * FROM '{path}'").fetchall()]
+    for k in keys:  # shifted ranges must not collide across replicas
+        mx = con.execute(f"SELECT max({k}) FROM '{path}'").fetchone()[0]
+        assert mx is None or mx < SHIFT, \
+            f"{table}.{k} max {mx} >= SHIFT {SHIFT}: replicas would overlap"
     reps = n if keys else 1  # keyless dims are not replicated
     selects = []
     for i in range(reps):

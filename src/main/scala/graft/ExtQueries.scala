@@ -392,17 +392,30 @@ object ExtQueries {
     Q("x_minhash_recall",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val exact = DedupOps.jaccardPairs(docs, "text", "doc_id",
+        // each pipeline is consumed twice (its count + the overlap
+        // join) — land the pair sets in scratch parquet once, the
+        // RobustStats/PageRank pattern, instead of re-running the
+        // inverted-index and band joins per consumer
+        val dir = graft.ops.CoreOps.scratchDirUnique("mh_recall")
+        DedupOps.jaccardPairs(docs, "text", "doc_id",
           n = 3, threshold = 0.2).select("a_id", "b_id")
-        val approx = DedupOps.nearDupPairs(docs, "text", "doc_id",
+          .write.mode("overwrite").parquet(s"$dir/ex")
+        DedupOps.nearDupPairs(docs, "text", "doc_id",
           n = 3, k = 16, bands = 8, threshold = 0.2, portable = true)
           .select("a_id", "b_id")
+          .write.mode("overwrite").parquet(s"$dir/ap")
+        val exact = s.read.parquet(s"$dir/ex")
+        val approx = s.read.parquet(s"$dir/ap")
         val nEx = exact.count()
         val nAp = approx.count()
         val nInter = approx.join(exact, Seq("a_id", "b_id"), "left_semi")
           .count()
         import s.implicits._
-        Seq((nEx, nAp, nInter, nAp * 1000000L / math.max(nEx, 1L)))
+        // recall's numerator is the INTERSECTION, not n_approx: equal
+        // today (verify makes approx ⊆ exact), but the metric must
+        // stay correct even if a future candidate stage admits
+        // false-positive pairs on both engines at once
+        Seq((nEx, nAp, nInter, nInter * 1000000L / math.max(nEx, 1L)))
           .toDF("n_exact", "n_approx", "n_inter", "recall_ppm")
       },
       Some {
@@ -424,7 +437,8 @@ object ExtQueries {
           |  CAST((SELECT count(*) FROM ap JOIN ex
           |    ON ap.a_id = ex.a_id AND ap.b_id = ex.b_id) AS BIGINT)
           |    AS n_inter,
-          |  CAST(((SELECT count(*) FROM ap) * 1000000)
+          |  CAST(((SELECT count(*) FROM ap JOIN ex
+          |    ON ap.a_id = ex.a_id AND ap.b_id = ex.b_id) * 1000000)
           |    // greatest((SELECT count(*) FROM ex), 1) AS BIGINT)
           |    AS recall_ppm""".stripMargin.replaceAll("\n", "")
       }),

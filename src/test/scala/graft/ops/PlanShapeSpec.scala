@@ -114,8 +114,11 @@ class PlanShapeSpec extends SparkSpec {
       "x_bpe_train", "x_bpe_encode", "x_pagerank",
       "x_kmeans", "x_pca_power", // Lloyd/power rounds collect mid-build;
                                  // map-only shape pinned in their tests below
-      "x_label_prop") // rounds materialize to scratch (PageRank shape);
+      "x_label_prop", // rounds materialize to scratch (PageRank shape);
                       // the per-round plan is pinned below
+      "x_minhash_recall") // metric assembly counts both pair pipelines
+                          // eagerly; their join shapes are pinned by
+                          // x_ngram_jaccard / x_dedup_minhash
     graft.SparkEntry.queries.keys
       .filterNot(intentional).filterNot(eager).toSeq.sorted
       .foreach { name =>

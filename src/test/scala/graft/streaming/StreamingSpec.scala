@@ -835,6 +835,13 @@ class StreamingSpec extends SparkSpec {
     // restart from the checkpoint against the compacted state: the
     // final merged profile must equal the one-pass corpus twin
     run(chunks.drop(3).map(_.toIndexedSeq))
+    // the resumed run must add exactly one new partial on top of the
+    // two compacted dirs (no replay of compacted batches into fresh
+    // ids) and every partial must stay <= k*dim rows
+    val after = spark.read.parquet(state)
+    assert(after.select("batch_id").distinct().count() == 3)
+    assert(after.groupBy("batch_id").count()
+      .filter(col("count") > 8L * 64L).count() == 0)
     val twin = ClusterProfileIngest.batchTwin(embDf, seed).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet

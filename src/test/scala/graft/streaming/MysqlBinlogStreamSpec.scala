@@ -477,4 +477,67 @@ class MysqlBinlogStreamSpec extends SparkSpec {
     assert(seqs.sorted.sameElements(seqs),
       "seq must ascend with key across the rotation")
   }
+
+  test("interleaved multi-table transactions route by table with no cross-talk") {
+    // one server log carrying TWO tables with different shapes inside
+    // the SAME transaction (the normal production case — a binlog is
+    // per-server, not per-table): every row must surface with its own
+    // table name and its own TABLE_MAP's decode, and a per-table
+    // latest-state collapse must see only its own keys.
+    val base = Files.createTempDirectory("graft_binlog_multitable_").toString
+    val log = s"$base/bin.000001"
+    val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val ta = TableDef(21L, "graft", "users",
+      Seq(Col.bigint("k"), Col.varchar("v", 64)))
+    val tb = TableDef(22L, "graft", "orders",
+      Seq(Col.bigint("k"), Col.varchar("v", 64), Col.bigint("amount")))
+    def rowB(k: Long, v: String, amt: Long) = Array[AnyRef](
+      java.lang.Long.valueOf(k), v: AnyRef, java.lang.Long.valueOf(amt))
+    val w = new Writer(log, serverId = 1L)
+    w.setClock(1700000000L); w.begin()
+    // txn 1: both tables interleaved, same key VALUES on purpose —
+    // key collision across tables must not collapse across them
+    w.tableMap(ta); w.writeRows(ta, Seq(img(1L, "alice"), img(2L, "bob")))
+    w.tableMap(tb); w.writeRows(tb, Seq(rowB(1L, "o-1", 100L)))
+    w.xid(1L)
+    // txn 2: update one table, delete from the other
+    w.tableMap(ta)
+    w.updateRows(ta, Seq((img(1L, "alice"), img(1L, "alicia"))))
+    w.tableMap(tb)
+    w.deleteRows(tb, Seq(rowB(1L, "o-1", 100L)))
+    w.xid(2L)
+    w.flush()
+    val q = spark.readStream
+      .format(classOf[MysqlBinlogSourceProvider].getName)
+      .option("path", log)
+      .load()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.read.parquet(outDir)
+      // routing: the orders rows never leak into the users table
+      val byTable = rows.groupBy("table").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byTable == Map("users" -> 3L, "orders" -> 2L), s"got $byTable")
+      // per-table latest state: same CdcPipeline collapse, keyed within
+      // the table only — key 1 survives in users (updated) but is a
+      // delete in orders
+      import org.apache.spark.sql.expressions.Window
+      val latest = rows
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          Window.partitionBy("table", "key")
+            .orderBy(org.apache.spark.sql.functions.col("seq").desc)))
+        .filter("rn = 1")
+      val users = latest.filter("table = 'users' AND op <> 'delete'")
+        .select("key", "payload").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(users == Map(
+        1L -> """{"k":1,"v":"alicia"}""",
+        2L -> """{"k":2,"v":"bob"}"""), s"got $users")
+      val orders = latest.filter("table = 'orders'").collect()
+      assert(orders.length == 1 && orders(0).getAs[String]("op") == "delete",
+        "orders key 1 must end as a delete, untouched by the users update")
+    } finally { q.stop(); w.close() }
+  }
 }

@@ -124,6 +124,52 @@ class ExactOpsFuzzSpec extends SparkSpec {
     }
   }
 
+  test("streamed-profile recenter equals the corpus Lloyd recenter bit-for-bit") {
+    val rng = new scala.util.Random(2024)
+    for (round <- 1 to 5) {
+      val n = 12 + rng.nextInt(20)
+      val k = 2 + rng.nextInt(3)
+      val dim = 4 + rng.nextInt(4)
+      val vecs = (0 until n).map { i =>
+        (i.toLong, Array.fill(dim)(rng.nextFloat() - 0.5f).toSeq)
+      }
+      val df = vecs.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+      val seed = KMeansExact.seedCentroids(KMeansExact.quantized(df), k)
+      // sequential corpus recenter: assignment sums under the seed,
+      // toward-zero division, empty clusters keep their centroid
+      val q = vecs.map { case (id, v) => (id, v.map(quant).toArray) }
+      def d2(a: Array[Long], j: Int): Long = {
+        var s = 0L; var i = 0
+        while (i < dim) {
+          val d = a(i) - seed(j * dim + i); s += d * d; i += 1
+        }; s
+      }
+      val expect = seed.clone()
+      q.groupBy { case (_, x) =>
+        (0 until k).minBy(j => (d2(x, j), j))
+      }.foreach { case (c, vs) =>
+        for (d0 <- 0 until dim)
+          expect(c * dim + d0) = vs.map(_._2(d0)).sum / vs.length
+      }
+      // streamed path: two partial profiles in batch_id dirs, merged
+      val dir = java.nio.file.Files.createTempDirectory("recenter_").toString
+      val (h1, h2) = vecs.splitAt(n / 2)
+      Seq(h1, h2).zipWithIndex.foreach { case (half, b) =>
+        val hdf = half.toDF("vec_id", "embedding")
+          .select(col("vec_id"), col("embedding").cast("array<float>"))
+        graft.streaming.ClusterProfileIngest.profileRows(hdf, seed, k)
+          .withColumn("batch_id", lit(b.toLong))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$dir/state")
+      }
+      val got = graft.streaming.ClusterProfileIngest
+        .recenter(spark, s"$dir/state", seed, k)
+      assert(got.toSeq == expect.toSeq, s"round $round (n=$n k=$k dim=$dim)")
+    }
+  }
+
   test("PCA power iteration matches a sequential BigInt reference") {
     val rng = new scala.util.Random(99)
     for (round <- 1 to 5) {

@@ -2797,31 +2797,138 @@ object ExtQueries {
         |   coalesce(u$u.cq, $cin.cq) AS cq FROM $cin
         |   LEFT JOIN u$u ON $cin.cluster = u$u.cluster
         |     AND $cin.dpos = u$u.dpos),"""
+    // shared two-round chain ending in `fin` = the final assignment
+    // (vec_id, cluster, d2) under the post-iteration centroids — ONE
+    // definition consumed by x_kmeans and x_label_purity so the Lloyd
+    // arithmetic cannot drift between the clustering and its eval.
+    val kmeansAssignChain: String =
+      (s"""WITH e AS (SELECT vec_id,
+        |   generate_subscripts(embedding, 1) AS dpos,
+        |   unnest(embedding) AS v FROM embeddings),
+        | q AS (SELECT vec_id, dpos, CAST(floor(CAST(v AS DOUBLE)
+        |   * 1048576.0 + 0.5) AS BIGINT) AS vq FROM e),
+        | seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id)
+        |   - 1 AS cluster
+        |   FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+        | c0 AS (SELECT seed.cluster, q.dpos, q.vq AS cq
+        |   FROM seed JOIN q USING (vec_id)),""" +
+        round("c0", "0", "1", "c1") +
+        round("c1", "1", "2", "c2") + "\n" +
+        """| df AS (SELECT q.vec_id, c.cluster,
+        |   CAST(sum((q.vq - c.cq) * (q.vq - c.cq)) AS BIGINT) AS d2
+        |   FROM q JOIN c2 c ON q.dpos = c.dpos GROUP BY 1, 2),
+        | fin AS (SELECT vec_id, cluster, d2 FROM (SELECT vec_id, cluster,
+        |   d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster)
+        |     AS rn FROM df) WHERE rn = 1)""").stripMargin
     Seq(
       Q("x_kmeans",
         (s, d) => graft.sim.KMeansExact
           .fit(Tables.embeddings(s, d), k = k, iters = 2)
           .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
             col("d2")),
-        Some((s"""WITH e AS (SELECT vec_id,
-          |   generate_subscripts(embedding, 1) AS dpos,
-          |   unnest(embedding) AS v FROM embeddings),
-          | q AS (SELECT vec_id, dpos, CAST(floor(CAST(v AS DOUBLE)
-          |   * 1048576.0 + 0.5) AS BIGINT) AS vq FROM e),
-          | seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id)
-          |   - 1 AS cluster
-          |   FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
-          | c0 AS (SELECT seed.cluster, q.dpos, q.vq AS cq
-          |   FROM seed JOIN q USING (vec_id)),""" +
-          round("c0", "0", "1", "c1") +
-          round("c1", "1", "2", "c2") + "\n" +
-          s"""| df AS (SELECT q.vec_id, c.cluster,
-          |   CAST(sum((q.vq - c.cq) * (q.vq - c.cq)) AS BIGINT) AS d2
-          |   FROM q JOIN c2 c ON q.dpos = c.dpos GROUP BY 1, 2)
-          | SELECT vec_id, cluster, d2 FROM (SELECT vec_id, cluster, d2,
-          |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster)
-          |     AS rn FROM df) WHERE rn = 1 ORDER BY vec_id""")
-          .stripMargin.replaceAll("\n", ""))),
+        Some((kmeansAssignChain +
+          " SELECT vec_id, cluster, d2 FROM fin ORDER BY vec_id")
+          .replaceAll("\n", ""))),
+
+      // X2 cluster-label purity (the unsupervised-quality eval beside
+      // x_ann_recall/x_minhash_recall: do the exact k-means clusters
+      // line up with the held ground-truth labels?): per cluster, the
+      // majority true label and its exact ppm share. Composes the
+      // SHARED assignment chain with a vote — both engines replay the
+      // identical Lloyd rounds, so the eval is hash-matched end to end.
+      Q("x_label_purity",
+        (s, d) => {
+          import org.apache.spark.sql.expressions.Window
+          val emb = Tables.embeddings(s, d)
+          val assign = graft.sim.KMeansExact.fit(emb, k = k, iters = 2)
+            .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+          val lab = assign.join(
+            broadcast(emb.select(col("vec_id"),
+              col("label").cast("long").as("l"))), "vec_id")
+          val cnt = lab.groupBy("cluster", "l").agg(count(lit(1)).as("n"))
+          val w = Window.partitionBy("cluster")
+            .orderBy(col("n").desc, col("l").asc)
+          val maj = cnt.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("cluster"), col("l").as("majority_label"),
+              col("n").as("n_major"))
+          lab.groupBy("cluster").agg(count(lit(1)).as("n_total"))
+            .join(maj, "cluster")
+            .selectExpr("cluster", "n_total", "majority_label",
+              "CAST(n_major AS BIGINT) AS n_major",
+              "CAST(n_major * 1000000 div n_total AS BIGINT) AS purity_ppm")
+            .orderBy("cluster")
+        },
+        Some((kmeansAssignChain + s""",
+          | lab AS (SELECT f.cluster, CAST(e2.label AS BIGINT) AS l
+          |   FROM fin f JOIN embeddings e2 ON f.vec_id = e2.vec_id),
+          | cnt AS (SELECT cluster, l, count(*) AS n FROM lab GROUP BY 1, 2),
+          | tot AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_total
+          |   FROM lab GROUP BY 1),
+          | maj AS (SELECT cluster, l AS majority_label,
+          |   CAST(n AS BIGINT) AS n_major FROM (SELECT cluster, l, n,
+          |   row_number() OVER (PARTITION BY cluster ORDER BY n DESC, l)
+          |     AS rn FROM cnt) WHERE rn = 1)
+          | SELECT t.cluster, t.n_total, m.majority_label, m.n_major,
+          |   CAST((m.n_major * 1000000) // t.n_total AS BIGINT)
+          |     AS purity_ppm
+          | FROM tot t JOIN maj m ON t.cluster = m.cluster
+          | ORDER BY t.cluster""").stripMargin.replaceAll("\n", ""))),
+
+      // X2 k-NN classification accuracy (the labeled-probe eval: do
+      // near neighbors share the query's class?): majority label of
+      // the 10 nearest candidates per panel query (vec_id % 10 — the
+      // x_ann_recall panel stance), ties to the smallest label, exact
+      // correctness bit per query. Ground truth side is the deliberate
+      // panel × corpus brute force; the production path would swap in
+      // the IVF candidates unchanged.
+      Q("x_knn_classify",
+        (s, d) => {
+          import org.apache.spark.sql.expressions.Window
+          val emb = Tables.embeddings(s, d)
+          val qs = emb.filter(col("vec_id") % 10 === 0)
+          val cs = emb.filter(col("vec_id") % 10 =!= 0)
+          val nn = graft.sim.VectorOps.knnBruteForce(qs, cs, 10)
+          val nbr = broadcast(emb.select(col("vec_id").as("neighbor_id"),
+            col("label").cast("long").as("nl")))
+          val votes = nn.join(nbr, "neighbor_id")
+            .groupBy("query_id", "nl").agg(count(lit(1)).as("n"))
+          val w = Window.partitionBy("query_id")
+            .orderBy(col("n").desc, col("nl").asc)
+          val pred = votes.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("query_id"), col("nl").as("pred_label"))
+          qs.select(col("vec_id").as("query_id"),
+              col("label").cast("long").as("true_label"))
+            .join(pred, "query_id")
+            .select(col("query_id"), col("true_label"), col("pred_label"),
+              when(col("true_label") === col("pred_label"), 1L)
+                .otherwise(0L).as("correct"))
+            .orderBy("query_id")
+        },
+        Some {
+          s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+            |   CAST(label AS BIGINT) AS tl FROM embeddings
+            |   WHERE vec_id % 10 = 0),
+            | c AS (SELECT vec_id AS neighbor_id, embedding AS ce,
+            |   CAST(label AS BIGINT) AS nl FROM embeddings
+            |   WHERE vec_id % 10 <> 0),
+            | sc AS (SELECT query_id, neighbor_id, nl,
+            |   round(${cosSql("qe", "ce")}, 4) AS sim FROM q CROSS JOIN c),
+            | top AS (SELECT query_id, nl FROM (SELECT *, row_number()
+            |   OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+            |     AS rn FROM sc) t WHERE rn <= 10),
+            | v AS (SELECT query_id, nl, count(*) AS n FROM top
+            |   GROUP BY 1, 2),
+            | pred AS (SELECT query_id, nl AS pred_label FROM (SELECT
+            |   query_id, nl, row_number() OVER (PARTITION BY query_id
+            |   ORDER BY n DESC, nl) AS rn FROM v) WHERE rn = 1)
+            | SELECT q.query_id, q.tl AS true_label, pred.pred_label,
+            |   CAST(CASE WHEN q.tl = pred.pred_label THEN 1 ELSE 0 END
+            |     AS BIGINT) AS correct
+            | FROM q JOIN pred ON q.query_id = pred.query_id
+            | ORDER BY q.query_id""".stripMargin.replaceAll("\n", "")
+        }),
 
       // X2 top principal direction by power iteration over the EXACT
       // integer scatter matrix (PcaPower's contract: half-up 2^20

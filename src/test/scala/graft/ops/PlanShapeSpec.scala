@@ -105,8 +105,9 @@ class PlanShapeSpec extends SparkSpec {
       "st_ks_drift",        // same CDF grid read off the streamed
                             // histogram state (KsDriftIngest.ksPairs)
       "x_daily_drift",      // days × value-buckets CDF grid — same shape
-      "x_ann_recall")       // recall EVAL: the ground-truth side is the
+      "x_ann_recall",       // recall EVAL: the ground-truth side is the
                             // deliberate brute-force panel × corpus scan
+      "x_knn_classify")     // same panel × corpus ground-truth stance
     // iterative/eager queries run real jobs just to build their plan —
     // their join shapes are asserted in their own suites
     val eager = Set("x_dedup_clusters", "x_knn_ivf", "x_knn_ivf_probeall",
@@ -116,9 +117,10 @@ class PlanShapeSpec extends SparkSpec {
                                  // map-only shape pinned in their tests below
       "x_label_prop", // rounds materialize to scratch (PageRank shape);
                       // the per-round plan is pinned below
-      "x_minhash_recall") // metric assembly counts both pair pipelines
+      "x_minhash_recall", // metric assembly counts both pair pipelines
                           // eagerly; their join shapes are pinned by
                           // x_ngram_jaccard / x_dedup_minhash
+      "x_label_purity")   // runs the Lloyd collects mid-build (x_kmeans)
     graft.SparkEntry.queries.keys
       .filterNot(intentional).filterNot(eager).toSeq.sorted
       .foreach { name =>

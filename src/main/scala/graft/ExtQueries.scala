@@ -181,6 +181,19 @@ object ExtQueries {
       |   i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))"""
       .stripMargin.replaceAll("\n", "")
 
+  /** The brute-force scoring contract shared by every KNN twin that
+    * ranks exactly: cosine rounded to 4dp (comparator-stable across
+    * engines) and the per-query cut ordered (sim DESC, neighbor_id) —
+    * ONE definition so panels in different queries cannot drift.
+    */
+  private def simSql(a: String, b: String): String =
+    s"round(${cosSql(a, b)}, 4)"
+
+  private def topKByQuerySql(src: String, k: Int, cols: String): String =
+    s"(SELECT $cols FROM (SELECT *, row_number() OVER (PARTITION BY " +
+      s"query_id ORDER BY sim DESC, neighbor_id) AS rn FROM $src) t " +
+      s"WHERE rn <= $k)"
+
   /** Assignment/probe twin of Kernels.ivfProbe, which maps a zero-norm
     * side to sim = -2.0 instead of dividing by zero — without the
     * mirrored sentinel a zero vector in a future fixture would NULL the
@@ -2852,7 +2865,9 @@ object ExtQueries {
             .filter(col("rn") === 1)
             .select(col("cluster"), col("l").as("majority_label"),
               col("n").as("n_major"))
-          lab.groupBy("cluster").agg(count(lit(1)).as("n_total"))
+          // totals from the k x labels vote table, NOT a second pass
+          // over the corpus-sized assignment lineage
+          cnt.groupBy("cluster").agg(sum(col("n")).as("n_total"))
             .join(maj, "cluster")
             .selectExpr("cluster", "n_total", "majority_label",
               "CAST(n_major AS BIGINT) AS n_major",
@@ -2877,8 +2892,9 @@ object ExtQueries {
 
       // X2 k-NN classification accuracy (the labeled-probe eval: do
       // near neighbors share the query's class?): majority label of
-      // the 10 nearest candidates per panel query (vec_id % 10 — the
-      // x_ann_recall panel stance), ties to the smallest label, exact
+      // the 10 nearest candidates per panel query (a vec_id % 10
+      // panel — same SAMPLED-PANEL stance as x_ann_recall, different
+      // query set), ties to the smallest label, exact
       // correctness bit per query. Ground truth side is the deliberate
       // panel × corpus brute force; the production path would swap in
       // the IVF candidates unchanged.
@@ -2889,7 +2905,7 @@ object ExtQueries {
           val qs = emb.filter(col("vec_id") % 10 === 0)
           val cs = emb.filter(col("vec_id") % 10 =!= 0)
           val nn = graft.sim.VectorOps.knnBruteForce(qs, cs, 10)
-          val nbr = broadcast(emb.select(col("vec_id").as("neighbor_id"),
+          val nbr = broadcast(cs.select(col("vec_id").as("neighbor_id"),
             col("label").cast("long").as("nl")))
           val votes = nn.join(nbr, "neighbor_id")
             .groupBy("query_id", "nl").agg(count(lit(1)).as("n"))
@@ -2914,10 +2930,8 @@ object ExtQueries {
             |   CAST(label AS BIGINT) AS nl FROM embeddings
             |   WHERE vec_id % 10 <> 0),
             | sc AS (SELECT query_id, neighbor_id, nl,
-            |   round(${cosSql("qe", "ce")}, 4) AS sim FROM q CROSS JOIN c),
-            | top AS (SELECT query_id, nl FROM (SELECT *, row_number()
-            |   OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
-            |     AS rn FROM sc) t WHERE rn <= 10),
+            |   ${simSql("qe", "ce")} AS sim FROM q CROSS JOIN c),
+            | top AS ${topKByQuerySql("sc", 10, "query_id, nl")},
             | v AS (SELECT query_id, nl, count(*) AS n FROM top
             |   GROUP BY 1, 2),
             | pred AS (SELECT query_id, nl AS pred_label FROM (SELECT
@@ -3027,10 +3041,8 @@ object ExtQueries {
             |   OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
             |   FROM asc_) t WHERE rn <= 10),
             | bsc AS (SELECT query_id, neighbor_id,
-            |   round(${cos("qe", "ce")}, 4) AS sim FROM q CROSS JOIN c),
-            | bt AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number()
-            |   OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
-            |   FROM bsc) t WHERE rn <= 10),
+            |   ${simSql("qe", "ce")} AS sim FROM q CROSS JOIN c),
+            | bt AS ${topKByQuerySql("bsc", 10, "query_id, neighbor_id")},
             | j AS (SELECT bt.query_id,
             |   sum(CASE WHEN ap.neighbor_id IS NULL THEN 0 ELSE 1 END) AS hits,
             |   count(*) AS n_true FROM bt LEFT JOIN ap

@@ -540,4 +540,48 @@ class MysqlBinlogStreamSpec extends SparkSpec {
         "orders key 1 must end as a delete, untouched by the users update")
     } finally { q.stop(); w.close() }
   }
+
+  test("startGtid skips a compressed executed prefix on headers alone") {
+    // GTID events sit OUTSIDE the TRANSACTION_PAYLOAD wrapper, so the
+    // auto-position scan can pass executed COMPRESSED transactions
+    // without decompressing them, and the first unexecuted wrapped
+    // transaction must still decode in full.
+    val base = Files.createTempDirectory("graft_binlog_gtid_tp_").toString
+    val u = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    val log = s"$base/bin.000001"
+    val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val w = new Writer(log, serverId = 1L)
+    w.setClock(1700000000L); w.begin()
+    w.previousGtids(Seq.empty)
+    Seq(1L, 2L).foreach { gno =>
+      w.gtid(u, gno)
+      w.transactionPayload() { inner =>
+        inner.tableMap(td)
+        inner.writeRows(td, Seq(img(gno, s"pre$gno")))
+        inner.xid(gno)
+      }
+    }
+    w.gtid(u, 3L)
+    w.transactionPayload() { inner =>
+      inner.tableMap(td)
+      inner.writeRows(td, Seq(img(3L, "post3")))
+      inner.xid(3L)
+    }
+    w.flush()
+    val q = spark.readStream
+      .format(classOf[MysqlBinlogSourceProvider].getName)
+      .option("path", log)
+      .option("startGtid", s"$u:1-2")
+      .load()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.read.parquet(outDir)
+        .select("key", "payload").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows == Map(3L -> """{"k":3,"v":"post3"}"""),
+        s"only the unexecuted wrapped transaction may stream, got $rows")
+    } finally { q.stop(); w.close() }
+  }
 }

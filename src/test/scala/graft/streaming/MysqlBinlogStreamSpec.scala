@@ -584,4 +584,54 @@ class MysqlBinlogStreamSpec extends SparkSpec {
         s"only the unexecuted wrapped transaction may stream, got $rows")
     } finally { q.stop(); w.close() }
   }
+
+  test("MINIMAL row images decode inside a compressed transaction") {
+    // binlog_row_image=MINIMAL and transaction compression are
+    // independent server settings that co-occur in production: the
+    // key must come from the present columns of the decisive image
+    // even when the whole transaction arrives zstd-wrapped.
+    val base = Files.createTempDirectory("graft_binlog_tpmin_").toString
+    val log = s"$base/bin.000001"
+    val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val w = new Writer(log, serverId = 1L)
+    w.setClock(1700000000L); w.begin()
+    w.transactionPayload() { inner =>
+      inner.tableMap(td)
+      inner.writeRows(td, Seq(img(1L, "a"), img(2L, "b")))
+      inner.xid(1L)
+    }
+    w.transactionPayload() { inner =>
+      inner.tableMap(td)
+      // MINIMAL update: before image = PK only, after = changed col only
+      inner.updateRows(td, Seq((img(1L, null), img(0L, "a2"))),
+        beforePresent = Some(Set(0)), afterPresent = Some(Set(1)))
+      // MINIMAL delete: PK-only image
+      inner.deleteRows(td, Seq(img(2L, null)), presentCols = Some(Set(0)))
+      inner.xid(2L)
+    }
+    w.flush()
+    val q = spark.readStream
+      .format(classOf[MysqlBinlogSourceProvider].getName)
+      .option("path", log)
+      .load()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      import org.apache.spark.sql.expressions.Window
+      val latest = spark.read.parquet(outDir)
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          Window.partitionBy("key")
+            .orderBy(org.apache.spark.sql.functions.col("seq").desc)))
+        .filter("rn = 1")
+      val state = latest.filter("op <> 'delete'")
+        .select("key", "payload").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(state == Map(1L -> """{"v":"a2"}"""),
+        s"minimal-image collapse inside the wrapper must hold, got $state")
+      val deleted = latest.filter("op = 'delete'").select("key").collect()
+        .map(_.getLong(0)).toSet
+      assert(deleted == Set(2L))
+    } finally { q.stop(); w.close() }
+  }
 }

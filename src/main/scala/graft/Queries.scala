@@ -2658,6 +2658,48 @@ object Queries {
         | FROM events GROUP BY user_id ORDER BY user_id"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // St2, the DECIMAL row-image path through the wire — the type the
+    // reference fights hardest for (sync.py:71-83's trailing-zeros
+    // battle; every real money column is DECIMAL): the fixture encodes
+    // a ledger shape whose amounts are true T_NEWDECIMAL columns
+    // (DECIMAL(24,6) and DECIMAL(7,2) — full and partial base-10^9
+    // groups), integer-derived so the oracle replays the digits
+    // exactly. The payload carries each amount as its scale-exact
+    // toPlainString ("123.000045", trailing zeros intact), and the
+    // collapse surfaces the LAST amounts per user — a wrong group
+    // width, sign mask, or lost scale hash-mismatches against the
+    // oracle's printf-constructed strings.
+    Q("st_cdc_binlog_decimal",
+      (s, d) => {
+        val dir = graft.streaming.MysqlBinlogFixture.encodeEventsDecimal(s, d)
+        val raw = s.read
+          .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
+          .option("path", dir).load()
+        val w = Window.partitionBy(col("src"), col("key"))
+          .orderBy(col("seq").desc)
+        raw.filter(col("table") === "events" && col("op") === "insert")
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("src"), col("key"))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("key").as("user_id"), col("n").as("n_events"),
+            get_json_object(col("payload"), "$.amount").as("last_amount"),
+            get_json_object(col("payload"), "$.amount2").as("last_amount2"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        | la AS last_amount, la2 AS last_amount2 FROM (
+        | SELECT user_id,
+        |  printf('%d.%06d', (event_id*1000003 + user_id) // 1000000,
+        |    (event_id*1000003 + user_id) % 1000000) AS la,
+        |  printf('%d.%02d', (user_id*37 + event_id % 1000) // 100,
+        |    (user_id*37 + event_id % 1000) % 100) AS la2,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n
+        | FROM events) t WHERE rn = 1 ORDER BY user_id"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // St2 + S6, DBLog-style incremental snapshot (sync/
     // IncrementalSnapshot): a chunked table copy interleaved with the
     // live binlog, each chunk fenced by its OWN low watermark instead

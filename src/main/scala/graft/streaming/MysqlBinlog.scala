@@ -19,8 +19,9 @@ import java.nio.file.{Files, Paths}
   * Scope: the row-image column types the sync surface carries (§1.2
   * type ladder): TINY/SHORT/INT24/LONG/LONGLONG, FLOAT/DOUBLE, YEAR,
   * DATE, DATETIME2/TIMESTAMP2 (big-endian packed, microsecond fsp),
-  * VARCHAR/VAR_STRING/STRING, BLOB. Everything else surfaces as a
-  * decode error naming the type code — never a silent wrong value.
+  * NEWDECIMAL (base-10^9 packed, [[MysqlDecimalBinary]]),
+  * VARCHAR/VAR_STRING/STRING, BLOB, JSON. Everything else surfaces as
+  * a decode error naming the type code — never a silent wrong value.
   *
   * Pure JVM, no Spark dependency: shared by the DataSourceV2 scan
   * ([[MysqlBinlogSource]]), the fixture writer ([[MysqlBinlogWriter]]),
@@ -393,6 +394,21 @@ object MysqlBinlog {
         case m => throw new BinlogFormatException(s"BLOB length-bytes $m")
       }).toInt
       c.bytes(len)
+    case T_NEWDECIMAL =>
+      // TABLE_MAP metadata: precision byte then scale byte (LE u2 read
+      // puts precision in the low byte); the wire length is a fixed
+      // function of (P, S), so no length prefix precedes the value
+      val precision = meta & 0xff; val scale = (meta >> 8) & 0xff
+      val n =
+        try MysqlDecimalBinary.binSize(precision, scale)
+        catch { case e: MysqlDecimalBinary.DecimalBinaryException =>
+          throw new BinlogFormatException(s"DECIMAL metadata: ${e.getMessage}")
+        }
+      try MysqlDecimalBinary.decode(c.bytes(n), precision, scale)
+      catch { case e: MysqlDecimalBinary.DecimalBinaryException =>
+        throw new BinlogFormatException(
+          s"DECIMAL($precision,$scale) decode: ${e.getMessage}")
+      }
     case T_JSON =>
       // stored like a BLOB (meta = length-prefix width, 8.0 writes 4),
       // containing a binary JSON document — decoded to canonical JSON
@@ -863,6 +879,13 @@ object MysqlBinlog {
             if (f.isNaN || f.isInfinite) "\"" + f.toString + "\"" else f.toString
           case b: Array[Byte] =>
             "\"" + java.util.Base64.getEncoder.encodeToString(b) + "\""
+          case bd: java.math.BigDecimal =>
+            // QUOTED, not a bare JSON number: toPlainString carries the
+            // column's exact declared scale (trailing zeros — the
+            // rendering the reference battles for, sync.py:77-83), and
+            // a string survives any downstream JSON reparse that would
+            // canonicalize 12.50 into 12.5
+            "\"" + bd.toPlainString + "\""
           case s: String => jsonStr(s)
           case other => jsonStr(other.toString)
         }

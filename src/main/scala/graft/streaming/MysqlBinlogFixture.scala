@@ -48,6 +48,82 @@ object MysqlBinlogFixture {
     else if (eventId % 3 == 1) "update"
     else "insert"
 
+  /** DECIMAL leg of the wire fixture: a ledger-shaped table whose money
+    * columns are true `T_NEWDECIMAL` — the type the reference fights
+    * hardest for (the sync.py:77-83 trailing-zeros battle) and the one
+    * every real CDC tail hits first (prices, balances). Amounts are
+    * integer-derived so a SQL oracle can replay them digit-exactly:
+    * amount  = (event_id·1000003 + user_id) at scale 6  → DECIMAL(24,6)
+    * amount2 = (user_id·37 + event_id mod 1000) at scale 2 → DECIMAL(7,2)
+    * (the second column exercises the sub-9-digit partial-group
+    * packing; both are non-negative — the sign path is fuzzed in
+    * MysqlBinlogSpec, which round-trips negatives and odd precisions).
+    */
+  def ledgerTableDef(tableId: Long): TableDef = TableDef(
+    tableId, "graft", "events", Seq(
+      Col.bigint("user_id"), Col.bigint("event_id"),
+      Col.timestamp6("ts"), Col.decimal("amount", 24, 6),
+      Col.decimal("amount2", 7, 2)))
+
+  /** Encode the events table as the DECIMAL-carrying ledger shape
+    * (insert-only; same per-server layout and determinism as
+    * [[encodeEvents]]). Returns the scratch dir of binlog files.
+    */
+  def encodeEventsDecimal(spark: SparkSession, sfDir: String,
+                          nServers: Int = 4): String = {
+    val dir = CoreOps.scratchDir("mysql_binlog_decimal", sfDir)
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".binlog")).foreach(_.delete())
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .repartition(nServers, col("user_id"))
+      .sortWithinPartitions(col("ts"), col("event_id"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val pid = TaskContext.getPartitionId()
+        val uuid = f"00000000-0000-4000-8000-${200L + pid}%012d"
+        val path = s"$dir/server_$pid.binlog"
+        val tmp = s"$path.inprogress"
+        val w = new Writer(tmp, serverId = 200L + pid)
+        try {
+          val td = ledgerTableDef(29L)
+          var began = false
+          var txn = 0L
+          rows.grouped(64).foreach { group =>
+            val images = group.map { r =>
+              val t = r.getTimestamp(2)
+              val micros = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+              if (!began) {
+                w.setClock(micros / 1000000L); w.begin()
+                w.previousGtids(Seq.empty)
+                began = true
+              } else w.setClock(micros / 1000000L)
+              val uid = r.getLong(0); val eid = r.getLong(1)
+              Array[AnyRef](
+                java.lang.Long.valueOf(uid),
+                java.lang.Long.valueOf(eid),
+                java.lang.Long.valueOf(micros),
+                java.math.BigDecimal.valueOf(eid * 1000003L + uid, 6),
+                java.math.BigDecimal.valueOf(uid * 37L + eid % 1000L, 2))
+            }.toSeq
+            w.gtid(uuid, txn + 1)
+            w.query("graft", "BEGIN")
+            w.tableMap(td)
+            w.writeRows(td, images)
+            txn += 1
+            w.xid(txn)
+          }
+          if (!began) w.begin()
+        } finally w.close()
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    dir
+  }
+
   /** Encode the sf-dir `events` table into `nServers` binlog files under
     * a per-JVM scratch dir; returns the dir. Deterministic end-to-end:
     * hash partitioning on user_id fixes each row's file, the

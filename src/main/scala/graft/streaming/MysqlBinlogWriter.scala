@@ -48,6 +48,17 @@ object MysqlBinlogWriter {
       * writes; values are JSON TEXT in and out)
       */
     def json(name: String): Col = Col(name, T_JSON, 4)
+    /** DECIMAL(p, s) — meta packs precision in the low byte, scale in
+      * the high byte, matching the TABLE_MAP wire order (precision
+      * byte first) under the parser's LE u2 read. Values are
+      * java.math.BigDecimal (or their String rendering) in and out.
+      */
+    def decimal(name: String, precision: Int, scale: Int): Col = {
+      require(precision >= 1 && precision <= 65 && scale >= 0 &&
+        scale <= 30 && scale <= precision,
+        s"invalid DECIMAL($precision,$scale)")
+      Col(name, T_NEWDECIMAL, precision | (scale << 8))
+    }
   }
 
   /** Sequential writer over one binlog file. Not thread-safe (a binlog
@@ -302,6 +313,11 @@ object MysqlBinlogWriter {
           case m => throw new IllegalArgumentException(s"BLOB meta $m")
         }
         b.raw(a)
+      case (T_NEWDECIMAL, d: java.math.BigDecimal) =>
+        b.raw(MysqlDecimalBinary.encode(d, c.meta & 0xff, (c.meta >> 8) & 0xff))
+      case (T_NEWDECIMAL, s: String) =>
+        b.raw(MysqlDecimalBinary.encode(new java.math.BigDecimal(s),
+          c.meta & 0xff, (c.meta >> 8) & 0xff))
       case (T_JSON, s: String) =>
         // value is JSON TEXT; the column stores the binary document
         val doc = MysqlJsonBinary.encode(s)

@@ -125,7 +125,7 @@ class MysqlBinlogSpec extends AnyFunSuite {
     for (iter <- 1 to 120) {
       val nCols = 1 + rng.nextInt(7)
       val cols = (0 until nCols).map { i =>
-        rng.nextInt(7) match {
+        rng.nextInt(8) match {
           case 0 => Col.bigint(s"c$i")
           case 1 => Col.int(s"c$i")
           case 2 => Col.varchar(s"c$i", 16 + rng.nextInt(300))
@@ -133,6 +133,9 @@ class MysqlBinlogSpec extends AnyFunSuite {
           case 4 => Col.timestamp6(s"c$i")
           case 5 => Col.blob(s"c$i")
           case 6 => Col.json(s"c$i")
+          case 7 =>
+            val p = 1 + rng.nextInt(30)
+            Col.decimal(s"c$i", p, rng.nextInt(math.min(p, 30) + 1))
         }
       }
       val td = TableDef(50L + iter, "fz", s"t$iter", cols)
@@ -156,6 +159,16 @@ class MysqlBinlogSpec extends AnyFunSuite {
           case T_BLOB =>
             val b = new Array[Byte](rng.nextInt(300)); rng.nextBytes(b); b
           case T_JSON => randJson(0)
+          case T_NEWDECIMAL =>
+            // random digit string within (p, s): signs, leading zeros,
+            // all-integer and all-fraction shapes all arise
+            val p = c.meta & 0xff; val s = (c.meta >> 8) & 0xff
+            val nd = 1 + rng.nextInt(p)
+            val digits = (0 until nd).map(_ => ('0' + rng.nextInt(10)).toChar)
+              .mkString
+            val sign = if (rng.nextBoolean()) "-" else ""
+            new java.math.BigDecimal(
+              new java.math.BigInteger(sign + digits), s)
         }
       val rows = (0 until (1 + rng.nextInt(4)))
         .map(_ => cols.map(value).toArray)
@@ -189,6 +202,69 @@ class MysqlBinlogSpec extends AnyFunSuite {
         }
       }
     }
+  }
+
+  test("NEWDECIMAL: wire sizes match MySQL's published storage table") {
+    // DECIMAL storage sizes from the public reference manual
+    // (data-type storage requirements): each 9-digit side group is 4
+    // bytes; leftovers per dig2bytes. These exact numbers are what a
+    // REAL server's row images occupy, so the fixed-length cursor walk
+    // stays aligned on genuine logs.
+    assert(MysqlDecimalBinary.binSize(10, 2) == 5)
+    assert(MysqlDecimalBinary.binSize(18, 9) == 8)
+    assert(MysqlDecimalBinary.binSize(18, 0) == 8)
+    assert(MysqlDecimalBinary.binSize(9, 9) == 4)
+    assert(MysqlDecimalBinary.binSize(1, 0) == 1)
+    assert(MysqlDecimalBinary.binSize(65, 30) == 30)
+  }
+
+  test("NEWDECIMAL: boundary values round-trip with exact scale") {
+    def rt(s: String, p: Int, sc: Int): java.math.BigDecimal =
+      MysqlDecimalBinary.decode(
+        MysqlDecimalBinary.encode(new java.math.BigDecimal(s), p, sc), p, sc)
+    // trailing zeros preserved — the reference's battle (sync.py:77-83)
+    assert(rt("12.50", 10, 2).toPlainString == "12.50")
+    assert(rt("0", 10, 2).toPlainString == "0.00")
+    assert(rt("-0.01", 10, 2).toPlainString == "-0.01")
+    // negative one's-complement path, both partial-group shapes
+    assert(rt("-99999999.99", 10, 2).toPlainString == "-99999999.99")
+    assert(rt("-0.000000001", 9, 9).toPlainString == "-0.000000001")
+    // max precision/scale (multi-group both sides of the point)
+    val big = "-" + ("9" * 35) + "." + ("9" * 30)
+    assert(rt(big, 65, 30).toPlainString == big)
+    // a value that needs rounding must refuse, not silently truncate
+    intercept[MysqlDecimalBinary.DecimalBinaryException] {
+      MysqlDecimalBinary.encode(new java.math.BigDecimal("1.999"), 10, 2)
+    }
+    intercept[MysqlDecimalBinary.DecimalBinaryException] {
+      MysqlDecimalBinary.encode(new java.math.BigDecimal("123.45"), 4, 2)
+    }
+  }
+
+  test("NEWDECIMAL rides a row image beside other columns") {
+    val td = TableDef(77L, "graft", "ledger", Seq(
+      Col.bigint("id"), Col.decimal("amt", 24, 6),
+      Col.decimal("pct", 5, 2), Col.varchar("memo", 40)))
+    val path = tmpLog()
+    val w = new Writer(path, serverId = 5L)
+    w.setClock(1700000000L); w.begin()
+    w.tableMap(td)
+    w.writeRows(td, Seq(
+      Array[AnyRef](java.lang.Long.valueOf(1L),
+        new java.math.BigDecimal("123456789012.345678"),
+        new java.math.BigDecimal("-9.05"), "first"),
+      Array[AnyRef](java.lang.Long.valueOf(2L),
+        new java.math.BigDecimal("0.000001"), null, "second")))
+    w.xid(1L)
+    w.close()
+    val rows = rowsEvents(parseFile(path)).head.rows
+    val r1 = rows(0)._2.get.values.map(_.orNull)
+    assert(r1(1) == new java.math.BigDecimal("123456789012.345678"))
+    assert(r1(2) == new java.math.BigDecimal("-9.05"))
+    assert(r1(3) == "first")
+    val r2 = rows(1)._2.get.values.map(_.orNull)
+    assert(r2(1) == new java.math.BigDecimal("0.000001"))
+    assert(r2(2) == null && r2(3) == "second")
   }
 
   test("TABLE_MAP carries 8.0 column names and signedness TLVs") {

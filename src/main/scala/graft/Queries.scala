@@ -2528,6 +2528,47 @@ object Queries {
         | WHERE rn = 1 AND event_id % 17 <> 0
         | ORDER BY user_id""".stripMargin.replaceAll("\n", ""))),
 
+    // St2, binlog_row_image=NOBLOB on the wire — the THIRD image mode
+    // (FULL and MINIMAL already covered): row images carry every
+    // column EXCEPT blob/text ones unless the statement changed them.
+    // The fixture's `props` becomes a true BLOB; updates (changing
+    // only `value`) omit it from both images, deletes log the full
+    // before image minus the blob. The collapse reads the non-blob
+    // business columns from whichever (full insert / blob-less update)
+    // payload won — same oracle arithmetic as the mixed query, which
+    // is the point: image mode must not change the reconstructed
+    // state.
+    Q("st_cdc_binlog_noblob",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val dir = graft.streaming.MysqlBinlogFixture
+          .encodeEvents(s, d, mixed = true, noblob = true)
+        val pSchema = StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("ts", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        val raw = s.read
+          .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
+          .option("path", dir).load()
+        val w = Window.partitionBy(col("src"), col("key"))
+          .orderBy(col("seq").desc)
+        raw.filter(col("table") === "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("op") =!= "delete")
+          .select(from_json(col("payload"), pSchema).as("p"))
+          .select(col("p.user_id").as("user_id"),
+            col("p.event_id").as("last_event_id"),
+            col("p.event_type").as("last_event_type"),
+            col("p.value").as("last_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id AS last_event_id,
+        | event_type AS last_event_type, value AS last_value FROM (
+        | SELECT *, row_number() OVER (PARTITION BY user_id
+        |   ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        | WHERE rn = 1 AND event_id % 17 <> 0
+        | ORDER BY user_id""".stripMargin.replaceAll("\n", ""))),
+
     // St2, binlog_transaction_compression=ON (8.0.20+) on the wire:
     // every transaction's BEGIN/TABLE_MAP/rows/XID rides inside one
     // zstd TRANSACTION_PAYLOAD wrapper (GTID outside, as the server
@@ -2694,6 +2735,64 @@ object Queries {
         |    (event_id*1000003 + user_id) % 1000000) AS la,
         |  printf('%d.%02d', (user_id*37 + event_id % 1000) // 100,
         |    (user_id*37 + event_id % 1000) % 100) AS la2,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n
+        | FROM events) t WHERE rn = 1 ORDER BY user_id"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // St2, the legacy-schema type ladder on the wire: TIME(6), ENUM,
+    // SET, BIT(20) and GEOMETRY row images — the types a long-lived
+    // MySQL schema (the reference's target population) actually
+    // carries. ENUM/SET transmit as wire type 254 with the real type
+    // embedded in the metadata (the servers' packing) plus the 8.0
+    // string-value TLVs, so the decode surfaces LABELS — the collapse
+    // compares them against the source event_type directly. GEOMETRY
+    // rides as opaque bytes (the loud-skip policy: never kills the
+    // tail), round-tripped here through base64 back to its marker
+    // text. Every surface is a pure function of the source row, so a
+    // wrong pack size, bitmask order, TLV binding, or sign bit
+    // hash-mismatches.
+    Q("st_cdc_binlog_typeladder",
+      (s, d) => {
+        val dir = graft.streaming.MysqlBinlogFixture.encodeEventsTypes(s, d)
+        val raw = s.read
+          .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
+          .option("path", dir).load()
+        val w = Window.partitionBy(col("src"), col("key"))
+          .orderBy(col("seq").desc)
+        raw.filter(col("table") === "events" && col("op") === "insert")
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("src"), col("key"))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("key").as("user_id"), col("n").as("n_events"),
+            get_json_object(col("payload"), "$.tod").as("last_tod"),
+            get_json_object(col("payload"), "$.ev").as("last_ev"),
+            coalesce(get_json_object(col("payload"), "$.fl"), lit(""))
+              .as("last_fl"),
+            get_json_object(col("payload"), "$.b20")
+              .cast("long").as("last_bit"),
+            unbase64(get_json_object(col("payload"), "$.geom"))
+              .cast("string").as("last_geom"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        | tod AS last_tod, event_type AS last_ev, fl AS last_fl,
+        | CAST(bitv AS BIGINT) AS last_bit, geom AS last_geom FROM (
+        | SELECT user_id, event_type,
+        |  printf('%02d:%02d:%02d.%06d',
+        |    epoch_us(ts) % 86400000000 // 3600000000,
+        |    epoch_us(ts) % 86400000000 // 60000000 % 60,
+        |    epoch_us(ts) % 86400000000 // 1000000 % 60,
+        |    epoch_us(ts) % 1000000) AS tod,
+        |  concat_ws(',',
+        |    CASE WHEN ((event_id % 16) & 1) = 1 THEN 'a' END,
+        |    CASE WHEN ((event_id % 16) & 2) = 2 THEN 'b' END,
+        |    CASE WHEN ((event_id % 16) & 4) = 4 THEN 'c' END,
+        |    CASE WHEN ((event_id % 16) & 8) = 8 THEN 'd' END) AS fl,
+        |  event_id % 1048576 AS bitv,
+        |  'PT:' || user_id || ':' || event_id AS geom,
         |  row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC, event_id DESC) AS rn,
         |  count(*) OVER (PARTITION BY user_id) AS n

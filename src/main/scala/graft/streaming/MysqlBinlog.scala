@@ -19,9 +19,13 @@ import java.nio.file.{Files, Paths}
   * Scope: the row-image column types the sync surface carries (§1.2
   * type ladder): TINY/SHORT/INT24/LONG/LONGLONG, FLOAT/DOUBLE, YEAR,
   * DATE, DATETIME2/TIMESTAMP2 (big-endian packed, microsecond fsp),
-  * NEWDECIMAL (base-10^9 packed, [[MysqlDecimalBinary]]),
-  * VARCHAR/VAR_STRING/STRING, BLOB, JSON. Everything else surfaces as
-  * a decode error naming the type code — never a silent wrong value.
+  * NEWDECIMAL (base-10^9 packed, [[MysqlDecimalBinary]]), TIME2
+  * (signed packed + fsp), ENUM/SET (resolved from the wire's
+  * type-254 embedding, surfaced as declared labels when the 8.0
+  * string-value TLVs are present), BIT (≤64 bits),
+  * VARCHAR/VAR_STRING/STRING, BLOB, GEOMETRY (opaque SRID+WKB bytes),
+  * JSON. Everything else surfaces as a decode error naming the type
+  * code — never a silent wrong value.
   *
   * Pure JVM, no Spark dependency: shared by the DataSourceV2 scan
   * ([[MysqlBinlogSource]]), the fixture writer ([[MysqlBinlogWriter]]),
@@ -92,12 +96,21 @@ object MysqlBinlog {
       binlogVersion: Int, serverVersion: String, checksumAlg: Int,
       postHeaderLen: Array[Int]) extends Event
 
+  /** `colTypes` holds EFFECTIVE types: on the wire ENUM/SET columns
+    * are transmitted as type 254 (STRING) with the real type embedded
+    * in the first metadata byte — the parser resolves that embedding,
+    * so consumers dispatch on T_ENUM/T_SET directly. `enumSetLabels`
+    * maps column index → the declared value list when the 8.0
+    * ENUM_STR_VALUE / SET_STR_VALUE optional TLVs are present (empty
+    * otherwise — decode then surfaces ordinals/bitmasks).
+    */
   final case class TableMap(header: EventHeader, startPos: Long,
       tableId: Long, schemaName: String, tableName: String,
       colTypes: Array[Int], colMeta: Array[Int],
       nullable: Array[Boolean],
       colNames: Option[Array[String]],
-      signedness: Option[Array[Boolean]]) extends Event
+      signedness: Option[Array[Boolean]],
+      enumSetLabels: Map[Int, Array[String]] = Map.empty) extends Event
 
   /** One decoded row image: values for present columns (null where the
     * row's null bitmap says so), aligned to the table's column order —
@@ -224,9 +237,13 @@ object MysqlBinlog {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt)
 
   // -- TABLE_MAP --------------------------------------------------------
-  /** optional-metadata TLV type codes (8.0 binlog_row_metadata) */
+  /** optional-metadata TLV type codes (8.0 binlog_row_metadata, public
+    * Optional_metadata_field_type)
+    */
   private val MetaSignedness = 1
   private val MetaColumnName = 4
+  private val MetaSetStrValue = 5
+  private val MetaEnumStrValue = 6
 
   private def parseTableMap(c: Cur, h: EventHeader, start: Long,
                             payloadEnd: Int): TableMap = {
@@ -238,13 +255,34 @@ object MysqlBinlog {
     val types = Array.fill(nCols)(c.u1())
     val metaLen = c.lenenc().toInt
     val metaEnd = c.p + metaLen
-    val meta = types.map {
-      case T_VARCHAR | T_VAR_STRING | T_BIT | T_NEWDECIMAL | T_STRING |
-           T_ENUM | T_SET => c.u2()
-      case T_BLOB | T_TINY_BLOB | T_MEDIUM_BLOB | T_LONG_BLOB | T_FLOAT |
-           T_DOUBLE | T_TIMESTAMP2 | T_DATETIME2 | T_TIME2 | T_JSON |
-           T_GEOMETRY => c.u1()
-      case _ => 0
+    val meta = new Array[Int](nCols)
+    var mi = 0
+    while (mi < nCols) {
+      types(mi) match {
+        case T_VARCHAR | T_VAR_STRING | T_NEWDECIMAL | T_BIT =>
+          meta(mi) = c.u2() // LE byte pair (per-type semantics)
+        case T_STRING =>
+          // the wire's famously-packed STRING metadata (public
+          // log_event.cc / every replication client): byte0 carries the
+          // REAL type — ENUM(247)/SET(248) transmit as type 254 with
+          // their identity here — or, for CHAR, the max-length high
+          // bits folded in as (T_STRING ^ ((len>>8)<<4)); byte1 is the
+          // low length/pack-size byte
+          val b0 = c.u1(); val b1 = c.u1()
+          if (b0 == T_ENUM || b0 == T_SET) {
+            types(mi) = b0 // resolve to the effective type
+            meta(mi) = b1  // value pack size (1-2 enum, 1-8 set)
+          } else meta(mi) = ((((b0 << 4) & 0x300) ^ 0x300) + b1)
+        case T_ENUM | T_SET =>
+          // direct type bytes (not what servers emit — they embed in
+          // 254 — but tolerated on read): low byte = pack size
+          meta(mi) = c.u2() & 0xff
+        case T_BLOB | T_TINY_BLOB | T_MEDIUM_BLOB | T_LONG_BLOB | T_FLOAT |
+             T_DOUBLE | T_TIMESTAMP2 | T_DATETIME2 | T_TIME2 | T_JSON |
+             T_GEOMETRY => meta(mi) = c.u1()
+        case _ => meta(mi) = 0
+      }
+      mi += 1
     }
     if (c.p != metaEnd)
       throw new BinlogFormatException(
@@ -253,6 +291,26 @@ object MysqlBinlog {
     // 8.0 optional metadata: TLV stream until payload end
     var names: Option[Array[String]] = None
     var signed: Option[Array[Boolean]] = None
+    var labels = Map.empty[Int, Array[String]]
+    /** ENUM_STR_VALUE / SET_STR_VALUE payload: for each column of the
+      * matching type IN TABLE ORDER, a lenenc value count then each
+      * value length-prefixed — the parse is positional, so the k-th
+      * entry binds to the k-th enum (resp. set) column.
+      */
+    def parseStrValues(end: Int, typ: Int): Unit = {
+      val idxs = types.indices.filter(types(_) == typ)
+      var k = 0
+      while (c.p < end) {
+        if (k >= idxs.length)
+          throw new BinlogFormatException(
+            s"more ${if (typ == T_ENUM) "ENUM" else "SET"}_STR_VALUE " +
+              "entries than columns of that type")
+        val n = c.lenenc().toInt
+        val vals = Array.fill(n) { val l = c.lenenc().toInt; c.str(l) }
+        labels += (idxs(k) -> vals)
+        k += 1
+      }
+    }
     while (c.p < payloadEnd) {
       val t = c.u1(); val len = c.lenenc().toInt; val end = c.p + len
       t match {
@@ -270,11 +328,13 @@ object MysqlBinlog {
           val all = Array.fill(nCols)(true)
           numericIdx.zip(bits).foreach { case (i, s) => all(i) = s }
           signed = Some(all)
-        case _ => c.p = end // unknown TLV: skip (charsets, enum strings…)
+        case MetaEnumStrValue => parseStrValues(end, T_ENUM)
+        case MetaSetStrValue => parseStrValues(end, T_SET)
+        case _ => c.p = end // unknown TLV: skip (charsets, PK info…)
       }
     }
     TableMap(h, start, tableId, schema, table, types, meta, nullable,
-      names, signed)
+      names, signed, labels)
   }
 
   private def isNumeric(t: Int): Boolean = t match {
@@ -326,7 +386,8 @@ object MysqlBinlog {
         out(i) =
           if (nullBits(k)) Some(null)
           else Some(decodeValue(c, tm.colTypes(i), tm.colMeta(i),
-            tm.signedness.map(_(i)).getOrElse(true)))
+            tm.signedness.map(_(i)).getOrElse(true),
+            tm.enumSetLabels.get(i)))
         k += 1
       }
       i += 1
@@ -336,10 +397,19 @@ object MysqlBinlog {
 
   /** Decode one column value. Integers surface as java.lang.Long (sign
     * per the TABLE_MAP signedness TLV, defaulting to signed), temporals
-    * as epoch-micros Long (TIMESTAMP2/DATETIME2; DATE as "yyyy-MM-dd"),
-    * strings as String, BLOBs as Array[Byte].
+    * as epoch-micros Long (TIMESTAMP2/DATETIME2; DATE as "yyyy-MM-dd",
+    * TIME2 as "[-]HH:MM:SS[.ffffff]" at the column's fsp), DECIMAL as
+    * scale-exact BigDecimal, strings as String, BLOBs as Array[Byte].
+    * ENUM/SET surface their declared LABELS when the TABLE_MAP carried
+    * the 8.0 string-value TLVs (SET as the comma-joined list in
+    * definition order, MySQL's own rendering), else the raw
+    * ordinal/bitmask Long. GEOMETRY surfaces as its raw SRID+WKB bytes
+    * (base64 in payload JSON) — deliberately OPAQUE: a spatial column
+    * rides the tail as bytes rather than killing it, and interpreting
+    * WKB is a consumer concern, not a replication one.
     */
-  private def decodeValue(c: Cur, typ: Int, meta: Int, signed: Boolean): AnyRef = typ match {
+  private def decodeValue(c: Cur, typ: Int, meta: Int, signed: Boolean,
+                          labels: Option[Array[String]] = None): AnyRef = typ match {
     case T_TINY =>
       val v = c.u1(); java.lang.Long.valueOf(if (signed) v.toByte.toLong else v.toLong)
     case T_SHORT =>
@@ -376,16 +446,82 @@ object MysqlBinlog {
         day.toInt, hour.toInt, minute.toInt, sec.toInt)
         .toEpochSecond(java.time.ZoneOffset.UTC)
       java.lang.Long.valueOf(epochSec * 1000000L + fracMicros(c, meta))
+    case T_TIME2 =>
+      // 3-byte big-endian packed (1 sign, 1 reserved, 10 hour, 6 min,
+      // 6 sec) + 0x800000 offset; fractional seconds per fsp. Negative
+      // values follow the server's exact mixed floor/trunc layout: the
+      // 3-byte int part is the arithmetic >>24 of the signed packed
+      // value, separate frac bytes are the TRUNCATING remainder — the
+      // (i3 < 0 && f > 0) adjustment below is the published
+      // my_time_binary_to_packed reconstruction.
+      val packed: Long = meta match {
+        case 0 => (c.beUInt(3) - 0x800000L) << 24
+        case 1 | 2 =>
+          var i3 = c.beUInt(3) - 0x800000L
+          var f = c.u1().toLong
+          if (i3 < 0 && f > 0) { i3 += 1; f -= 256 }
+          (i3 << 24) + f * 10000L
+        case 3 | 4 =>
+          var i3 = c.beUInt(3) - 0x800000L
+          var f = c.beUInt(2)
+          if (i3 < 0 && f > 0) { i3 += 1; f -= 0x10000 }
+          (i3 << 24) + f * 100L
+        case 5 | 6 => c.beUInt(6) - 0x800000000000L
+        case m => throw new BinlogFormatException(s"bad TIME2 fsp $m")
+      }
+      renderTime(packed, meta)
+    case T_ENUM =>
+      val ord = meta match {
+        case 1 => c.u1()
+        case 2 => c.u2()
+        case m => throw new BinlogFormatException(s"ENUM pack size $m")
+      }
+      labels match {
+        case Some(ls) =>
+          if (ord == 0) "" // MySQL's invalid-value sentinel: empty string
+          else if (ord <= ls.length) ls(ord - 1)
+          else throw new BinlogFormatException(
+            s"ENUM ordinal $ord exceeds ${ls.length} declared values")
+        case None => java.lang.Long.valueOf(ord.toLong)
+      }
+    case T_SET =>
+      if (meta < 1 || meta > 8)
+        throw new BinlogFormatException(s"SET pack size $meta")
+      var mask = 0L
+      var sb = 0
+      while (sb < meta) { mask |= (c.u1().toLong << (8 * sb)); sb += 1 }
+      labels match {
+        case Some(ls) =>
+          if (ls.length < 64 && (mask >>> ls.length) != 0)
+            throw new BinlogFormatException(
+              s"SET bitmask $mask has bits beyond ${ls.length} declared values")
+          // MySQL's own rendering: members comma-joined in
+          // definition order
+          ls.indices.filter(i => (mask & (1L << i)) != 0)
+            .map(ls).mkString(",")
+        case None => java.lang.Long.valueOf(mask)
+      }
+    case T_BIT =>
+      // metadata: low byte = leftover bits, high byte = whole bytes
+      // (the server's Field_bit::save_field_metadata order); the value
+      // is big-endian in ceil(bits/8) bytes
+      val bits = (meta >> 8) * 8 + (meta & 0xff)
+      if (bits < 1 || bits > 64)
+        throw new BinlogFormatException(
+          s"BIT($bits) outside this decoder's 64-bit value range")
+      java.lang.Long.valueOf(c.beUInt((bits + 7) / 8))
     case T_VARCHAR | T_VAR_STRING =>
       val len = if (meta > 255) c.u2() else c.u1()
       c.str(len)
     case T_STRING =>
-      // meta packs real type + max length; CHAR(n) with n*charlen < 256
+      // meta = resolved max byte length (the TABLE_MAP parse already
+      // unpacked the wire's type-embedding); CHAR(n) with max < 256
       // uses a 1-byte length prefix
-      val max = meta & 0xff
-      val len = if (max > 255) c.u2() else c.u1()
+      val len = if (meta > 255) c.u2() else c.u1()
       c.str(len)
-    case T_BLOB =>
+    case T_BLOB | T_GEOMETRY =>
+      // GEOMETRY stores exactly like a BLOB whose content is the
+      // little-endian SRID followed by WKB — surfaced opaque
       val len = (meta match {
         case 1 => c.u1().toLong
         case 2 => c.u2().toLong
@@ -431,6 +567,25 @@ object MysqlBinlog {
     case t =>
       throw new BinlogFormatException(
         s"unsupported column type $t (extend decodeValue for it)")
+  }
+
+  private val timePow10 = Array(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)
+
+  /** Render a signed packed TIME ((hms << 24) + micros, negated for
+    * negative times) as MySQL's text form at the column's fsp —
+    * "HH:MM:SS", fraction digits appended and zero-padded to fsp.
+    */
+  private def renderTime(packed: Long, fsp: Int): String = {
+    val neg = packed < 0
+    val a = math.abs(packed)
+    val micros = a & 0xffffffL
+    val hms = a >> 24
+    val h = (hms >> 12) & 0x3ff; val m = (hms >> 6) & 0x3f; val s = hms & 0x3f
+    val sign = if (neg) "-" else ""
+    val base = f"$sign$h%02d:$m%02d:$s%02d"
+    if (fsp == 0) base
+    else base + "." +
+      ("%0" + fsp + "d").format(micros / timePow10(6 - fsp))
   }
 
   private def fracMicros(c: Cur, fsp: Int): Long = fsp match {

@@ -37,6 +37,16 @@ object MysqlBinlogFixture {
       Col.timestamp6("ts"), Col.varchar("event_type", 64),
       Col.double("value"), Col.json("props")))
 
+  /** [[eventsTableDef]] with `props` as a true BLOB — the NOBLOB
+    * encode's subject: `binlog_row_image=NOBLOB` is defined by which
+    * BLOB/TEXT columns each image omits, so the fixture needs one.
+    */
+  def eventsTableDefBlob(tableId: Long): TableDef = TableDef(
+    tableId, "graft", "events", Seq(
+      Col.bigint("user_id"), Col.bigint("event_id"),
+      Col.timestamp6("ts"), Col.varchar("event_type", 64),
+      Col.double("value"), Col.blob("props")))
+
   /** Deterministic op assignment for the MIXED encode: a rare DELETE
     * (MINIMAL row image — PK only, the `binlog_row_image=MINIMAL`
     * production shape), a frequent UPDATE (before+after images, the
@@ -124,6 +134,96 @@ object MysqlBinlogFixture {
     dir
   }
 
+  /** Legacy-schema leg of the wire fixture: TIME(6), ENUM, SET, BIT and
+    * GEOMETRY columns — the types a long-lived MySQL schema (the
+    * reference's target population) actually carries. Every column is a
+    * pure function of (user_id, event_id, ts) so a SQL oracle replays
+    * the decoded surfaces exactly: ENUM labels ride the 8.0
+    * ENUM_STR_VALUE TLV (decode surfaces the label, not the ordinal),
+    * SET members come back comma-joined in definition order, BIT as the
+    * integer, TIME(6) as its full-precision text render, and GEOMETRY
+    * as opaque bytes (here a deterministic marker string) — the
+    * loud-skip policy: a spatial column rides the tail as bytes instead
+    * of killing it.
+    */
+  def typesTableDef(tableId: Long): TableDef = TableDef(
+    tableId, "graft", "events", Seq(
+      Col.bigint("user_id"), Col.bigint("event_id"),
+      Col.timestamp6("ts"), Col.time("tod", 6),
+      Col.enumCol("ev", Seq("click", "error", "purchase", "signup", "view")),
+      Col.setCol("fl", Seq("a", "b", "c", "d")),
+      Col.bit("b20", 20), Col.geometry("geom")))
+
+  /** Encode the events table as the legacy-typed shape (insert-only;
+    * same per-server layout and determinism as [[encodeEvents]]).
+    */
+  def encodeEventsTypes(spark: SparkSession, sfDir: String,
+                        nServers: Int = 4): String = {
+    val dir = CoreOps.scratchDir("mysql_binlog_types", sfDir)
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".binlog")).foreach(_.delete())
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .repartition(nServers, col("user_id"))
+      .sortWithinPartitions(col("ts"), col("event_id"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val pid = TaskContext.getPartitionId()
+        val uuid = f"00000000-0000-4000-8000-${300L + pid}%012d"
+        val path = s"$dir/server_$pid.binlog"
+        val tmp = s"$path.inprogress"
+        val w = new Writer(tmp, serverId = 300L + pid)
+        try {
+          val td = typesTableDef(31L)
+          val setLabels = Seq("a", "b", "c", "d")
+          var began = false
+          var txn = 0L
+          rows.grouped(64).foreach { group =>
+            val images = group.map { r =>
+              val t = r.getTimestamp(2)
+              val micros = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+              if (!began) {
+                w.setClock(micros / 1000000L); w.begin()
+                w.previousGtids(Seq.empty)
+                began = true
+              } else w.setClock(micros / 1000000L)
+              val uid = r.getLong(0); val eid = r.getLong(1)
+              val dayUs = java.lang.Math.floorMod(micros, 86400000000L)
+              val tod = f"${dayUs / 3600000000L}%02d:" +
+                f"${dayUs / 60000000L % 60}%02d:${dayUs / 1000000L % 60}%02d" +
+                f".${dayUs % 1000000L}%06d"
+              val mask = (eid % 16).toInt
+              val fl = setLabels.indices.filter(j => (mask & (1 << j)) != 0)
+                .map(setLabels).mkString(",")
+              Array[AnyRef](
+                java.lang.Long.valueOf(uid),
+                java.lang.Long.valueOf(eid),
+                java.lang.Long.valueOf(micros),
+                tod,
+                r.getString(3), // event_type ∈ the declared ENUM labels
+                fl,
+                java.lang.Long.valueOf(eid % 1048576L),
+                s"PT:$uid:$eid".getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8))
+            }.toSeq
+            w.gtid(uuid, txn + 1)
+            w.query("graft", "BEGIN")
+            w.tableMap(td)
+            w.writeRows(td, images)
+            txn += 1
+            w.xid(txn)
+          }
+          if (!began) w.begin()
+        } finally w.close()
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    dir
+  }
+
   /** Encode the sf-dir `events` table into `nServers` binlog files under
     * a per-JVM scratch dir; returns the dir. Deterministic end-to-end:
     * hash partitioning on user_id fixes each row's file, the
@@ -144,6 +244,14 @@ object MysqlBinlogFixture {
     * modes; inserts always carry every column (the statement sets them
     * all, so MINIMAL's after image is full there too).
     *
+    * `noblob = true` (with `mixed`) is the THIRD image mode,
+    * `binlog_row_image=NOBLOB`: full row images MINUS blob/text
+    * columns unless the statement changed them. The table's `props`
+    * becomes a true BLOB ([[eventsTableDefBlob]]); updates (which
+    * change only `value`) omit it from BOTH images, deletes log the
+    * full before image minus the blob (not PK-only — that's MINIMAL),
+    * inserts still carry everything.
+    *
     * `compressed = true` wraps every transaction's BEGIN/TABLE_MAP/
     * rows/XID into one zstd TRANSACTION_PAYLOAD wrapper with the GTID
     * outside it — the exact wire shape of an 8.0.20+ server running
@@ -162,8 +270,11 @@ object MysqlBinlogFixture {
   def encodeEvents(spark: SparkSession, sfDir: String,
                    nServers: Int = 4, mixed: Boolean = false,
                    minimal: Boolean = false, compressed: Boolean = false,
+                   noblob: Boolean = false,
                    fenceCutoffMicros: Option[Long] = None): String = {
     require(!minimal || mixed, "minimal row images apply to the mixed encode")
+    require(!noblob || mixed, "noblob row images apply to the mixed encode")
+    require(!(noblob && minimal), "minimal and noblob are exclusive image modes")
     require(!compressed || (!mixed && fenceCutoffMicros.isEmpty),
       "the compressed encode is insert-only (payload wrapping of " +
         "update/delete statements is covered by MysqlBinlogSpec)")
@@ -172,6 +283,7 @@ object MysqlBinlogFixture {
         "replays a plain ts-suffix latest state)")
     val dir = CoreOps.scratchDir(
       if (minimal) "mysql_binlog_minimal"
+      else if (noblob) "mysql_binlog_noblob"
       else if (mixed) "mysql_binlog_mixed"
       else if (compressed) "mysql_binlog_tp"
       else if (fenceCutoffMicros.isDefined) "mysql_binlog_fence"
@@ -194,7 +306,10 @@ object MysqlBinlogFixture {
         val tmp = s"$path.inprogress"
         val w = new Writer(tmp, serverId = 100L + pid)
         try {
-          val td = eventsTableDef(23L)
+          val td = if (noblob) eventsTableDefBlob(23L) else eventsTableDef(23L)
+          // NOBLOB: every non-insert image carries the full row minus
+          // the blob column (index 5)
+          val nbPresent = td.cols.indices.toSet - 5
           var began = false
           var txn = 0L
           def writeGroups(it: Iterator[Row]): Unit =
@@ -218,7 +333,9 @@ object MysqlBinlogFixture {
                 java.lang.Long.valueOf(micros),
                 r.getString(3),
                 java.lang.Double.valueOf(r.getDouble(4)),
-                r.getString(5))
+                if (noblob) r.getString(5).getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8)
+                else r.getString(5))
             }.toSeq
             // every transaction carries its GTID, as a real 8.0 server's
             // log does (gtid_mode=ON) — the decode path is exercised by
@@ -262,6 +379,15 @@ object MysqlBinlogFixture {
                     w.updateRows(td, imgs.map(a => (a, a)),
                       beforePresent = Some(Set(0)),
                       afterPresent = Some(Set(4)))
+                  case "update" if noblob =>
+                    // NOBLOB: both images full minus the unchanged blob
+                    // (the statement changes only `value`)
+                    w.updateRows(td, imgs.map { a =>
+                      val b = a.clone()
+                      b(4) = java.lang.Double.valueOf(-1.0)
+                      (b, a)
+                    }, beforePresent = Some(nbPresent),
+                      afterPresent = Some(nbPresent))
                   case "update" =>
                     // before image: the same row with a sentinel value —
                     // ReplacingMergeTree apply reads only the after image
@@ -271,7 +397,10 @@ object MysqlBinlogFixture {
                       (b, a)
                     })
                   case "delete" =>
-                    w.deleteRows(td, imgs, presentCols = Some(Set(0)))
+                    // NOBLOB deletes log the full before image minus
+                    // blobs (MINIMAL's are PK-only)
+                    w.deleteRows(td, imgs,
+                      presentCols = Some(if (noblob) nbPresent else Set(0)))
                 }
                 run = Nil
               }

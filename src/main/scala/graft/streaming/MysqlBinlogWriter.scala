@@ -23,11 +23,16 @@ import MysqlBinlog._
 object MysqlBinlogWriter {
 
   /** Column description: `meta` follows TABLE_MAP metadata semantics
-    * (VARCHAR: max byte length; BLOB: length-prefix width; temporal2:
-    * fractional-second precision; FLOAT/DOUBLE: storage size).
+    * (VARCHAR/STRING: max byte length; BLOB/GEOMETRY: length-prefix
+    * width; temporal2/TIME2: fractional-second precision; FLOAT/DOUBLE:
+    * storage size; DECIMAL: precision | scale<<8; BIT:
+    * bits%8 | (bits/8)<<8). `labels` carries the declared value list
+    * for ENUM/SET columns — emitted as the 8.0 ENUM_STR_VALUE /
+    * SET_STR_VALUE TLVs so the reader decodes labels, not ordinals.
     */
   final case class Col(name: String, typ: Int, meta: Int = 0,
-                       signed: Boolean = true, nullable: Boolean = true)
+                       signed: Boolean = true, nullable: Boolean = true,
+                       labels: Seq[String] = Nil)
 
   final case class TableDef(tableId: Long, schema: String, name: String,
                             cols: Seq[Col])
@@ -58,6 +63,38 @@ object MysqlBinlogWriter {
         scale <= 30 && scale <= precision,
         s"invalid DECIMAL($precision,$scale)")
       Col(name, T_NEWDECIMAL, precision | (scale << 8))
+    }
+    /** TIME(fsp) — values are "[-]HH:MM:SS[.frac]" strings in and out */
+    def time(name: String, fsp: Int): Col = {
+      require(fsp >= 0 && fsp <= 6, s"TIME fsp $fsp")
+      Col(name, T_TIME2, fsp)
+    }
+    /** ENUM('a','b',…) — transmitted on the wire as type 254 with the
+      * real type in the metadata (as servers do); values are labels
+      * (or Long ordinals) in and out
+      */
+    def enumCol(name: String, labels: Seq[String]): Col = {
+      require(labels.nonEmpty && labels.size <= 0xffff, "ENUM value count")
+      Col(name, T_ENUM, if (labels.size > 255) 2 else 1, labels = labels)
+    }
+    /** SET('a','b',…) — ≤64 members (the decoder's Long bitmask bound) */
+    def setCol(name: String, labels: Seq[String]): Col = {
+      require(labels.nonEmpty && labels.size <= 64, "SET member count")
+      Col(name, T_SET, (labels.size + 7) / 8, labels = labels)
+    }
+    /** BIT(n), n ≤ 64 — values are Long in and out, big-endian packed */
+    def bit(name: String, bits: Int): Col = {
+      require(bits >= 1 && bits <= 64, s"BIT($bits)")
+      Col(name, T_BIT, (bits % 8) | ((bits / 8) << 8))
+    }
+    /** GEOMETRY — opaque SRID+WKB bytes, blob-like 4-byte length prefix */
+    def geometry(name: String): Col = Col(name, T_GEOMETRY, 4)
+    /** CHAR(n) — meta = max byte length (≤1023); the wire metadata
+      * folds the high length bits into the type byte, as servers do
+      */
+    def char(name: String, maxLen: Int): Col = {
+      require(maxLen >= 0 && maxLen <= 1023, s"CHAR max byte length $maxLen")
+      Col(name, T_STRING, maxLen)
     }
   }
 
@@ -165,12 +202,29 @@ object MysqlBinlogWriter {
       b.u1(schema.length).raw(schema).u1(0)
       b.u1(name.length).raw(name).u1(0)
       b.lenenc(td.cols.length.toLong)
-      td.cols.foreach(c => b.u1(c.typ))
+      // wire type bytes: ENUM/SET (and CHAR) transmit as type 254 with
+      // the real type embedded in the metadata, as servers emit them
+      td.cols.foreach { c =>
+        b.u1(c.typ match {
+          case T_ENUM | T_SET => T_STRING
+          case t => t
+        })
+      }
       val meta = new B()
       td.cols.foreach { c =>
         c.typ match {
-          case T_VARCHAR | T_VAR_STRING | T_BIT | T_NEWDECIMAL | T_STRING |
-               T_ENUM | T_SET => meta.u2(c.meta)
+          case T_VARCHAR | T_VAR_STRING | T_BIT | T_NEWDECIMAL =>
+            meta.u2(c.meta)
+          case T_STRING =>
+            // byte0 = T_STRING with the CHAR max-length high bits
+            // folded in (inverted, the log_event.cc packing); byte1 =
+            // low length byte
+            meta.u1(T_STRING ^ (((c.meta >> 8) & 0x3) << 4))
+              .u1(c.meta & 0xff)
+          case T_ENUM =>
+            meta.u1(T_ENUM).u1(if (c.labels.size > 255) 2 else 1)
+          case T_SET =>
+            meta.u1(T_SET).u1((c.labels.size + 7) / 8)
           case T_BLOB | T_TINY_BLOB | T_MEDIUM_BLOB | T_LONG_BLOB |
                T_FLOAT | T_DOUBLE | T_TIMESTAMP2 | T_DATETIME2 | T_TIME2 |
                T_JSON | T_GEOMETRY => meta.u1(c.meta)
@@ -198,6 +252,27 @@ object MysqlBinlogWriter {
       }
       val np = namesPayload.bytes
       b.u1(4).lenenc(np.length.toLong).raw(np)
+      // ENUM_STR_VALUE (6) / SET_STR_VALUE (5) — per column of the
+      // type, in table order: lenenc value count, then each value
+      // length-prefixed. Emitting these is what lets the reader
+      // surface labels instead of ordinals/bitmasks.
+      def strValueTlv(tlvType: Int, colType: Int): Unit = {
+        val cols = td.cols.filter(_.typ == colType)
+        if (cols.nonEmpty) {
+          val p = new B()
+          cols.foreach { c =>
+            p.lenenc(c.labels.size.toLong)
+            c.labels.foreach { v =>
+              val vb = v.getBytes(StandardCharsets.UTF_8)
+              p.lenenc(vb.length.toLong).raw(vb)
+            }
+          }
+          val pb = p.bytes
+          b.u1(tlvType).lenenc(pb.length.toLong).raw(pb)
+        }
+      }
+      strValueTlv(6, T_ENUM)
+      strValueTlv(5, T_SET)
       emit(TABLE_MAP_EVENT, b.bytes)
     }
 
@@ -304,9 +379,58 @@ object MysqlBinlogWriter {
         b.raw(raw)
       case (T_STRING, s: String) =>
         val raw = s.getBytes(StandardCharsets.UTF_8)
-        if ((c.meta & 0xff) > 255) b.u2(raw.length) else b.u1(raw.length)
+        require(raw.length <= c.meta,
+          s"value longer (${raw.length}) than CHAR(${c.meta}) '${c.name}'")
+        if (c.meta > 255) b.u2(raw.length) else b.u1(raw.length)
         b.raw(raw)
-      case (T_BLOB, a: Array[Byte]) =>
+      case (T_TIME2, s: String) =>
+        val packed = parseTimePacked(s, c.meta)
+        val ip = packed >> 24             // arithmetic shift: FLOOR
+        val fr = packed % (1L << 24)      // %: TRUNC — the server's mix
+        c.meta match {
+          case 0 => b.be(0x800000L + ip, 3)
+          case 1 | 2 =>
+            b.be(0x800000L + ip, 3).u1(((fr / 10000L) & 0xff).toInt)
+          case 3 | 4 =>
+            b.be(0x800000L + ip, 3).be((fr / 100L) & 0xffffL, 2)
+          case 5 | 6 => b.be(0x800000000000L + packed, 6)
+          case m => throw new IllegalArgumentException(s"TIME fsp $m")
+        }
+        ()
+      case (T_ENUM, s: String) =>
+        val ord = if (s.isEmpty) 0 else c.labels.indexOf(s) + 1
+        require(s.isEmpty || ord > 0,
+          s"'$s' is not a declared value of ENUM '${c.name}'")
+        if (c.labels.size > 255) b.u2(ord) else b.u1(ord)
+        ()
+      case (T_ENUM, l: java.lang.Long) =>
+        require(l >= 0 && l <= c.labels.size,
+          s"ENUM ordinal $l outside 0..${c.labels.size} for '${c.name}'")
+        if (c.labels.size > 255) b.u2(l.toInt) else b.u1(l.toInt)
+        ()
+      case (T_SET, s: String) =>
+        val mask = if (s.isEmpty) 0L else s.split(",", -1).map { part =>
+          val i = c.labels.indexOf(part)
+          require(i >= 0,
+            s"'$part' is not a declared member of SET '${c.name}'")
+          1L << i
+        }.reduce(_ | _)
+        var i = 0
+        val nBytes = (c.labels.size + 7) / 8
+        while (i < nBytes) { b.u1(((mask >> (8 * i)) & 0xff).toInt); i += 1 }
+      case (T_SET, l: java.lang.Long) =>
+        require(c.labels.size == 64 || (l >>> c.labels.size) == 0,
+          s"SET bitmask $l has bits beyond ${c.labels.size} members")
+        var i = 0
+        val nBytes = (c.labels.size + 7) / 8
+        while (i < nBytes) { b.u1(((l >> (8 * i)) & 0xff).toInt); i += 1 }
+      case (T_BIT, l: java.lang.Long) =>
+        val bits = (c.meta >> 8) * 8 + (c.meta & 0xff)
+        require(bits == 64 || (l >>> bits) == 0,
+          s"value $l does not fit BIT($bits) '${c.name}'")
+        b.be(l, (bits + 7) / 8)
+        ()
+      case (T_BLOB | T_GEOMETRY, a: Array[Byte]) =>
         c.meta match {
           case 1 => b.u1(a.length); case 2 => b.u2(a.length)
           case 3 => b.u3(a.length); case 4 => b.u4(a.length.toLong)
@@ -329,6 +453,28 @@ object MysqlBinlogWriter {
         b.raw(doc)
       case (t, x) => throw new IllegalArgumentException(
         s"cannot encode ${if (x == null) "null" else x.getClass.getName} as column type $t")
+    }
+
+    private val timeRe = "^(-?)(\\d{1,3}):(\\d{2}):(\\d{2})(?:\\.(\\d{1,6}))?$".r
+
+    /** "[-]H:MM:SS[.frac]" → signed packed TIME ((hms<<24)+micros,
+      * negated when negative). Refuses more fractional digits than the
+      * column's fsp — silent truncation would "round-trip" by losing
+      * data (the DECIMAL codec's stance).
+      */
+    private def parseTimePacked(s: String, fsp: Int): Long = s match {
+      case timeRe(neg, h, mi, se, fr) =>
+        val hh = h.toLong; val mm = mi.toLong; val ss = se.toLong
+        require(hh <= 838 && mm <= 59 && ss <= 59,
+          s"TIME out of range: '$s'")
+        val frac = Option(fr).getOrElse("")
+        require(frac.length <= fsp,
+          s"'$s' carries more fractional digits than TIME($fsp)")
+        val micros =
+          if (frac.isEmpty) 0L else (frac + "0" * (6 - frac.length)).toLong
+        val packed = ((hh << 12 | mm << 6 | ss) << 24) + micros
+        if (neg == "-") -packed else packed
+      case _ => throw new IllegalArgumentException(s"bad TIME literal '$s'")
     }
 
     private def fracBytes(b: B, micros: Long, fsp: Int): Unit = fsp match {

@@ -125,7 +125,7 @@ class MysqlBinlogSpec extends AnyFunSuite {
     for (iter <- 1 to 120) {
       val nCols = 1 + rng.nextInt(7)
       val cols = (0 until nCols).map { i =>
-        rng.nextInt(8) match {
+        rng.nextInt(12) match {
           case 0 => Col.bigint(s"c$i")
           case 1 => Col.int(s"c$i")
           case 2 => Col.varchar(s"c$i", 16 + rng.nextInt(300))
@@ -136,6 +136,13 @@ class MysqlBinlogSpec extends AnyFunSuite {
           case 7 =>
             val p = 1 + rng.nextInt(30)
             Col.decimal(s"c$i", p, rng.nextInt(math.min(p, 30) + 1))
+          case 8 => Col.time(s"c$i", rng.nextInt(7))
+          case 9 => // occasionally >255 values: the 2-byte ordinal path
+            val n = 1 + rng.nextInt(if (rng.nextInt(10) == 0) 300 else 12)
+            Col.enumCol(s"c$i", (0 until n).map(j => s"v$j"))
+          case 10 =>
+            Col.setCol(s"c$i", (0 until 1 + rng.nextInt(64)).map(j => s"m$j"))
+          case 11 => Col.bit(s"c$i", 1 + rng.nextInt(64))
         }
       }
       val td = TableDef(50L + iter, "fz", s"t$iter", cols)
@@ -169,6 +176,31 @@ class MysqlBinlogSpec extends AnyFunSuite {
             val sign = if (rng.nextBoolean()) "-" else ""
             new java.math.BigDecimal(
               new java.math.BigInteger(sign + digits), s)
+          case T_TIME2 =>
+            // canonical render at the column's fsp (exactly fsp frac
+            // digits); negative only when nonzero — "-00:00:00" has no
+            // wire identity distinct from zero
+            val fsp = c.meta
+            val h = rng.nextInt(839); val mi = rng.nextInt(60)
+            val se = rng.nextInt(60)
+            val frac = (0 until fsp).map(_ => ('0' + rng.nextInt(10)).toChar)
+              .mkString
+            val nonzero = h + mi + se > 0 || frac.exists(_ != '0')
+            val sign = if (nonzero && rng.nextBoolean()) "-" else ""
+            f"$sign$h%02d:$mi%02d:$se%02d" +
+              (if (fsp > 0) "." + frac else "")
+          case T_ENUM =>
+            if (rng.nextInt(8) == 0) ""
+            else c.labels(rng.nextInt(c.labels.size))
+          case T_SET =>
+            val mask = rng.nextLong() &
+              (if (c.labels.size == 64) -1L else (1L << c.labels.size) - 1)
+            c.labels.indices.filter(j => (mask & (1L << j)) != 0)
+              .map(c.labels).mkString(",")
+          case T_BIT =>
+            val bits = (c.meta >> 8) * 8 + (c.meta & 0xff)
+            java.lang.Long.valueOf(rng.nextLong() &
+              (if (bits == 64) -1L else (1L << bits) - 1))
         }
       val rows = (0 until (1 + rng.nextInt(4)))
         .map(_ => cols.map(value).toArray)
@@ -265,6 +297,110 @@ class MysqlBinlogSpec extends AnyFunSuite {
     val r2 = rows(1)._2.get.values.map(_.orNull)
     assert(r2(1) == new java.math.BigDecimal("0.000001"))
     assert(r2(2) == null && r2(3) == "second")
+  }
+
+  test("TIME2/ENUM/SET/BIT/GEOMETRY/CHAR round-trip field-exactly") {
+    val td = TableDef(88L, "graft", "ladder2", Seq(
+      Col.bigint("id"),
+      Col.time("t0", 0),
+      Col.time("t2", 2),
+      Col.time("t2n", 2),   // negative WITH separate frac bytes — the
+                            // mixed floor/trunc wire layout
+      Col.time("t6", 6),
+      Col.time("t6n", 6),
+      Col.enumCol("ev", Seq("click", "view", "purchase", "signup", "error")),
+      Col.enumCol("ev_inv", Seq("a", "b")),
+      Col.setCol("fl", Seq("a", "b", "c", "d")),
+      Col.setCol("fl_empty", Seq("x", "y")),
+      Col.bit("b20", 20),
+      Col.bit("b64", 64),
+      Col.geometry("g"),
+      Col.char("ch", 300))) // >255: 2-byte length prefix + the type
+                            // byte's folded high length bits
+    val row = Array[AnyRef](
+      java.lang.Long.valueOf(1L),
+      "812:30:45",              // 10-bit hour range
+      "00:00:00.05",
+      "-01:02:03.45",
+      "838:59:58.999999",
+      "-00:00:00.000001",       // tiny negative: int part borrows
+      "view",
+      "",                       // MySQL's invalid-value ENUM sentinel
+      "a,c",
+      "",
+      java.lang.Long.valueOf(0xABCDEL),
+      java.lang.Long.valueOf(-1L), // all 64 bits set
+      Array[Byte](0, 1, 2, -128, 127, 0),
+      "padded-char-value")
+    val path = tmpLog()
+    val w = new Writer(path, serverId = 5L)
+    w.setClock(1700000000L); w.begin()
+    w.tableMap(td)
+    w.writeRows(td, Seq(row))
+    w.xid(1L)
+    w.close()
+    val evs = parseFile(path)
+    val tm = evs.collect { case t: TableMap => t }.head
+    // the wire carried type 254 for ENUM/SET; the parser must resolve
+    // the embedded real types and bind the string-value TLVs by column
+    assert(tm.colTypes(6) == T_ENUM && tm.colTypes(8) == T_SET)
+    assert(tm.colTypes(13) == T_STRING && tm.colMeta(13) == 300)
+    assert(tm.enumSetLabels(6).toSeq ==
+      Seq("click", "view", "purchase", "signup", "error"))
+    assert(tm.enumSetLabels(8).toSeq == Seq("a", "b", "c", "d"))
+    val vals = rowsEvents(evs).head.rows.head._2.get.values.map(_.orNull)
+    assert(vals(1) == "812:30:45")
+    assert(vals(2) == "00:00:00.05")
+    assert(vals(3) == "-01:02:03.45")
+    assert(vals(4) == "838:59:58.999999")
+    assert(vals(5) == "-00:00:00.000001")
+    assert(vals(6) == "view")
+    assert(vals(7) == "")
+    assert(vals(8) == "a,c")
+    assert(vals(9) == "")
+    assert(vals(10) == 0xABCDEL)
+    assert(vals(11) == -1L)
+    assert(java.util.Arrays.equals(vals(12).asInstanceOf[Array[Byte]],
+      row(12).asInstanceOf[Array[Byte]]))
+    assert(vals(13) == "padded-char-value")
+  }
+
+  test("TIME2 writer refuses range abuse and precision loss") {
+    val td = TableDef(89L, "graft", "t", Seq(
+      Col.bigint("id"), Col.time("t2", 2)))
+    val path = tmpLog()
+    val w = new Writer(path, serverId = 5L)
+    w.setClock(1700000000L); w.begin()
+    w.tableMap(td)
+    // more fractional digits than TIME(2) must refuse, not truncate
+    intercept[IllegalArgumentException] {
+      w.writeRows(td, Seq(Array[AnyRef](
+        java.lang.Long.valueOf(1L), "00:00:01.123")))
+    }
+    intercept[IllegalArgumentException] {
+      w.writeRows(td, Seq(Array[AnyRef](
+        java.lang.Long.valueOf(1L), "839:00:00")))
+    }
+    w.close()
+  }
+
+  test("ENUM/SET writer refuses undeclared values") {
+    val td = TableDef(90L, "graft", "t", Seq(
+      Col.bigint("id"),
+      Col.enumCol("e", Seq("a", "b")), Col.setCol("s", Seq("x", "y"))))
+    val path = tmpLog()
+    val w = new Writer(path, serverId = 5L)
+    w.setClock(1700000000L); w.begin()
+    w.tableMap(td)
+    intercept[IllegalArgumentException] {
+      w.writeRows(td, Seq(Array[AnyRef](
+        java.lang.Long.valueOf(1L), "zz", "x")))
+    }
+    intercept[IllegalArgumentException] {
+      w.writeRows(td, Seq(Array[AnyRef](
+        java.lang.Long.valueOf(1L), "a", "x,zz")))
+    }
+    w.close()
   }
 
   test("TABLE_MAP carries 8.0 column names and signedness TLVs") {
@@ -799,6 +935,46 @@ class MysqlBinlogSpec extends AnyFunSuite {
     val ex = intercept[BinlogFormatException](changeEvents(evs2))
     assert(ex.getMessage.contains("key"))
   }
+  test("NOBLOB images: full row minus unchanged blobs, payload intact") {
+    val path = tmpLog()
+    val td = TableDef(11L, "graft", "nb", Seq(
+      Col.bigint("id"), Col.varchar("name", 64), Col.blob("doc")))
+    val doc = "blob-body".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val evs = writeLadder(path) { w =>
+      w.tableMap(td)
+      w.writeRows(td, Seq(Array[AnyRef](
+        java.lang.Long.valueOf(3L), "carol", doc))) // insert: full image
+      // binlog_row_image=NOBLOB, blob UNCHANGED: both images full
+      // minus the blob column
+      w.tableMap(td)
+      w.updateRows(td,
+        Seq((Array[AnyRef](java.lang.Long.valueOf(3L), "carol", null),
+             Array[AnyRef](java.lang.Long.valueOf(3L), "carla", null))),
+        beforePresent = Some(Set(0, 1)), afterPresent = Some(Set(0, 1)))
+      // NOBLOB delete: full before image minus the blob — NOT PK-only
+      w.tableMap(td)
+      w.deleteRows(td, Seq(Array[AnyRef](
+        java.lang.Long.valueOf(3L), "carla", null)),
+        presentCols = Some(Set(0, 1)))
+    }
+    val res = rowsEvents(evs)
+    val upd = res(1).rows.head
+    assert(upd._1.get.values.toSeq == Seq(Some(3L), Some("carol"), None),
+      "NOBLOB before image: all non-blob columns, blob absent")
+    assert(upd._2.get.values.toSeq == Seq(Some(3L), Some("carla"), None))
+    val del = res(2).rows.head
+    assert(del._1.get.values.toSeq == Seq(Some(3L), Some("carla"), None),
+      "NOBLOB delete image: full minus blob, not PK-only")
+    val ces = changeEvents(evs)
+    assert(ces.map(_.op) == Seq(
+      ChangeEvent.Insert, ChangeEvent.Update, ChangeEvent.Delete))
+    assert(ces(0).payload.contains("\"doc\""),
+      "insert payload still carries the blob (the statement set it)")
+    assert(ces(1).key == 3L &&
+      ces(1).payload == """{"id":3,"name":"carla"}""",
+      "update payload = present (non-blob) columns only")
+  }
+
   test("TRANSACTION_PAYLOAD (zstd) round-trips a wrapped transaction") {
     val path = tmpLog()
     val td = TableDef(13L, "graft", "tp", Seq(

@@ -2670,20 +2670,29 @@ object ExtQueries {
     // (2) RECOUNT every user's norm over the PRUNED universe —
     // dividing a pruned-universe dot by a full-universe norm would
     // systematically deflate every surviving pair's cosine (the
-    // DedupOps.setSizes lesson). Pair volume is then ≤ cap²·|buckets|,
-    // linear in buckets at fixed cap; the hot-set is |buckets|-bounded
-    // and broadcasts. Deterministic: the cap is a pure function of the
-    // corpus, so the DuckDB twin replays the same pruning; NOT EXISTS
-    // (not NOT IN) so a NULL bucket key cannot silently drop rows in
-    // one engine and not the other. At sf0.01 the cap genuinely bites
-    // (18 of 720 hour buckets exceed 20 distinct users), so this row
-    // is not vacuously equal to the uncapped one.
+    // DedupOps.setSizes lesson). The cap is DENSITY-RELATIVE: 1.5× the
+    // lower-median bucket df (an exact sort-index value, the
+    // RobustStats stance, so both engines replay it bit-for-bit) —
+    // an absolute cap tuned for one corpus density is wrong at the
+    // next scale (20 prunes the sf0.01 tail but drops EVERY sf0.1
+    // bucket, measured), while 1.5×median drops only genuine outlier
+    // hours: 37/720 at sf0.01, 0/720 on the uniform sf0.1 fixture
+    // (docs/SCALE.md's flash-hour injection shows it bounding a real
+    // hot bucket). Pair volume is then ≤ (1.5·med)²·|buckets|; the
+    // hot-set is |buckets|-bounded and broadcasts. NOT EXISTS (not
+    // NOT IN) so a NULL bucket key cannot silently drop rows in one
+    // engine and not the other.
     Q("x_coactivity_capped",
       (s, d) => {
         Tables.events(s, d).createOrReplaceTempView("events_ccap")
         s.sql("""WITH hb AS (SELECT user_id, date_trunc('hour', ts) AS h,
           |   count(*) AS c FROM events_ccap GROUP BY 1, 2),
-          | hot AS (SELECT h FROM hb GROUP BY h HAVING count(*) > 20),
+          | hd AS (SELECT h, count(*) AS df FROM hb GROUP BY h),
+          | r AS (SELECT df, row_number() OVER (ORDER BY df) AS rn,
+          |   count(*) OVER () AS n FROM hd),
+          | cap AS (SELECT (df * 3) div 2 AS cap FROM r
+          |   WHERE rn = (n - 1) div 2 + 1),
+          | hot AS (SELECT h FROM hd WHERE df > (SELECT cap FROM cap)),
           | hp AS (SELECT * FROM hb WHERE NOT EXISTS (
           |   SELECT 1 FROM hot WHERE hot.h = hb.h)),
           | nrm AS (SELECT user_id, sum(c * c) AS n2 FROM hp GROUP BY 1),
@@ -2708,7 +2717,12 @@ object ExtQueries {
       },
       Some("""WITH hb AS (SELECT user_id, date_trunc('hour', ts) AS h,
         |   count(*) AS c FROM events GROUP BY 1, 2),
-        | hot AS (SELECT h FROM hb GROUP BY h HAVING count(*) > 20),
+        | hd AS (SELECT h, count(*) AS df FROM hb GROUP BY h),
+        | r AS (SELECT df, row_number() OVER (ORDER BY df) AS rn,
+        |   count(*) OVER () AS n FROM hd),
+        | cap AS (SELECT (df * 3) // 2 AS cap FROM r
+        |   WHERE rn = (n - 1) // 2 + 1),
+        | hot AS (SELECT h FROM hd WHERE df > (SELECT cap FROM cap)),
         | hp AS (SELECT * FROM hb WHERE NOT EXISTS (
         |   SELECT 1 FROM hot WHERE hot.h = hb.h)),
         | nrm AS (SELECT user_id, CAST(sum(c * c) AS BIGINT) AS n2
@@ -2800,14 +2814,22 @@ object ExtQueries {
         // blocking key: a (d0, d1) GRID of τ-wide cells, not a single
         // d0 stripe — each dimension is independently lossless (edit
         // distance is a metric, so |d(a,r)−d(b,r)| ≤ d(a,b) ≤ τ keeps
-        // every true pair within ±1 cell per axis), and the 3×3 probe
-        // neighborhood admits only candidates close to the probe in
-        // BOTH reference distances. At 24-char trajectories d0 alone
-        // has ~3 populated bins (the r9 verdict's watch item: the
-        // stripe admitted most of the corpus and the LB filter did all
-        // the pruning); the grid cuts the admitted candidate set ~2.8×
-        // at sf0.01 (measured, docs/SCALE.md) at identical output.
-        // Degenerate corpora with <2 refs fall back to the d0 stripe.
+        // every true pair within ±1 cell per axis), the grid is a
+        // strict refinement of the stripe at identical output, and the
+        // extra explode costs ~nothing (the join stays an equi-join).
+        // MEASURED honestly (docs/SCALE.md round-10): on THIS fixture
+        // the refinement is vacuous — 24-char trajectories put every
+        // distance in [0,21], i.e. 2 bins of width τ=12 per axis, all
+        // mutually ±1-adjacent, so NO lossless τ-blocking (stripe,
+        // grid, or otherwise) can prune here; and reference-point LBs
+        // are weak on high-entropy alphabets generally (distances
+        // concentrate — a 96-char clustered rerun pruned only ~1.4×
+        // end to end). What actually bounds this query at scale is the
+        // PROBE-PANEL framing: n/30 probes × corpus via equi-join,
+        // never all-pairs — the grid is kept because it is free and
+        // engages exactly when trajectories lengthen/cluster enough
+        // for bins to separate. Corpora with <2 refs fall back to the
+        // d0 stripe.
         val grid = refs.length >= 2
         val binCols =
           if (grid) "d0 div 12 AS b0, d1 div 12 AS b1"

@@ -1,0 +1,92 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+
+import graft.streaming.{MysqlBinlog, MysqlBinlogWriter}
+import MysqlBinlogWriter.{Col, TableDef, Writer}
+
+/** CDC decode throughput stress (dev tool, the docs/SCALE.md "CDC
+  * throughput" rows): synthesize binlogs of growing volume with the
+  * fixture Writer — the events-table column mix (ints, µs timestamp,
+  * varchar, double, binary JSON) in 64-row transactions — then time
+  * the full consumer path (wire parse incl. CRC verify + row-image
+  * decode + [[MysqlBinlog.changeEvents]] projection), plain and inside
+  * zstd TRANSACTION_PAYLOAD wrappers.
+  *
+  * Pure JVM (no SparkSession): the binlog scan parallelizes per server
+  * log, so single-thread decode MB/s × number of logs IS the cluster
+  * ingest ceiling — the number that matters is per-core.
+  *
+  * Prints one JSON line per (scale, compression) cell:
+  * `{"rows":N,"bytes":B,"compressed":bool,"sec":t,"events_per_sec":…,
+  * "mb_per_sec":…}` — min of 3 runs, same estimator as Bench.
+  */
+object CdcBench {
+
+  private def tableDef = TableDef(23L, "graft", "events", Seq(
+    Col.bigint("user_id"), Col.bigint("event_id"),
+    Col.timestamp6("ts"), Col.varchar("event_type", 64),
+    Col.double("value"), Col.json("props")))
+
+  private def writeLog(path: String, nTxn: Int, compressed: Boolean): Long = {
+    val rng = new scala.util.Random(77)
+    val td = tableDef
+    val types = Array("click", "view", "purchase", "signup", "error")
+    val w = new Writer(path, serverId = 9L)
+    w.setClock(1700000000L)
+    w.begin()
+    w.previousGtids(Seq.empty)
+    var eid = 0L
+    (0 until nTxn).foreach { txn =>
+      val rows = (0 until 64).map { _ =>
+        eid += 1
+        Array[AnyRef](
+          java.lang.Long.valueOf(rng.nextInt(100000).toLong),
+          java.lang.Long.valueOf(eid),
+          java.lang.Long.valueOf(1700000000000000L + eid * 1000L),
+          types(rng.nextInt(types.length)),
+          java.lang.Double.valueOf(rng.nextDouble() * 100),
+          s"""{"k": ${rng.nextInt(100)}, "tags": ["a", "b"]}""")
+      }
+      w.gtid("00000000-0000-4000-8000-000000000009", txn + 1L)
+      if (compressed) {
+        w.transactionPayload() { inner =>
+          inner.query("graft", "BEGIN")
+          inner.tableMap(td)
+          inner.writeRows(td, rows)
+          inner.xid(txn + 1L)
+        }
+      } else {
+        w.query("graft", "BEGIN")
+        w.tableMap(td)
+        w.writeRows(td, rows)
+        w.xid(txn + 1L)
+      }
+    }
+    w.close()
+    new java.io.File(path).length()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseTxn = if (args.nonEmpty) args(0).toInt else 2000 // ×64 rows
+    for (scale <- Seq(1, 5, 10); compressed <- Seq(false, true)) {
+      val nTxn = baseTxn * scale
+      val path = java.nio.file.Files
+        .createTempFile("graft_cdc_bench_", ".binlog").toString
+      val bytes = writeLog(path, nTxn, compressed)
+      def once(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val evs = MysqlBinlog.parseFile(path)
+        val ces = MysqlBinlog.changeEvents(evs)
+        ((System.nanoTime() - t0) / 1e9, ces.length.toLong)
+      }
+      once() // warm-up (JIT, page cache)
+      val runs = (1 to 3).map(_ => once())
+      val sec = runs.map(_._1).min
+      val rows = runs.head._2
+      require(rows == nTxn.toLong * 64, s"decoded $rows of ${nTxn * 64}")
+      java.nio.file.Files.delete(java.nio.file.Paths.get(path))
+      println(f"""{"rows":$rows,"bytes":$bytes,"compressed":$compressed,"sec":$sec%.3f,"events_per_sec":${(rows / sec).toLong},"mb_per_sec":${bytes / 1e6 / sec}%.1f}""")
+    }
+  }
+}

@@ -345,7 +345,9 @@ object MysqlBinlog {
 
   // -- rows events ------------------------------------------------------
   private def parseRows(c: Cur, h: EventHeader, start: Long,
-                        payloadEnd: Int): RowsEvent = {
+                        payloadEnd: Int,
+                        tableMaps: scala.collection.Map[Long, TableMap])
+      : RowsEvent = {
     val tableId = c.u6()
     c.u2() // flags
     val extraLen = c.u2() // v2: includes its own 2 bytes
@@ -354,7 +356,7 @@ object MysqlBinlog {
     val present1 = c.bitmap(nCols)
     val present2 =
       if (h.eventType == UPDATE_ROWS_EVENT) c.bitmap(nCols) else present1
-    val tm = currentTableMaps.get.get(tableId).getOrElse(
+    val tm = tableMaps.getOrElse(tableId,
       throw new BinlogFormatException(
         s"rows event for table id $tableId with no preceding TABLE_MAP"))
     val rows = Seq.newBuilder[(Option[RowImage], Option[RowImage])]
@@ -596,14 +598,6 @@ object MysqlBinlog {
     case m => throw new BinlogFormatException(s"bad temporal fsp $m")
   }
 
-  // table-id → TABLE_MAP context for the CURRENT parse call. Thread-local
-  // because parse() can run concurrently in different scan tasks; the
-  // map is (re)seeded per call, never shared across files.
-  private val currentTableMaps =
-    new ThreadLocal[scala.collection.mutable.Map[Long, TableMap]] {
-      override def initialValue() = scala.collection.mutable.Map.empty
-    }
-
   /** Parse events in `bytes[from, until)` (file coordinates: `base` is
     * the file offset of bytes(0)). `fde` supplies the checksum algorithm
     * when resuming mid-file; pass None when the range starts at the file
@@ -621,27 +615,80 @@ object MysqlBinlog {
     */
   def parse(bytes: Array[Byte], base: Long = 0L,
             fde: Option[FormatDescription] = None,
-            decodeRows: Boolean = true): Vector[Event] = {
-    currentTableMaps.get.clear()
-    var p = 0
-    if (base == 0L) {
-      if (bytes.length < 4 || !java.util.Arrays.equals(
-          java.util.Arrays.copyOfRange(bytes, 0, 4), Magic))
-        throw new BinlogFormatException("bad binlog magic (want FE 62 69 6E)")
-      p = 4
-    }
-    var currentFde: Option[FormatDescription] = fde
-    val out = Vector.newBuilder[Event]
-    while (p + CommonHeaderLen <= bytes.length) {
-      val start = base + p
-      val c = new Cur(bytes, p)
-      val h = parseHeader(c)
-      if (h.eventSize < CommonHeaderLen)
-        throw new BinlogFormatException(s"event size ${h.eventSize} < header")
-      if (p + h.eventSize > bytes.length) {
-        // partial tail (writer mid-append): stop at the last whole event
-        p = bytes.length
-      } else {
+            decodeRows: Boolean = true): Vector[Event] =
+    eventIterator(bytes, base, fde, decodeRows).toVector
+
+  /** LAZY event stream over the same contract as [[parse]] — the
+    * memory-scale form: a partition reader pulling rows through
+    * [[changeEventsIterator]] holds the raw bytes plus ONE in-flight
+    * event, never a file-sized event Vector (measured: the whole-file
+    * materialization cost the 10× CdcBench row ~30% in GC, SCALE.md
+    * round-10). The TABLE_MAP context lives in the iterator (no shared
+    * thread-local state): interleaving two iterators on one thread is
+    * safe, and a TRANSACTION_PAYLOAD's inner transaction gets its own
+    * fresh context exactly as each statement re-emits its TABLE_MAP.
+    * Errors (CRC mismatch, truncated declared sizes, unsupported
+    * types) surface at the pull that reaches them — same task, same
+    * loud refusal, just stream-shaped.
+    */
+  def eventIterator(bytes: Array[Byte], base: Long = 0L,
+                    fde: Option[FormatDescription] = None,
+                    decodeRows: Boolean = true): Iterator[Event] =
+    new Iterator[Event] {
+      private var p = 0
+      if (base == 0L) {
+        if (bytes.length < 4 || !java.util.Arrays.equals(
+            java.util.Arrays.copyOfRange(bytes, 0, 4), Magic))
+          throw new BinlogFormatException("bad binlog magic (want FE 62 69 6E)")
+        p = 4
+      }
+      private var currentFde: Option[FormatDescription] = fde
+      private val tableMaps =
+        scala.collection.mutable.Map.empty[Long, TableMap]
+      // a TRANSACTION_PAYLOAD unwraps to a (transaction-bounded) batch
+      // of inner events, spliced in place of the wrapper
+      private var pending: Iterator[Event] = Iterator.empty
+      // one-event LOOKAHEAD so hasNext is exact (partial trailing
+      // events and empty payload wrappers end the stream cleanly,
+      // never break the Iterator contract)
+      private var lookahead: Event = _
+      advance()
+
+      override def hasNext: Boolean = lookahead != null
+
+      override def next(): Event = {
+        if (lookahead == null)
+          throw new NoSuchElementException("binlog event stream exhausted")
+        val e = lookahead
+        advance()
+        e
+      }
+
+      private def advance(): Unit = {
+        lookahead = null
+        while (lookahead == null) {
+          if (pending.hasNext) { lookahead = pending.next(); return }
+          if (p + CommonHeaderLen > bytes.length) return
+          if (!parseOne()) return
+        }
+      }
+
+      /** Parse ONE raw event at `p`; sets `lookahead` (or `pending`
+        * for a payload wrapper, leaving the loop to drain it). Returns
+        * false when the raw stream ends on a partial trailing event.
+        */
+      private def parseOne(): Boolean = {
+        val start = base + p
+        val c = new Cur(bytes, p)
+        val h = parseHeader(c)
+        if (h.eventSize < CommonHeaderLen)
+          throw new BinlogFormatException(s"event size ${h.eventSize} < header")
+        if (p + h.eventSize > bytes.length) {
+          // partial tail (writer mid-append): stop at the last whole
+          // event — the stream simply ends here
+          p = bytes.length
+          return false
+        }
         val checksummed = h.eventType match {
           case FORMAT_DESCRIPTION_EVENT => false // FDE verifies itself
           case _ => currentFde.exists(_.checksumAlg == ChecksumCrc32)
@@ -660,9 +707,10 @@ object MysqlBinlog {
         if (h.eventType == TRANSACTION_PAYLOAD_EVENT) {
           // unwrap in place: the wrapped transaction's ordinary events
           // replace the wrapper in the returned stream
-          out ++= tpUnwrap(c, h, start, bodyEnd, decodeRows)
+          pending = tpUnwrap(c, h, start, bodyEnd, decodeRows).iterator
           p += h.eventSize
-        } else {
+          return true
+        }
         val ev: Event = h.eventType match {
           case FORMAT_DESCRIPTION_EVENT =>
             val f = parseFde(java.util.Arrays.copyOfRange(
@@ -670,9 +718,9 @@ object MysqlBinlog {
             currentFde = Some(f); f
           case TABLE_MAP_EVENT =>
             val tm = parseTableMap(c, h, start, bodyEnd)
-            currentTableMaps.get.update(tm.tableId, tm); tm
+            tableMaps.update(tm.tableId, tm); tm
           case WRITE_ROWS_EVENT | UPDATE_ROWS_EVENT | DELETE_ROWS_EVENT =>
-            if (decodeRows) parseRows(c, h, start, bodyEnd)
+            if (decodeRows) parseRows(c, h, start, bodyEnd, tableMaps)
             else Opaque(h, start)
           case WRITE_ROWS_V1 | UPDATE_ROWS_V1 | DELETE_ROWS_V1 =>
             throw new BinlogFormatException(
@@ -716,13 +764,11 @@ object MysqlBinlog {
             PreviousGtids(h, start, parts.sorted.mkString(","))
           case _ => Opaque(h, start)
         }
-        out += ev
         p += h.eventSize
-        }
+        lookahead = ev
+        true
       }
     }
-    out.result()
-  }
 
   /** Unwrap one TRANSACTION_PAYLOAD_EVENT (8.0.20+ `binlog_transaction_
     * compression=ON`): decode the TLV header, decompress the payload
@@ -740,8 +786,9 @@ object MysqlBinlog {
     * order, saturating at 64 rows like any single oversized statement.
     *
     * The inner TABLE_MAP context is scoped to the transaction: the
-    * outer map is saved and restored around the inner parse (each
-    * statement re-emits its TABLE_MAP, inside or outside a wrapper).
+    * inner parse runs with its own fresh context (each statement
+    * re-emits its TABLE_MAP, inside or outside a wrapper), so the
+    * outer iterator's context is untouched.
     */
   private def tpUnwrap(c: Cur, h: EventHeader, start: Long, bodyEnd: Int,
                        decodeRows: Boolean): Vector[Event] = {
@@ -795,18 +842,15 @@ object MysqlBinlog {
       case x => throw new BinlogFormatException(
         s"unsupported TRANSACTION_PAYLOAD compression type $x")
     }
-    // inner events: v4 headers, no checksums; scope the TABLE_MAP
-    // context to the transaction
-    val saved = currentTableMaps.get.toMap
+    // inner events: v4 headers, no checksums; the recursive parse gets
+    // its own fresh TABLE_MAP context (transaction-scoped by
+    // construction). Materializing the inner Vector is fine — it is
+    // ONE transaction, the bound a single statement already has
     val innerEvents =
-      try parse(inner, base = 1L,
+      parse(inner, base = 1L,
         fde = Some(FormatDescription(h, start, 4, "tp-inner", ChecksumOff,
           Array.empty)),
         decodeRows = decodeRows)
-      finally {
-        currentTableMaps.get.clear()
-        currentTableMaps.get ++= saved
-      }
     innerEvents.map {
       case re: RowsEvent => re.copy(startPos = start)
       case e: TableMap => e.copy(startPos = start)
@@ -968,9 +1012,17 @@ object MysqlBinlog {
     * names (`binlog_row_metadata=FULL`), else `col_<i>`.
     */
   def changeEvents(events: Seq[Event],
-                   seqBase: Long = 0L): Seq[ChangeEvent] = {
+                   seqBase: Long = 0L): Seq[ChangeEvent] =
+    changeEventsIterator(events.iterator, seqBase).toVector
+
+  /** LAZY form of [[changeEvents]] — composes with [[eventIterator]]
+    * so a partition reader streams binlog bytes → rows without ever
+    * materializing a file-sized Event or ChangeEvent collection
+    * (per-statement batches only, ≤ the rows of one statement).
+    */
+  def changeEventsIterator(events: Iterator[Event],
+                           seqBase: Long = 0L): Iterator[ChangeEvent] = {
     val tableMaps = scala.collection.mutable.Map[Long, TableMap]()
-    val out = Seq.newBuilder[ChangeEvent]
     // row counter runs ACROSS consecutive rows events sharing one
     // startPos: unwrapped TRANSACTION_PAYLOAD statements all carry the
     // wrapper's position, and without the shared counter their rows
@@ -978,8 +1030,8 @@ object MysqlBinlog {
     // bound a single oversized statement has always had)
     var lastPos = -1L
     var rowCounter = 0
-    events.foreach {
-      case tm: TableMap => tableMaps(tm.tableId) = tm
+    events.flatMap {
+      case tm: TableMap => tableMaps(tm.tableId) = tm; Nil
       case re: RowsEvent =>
         val tm = tableMaps.getOrElse(re.tableId,
           throw new BinlogFormatException(
@@ -990,7 +1042,7 @@ object MysqlBinlog {
           case DELETE_ROWS_EVENT => ChangeEvent.Delete
         }
         if (re.startPos != lastPos) { lastPos = re.startPos; rowCounter = 0 }
-        re.rows.foreach { case (before, after) =>
+        re.rows.map { case (before, after) =>
           val img = (if (op == ChangeEvent.Delete) before else after).get
           // key = first column of the decisive image; under
           // binlog_row_image=MINIMAL an UPDATE's after image carries
@@ -1005,15 +1057,15 @@ object MysqlBinlog {
             case v => throw new BinlogFormatException(
               s"first (key) column must be an integer type, got $v")
           }
-          out += ChangeEvent(op, tm.tableName, key,
+          val ce = ChangeEvent(op, tm.tableName, key,
             new java.sql.Timestamp(re.header.tsSec * 1000L),
             seqBase + re.startPos * 64 + math.min(rowCounter, 63),
             if (op == ChangeEvent.Delete) null else imageJson(tm, img))
           rowCounter += 1
+          ce
         }
-      case _ => ()
+      case _ => Nil
     }
-    out.result()
   }
 
   /** JSON render of a row image (present columns only). Doubles via

@@ -417,11 +417,16 @@ class MysqlBinlogBatch(path: String) extends Batch {
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val file = p.asInstanceOf[MysqlBinlogFilePartition].file
-        val events = MysqlBinlog.changeEvents(MysqlBinlog.parseFile(file),
+        // stream bytes → events → rows: the reader holds the raw file
+        // plus ONE in-flight event, never a file-sized Vector
+        // (MysqlBinlog.eventIterator — the memory-scale path)
+        val events = MysqlBinlog.changeEventsIterator(
+          MysqlBinlog.eventIterator(
+            Files.readAllBytes(Paths.get(file))),
           MysqlBinlogSource.seqBase(file))
         val src = Paths.get(file).getFileName.toString
         new PartitionReader[InternalRow] {
-          private val it = events.iterator
+          private val it = events
           private var cur: InternalRow = _
           override def next(): Boolean =
             if (it.hasNext) { cur = MysqlBinlogSource.toRow(it.next(), src); true }
@@ -627,8 +632,9 @@ class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long,
             off += n
           }
         } finally ch.close()
-        val events = MysqlBinlog.changeEvents(
-          MysqlBinlog.parse(bytes, base = r.startByte, fde = Some(fde)),
+        val events = MysqlBinlog.changeEventsIterator(
+          MysqlBinlog.eventIterator(bytes, base = r.startByte,
+            fde = Some(fde)),
           r.epoch << 44)
         // src is the CHAIN identity — the configured head path, stable
         // across rotation and unique across servers (a per-file
@@ -637,7 +643,7 @@ class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long,
         // row physically came from is recoverable from seq's epoch bits
         val src = chainId
         new PartitionReader[InternalRow] {
-          private val it = events.iterator
+          private val it = events
           private var cur: InternalRow = _
           override def next(): Boolean =
             if (it.hasNext) { cur = MysqlBinlogSource.toRow(it.next(), src); true }

@@ -160,6 +160,16 @@ class PlanShapeSpec extends SparkSpec {
       s"scatter should need exactly one shuffle:\n$p")
   }
 
+  test("x_coactivity_capped prunes hot buckets via a broadcast anti join") {
+    val p = plan("x_coactivity_capped")
+    // the |buckets|-bounded hot set must broadcast back onto the
+    // inverted index (NOT EXISTS → broadcast LeftAnti) — a shuffled
+    // anti join here would move the corpus to prune a dimension
+    val anti = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    assert(anti.nonEmpty && anti.forall(_.contains("Broadcast")),
+      s"hot-bucket prune must be a broadcast anti join:\n$p")
+  }
+
   test("x_anomaly_mad broadcasts the per-group median tables") {
     val p = plan("x_anomaly_mad")
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,

@@ -153,7 +153,12 @@ object MysqlBinlog {
     * per-event copy is what lets the scan hand out immutable rows).
     */
   private final class Cur(val b: Array[Byte], var p: Int) {
-    def u1(): Int = { val v = b(p) & 0xff; p += 1; v }
+    def u1(): Int = {
+      if (p >= b.length)
+        throw new BinlogFormatException(
+          s"read past the event buffer at offset $p")
+      val v = b(p) & 0xff; p += 1; v
+    }
     def u2(): Int = u1() | (u1() << 8)
     def u3(): Int = u1() | (u1() << 8) | (u1() << 16)
     def u4(): Long = (u2().toLong | (u2().toLong << 16)) & 0xffffffffL
@@ -161,11 +166,20 @@ object MysqlBinlog {
     def i8(): Long = u4() | (u4() << 32)
     /** big-endian unsigned, n bytes (temporal2 encodings) */
     def beUInt(n: Int): Long = {
+      if (p + n > b.length)
+        throw new BinlogFormatException(
+          s"field of $n bytes overruns the event buffer at offset $p")
       var v = 0L; var i = 0
       while (i < n) { v = (v << 8) | (b(p + i) & 0xff); i += 1 }
       p += n; v
     }
     def bytes(n: Int): Array[Byte] = {
+      // explicit bound: copyOfRange silently ZERO-PADS past the array
+      // end, which on a corrupt length (checksum-off logs have no CRC
+      // to catch it first) would surface fabricated zero bytes as data
+      if (n < 0 || p + n > b.length)
+        throw new BinlogFormatException(
+          s"field of $n bytes overruns the event buffer at offset $p")
       val out = java.util.Arrays.copyOfRange(b, p, p + n); p += n; out
     }
     def str(n: Int): String = new String(bytes(n), StandardCharsets.UTF_8)
@@ -252,6 +266,12 @@ object MysqlBinlog {
     val schemaLen = c.u1(); val schema = c.str(schemaLen); c.u1() // NUL
     val tableLen = c.u1(); val table = c.str(tableLen); c.u1()   // NUL
     val nCols = c.lenenc().toInt
+    // allocation guard BEFORE Array.fill: each column costs ≥1 type
+    // byte, so a corrupt count beyond the remaining payload must
+    // refuse here rather than attempt a multi-GB allocation
+    if (nCols < 0 || nCols > c.remaining)
+      throw new BinlogFormatException(
+        s"TABLE_MAP declares $nCols columns with ${c.remaining} bytes left")
     val types = Array.fill(nCols)(c.u1())
     val metaLen = c.lenenc().toInt
     val metaEnd = c.p + metaLen
@@ -306,6 +326,10 @@ object MysqlBinlog {
             s"more ${if (typ == T_ENUM) "ENUM" else "SET"}_STR_VALUE " +
               "entries than columns of that type")
         val n = c.lenenc().toInt
+        // each value costs ≥1 length byte: allocation guard
+        if (n < 0 || n > c.remaining)
+          throw new BinlogFormatException(
+            s"string-value TLV declares $n values with ${c.remaining} bytes left")
         val vals = Array.fill(n) { val l = c.lenenc().toInt; c.str(l) }
         labels += (idxs(k) -> vals)
         k += 1
@@ -353,6 +377,9 @@ object MysqlBinlog {
     val extraLen = c.u2() // v2: includes its own 2 bytes
     if (extraLen > 2) c.bytes(extraLen - 2)
     val nCols = c.lenenc().toInt
+    if (nCols < 0 || nCols.toLong > 8L * c.remaining)
+      throw new BinlogFormatException(
+        s"rows event declares $nCols columns with ${c.remaining} bytes left")
     val present1 = c.bitmap(nCols)
     val present2 =
       if (h.eventType == UPDATE_ROWS_EVENT) c.bitmap(nCols) else present1
@@ -361,6 +388,7 @@ object MysqlBinlog {
         s"rows event for table id $tableId with no preceding TABLE_MAP"))
     val rows = Seq.newBuilder[(Option[RowImage], Option[RowImage])]
     while (c.p < payloadEnd) {
+      val rowStart = c.p
       h.eventType match {
         case WRITE_ROWS_EVENT =>
           rows += ((None, Some(parseRowImage(c, tm, present1))))
@@ -372,7 +400,22 @@ object MysqlBinlog {
           rows += ((Some(before), Some(after)))
         case t => throw new BinlogFormatException(s"unsupported rows event type $t")
       }
+      // progress check: a corrupt columns-present bitmap can yield a
+      // zero-byte row image (no columns, no null bitmap) — without
+      // this the loop above never advances
+      if (c.p == rowStart)
+        throw new BinlogFormatException(
+          s"row image at offset $start consumed no bytes — corrupt " +
+            "columns-present bitmap")
     }
+    // exact-consumption check: a corrupt per-value length that made an
+    // image overrun the body would otherwise decode the NEXT image (or
+    // on checksum-off logs, the next event's bytes) as silently wrong
+    // values — the one thing this decoder promises never to do
+    if (c.p != payloadEnd)
+      throw new BinlogFormatException(
+        s"row images overran the event body by ${c.p - payloadEnd} bytes " +
+          s"at offset $start — corrupt length or wrong TABLE_MAP")
     RowsEvent(h, start, tableId, h.eventType, rows.result())
   }
 
@@ -728,6 +771,8 @@ object MysqlBinlog {
           case XID_EVENT => Xid(h, start, c.i8())
           case ROTATE_EVENT =>
             val pos = c.i8()
+            if (c.p > bodyEnd) throw new BinlogFormatException(
+              s"ROTATE event at $start shorter than its post-header")
             Rotate(h, start, pos, new String(
               java.util.Arrays.copyOfRange(bytes, c.p, bodyEnd),
               StandardCharsets.UTF_8))
@@ -740,6 +785,8 @@ object MysqlBinlog {
             val statusLen = c.u2()
             c.bytes(statusLen)
             val schema = c.str(schemaLen); c.u1()
+            if (c.p > bodyEnd) throw new BinlogFormatException(
+              s"QUERY event at $start shorter than its declared parts")
             Query(h, start, schema, new String(
               java.util.Arrays.copyOfRange(bytes, c.p, bodyEnd),
               StandardCharsets.UTF_8))
@@ -833,8 +880,26 @@ object MysqlBinlog {
             s"TRANSACTION_PAYLOAD declares $uncompressedSize uncompressed " +
               "bytes — beyond the JVM single-array decode limit; such " +
               "transactions need streamed decompression")
-        val out = com.github.luben.zstd.Zstd.decompress(
-          compressed, uncompressedSize.toInt)
+        // plausibility bound BEFORE allocating: zstd tops out around
+        // three decimal orders of magnitude even on degenerate input,
+        // so a declared size beyond 1024× the frame (+1 MB slack) is a
+        // corrupt header — refuse it rather than attempt a multi-GB
+        // allocation on a flipped byte
+        if (uncompressedSize > 1024L * compressed.length + (1L << 20))
+          throw new BinlogFormatException(
+            s"TRANSACTION_PAYLOAD declares $uncompressedSize uncompressed " +
+              s"bytes from a ${compressed.length}-byte frame — implausible " +
+              "ratio, corrupt header")
+        val out =
+          try com.github.luben.zstd.Zstd.decompress(
+            compressed, uncompressedSize.toInt)
+          catch { case e: com.github.luben.zstd.ZstdException =>
+            // corrupt frame on a checksum-off chain (a checksummed
+            // wrapper is CRC-caught first): refuse in this decoder's
+            // own vocabulary, not a native library's
+            throw new BinlogFormatException(
+              s"zstd payload decompression failed: ${e.getMessage}")
+          }
         if (out.length != uncompressedSize) throw new BinlogFormatException(
           s"zstd payload decompressed to ${out.length}, " +
             s"declared $uncompressedSize")

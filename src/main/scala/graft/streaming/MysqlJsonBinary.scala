@@ -213,7 +213,7 @@ object MysqlJsonBinary {
     // a corrupt doc whose offsets/lengths point past the payload
     // indexes out of the array — classify it, the same loud refusal
     // every other malformed shape gets
-    try value(doc(0) & 0xff, doc, 1, doc.length)
+    try value(doc(0) & 0xff, doc, 1, doc.length, 0)
     catch {
       case e: IndexOutOfBoundsException => throw new JsonBinaryException(
         s"truncated or corrupt binary JSON document (${e.getMessage})")
@@ -244,10 +244,18 @@ object MysqlJsonBinary {
     (v.toInt, i)
   }
 
+  /** Server-side nesting limit (sql/json_dom.h JSON_DOCUMENT_MAX_DEPTH
+    * is 100): a document deeper than this cannot come from a real
+    * column, and a corrupt offset CYCLE (a container pointing back
+    * into itself) would otherwise recurse without bound.
+    */
+  private val MaxDepth = 100
+
   /** Decode the value with type `t` whose payload starts at `p` and may
     * not extend past `end` (the enclosing container's bound).
     */
-  private def value(t: Int, b: Array[Byte], p: Int, end: Int): JVal = t match {
+  private def value(t: Int, b: Array[Byte], p: Int, end: Int,
+                    depth: Int): JVal = t match {
     case Literal => (b(p) & 0xff) match {
       case LitNull => JNull
       case LitTrue => JBool(true)
@@ -273,10 +281,19 @@ object MysqlJsonBinary {
       val w = if (large) 4 else 2
       def off(q: Int): Int =
         (if (large) u32(b, q) else u16(b, q).toLong).toInt
+      if (depth >= MaxDepth)
+        throw new JsonBinaryException(
+          s"container nesting beyond $MaxDepth levels — corrupt offsets " +
+            "(cycle) or a document no server would write")
       val count = off(p)
       val size = off(p + w)
       if (p + size > end)
         throw new JsonBinaryException("container size runs past bound")
+      // each entry costs at least its (type, offset) cell: a count
+      // beyond that is a corrupt header, not a big document
+      if (count < 0 || count.toLong * (1 + w) > size)
+        throw new JsonBinaryException(
+          s"container declares $count entries in $size bytes")
       val isObj = t == SmallObject || t == LargeObject
       val entriesStart = p + 2 * w + (if (isObj) count * (w + 2) else 0)
       def entry(k: Int): JVal = {
@@ -285,9 +302,11 @@ object MysqlJsonBinary {
         et match {
           // inlined in the offset field: literals + 16-bit ints always,
           // 32-bit ints in the large variants
-          case Literal | Int16 | UInt16 => value(et, b, ep + 1, ep + 1 + w)
-          case Int32 | UInt32 if large => value(et, b, ep + 1, ep + 1 + w)
-          case _ => value(et, b, p + off(ep + 1), p + size)
+          case Literal | Int16 | UInt16 =>
+            value(et, b, ep + 1, ep + 1 + w, depth + 1)
+          case Int32 | UInt32 if large =>
+            value(et, b, ep + 1, ep + 1 + w, depth + 1)
+          case _ => value(et, b, p + off(ep + 1), p + size, depth + 1)
         }
       }
       if (isObj) {

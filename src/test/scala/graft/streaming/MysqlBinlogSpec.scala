@@ -935,6 +935,55 @@ class MysqlBinlogSpec extends AnyFunSuite {
     val ex = intercept[BinlogFormatException](changeEvents(evs2))
     assert(ex.getMessage.contains("key"))
   }
+  test("corruption fuzz: byte flips refuse loudly or truncate, never crash") {
+    // the decoder's contract under corruption: every flip either (a)
+    // still parses (checksum-off logs can carry undetectably corrupt
+    // VALUES — GIGO, no CRC to catch it), (b) truncates at a
+    // partial-looking tail, or (c) throws BinlogFormatException. Never
+    // an index error, negative/huge allocation, native-library
+    // exception, or hang — a hostile byte must not take the tail down
+    // with anything but this decoder's own loud refusal.
+    val rng = new scala.util.Random(9191)
+    def buildLog(checksum: Boolean, wrapped: Boolean): Array[Byte] = {
+      val path = tmpLog()
+      val w = new Writer(path, serverId = 5L, checksum = checksum)
+      w.setClock(1700000000L); w.begin()
+      val td = TableDef(66L, "graft", "t", Seq(
+        Col.bigint("id"), Col.decimal("amt", 12, 4), Col.varchar("s", 64),
+        Col.enumCol("e", Seq("a", "b", "c")), Col.time("t6", 6),
+        Col.json("j")))
+      val rows = (1 to 20).map(i => Array[AnyRef](
+        java.lang.Long.valueOf(i.toLong), new java.math.BigDecimal("12.3400"),
+        s"value-$i", "b", "01:02:03.000004", s"""{"k": $i}"""))
+      if (wrapped)
+        w.transactionPayload() { in =>
+          in.tableMap(td); in.writeRows(td, rows); in.xid(1L)
+        }
+      else { w.tableMap(td); w.writeRows(td, rows); w.xid(1L) }
+      w.close()
+      Files.readAllBytes(Paths.get(path))
+    }
+    for ((checksum, wrapped) <- Seq((true, false), (false, false),
+        (true, true), (false, true))) {
+      val clean = buildLog(checksum, wrapped)
+      parse(clean) // sanity: the uncorrupted log parses
+      for (iter <- 1 to 300) {
+        val b = clean.clone()
+        (0 until 1 + rng.nextInt(3)).foreach { _ =>
+          val i = 4 + rng.nextInt(b.length - 4) // past the magic
+          b(i) = (b(i) ^ (1 << rng.nextInt(8))).toByte
+        }
+        try { parse(b); () }
+        catch {
+          case _: BinlogFormatException => ()
+          case e: Throwable => fail(
+            s"cs=$checksum wrap=$wrapped iter=$iter escaped the decoder: " +
+              s"${e.getClass.getName}: ${e.getMessage}")
+        }
+      }
+    }
+  }
+
   test("NOBLOB images: full row minus unchanged blobs, payload intact") {
     val path = tmpLog()
     val td = TableDef(11L, "graft", "nb", Seq(

@@ -104,13 +104,19 @@ object MysqlBinlog {
     * ENUM_STR_VALUE / SET_STR_VALUE optional TLVs are present (empty
     * otherwise — decode then surfaces ordinals/bitmasks).
     */
+  /** `colCharsets` maps column index → collation id for CHARACTER
+    * columns (CHAR/VARCHAR/TEXT — the server's is_character_field set)
+    * when the 8.0 DEFAULT_CHARSET / COLUMN_CHARSET TLVs are present;
+    * absent, string decode defaults to UTF-8 (8.0's utf8mb4 default).
+    */
   final case class TableMap(header: EventHeader, startPos: Long,
       tableId: Long, schemaName: String, tableName: String,
       colTypes: Array[Int], colMeta: Array[Int],
       nullable: Array[Boolean],
       colNames: Option[Array[String]],
       signedness: Option[Array[Boolean]],
-      enumSetLabels: Map[Int, Array[String]] = Map.empty) extends Event
+      enumSetLabels: Map[Int, Array[String]] = Map.empty,
+      colCharsets: Map[Int, Int] = Map.empty) extends Event
 
   /** One decoded row image: values for present columns (null where the
     * row's null bitmap says so), aligned to the table's column order —
@@ -255,9 +261,47 @@ object MysqlBinlog {
     * Optional_metadata_field_type)
     */
   private val MetaSignedness = 1
+  private val MetaDefaultCharset = 2
+  private val MetaColumnCharset = 3
   private val MetaColumnName = 4
   private val MetaSetStrValue = 5
   private val MetaEnumStrValue = 6
+
+  /** The server's is_character_field set — the columns the charset
+    * TLVs describe, positionally, in table order. (ENUM/SET have their
+    * own ENUM_AND_SET_* TLVs and are deliberately NOT in this set.)
+    */
+  private[streaming] def isCharacterType(t: Int): Boolean = t match {
+    case T_VARCHAR | T_VAR_STRING | T_STRING | T_BLOB | T_TINY_BLOB |
+         T_MEDIUM_BLOB | T_LONG_BLOB => true
+    case _ => false
+  }
+
+  /** Collation id → decode charset. `None` = the `binary`
+    * pseudo-charset (VARBINARY/BLOB — surface raw bytes). Unknown ids
+    * REFUSE loudly: decoding latin2 bytes as UTF-8 is exactly the
+    * silent wrong value this decoder promises never to produce. The
+    * map covers the collation families a real 5.7/8.0 population runs
+    * (public collation-id table, INFORMATION_SCHEMA.COLLATIONS).
+    */
+  def collationCharset(id: Int): Option[java.nio.charset.Charset] = id match {
+    case 63 => None // binary
+    case 5 | 8 | 15 | 31 | 47 | 48 | 49 | 94 => // latin1 family
+      Some(java.nio.charset.StandardCharsets.ISO_8859_1)
+    case 11 | 65 => Some(java.nio.charset.StandardCharsets.US_ASCII)
+    case 33 | 76 | 83 | 223 => // utf8mb3 family
+      Some(java.nio.charset.StandardCharsets.UTF_8)
+    case x if x >= 192 && x <= 215 => // utf8mb3_unicode_* collations
+      Some(java.nio.charset.StandardCharsets.UTF_8)
+    case 45 | 46 | 255 => // utf8mb4 general/bin/0900_ai_ci
+      Some(java.nio.charset.StandardCharsets.UTF_8)
+    case x if x >= 224 && x <= 247 => // utf8mb4_unicode_* collations
+      Some(java.nio.charset.StandardCharsets.UTF_8)
+    case x if x >= 256 && x <= 323 => // utf8mb4_*_0900_* collations
+      Some(java.nio.charset.StandardCharsets.UTF_8)
+    case x => throw new BinlogFormatException(
+      s"unmapped collation id $x (extend collationCharset for it)")
+  }
 
   private def parseTableMap(c: Cur, h: EventHeader, start: Long,
                             payloadEnd: Int): TableMap = {
@@ -312,6 +356,8 @@ object MysqlBinlog {
     var names: Option[Array[String]] = None
     var signed: Option[Array[Boolean]] = None
     var labels = Map.empty[Int, Array[String]]
+    var charsets = Map.empty[Int, Int]
+    val charIdxs = types.indices.filter(i => isCharacterType(types(i)))
     /** ENUM_STR_VALUE / SET_STR_VALUE payload: for each column of the
       * matching type IN TABLE ORDER, a lenenc value count then each
       * value length-prefixed — the parse is positional, so the k-th
@@ -354,11 +400,36 @@ object MysqlBinlog {
           signed = Some(all)
         case MetaEnumStrValue => parseStrValues(end, T_ENUM)
         case MetaSetStrValue => parseStrValues(end, T_SET)
-        case _ => c.p = end // unknown TLV: skip (charsets, PK info…)
+        case MetaDefaultCharset =>
+          // lenenc default collation, then (char-col index, collation)
+          // pairs for the columns that differ — indexes count only
+          // CHARACTER columns, in table order
+          val dflt = c.lenenc().toInt
+          charsets = charIdxs.map(_ -> dflt).toMap
+          while (c.p < end) {
+            val k = c.lenenc().toInt
+            val coll = c.lenenc().toInt
+            if (k < 0 || k >= charIdxs.length)
+              throw new BinlogFormatException(
+                s"DEFAULT_CHARSET pair indexes character column $k of " +
+                  s"${charIdxs.length}")
+            charsets += (charIdxs(k) -> coll)
+          }
+        case MetaColumnCharset =>
+          // one lenenc collation per character column, in table order
+          var k = 0
+          while (c.p < end) {
+            if (k >= charIdxs.length)
+              throw new BinlogFormatException(
+                "more COLUMN_CHARSET entries than character columns")
+            charsets += (charIdxs(k) -> c.lenenc().toInt)
+            k += 1
+          }
+        case _ => c.p = end // unknown TLV: skip (PK info, geometry types…)
       }
     }
     TableMap(h, start, tableId, schema, table, types, meta, nullable,
-      names, signed, labels)
+      names, signed, labels, charsets)
   }
 
   private def isNumeric(t: Int): Boolean = t match {
@@ -432,7 +503,7 @@ object MysqlBinlog {
           if (nullBits(k)) Some(null)
           else Some(decodeValue(c, tm.colTypes(i), tm.colMeta(i),
             tm.signedness.map(_(i)).getOrElse(true),
-            tm.enumSetLabels.get(i)))
+            tm.enumSetLabels.get(i), tm.colCharsets.get(i)))
         k += 1
       }
       i += 1
@@ -454,7 +525,8 @@ object MysqlBinlog {
     * WKB is a consumer concern, not a replication one.
     */
   private def decodeValue(c: Cur, typ: Int, meta: Int, signed: Boolean,
-                          labels: Option[Array[String]] = None): AnyRef = typ match {
+                          labels: Option[Array[String]] = None,
+                          collation: Option[Int] = None): AnyRef = typ match {
     case T_TINY =>
       val v = c.u1(); java.lang.Long.valueOf(if (signed) v.toByte.toLong else v.toLong)
     case T_SHORT =>
@@ -557,16 +629,18 @@ object MysqlBinlog {
       java.lang.Long.valueOf(c.beUInt((bits + 7) / 8))
     case T_VARCHAR | T_VAR_STRING =>
       val len = if (meta > 255) c.u2() else c.u1()
-      c.str(len)
+      charDecode(c.bytes(len), collation)
     case T_STRING =>
       // meta = resolved max byte length (the TABLE_MAP parse already
       // unpacked the wire's type-embedding); CHAR(n) with max < 256
       // uses a 1-byte length prefix
       val len = if (meta > 255) c.u2() else c.u1()
-      c.str(len)
+      charDecode(c.bytes(len), collation)
     case T_BLOB | T_GEOMETRY =>
       // GEOMETRY stores exactly like a BLOB whose content is the
-      // little-endian SRID followed by WKB — surfaced opaque
+      // little-endian SRID followed by WKB — surfaced opaque. A BLOB
+      // column with a TEXT charset (the charset TLVs mark it) IS a
+      // TEXT column and surfaces as its string.
       val len = (meta match {
         case 1 => c.u1().toLong
         case 2 => c.u2().toLong
@@ -574,7 +648,12 @@ object MysqlBinlog {
         case 4 => c.u4()
         case m => throw new BinlogFormatException(s"BLOB length-bytes $m")
       }).toInt
-      c.bytes(len)
+      val raw = c.bytes(len)
+      if (typ == T_GEOMETRY) raw
+      else collation.flatMap(collationCharset) match {
+        case Some(cs) => new String(raw, cs)
+        case None => raw
+      }
     case T_NEWDECIMAL =>
       // TABLE_MAP metadata: precision byte then scale byte (LE u2 read
       // puts precision in the low byte); the wire length is a fixed
@@ -613,6 +692,19 @@ object MysqlBinlog {
       throw new BinlogFormatException(
         s"unsupported column type $t (extend decodeValue for it)")
   }
+
+  /** CHAR/VARCHAR bytes → value under the column's collation: raw
+    * bytes for the `binary` pseudo-charset (VARBINARY), the mapped
+    * charset otherwise, UTF-8 when no charset TLV was present.
+    */
+  private def charDecode(raw: Array[Byte], collation: Option[Int]): AnyRef =
+    collation match {
+      case None => new String(raw, StandardCharsets.UTF_8)
+      case Some(id) => collationCharset(id) match {
+        case Some(cs) => new String(raw, cs)
+        case None => raw // binary: surface bytes, not a fake string
+      }
+    }
 
   private val timePow10 = Array(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)
 

@@ -32,10 +32,22 @@ object MysqlBinlogWriter {
     */
   final case class Col(name: String, typ: Int, meta: Int = 0,
                        signed: Boolean = true, nullable: Boolean = true,
-                       labels: Seq[String] = Nil)
+                       labels: Seq[String] = Nil,
+                       /** collation id for character columns (0 = the
+                         * 8.0 default, emitted as utf8mb4); 63 =
+                         * binary (VARBINARY/BLOB — byte values); 8 =
+                         * latin1, etc. Drives the DEFAULT_CHARSET /
+                         * COLUMN_CHARSET TLV and the value encoding.
+                         */
+                       collation: Int = 0)
 
   final case class TableDef(tableId: Long, schema: String, name: String,
-                            cols: Seq[Col])
+                            cols: Seq[Col],
+                            /** emit per-column COLUMN_CHARSET (TLV 3)
+                              * instead of DEFAULT_CHARSET + overrides
+                              * (TLV 2) — both real server shapes
+                              */
+                            columnCharsetTlv: Boolean = false)
 
   /** Convenience column constructors for the §1.2 type ladder. */
   object Col {
@@ -273,6 +285,28 @@ object MysqlBinlogWriter {
       }
       strValueTlv(6, T_ENUM)
       strValueTlv(5, T_SET)
+      // DEFAULT_CHARSET (2) / COLUMN_CHARSET (3) — collations of the
+      // CHARACTER columns (CHAR/VARCHAR/TEXT; the is_character_field
+      // set), positionally in table order. Emitted whenever any
+      // character column declares a collation, as 8.0's
+      // binlog_row_metadata=FULL does.
+      val charCols = td.cols.filter(c => isCharacterType(c.typ))
+      if (charCols.exists(_.collation != 0)) {
+        def coll(c: Col): Int = if (c.collation == 0) 255 else c.collation
+        val p = new B()
+        if (td.columnCharsetTlv) {
+          charCols.foreach(c => p.lenenc(coll(c).toLong))
+          val pb = p.bytes
+          b.u1(3).lenenc(pb.length.toLong).raw(pb)
+        } else {
+          p.lenenc(255L) // default: utf8mb4_0900_ai_ci
+          charCols.zipWithIndex.foreach { case (c, k) =>
+            if (coll(c) != 255) p.lenenc(k.toLong).lenenc(coll(c).toLong)
+          }
+          val pb = p.bytes
+          b.u1(2).lenenc(pb.length.toLong).raw(pb)
+        }
+      }
       emit(TABLE_MAP_EVENT, b.bytes)
     }
 
@@ -371,18 +405,20 @@ object MysqlBinlogWriter {
             dt.getSecond.toLong)
         b.be(packed, 5)
         fracBytes(b, java.lang.Math.floorMod(micros, 1000000L), c.meta)
-      case (T_VARCHAR | T_VAR_STRING, s: String) =>
-        val raw = s.getBytes(StandardCharsets.UTF_8)
+      case (T_VARCHAR | T_VAR_STRING | T_STRING, s: String) =>
+        val raw = charEncode(s, c)
         require(raw.length <= c.meta,
-          s"value longer (${raw.length}) than VARCHAR(${c.meta}) '${c.name}'")
+          s"value longer (${raw.length}) than CHAR/VARCHAR(${c.meta}) '${c.name}'")
         if (c.meta > 255) b.u2(raw.length) else b.u1(raw.length)
         b.raw(raw)
-      case (T_STRING, s: String) =>
-        val raw = s.getBytes(StandardCharsets.UTF_8)
-        require(raw.length <= c.meta,
-          s"value longer (${raw.length}) than CHAR(${c.meta}) '${c.name}'")
-        if (c.meta > 255) b.u2(raw.length) else b.u1(raw.length)
-        b.raw(raw)
+      case (T_VARCHAR | T_VAR_STRING | T_STRING, a: Array[Byte]) =>
+        // binary collation (VARBINARY): byte values
+        require(c.collation == 63,
+          s"byte value for non-binary character column '${c.name}'")
+        require(a.length <= c.meta,
+          s"value longer (${a.length}) than VARBINARY(${c.meta}) '${c.name}'")
+        if (c.meta > 255) b.u2(a.length) else b.u1(a.length)
+        b.raw(a)
       case (T_TIME2, s: String) =>
         val packed = parseTimePacked(s, c.meta)
         val ip = packed >> 24             // arithmetic shift: FLOOR
@@ -437,6 +473,17 @@ object MysqlBinlogWriter {
           case m => throw new IllegalArgumentException(s"BLOB meta $m")
         }
         b.raw(a)
+      case (T_BLOB, s: String) =>
+        // TEXT column: a BLOB with a text collation — charset bytes
+        require(c.collation != 0 && c.collation != 63,
+          s"string value for BLOB column '${c.name}' needs a text collation")
+        val raw = charEncode(s, c)
+        c.meta match {
+          case 1 => b.u1(raw.length); case 2 => b.u2(raw.length)
+          case 3 => b.u3(raw.length); case 4 => b.u4(raw.length.toLong)
+          case m => throw new IllegalArgumentException(s"BLOB meta $m")
+        }
+        b.raw(raw)
       case (T_NEWDECIMAL, d: java.math.BigDecimal) =>
         b.raw(MysqlDecimalBinary.encode(d, c.meta & 0xff, (c.meta >> 8) & 0xff))
       case (T_NEWDECIMAL, s: String) =>
@@ -453,6 +500,28 @@ object MysqlBinlogWriter {
         b.raw(doc)
       case (t, x) => throw new IllegalArgumentException(
         s"cannot encode ${if (x == null) "null" else x.getClass.getName} as column type $t")
+    }
+
+    /** Encode a character-column value under its collation's charset
+      * (UTF-8 when unset — the 8.0 default family) — STRICTLY: a value
+      * outside the charset (an em-dash into latin1) must refuse, not
+      * ride the wire as the JVM's silent '?' substitution (the
+      * decoder's no-silent-wrong-value stance, writer side).
+      */
+    private def charEncode(s: String, c: Col): Array[Byte] = {
+      val cs =
+        if (c.collation == 0) StandardCharsets.UTF_8
+        else collationCharset(c.collation).getOrElse(
+          throw new IllegalArgumentException(
+            s"binary collation column '${c.name}' takes byte values"))
+      try {
+        val bb = cs.newEncoder().encode(java.nio.CharBuffer.wrap(s))
+        val a = new Array[Byte](bb.remaining()); bb.get(a); a
+      } catch { case _: java.nio.charset.CharacterCodingException =>
+        throw new IllegalArgumentException(
+          s"value for column '${c.name}' is not representable in " +
+            s"${cs.name()} (collation ${c.collation})")
+      }
     }
 
     private val timeRe = "^(-?)(\\d{1,3}):(\\d{2}):(\\d{2})(?:\\.(\\d{1,6}))?$".r

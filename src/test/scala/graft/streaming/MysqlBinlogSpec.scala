@@ -403,6 +403,73 @@ class MysqlBinlogSpec extends AnyFunSuite {
     w.close()
   }
 
+  test("column charsets: latin1/binary/TEXT decode under the charset TLVs") {
+    // a legacy latin1 column's 0xE9 ('é') is NOT valid UTF-8 — without
+    // the DEFAULT_CHARSET/COLUMN_CHARSET TLVs the decode would surface
+    // a silent replacement character; with them the bytes round-trip
+    // through the column's real charset
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    def run(columnCharsetTlv: Boolean): Unit = {
+      val td = TableDef(91L, "graft", "legacy", Seq(
+        Col.bigint("id"),
+        Col.varchar("name_l1", 64).copy(collation = 8),   // latin1
+        Col.varchar("name_u8", 64),                        // default utf8mb4
+        Col.varchar("raw", 32).copy(collation = 63),       // VARBINARY
+        Col.blob("body").copy(collation = 8)),             // latin1 TEXT
+        columnCharsetTlv = columnCharsetTlv)
+      val path = tmpLog()
+      val w = new Writer(path, serverId = 5L)
+      w.setClock(1700000000L); w.begin()
+      w.tableMap(td)
+      w.writeRows(td, Seq(Array[AnyRef](
+        java.lang.Long.valueOf(1L), "café naïve ÀÿÑ", "café ✓ — 中",
+        Array[Byte](0, -1, 42), "l'été à Genève")))
+      w.xid(1L)
+      w.close()
+      val evs = parseFile(path)
+      val tm = evs.collect { case t: TableMap => t }.head
+      assert(tm.colCharsets(1) == 8 && tm.colCharsets(3) == 63 &&
+        tm.colCharsets(4) == 8,
+        s"charset TLV (columnCharsetTlv=$columnCharsetTlv) must bind " +
+          s"per character column: ${tm.colCharsets}")
+      val vals = rowsEvents(evs).head.rows.head._2.get.values.map(_.orNull)
+      assert(vals(1) == "café naïve ÀÿÑ")
+      assert(vals(2) == "café ✓ — 中")
+      assert(java.util.Arrays.equals(vals(3).asInstanceOf[Array[Byte]],
+        Array[Byte](0, -1, 42)), "binary collation surfaces bytes")
+      assert(vals(4) == "l'été à Genève", "TEXT = BLOB + text collation")
+    }
+    run(columnCharsetTlv = false) // DEFAULT_CHARSET + overrides
+    run(columnCharsetTlv = true)  // per-column COLUMN_CHARSET
+    // the latin1 value must occupy latin1 BYTES on the wire (é etc. =
+    // one byte) — prove the encode really used the charset, not UTF-8
+    assert("café".getBytes(latin1).length == 4)
+    // an unmapped collation must refuse at encode, naming the id
+    val tdBad = TableDef(92L, "graft", "t", Seq(
+      Col.bigint("id"), Col.varchar("s", 8).copy(collation = 99)))
+    val w2 = new Writer(tmpLog(), serverId = 5L)
+    w2.setClock(1700000000L); w2.begin()
+    w2.tableMap(tdBad)
+    intercept[RuntimeException] {
+      w2.writeRows(tdBad, Seq(Array[AnyRef](
+        java.lang.Long.valueOf(1L), "x")))
+    }
+    w2.close()
+    // a value OUTSIDE the column's charset (em-dash into latin1) must
+    // refuse, never ride the wire as the JVM's silent '?' substitution
+    val tdL1 = TableDef(93L, "graft", "t", Seq(
+      Col.bigint("id"), Col.varchar("s", 32).copy(collation = 8)))
+    val w3 = new Writer(tmpLog(), serverId = 5L)
+    w3.setClock(1700000000L); w3.begin()
+    w3.tableMap(tdL1)
+    val ex = intercept[IllegalArgumentException] {
+      w3.writeRows(tdL1, Seq(Array[AnyRef](
+        java.lang.Long.valueOf(1L), "em — dash")))
+    }
+    assert(ex.getMessage.contains("not representable"))
+    w3.close()
+  }
+
   test("TABLE_MAP carries 8.0 column names and signedness TLVs") {
     val path = tmpLog()
     val evs = writeLadder(path) { w =>

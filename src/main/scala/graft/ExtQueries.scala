@@ -393,6 +393,27 @@ object ExtQueries {
         |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
         | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""))),
 
+    // X1 the PPJoin-family scale path for EXACT set-similarity joins
+    // (prefix filtering, Chaudhuri/Xiao/Vernica — see
+    // DedupOps.prefixJaccardPairs): same answer as the full inverted
+    // index, but candidates come only from each doc's
+    // |x|-ceil(t|x|)+1 globally-RAREST shingles, so hot boilerplate
+    // shingles never generate pairs. The oracle is the brute-force
+    // all-pairs Jaccard at the same threshold — result identity proves
+    // the prefix theorem's filter drops no qualifying pair.
+    Q("x_jaccard_prefix",
+      (s, d) => DedupOps.prefixJaccardPairs(Tables.documents(s, d), "text",
+        "doc_id", n = 3, threshold = 0.5),
+      Some(shingleCte +
+        """ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE len(list_intersect(a.sh, b.sh)) > 0
+        |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""))),
+
     // X1 MinHash-LSH quality evaluation (x_ann_recall's pattern for
     // the dedup surface): recall of the banded candidate pipeline
     // against the exact-Jaccard pair set, plus the subset invariant

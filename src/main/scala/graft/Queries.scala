@@ -2799,6 +2799,40 @@ object Queries {
         | FROM events) t WHERE rn = 1 ORDER BY user_id"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // St2, the PARTIAL_JSON wire mode (binlog_row_value_options=
+    // PARTIAL_JSON, WL#2955): the props JSON column is only ever
+    // modified through diff vectors riding PARTIAL_UPDATE_ROWS events
+    // — the decoder must apply REPLACE/INSERT/REMOVE patches onto each
+    // before image to reconstruct the after state. The collapse takes
+    // the LAST reconstructed document per user; the oracle
+    // string-builds that document from the user's event set, so a
+    // wrong diff apply order, a missed REMOVE, or a mis-spliced array
+    // INSERT hash-mismatches.
+    Q("st_cdc_binlog_partial",
+      (s, d) => {
+        val dir = graft.streaming.MysqlBinlogFixture
+          .encodeEventsPartialJson(s, d)
+        val raw = s.read
+          .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
+          .option("path", dir).load()
+        val w = Window.partitionBy(col("src"), col("key"))
+          .orderBy(col("seq").desc)
+        raw.filter(col("table") === "events" && col("op") === "update")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("key").as("user_id"),
+            get_json_object(col("payload"), "$.props").as("props"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+        | '{"n":' || CAST(count(*) AS VARCHAR) ||
+        | ',"last":' || CAST(list_extract(list(event_id ORDER BY ts, event_id),
+        |   CAST(count(*) AS INT)) AS VARCHAR) ||
+        | ',"types":[' || string_agg('"' || substr(event_type, 1, 1) || '"',
+        |   ',' ORDER BY ts, event_id) || ']}' AS props
+        | FROM events GROUP BY user_id ORDER BY user_id"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // St2 + S6, DBLog-style incremental snapshot (sync/
     // IncrementalSnapshot): a chunked table copy interleaved with the
     // live binlog, each chunk fenced by its OWN low watermark instead

@@ -150,6 +150,69 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** EXACT Jaccard pairs via POSITIONAL PREFIX FILTERING (the SSJoin/
+    * PPJoin family — Chaudhuri et al., "A Primitive Operator for
+    * Similarity Joins", ICDE'06; Xiao et al., "Efficient Similarity
+    * Joins for Near Duplicate Detection", WWW'08; Vernica et al.'s
+    * MapReduce formulation, SIGMOD'10): identical OUTPUT to
+    * [[jaccardPairs]], but the inverted index holds only each
+    * document's PREFIX — its `|x| - ceil(t·|x|) + 1` globally-rarest
+    * shingles under a corpus-wide (document-frequency, shingle) order.
+    *
+    * Why it's the 100 TB shape: two docs with J ≥ t MUST share a
+    * prefix token (pigeonhole: disjoint prefixes leave fewer than
+    * `t·|x|` tokens to overlap), so candidate volume is driven by RARE
+    * shingle document frequencies instead of the full DF distribution —
+    * the hot boilerplate shingles that force [[jaccardPairs]]'s DF cap
+    * sort to the END of the order and never enter the index at high t.
+    * The length filter (`t·|y| ≤ |x|`) prunes cross-size pairs before
+    * the verify join. Verification recomputes the exact intersection
+    * from the full shingle arrays, so no approximation anywhere.
+    *
+    * Stages: shingle-DF count (one shuffle) → per-doc rank window (one
+    * shuffle on id) → prefix self-join (shuffle on shingle, prefix-
+    * sized) → distinct candidates → array verify (two id-keyed joins).
+    */
+  def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefix filtering needs 0 < t <= 1, got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleArrays(df, textCol, idCol, n)
+    val pairs = sh.select(col(idCol), explode(col("sh")).as("shingle"))
+    val dfreq = pairs.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // global token order = (df ASC, shingle ASC): total, corpus-wide,
+    // identical for every document — the prefix theorem's requirement
+    val ranked = pairs.join(dfreq, "shingle")
+      .withColumn("sz",
+        count(lit(1)).over(Window.partitionBy(col(idCol))).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("df"), col("shingle"))))
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col(idCol), col("shingle"), col("sz"))
+      .repartition(col("shingle"))
+    val cands = prefix.select(col(idCol).as("a_id"), col("shingle"),
+        col("sz").as("a_sz"))
+      .join(prefix.select(col(idCol).as("b_id"), col("shingle"),
+        col("sz").as("b_sz")), "shingle")
+      .filter(col("a_id") < col("b_id"))
+      // length filter: J(x,y) >= t forces t·|y| <= |x| (wlog |x|<=|y|)
+      .filter(least(col("a_sz"), col("b_sz")).cast("double") >=
+        greatest(col("a_sz"), col("b_sz")) * threshold)
+      .select("a_id", "b_id").distinct()
+    val arrays = sh.select(col(idCol), col("sh"))
+    cands
+      .join(arrays.select(col(idCol).as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(arrays.select(col(idCol).as("b_id"), col("sh").as("b_sh")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          (size(col("a_sh")) + size(col("b_sh")) -
+            size(array_intersect(col("a_sh"), col("b_sh"))))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("a_id", "b_id")
+  }
+
   /** MinHash signature columns: h_i = min over the doc's distinct
     * shingles of xxhash64(seed_i, shingle). One codegen'd kernel call
     * per row (Kernels.minhashSig; subexpression elimination collapses

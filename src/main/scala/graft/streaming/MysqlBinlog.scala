@@ -51,6 +51,14 @@ object MysqlBinlog {
   val GTID_EVENT = 33
   val ANONYMOUS_GTID_EVENT = 34
   val PREVIOUS_GTIDS_EVENT = 35
+  /** 8.0 `binlog_row_value_options=PARTIAL_JSON` update (WL#2955) —
+    * like UPDATE_ROWS but each after image is preceded by a lenenc
+    * `value_options` and, when its PARTIAL_JSON bit is set, a
+    * `partial_bits` bitmap (one bit per JSON column of the table); a
+    * flagged column's value is a [[MysqlJsonDiff]] vector applied to
+    * the before image, not a full document.
+    */
+  val PARTIAL_UPDATE_ROWS_EVENT = 39
   val TRANSACTION_PAYLOAD_EVENT = 40
 
   /** TRANSACTION_PAYLOAD field-type codes (8.0.20+ compressed
@@ -453,7 +461,9 @@ object MysqlBinlog {
         s"rows event declares $nCols columns with ${c.remaining} bytes left")
     val present1 = c.bitmap(nCols)
     val present2 =
-      if (h.eventType == UPDATE_ROWS_EVENT) c.bitmap(nCols) else present1
+      if (h.eventType == UPDATE_ROWS_EVENT ||
+        h.eventType == PARTIAL_UPDATE_ROWS_EVENT) c.bitmap(nCols)
+      else present1
     val tm = tableMaps.getOrElse(tableId,
       throw new BinlogFormatException(
         s"rows event for table id $tableId with no preceding TABLE_MAP"))
@@ -468,6 +478,23 @@ object MysqlBinlog {
         case UPDATE_ROWS_EVENT =>
           val before = parseRowImage(c, tm, present1)
           val after = parseRowImage(c, tm, present2)
+          rows += ((Some(before), Some(after)))
+        case PARTIAL_UPDATE_ROWS_EVENT =>
+          val before = parseRowImage(c, tm, present1)
+          // shared-image info precedes EACH after image (WL#2955):
+          // value_options, then partial_bits over the table's JSON
+          // columns when the PARTIAL_JSON bit (bit 0) is set
+          val valueOptions = c.lenenc()
+          if ((valueOptions & ~1L) != 0)
+            throw new BinlogFormatException(
+              s"unknown value_options bits 0x${valueOptions.toHexString} " +
+                s"in PARTIAL_UPDATE_ROWS at offset $start")
+          val nJson = tm.colTypes.count(_ == T_JSON)
+          val partialBits =
+            if ((valueOptions & 1L) != 0) c.bitmap(nJson)
+            else new Array[Boolean](nJson)
+          val after = parsePartialAfterImage(c, tm, present2, partialBits,
+            before, start)
           rows += ((Some(before), Some(after)))
         case t => throw new BinlogFormatException(s"unsupported rows event type $t")
       }
@@ -509,6 +536,83 @@ object MysqlBinlog {
       i += 1
     }
     RowImage(out)
+  }
+
+  /** A PARTIAL_UPDATE_ROWS after image: identical to [[parseRowImage]]
+    * except that JSON columns flagged in `partialBits` (indexed over
+    * the table's JSON columns in declaration order) carry a
+    * [[MysqlJsonDiff]] vector in place of a full document. The decoder
+    * applies the diffs to the BEFORE image's value and surfaces the
+    * reconstructed full text, so everything downstream (payload
+    * rendering, [[CdcPipeline]] collapse) is format-agnostic. A
+    * zero-length vector means "unchanged" (the statement touched other
+    * columns). Missing/NULL before value for a flagged column is a
+    * loud format error — the log and the image disagree, and applying
+    * a patch to nothing would fabricate a row.
+    */
+  private def parsePartialAfterImage(c: Cur, tm: TableMap,
+                                     present: Array[Boolean],
+                                     partialBits: Array[Boolean],
+                                     before: RowImage,
+                                     start: Long): RowImage = {
+    val nPresent = present.count(identity)
+    val nullBits = c.bitmap(nPresent)
+    val out = Array.fill[Option[AnyRef]](tm.colTypes.length)(None)
+    var k = 0
+    var j = 0 // ordinal among the table's JSON columns
+    var i = 0
+    while (i < tm.colTypes.length) {
+      val isJson = tm.colTypes(i) == T_JSON
+      if (present(i)) {
+        out(i) =
+          if (nullBits(k)) Some(null)
+          else if (isJson && partialBits(j))
+            Some(decodePartialJson(c, tm, i, before, start))
+          else Some(decodeValue(c, tm.colTypes(i), tm.colMeta(i),
+            tm.signedness.map(_(i)).getOrElse(true),
+            tm.enumSetLabels.get(i), tm.colCharsets.get(i)))
+        k += 1
+      }
+      if (isJson) j += 1
+      i += 1
+    }
+    RowImage(out)
+  }
+
+  private def decodePartialJson(c: Cur, tm: TableMap, col: Int,
+                                before: RowImage, start: Long): String = {
+    val meta = tm.colMeta(col)
+    val len = (meta match {
+      case 1 => c.u1().toLong
+      case 2 => c.u2().toLong
+      case 3 => c.u3().toLong
+      case 4 => c.u4()
+      case m => throw new BinlogFormatException(s"JSON length-bytes $m")
+    }).toInt
+    val raw = c.bytes(len)
+    val beforeText = before.values(col) match {
+      case Some(s: String) => s
+      case Some(null) | None =>
+        throw new BinlogFormatException(
+          s"partial JSON for column $col at offset $start without a " +
+            "non-NULL before-image value to apply the diffs to")
+      case Some(other) =>
+        throw new BinlogFormatException(
+          s"partial JSON for column $col at offset $start over a " +
+            s"non-JSON before value (${other.getClass.getSimpleName})")
+    }
+    if (len == 0) beforeText // zero-length vector: column unchanged
+    else
+      try MysqlJsonBinary.render(MysqlJsonDiff.apply(
+        MysqlJsonBinary.parseText(beforeText), MysqlJsonDiff.decode(raw)))
+      catch {
+        case e: MysqlJsonDiff.JsonDiffException =>
+          throw new BinlogFormatException(
+            s"JSON diff at offset $start: ${e.getMessage}")
+        case e: MysqlJsonBinary.JsonBinaryException =>
+          throw new BinlogFormatException(
+            s"JSON diff before-image parse at offset $start: ${e.getMessage}")
+      }
   }
 
   /** Decode one column value. Integers surface as java.lang.Long (sign
@@ -854,7 +958,8 @@ object MysqlBinlog {
           case TABLE_MAP_EVENT =>
             val tm = parseTableMap(c, h, start, bodyEnd)
             tableMaps.update(tm.tableId, tm); tm
-          case WRITE_ROWS_EVENT | UPDATE_ROWS_EVENT | DELETE_ROWS_EVENT =>
+          case WRITE_ROWS_EVENT | UPDATE_ROWS_EVENT | DELETE_ROWS_EVENT |
+               PARTIAL_UPDATE_ROWS_EVENT =>
             if (decodeRows) parseRows(c, h, start, bodyEnd, tableMaps)
             else Opaque(h, start)
           case WRITE_ROWS_V1 | UPDATE_ROWS_V1 | DELETE_ROWS_V1 =>
@@ -1196,6 +1301,9 @@ object MysqlBinlog {
         val op = re.eventType match {
           case WRITE_ROWS_EVENT => ChangeEvent.Insert
           case UPDATE_ROWS_EVENT => ChangeEvent.Update
+          // diffs are already applied at decode: a partial update IS an
+          // update downstream
+          case PARTIAL_UPDATE_ROWS_EVENT => ChangeEvent.Update
           case DELETE_ROWS_EVENT => ChangeEvent.Delete
         }
         if (re.startPos != lastPos) { lastPos = re.startPos; rowCounter = 0 }

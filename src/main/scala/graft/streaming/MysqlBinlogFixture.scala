@@ -134,6 +134,116 @@ object MysqlBinlogFixture {
     dir
   }
 
+  /** PARTIAL_JSON leg of the wire fixture (`binlog_row_value_options=
+    * PARTIAL_JSON`, WL#2955): a profile-shaped table whose JSON `props`
+    * column is only ever modified through diff vectors riding
+    * PARTIAL_UPDATE_ROWS events — the wire shape an 8.0 source with
+    * partial logging enabled produces for every `JSON_SET`-style
+    * statement. Each user's row is INSERTed once with
+    * `{"tmp":0,"n":0,"last":0,"types":[]}` and then patched per event
+    * (in (ts, event_id) order): the first patch REMOVEs `tmp`, every
+    * patch REPLACEs `n` (running count) and `last` (event_id) and
+    * INSERTs the event type's first character at `types[n-1]` — so the
+    * final document is a pure function of the user's event set and a
+    * SQL oracle can string-build it exactly.
+    */
+  def profileTableDef(tableId: Long): TableDef = TableDef(
+    tableId, "graft", "events", Seq(
+      Col.bigint("user_id"), Col.bigint("event_id"),
+      Col.timestamp6("ts"), Col.json("props")))
+
+  def encodeEventsPartialJson(spark: SparkSession, sfDir: String,
+                              nServers: Int = 4): String = {
+    import MysqlJsonBinary.{JInt, JStr}
+    import MysqlJsonDiff.{Diff, Diffs, OpInsert, OpRemove, OpReplace}
+    val dir = CoreOps.scratchDir("mysql_binlog_partial", sfDir)
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".binlog")).foreach(_.delete())
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .repartition(nServers, col("user_id"))
+      .sortWithinPartitions(col("ts"), col("event_id"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val pid = TaskContext.getPartitionId()
+        val uuid = f"00000000-0000-4000-8000-${300L + pid}%012d"
+        val path = s"$dir/server_$pid.binlog"
+        val tmp = s"$path.inprogress"
+        val w = new Writer(tmp, serverId = 300L + pid)
+        try {
+          val td = profileTableDef(31L)
+          val initProps = """{"tmp":0,"n":0,"last":0,"types":[]}"""
+          // per-user running state — bounded by users-per-server, the
+          // same cardinality a real applier's row cache has
+          final case class St(n: Int, last: Long, chars: List[String])
+          val state = scala.collection.mutable.HashMap.empty[Long, St]
+          def propsText(st: St): String =
+            if (st.n == 0) initProps
+            else s"""{"n":${st.n},"last":${st.last},"types":[""" +
+              st.chars.reverse.map("\"" + _ + "\"").mkString(",") + "]}"
+          var began = false
+          var txn = 0L
+          rows.grouped(64).foreach { group =>
+            val prepared = group.map { r =>
+              val t = r.getTimestamp(2)
+              val micros = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+              if (!began) {
+                w.setClock(micros / 1000000L); w.begin()
+                w.previousGtids(Seq.empty)
+                began = true
+              } else w.setClock(micros / 1000000L)
+              (r.getLong(0), r.getLong(1), micros, r.getString(3))
+            }
+            w.gtid(uuid, txn + 1)
+            w.query("graft", "BEGIN")
+            // INSERT the initial row for users first seen in this group
+            val newUsers = prepared.map(_._1).distinct
+              .filterNot(state.contains)
+            if (newUsers.nonEmpty) {
+              w.tableMap(td)
+              w.writeRows(td, newUsers.map { uid =>
+                state(uid) = St(0, 0L, Nil)
+                Array[AnyRef](java.lang.Long.valueOf(uid),
+                  java.lang.Long.valueOf(0L),
+                  java.lang.Long.valueOf(prepared.head._3), initProps)
+              })
+            }
+            // one partial patch per event, before images from the
+            // tracked state (what a server's row store would hold)
+            w.tableMap(td)
+            w.partialUpdateRows(td, prepared.map { case (uid, eid, micros, et) =>
+              val st = state(uid)
+              val ch = et.substring(0, 1)
+              val i = st.n + 1
+              val diffs =
+                (if (st.n == 0) Seq(Diff(OpRemove, "$.tmp", None)) else Nil) ++
+                  Seq(
+                    Diff(OpReplace, "$.n", Some(JInt(i.toLong))),
+                    Diff(OpReplace, "$.last", Some(JInt(eid))),
+                    Diff(OpInsert, s"$$.types[${i - 1}]", Some(JStr(ch))))
+              val before = Array[AnyRef](java.lang.Long.valueOf(uid),
+                java.lang.Long.valueOf(eid),
+                java.lang.Long.valueOf(micros), propsText(st))
+              state(uid) = St(i, eid, ch :: st.chars)
+              val after = Array[AnyRef](java.lang.Long.valueOf(uid),
+                java.lang.Long.valueOf(eid),
+                java.lang.Long.valueOf(micros), Diffs(diffs))
+              (before, after)
+            })
+            txn += 1
+            w.xid(txn)
+          }
+          if (!began) w.begin()
+        } finally w.close()
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    dir
+  }
+
   /** Legacy-schema leg of the wire fixture: TIME(6), ENUM, SET, BIT and
     * GEOMETRY columns — the types a long-lived MySQL schema (the
     * reference's target population) actually carries. Every column is a

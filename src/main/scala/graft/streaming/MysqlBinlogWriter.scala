@@ -195,6 +195,7 @@ object MysqlBinlogWriter {
       phl(DELETE_ROWS_V1 - 1) = 8
       phl(WRITE_ROWS_EVENT - 1) = 10; phl(UPDATE_ROWS_EVENT - 1) = 10
       phl(DELETE_ROWS_EVENT - 1) = 10
+      phl(PARTIAL_UPDATE_ROWS_EVENT - 1) = 10 // rows v2 post-header
       phl(GTID_EVENT - 1) = 42; phl(ANONYMOUS_GTID_EVENT - 1) = 42
       val b = new B().u2(4)
       val ver = serverVersion.getBytes(StandardCharsets.UTF_8)
@@ -348,6 +349,50 @@ object MysqlBinlogWriter {
       rowsEvent(DELETE_ROWS_EVENT, td, rows.map(r => Seq(r)),
         presentCols.getOrElse(td.cols.indices.toSet))
 
+    /** PARTIAL_UPDATE_ROWS (type 39, `binlog_row_value_options=
+      * PARTIAL_JSON`, WL#2955): like [[updateRows]], but an after-image
+      * cell holding a [[MysqlJsonDiff.Diffs]] is encoded as a JSON diff
+      * vector with that column's partial bit set (an empty `Diffs` is
+      * the zero-length "unchanged" form). Plain values — including full
+      * JSON text — encode as usual with the bit clear. Each row's after
+      * image is preceded by its own lenenc `value_options` (+
+      * `partial_bits` over the table's JSON columns when any cell of
+      * that row is partial), matching the per-row shared-image layout.
+      */
+    def partialUpdateRows(td: TableDef,
+                          pairs: Seq[(Array[AnyRef], Array[AnyRef])],
+                          beforePresent: Option[Set[Int]] = None,
+                          afterPresent: Option[Set[Int]] = None): Long = {
+      val present = beforePresent.getOrElse(td.cols.indices.toSet)
+      val p2 = afterPresent.getOrElse(td.cols.indices.toSet)
+      val jsonIdx = td.cols.indices.filter(i => td.cols(i).typ == T_JSON)
+      val b = new B().u6(td.tableId).u2(1) // flags: STMT_END_F
+      b.u2(2) // v2 extra-data length (just its own two bytes)
+      b.lenenc(td.cols.length.toLong)
+      b.bitmap(td.cols.indices.map(present.contains))
+      b.bitmap(td.cols.indices.map(p2.contains))
+      pairs.foreach { case (before, after) =>
+        image(b, td, before, td.cols.indices.filter(present.contains))
+        val isPartial = jsonIdx.map(i =>
+          p2.contains(i) && after(i).isInstanceOf[MysqlJsonDiff.Diffs])
+        b.lenenc(if (isPartial.exists(identity)) 1L else 0L)
+        if (isPartial.exists(identity)) b.bitmap(isPartial)
+        val presentIdx = td.cols.indices.filter(p2.contains)
+        b.bitmap(presentIdx.map(i => after(i) == null))
+        presentIdx.foreach { i =>
+          after(i) match {
+            case null => ()
+            case MysqlJsonDiff.Diffs(ds) =>
+              val payload = MysqlJsonDiff.encode(ds)
+              blobLen(b, td.cols(i), payload.length)
+              b.raw(payload)
+            case v => encodeValue(b, td.cols(i), v)
+          }
+        }
+      }
+      emit(PARTIAL_UPDATE_ROWS_EVENT, b.bytes)
+    }
+
     /** `present2` applies to every second image of each row (the UPDATE
       * after image); non-update events pass the same set twice.
       */
@@ -365,15 +410,31 @@ object MysqlBinlogWriter {
       rows.foreach { images =>
         images.zipWithIndex.foreach { case (img, k) =>
           val pres = if (k % 2 == 1) p2 else present
-          val presentIdx = td.cols.indices.filter(pres.contains)
-          val nulls = presentIdx.map(i => img(i) == null)
-          b.bitmap(nulls)
-          presentIdx.foreach { i =>
-            if (img(i) != null) encodeValue(b, td.cols(i), img(i))
-          }
+          image(b, td, img, td.cols.indices.filter(pres.contains))
         }
       }
       emit(typ, b.bytes)
+    }
+
+    /** One row image: null bitmap over the present columns, then the
+      * non-null values in table order.
+      */
+    private def image(b: B, td: TableDef, img: Array[AnyRef],
+                      presentIdx: Seq[Int]): Unit = {
+      b.bitmap(presentIdx.map(i => img(i) == null))
+      presentIdx.foreach { i =>
+        if (img(i) != null) encodeValue(b, td.cols(i), img(i))
+      }
+    }
+
+    /** Length prefix at the column's declared prefix width (BLOB/JSON
+      * metadata semantics).
+      */
+    private def blobLen(b: B, c: Col, len: Int): Unit = (c.meta: @unchecked) match {
+      case 1 => require(len <= 0xff, s"${c.name}: $len > 1-byte prefix"); b.u1(len); ()
+      case 2 => require(len <= 0xffff, s"${c.name}: $len"); b.u2(len); ()
+      case 3 => require(len <= 0xffffff, s"${c.name}: $len"); b.u3(len); ()
+      case 4 => b.u4(len.toLong); ()
     }
 
     private def encodeValue(b: B, c: Col, v: AnyRef): Unit = (c.typ, v) match {

@@ -43,6 +43,44 @@ class SimSpec extends SparkSpec {
         "fixture pairs — recall regression on the seeded dups")
   }
 
+  test("prefix-filtered jaccard join equals the full inverted index, with fewer candidates") {
+    val docs = Tables.documents(spark, sf)
+    val full = DedupOps.jaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val pref = DedupOps.prefixJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    assert(full.nonEmpty, "fixture should contain pairs at j>=0.5")
+    assert(pref == full,
+      "prefix filtering is EXACT: it must produce the identical pair set " +
+        s"(missing ${(full -- pref).size}, extra ${(pref -- full).size})")
+    // the scale claim: the prefix index generates strictly fewer
+    // shared-token candidate pairs than the full inverted index
+    def candCount(index: org.apache.spark.sql.DataFrame): Long =
+      index.select(col("doc_id").as("a_id"), col("shingle"))
+        .join(index.select(col("doc_id").as("b_id"), col("shingle")), "shingle")
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct().count()
+    val fullIdx = DedupOps.shinglePairs(docs, "text", "doc_id", 3)
+    val t = 0.5
+    val pairs = DedupOps.shingleArrays(docs, "text", "doc_id", 3)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val dfreq = pairs.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+    val prefIdx = pairs.join(dfreq, "shingle")
+      .withColumn("sz", count(lit(1)).over(w.partitionBy(col("doc_id"))))
+      .withColumn("rn", row_number().over(
+        w.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * t) + 1)
+      .select("doc_id", "shingle")
+    val (fullCands, prefCands) = (candCount(fullIdx), candCount(prefIdx))
+    assert(prefCands < fullCands,
+      s"prefix index should cut candidates: $prefCands vs $fullCands")
+    info(s"candidate pairs: full=$fullCands prefix=$prefCands " +
+      f"(${prefCands.toDouble / fullCands}%.3f of full)")
+  }
+
   test("identical texts collide on every minhash component") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "totally different words here now")).toDF("doc_id", "text")

@@ -1176,4 +1176,202 @@ class MysqlBinlogSpec extends AnyFunSuite {
     val ex = intercept[BinlogFormatException](parse(bytes))
     assert(ex.getMessage.contains("CRC32") || ex.getMessage.contains("zstd"))
   }
+
+  // -- PARTIAL_JSON (binlog_row_value_options, WL#2955) ----------------
+
+  test("JSON diff apply matches the server's documented semantics") {
+    import MysqlJsonBinary._
+    import MysqlJsonDiff._
+    def j(s: String): JVal = parseText(s)
+    def applyText(doc: String, ds: Diff*): String =
+      render(MysqlJsonDiff.apply(j(doc), ds))
+    // REPLACE a member / an array cell / a nested scalar
+    assert(applyText("""{"a":1,"b":2}""",
+      Diff(OpReplace, "$.a", Some(j("9")))) == """{"a":9,"b":2}""")
+    assert(applyText("""[1,2,3]""",
+      Diff(OpReplace, "$[1]", Some(j(""""x"""")))) == """[1,"x",3]""")
+    assert(applyText("""{"a":{"b":[0,{"c":1}]}}""",
+      Diff(OpReplace, "$.a.b[1].c", Some(j("true")))) ==
+      """{"a":{"b":[0,{"c":true}]}}""")
+    // REPLACE at '$' swaps the whole document
+    assert(applyText("""{"a":1}""",
+      Diff(OpReplace, "$", Some(j("[1]")))) == "[1]")
+    // INSERT appends a new member in arrival order (stored order IS
+    // rendered order in the binary format)
+    assert(applyText("""{"a":1}""",
+      Diff(OpInsert, "$.z", Some(j("2"))),
+      Diff(OpInsert, "$.m", Some(j("3")))) == """{"a":1,"z":2,"m":3}""")
+    // INSERT splices an array cell; past-the-end appends (JSON_ARRAY_INSERT)
+    assert(applyText("""{"a":[1,3]}""",
+      Diff(OpInsert, "$.a[1]", Some(j("2")))) == """{"a":[1,2,3]}""")
+    assert(applyText("""{"a":[1]}""",
+      Diff(OpInsert, "$.a[99]", Some(j("2")))) == """{"a":[1,2]}""")
+    // REMOVE a member / a cell
+    assert(applyText("""{"a":1,"b":2}""",
+      Diff(OpRemove, "$.a", None)) == """{"b":2}""")
+    assert(applyText("""[1,2,3]""", Diff(OpRemove, "$[0]", None)) == "[2,3]")
+    // diffs apply in log order, later diffs see earlier effects
+    assert(applyText("""{"n":0,"tags":[]}""",
+      Diff(OpReplace, "$.n", Some(j("1"))),
+      Diff(OpInsert, "$.tags[0]", Some(j(""""a""""))),
+      Diff(OpInsert, "$.tags[1]", Some(j(""""b""""))),
+      Diff(OpRemove, "$.tags[0]", None)) == """{"n":1,"tags":["b"]}""")
+    // strictness: a diff that does not fit the document shape refuses
+    intercept[JsonDiffException](applyText("""{"a":1}""",
+      Diff(OpReplace, "$.b", Some(j("1")))))
+    intercept[JsonDiffException](applyText("""{"a":1}""",
+      Diff(OpInsert, "$.a", Some(j("1"))))) // member already present
+    intercept[JsonDiffException](applyText("""{"a":1}""",
+      Diff(OpRemove, "$.b", None)))
+    intercept[JsonDiffException](applyText("""[1]""",
+      Diff(OpReplace, "$[5]", Some(j("1")))))
+    intercept[JsonDiffException](applyText("""{"a":1}""",
+      Diff(OpRemove, "$", None))) // REMOVE at root is never logged
+    intercept[JsonDiffException](applyText("""{"a":1}""",
+      Diff(OpReplace, "$.a.b", Some(j("1"))))) // descends into a scalar
+  }
+
+  test("JSON diff paths: quoted keys and array cells parse; junk refuses") {
+    import MysqlJsonDiff._
+    assert(parsePath("$") == Vector())
+    assert(parsePath("$.a.b[3].c") ==
+      Vector(Member("a"), Member("b"), Cell(3), Member("c")))
+    assert(parsePath("""$."key with spaces"[0]""") ==
+      Vector(Member("key with spaces"), Cell(0)))
+    assert(parsePath("""$."quo\"te"""") == Vector(Member("quo\"te")))
+    // renderPath round-trips, quoting only when needed
+    val legs = Vector(Member("plain"), Cell(2), Member("needs quoting"))
+    assert(parsePath(renderPath(legs)) == legs)
+    intercept[JsonDiffException](parsePath("a.b"))   // no '$'
+    intercept[JsonDiffException](parsePath("$.a[*]")) // wildcard never logged
+    intercept[JsonDiffException](parsePath("$.a["))
+    intercept[JsonDiffException](parsePath("$."))
+    intercept[JsonDiffException](parsePath("$[last]"))
+  }
+
+  test("fuzz: diff vectors round-trip the wire codec (seeded)") {
+    import MysqlJsonBinary._
+    import MysqlJsonDiff._
+    val rnd = new scala.util.Random(20260815L)
+    def genVal(depth: Int): JVal = rnd.nextInt(if (depth > 2) 5 else 7) match {
+      case 0 => JNull
+      case 1 => JBool(rnd.nextBoolean())
+      case 2 => JInt(rnd.nextLong() >> rnd.nextInt(48))
+      case 3 => JDouble(rnd.nextDouble() * 1e4)
+      case 4 => JStr(rnd.alphanumeric.take(rnd.nextInt(200)).mkString)
+      case 5 => JArr(Vector.fill(rnd.nextInt(4))(genVal(depth + 1)))
+      case 6 => JObj(Vector.tabulate(rnd.nextInt(4))(i =>
+        s"k$i" -> genVal(depth + 1)))
+    }
+    def genPath(): String = "$" + (0 until rnd.nextInt(4)).map { _ =>
+      if (rnd.nextBoolean()) s".m${rnd.nextInt(100)}"
+      else s"[${rnd.nextInt(100)}]"
+    }.mkString
+    (1 to 200).foreach { i =>
+      val diffs = Vector.fill(rnd.nextInt(6)) {
+        val op = rnd.nextInt(3)
+        Diff(op, genPath(), if (op == OpRemove) None else Some(genVal(0)))
+      }
+      assert(MysqlJsonDiff.decode(MysqlJsonDiff.encode(diffs)) == diffs,
+        s"fuzz case $i")
+    }
+    // corruption: truncations refuse loudly, never misparse
+    val bytes = MysqlJsonDiff.encode(Seq(
+      Diff(OpReplace, "$.a", Some(JInt(1))),
+      Diff(OpRemove, "$.b", None)))
+    (1 until bytes.length).foreach { cut =>
+      try { MysqlJsonDiff.decode(bytes.take(cut)); () }
+      catch { case _: JsonDiffException => () }
+    }
+    intercept[JsonDiffException](
+      MysqlJsonDiff.decode(Array(7.toByte))) // unknown op
+  }
+
+  test("PARTIAL_UPDATE_ROWS reconstructs after images from diff vectors") {
+    import MysqlJsonBinary._
+    import MysqlJsonDiff._
+    def j(s: String): JVal = parseText(s)
+    val td = TableDef(11L, "graft", "pj", Seq(
+      Col.bigint("id"), Col.json("doc"), Col.varchar("tag", 32),
+      Col.json("aux")))
+    val path = tmpLog()
+    val before1 = Array[AnyRef](java.lang.Long.valueOf(1L),
+      """{"n":0,"tags":["x"],"tmp":true}""", "t1", """{"v":1}""")
+    val before2 = Array[AnyRef](java.lang.Long.valueOf(2L),
+      """{"n":5}""", "t2", null)
+    val evs = writeLadder(path) { w =>
+      w.tableMap(td)
+      w.partialUpdateRows(td, Seq(
+        // row 1: doc patched (replace + insert + remove), aux patched
+        // with the zero-length "unchanged" vector, tag rewritten
+        (before1, Array[AnyRef](java.lang.Long.valueOf(1L),
+          Diffs(Seq(
+            Diff(OpReplace, "$.n", Some(j("7"))),
+            Diff(OpInsert, "$.tags[1]", Some(j(""""y""""))),
+            Diff(OpRemove, "$.tmp", None))),
+          "t1b", Diffs(Nil))),
+        // row 2: doc replaced IN FULL (bit clear — plain text value),
+        // aux stays NULL through the null bitmap
+        (before2, Array[AnyRef](java.lang.Long.valueOf(2L),
+          """{"n":6}""", "t2", null))))
+      w.xid(1L)
+    }
+    val re = rowsEvents(evs).head
+    assert(re.eventType == PARTIAL_UPDATE_ROWS_EVENT)
+    val Seq((b1, a1), (b2, a2)) = re.rows
+    assert(b1.get.values(1).get == """{"n":0,"tags":["x"],"tmp":true}""")
+    assert(a1.get.values(1).get == """{"n":7,"tags":["x","y"]}""",
+      "diffs apply onto the before image")
+    assert(a1.get.values(3).get == """{"v":1}""",
+      "zero-length diff vector means unchanged")
+    assert(a1.get.values(2).get == "t1b")
+    assert(a2.get.values(1).get == """{"n":6}""",
+      "a full JSON value rides beside partial columns with its bit clear")
+    assert(a2.get.values(3).get == null)
+    // downstream: a partial update is an ordinary update
+    val ces = changeEvents(evs)
+    assert(ces.map(_.op) == Seq("update", "update"))
+    assert(ces.head.payload.contains(""""doc":"{\"n\":7,\"tags\":[\"x\",\"y\"]}""""))
+  }
+
+  test("partial JSON failures are loud: no before value, corrupt vector") {
+    import MysqlJsonBinary._
+    import MysqlJsonDiff._
+    val td = TableDef(12L, "graft", "pj2", Seq(
+      Col.bigint("id"), Col.json("doc")))
+    // a NULL before image value cannot host a patch
+    val p1 = tmpLog()
+    intercept[BinlogFormatException] {
+      writeLadder(p1) { w =>
+        w.tableMap(td)
+        w.partialUpdateRows(td, Seq((
+          Array[AnyRef](java.lang.Long.valueOf(1L), null),
+          Array[AnyRef](java.lang.Long.valueOf(1L),
+            Diffs(Seq(Diff(OpReplace, "$.a", Some(JInt(1)))))))))
+      }
+    }
+    // MINIMAL-style absent before column: equally refused
+    val p2 = tmpLog()
+    intercept[BinlogFormatException] {
+      writeLadder(p2) { w =>
+        w.tableMap(td)
+        w.partialUpdateRows(td, Seq((
+          Array[AnyRef](java.lang.Long.valueOf(1L), """{"a":1}"""),
+          Array[AnyRef](java.lang.Long.valueOf(1L),
+            Diffs(Seq(Diff(OpReplace, "$.a", Some(JInt(2)))))))),
+          beforePresent = Some(Set(0)))
+      }
+    }
+    // a diff disagreeing with the before image refuses as corrupt
+    val p3 = tmpLog()
+    intercept[BinlogFormatException] {
+      writeLadder(p3) { w =>
+        w.tableMap(td)
+        w.partialUpdateRows(td, Seq((
+          Array[AnyRef](java.lang.Long.valueOf(1L), """{"a":1}"""),
+          Array[AnyRef](java.lang.Long.valueOf(1L),
+            Diffs(Seq(Diff(OpRemove, "$.zzz", None)))))))
+      }
+    }
+  }
 }

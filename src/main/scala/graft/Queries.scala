@@ -2833,6 +2833,136 @@ object Queries {
         | FROM events GROUP BY user_id ORDER BY user_id"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // St2 the downstream CONSUMER shape every audited CDC deployment
+    // materializes: a Type-2 slowly-changing-dimension history built
+    // from the change stream. Each non-delete change event opens a
+    // version (valid_from = the row's event time); the next change
+    // closes it (valid_to = its valid_from, half-open interval); a
+    // DELETE closes the last version without opening one
+    // (ends_deleted), and is_current marks versions still open at the
+    // stream head. Versions are numbered per key with a running
+    // non-delete count over the log order, so a post-delete rebirth
+    // continues the numbering — the oracle replays the identical
+    // algebra from the events table with the mixedOp classification.
+    Q("st_cdc_scd2",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val dir = graft.streaming.MysqlBinlogFixture
+          .encodeEvents(s, d, mixed = true)
+        val pSchema = StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("ts", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val raw = s.read
+          .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
+          .option("path", dir).load()
+        val ev = raw.filter(col("table") === "events")
+          .select(col("src"), col("key"), col("seq"), col("op"),
+            from_json(col("payload"), pSchema).as("p"))
+        // every window below keys on (src, key): state per CDC key,
+        // partition-parallel across keys — nothing corpus-global
+        val wAll = Window.partitionBy(col("src"), col("key"))
+          .orderBy(col("seq"))
+        val anchored = ev.withColumn("version",
+          sum(when(col("op") =!= "delete", 1L).otherwise(0L)).over(wAll))
+        val versions = anchored.filter(col("op") =!= "delete")
+          .withColumn("valid_to_us", lead(col("p.ts"), 1).over(wAll))
+          .withColumn("is_last", lead(col("seq"), 1).over(wAll).isNull)
+        val dels = anchored
+          .filter(col("op") === "delete" && col("version") > 0)
+          .select(col("src"), col("key"), col("version")).distinct()
+          .withColumn("del", lit(true))
+        versions.join(dels, Seq("src", "key", "version"), "left")
+          .select(col("key").as("user_id"), col("version"),
+            col("p.event_id").as("event_id"),
+            col("p.ts").as("valid_from_us"), col("valid_to_us"),
+            coalesce(col("del"), lit(false)).as("ends_deleted"),
+            (col("is_last") && !coalesce(col("del"), lit(false)))
+              .as("is_current"))
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN event_id % 17 = 0 THEN 'delete'
+        |       WHEN event_id % 3 = 1 THEN 'update' ELSE 'insert' END AS op,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sq
+        |  FROM events),
+        | a AS (SELECT *, sum(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY sq) AS version FROM e),
+        | v AS (SELECT user_id, event_id, ts_us, version,
+        |   lead(ts_us) OVER (PARTITION BY user_id ORDER BY sq) AS valid_to_us,
+        |   (row_number() OVER (PARTITION BY user_id ORDER BY sq DESC)) = 1 AS is_last
+        |  FROM a WHERE op <> 'delete'),
+        | dd AS (SELECT DISTINCT user_id, version FROM a
+        |   WHERE op = 'delete' AND version > 0)
+        | SELECT v.user_id, CAST(v.version AS BIGINT) AS version, v.event_id,
+        |  v.ts_us AS valid_from_us, v.valid_to_us,
+        |  (dd.version IS NOT NULL) AS ends_deleted,
+        |  (v.is_last AND dd.version IS NULL) AS is_current
+        | FROM v LEFT JOIN dd ON v.user_id = dd.user_id
+        |  AND v.version = dd.version
+        | ORDER BY v.user_id, v.version"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // St2 INCREMENTAL VIEW MAINTENANCE from the change stream — the
+    // delta algebra every streaming materialized view runs on: insert
+    // → +row, delete → −before, update → −before +after, aggregated
+    // per group with NO access to the base table. This is the one
+    // consumer that genuinely needs before images (payload_before,
+    // which the consistent fixture logs truthfully), and the sums ride
+    // the exact decimal path so retractions cancel bit-exactly
+    // regardless of arrival order. The oracle computes the same
+    // aggregate directly from the replayed LIVE state — delta-derived
+    // == state-derived is the IVM correctness statement itself.
+    Q("st_cdc_ivm",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val dir = graft.streaming.MysqlBinlogFixture
+          .encodeEventsConsistent(s, d)
+        val pSchema = StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("ts", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val raw = s.read
+          .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
+          .option("path", dir).load()
+        val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(28,6)")
+        val ev = raw.filter(col("table") === "events")
+          .select(col("op"),
+            from_json(col("payload"), pSchema).as("a"),
+            from_json(col("payload_before"), pSchema).as("b"))
+        val add = struct(col("a.event_type").as("et"), lit(1L).as("dc"),
+          dec(col("a.value")).as("dv"))
+        val retract = struct(col("b.event_type").as("et"), lit(-1L).as("dc"),
+          (-dec(col("b.value"))).as("dv"))
+        ev.select(explode(
+            when(col("op") === "insert", array(add))
+              .when(col("op") === "update", array(retract, add))
+              .otherwise(array(retract))).as("d"))
+          .groupBy(col("d.et").as("event_type"))
+          .agg(sum(col("d.dc")).as("n_rows"),
+            sum(col("d.dv")).cast("double").as("sum_value"))
+          .filter(col("n_rows") > 0)
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, ts, event_type, value,
+        |  CASE WHEN event_id % 17 = 0 THEN 'delete' ELSE 'other' END AS mop,
+        |  lag(CASE WHEN event_id % 17 = 0 THEN 'delete' ELSE 'other' END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pmop
+        |  FROM events),
+        | f AS (SELECT *,
+        |  CASE WHEN (pmop IS NULL OR pmop = 'delete') AND mop = 'delete'
+        |        THEN 'skip'
+        |       WHEN (pmop IS NULL OR pmop = 'delete') THEN 'insert'
+        |       WHEN mop = 'delete' THEN 'delete' ELSE 'update' END AS op
+        |  FROM e),
+        | latest AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |   FROM f WHERE op <> 'skip') t WHERE rn = 1 AND op <> 'delete')
+        | SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        | FROM latest GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // St2 + S6, DBLog-style incremental snapshot (sync/
     // IncrementalSnapshot): a chunked table copy interleaved with the
     // live binlog, each chunk fenced by its OWN low watermark instead

@@ -8,8 +8,12 @@ import java.sql.Timestamp
   * CDC consumer" (mysql_to_clickhouse_sync.py:175-181). This is that
   * consumer's event shape: one row per binlog row-event, ordered by
   * (ts, seq). `op` follows the usual row-event taxonomy; `payload` holds
-  * the after-image as JSON (before-image elided — ClickHouse-style
-  * ReplacingMergeTree application only needs key + after + tombstone).
+  * the after-image as JSON. ReplacingMergeTree-style latest-state
+  * application needs only key + after + tombstone, but DELTA consumers
+  * (incremental view maintenance: retract the old row, add the new) need
+  * what the statement removed too — `payloadBefore` carries the
+  * before-image JSON for updates/deletes when the log had one (null for
+  * inserts; PK-only under `binlog_row_image=MINIMAL`).
   */
 final case class ChangeEvent(
     op: String,        // "insert" | "update" | "delete"
@@ -17,7 +21,8 @@ final case class ChangeEvent(
     key: Long,         // primary key of the affected row
     ts: Timestamp,     // commit timestamp (event time)
     seq: Long,         // total order within the log (binlog position analog)
-    payload: String)   // after-image JSON; ignored for deletes
+    payload: String,   // after-image JSON; null for deletes
+    payloadBefore: String = null) // before-image JSON; null for inserts
 
 object ChangeEvent {
   val Insert = "insert"

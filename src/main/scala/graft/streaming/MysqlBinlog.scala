@@ -1325,7 +1325,8 @@ object MysqlBinlog {
           val ce = ChangeEvent(op, tm.tableName, key,
             new java.sql.Timestamp(re.header.tsSec * 1000L),
             seqBase + re.startPos * 64 + math.min(rowCounter, 63),
-            if (op == ChangeEvent.Delete) null else imageJson(tm, img))
+            if (op == ChangeEvent.Delete) null else imageJson(tm, img),
+            payloadBefore = before.map(b => imageJson(tm, b)).orNull)
           rowCounter += 1
           ce
         }

@@ -244,6 +244,104 @@ object MysqlBinlogFixture {
     dir
   }
 
+  /** CONSISTENT-history leg of the wire fixture: ops derive from the
+    * key's aliveness, the way a real replication log is constrained —
+    * a key's first effective event INSERTs it, a later `mixedOp`
+    * delete DELETEs it (full before image, `binlog_row_image=FULL`), a
+    * delete on a dead key is SKIPPED (no statement ran), anything else
+    * UPDATEs with the TRUE previous row as the before image (tracked
+    * per key, exactly the server's row store). Aliveness reduces to
+    * `lag(mixedOp) != 'delete'` per key, so a SQL oracle replays the
+    * classification with one window function. This is the fixture for
+    * delta consumers (IVM): the before images are real, so
+    * retract-old/add-new algebra must reconstruct the live state
+    * exactly.
+    */
+  def encodeEventsConsistent(spark: SparkSession, sfDir: String,
+                             nServers: Int = 4): String = {
+    val dir = CoreOps.scratchDir("mysql_binlog_consistent", sfDir)
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".binlog")).foreach(_.delete())
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(nServers, col("user_id"))
+      .sortWithinPartitions(col("ts"), col("event_id"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val pid = TaskContext.getPartitionId()
+        val uuid = f"00000000-0000-4000-8000-${400L + pid}%012d"
+        val path = s"$dir/server_$pid.binlog"
+        val tmp = s"$path.inprogress"
+        val w = new Writer(tmp, serverId = 400L + pid)
+        try {
+          val td = eventsTableDef(37L)
+          // live-row store: key -> its current full image (absent = dead)
+          val live = scala.collection.mutable.HashMap.empty[Long, Array[AnyRef]]
+          var began = false
+          var txn = 0L
+          rows.grouped(64).foreach { group =>
+            val prepared = group.flatMap { r =>
+              val t = r.getTimestamp(2)
+              val micros = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+              if (!began) {
+                w.setClock(micros / 1000000L); w.begin()
+                w.previousGtids(Seq.empty)
+                began = true
+              } else w.setClock(micros / 1000000L)
+              val uid = r.getLong(0); val eid = r.getLong(1)
+              val img = Array[AnyRef](
+                java.lang.Long.valueOf(uid), java.lang.Long.valueOf(eid),
+                java.lang.Long.valueOf(micros), r.getString(3),
+                java.lang.Double.valueOf(r.getDouble(4)), r.getString(5))
+              (mixedOp(eid) == "delete", live.get(uid)) match {
+                case (true, None) => None // dead key: statement never ran
+                case (true, Some(prev)) =>
+                  live.remove(uid); Some(("delete", prev, null))
+                case (false, None) =>
+                  live(uid) = img; Some(("insert", null, img))
+                case (false, Some(prev)) =>
+                  live(uid) = img; Some(("update", prev, img))
+              }
+            }
+            if (prepared.nonEmpty) {
+              w.gtid(uuid, txn + 1)
+              w.query("graft", "BEGIN")
+              // one statement per consecutive same-op run (MySQL's own
+              // multi-statement transaction layout)
+              var run = List.empty[(String, Array[AnyRef], Array[AnyRef])]
+              var runOp = ""
+              def flushRun(): Unit = if (run.nonEmpty) {
+                val batch = run.reverse
+                w.tableMap(td)
+                runOp match {
+                  case "insert" => w.writeRows(td, batch.map(_._3))
+                  case "update" =>
+                    w.updateRows(td, batch.map(b => (b._2, b._3)))
+                  case "delete" => w.deleteRows(td, batch.map(_._2))
+                }
+                run = Nil
+              }
+              prepared.foreach { p =>
+                if (p._1 != runOp) { flushRun(); runOp = p._1 }
+                run ::= p
+              }
+              flushRun()
+              txn += 1
+              w.xid(txn)
+            }
+          }
+          if (!began) w.begin()
+        } finally w.close()
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    dir
+  }
+
   /** Legacy-schema leg of the wire fixture: TIME(6), ENUM, SET, BIT and
     * GEOMETRY columns — the types a long-lived MySQL schema (the
     * reference's target population) actually carries. Every column is a

@@ -60,7 +60,11 @@ object MysqlBinlogSource {
     StructField("ts", TimestampType, nullable = false),
     StructField("seq", LongType, nullable = false),
     StructField("payload", StringType, nullable = true),
-    StructField("src", StringType, nullable = false)))
+    StructField("src", StringType, nullable = false),
+    // before-image JSON for updates/deletes (delta/IVM consumers);
+    // appended LAST so positional readers of the original columns
+    // never move
+    StructField("payload_before", StringType, nullable = true)))
 
   /** Expand a path/dir/glob into the sorted list of binlog files. */
   def expand(path: String): Seq[String] = {
@@ -171,7 +175,9 @@ object MysqlBinlogSource {
       UTF8String.fromString(e.op), UTF8String.fromString(e.table), e.key,
       e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000,
       e.seq, if (e.payload == null) null else UTF8String.fromString(e.payload),
-      UTF8String.fromString(src)))
+      UTF8String.fromString(src),
+      if (e.payloadBefore == null) null
+      else UTF8String.fromString(e.payloadBefore)))
 
   /** GTID auto-position, consumer side — what `CHANGE REPLICATION
     * SOURCE TO SOURCE_AUTO_POSITION=1` does with the replica's executed

@@ -705,6 +705,13 @@ class MysqlBinlogSpec extends AnyFunSuite {
     assert(ces(2).payload == """{"k":1,"v":"a2","x":9.0}""",
       "update projects the AFTER image")
     assert(ces(3).payload == null, "delete is a tombstone: no payload")
+    // the delta-consumer surface: before images ride payloadBefore
+    assert(ces(0).payloadBefore == null && ces(1).payloadBefore == null,
+      "inserts have no before image")
+    assert(ces(2).payloadBefore == """{"k":1,"v":"a \"q\"","x":1.5}""",
+      "update carries the full before image for retraction")
+    assert(ces(3).payloadBefore == """{"k":2}""",
+      "delete carries whatever before image the log had (PK-only here)")
   }
 
   test("advance() admits only whole events and never splits TABLE_MAP from rows") {

@@ -403,7 +403,7 @@ object ExtQueries {
     // the prefix theorem's filter drops no qualifying pair.
     Q("x_jaccard_prefix",
       (s, d) => DedupOps.prefixJaccardPairs(Tables.documents(s, d), "text",
-        "doc_id", n = 3, threshold = 0.5),
+        "doc_id", n = 3, threshold = 0.7),
       Some(shingleCte +
         """ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
@@ -411,7 +411,7 @@ object ExtQueries {
         | FROM s a JOIN s b ON a.doc_id < b.doc_id
         | WHERE len(list_intersect(a.sh, b.sh)) > 0
         |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
         | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""))),
 
     // X1 MinHash-LSH quality evaluation (x_ann_recall's pattern for

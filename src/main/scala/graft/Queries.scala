@@ -2915,33 +2915,13 @@ object Queries {
     // == state-derived is the IVM correctness statement itself.
     Q("st_cdc_ivm",
       (s, d) => {
-        import org.apache.spark.sql.types._
         val dir = graft.streaming.MysqlBinlogFixture
           .encodeEventsConsistent(s, d)
-        val pSchema = StructType(Seq(
-          StructField("user_id", LongType), StructField("event_id", LongType),
-          StructField("ts", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
         val raw = s.read
           .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
           .option("path", dir).load()
-        val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(28,6)")
-        val ev = raw.filter(col("table") === "events")
-          .select(col("op"),
-            from_json(col("payload"), pSchema).as("a"),
-            from_json(col("payload_before"), pSchema).as("b"))
-        val add = struct(col("a.event_type").as("et"), lit(1L).as("dc"),
-          dec(col("a.value")).as("dv"))
-        val retract = struct(col("b.event_type").as("et"), lit(-1L).as("dc"),
-          (-dec(col("b.value"))).as("dv"))
-        ev.select(explode(
-            when(col("op") === "insert", array(add))
-              .when(col("op") === "update", array(retract, add))
-              .otherwise(array(retract))).as("d"))
-          .groupBy(col("d.et").as("event_type"))
-          .agg(sum(col("d.dc")).as("n_rows"),
-            sum(col("d.dv")).cast("double").as("sum_value"))
-          .filter(col("n_rows") > 0)
+        graft.streaming.IvmIngest
+          .batchTwin(raw.filter(col("table") === "events"))
           .orderBy("event_type")
       },
       Some("""WITH e AS (SELECT user_id, event_id, ts, event_type, value,

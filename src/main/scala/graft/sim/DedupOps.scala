@@ -177,20 +177,34 @@ object DedupOps {
                          n: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefix filtering needs 0 < t <= 1, got $threshold")
-    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
     val sh = shingleArrays(df, textCol, idCol, n)
     val pairs = sh.select(col(idCol), explode(col("sh")).as("shingle"))
     val dfreq = pairs.groupBy("shingle").agg(count(lit(1)).as("df"))
     // global token order = (df ASC, shingle ASC): total, corpus-wide,
-    // identical for every document — the prefix theorem's requirement
-    val ranked = pairs.join(dfreq, "shingle")
-      .withColumn("sz",
-        count(lit(1)).over(Window.partitionBy(col(idCol))).cast("long"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("df"), col("shingle"))))
-    val prefix = ranked
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col(idCol), col("shingle"), col("sz"))
+    // identical for every document — the prefix theorem's requirement.
+    // ONE per-doc aggregate carries the (df, shingle)-sorted token list
+    // (local array_sort, not a rank window); the prefix cut, the set
+    // sizes AND the verify-stage full arrays all project off it. It is
+    // MATERIALIZED once to scratch (the PageRank/LabelPropagation
+    // stance): three consumers would otherwise re-run the shingling
+    // kernel + df join + collect aggregate each — on a cluster, pass a
+    // shared-FS checkpoint dir; in local mode the temp scratch works.
+    val scratch = graft.ops.CoreOps.scratchDirUnique("prefix_join")
+    pairs.join(dfreq, "shingle")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
+        .as("toks"))
+      .write.mode("overwrite").parquet(s"$scratch/toks")
+    val docToks = spark.read.parquet(s"$scratch/toks")
+    val prefix = docToks
+      .select(col(idCol), expr(
+        s"""slice(toks, 1,
+           | greatest(1, cast(size(toks) - ceil(size(toks) * $threshold) + 1
+           |   as int)))""".stripMargin.replaceAll("\n", "")).as("ptoks"),
+        size(col("toks")).cast("long").as("sz"))
+      .select(col(idCol), explode(col("ptoks")).as("tok"), col("sz"))
+      .select(col(idCol), col("tok.shingle").as("shingle"), col("sz"))
       .repartition(col("shingle"))
     val cands = prefix.select(col(idCol).as("a_id"), col("shingle"),
         col("sz").as("a_sz"))
@@ -201,7 +215,8 @@ object DedupOps {
       .filter(least(col("a_sz"), col("b_sz")).cast("double") >=
         greatest(col("a_sz"), col("b_sz")) * threshold)
       .select("a_id", "b_id").distinct()
-    val arrays = sh.select(col(idCol), col("sh"))
+    val arrays = docToks.select(col(idCol),
+      expr("transform(toks, x -> x.shingle)").as("sh"))
     cands
       .join(arrays.select(col(idCol).as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(arrays.select(col(idCol).as("b_id"), col("sh").as("b_sh")), "b_id")

@@ -280,6 +280,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IVM view equals the batch twin; retractions cancel exactly") {
+    implicit val ctx = spark.sqlContext
+    val binDir = MysqlBinlogFixture.encodeEventsConsistent(spark, sf)
+    val raw = spark.read
+      .format(classOf[MysqlBinlogSourceProvider].getName)
+      .option("path", binDir).load()
+      .filter(col("table") === "events")
+    val changes = raw.select("op", "payload", "payload_before", "seq")
+      .orderBy("seq").collect()
+      .map(r => ChangeRow(r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    assert(changes.exists(_.op == "delete") && changes.exists(_.op == "update"),
+      "fixture must exercise retraction paths")
+    val chunks = changes.grouped((changes.length + 3) / 4).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("ivm_ingest_").toString
+    val input = MemoryStream[ChangeRow]
+    val q = IvmIngest.start(input.toDF(), s"$dir/state", s"$dir/ckpt")
+    try {
+      chunks.foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val streamed = IvmIngest.view(spark, s"$dir/state").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val twin = IvmIngest.batchTwin(raw).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(twin.nonEmpty)
+      assert(streamed == twin,
+        "merged per-batch delta partials must equal the one-pass aggregate")
+      // state is group-sized per batch — never data-volume
+      val state = spark.read.parquet(s"$dir/state")
+      assert(state.select("batch_id").distinct().count() == chunks.length)
+      assert(state.groupBy("batch_id").count()
+        .filter(col("count") > 64).count() == 0)
+      // cross-batch retraction is exact: a row added in one batch and
+      // retracted in a later one cancels to an EXACT decimal zero, so
+      // re-deriving the view from state matches the truth replay (the
+      // latest-state aggregate over live rows) to the bit
+      val pSchema = IvmIngest.payloadSchema
+      val truth = raw
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("src"), col("key"))
+            .orderBy(col("seq").desc)))
+        .filter(col("rn") === 1 && col("op") =!= "delete")
+        .select(from_json(col("payload"), pSchema).as("a"))
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("a.value").cast("decimal(28,6)")).cast("double")
+            .as("sum_value"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(streamed == truth,
+        "delta-derived view must equal the state-derived aggregate")
+    } finally q.stop()
+  }
+
   test("CM sketch compaction preserves cell sums exactly and heals crashes") {
     implicit val ctx = spark.sqlContext
     val docs = graft.model.Tables.documents(spark, sf)
@@ -864,3 +919,8 @@ final case class SourcedDoc(doc_id: Long, source: String, n_chars: Long)
 
 /** Test-only row for the cluster-profile ingest. */
 final case class VecRow(vec_id: Long, embedding: Seq[Float])
+
+/** Test-only row for the IVM ingest (the binlog source's delta-facing
+  * columns; payloads are null for the op that lacks the image).
+  */
+final case class ChangeRow(op: String, payload: String, payload_before: String)

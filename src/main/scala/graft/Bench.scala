@@ -79,15 +79,19 @@ object Bench {
             .map(e => e.getKey -> e.getValue.asDouble()).toMap
         }
       } catch { case _: Throwable => Map.empty }
+    val priorFull: Map[String, Double] = {
+      val here = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty)
+      here.find(_.getName == "BENCH_FULL.json")
+        .map(loadQueriesMap).getOrElse(Map.empty)
+    }
     val priors: Map[String, Double] = {
       val here = Option(new java.io.File(".").listFiles())
         .getOrElse(Array.empty)
-      val full = here.find(_.getName == "BENCH_FULL.json")
-        .map(loadQueriesMap).getOrElse(Map.empty)
       val latest = here.filter(_.getName.matches("BENCH_r\\d+\\.json"))
         .sortBy(_.getName).lastOption
         .map(loadQueriesMap).getOrElse(Map.empty)
-      full ++ latest
+      priorFull ++ latest
     }
     val readjudicated = scala.collection.mutable.ArrayBuffer[String]()
     val rowLoad = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -101,6 +105,15 @@ object Bench {
         if (retries == 0) readjudicated += name
         t = math.min(t, run())
         retries += 1
+      }
+      // a row with NO prior (a new query, or a clobbered prior map) has
+      // nothing to adjudicate against, which is exactly when a host
+      // burst prints a phantom number nobody challenges — one insurance
+      // re-run for any slow such row (r10: x_kmeans read 10.09 s under
+      // a burst with an empty prior; its warm truth is 1.2 s)
+      if (prior.isEmpty && t > 2.0) {
+        readjudicated += name
+        t = math.min(t, run())
       }
       rowLoad(name) = loadavg()
       t
@@ -154,8 +167,11 @@ object Bench {
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val load1 = loadavg()
     def line(queries: Iterable[(String, Double)], note: String,
-             extra: String = ""): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"wall_sec":${fmt(wallSec)},"loadavg_start":${fmt(load0)},"loadavg_end":${fmt(load1)},"queries":${toJson(queries)},$extra"sf":"$sfDir","note":"$note"}"""
+             extra: String = "", totalOver: Iterable[(String, Double)] = null): String = {
+      val basis = if (totalOver == null) results else totalOver
+      val tot = basis.collect { case (_, v) if v >= 0 => v }.sum
+      s"""{"metric":"total","value":${fmt(tot)},"unit":"sec","n":${basis.size},"failed":$failed,"wall_sec":${fmt(wallSec)},"loadavg_start":${fmt(load0)},"loadavg_end":${fmt(load1)},"queries":${toJson(queries)},$extra"sf":"$sfDir","note":"$note"}"""
+    }
     val fullNote = "noop-sink, min of 2-3 warm runs timed (bursty-host noise); -1=failed; rows >2x their prior-round artifact re-measured up to 2x (min kept, names in readjudicated) so no row needs manual noise adjudication; row_loadavg is the 1-min /proc/loadavg as each row finished; prep_* lines bill the shared derived-table materializations (partsupp, neardup CC, BPE merges, co-purchase edges) and the queries reading them report marginal cost under that warm cache (noise protocol, docs/SCALE.md)"
     val extraFull =
       "\"readjudicated\":" + readjudicated.map("\"" + _ + "\"")
@@ -163,9 +179,21 @@ object Bench {
         ",\"row_loadavg\":" + toJson(rowLoad) + ","
     val fullLine = line(results, fullNote, extraFull)
     println(fullLine)
+    // a SUBSET run (dev iteration on named rows) must not clobber the
+    // full prior map — BENCH_FULL.json is next round's adjudication
+    // baseline, and a 2-row overwrite silently disables it (that is
+    // exactly how r10's x_kmeans burst went unchallenged). Subset runs
+    // MERGE their rows over the prior map instead.
+    val artifactLine =
+      if (only.isEmpty) fullLine
+      else {
+        val merged = priorFull ++ results
+        line(merged, fullNote + "; subset run merged over prior map",
+          extraFull, totalOver = merged)
+      }
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
-      try w.println(fullLine) finally w.close()
+      try w.println(artifactLine) finally w.close()
     } catch { case _: Throwable => } // cwd may be read-only; headline still prints
     val slowest = results.toSeq.sortBy(-_._2).take(10)
     println(line(slowest,

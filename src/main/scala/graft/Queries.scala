@@ -2943,6 +2943,41 @@ object Queries {
         | FROM latest GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // St2 JOIN-view maintenance over TWO CDC streams (JoinIvm — the
+    // DBSP/differential-dataflow bilinear delta rule Δ(O⋈L) =
+    // ΔO⋈L + O⋈ΔL + ΔO⋈ΔL over ±1-weighted rows): orders_cdc and
+    // lineitem_cdc interleave in the same per-server logs; the view
+    // (per order priority: live joined pair count + exact price sum)
+    // is maintained through 4 hash-batched replay rounds with
+    // key-netted states — never a re-join of the base tables. The
+    // oracle computes the same view directly from the replayed final
+    // live states; a deleted order's surviving lineitems dropping out
+    // of the join is precisely what two independent table
+    // maintenances would get wrong.
+    Q("st_cdc_join_ivm",
+      (s, d) => {
+        val dir = graft.streaming.MysqlBinlogFixture
+          .encodeOrdersLineitemCdc(s, d)
+        val raw = s.read
+          .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
+          .option("path", dir).load()
+        graft.streaming.JoinIvm.maintain(raw, batches = 4)
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH o AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'Z-MOVED'
+        |       ELSE o_orderpriority END AS pr
+        |  FROM orders WHERE o_orderkey % 13 <> 0),
+        | l AS (SELECT l_orderkey,
+        |   CAST(round(min(l_extendedprice) * 100) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_linenumber % 4 <> 0
+        |  GROUP BY l_orderkey, l_linenumber)
+        | SELECT pr AS o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(cents) AS DOUBLE) / 100 AS sum_price
+        | FROM o JOIN l ON o.o_orderkey = l.l_orderkey
+        | GROUP BY pr ORDER BY pr"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // St2 + S6, DBLog-style incremental snapshot (sync/
     // IncrementalSnapshot): a chunked table copy interleaved with the
     // live binlog, each chunk fenced by its OWN low watermark instead

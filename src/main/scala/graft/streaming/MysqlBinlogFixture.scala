@@ -342,6 +342,131 @@ object MysqlBinlogFixture {
     dir
   }
 
+  /** TWO-TABLE CDC leg of the wire fixture: `orders_cdc` and
+    * `lineitem_cdc` interleaved in the same per-server logs — the
+    * multi-table estate a real binlog is (one serial log, many
+    * tables), and the input for JOIN-view maintenance ([[JoinIvm]],
+    * `st_cdc_join_ivm`). The op script is a pure function of the keys
+    * so a SQL oracle replays the final live states directly:
+    * every order INSERTs then (o_orderkey % 7 == 0) orders get their
+    * priority UPDATEd to 'Z-MOVED', (l_linenumber % 4 == 0) lineitems
+    * are DELETEd, and (o_orderkey % 13 == 0) orders are DELETEd (their
+    * surviving lineitems stay live — the join drops them, which is
+    * exactly what distinguishes join maintenance from two independent
+    * table maintenances). All images are FULL (`binlog_row_image=FULL`
+    * with true before images), and `l_extendedprice` rides the wire as
+    * a true DECIMAL(15,2).
+    */
+  def ordersTableDef(tableId: Long): TableDef = TableDef(
+    tableId, "graft", "orders_cdc", Seq(
+      Col.bigint("o_orderkey"), Col.varchar("o_orderpriority", 32)))
+
+  def lineitemTableDef(tableId: Long): TableDef = TableDef(
+    tableId, "graft", "lineitem_cdc", Seq(
+      Col.bigint("l_id"), Col.bigint("l_orderkey"),
+      Col.decimal("l_extendedprice", 15, 2)))
+
+  def encodeOrdersLineitemCdc(spark: SparkSession, sfDir: String,
+                              nServers: Int = 4): String = {
+    val dir = CoreOps.scratchDir("mysql_binlog_joinivm", sfDir)
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".binlog")).foreach(_.delete())
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("okey"), lit(0).as("kind"),
+        lit(0).as("lnum"), col("o_orderpriority").as("pr"),
+        lit(0.0).as("price"))
+    // the harness lineitem is NOT (orderkey, linenumber)-unique (the
+    // generator repeats lines) — dedupe to the min price per line so
+    // the surrogate key l_id = okey*8+lnum is a real PK and the keyed
+    // (latest-state) and multiset (delta) worlds coincide
+    val lines = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey").as("okey"),
+        col("l_linenumber").cast("int").as("lnum"))
+      .agg(min(col("l_extendedprice")).as("price"))
+      .select(col("okey"), lit(1).as("kind"), col("lnum"),
+        lit("").as("pr"), col("price"))
+    orders.unionAll(lines)
+      .repartition(nServers, col("okey"))
+      .sortWithinPartitions(col("okey"), col("kind"), col("lnum"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val pid = TaskContext.getPartitionId()
+        val uuid = f"00000000-0000-4000-8000-${500L + pid}%012d"
+        val path = s"$dir/server_$pid.binlog"
+        val tmp = s"$path.inprogress"
+        val w = new Writer(tmp, serverId = 500L + pid)
+        try {
+          val tdO = ordersTableDef(41L)
+          val tdL = lineitemTableDef(42L)
+          var began = false
+          var txn = 0L
+          def cents(p: Double): java.math.BigDecimal =
+            java.math.BigDecimal.valueOf(math.round(p * 100), 2)
+          // per input row, the statements it generates, in order:
+          // (table, op, before, after)
+          def statements(r: Row): Seq[(TableDef, String, Array[AnyRef], Array[AnyRef])] = {
+            val okey = r.getLong(0)
+            if (r.getInt(1) == 0) {
+              val pr = r.getString(3)
+              val prLive = if (okey % 7 == 0) "Z-MOVED" else pr
+              val ins = Array[AnyRef](java.lang.Long.valueOf(okey), pr)
+              val upd = Array[AnyRef](java.lang.Long.valueOf(okey), "Z-MOVED")
+              val live = Array[AnyRef](java.lang.Long.valueOf(okey), prLive)
+              Seq((tdO, "insert", null, ins)) ++
+                (if (okey % 7 == 0) Seq((tdO, "update", ins, upd)) else Nil) ++
+                (if (okey % 13 == 0) Seq((tdO, "delete", live, null)) else Nil)
+            } else {
+              val lnum = r.getInt(2)
+              val img = Array[AnyRef](
+                java.lang.Long.valueOf(okey * 8 + lnum),
+                java.lang.Long.valueOf(okey), cents(r.getDouble(4)))
+              Seq((tdL, "insert", null, img)) ++
+                (if (lnum % 4 == 0) Seq((tdL, "delete", img, null)) else Nil)
+            }
+          }
+          rows.grouped(48).foreach { group =>
+            if (!began) {
+              w.setClock(1700000000L); w.begin()
+              w.previousGtids(Seq.empty)
+              began = true
+            }
+            w.gtid(uuid, txn + 1)
+            w.query("graft", "BEGIN")
+            // one statement per consecutive same-(table, op) run
+            var run = List.empty[(TableDef, String, Array[AnyRef], Array[AnyRef])]
+            def flushRun(): Unit = if (run.nonEmpty) {
+              val batch = run.reverse
+              val (td, op, _, _) = batch.head
+              w.tableMap(td)
+              op match {
+                case "insert" => w.writeRows(td, batch.map(_._4))
+                case "update" => w.updateRows(td, batch.map(s => (s._3, s._4)))
+                case "delete" => w.deleteRows(td, batch.map(_._3))
+              }
+              run = Nil
+            }
+            group.flatMap(statements).foreach { s =>
+              run match {
+                case (td, op, _, _) :: _ if td.ne(s._1) || op != s._2 => flushRun()
+                case _ => ()
+              }
+              run ::= s
+            }
+            flushRun()
+            txn += 1
+            w.xid(txn)
+          }
+          if (!began) w.begin()
+        } finally w.close()
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    dir
+  }
+
   /** Legacy-schema leg of the wire fixture: TIME(6), ENUM, SET, BIT and
     * GEOMETRY columns — the types a long-lived MySQL schema (the
     * reference's target population) actually carries. Every column is a

@@ -335,6 +335,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("join-view maintenance is batching-invariant and equals the direct join") {
+    val dir = MysqlBinlogFixture.encodeOrdersLineitemCdc(spark, sf)
+    val raw = spark.read
+      .format(classOf[MysqlBinlogSourceProvider].getName)
+      .option("path", dir).load()
+    def viewSet(batches: Int): Set[(String, Long, Double)] =
+      JoinIvm.maintain(raw, batches).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // bilinearity: ANY partition of the log into batches yields the
+    // identical view — 1 batch (pure batch recompute), 4, and 7
+    val v1 = viewSet(1)
+    assert(v1.nonEmpty && v1.exists(_._1 == "Z-MOVED"),
+      "updated orders must appear under their moved priority")
+    assert(viewSet(4) == v1, "4-batch replay must equal 1-batch")
+    assert(viewSet(7) == v1, "7-batch replay must equal 1-batch")
+    // ...and all equal the direct join over the final live states,
+    // reconstructed from the same decoded log (latest state per key)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"), col("key")).orderBy(col("seq").desc)
+    def live(table: String, schema: org.apache.spark.sql.types.StructType) =
+      raw.filter(col("table") === table)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "delete")
+        .select(from_json(col("payload"), schema).as("p"))
+    val direct = live("orders_cdc", JoinIvm.orderSchema)
+      .select(col("p.o_orderkey").as("okey"),
+        col("p.o_orderpriority").as("pr"))
+      .join(live("lineitem_cdc", JoinIvm.lineSchema)
+        .select(col("p.l_orderkey").as("okey"),
+          col("p.l_extendedprice").cast("decimal(28,6)").as("price")), "okey")
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(v1 == direct,
+      "maintained view must equal the direct join over live states")
+  }
+
   test("CM sketch compaction preserves cell sums exactly and heals crashes") {
     implicit val ctx = spark.sqlContext
     val docs = graft.model.Tables.documents(spark, sf)

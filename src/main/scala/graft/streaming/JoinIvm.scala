@@ -92,6 +92,97 @@ object JoinIvm {
         sum(col("d.p")).cast("decimal(28,6)").as("ds"))
   }
 
+  import org.apache.spark.sql.types.DecimalType
+  private val oStateSchema = StructType(Seq(
+    StructField("okey", LongType), StructField("pr", StringType),
+    StructField("w", LongType)))
+  private val lStateSchema = StructType(Seq(
+    StructField("okey", LongType), StructField("n", LongType),
+    StructField("s", DecimalType(28, 6))))
+
+  /** One maintenance round against the PRE-state of micro-batch `id`,
+    * written entirely under `id`-keyed paths: `o_<id>`, `l_<id>`,
+    * `view/round_<id>` — so an at-least-once redelivery of batch `id`
+    * (foreachBatch's contract after a crash) rebuilds exactly its own
+    * round from the same pre-state, byte-deterministically. That is
+    * the whole exactly-once story: state is VERSIONED by batch, never
+    * mutated in place.
+    */
+  def applyBatch(batch: DataFrame, stateDir: String, id: Long): Unit = {
+    val spark = batch.sparkSession
+    def stateRounds: Seq[Long] = {
+      val d = new java.io.File(stateDir)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("o_"))
+        .flatMap(_.getName.stripPrefix("o_").toLongOption).toSeq.sorted
+    }
+    val prev = stateRounds.filter(_ < id).lastOption
+    val oPre = prev.map(p => spark.read.parquet(s"$stateDir/o_$p"))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], oStateSchema))
+    val lPre = prev.map(p => spark.read.parquet(s"$stateDir/l_$p"))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], lStateSchema))
+    val dO = orderDeltas(batch).persist()
+    val dL = lineDeltas(batch).persist()
+    val t1 = dO.join(lPre, "okey")
+      .select(col("pr"), (col("w") * col("n")).as("dn"),
+        (col("w") * col("s")).cast("decimal(28,6)").as("ds"))
+    val t2 = oPre.join(dL, "okey")
+      .select(col("pr"), (col("w") * col("dn")).as("dn"),
+        (col("w") * col("ds")).cast("decimal(28,6)").as("ds"))
+    val t3 = dO.join(dL, "okey")
+      .select(col("pr"), (col("w") * col("dn")).as("dn"),
+        (col("w") * col("ds")).cast("decimal(28,6)").as("ds"))
+    t1.unionAll(t2).unionAll(t3)
+      .write.mode("overwrite").parquet(s"$stateDir/view/round_$id")
+    oPre.unionAll(dO).groupBy("okey", "pr")
+      .agg(sum(col("w")).as("w")).filter(col("w") =!= 0)
+      .write.mode("overwrite").parquet(s"$stateDir/o_$id")
+    lPre.select(col("okey"), col("n").as("dn"), col("s").as("ds"))
+      .unionAll(dL).groupBy("okey")
+      .agg(sum(col("dn")).as("n"),
+        sum(col("ds")).cast("decimal(28,6)").as("s"))
+      .filter(col("n") =!= 0 || col("s") =!= lit(0))
+      .write.mode("overwrite").parquet(s"$stateDir/l_$id")
+    dO.unpersist(); dL.unpersist()
+    // prune states older than the previous round — `prev` must survive
+    // so a redelivery of THIS batch can rebuild from it
+    stateRounds.filter(r => prev.exists(r < _)).foreach { r =>
+      def rm(p: String): Unit = {
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(path, true): Unit
+      }
+      rm(s"$stateDir/o_$r"); rm(s"$stateDir/l_$r")
+    }
+  }
+
+  /** Structured Streaming form: maintain the join view continuously
+    * over a stream of change rows (the binlog source's columns).
+    */
+  def start(changes: DataFrame, stateDir: String,
+            checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyBatch(batch, stateDir, id)
+      }
+      .start()
+
+  /** The maintained view at the current stream position. */
+  def view(spark: org.apache.spark.sql.SparkSession,
+           stateDir: String): DataFrame = {
+    val d = new java.io.File(s"$stateDir/view")
+    val rounds = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getPath)
+    spark.read.parquet(rounds.toIndexedSeq: _*)
+      .groupBy(col("pr").as("o_orderpriority"))
+      .agg(sum(col("dn")).as("n_items"),
+        sum(col("ds")).cast("double").as("sum_price"))
+      .filter(col("n_items") > 0)
+  }
+
   /** Replay the change log through `batches` maintenance rounds and
     * return the maintained view: per order priority, the live joined
     * pair count and price sum.

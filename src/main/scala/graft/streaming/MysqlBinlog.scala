@@ -45,6 +45,11 @@ object MysqlBinlog {
   val WRITE_ROWS_V1 = 23
   val UPDATE_ROWS_V1 = 24
   val DELETE_ROWS_V1 = 25
+  /** 8.0 `binlog_rows_query_log_events=ON`: the original statement
+    * text logged immediately before its rows events — audit/provenance
+    * (which SQL produced this change), ignored by appliers.
+    */
+  val ROWS_QUERY_EVENT = 29
   val WRITE_ROWS_EVENT = 30
   val UPDATE_ROWS_EVENT = 31
   val DELETE_ROWS_EVENT = 32
@@ -157,6 +162,11 @@ object MysqlBinlog {
       set: String) extends Event
   final case class Query(header: EventHeader, startPos: Long,
       schema: String, query: String) extends Event
+  /** The ROWS_QUERY provenance text preceding a statement's rows
+    * events (`binlog_rows_query_log_events=ON`).
+    */
+  final case class RowsQuery(header: EventHeader, startPos: Long,
+      query: String) extends Event
   /** Recognized-but-not-decoded events (GTID, PREVIOUS_GTIDS, STOP…). */
   final case class Opaque(header: EventHeader, startPos: Long) extends Event
 
@@ -985,6 +995,16 @@ object MysqlBinlog {
             if (c.p > bodyEnd) throw new BinlogFormatException(
               s"QUERY event at $start shorter than its declared parts")
             Query(h, start, schema, new String(
+              java.util.Arrays.copyOfRange(bytes, c.p, bodyEnd),
+              StandardCharsets.UTF_8))
+          case ROWS_QUERY_EVENT =>
+            // 1 legacy length byte (saturates at 255), then the FULL
+            // statement text to the body end — 8.0 writes the whole
+            // query regardless of the byte, so readers must too
+            c.u1()
+            if (c.p > bodyEnd) throw new BinlogFormatException(
+              s"ROWS_QUERY event at $start shorter than its length byte")
+            RowsQuery(h, start, new String(
               java.util.Arrays.copyOfRange(bytes, c.p, bodyEnd),
               StandardCharsets.UTF_8))
           case GTID_EVENT =>

@@ -196,6 +196,7 @@ object MysqlBinlogWriter {
       phl(WRITE_ROWS_EVENT - 1) = 10; phl(UPDATE_ROWS_EVENT - 1) = 10
       phl(DELETE_ROWS_EVENT - 1) = 10
       phl(PARTIAL_UPDATE_ROWS_EVENT - 1) = 10 // rows v2 post-header
+      phl(ROWS_QUERY_EVENT - 1) = 0
       phl(GTID_EVENT - 1) = 42; phl(ANONYMOUS_GTID_EVENT - 1) = 42
       val b = new B().u2(4)
       val ver = serverVersion.getBytes(StandardCharsets.UTF_8)
@@ -626,6 +627,17 @@ object MysqlBinlogWriter {
       val sb = schema.getBytes(StandardCharsets.UTF_8)
       emit(QUERY_EVENT, new B().u4(0L).u4(0L).u1(sb.length).u2(0).u2(0)
         .raw(sb).u1(0).str(sql).bytes)
+    }
+
+    /** ROWS_QUERY provenance (`binlog_rows_query_log_events=ON`):
+      * the original statement text, written directly before its
+      * TABLE_MAP + rows events. The single legacy length byte
+      * saturates at 255; the full text follows regardless (the 8.0
+      * wire shape).
+      */
+    def rowsQuery(sql: String): Long = {
+      val qb = sql.getBytes(StandardCharsets.UTF_8)
+      emit(ROWS_QUERY_EVENT, new B().u1(math.min(qb.length, 255)).raw(qb).bytes)
     }
 
     /** transaction fence (commit marker) */

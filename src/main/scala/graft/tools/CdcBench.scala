@@ -67,13 +67,110 @@ object CdcBench {
     new java.io.File(path).length()
   }
 
+  /** PARTIAL_JSON variant: every transaction is 64 partial updates
+    * patching a ~1 KB JSON document (REPLACE a counter + INSERT an
+    * array cell) — the wire-mode whose decode cost is the diff apply,
+    * and whose win is the log-size column (a few-byte patch vs
+    * re-logging the document).
+    */
+  private def writePartialLog(path: String, nTxn: Int): Long = {
+    import graft.streaming.{MysqlJsonBinary, MysqlJsonDiff}
+    import MysqlJsonDiff.{Diff, Diffs, OpInsert, OpReplace}
+    val rng = new scala.util.Random(78)
+    val td = tableDef
+    val types = Array("click", "view", "purchase", "signup", "error")
+    // a realistic ~1 KB document: the before image each patch applies to
+    def doc(n: Int, tags: Int): String =
+      s"""{"n":$n,"pad":"${"x" * 900}","tags":[${
+        (0 until tags).map(i => s""""t$i"""").mkString(",")}]}"""
+    val w = new Writer(path, serverId = 9L)
+    w.setClock(1700000000L)
+    w.begin()
+    w.previousGtids(Seq.empty)
+    var eid = 0L
+    (0 until nTxn).foreach { txn =>
+      val pairs = (0 until 64).map { _ =>
+        eid += 1
+        val i = (eid % 7).toInt
+        val before = Array[AnyRef](
+          java.lang.Long.valueOf(rng.nextInt(100000).toLong),
+          java.lang.Long.valueOf(eid),
+          java.lang.Long.valueOf(1700000000000000L + eid * 1000L),
+          types(rng.nextInt(types.length)),
+          java.lang.Double.valueOf(rng.nextDouble() * 100),
+          doc(i, i))
+        val after = before.clone()
+        after(5) = Diffs(Seq(
+          Diff(OpReplace, "$.n", Some(MysqlJsonBinary.JInt(i + 1L))),
+          Diff(OpInsert, s"$$.tags[$i]",
+            Some(MysqlJsonBinary.JStr(s"t$i")))))
+        (before, after)
+      }
+      w.gtid("00000000-0000-4000-8000-000000000009", txn + 1L)
+      w.query("graft", "BEGIN")
+      w.tableMap(td)
+      w.partialUpdateRows(td, pairs)
+      w.xid(txn + 1L)
+    }
+    w.close()
+    new java.io.File(path).length()
+  }
+
+  /** The apples-to-apples control for [[writePartialLog]]: the SAME
+    * ~1 KB documents updated with FULL after images (what a server
+    * without PARTIAL_JSON logs). The partial/full wire-size and
+    * decode-rate ratio is the feature's cost-benefit.
+    */
+  private def writeFullUpdateLog(path: String, nTxn: Int): Long = {
+    val rng = new scala.util.Random(78)
+    val td = tableDef
+    val types = Array("click", "view", "purchase", "signup", "error")
+    def doc(n: Int, tags: Int): String =
+      s"""{"n":$n,"pad":"${"x" * 900}","tags":[${
+        (0 until tags).map(i => s""""t$i"""").mkString(",")}]}"""
+    val w = new Writer(path, serverId = 9L)
+    w.setClock(1700000000L)
+    w.begin()
+    w.previousGtids(Seq.empty)
+    var eid = 0L
+    (0 until nTxn).foreach { txn =>
+      val pairs = (0 until 64).map { _ =>
+        eid += 1
+        val i = (eid % 7).toInt
+        val before = Array[AnyRef](
+          java.lang.Long.valueOf(rng.nextInt(100000).toLong),
+          java.lang.Long.valueOf(eid),
+          java.lang.Long.valueOf(1700000000000000L + eid * 1000L),
+          types(rng.nextInt(types.length)),
+          java.lang.Double.valueOf(rng.nextDouble() * 100),
+          doc(i, i))
+        val after = before.clone()
+        after(5) = doc(i + 1, i + 1)
+        (before, after)
+      }
+      w.gtid("00000000-0000-4000-8000-000000000009", txn + 1L)
+      w.query("graft", "BEGIN")
+      w.tableMap(td)
+      w.updateRows(td, pairs)
+      w.xid(txn + 1L)
+    }
+    w.close()
+    new java.io.File(path).length()
+  }
+
   def main(args: Array[String]): Unit = {
     val baseTxn = if (args.nonEmpty) args(0).toInt else 2000 // ×64 rows
-    for (scale <- Seq(1, 5, 10); compressed <- Seq(false, true)) {
+    for (scale <- Seq(1, 5, 10);
+         mode <- Seq("plain", "zstd", "full_update", "partial_json")) {
+      val compressed = mode == "zstd"
       val nTxn = baseTxn * scale
       val path = java.nio.file.Files
         .createTempFile("graft_cdc_bench_", ".binlog").toString
-      val bytes = writeLog(path, nTxn, compressed)
+      val bytes = mode match {
+        case "partial_json" => writePartialLog(path, nTxn)
+        case "full_update" => writeFullUpdateLog(path, nTxn)
+        case _ => writeLog(path, nTxn, compressed)
+      }
       def once(): (Double, Long) = {
         // the production readers' exact path: streamed bytes → events
         // → change rows, one in-flight event (no file-sized Vectors)
@@ -92,7 +189,7 @@ object CdcBench {
       val rows = runs.head._2
       require(rows == nTxn.toLong * 64, s"decoded $rows of ${nTxn * 64}")
       java.nio.file.Files.delete(java.nio.file.Paths.get(path))
-      println(f"""{"rows":$rows,"bytes":$bytes,"compressed":$compressed,"sec":$sec%.3f,"events_per_sec":${(rows / sec).toLong},"mb_per_sec":${bytes / 1e6 / sec}%.1f}""")
+      println(f"""{"rows":$rows,"bytes":$bytes,"mode":"$mode","sec":$sec%.3f,"events_per_sec":${(rows / sec).toLong},"mb_per_sec":${bytes / 1e6 / sec}%.1f}""")
     }
   }
 }

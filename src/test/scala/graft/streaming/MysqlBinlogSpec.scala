@@ -1184,6 +1184,23 @@ class MysqlBinlogSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("CRC32") || ex.getMessage.contains("zstd"))
   }
 
+  test("ROWS_QUERY provenance round-trips, including past the legacy length byte") {
+    val path = tmpLog()
+    val td = TableDef(9L, "graft", "t", Seq(Col.bigint("k")))
+    val longSql = "INSERT INTO t /* " + ("x" * 400) + " */ VALUES (1)"
+    val evs = writeLadder(path) { w =>
+      w.rowsQuery(longSql)
+      w.tableMap(td)
+      w.writeRows(td, Seq(Array[AnyRef](java.lang.Long.valueOf(1L))))
+      w.xid(1L)
+    }
+    val rq = evs.collect { case r: RowsQuery => r }
+    assert(rq.map(_.query) == Seq(longSql),
+      "the FULL text must survive even though the length byte saturates at 255")
+    // provenance is audit-only: the change projection ignores it
+    assert(changeEvents(evs).map(_.op) == Seq("insert"))
+  }
+
   // -- PARTIAL_JSON (binlog_row_value_options, WL#2955) ----------------
 
   test("JSON diff apply matches the server's documented semantics") {

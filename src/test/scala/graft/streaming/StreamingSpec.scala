@@ -373,6 +373,42 @@ class StreamingSpec extends SparkSpec {
       "maintained view must equal the direct join over live states")
   }
 
+  test("streaming join-view maintenance: view tracks batches, redelivery is idempotent") {
+    implicit val ctx = spark.sqlContext
+    val dir0 = MysqlBinlogFixture.encodeOrdersLineitemCdc(spark, sf)
+    val raw = spark.read
+      .format(classOf[MysqlBinlogSourceProvider].getName)
+      .option("path", dir0).load()
+    val changes = raw.select("table", "op", "payload", "payload_before", "seq")
+      .orderBy("seq").collect()
+      .map(r => CdcRow(r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3)))
+    val chunks = changes.grouped((changes.length + 2) / 3).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("joinivm_stream_").toString
+    val input = MemoryStream[CdcRow]
+    val q = JoinIvm.start(input.toDF(), s"$dir/state", s"$dir/ckpt")
+    try {
+      chunks.foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    def viewSet(): Set[(String, Long, Double)] =
+      JoinIvm.view(spark, s"$dir/state").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = viewSet()
+    val batchView = JoinIvm.maintain(raw, 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batchView,
+      "streamed view must equal the one-shot batch maintenance")
+    // at-least-once redelivery: re-applying the LAST micro-batch with
+    // its own id rebuilds exactly its round from the kept pre-state —
+    // the view must not move
+    import spark.implicits._
+    val lastBatch = chunks.last.toIndexedSeq.toDF()
+    JoinIvm.applyBatch(lastBatch, s"$dir/state", chunks.length.toLong - 1)
+    assert(viewSet() == streamed,
+      "redelivered batch must rebuild its own round, not double-apply")
+  }
+
   test("CM sketch compaction preserves cell sums exactly and heals crashes") {
     implicit val ctx = spark.sqlContext
     val docs = graft.model.Tables.documents(spark, sf)
@@ -962,3 +998,9 @@ final case class VecRow(vec_id: Long, embedding: Seq[Float])
   * columns; payloads are null for the op that lacks the image).
   */
 final case class ChangeRow(op: String, payload: String, payload_before: String)
+
+/** Test-only row for the streaming join-IVM (adds the table column the
+  * two-stream split keys on).
+  */
+final case class CdcRow(table: String, op: String, payload: String,
+                        payload_before: String)

@@ -215,9 +215,28 @@ object DedupOps {
       .filter(least(col("a_sz"), col("b_sz")).cast("double") >=
         greatest(col("a_sz"), col("b_sz")) * threshold)
       .select("a_id", "b_id").distinct()
+    // TWO-STAGE verify, exact end to end. Stage 1 intersects 64-bit
+    // HASHED token arrays — 8 bytes/token instead of ~25-char strings,
+    // an order of magnitude less candidate-join shuffle. Hashing is a
+    // sound SUPERSET filter: collisions can only raise |A∩B| and only
+    // shrink |A|,|B| (distinct tokens merging), so J_hashed >= J_true
+    // and no qualifying pair is dropped. Stage 2 recomputes the true
+    // string-array Jaccard for the few stage-1 survivors (≈ the real
+    // pairs plus astronomically rare collision ghosts), so the OUTPUT
+    // is the exact full-universe score.
+    val hashed = docToks.select(col(idCol),
+      expr("transform(toks, x -> xxhash64(x.shingle))").as("hs"))
+    val stage1 = cands
+      .join(hashed.select(col(idCol).as("a_id"), col("hs").as("a_hs")), "a_id")
+      .join(hashed.select(col(idCol).as("b_id"), col("hs").as("b_hs")), "b_id")
+      .filter(
+        size(array_intersect(col("a_hs"), col("b_hs"))).cast("double") /
+          (size(col("a_hs")) + size(col("b_hs")) -
+            size(array_intersect(col("a_hs"), col("b_hs")))) >= threshold)
+      .select("a_id", "b_id")
     val arrays = docToks.select(col(idCol),
       expr("transform(toks, x -> x.shingle)").as("sh"))
-    cands
+    stage1
       .join(arrays.select(col(idCol).as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(arrays.select(col(idCol).as("b_id"), col("sh").as("b_sh")), "b_id")
       .select(col("a_id"), col("b_id"),

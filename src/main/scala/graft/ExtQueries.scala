@@ -145,6 +145,42 @@ object ExtQueries {
       |   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
       |   FROM w WHERE len(w) >= 3)""".stripMargin.replaceAll("\n", "")
 
+  /** Substring-piece occurrence counts (length 1-4 over lowercased
+    * whitespace words) — the WordPiece vocab induction input, shared by
+    * x_wordpiece_vocab and x_wordpiece_segment.
+    */
+  private def wordpiecePieceCounts(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, 4), L ->
+          | CASE WHEN length(word) >= L THEN
+          |   transform(sequence(1, length(word) - L + 1),
+          |     p -> substring(word, p, L))
+          | ELSE CAST(array() AS ARRAY<STRING>) END))"""
+          .stripMargin.replaceAll("\n", ""))).as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("cnt"))
+
+  /** DuckDB twin of the WordPiece vocab: `ww` (doc words), `pc` (piece
+    * counts), `vocab` (all single chars + top-200 multis). Starts the
+    * WITH RECURSIVE chain the segment oracle's greedy walk extends.
+    */
+  private val wordpieceVocabCte =
+    """WITH RECURSIVE ww AS (SELECT doc_id, word FROM (SELECT doc_id,
+      |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+      |  FROM documents) t WHERE length(word) > 0),
+      | pc AS (SELECT piece, count(*) AS cnt FROM (SELECT
+      |   unnest(flatten(list_transform([1,2,3,4], L ->
+      |    CASE WHEN length(word) >= L THEN
+      |      list_transform(range(1, length(word) - L + 2),
+      |        p -> substr(word, CAST(p AS INT), CAST(L AS INT)))
+      |    ELSE [] END))) AS piece FROM ww) t GROUP BY piece),
+      | vocab AS (SELECT piece, cnt FROM pc WHERE length(piece) = 1
+      |  UNION ALL SELECT piece, cnt FROM (SELECT piece, cnt FROM pc
+      |    WHERE length(piece) > 1 ORDER BY cnt DESC, piece LIMIT 200) t2)"""
+      .stripMargin.replaceAll("\n", "")
+
   // ---- portable-hash DuckDB twins -----------------------------------
   // The md5-derived dedup queries are exactly reproducible in SQL: both
   // sides read their constants from graft.sim.PortableHash, so the
@@ -1711,6 +1747,97 @@ object ExtQueries {
           "CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT) " +
           "AS n_bpe_tokens FROM ap GROUP BY doc_id ORDER BY doc_id"
       }),
+
+    // X4 the OTHER learned-tokenizer family beside BPE's pair merges:
+    // WordPiece-style GREEDY LONGEST-MATCH segmentation (maximal
+    // munch — BERT's inference rule) over a self-induced substring
+    // vocabulary. Vocab = every single character seen (so
+    // segmentation is total — no unk loop) plus the top-200
+    // multi-character substrings of length 2-4 by (count DESC, piece
+    // ASC). Fully deterministic: greedy needs no DP tie-breaking.
+    Q("x_wordpiece_vocab",
+      (s, d) => {
+        val counts = wordpiecePieceCounts(Tables.documents(s, d))
+        counts.filter(length(col("piece")) === 1)
+          .unionAll(counts.filter(length(col("piece")) > 1)
+            .orderBy(col("cnt").desc, col("piece")).limit(200))
+          .orderBy(col("cnt").desc, col("piece"))
+      },
+      Some(wordpieceVocabCte +
+        """ SELECT piece, cnt FROM vocab ORDER BY cnt DESC, piece"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // X4 applying it: per document, words / emitted pieces / summed
+    // piece scores. The segmentation loop is ONE codegen'd
+    // higher-order aggregate over character positions per word (the
+    // vocab rides as a ~260-entry map literal — model-sized, the IVF
+    // centroid stance), so the scan is a single map-side pass; the
+    // oracle replays the identical greedy walk as a recursive CTE
+    // over DISTINCT words. Near a word's end the L=4/3/2 probes see
+    // TRUNCATED substrings (both engines), so the branch order IS the
+    // semantics — pinned by the hash match.
+    Q("x_wordpiece_segment",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val counts = wordpiecePieceCounts(docs)
+        val vocab = counts.filter(length(col("piece")) === 1)
+          .unionAll(counts.filter(length(col("piece")) > 1)
+            .orderBy(col("cnt").desc, col("piece")).limit(200))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val vm = map_from_arrays(
+          array(vocab.map(v => lit(v._1)).toIndexedSeq: _*),
+          array(vocab.map(v => lit(v._2)).toIndexedSeq: _*))
+        docs.select(col("doc_id"),
+            explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+          .filter(length(col("word")) > 0)
+          .withColumn("vm", vm)
+          .withColumn("seg", expr(
+            """aggregate(sequence(1, length(word)),
+              | named_struct('nxt', 1, 'np', CAST(0 AS BIGINT),
+              |   'sc', CAST(0 AS BIGINT)),
+              | (acc, i) -> IF(i < acc.nxt, acc, named_struct(
+              |   'nxt', i + CASE
+              |     WHEN element_at(vm, substring(word, i, 4)) IS NOT NULL THEN 4
+              |     WHEN element_at(vm, substring(word, i, 3)) IS NOT NULL THEN 3
+              |     WHEN element_at(vm, substring(word, i, 2)) IS NOT NULL THEN 2
+              |     ELSE 1 END,
+              |   'np', acc.np + CAST(1 AS BIGINT),
+              |   'sc', acc.sc + coalesce(
+              |     element_at(vm, substring(word, i, 4)),
+              |     element_at(vm, substring(word, i, 3)),
+              |     element_at(vm, substring(word, i, 2)),
+              |     element_at(vm, substring(word, i, 1)),
+              |     CAST(0 AS BIGINT)))))""".stripMargin.replaceAll("\n", "")))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("seg.np")).as("n_pieces"),
+            sum(col("seg.sc")).as("score"))
+          .orderBy("doc_id")
+      },
+      Some(wordpieceVocabCte +
+        """, sw AS (SELECT DISTINCT word FROM ww),
+        | r AS (SELECT word, 1 AS pos, 0 AS np, CAST(0 AS BIGINT) AS sc
+        |    FROM sw
+        |  UNION ALL
+        |  SELECT r.word,
+        |   r.pos + CASE WHEN v4.piece IS NOT NULL THEN 4
+        |     WHEN v3.piece IS NOT NULL THEN 3
+        |     WHEN v2.piece IS NOT NULL THEN 2 ELSE 1 END,
+        |   r.np + 1,
+        |   r.sc + coalesce(v4.cnt, v3.cnt, v2.cnt, v1.cnt, 0)
+        |  FROM r
+        |  LEFT JOIN vocab v4 ON v4.piece = substr(r.word, r.pos, 4)
+        |  LEFT JOIN vocab v3 ON v3.piece = substr(r.word, r.pos, 3)
+        |  LEFT JOIN vocab v2 ON v2.piece = substr(r.word, r.pos, 2)
+        |  LEFT JOIN vocab v1 ON v1.piece = substr(r.word, r.pos, 1)
+        |  WHERE r.pos <= length(r.word)),
+        | fin AS (SELECT word, np, sc FROM r WHERE pos > length(word))
+        | SELECT ww.doc_id, count(*) AS n_words,
+        |  CAST(sum(fin.np) AS BIGINT) AS n_pieces,
+        |  CAST(sum(fin.sc) AS BIGINT) AS score
+        | FROM ww JOIN fin ON ww.word = fin.word
+        | GROUP BY ww.doc_id ORDER BY ww.doc_id"""
+        .stripMargin.replaceAll("\n", ""))),
 
     // X4 token-length histogram (decade buckets): corpus length profile
     Q("x_length_histogram",

@@ -130,7 +130,9 @@ object Bench {
         (() => ExtQueries.prepNeardupComponents(spark, sfDir)),
       "prep_bpe_merges" -> (() => ExtQueries.prepBpeMerges(spark, sfDir)),
       "prep_copurchase_edges" ->
-        (() => ExtQueries.prepCoPurchaseEdges(spark, sfDir)))
+        (() => ExtQueries.prepCoPurchaseEdges(spark, sfDir)),
+      "prep_joinivm_changes" ->
+        (() => Queries.prepJoinIvmChanges(spark, sfDir)))
     // -1 marks a failed entry — a swallowed exception must not read as
     // a normal (fast!) timing
     val prepResults = preps

@@ -183,27 +183,95 @@ object JoinIvm {
       .filter(col("n_items") > 0)
   }
 
+  /** The landed form of the change stream a real pipeline materializes
+    * once: one ±1-weighted delta row per image touched, both tables
+    * tagged in one table — `(tab, src, seq, okey, pr, w, p)` with
+    * `pr` null for lineitem rows and `p` (the signed price) null for
+    * order rows. Every maintenance consumer is pure arithmetic over
+    * this; the JSON payload decode happens exactly once, here.
+    */
+  def weightedDeltas(changes: DataFrame): DataFrame = {
+    val o = {
+      val ev = changes.filter(col("table") === "orders_cdc")
+        .select(col("src"), col("seq"), col("op"),
+          from_json(col("payload"), orderSchema).as("a"),
+          from_json(col("payload_before"), orderSchema).as("b"))
+      val add = struct(col("a.o_orderkey").as("okey"),
+        col("a.o_orderpriority").as("pr"), lit(1L).as("w"))
+      val retract = struct(col("b.o_orderkey").as("okey"),
+        col("b.o_orderpriority").as("pr"), lit(-1L).as("w"))
+      ev.select(col("src"), col("seq"), explode(
+          when(col("op") === "insert", array(add))
+            .when(col("op") === "update", array(retract, add))
+            .otherwise(array(retract))).as("d"))
+        .select(lit("o").as("tab"), col("src"), col("seq"),
+          col("d.okey").as("okey"), col("d.pr").as("pr"),
+          col("d.w").as("w"), lit(null).cast("decimal(28,6)").as("p"))
+    }
+    val l = {
+      val price = (side: String) =>
+        col(s"$side.l_extendedprice").cast("decimal(28,6)")
+      val ev = changes.filter(col("table") === "lineitem_cdc")
+        .select(col("src"), col("seq"), col("op"),
+          from_json(col("payload"), lineSchema).as("a"),
+          from_json(col("payload_before"), lineSchema).as("b"))
+      val add = struct(col("a.l_orderkey").as("okey"), lit(1L).as("w"),
+        price("a").as("p"))
+      val retract = struct(col("b.l_orderkey").as("okey"), lit(-1L).as("w"),
+        (-price("b")).as("p"))
+      ev.select(col("src"), col("seq"), explode(
+          when(col("op") === "insert", array(add))
+            .when(col("op") === "update", array(retract, add))
+            .otherwise(array(retract))).as("d"))
+        .select(lit("l").as("tab"), col("src"), col("seq"),
+          col("d.okey").as("okey"),
+          lit(null).cast("string").as("pr"),
+          col("d.w").as("w"), col("d.p").as("p"))
+    }
+    o.unionAll(l)
+  }
+
   /** Replay the change log through `batches` maintenance rounds and
     * return the maintained view: per order priority, the live joined
-    * pair count and price sum.
+    * pair count and price sum. Pass `materializeInput = false` when
+    * `changes` is ALREADY a landed [[weightedDeltas]] table.
     */
-  def maintain(changes: DataFrame, batches: Int): DataFrame = {
+  def maintain(changes: DataFrame, batches: Int,
+               materializeInput: Boolean = true): DataFrame = {
     require(batches >= 1, s"need at least one batch, got $batches")
     val spark = changes.sparkSession
     val scratch = graft.ops.CoreOps.scratchDirUnique("join_ivm")
-    val batched = changes.withColumn("bk",
+    // land the weighted deltas ONCE: the rounds are arithmetic over
+    // this table; without it each round would re-run the upstream
+    // source (for a binlog input, a full wire re-decode per round)
+    val deltas =
+      if (!materializeInput) changes
+      else {
+        weightedDeltas(changes)
+          .write.mode("overwrite").parquet(s"$scratch/changes")
+        spark.read.parquet(s"$scratch/changes")
+      }
+    val batched = deltas.withColumn("bk",
       pmod(xxhash64(col("src"), col("seq")), lit(batches)))
     def materialize(df: DataFrame, name: String): DataFrame = {
       df.write.mode("overwrite").parquet(s"$scratch/$name")
       spark.read.parquet(s"$scratch/$name")
     }
-    var oState = orderDeltas(changes).filter(lit(false)) // empty, right shape
-    var lState = lineDeltas(changes).filter(lit(false))
-      .select(col("okey"), col("dn").as("n"), col("ds").as("s"))
+    var oState = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], oStateSchema)
+    var lState = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], lStateSchema)
     (0 until batches).foreach { k =>
       val delta = batched.filter(col("bk") === k)
-      val dO = materialize(orderDeltas(delta), s"do_$k")
-      val dL = materialize(lineDeltas(delta), s"dl_$k")
+      // dO/dL stay lazy: their lineage is a filter over the landed
+      // delta table, cheaper to re-run per consumer than to write two
+      // more per-round tables
+      val dO = delta.filter(col("tab") === "o")
+        .select(col("okey"), col("pr"), col("w"))
+      val dL = delta.filter(col("tab") === "l")
+        .groupBy(col("okey"))
+        .agg(sum(col("w")).as("dn"),
+          sum(col("p")).cast("decimal(28,6)").as("ds"))
       val oPre = oState
       val lPre = lState
       // Δview = ΔO⋈L_pre + O_pre⋈ΔL + ΔO⋈ΔL, all keyed on okey
@@ -216,18 +284,23 @@ object JoinIvm {
       val t3 = dO.join(dL, "okey")
         .select(col("pr"), (col("w") * col("dn")).as("dn"),
           (col("w") * col("ds")).cast("decimal(28,6)").as("ds"))
-      t1.unionAll(t2).unionAll(t3)
+      // per-round outputs are group/state-sized, not data-sized —
+      // coalesce to a handful of files so 4 rounds don't write
+      // 4×3×|shuffle partitions| tiny parquet parts
+      t1.unionAll(t2).unionAll(t3).coalesce(1)
         .write.mode("overwrite").parquet(s"$scratch/view/round_$k")
       // advance the states: net per key, drop zero-weight rows
       oState = materialize(
         oPre.unionAll(dO).groupBy("okey", "pr")
-          .agg(sum(col("w")).as("w")).filter(col("w") =!= 0), s"o_$k")
+          .agg(sum(col("w")).as("w")).filter(col("w") =!= 0)
+          .coalesce(4), s"o_$k")
       lState = materialize(
         lPre.select(col("okey"), col("n").as("dn"), col("s").as("ds"))
           .unionAll(dL).groupBy("okey")
           .agg(sum(col("dn")).as("n"),
             sum(col("ds")).cast("decimal(28,6)").as("s"))
-          .filter(col("n") =!= 0 || col("s") =!= lit(0)), s"l_$k")
+          .filter(col("n") =!= 0 || col("s") =!= lit(0))
+          .coalesce(4), s"l_$k")
     }
     spark.read.parquet(
         (0 until batches).map(k => s"$scratch/view/round_$k"): _*)

@@ -330,6 +330,25 @@ object Kernels {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  /** Apply a DEFERRED MySQL JSON diff vector (the binlog decoder's
+    * `{"__jsondiff":"<base64>"}` surface under
+    * `binlog_row_image=MINIMAL` × `PARTIAL_JSON`, where the log carries
+    * no before image to patch) onto the consumer's tracked latest
+    * document. Empty vector = unchanged. Decode/apply semantics are
+    * exactly [[graft.streaming.MysqlJsonDiff]]'s strict wire path — a
+    * malformed vector or an inapplicable path throws rather than
+    * fabricating a document.
+    */
+  def applyJsonDiffB64(before: UTF8String, b64: UTF8String): UTF8String = {
+    val raw = java.util.Base64.getDecoder.decode(b64.toString)
+    if (raw.isEmpty) before
+    else UTF8String.fromString(
+      graft.streaming.MysqlJsonBinary.render(
+        graft.streaming.MysqlJsonDiff.apply(
+          graft.streaming.MysqlJsonBinary.parseText(before.toString),
+          graft.streaming.MysqlJsonDiff.decode(raw))))
+  }
+
   /** One-pass language ID — identical decision ladder to the expression
     * form it replaces ([[TextFunctions.langId]]'s documented semantics,
     * mirrored by the x_lang_id DuckDB oracle): CJK char → zh, Cyrillic →
@@ -731,6 +750,9 @@ object Kernels {
   def normFCol(a: Column): Column = invoke(DoubleType, "normF", a)
 
   def langIdCol(text: Column): Column = invoke(StringType, "langId", text)
+
+  def applyJsonDiffB64Col(before: Column, b64: Column): Column =
+    invoke(StringType, "applyJsonDiffB64", before, b64)
 
   def nfcCol(text: Column): Column = invoke(StringType, "nfc", text)
   def nfcExpr(e: Expression): Expression =

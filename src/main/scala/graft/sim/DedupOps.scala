@@ -174,7 +174,8 @@ object DedupOps {
     * sized) → distinct candidates → array verify (two id-keyed joins).
     */
   def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                         n: Int = 3, threshold: Double = 0.5,
+                         workDir: Option[String] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefix filtering needs 0 < t <= 1, got $threshold")
     val spark = df.sparkSession
@@ -188,9 +189,22 @@ object DedupOps {
     // sizes AND the verify-stage full arrays all project off it. It is
     // MATERIALIZED once to scratch (the PageRank/LabelPropagation
     // stance): three consumers would otherwise re-run the shingling
-    // kernel + df join + collect aggregate each — on a cluster, pass a
-    // shared-FS checkpoint dir; in local mode the temp scratch works.
-    val scratch = graft.ops.CoreOps.scratchDirUnique("prefix_join")
+    // kernel + df join + collect aggregate each. On a cluster the
+    // scratch must be a shared FS — `workDir` (or the session
+    // checkpoint dir) provides it; the driver-local temp fallback is
+    // refused off-local, the connectedComponents stance.
+    val scratch = {
+      val base = workDir
+        .orElse(spark.sparkContext.getCheckpointDir)
+        .getOrElse {
+          require(spark.sparkContext.isLocal,
+            "prefixJaccardPairs on a cluster needs a shared-FS workDir " +
+              "(or spark.sparkContext.setCheckpointDir) — a driver-local " +
+              "temp dir is invisible to executors")
+          graft.ops.CoreOps.scratchDirUnique("prefix_join")
+        }
+      s"$base/prefix_join_${java.util.UUID.randomUUID().toString.take(8)}"
+    }
     pairs.join(dfreq, "shingle")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
@@ -215,15 +229,17 @@ object DedupOps {
       .filter(least(col("a_sz"), col("b_sz")).cast("double") >=
         greatest(col("a_sz"), col("b_sz")) * threshold)
       .select("a_id", "b_id").distinct()
-    // TWO-STAGE verify, exact end to end. Stage 1 intersects 64-bit
-    // HASHED token arrays — 8 bytes/token instead of ~25-char strings,
-    // an order of magnitude less candidate-join shuffle. Hashing is a
-    // sound SUPERSET filter: collisions can only raise |A∩B| and only
-    // shrink |A|,|B| (distinct tokens merging), so J_hashed >= J_true
-    // and no qualifying pair is dropped. Stage 2 recomputes the true
-    // string-array Jaccard for the few stage-1 survivors (≈ the real
-    // pairs plus astronomically rare collision ghosts), so the OUTPUT
-    // is the exact full-universe score.
+    // TWO-STAGE verify, exact ABSENT 64-bit COLLISIONS. Stage 1
+    // intersects 64-bit HASHED token arrays — 8 bytes/token instead of
+    // ~25-char strings, an order of magnitude less candidate-join
+    // shuffle. With distinct xxhash64 values J_hashed = J_true; a
+    // collision between two tokens both in A∩B can in principle LOWER
+    // the hashed score ((I-1)/(U-1) < I/U) and drop a qualifying pair,
+    // so the filter is sound only up to ~2^-64-per-token-pair collision
+    // odds — astronomically safe at any corpus size this engine
+    // targets, but stated honestly (r10 advice). Stage 2 recomputes the
+    // true string-array Jaccard for the few stage-1 survivors, so every
+    // EMITTED score is the exact full-universe value.
     val hashed = docToks.select(col(idCol),
       expr("transform(toks, x -> xxhash64(x.shingle))").as("hs"))
     val stage1 = cands

@@ -336,4 +336,53 @@ object CdcPipeline {
     if (useBinlog) startFromBinlog(spark, changesDir, stateDir, checkpointDir)
     else start(spark, changesDir, stateDir, checkpointDir)
   }
+
+  /** Stateful applier for `binlog_row_image=MINIMAL` ×
+    * `binlog_row_value_options=PARTIAL_JSON` — the wire-minimal server
+    * config real deployments run (docs/SCALE.md): the log carries
+    * neither the before document nor the full after document, only a
+    * diff vector, which the decoder surfaces as a deferred
+    * `{"__jsondiff":"<base64>"}` marker. Reconstructing the document
+    * therefore REQUIRES keyed state: this replays each (src, key)'s
+    * history in seq order, folding full documents (INSERTs, full
+    * updates) as state replacements and deferred markers through the
+    * exact wire-path diff apply ([[graft.functions.Kernels.applyJsonDiffB64]],
+    * one codegen'd call per event). Returns the latest reconstructed
+    * document per key.
+    *
+    * Scale shape: one shuffle on (src, key); per-key state is the
+    * key's event history within the replay window — in the streaming
+    * form (foreachBatch over this) each micro-batch folds only ITS
+    * events against the stored latest document, so steady-state cost
+    * is O(batch), exactly the [[latestState]] bucketed-apply stance. A
+    * deferred marker with no prior full document refuses loudly: the
+    * consumer joined mid-log without a snapshot, and fabricating a
+    * document would be silently wrong.
+    */
+  def applyDeferredJsonDiffs(changes: DataFrame, jsonField: String,
+                             outCol: String = null): DataFrame = {
+    val out = if (outCol == null) jsonField else outCol
+    val evs = changes
+      .select(col("src"), col("key"), col("seq"),
+        get_json_object(col("payload"), s"$$.$jsonField").as("doc"))
+      // updates that did not touch the field carry no marker and no
+      // document — they leave the state unchanged, skip them
+      .filter(col("doc").isNotNull)
+    evs.groupBy("src", "key")
+      .agg(sort_array(collect_list(struct(col("seq"), col("doc"))))
+        .as("evs"))
+      .select(col("src"), col("key"),
+        aggregate(col("evs"), lit(null).cast("string"), (acc, e) => {
+          val d = e.getField("doc")
+          val marker = get_json_object(d, "$.__jsondiff")
+          when(marker.isNull, d) // full document: replace state
+            .when(acc.isNull, raise_error(concat(
+              lit("deferred JSON diff for key with no prior full " +
+                "document (mid-log consumer without a snapshot), key="),
+              col("key").cast("string"))))
+            .when(length(marker) === 0, acc) // empty vector: unchanged
+            .otherwise(
+              graft.functions.Kernels.applyJsonDiffB64Col(acc, marker))
+        }).as(out))
+  }
 }

@@ -59,7 +59,9 @@ object MysqlBinlog {
   /** 8.0 `binlog_row_value_options=PARTIAL_JSON` update (WL#2955) —
     * like UPDATE_ROWS but each after image is preceded by a lenenc
     * `value_options` and, when its PARTIAL_JSON bit is set, a
-    * `partial_bits` bitmap (one bit per JSON column of the table); a
+    * `partial_bits` bitmap (one bit per JSON column INCLUDED IN THE
+    * AFTER IMAGE — WL#2955; the distinction from per-table only bites
+    * under binlog_row_image=MINIMAL and is spec-pinned byte-exactly); a
     * flagged column's value is a [[MysqlJsonDiff]] vector applied to
     * the before image, not a full document.
     */
@@ -492,14 +494,22 @@ object MysqlBinlog {
         case PARTIAL_UPDATE_ROWS_EVENT =>
           val before = parseRowImage(c, tm, present1)
           // shared-image info precedes EACH after image (WL#2955):
-          // value_options, then partial_bits over the table's JSON
-          // columns when the PARTIAL_JSON bit (bit 0) is set
+          // value_options, then partial_bits when the PARTIAL_JSON bit
+          // (bit 0) is set. The bitmap's domain is the JSON columns
+          // INCLUDED IN THE AFTER IMAGE (WL#2955's low-level design:
+          // "one bit per JSON column in the after-image"), not every
+          // JSON column of the table — the distinction only bites when
+          // binlog_row_image trims the after image (MINIMAL/NOBLOB),
+          // and is pinned byte-exactly by the 9-JSON-column fixture
+          // spec (a wrong domain desynchronizes the cursor and fails
+          // the exact-consumption check loudly).
           val valueOptions = c.lenenc()
           if ((valueOptions & ~1L) != 0)
             throw new BinlogFormatException(
               s"unknown value_options bits 0x${valueOptions.toHexString} " +
                 s"in PARTIAL_UPDATE_ROWS at offset $start")
-          val nJson = tm.colTypes.count(_ == T_JSON)
+          val nJson = tm.colTypes.indices
+            .count(i => present2(i) && tm.colTypes(i) == T_JSON)
           val partialBits =
             if ((valueOptions & 1L) != 0) c.bitmap(nJson)
             else new Array[Boolean](nJson)
@@ -569,7 +579,7 @@ object MysqlBinlog {
     val nullBits = c.bitmap(nPresent)
     val out = Array.fill[Option[AnyRef]](tm.colTypes.length)(None)
     var k = 0
-    var j = 0 // ordinal among the table's JSON columns
+    var j = 0 // ordinal among the AFTER-IMAGE-PRESENT JSON columns
     var i = 0
     while (i < tm.colTypes.length) {
       val isJson = tm.colTypes(i) == T_JSON
@@ -582,8 +592,8 @@ object MysqlBinlog {
             tm.signedness.map(_(i)).getOrElse(true),
             tm.enumSetLabels.get(i), tm.colCharsets.get(i)))
         k += 1
+        if (isJson) j += 1
       }
-      if (isJson) j += 1
       i += 1
     }
     RowImage(out)
@@ -602,10 +612,24 @@ object MysqlBinlog {
     val raw = c.bytes(len)
     val beforeText = before.values(col) match {
       case Some(s: String) => s
-      case Some(null) | None =>
+      case None =>
+        // binlog_row_image=MINIMAL × PARTIAL_JSON: the before image
+        // carries only the PK, so the diff CANNOT be applied here —
+        // real 8.0 deployments run exactly this combination to
+        // compound the wire saving (docs/SCALE.md). Surface the raw
+        // vector as a DEFERRED-apply marker ({"__jsondiff":"<base64>"},
+        // "" = unchanged); a stateful consumer holding keyed latest
+        // state (CdcPipeline.applyDeferredJsonDiffs /
+        // Kernels.applyJsonDiffB64) applies it downstream. Stateless
+        // consumers see the marker, not a fabricated document.
+        return "{\"__jsondiff\":\"" +
+          java.util.Base64.getEncoder.encodeToString(raw) + "\"}"
+      case Some(null) =>
+        // present-but-NULL before: the log and the image disagree —
+        // applying a patch to nothing would fabricate a row
         throw new BinlogFormatException(
-          s"partial JSON for column $col at offset $start without a " +
-            "non-NULL before-image value to apply the diffs to")
+          s"partial JSON for column $col at offset $start with a NULL " +
+            "before-image value to apply the diffs to")
       case Some(other) =>
         throw new BinlogFormatException(
           s"partial JSON for column $col at offset $start over a " +

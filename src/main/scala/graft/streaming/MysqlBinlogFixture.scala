@@ -174,8 +174,13 @@ object MysqlBinlogFixture {
           val td = profileTableDef(31L)
           val initProps = """{"tmp":0,"n":0,"last":0,"types":[]}"""
           // per-user running state — bounded by users-per-server, the
-          // same cardinality a real applier's row cache has
-          final case class St(n: Int, last: Long, chars: List[String])
+          // same cardinality a real applier's row cache has. eid/ts
+          // carry the row's CURRENT stored values so each before image
+          // is the TRUE prior row in every column (a delta/IVM consumer
+          // retracting before images must see real ones, not the
+          // current event's ids — r10 advice)
+          final case class St(n: Int, last: Long, eid: Long, ts: Long,
+                              chars: List[String])
           val state = scala.collection.mutable.HashMap.empty[Long, St]
           def propsText(st: St): String =
             if (st.n == 0) initProps
@@ -202,7 +207,7 @@ object MysqlBinlogFixture {
             if (newUsers.nonEmpty) {
               w.tableMap(td)
               w.writeRows(td, newUsers.map { uid =>
-                state(uid) = St(0, 0L, Nil)
+                state(uid) = St(0, 0L, 0L, prepared.head._3, Nil)
                 Array[AnyRef](java.lang.Long.valueOf(uid),
                   java.lang.Long.valueOf(0L),
                   java.lang.Long.valueOf(prepared.head._3), initProps)
@@ -222,9 +227,9 @@ object MysqlBinlogFixture {
                     Diff(OpReplace, "$.last", Some(JInt(eid))),
                     Diff(OpInsert, s"$$.types[${i - 1}]", Some(JStr(ch))))
               val before = Array[AnyRef](java.lang.Long.valueOf(uid),
-                java.lang.Long.valueOf(eid),
-                java.lang.Long.valueOf(micros), propsText(st))
-              state(uid) = St(i, eid, ch :: st.chars)
+                java.lang.Long.valueOf(st.eid),
+                java.lang.Long.valueOf(st.ts), propsText(st))
+              state(uid) = St(i, eid, eid, micros, ch :: st.chars)
               val after = Array[AnyRef](java.lang.Long.valueOf(uid),
                 java.lang.Long.valueOf(eid),
                 java.lang.Long.valueOf(micros), Diffs(diffs))
@@ -232,6 +237,197 @@ object MysqlBinlogFixture {
             })
             txn += 1
             w.xid(txn)
+          }
+          if (!began) w.begin()
+        } finally w.close()
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    dir
+  }
+
+  /** The WIRE-MINIMAL leg: `binlog_row_image=MINIMAL` ×
+    * `binlog_row_value_options=PARTIAL_JSON` together — the server
+    * config real deployments run to compound both savings
+    * (docs/SCALE.md). Same per-user patch history as
+    * [[encodeEventsPartialJson]], but each PARTIAL_UPDATE_ROWS row
+    * carries a PK-only before image (col 0) and a changed-columns-only
+    * after image (event_id, ts, props) — so the log holds NO before
+    * document to apply diffs to, and the decoder surfaces deferred
+    * `{"__jsondiff":…}` markers that only a stateful consumer
+    * ([[CdcPipeline.applyDeferredJsonDiffs]]) can resolve. INSERTs are
+    * full images (MySQL logs complete rows for inserts under every
+    * row-image mode — there is no smaller correct form).
+    */
+  def encodeEventsPartialMinimal(spark: SparkSession, sfDir: String,
+                                 nServers: Int = 4): String = {
+    import MysqlJsonBinary.{JInt, JStr}
+    import MysqlJsonDiff.{Diff, Diffs, OpInsert, OpRemove, OpReplace}
+    val dir = CoreOps.scratchDir("mysql_binlog_partial_min", sfDir)
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".binlog")).foreach(_.delete())
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .repartition(nServers, col("user_id"))
+      .sortWithinPartitions(col("ts"), col("event_id"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val pid = TaskContext.getPartitionId()
+        val uuid = f"00000000-0000-4000-8000-${320L + pid}%012d"
+        val path = s"$dir/server_$pid.binlog"
+        val tmp = s"$path.inprogress"
+        val w = new Writer(tmp, serverId = 320L + pid)
+        try {
+          val td = profileTableDef(32L)
+          val initProps = """{"tmp":0,"n":0,"last":0,"types":[]}"""
+          // per-user patch counter only: MINIMAL logs no before
+          // document, so the fixture needs no document tracking either
+          val state = scala.collection.mutable.HashMap.empty[Long, Int]
+          var began = false
+          var txn = 0L
+          rows.grouped(64).foreach { group =>
+            val prepared = group.map { r =>
+              val t = r.getTimestamp(2)
+              val micros = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+              if (!began) {
+                w.setClock(micros / 1000000L); w.begin()
+                w.previousGtids(Seq.empty)
+                began = true
+              } else w.setClock(micros / 1000000L)
+              (r.getLong(0), r.getLong(1), micros, r.getString(3))
+            }
+            w.gtid(uuid, txn + 1)
+            w.query("graft", "BEGIN")
+            val newUsers = prepared.map(_._1).distinct
+              .filterNot(state.contains)
+            if (newUsers.nonEmpty) {
+              w.tableMap(td)
+              w.writeRows(td, newUsers.map { uid =>
+                state(uid) = 0
+                Array[AnyRef](java.lang.Long.valueOf(uid),
+                  java.lang.Long.valueOf(0L),
+                  java.lang.Long.valueOf(prepared.head._3), initProps)
+              })
+            }
+            w.tableMap(td)
+            w.partialUpdateRows(td, prepared.map { case (uid, eid, micros, et) =>
+              val n = state(uid)
+              val i = n + 1
+              val diffs =
+                (if (n == 0) Seq(Diff(OpRemove, "$.tmp", None)) else Nil) ++
+                  Seq(
+                    Diff(OpReplace, "$.n", Some(JInt(i.toLong))),
+                    Diff(OpReplace, "$.last", Some(JInt(eid))),
+                    Diff(OpInsert, s"$$.types[${i - 1}]",
+                      Some(JStr(et.substring(0, 1)))))
+              state(uid) = i
+              // values for image-absent columns are ignored by the
+              // writer; nulls make any accidental read loud
+              val before = Array[AnyRef](java.lang.Long.valueOf(uid),
+                null, null, null)
+              val after = Array[AnyRef](null,
+                java.lang.Long.valueOf(eid),
+                java.lang.Long.valueOf(micros), Diffs(diffs))
+              (before, after)
+            },
+              beforePresent = Some(Set(0)),      // MINIMAL: PK only
+              afterPresent = Some(Set(1, 2, 3))) // MINIMAL: changed cols
+            txn += 1
+            w.xid(txn)
+          }
+          if (!began) w.begin()
+        } finally w.close()
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    dir
+  }
+
+  /** MID-LOG SCHEMA EVOLUTION leg: each server's log starts on the
+    * PRE-ALTER shape (no `props` column), then carries the ALTER as a
+    * QUERY event — the wire form a real server logs for DDL — and
+    * continues on the POST-ALTER shape under a NEW table id (servers
+    * assign a fresh id after ALTER). Which rows commit pre-ALTER is
+    * the deterministic predicate `event_id % 2 == 0` (each side's rows
+    * stay in (ts, event_id) order), so a SQL oracle can replay the
+    * reconciliation exactly: a consumer unifying the log must surface
+    * pre-ALTER rows with `props` NULL and post-ALTER rows with the
+    * real document — the column-superset read, not a restart.
+    */
+  def encodeEventsEvolving(spark: SparkSession, sfDir: String,
+                           nServers: Int = 4): String = {
+    val dir = CoreOps.scratchDir("mysql_binlog_evolve", sfDir)
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".binlog")).foreach(_.delete())
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(nServers, col("user_id"))
+      // pre-ALTER commits first: all even event_ids in ts order, then
+      // the odd ones — the log is still strictly ordered per shape
+      .sortWithinPartitions(pmod(col("event_id"), lit(2)),
+        col("ts"), col("event_id"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val pid = TaskContext.getPartitionId()
+        val uuid = f"00000000-0000-4000-8000-${340L + pid}%012d"
+        val path = s"$dir/server_$pid.binlog"
+        val tmp = s"$path.inprogress"
+        val w = new Writer(tmp, serverId = 340L + pid)
+        try {
+          val tdOld = TableDef(33L, "graft", "events", Seq(
+            Col.bigint("user_id"), Col.bigint("event_id"),
+            Col.timestamp6("ts"), Col.varchar("event_type", 64),
+            Col.double("value")))
+          val tdNew = eventsTableDef(34L) // post-ALTER: + props JSON
+          var began = false
+          var altered = false
+          var txn = 0L
+          rows.grouped(64).foreach { group =>
+            // a group can straddle the transition — split it so the
+            // ALTER lands between the shapes, never inside a statement
+            group.groupBy(r => r.getLong(1) % 2 == 0).toSeq
+              .sortBy(!_._1).foreach { case (isPre, part) =>
+                val images = part.map { r =>
+                  val t = r.getTimestamp(2)
+                  val micros = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+                  if (!began) {
+                    w.setClock(micros / 1000000L); w.begin()
+                    w.previousGtids(Seq.empty)
+                    began = true
+                  } else w.setClock(micros / 1000000L)
+                  val base = Seq[AnyRef](
+                    java.lang.Long.valueOf(r.getLong(0)),
+                    java.lang.Long.valueOf(r.getLong(1)),
+                    java.lang.Long.valueOf(micros),
+                    r.getString(3),
+                    java.lang.Double.valueOf(r.getDouble(4)))
+                  (if (isPre) base else base :+ r.getString(5)).toArray
+                }
+                if (!isPre && !altered) {
+                  // DDL rides the log as its own GTID + QUERY event
+                  altered = true
+                  txn += 1
+                  w.gtid(uuid, txn)
+                  w.query("graft",
+                    "ALTER TABLE graft.events ADD COLUMN props JSON")
+                }
+                if (images.nonEmpty) {
+                  txn += 1
+                  w.gtid(uuid, txn)
+                  w.query("graft", "BEGIN")
+                  val td = if (isPre) tdOld else tdNew
+                  w.tableMap(td)
+                  w.writeRows(td, images)
+                  w.xid(txn)
+                }
+              }
           }
           if (!began) w.begin()
         } finally w.close()

@@ -357,8 +357,11 @@ object MysqlBinlogWriter {
       * the zero-length "unchanged" form). Plain values — including full
       * JSON text — encode as usual with the bit clear. Each row's after
       * image is preceded by its own lenenc `value_options` (+
-      * `partial_bits` over the table's JSON columns when any cell of
-      * that row is partial), matching the per-row shared-image layout.
+      * `partial_bits` when any cell of that row is partial), matching
+      * the per-row shared-image layout. The bitmap's domain is the
+      * JSON columns INCLUDED IN THE AFTER IMAGE (WL#2955) — under
+      * `binlog_row_image=MINIMAL` a trimmed image shrinks the bitmap;
+      * the 9-JSON-column spec pins the byte count on both sides.
       */
     def partialUpdateRows(td: TableDef,
                           pairs: Seq[(Array[AnyRef], Array[AnyRef])],
@@ -366,7 +369,8 @@ object MysqlBinlogWriter {
                           afterPresent: Option[Set[Int]] = None): Long = {
       val present = beforePresent.getOrElse(td.cols.indices.toSet)
       val p2 = afterPresent.getOrElse(td.cols.indices.toSet)
-      val jsonIdx = td.cols.indices.filter(i => td.cols(i).typ == T_JSON)
+      val jsonIdx = td.cols.indices
+        .filter(i => td.cols(i).typ == T_JSON && p2.contains(i))
       val b = new B().u6(td.tableId).u2(1) // flags: STMT_END_F
       b.u2(2) // v2 extra-data length (just its own two bytes)
       b.lenenc(td.cols.length.toLong)
@@ -375,7 +379,7 @@ object MysqlBinlogWriter {
       pairs.foreach { case (before, after) =>
         image(b, td, before, td.cols.indices.filter(present.contains))
         val isPartial = jsonIdx.map(i =>
-          p2.contains(i) && after(i).isInstanceOf[MysqlJsonDiff.Diffs])
+          after(i).isInstanceOf[MysqlJsonDiff.Diffs])
         b.lenenc(if (isPartial.exists(identity)) 1L else 0L)
         if (isPartial.exists(identity)) b.bitmap(isPartial)
         val presentIdx = td.cols.indices.filter(p2.contains)

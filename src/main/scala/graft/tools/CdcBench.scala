@@ -158,16 +158,67 @@ object CdcBench {
     new java.io.File(path).length()
   }
 
+  /** The COMPOUNDED wire-minimal mode: `binlog_row_image=MINIMAL` ×
+    * PARTIAL_JSON — PK-only before image (the full-update control logs
+    * the whole ~1 KB document TWICE per row), changed-columns after
+    * image whose JSON cell is the few-byte diff vector. Decode
+    * surfaces deferred markers (no before document in the log), so the
+    * per-event decode cost here is pure wire parse + base64 — the
+    * apply cost moves to the stateful consumer
+    * (CdcPipeline.applyDeferredJsonDiffs), priced separately by the
+    * st_cdc_binlog_partial_minimal bench row.
+    */
+  private def writePartialMinimalLog(path: String, nTxn: Int): Long = {
+    import graft.streaming.{MysqlJsonBinary, MysqlJsonDiff}
+    import MysqlJsonDiff.{Diff, Diffs, OpInsert, OpReplace}
+    val rng = new scala.util.Random(78)
+    val td = tableDef
+    val w = new Writer(path, serverId = 9L)
+    w.setClock(1700000000L)
+    w.begin()
+    w.previousGtids(Seq.empty)
+    var eid = 0L
+    (0 until nTxn).foreach { txn =>
+      val pairs = (0 until 64).map { _ =>
+        eid += 1
+        val i = (eid % 7).toInt
+        val before = Array[AnyRef](
+          java.lang.Long.valueOf(rng.nextInt(100000).toLong),
+          null, null, null, null, null)
+        val after = Array[AnyRef](null,
+          java.lang.Long.valueOf(eid),
+          java.lang.Long.valueOf(1700000000000000L + eid * 1000L),
+          null, null,
+          Diffs(Seq(
+            Diff(OpReplace, "$.n", Some(MysqlJsonBinary.JInt(i + 1L))),
+            Diff(OpInsert, s"$$.tags[$i]",
+              Some(MysqlJsonBinary.JStr(s"t$i"))))))
+        (before, after)
+      }
+      w.gtid("00000000-0000-4000-8000-000000000009", txn + 1L)
+      w.query("graft", "BEGIN")
+      w.tableMap(td)
+      w.partialUpdateRows(td, pairs,
+        beforePresent = Some(Set(0)),        // MINIMAL: PK only
+        afterPresent = Some(Set(1, 2, 5)))   // MINIMAL: changed cols
+      w.xid(txn + 1L)
+    }
+    w.close()
+    new java.io.File(path).length()
+  }
+
   def main(args: Array[String]): Unit = {
     val baseTxn = if (args.nonEmpty) args(0).toInt else 2000 // ×64 rows
     for (scale <- Seq(1, 5, 10);
-         mode <- Seq("plain", "zstd", "full_update", "partial_json")) {
+         mode <- Seq("plain", "zstd", "full_update", "partial_json",
+           "partial_minimal")) {
       val compressed = mode == "zstd"
       val nTxn = baseTxn * scale
       val path = java.nio.file.Files
         .createTempFile("graft_cdc_bench_", ".binlog").toString
       val bytes = mode match {
         case "partial_json" => writePartialLog(path, nTxn)
+        case "partial_minimal" => writePartialMinimalLog(path, nTxn)
         case "full_update" => writeFullUpdateLog(path, nTxn)
         case _ => writeLog(path, nTxn, compressed)
       }

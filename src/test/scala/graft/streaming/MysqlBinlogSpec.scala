@@ -1358,6 +1358,66 @@ class MysqlBinlogSpec extends AnyFunSuite {
     assert(ces.head.payload.contains(""""doc":"{\"n\":7,\"tags\":[\"x\",\"y\"]}""""))
   }
 
+  test("MINIMAL × PARTIAL_JSON: absent before column defers; partial_bits spans after-image JSON columns only") {
+    import MysqlJsonDiff._
+    // MINIMAL before image (PK only): the log holds no document to
+    // patch — the decoder surfaces a deferred base64 marker the
+    // stateful consumer resolves, never a fabricated document
+    val td = TableDef(13L, "graft", "pjm", Seq(
+      Col.bigint("id"), Col.json("doc")))
+    val p1 = tmpLog()
+    val diffs = Seq(Diff(OpReplace, "$.a",
+      Some(MysqlJsonBinary.JInt(2L))))
+    val evs = writeLadder(p1) { w =>
+      w.tableMap(td)
+      w.partialUpdateRows(td, Seq((
+        Array[AnyRef](java.lang.Long.valueOf(1L), null),
+        Array[AnyRef](null, Diffs(diffs)))),
+        beforePresent = Some(Set(0)), afterPresent = Some(Set(1)))
+      w.xid(1L)
+    }
+    val (b, a) = rowsEvents(evs).head.rows.head
+    assert(b.get.values(1).isEmpty, "before image is PK-only")
+    val marker = a.get.values(1).get.asInstanceOf[String]
+    val b64 = java.util.Base64.getEncoder
+      .encodeToString(MysqlJsonDiff.encode(diffs))
+    assert(marker == s"""{"__jsondiff":"$b64"}""",
+      "deferred marker carries the raw vector for the stateful applier")
+    // partial_bits DOMAIN pin (WL#2955: one bit per JSON column in the
+    // AFTER IMAGE, not per JSON column of the table): 9 JSON columns,
+    // after image carries 8 → the bitmap is ONE byte. Under the
+    // per-table reading it would be two, the cursor would desync, and
+    // the exact-consumption check would refuse the event — so this
+    // decode SUCCEEDING pins the chosen interpretation byte-exactly on
+    // both writer and parser.
+    val td9 = TableDef(14L, "graft", "pj9", Seq(
+      Col.bigint("id")) ++ (0 until 9).map(i => Col.json(s"j$i")))
+    val p2 = tmpLog()
+    val after9 = Array[AnyRef](java.lang.Long.valueOf(7L)) ++
+      (0 until 8).map[AnyRef] { i =>
+        if (i == 0) Diffs(Seq(Diff(OpReplace, "$.k",
+          Some(MysqlJsonBinary.JInt(i.toLong)))))
+        else s"""{"k":$i}"""
+      }
+    val evs9 = writeLadder(p2) { w =>
+      w.tableMap(td9)
+      w.partialUpdateRows(td9, Seq((
+        Array[AnyRef](java.lang.Long.valueOf(7L)) ++
+          Array.fill[AnyRef](9)(null),
+        after9)),
+        beforePresent = Some(Set(0)),
+        afterPresent = Some((0 to 8).toSet)) // omits the 9th JSON col
+      w.xid(1L)
+    }
+    val (_, a9) = rowsEvents(evs9).head.rows.head
+    assert(a9.get.values(1).get.asInstanceOf[String]
+      .startsWith("""{"__jsondiff":"""),
+      "the flagged after-image JSON column defers (PK-only before)")
+    assert(a9.get.values(2).get == """{"k":1}""")
+    assert(a9.get.values(8).get == """{"k":7}""")
+    assert(a9.get.values(9).isEmpty, "omitted JSON column stays absent")
+  }
+
   test("partial JSON failures are loud: no before value, corrupt vector") {
     import MysqlJsonBinary._
     import MysqlJsonDiff._
@@ -1372,18 +1432,6 @@ class MysqlBinlogSpec extends AnyFunSuite {
           Array[AnyRef](java.lang.Long.valueOf(1L), null),
           Array[AnyRef](java.lang.Long.valueOf(1L),
             Diffs(Seq(Diff(OpReplace, "$.a", Some(JInt(1)))))))))
-      }
-    }
-    // MINIMAL-style absent before column: equally refused
-    val p2 = tmpLog()
-    intercept[BinlogFormatException] {
-      writeLadder(p2) { w =>
-        w.tableMap(td)
-        w.partialUpdateRows(td, Seq((
-          Array[AnyRef](java.lang.Long.valueOf(1L), """{"a":1}"""),
-          Array[AnyRef](java.lang.Long.valueOf(1L),
-            Diffs(Seq(Diff(OpReplace, "$.a", Some(JInt(2)))))))),
-          beforePresent = Some(Set(0)))
       }
     }
     // a diff disagreeing with the before image refuses as corrupt

@@ -362,27 +362,99 @@ object CdcPipeline {
   def applyDeferredJsonDiffs(changes: DataFrame, jsonField: String,
                              outCol: String = null): DataFrame = {
     val out = if (outCol == null) jsonField else outCol
-    val evs = changes
+    foldedDocs(changes, jsonField)
+      .select(col("src"), col("key"),
+        docFold(col("evs"), lit(null).cast("string")).as(out))
+  }
+
+  /** One (src, key)'s in-order (seq, doc) event array per row. */
+  private def foldedDocs(changes: DataFrame, jsonField: String): DataFrame =
+    changes
       .select(col("src"), col("key"), col("seq"),
         get_json_object(col("payload"), s"$$.$jsonField").as("doc"))
       // updates that did not touch the field carry no marker and no
       // document — they leave the state unchanged, skip them
       .filter(col("doc").isNotNull)
-    evs.groupBy("src", "key")
+      .groupBy("src", "key")
       .agg(sort_array(collect_list(struct(col("seq"), col("doc"))))
         .as("evs"))
+
+  /** The document fold shared by the batch and streaming forms: full
+    * documents replace the accumulator, deferred markers patch it
+    * through the exact wire apply; a marker over nothing refuses.
+    */
+  private def docFold(evs: org.apache.spark.sql.Column,
+                      init: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    aggregate(evs, init, (acc, e) => {
+      val d = e.getField("doc")
+      val marker = get_json_object(d, "$.__jsondiff")
+      when(marker.isNull, d) // full document: replace state
+        .when(acc.isNull, raise_error(concat(
+          lit("deferred JSON diff for key with no prior full " +
+            "document (mid-log consumer without a snapshot), key="),
+          col("key").cast("string"))))
+        .when(length(marker) === 0, acc) // empty vector: unchanged
+        .otherwise(
+          graft.functions.Kernels.applyJsonDiffB64Col(acc, marker))
+    })
+
+  private def docRounds(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("docs_"))
+      .flatMap(_.getPath.getName.stripPrefix("docs_").toLongOption)
+      .sorted
+  }
+
+  /** Streaming form of [[applyDeferredJsonDiffs]]: each micro-batch
+    * folds ONLY ITS events against the stored latest documents —
+    * steady-state cost O(batch fold) + O(keys) state write per round.
+    * State is batch-id-versioned (`docs_<id>`, the JoinIvm stance), so
+    * an at-least-once redelivery rebuilds exactly its own round from
+    * the kept pre-state; discovery rides the Hadoop FS API (a cluster
+    * stateDir must not silently read as empty).
+    */
+  def applyDeferredJsonBatch(batch: DataFrame, jsonField: String,
+                             stateDir: String, id: Long): Unit = {
+    val spark = batch.sparkSession
+    val rounds = docRounds(spark, stateDir)
+    val prev = rounds.filter(_ < id).lastOption
+    val pre = prev.map(r => spark.read.parquet(s"$stateDir/docs_$r"))
+      .getOrElse(batch.select(col("src"), col("key"),
+        lit(null).cast("string").as("doc")).limit(0))
+    val folded = foldedDocs(batch, jsonField)
+    folded.join(pre.withColumnRenamed("doc", "doc0"),
+        Seq("src", "key"), "full_outer")
       .select(col("src"), col("key"),
-        aggregate(col("evs"), lit(null).cast("string"), (acc, e) => {
-          val d = e.getField("doc")
-          val marker = get_json_object(d, "$.__jsondiff")
-          when(marker.isNull, d) // full document: replace state
-            .when(acc.isNull, raise_error(concat(
-              lit("deferred JSON diff for key with no prior full " +
-                "document (mid-log consumer without a snapshot), key="),
-              col("key").cast("string"))))
-            .when(length(marker) === 0, acc) // empty vector: unchanged
-            .otherwise(
-              graft.functions.Kernels.applyJsonDiffB64Col(acc, marker))
-        }).as(out))
+        when(col("evs").isNull, col("doc0")) // untouched key: carry over
+          .otherwise(docFold(col("evs"), col("doc0"))).as("doc"))
+      .coalesce(4)
+      .write.mode("overwrite").parquet(s"$stateDir/docs_$id")
+    // keep `prev` whole for a redelivery of THIS batch; drop older
+    rounds.filter(r => prev.exists(r < _)).foreach { r =>
+      val path = new org.apache.hadoop.fs.Path(s"$stateDir/docs_$r")
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(path, true): Unit
+    }
+  }
+
+  def startDeferredJsonApply(changes: DataFrame, jsonField: String,
+                             stateDir: String, checkpointDir: String)
+      : StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyDeferredJsonBatch(batch, jsonField, stateDir, id)
+      }
+      .start()
+
+  /** The reconstructed latest documents at the current stream position. */
+  def deferredJsonState(spark: SparkSession, stateDir: String): DataFrame = {
+    val rounds = docRounds(spark, stateDir)
+    require(rounds.nonEmpty, s"no document state under $stateDir")
+    spark.read.parquet(s"$stateDir/docs_${rounds.last}")
   }
 }

@@ -267,16 +267,30 @@ object JoinIvm {
     * returns null and would silently read as "no previous rounds"
     * (every batch applying against empty pre-state: a wrong view with
     * no error). Listing a not-yet-created stateDir is the legitimate
-    * "first batch" case.
+    * "first batch" case. Heals an interrupted prune swap FIRST — a
+    * crash between the delete and the rename would otherwise leave
+    * `round_<r>` missing and its view-delta rows stranded in
+    * `.prune_<r>`, silently shrinking the view (the NearDupIngest
+    * recoverState stance).
     */
   private def stateRounds(spark: SparkSession, stateDir: String): Seq[Long] = {
     val f = fs(spark, stateDir)
     val p = new org.apache.hadoop.fs.Path(stateDir)
     if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("round_"))
-      .flatMap(_.getPath.getName.stripPrefix("round_").toLongOption)
-      .sorted
+    else {
+      val entries = f.listStatus(p).toSeq.filter(_.isDirectory)
+      entries.filter(_.getPath.getName.startsWith(".prune_")).foreach { st =>
+        val r = st.getPath.getName.stripPrefix(".prune_")
+        val dir = new org.apache.hadoop.fs.Path(s"$stateDir/round_$r")
+        if (f.exists(dir)) f.delete(st.getPath, true) // swap never started
+        else f.rename(st.getPath, dir) // complete the interrupted swap
+        ()
+      }
+      f.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("round_"))
+        .flatMap(_.getPath.getName.stripPrefix("round_").toLongOption)
+        .sorted
+    }
   }
 
   /** One maintenance round against the PRE-state of micro-batch `id`,

@@ -55,6 +55,17 @@ class SimSpec extends SparkSpec {
     assert(pref == full,
       "prefix filtering is EXACT: it must produce the identical pair set " +
         s"(missing ${(full -- pref).size}, extra ${(pref -- full).size})")
+    // cluster stance: an EXPLICIT shared-FS workDir carries the staged
+    // token table (file:-scheme URI forces the Hadoop FS path — a
+    // java.io path would not resolve it); results identical
+    val wd = java.nio.file.Files.createTempDirectory("prefix_wd_").toString
+    val viaWorkDir = DedupOps.prefixJaccardPairs(docs, "text", "doc_id",
+        3, 0.5, workDir = Some(s"file:$wd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    assert(viaWorkDir == full, "explicit workDir must not change results")
+    assert(new java.io.File(wd).listFiles().nonEmpty,
+      "the staged token table must land under the passed workDir")
     // the scale claim: the prefix index generates strictly fewer
     // shared-token candidate pairs than the full inverted index
     def candCount(index: org.apache.spark.sql.DataFrame): Long =

@@ -350,6 +350,15 @@ class StreamingSpec extends SparkSpec {
       "updated orders must appear under their moved priority")
     assert(viewSet(4) == v1, "4-batch replay must equal 1-batch")
     assert(viewSet(7) == v1, "7-batch replay must equal 1-batch")
+    // cluster stance: explicit shared-FS workDir (file:-scheme URI →
+    // Hadoop FS path), identical view
+    val wd = java.nio.file.Files.createTempDirectory("joinivm_wd_").toString
+    val viaWd = JoinIvm.maintain(raw, 2, workDir = Some(s"file:$wd"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaWd == v1, "explicit workDir must not change the view")
+    assert(new java.io.File(wd).listFiles().nonEmpty,
+      "rounds must land under the passed workDir")
     // ...and all equal the direct join over the final live states,
     // reconstructed from the same decoded log (latest state per key)
     val w = org.apache.spark.sql.expressions.Window
@@ -464,6 +473,61 @@ class StreamingSpec extends SparkSpec {
     // and rounds 1+2 still carry state for a batch-2 redelivery
     assert(spark.read.parquet(s"$stateDir/round_1")
       .filter(col("part") === "d").count() > 0)
+    // crash-safety: a prune swap interrupted between its delete and
+    // rename strands the round's view rows in .prune_<r> with no
+    // round_<r> — the next listing must complete the swap, not lose
+    // the rows
+    import org.apache.hadoop.fs.Path
+    val hfs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.rename(new Path(s"$stateDir/round_0"),
+      new Path(s"$stateDir/.prune_0"))
+    assert(!hfs.exists(new Path(s"$stateDir/round_0")))
+    val healed = JoinIvm.view(spark, stateDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(healed == want, "an interrupted prune swap must heal on read")
+    assert(hfs.exists(new Path(s"$stateDir/round_0")),
+      "the stranded tmp dir must be renamed back into place")
+  }
+
+  test("streaming deferred-JSON apply equals the batch fold; redelivery is idempotent") {
+    // the MINIMAL × PARTIAL_JSON consumer in its streaming form: each
+    // micro-batch folds only its own events against the stored latest
+    // documents — final state must equal the one-shot batch fold over
+    // the whole log, and re-applying the last batch must not move it
+    implicit val ctx = spark.sqlContext
+    val binDir = MysqlBinlogFixture.encodeEventsPartialMinimal(spark, sf)
+    val raw = spark.read
+      .format(classOf[MysqlBinlogSourceProvider].getName)
+      .option("path", binDir).load()
+      .filter(col("table") === "events")
+    val changes = raw.select("src", "key", "seq", "payload")
+      .orderBy("src", "seq").collect()
+      .map(r => PartialRow(r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(changes.exists(_.payload.contains("__jsondiff")),
+      "fixture must carry deferred markers")
+    val chunks = changes.grouped((changes.length + 2) / 3).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("deferred_json_").toString
+    val input = MemoryStream[PartialRow]
+    val q = CdcPipeline.startDeferredJsonApply(input.toDF(), "props",
+      s"$dir/state", s"$dir/ckpt")
+    try {
+      chunks.foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    def stateSet(): Set[(String, Long, String)] =
+      CdcPipeline.deferredJsonState(spark, s"$dir/state").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val streamed = stateSet()
+    val twin = CdcPipeline.applyDeferredJsonDiffs(raw, "props").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(twin.nonEmpty && streamed == twin,
+      "per-batch folds against stored docs must equal the one-shot fold")
+    import spark.implicits._
+    CdcPipeline.applyDeferredJsonBatch(chunks.last.toIndexedSeq.toDF(),
+      "props", s"$dir/state", chunks.length.toLong - 1)
+    assert(stateSet() == streamed,
+      "redelivered batch must rebuild its own round, not double-apply")
   }
 
   test("CM sketch compaction preserves cell sums exactly and heals crashes") {
@@ -1055,6 +1119,12 @@ final case class VecRow(vec_id: Long, embedding: Seq[Float])
   * columns; payloads are null for the op that lacks the image).
   */
 final case class ChangeRow(op: String, payload: String, payload_before: String)
+
+/** Test-only row for the deferred-JSON streaming applier (src/key/seq
+  * plus the rendered payload — the binlog source columns it consumes).
+  */
+final case class PartialRow(src: String, key: Long, seq: Long,
+                            payload: String)
 
 /** Test-only row for the streaming join-IVM (adds the table column the
   * two-stream split keys on).

@@ -2113,6 +2113,84 @@ object ExtQueries {
         | GROUP BY sp.doc_id ORDER BY sp.doc_id"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // X1 SUBSTRING-granularity exact dedup — the Lee et al. 2022
+    // ("Deduplicating Training Data Makes Language Models Better")
+    // suffix-array recipe, distributed: every k-token window at STRIDE
+    // 1 (not x_span_dedup's fixed 8-token chunks, which miss any
+    // duplicate offset by one token) keys a global first-occurrence
+    // election; later occurrences of a duplicated window mark their
+    // [s, s+k-1] positions removed, overlapping windows merging into
+    // maximal spans by position-set union; documents reassemble from
+    // surviving positions. Scale shape: window generation is one
+    // narrow pass (token-count × 1 rows), the election is ONE shuffle
+    // keyed on window text (count + min(doc,s) combine map-side), the
+    // removal fanout is k × duplicate occurrences — proportional to
+    // the duplication actually present, the suffix array's output
+    // size — and reassembly shuffles on doc_id. No all-pairs stage
+    // anywhere, so the shape survives 100 TB; a 50-token production k
+    // only widens windows, not the algebra.
+    Q("x_substring_dedup",
+      (s, d) => {
+        val k = 16
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+        val wins = base.filter(size(col("w")) >= k)
+          .select(col("doc_id"),
+            explode(sequence(lit(1), size(col("w")) - (k - 1))).as("s"),
+            col("w"))
+          .select(col("doc_id"), col("s").cast("long").as("s"),
+            array_join(slice(col("w"), col("s"), lit(k)), " ").as("win"))
+        val firsts = wins.groupBy("win")
+          .agg(min(struct(col("doc_id"), col("s"))).as("f"),
+            count(lit(1)).as("cnt"))
+        val removed = wins.join(firsts, "win")
+          .filter(col("cnt") > 1 &&
+            !(col("doc_id") === col("f.doc_id") && col("s") === col("f.s")))
+          .select(col("doc_id"),
+            explode(sequence(col("s"), col("s") + (k - 1))).as("p"))
+          .distinct()
+        val toks = base
+          .select(col("doc_id"), posexplode(col("w")))
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+            col("col").as("tok"))
+        val kept = toks.join(removed, Seq("doc_id", "p"), "left_anti")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("p"), col("tok")))),
+              _.getField("tok")), " ").as("cleaned_text"))
+        base.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+              .cast("long").as("n_removed"),
+            coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        | regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        | wn AS (SELECT doc_id, unnest(range(1, len(w) - 14)) AS s, w
+        |   FROM t WHERE len(w) >= 16),
+        | wns AS (SELECT doc_id, s,
+        |   array_to_string(w[s:s+15], ' ') AS win FROM wn),
+        | r AS (SELECT doc_id, s, row_number() OVER (
+        |    PARTITION BY win ORDER BY doc_id, s) AS rn,
+        |   count(*) OVER (PARTITION BY win) AS cnt FROM wns),
+        | rem AS (SELECT DISTINCT doc_id, unnest(range(s, s + 16)) AS p
+        |   FROM r WHERE cnt > 1 AND rn > 1),
+        | tok AS (SELECT doc_id, unnest(w) AS tok,
+        |   unnest(range(1, len(w) + 1)) AS p FROM t),
+        | kept AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok
+        |   LEFT JOIN rem ON tok.doc_id = rem.doc_id AND tok.p = rem.p
+        |   WHERE rem.p IS NULL)
+        | SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(w) - count(kept.p) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(kept.tok, ' ' ORDER BY kept.p), '')
+        |    AS cleaned_text
+        | FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+        | GROUP BY t.doc_id, len(w) ORDER BY t.doc_id"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // X4 Count-Min sketch word frequencies — the sublinear-memory
     // counter for 100 TB streams: the sketch is d×w = 4×64 integer
     // cells, built in ONE map-side-combined shuffle onto 256 keys (no

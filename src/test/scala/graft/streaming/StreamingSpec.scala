@@ -490,6 +490,60 @@ class StreamingSpec extends SparkSpec {
       "the stranded tmp dir must be renamed back into place")
   }
 
+  test("generalized IvmJoinSpec drives the streaming form: customer x orders view over batches") {
+    // the reuse proof extended to the STREAMING path: the same
+    // customer⋈orders spec the registered query runs through maintain()
+    // must also drive start/applyBatch/view — no orders/lineitem
+    // assumption anywhere in the operator
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val custSchema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_mktsegment", StringType)))
+    val ordSchema = StructType(Seq(
+      StructField("o_custkey", LongType),
+      StructField("o_cents", LongType)))
+    val spec = JoinIvm.IvmJoinSpec(
+      dimTable = "cust_cdc", dimSchema = custSchema,
+      dimKey = p => p("c_custkey"),
+      dimCols = Seq("c_mktsegment" -> (p => p("c_mktsegment"))),
+      factTable = "ord_cdc", factSchema = ordSchema,
+      factKey = p => p("o_custkey"),
+      factMeasure = p => p("o_cents"),
+      sumName = "sum_cents")
+    def c(op: String, k: Long, seg: String, before: String = null) = CdcRow(
+      "cust_cdc", op,
+      if (op == "delete") null else s"""{"c_custkey":$k,"c_mktsegment":"$seg"}""",
+      if (op == "insert") null
+      else s"""{"c_custkey":$k,"c_mktsegment":"${if (before == null) seg else before}"}""")
+    def o(op: String, ck: Long, cents: Long) = {
+      val img = s"""{"o_custkey":$ck,"o_cents":$cents}"""
+      CdcRow("ord_cdc", op, if (op == "delete") null else img,
+        if (op == "insert") null else img)
+    }
+    val batches = Seq(
+      Seq(c("insert", 1, "AUTO"), c("insert", 2, "FOOD"),
+        o("insert", 1, 100), o("insert", 2, 50)),
+      Seq(c("update", 1, "TECH", before = "AUTO"), o("insert", 1, 25),
+        c("delete", 2, "FOOD")),
+      Seq(o("delete", 1, 100)))
+    val dir = java.nio.file.Files.createTempDirectory("joinivm_gen_").toString
+    val input = MemoryStream[CdcRow]
+    val q = JoinIvm.start(input.toDF(), s"$dir/state", s"$dir/ckpt", spec)
+    try {
+      batches.foreach { b => input.addData(b.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val got = JoinIvm.view(spark, s"$dir/state", spec).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // live: cust 1 (TECH) with surviving order of 25 cents; cust 2
+    // deleted, its order must drop out of the view
+    assert(got == Set(("TECH", 1L, 25.0)),
+      s"generalized streaming view wrong: $got")
+    // view column names come from the spec
+    val cols = JoinIvm.view(spark, s"$dir/state", spec).columns.toSeq
+    assert(cols == Seq("c_mktsegment", "n_items", "sum_cents"))
+  }
+
   test("streaming deferred-JSON apply equals the batch fold; redelivery is idempotent") {
     // the MINIMAL × PARTIAL_JSON consumer in its streaming form: each
     // micro-batch folds only its own events against the stored latest

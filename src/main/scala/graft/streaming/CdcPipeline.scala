@@ -56,16 +56,43 @@ object CdcPipeline {
       .drop("rn")
   }
 
-  /** The live rows of an applied state table (tombstones filtered). */
+  /** The live rows of an applied state table (tombstones filtered). A
+    * state every bucket of which was pruned away (recorded meta, zero
+    * bucket dirs) reads as empty; a dir that never held state still
+    * FAILS loudly — silence there would mask a wrong path.
+    */
   def currentState(spark: SparkSession, stateDir: String): DataFrame = {
-    recoverBuckets(stateDir)
-    spark.read.parquet(stateDir).filter(col("op") =!= ChangeEvent.Delete)
-      .drop("bucket")
+    recoverBuckets(spark, stateDir)
+    if (isEmptiedState(spark, stateDir))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        changeEventSchema)
+    else
+      spark.read.parquet(stateDir).filter(col("op") =!= ChangeEvent.Delete)
+        .drop("bucket")
   }
 
-  /** Number of hash buckets a state table is partitioned into. Part of
-    * the state dir's on-disk contract: every writer of one state dir
-    * must use the same value.
+  /** An existing state dir whose every bucket was legitimately pruned
+    * away: recorded bucket meta present, zero `bucket=` dirs.
+    */
+  private def isEmptiedState(spark: SparkSession, stateDir: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val fs = hadoopFs(spark, stateDir)
+    val p = new Path(stateDir)
+    fs.exists(p) &&
+      readBucketCount(spark, stateDir).isDefined &&
+      !fs.listStatus(p).exists(_.getPath.getName.startsWith("bucket="))
+  }
+
+  /** Number of hash buckets a NEW state table is partitioned into. The
+    * count is part of the state dir's on-disk contract, so it is
+    * RECORDED in the dir (`_graft_buckets.json`) when the state is
+    * created and read back on every later apply — a caller-supplied
+    * count only ever applies to creation. Without the recorded count, a
+    * writer started with a different `numBuckets` would hash a key into
+    * a different bucket than its existing row, merge against the wrong
+    * bucket, and leave TWO live versions of the key — silently. Change
+    * the count of an existing state with [[rebucket]].
     */
   val DefaultStateBuckets = 64
 
@@ -100,14 +127,23 @@ object CdcPipeline {
     */
   def applyBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
                  numBuckets: Int = DefaultStateBuckets): Unit = {
-    recoverBuckets(stateDir)
+    recoverBuckets(spark, stateDir)
+    // all state I/O below rides the Hadoop FS API — java.io.File on an
+    // HDFS/object-store stateDir would report "no state" and every
+    // batch would silently re-merge against nothing (the JoinIvm r10
+    // defect, fixed fleet-wide)
+    val fs = hadoopFs(spark, stateDir)
+    // an existing state's recorded count WINS over the parameter — the
+    // parameter is creation-only (see [[DefaultStateBuckets]])
+    val effBuckets = readBucketCount(spark, stateDir).getOrElse(numBuckets)
     val cols = Seq("op", "table", "key", "ts", "seq", "payload")
-    val bucketed = withBucket(batch.select(cols.map(col): _*), numBuckets)
+    val bucketed = withBucket(batch.select(cols.map(col): _*), effBuckets)
     val touched = bucketed.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted                 // ≤ numBuckets values
     if (touched.isEmpty) return
     val existing: DataFrame =
-      if (new java.io.File(stateDir).exists())
+      if (fs.exists(new org.apache.hadoop.fs.Path(stateDir)) &&
+          !isEmptiedState(spark, stateDir))
         spark.read.parquet(stateDir)
           .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
       else bucketed.limit(0)
@@ -115,49 +151,223 @@ object CdcPipeline {
       existing.select((cols :+ "bucket").map(col): _*)
         .unionByName(bucketed.select((cols :+ "bucket").map(col): _*)))
       .select((cols :+ "bucket").map(col): _*)
-    // stage the touched buckets fully, then swap each into place:
-    // live -> __old, staged -> live, drop __old
-    val staging = new java.io.File(stateDir + "_staging")
-    deleteRec(staging)
-    merged.write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(staging.getPath)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+    writeBucketsAndSwap(spark, merged, stateDir, touched, effBuckets)
+  }
+
+  /** Stage `rows` (already bucketed) and swap each touched bucket into
+    * place: live → `__old`, staged → live, drop `__old` — healed by
+    * [[recoverBuckets]]. A touched bucket with NO staged rows (every
+    * row pruned) is dropped. Untouched buckets are neither read nor
+    * written.
+    */
+  private def writeBucketsAndSwap(spark: SparkSession, rows: DataFrame,
+                                  stateDir: String, touched: Array[Int],
+                                  numBuckets: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = hadoopFs(spark, stateDir)
+    val staging = new Path(stateDir + "_staging")
+    fs.delete(staging, true)
+    rows.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(staging.toString)
+    fs.mkdirs(new Path(stateDir))
+    writeBucketCount(spark, stateDir, numBuckets)
     touched.foreach { b =>
-      val live = new java.io.File(s"$stateDir/bucket=$b")
-      val old = new java.io.File(s"$stateDir/bucket=${b}__old")
-      val staged = new java.io.File(s"${staging.getPath}/bucket=$b")
-      deleteRec(old)
-      if (live.exists() && !live.renameTo(old))
+      val live = new Path(s"$stateDir/bucket=$b")
+      val old = new Path(s"$stateDir/bucket=${b}__old")
+      val staged = new Path(s"$staging/bucket=$b")
+      fs.delete(old, true)
+      if (fs.exists(live) && !fs.rename(live, old))
         throw new java.io.IOException(s"cannot set aside $live")
-      if (!staged.renameTo(live))
-        throw new java.io.IOException(s"cannot publish $staged")
-      deleteRec(old)
+      if (fs.exists(staged)) {
+        if (!fs.rename(staged, live))
+          throw new java.io.IOException(s"cannot publish $staged")
+      }
+      fs.delete(old, true)
     }
-    deleteRec(staging)
+    fs.delete(staging, true)
+    ()
+  }
+
+  private def hadoopFs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The recorded bucket count of a state dir (None for a dir that does
+    * not exist yet, or a pre-contract legacy dir — both adopt the
+    * caller's count on the next apply). Underscore-prefixed, so Spark's
+    * parquet reader ignores it like `_SUCCESS`.
+    */
+  def readBucketCount(spark: SparkSession, stateDir: String): Option[Int] = {
+    import org.apache.hadoop.fs.Path
+    val fs = hadoopFs(spark, stateDir)
+    val f = new Path(stateDir, BucketMetaName)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(body) match {
+        case Some(m) => Some(m.group(1).toInt)
+        case None => throw new java.io.IOException(
+          s"unreadable bucket metadata at $f: $body")
+      }
+    }
+  }
+
+  private val BucketMetaName = "_graft_buckets.json"
+
+  /** Record the bucket count once, at state creation (atomic tmp+rename;
+    * no-op when already recorded — the caller has already resolved
+    * against the recorded value).
+    */
+  private def writeBucketCount(spark: SparkSession, stateDir: String,
+                               n: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = hadoopFs(spark, stateDir)
+    val f = new Path(stateDir, BucketMetaName)
+    if (fs.exists(f)) return
+    val tmp = new Path(stateDir, BucketMetaName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"buckets":$n}""".getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, f) && !fs.exists(f))
+      throw new java.io.IOException(s"cannot record bucket count at $f")
+  }
+
+  /** Change the bucket count of an existing state table — the growth
+    * path when the keyspace outgrows its creation-time count (more
+    * buckets = finer apply granularity and smaller per-bucket rewrites).
+    * One full-state map-only rewrite into a staging dir with the new
+    * bucketing (tombstones INCLUDED — they are load-bearing for
+    * commutativity), then an atomic whole-dir swap (live → `__old`,
+    * staged → live, drop `__old`) healed by [[recoverBuckets]]: a crash
+    * at any point leaves a complete copy on disk. Concurrent writers
+    * must be quiesced — same discipline as any repartitioning DDL.
+    */
+  def rebucket(spark: SparkSession, stateDir: String, newBuckets: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(newBuckets > 0, s"newBuckets must be positive: $newBuckets")
+    recoverBuckets(spark, stateDir)
+    val fs = hadoopFs(spark, stateDir)
+    if (!fs.exists(new Path(stateDir)))
+      throw new java.io.IOException(s"no state at $stateDir to rebucket")
+    if (isEmptiedState(spark, stateDir)) {
+      // nothing to rewrite — just re-record the count for future applies
+      fs.delete(new Path(stateDir, BucketMetaName), false)
+      writeBucketCount(spark, stateDir, newBuckets)
+      return
+    }
+    val cols = Seq("op", "table", "key", "ts", "seq", "payload")
+    val staging = stateDir + "__rebucket"
+    fs.delete(new Path(staging), true)
+    withBucket(spark.read.parquet(stateDir).select(cols.map(col): _*),
+        newBuckets)
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging)
+    writeBucketCount(spark, staging, newBuckets)
+    val live = new Path(stateDir)
+    val old = new Path(stateDir + "__old")
+    fs.delete(old, true)
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"cannot set aside $live")
+    if (!fs.rename(new Path(staging), live))
+      throw new java.io.IOException(s"cannot publish $staging")
+    fs.delete(old, true)
+    ()
+  }
+
+  /** Drop tombstones older than `watermark` — the retention half of the
+    * ReplacingMergeTree contract. Tombstones are load-bearing for
+    * commutativity (an older event must not resurrect a deleted key),
+    * so one is prunable ONLY once no event with a lower `ts` can still
+    * arrive; the caller owns that bound — it is the stream's watermark,
+    * or the source's replication lag ceiling. Cost is incremental, the
+    * applyBatch stance: only buckets that actually hold a prunable
+    * tombstone are rewritten (a bucket left empty by the prune is
+    * dropped); everything else is neither read nor written. Replay-safe:
+    * interrupting and rerunning converges, same as apply.
+    */
+  def pruneTombstones(spark: SparkSession, stateDir: String,
+                      watermark: java.sql.Timestamp): Unit = {
+    recoverBuckets(spark, stateDir)
+    val fs = hadoopFs(spark, stateDir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(stateDir)) ||
+        isEmptiedState(spark, stateDir)) return
+    val numBuckets = readBucketCount(spark, stateDir).getOrElse(
+      throw new java.io.IOException(
+        s"no recorded bucket count at $stateDir — prune refuses to " +
+          "guess; apply one batch first or record _graft_buckets.json"))
+    val state = spark.read.parquet(stateDir)
+    val prunable = col("op") === ChangeEvent.Delete && col("ts") < lit(watermark)
+    val touched = state.filter(prunable).select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val kept = state
+      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      .filter(!prunable)
+      .select(Seq("op", "table", "key", "ts", "seq", "payload", "bucket")
+        .map(col): _*)
+    writeBucketsAndSwap(spark, kept, stateDir, touched, numBuckets)
+  }
+
+  /** Per-bucket operational stats of a state table — the advisory input
+    * to [[rebucket]] (bucket count outgrown?) and [[pruneTombstones]]
+    * (tombstone share?): live rows, tombstones, bytes on disk. One
+    * metadata listing + one aggregate over the state; no state rewrite.
+    */
+  def stateStats(spark: SparkSession, stateDir: String): DataFrame = {
+    recoverBuckets(spark, stateDir)
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    if (isEmptiedState(spark, stateDir))
+      return Seq.empty[(Int, Long, Long, Long)]
+        .toDF("bucket", "live_rows", "tombstones", "bytes")
+    val fs = hadoopFs(spark, stateDir)
+    val bytes = fs.listStatus(new Path(stateDir)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+      .map(st => st.getPath.getName.stripPrefix("bucket=").toInt ->
+        fs.getContentSummary(st.getPath).getLength)
+    val bytesDf = bytes.toDF("bucket", "bytes")
+    spark.read.parquet(stateDir)
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("op") =!= ChangeEvent.Delete, 1L).otherwise(0L))
+          .as("live_rows"),
+        sum(when(col("op") === ChangeEvent.Delete, 1L).otherwise(0L))
+          .as("tombstones"))
+      .join(bytesDf, Seq("bucket"), "right")
+      .na.fill(0L, Seq("live_rows", "tombstones"))
+      .orderBy("bucket")
   }
 
   /** Heal an interrupted bucket swap: a `bucket=N__old` with no live
     * `bucket=N` means the crash hit between the two renames — restore
     * the old data; with a live dir present the swap completed — drop the
-    * leftover. Idempotent; runs before every apply and read.
+    * leftover. Also heals an interrupted [[rebucket]] whole-dir swap by
+    * the same rule one level up (`stateDir__old` restores when the live
+    * dir is missing, drops when it survived), and clears any abandoned
+    * `__rebucket` staging (its source is intact either live or as
+    * `__old`). Idempotent; runs before every apply and read.
     */
-  private def recoverBuckets(stateDir: String): Unit = {
-    val dir = new java.io.File(stateDir)
-    if (!dir.isDirectory) return
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.endsWith("__old"))
+  private def recoverBuckets(spark: SparkSession, stateDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = hadoopFs(spark, stateDir)
+    val dir = new Path(stateDir)
+    val dirOld = new Path(stateDir + "__old")
+    if (fs.exists(dirOld)) {
+      if (fs.exists(dir)) fs.delete(dirOld, true)
+      else if (!fs.rename(dirOld, dir))
+        throw new java.io.IOException(s"cannot restore $dirOld")
+    }
+    fs.delete(new Path(stateDir + "__rebucket"), true)
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.endsWith("__old"))
       .foreach { old =>
-        val live = new java.io.File(dir, old.getName.stripSuffix("__old"))
-        if (live.exists()) deleteRec(old)
-        else if (!old.renameTo(live))
-          throw new java.io.IOException(s"cannot restore $old")
+        val live = new Path(dir, old.getPath.getName.stripSuffix("__old"))
+        if (fs.exists(live)) fs.delete(old.getPath, true)
+        else if (!fs.rename(old.getPath, live))
+          throw new java.io.IOException(s"cannot restore ${old.getPath}")
+        ()
       }
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
-    f.delete(): Unit
   }
 
   /** Launch the continuous apply: change files → micro-batch upsert into

@@ -46,9 +46,15 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // the state table may not exist yet (enrichment started alongside
         // the CDC apply) — events then carry a null dim, same as any
-        // unmatched key
+        // unmatched key. FS-agnostic probe: java.io.File on a cluster
+        // stateDir would report absent FOREVER and silently enrich
+        // nothing (the JoinIvm r10 defect class)
+        val statePath = new org.apache.hadoop.fs.Path(stateDir)
+        val stateExists = statePath
+          .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          .exists(statePath)
         val enriched =
-          if (new java.io.File(stateDir).exists()) {
+          if (stateExists) {
             val dim = CdcPipeline.currentState(batch.sparkSession, stateDir)
               .filter(col("table") === table)
               .select(col("key").as("__dim_key"),

@@ -46,7 +46,20 @@ object SyncCli {
       drift: Option[DriftGateConfig] = None,
       binlogFormat: String = "tsv",
       binlogStartPos: Option[Long] = None,
-      binlogStartGtid: Option[String] = None)
+      binlogStartGtid: Option[String] = None,
+      state: Option[StateConfig] = None)
+
+  /** `state` verb: operate the applied CDC state table itself — the
+    * maintenance half of the pipeline's lifecycle (stats to watch it,
+    * prune-tombstones for retention, rebucket for growth).
+    */
+  final case class StateConfig(
+      op: String,
+      stateDir: String,
+      watermark: Option[java.sql.Timestamp],
+      buckets: Option[Int])
+
+  val StateOps = Set("stats", "prune-tombstones", "rebucket")
 
   /** `drift-gate` verb knobs: which source table/column the KS gate
     * watches, and the statistic threshold that flips a batch's gate
@@ -65,7 +78,7 @@ object SyncCli {
   /** argv → config. `--flag value` pairs only (the reference's argparse
     * shape); unknown flags and dangling values are errors, not warnings.
     */
-  val Verbs = Set("sync", "snapshot-then-stream", "drift-gate")
+  val Verbs = Set("sync", "snapshot-then-stream", "drift-gate", "state")
 
   def parse(rawArgs: Array[String]): Either[String, CliConfig] = {
     val (verb, args) = rawArgs.headOption match {
@@ -75,6 +88,7 @@ object SyncCli {
         (v, rawArgs.drop(1))
       case _ => ("sync", rawArgs)
     }
+    if (verb == "state") return parseState(args)
     val known = (mysqlKeys ++ chKeys ++ Seq("batch_size", "max_workers",
       "include_tables", "exclude_tables", "src_url", "dst_url",
       "checkpoint_dir", "binlog", "cdc_table",
@@ -403,10 +417,85 @@ object SyncCli {
       .start()
   }
 
+  /** The `state` verb's own flag surface — it touches no JDBC endpoint,
+    * so the sync flags do not apply (and are rejected, not ignored).
+    */
+  private def parseState(args: Array[String]): Either[String, CliConfig] = {
+    val known = Set("state_dir", "state_op", "watermark", "buckets")
+    val kv = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (!a.startsWith("--")) return Left(s"expected --flag, got '$a'")
+      val key = a.drop(2)
+      if (!known(key)) return Left(s"unknown flag --$key for verb state")
+      if (i + 1 >= args.length) return Left(s"--$key requires a value")
+      kv(key) = args(i + 1)
+      i += 2
+    }
+    val dir = kv.getOrElse("state_dir",
+      return Left("state requires --state_dir DIR"))
+    val op = kv.getOrElse("state_op", "stats")
+    if (!StateOps(op))
+      return Left(s"--state_op must be one of ${StateOps.mkString(" | ")}, " +
+        s"got '$op'")
+    val wm = kv.get("watermark") match {
+      case None if op == "prune-tombstones" =>
+        // refusing a default is the point: the watermark is the
+        // caller-owned lateness bound that makes pruning safe
+        return Left("prune-tombstones requires --watermark " +
+          "'yyyy-MM-dd HH:mm:ss' (the stream's lateness bound)")
+      case None => None
+      case Some(v) =>
+        try Some(java.sql.Timestamp.valueOf(v))
+        catch { case _: Exception => return Left(
+          s"--watermark must be 'yyyy-MM-dd HH:mm:ss[.f…]', got '$v'") }
+    }
+    val buckets = kv.get("buckets") match {
+      case None if op == "rebucket" =>
+        return Left("rebucket requires --buckets N")
+      case None => None
+      case Some(v) => v.toIntOption.filter(_ > 0) match {
+        case None => return Left(
+          s"--buckets must be a positive integer, got '$v'")
+        case some => some
+      }
+    }
+    Right(CliConfig("state", "", "", new Properties(), new Properties(),
+      ".", SyncJob.SyncConfig(), None, "cdc_state",
+      state = Some(StateConfig(op, dir, wm, buckets))))
+  }
+
+  /** Execute the `state` verb: stats print one JSON line per bucket
+    * (machine-consumable, the CLI contract everywhere else); prune and
+    * rebucket run the respective [[graft.streaming.CdcPipeline]]
+    * operation and print the resulting totals.
+    */
+  def runState(spark: SparkSession, cfg: CliConfig): Unit = {
+    val st = cfg.state.get
+    import graft.streaming.CdcPipeline
+    st.op match {
+      case "stats" => ()
+      case "prune-tombstones" =>
+        CdcPipeline.pruneTombstones(spark, st.stateDir, st.watermark.get)
+      case "rebucket" =>
+        CdcPipeline.rebucket(spark, st.stateDir, st.buckets.get)
+    }
+    CdcPipeline.stateStats(spark, st.stateDir).collect().foreach { r =>
+      println(s"""{"bucket":${r.getAs[Int]("bucket")},""" +
+        s""""live_rows":${r.getAs[Long]("live_rows")},""" +
+        s""""tombstones":${r.getAs[Long]("tombstones")},""" +
+        s""""bytes":${r.getAs[Long]("bytes")}}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = parse(args) match {
     case Left(err) =>
       System.err.println(s"error: $err")
-      System.err.println("usage: SyncCli [sync|snapshot-then-stream] " +
+      System.err.println("usage: SyncCli [sync|snapshot-then-stream|" +
+        "drift-gate|state] " +
+        "state: --state_dir DIR [--state_op stats|prune-tombstones|" +
+        "rebucket] [--watermark 'Y-m-d H:M:S'] [--buckets N] | sync: " +
         "--mysql_host H --mysql_port P " +
         "--mysql_user U --mysql_password PW --mysql_db DB " +
         "--clickhouse_host H --clickhouse_port P --clickhouse_user U " +
@@ -431,6 +520,7 @@ object SyncCli {
             runSnapshotThenStream(spark, cfg).awaitTermination()
           case "drift-gate" =>
             runDriftGate(spark, cfg).awaitTermination()
+          case "state" => runState(spark, cfg)
           case _ => runWith(spark, cfg)
         }
       } finally spark.stop()

@@ -49,13 +49,24 @@ object SyncJob {
       table: String, rows: Long, minId: Long, maxId: Long,
       strategy: String, partitions: Int)
 
-  /** S3 catalog scan: `SHOW TABLES` (sync.py:155) → parquet files in dir. */
-  def discoverTables(srcDir: String): Seq[String] = {
-    val d = new java.io.File(srcDir)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".parquet"))
-      .map(_.getName.stripSuffix(".parquet"))
-      .sorted.toSeq
+  /** S3 catalog scan: `SHOW TABLES` (sync.py:155) → parquet files in dir.
+    * Listed through the Hadoop FS API: the source dir IS an
+    * object-store path in the deployment this models, and a java.io
+    * listing there would return empty — a silent no-tables sync (the
+    * JoinIvm r10 defect class). Pass the session's hadoopConfiguration
+    * where one exists; the default resolves local and `file:` paths.
+    */
+  def discoverTables(srcDir: String,
+                     conf: org.apache.hadoop.conf.Configuration =
+                       new org.apache.hadoop.conf.Configuration()): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet"))
+      .sorted
   }
 
   /** P4 regex include/exclude filter (sync.py:143-144,158-159). The
@@ -164,7 +175,9 @@ object SyncJob {
           pkFor: String => Option[String], cfg: SyncConfig = SyncConfig()): DataFrame = {
     import spark.implicits._
     graft.model.Tables.ensureNanosCompat(spark)
-    val tables = filterTables(discoverTables(srcDir), cfg.includeTables, cfg.excludeTables)
+    val tables = filterTables(
+      discoverTables(srcDir, spark.sparkContext.hadoopConfiguration),
+      cfg.includeTables, cfg.excludeTables)
     // table-level fan-out (reference's outer ThreadPoolExecutor,
     // sync.py:192-199) — unlike the reference, failures PROPAGATE
     val pool = java.util.concurrent.Executors.newFixedThreadPool(

@@ -1159,6 +1159,206 @@ class StreamingSpec extends SparkSpec {
         .agg(sum(col("d2"))).head().getLong(0)
     assert(inertia(next) <= inertia(seed) + rows.length * 64L * 4L)
   }
+
+  test("CDC state apply/read/heal rides the Hadoop FS: file:-scheme stateDir") {
+    // same hazard class as the JoinIvm r10 defect: java.io.File on an
+    // HDFS/object-store stateDir reports "no state" and every batch
+    // silently re-merges against nothing. The file:-scheme URI is the
+    // local proxy — the Hadoop FS resolves it, java.io.File("file:/…")
+    // names a nonexistent relative path.
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc_fs_").toString
+    val stateDir = s"file:$base/state"
+    val seed = (0 until 50).map(i =>
+      ChangeEvent("insert", "t", i.toLong, ts(1), i.toLong, s"""{"v":$i}"""))
+    CdcPipeline.applyBatch(spark, seed.toDF(), stateDir)
+    CdcPipeline.applyBatch(spark, Seq(
+      ChangeEvent("update", "t", 7L, ts(2), 100L, """{"v":"new"}"""),
+      ChangeEvent("delete", "t", 9L, ts(2), 101L, null)).toDF(), stateDir)
+    val st = CdcPipeline.currentState(spark, stateDir)
+    assert(st.count() == 49L)
+    assert(st.filter(col("key") === 7L).select("payload").head().getString(0)
+      == """{"v":"new"}""")
+    // the crash-heal path must walk the same FS: set a bucket aside as
+    // __old (crash between the two renames) and read again
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buckets = fs.listStatus(new Path(stateDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    assert(buckets.nonEmpty)
+    val victim = buckets.head.getPath
+    val old = new Path(victim.getParent, victim.getName + "__old")
+    assert(fs.rename(victim, old))
+    assert(CdcPipeline.currentState(spark, stateDir).count() == 49L)
+    assert(fs.exists(victim) && !fs.exists(old),
+      "heal must restore the set-aside bucket through the Hadoop FS")
+  }
+
+  test("stream enrichment probes state existence through the Hadoop FS (file:-scheme)") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_enrich_fs_").toString
+    val stateDir = s"file:$base/state" // does not exist yet
+    val segSchema = StructType(Seq(StructField("seg", StringType)))
+    val input = MemoryStream[Event]
+    val q = StreamOps.enrichWithCdcState(input.toDF(), stateDir, "dim",
+      "user_id", segSchema, s"$base/out", s"$base/ckpt")
+    try {
+      // state absent: a java.io.File probe of "file:/…" would ALSO say
+      // absent here — the discriminating case is the second batch,
+      // where only the Hadoop probe flips to present
+      input.addData(ev(1, 1, 0, user = 7))
+      q.processAllAvailable()
+      CdcPipeline.applyBatch(spark, Seq(
+        ChangeEvent("insert", "dim", 7L, ts(2), 1L, """{"seg":"Z"}""")).toDF(),
+        stateDir)
+      input.addData(ev(2, 3, 0, user = 7))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+        .select(col("event_id"), col("dim.seg").as("seg"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out == Map(1L -> null, 2L -> "Z"))
+    } finally q.stop()
+  }
+
+  test("state bucket count is recorded at creation and wins over a mismatched caller") {
+    // without the recorded count, a writer started with a different
+    // numBuckets hashes a key into a different bucket than its existing
+    // row, merges against the wrong bucket, and leaves TWO live
+    // versions — silently. The recorded count makes the on-disk
+    // contract self-enforcing.
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_meta_").toString + "/state"
+    val seed = (0 until 100).map(i =>
+      ChangeEvent("insert", "t", i.toLong, ts(1), i.toLong, s"""{"v":$i}"""))
+    CdcPipeline.applyBatch(spark, seed.toDF(), stateDir, numBuckets = 8)
+    assert(CdcPipeline.readBucketCount(spark, stateDir).contains(8))
+    // second writer misconfigured with 16: the update must still land in
+    // the key's bucket under the RECORDED count of 8
+    CdcPipeline.applyBatch(spark, Seq(
+      ChangeEvent("update", "t", 42L, ts(2), 1000L, """{"v":"new"}""")).toDF(),
+      stateDir, numBuckets = 16)
+    val live = CdcPipeline.currentState(spark, stateDir)
+      .filter(col("key") === 42L).select("payload").collect()
+    assert(live.map(_.getString(0)).toSeq == Seq("""{"v":"new"}"""),
+      s"exactly one live version expected, got ${live.length}")
+    val bucketDirs = new java.io.File(stateDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(bucketDirs.length <= 8,
+      s"a 16-bucket write leaked past the recorded count: ${bucketDirs.length}")
+    // legacy dir (meta deleted): the next apply adopts the caller's
+    // count and records it
+    assert(new java.io.File(s"$stateDir/_graft_buckets.json").delete())
+    CdcPipeline.applyBatch(spark, Seq(
+      ChangeEvent("update", "t", 42L, ts(3), 1001L, """{"v":"n2"}""")).toDF(),
+      stateDir, numBuckets = 8)
+    assert(CdcPipeline.readBucketCount(spark, stateDir).contains(8))
+  }
+
+  test("rebucket rewrites state to a new count atomically, tombstones included") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc_reb_").toString
+    val stateDir = s"file:$base/state"
+    val seed = (0 until 200).map(i =>
+      ChangeEvent("insert", "t", i.toLong, ts(1), i.toLong, s"""{"v":$i}"""))
+    CdcPipeline.applyBatch(spark, seed.toDF(), stateDir, numBuckets = 8)
+    CdcPipeline.applyBatch(spark, Seq(
+      ChangeEvent("delete", "t", 5L, ts(2), 500L, null)).toDF(), stateDir)
+    def snapshot() = CdcPipeline.currentState(spark, stateDir)
+      .select("key", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val before = snapshot()
+    assert(before.size == 199 && !before.contains(5L))
+    CdcPipeline.rebucket(spark, stateDir, 32)
+    assert(CdcPipeline.readBucketCount(spark, stateDir).contains(32))
+    assert(snapshot() == before, "rebucket must preserve live state exactly")
+    // the tombstone must survive the rewrite: a LATE stale event may not
+    // resurrect key 5 under the new bucketing
+    CdcPipeline.applyBatch(spark, Seq(
+      ChangeEvent("insert", "t", 5L, ts(1), 499L, """{"v":"stale"}""")).toDF(),
+      stateDir)
+    assert(!snapshot().contains(5L), "tombstone lost in rebucket")
+    // subsequent applies merge correctly under the recorded new count
+    CdcPipeline.applyBatch(spark, Seq(
+      ChangeEvent("update", "t", 7L, ts(3), 600L, """{"v":"u"}""")).toDF(),
+      stateDir)
+    assert(snapshot()(7L) == """{"v":"u"}""")
+    // crash heal one level up: live set aside as __old with no live dir
+    // (the between-renames crash of the whole-dir swap)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(stateDir), new Path(stateDir + "__old")))
+    assert(CdcPipeline.currentState(spark, stateDir).count() == 199L)
+    assert(fs.exists(new Path(stateDir)) && !fs.exists(new Path(stateDir + "__old")))
+  }
+
+  test("tombstone retention prunes past-watermark tombstones, incrementally") {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_prune_").toString + "/state"
+    val seed = (0 until 100).map(i =>
+      ChangeEvent("insert", "t", i.toLong, ts(1), i.toLong, s"""{"v":$i}"""))
+    CdcPipeline.applyBatch(spark, seed.toDF(), stateDir, numBuckets = 8)
+    CdcPipeline.applyBatch(spark, Seq(
+      ChangeEvent("delete", "t", 3L, ts(2), 200L, null),
+      ChangeEvent("delete", "t", 7L, ts(5), 201L, null)).toDF(), stateDir)
+    // stats see both tombstones and the 98 live rows
+    val st0 = CdcPipeline.stateStats(spark, stateDir)
+      .agg(sum("tombstones"), sum("live_rows"), sum("bytes")).head()
+    assert(st0.getLong(0) == 2L && st0.getLong(1) == 98L && st0.getLong(2) > 0L)
+    // prune at ts(4): key 3's tombstone (ts 2) goes, key 7's (ts 5) stays
+    def files(): Map[String, Long] = {
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+        else if (f.getName.endsWith(".parquet")) out(f.getPath) = f.lastModified()
+      walk(new java.io.File(stateDir)); out.toMap
+    }
+    val before = files()
+    CdcPipeline.pruneTombstones(spark, stateDir, ts(4))
+    assert(spark.read.parquet(stateDir)
+      .filter(col("op") === "delete").select("key").collect()
+      .map(_.getLong(0)).toSeq == Seq(7L))
+    assert(CdcPipeline.currentState(spark, stateDir).count() == 98L)
+    // incremental: only the bucket holding key 3's tombstone rewritten
+    val tb = spark.range(1).select(
+      pmod(xxhash64(lit("t"), lit(3L)), lit(8)).cast("int")).head().getInt(0)
+    val after = files()
+    (after.keySet ++ before.keySet)
+      .filter(p => before.get(p) != after.get(p))
+      .foreach(p => assert(p.contains(s"bucket=$tb"),
+        s"prune rewrote a bucket with nothing to prune: $p"))
+    // the KEPT tombstone still blocks resurrection by an older event
+    CdcPipeline.applyBatch(spark, Seq(
+      ChangeEvent("insert", "t", 7L, ts(3), 999L, """{"v":"stale"}""")).toDF(),
+      stateDir)
+    assert(CdcPipeline.currentState(spark, stateDir)
+      .filter(col("key") === 7L).count() == 0L)
+    // idempotent: re-pruning at the same watermark is a no-op
+    CdcPipeline.pruneTombstones(spark, stateDir, ts(4))
+    assert(CdcPipeline.currentState(spark, stateDir).count() == 98L)
+  }
+
+  test("a state pruned down to zero buckets reads as empty, not as an error") {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_empty_").toString + "/state"
+    CdcPipeline.applyBatch(spark, Seq(
+      ChangeEvent("insert", "t", 1L, ts(1), 1L, """{"v":1}""")).toDF(),
+      stateDir, numBuckets = 4)
+    CdcPipeline.applyBatch(spark, Seq(
+      ChangeEvent("delete", "t", 1L, ts(2), 2L, null)).toDF(), stateDir)
+    CdcPipeline.pruneTombstones(spark, stateDir, ts(9))
+    assert(CdcPipeline.currentState(spark, stateDir).count() == 0L)
+    assert(CdcPipeline.stateStats(spark, stateDir).count() == 0L)
+    // and the emptied state accepts new batches
+    CdcPipeline.applyBatch(spark, Seq(
+      ChangeEvent("insert", "t", 2L, ts(3), 3L, """{"v":2}""")).toDF(), stateDir)
+    assert(CdcPipeline.currentState(spark, stateDir).count() == 1L)
+    // a NEVER-state dir still fails loudly (silence would mask a wrong path)
+    intercept[Exception] {
+      CdcPipeline.currentState(spark,
+        stateDir + "_nope").count()
+    }
+  }
 }
 
 /** Test-only row for the KS drift ingest (MemoryStream needs a product

@@ -688,4 +688,58 @@ class JdbcSyncSpec extends SparkSpec {
       .filter(col("rowid") === 9001L).select("name").head().getString(0)
     assert(got == "it's; DROP TABLE x--")
   }
+
+  test("state verb: validation, stats, prune-tombstones, rebucket through the CLI") {
+    // flag validation: its own surface, loud refusals
+    assert(SyncCli.parse(Array("state")).isLeft)                 // no dir
+    assert(SyncCli.parse(Array("state", "--state_dir", "d",
+      "--mysql_host", "h")).isLeft)                              // sync flag
+    assert(SyncCli.parse(Array("state", "--state_dir", "d",
+      "--state_op", "bogus")).isLeft)
+    assert(SyncCli.parse(Array("state", "--state_dir", "d",
+      "--state_op", "prune-tombstones")).isLeft)                 // no watermark
+    assert(SyncCli.parse(Array("state", "--state_dir", "d",
+      "--state_op", "prune-tombstones",
+      "--watermark", "not-a-ts")).isLeft)
+    assert(SyncCli.parse(Array("state", "--state_dir", "d",
+      "--state_op", "rebucket")).isLeft)                         // no buckets
+    assert(SyncCli.parse(Array("state", "--state_dir", "d",
+      "--state_op", "rebucket", "--buckets", "0")).isLeft)
+
+    // end-to-end: seed a CDC state, then drive every op via the CLI
+    import graft.streaming.{CdcPipeline, ChangeEvent}
+    import spark.implicits._
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cli_state_").toString + "/state"
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    CdcPipeline.applyBatch(spark,
+      (0 until 40).map(i => ChangeEvent("insert", "t", i.toLong, t(1),
+        i.toLong, s"""{"v":$i}""")).toDF(), stateDir, numBuckets = 4)
+    CdcPipeline.applyBatch(spark, Seq(
+      ChangeEvent("delete", "t", 3L, t(2), 100L, null)).toDF(), stateDir)
+    def run(args: String*): Seq[String] = {
+      val Right(cfg) = SyncCli.parse(args.toArray): @unchecked
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        SyncCli.runState(spark, cfg)
+      }
+      out.toString("UTF-8").linesIterator.toSeq
+    }
+    val stats = run("state", "--state_dir", stateDir)
+    assert(stats.size == 4 && stats.forall(_.contains("\"live_rows\"")))
+    assert(stats.map(l =>
+      "\"tombstones\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toInt).sum == 1)
+    run("state", "--state_dir", stateDir, "--state_op", "prune-tombstones",
+      "--watermark", "2024-01-01 03:00:00")
+    assert(spark.read.parquet(stateDir)
+      .filter(col("op") === "delete").count() == 0L)
+    val reb = run("state", "--state_dir", stateDir,
+      "--state_op", "rebucket", "--buckets", "8")
+    assert(reb.size > 4 && reb.size <= 8,
+      s"expected up to 8 non-empty bucket stat lines, got ${reb.size}")
+    assert(reb.map(l =>
+      "\"live_rows\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toInt).sum == 39)
+    assert(CdcPipeline.readBucketCount(spark, stateDir).contains(8))
+    assert(CdcPipeline.currentState(spark, stateDir).count() == 39L)
+  }
 }

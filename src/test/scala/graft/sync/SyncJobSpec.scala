@@ -99,4 +99,22 @@ class SyncJobSpec extends SparkSpec {
         s"copy must be shuffle-free, got:\n${copyPlan.get}")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("catalog discovery rides the Hadoop FS: file:-scheme source dir") {
+    // the source dir IS an object-store path in the deployment this
+    // models (SHOW TABLES ≈ list the bucket prefix); a java.io listing
+    // there would return empty — a silent no-tables sync. file:-scheme
+    // is the local proxy: the Hadoop FS resolves it, java.io.File
+    // cannot.
+    val dir = Files.createTempDirectory("graft_disc_").toString
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "orders.parquet"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "lineitem.parquet")) // Spark-written dir form
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(dir, "_sync_metadata.json"))
+    assert(SyncJob.discoverTables(s"file:$dir") == Seq("lineitem", "orders"))
+    // absent dir: empty catalog, loudly NOT an exception — the caller
+    // decides whether zero tables is an error
+    assert(SyncJob.discoverTables(s"file:$dir/nope").isEmpty)
+  }
 }

@@ -167,7 +167,16 @@ object CdcPipeline {
     val fs = hadoopFs(spark, stateDir)
     val staging = new Path(stateDir + "_staging")
     fs.delete(staging, true)
-    rows.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+    // cluster by bucket before the partitionBy write: without it every
+    // upstream task holds rows of MANY buckets and writes a file into
+    // each (tasks × touched files per apply — measured 3× the whole
+    // apply cost at 256 buckets, docs/SCALE.md); with it the staged
+    // output is ~1 file per touched bucket, and every LATER apply's
+    // read pays fewer opens too. The one extra shuffle moves only the
+    // touched volume, and one task per bucket is exactly the
+    // bucket-sizing contract (S/B sized to a worker).
+    rows.repartition(math.max(touched.length, 1), col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(staging.toString)
     fs.mkdirs(new Path(stateDir))
     writeBucketCount(spark, stateDir, numBuckets)

@@ -2947,6 +2947,73 @@ object Queries {
         | FROM events GROUP BY user_id ORDER BY user_id"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // St2 TRANSACTION-ATOMIC ADMISSION, end to end: the fixture's every
+    // transaction double-writes the same keys into `events` and
+    // `txn_audit` inside one BEGIN…XID fence (the order+order-line /
+    // account+ledger shape), and the stream is paced with a byte cap
+    // sized to split the log into several micro-batches. The invariant
+    // a transaction-consistent consumer owns is PER-BATCH balance:
+    // every micro-batch carries equal events/txn_audit row counts —
+    // an event-granular cap cuts between the two tables' rows events
+    // and exposes the fact without its audit row (torn, not stale;
+    // MysqlBinlogStreamSpec pins that txnAtomic=false DOES tear under
+    // the same cap, so this query discriminates). `torn_batches` folds
+    // the observed per-batch imbalance count into every output row:
+    // one torn batch anywhere hash-breaks the row against the oracle's
+    // constant 0. The final per-user counts double-check no row was
+    // lost or duplicated across batch fences.
+    Q("st_cdc_binlog_txn_atomic",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val dir = graft.streaming.MysqlBinlogFixture.encodeEventsTxnAudit(s, d)
+        val log = s"$dir/server_0.binlog"
+        // cap ≈ size/8: several batches at ANY sf, deterministic per log
+        val cap = math.max(new java.io.File(log).length() / 8L, 16384L)
+        val outDir = graft.ops.CoreOps.scratchDirUnique("txn_atomic_out")
+        val torn = new java.util.concurrent.atomic.AtomicLong(0L)
+        val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+        val q = s.readStream
+          .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
+          .option("path", log)
+          .option("maxBytesPerTrigger", cap.toString)
+          .load()
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val counts = b.groupBy("table").count().collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
+            if (counts.nonEmpty) {
+              batches.incrementAndGet()
+              if (counts.getOrElse("events", 0L)
+                  != counts.getOrElse("txn_audit", 0L))
+                torn.incrementAndGet()
+              b.write.mode("append").parquet(s"$outDir/rows")
+            }
+            ()
+          }
+          .option("checkpointLocation", s"$outDir/ckpt")
+          .start()
+        try { q.processAllAvailable() } finally q.stop()
+        require(batches.get() >= 2,
+          s"the byte cap must split the log into several micro-batches " +
+            s"for the balance check to mean anything; got ${batches.get()}")
+        val pSchema = StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType)))
+        s.read.parquet(s"$outDir/rows")
+          .select(col("table"), from_json(col("payload"), pSchema).as("p"))
+          .groupBy(col("p.user_id").as("user_id"))
+          .agg(
+            sum(when(col("table") === "events", 1L).otherwise(0L))
+              .as("n_rows"),
+            sum(when(col("table") === "txn_audit", 1L).otherwise(0L))
+              .as("n_audit"))
+          .withColumn("torn_batches", lit(torn.get()))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_rows, count(*) AS n_audit,
+        | CAST(0 AS BIGINT) AS torn_batches
+        | FROM events GROUP BY user_id ORDER BY user_id"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // St2 the downstream CONSUMER shape every audited CDC deployment
     // materializes: a Type-2 slowly-changing-dimension history built
     // from the change stream. Each non-delete change event opens a

@@ -134,6 +134,81 @@ object MysqlBinlogFixture {
     dir
   }
 
+  /** Multi-table-transaction leg of the wire fixture: every transaction
+    * inserts the SAME keys into two tables — `events` (the fact) and
+    * `txn_audit` (user_id, event_id) — inside one BEGIN…XID fence, the
+    * shape any application-level double-write produces (order + order
+    * line, account + ledger entry). The invariant a consumer may rely
+    * on at EVERY transaction-consistent point is per-batch balance:
+    * #events rows == #txn_audit rows. Only transaction-atomic
+    * admission preserves it; an event-granular byte cap cuts between
+    * the two tables' rows events and a micro-batch consumer sees the
+    * fact without its audit row — torn, not just stale. One server log
+    * (`nServers=1`) so per-batch admission is deterministic.
+    */
+  def auditTableDef(tableId: Long): TableDef = TableDef(
+    tableId, "graft", "txn_audit",
+    Seq(Col.bigint("user_id"), Col.bigint("event_id")))
+
+  def encodeEventsTxnAudit(spark: SparkSession, sfDir: String): String = {
+    val dir = CoreOps.scratchDir("mysql_binlog_txnaudit", sfDir)
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".binlog")).foreach(_.delete())
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      .repartition(1)
+      .sortWithinPartitions(col("ts"), col("event_id"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val uuid = "00000000-0000-4000-8000-000000000400"
+        val path = s"$dir/server_0.binlog"
+        val tmp = s"$path.inprogress"
+        val w = new Writer(tmp, serverId = 400L)
+        try {
+          val evTd = TableDef(33L, "graft", "events", Seq(
+            Col.bigint("user_id"), Col.bigint("event_id"),
+            Col.timestamp6("ts"), Col.varchar("event_type", 64),
+            Col.double("value")))
+          val auTd = auditTableDef(34L)
+          var began = false
+          var txn = 0L
+          rows.grouped(8).foreach { group =>
+            val evImages = group.map { r =>
+              val t = r.getTimestamp(2)
+              val micros = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+              if (!began) {
+                w.setClock(micros / 1000000L); w.begin()
+                w.previousGtids(Seq.empty)
+                began = true
+              } else w.setClock(micros / 1000000L)
+              Array[AnyRef](
+                java.lang.Long.valueOf(r.getLong(0)),
+                java.lang.Long.valueOf(r.getLong(1)),
+                java.lang.Long.valueOf(micros),
+                r.getString(3),
+                java.lang.Double.valueOf(r.getDouble(4)))
+            }.toSeq
+            val auImages = evImages.map(img =>
+              Array[AnyRef](img(0), img(1)))
+            w.gtid(uuid, txn + 1)
+            w.query("graft", "BEGIN")
+            w.tableMap(evTd); w.writeRows(evTd, evImages)
+            w.tableMap(auTd); w.writeRows(auTd, auImages)
+            txn += 1
+            w.xid(txn)
+          }
+          if (!began) w.begin()
+        } finally w.close()
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    dir
+  }
+
   /** PARTIAL_JSON leg of the wire fixture (`binlog_row_value_options=
     * PARTIAL_JSON`, WL#2955): a profile-shaped table whose JSON `props`
     * column is only ever modified through diff vectors riding

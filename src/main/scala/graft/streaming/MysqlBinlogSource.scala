@@ -274,11 +274,28 @@ object MysqlBinlogSource {
 
   /** Next safe event-boundary offset admitting up to `maxEvents` ROW
     * events from `startByte` (4 = just past the magic for a fresh
-    * stream). Reads only headers — O(events), no payload decode — and
-    * never stops directly after a TABLE_MAP, so every admitted range is
-    * self-decoding (MySQL guarantees a TABLE_MAP immediately precedes
-    * the rows events it describes). A partial trailing event (writer
-    * mid-append) is never admitted.
+    * stream). Reads only headers — O(events), no payload decode (one
+    * small pread per QUERY event to distinguish `BEGIN` from a
+    * txn-closing statement) — and never stops directly after a
+    * TABLE_MAP, so every admitted range is self-decoding (MySQL
+    * guarantees a TABLE_MAP immediately precedes the rows events it
+    * describes). A partial trailing event (writer mid-append) is never
+    * admitted.
+    *
+    * With `txnAtomic` (the default), a boundary inside a transaction is
+    * additionally unsafe: admission stops only after an XID commit, a
+    * TRANSACTION_PAYLOAD wrapper (a whole compressed txn), or a
+    * non-BEGIN QUERY statement (DDL, or COMMIT for non-transactional
+    * engines). Without it, a byte/event cap could cut BETWEEN two
+    * tables' rows events of one multi-table transaction, and every
+    * downstream consumer of that micro-batch (state apply, a maintained
+    * join view) would expose an intermediate state no MySQL reader can
+    * see — torn, not just stale. Caps then bind at the first fence at
+    * or past them (≥1 whole transaction per trigger, so a single
+    * transaction larger than the cap still makes progress); a file
+    * whose tail is a fence-less partial transaction (writer mid-commit,
+    * or a crash the server would itself truncate on recovery) admits up
+    * to the last fence and waits.
     *
     * Returns [[Advance]]: `safe` is the boundary; `scannedToEof` is
     * true when this call's scan covered the file through its last whole
@@ -294,7 +311,8 @@ object MysqlBinlogSource {
 
   private[streaming] def advance(path: String, startByte: Long,
                                  maxEvents: Long,
-                                 maxBytes: Long = Long.MaxValue): Advance = {
+                                 maxBytes: Long = Long.MaxValue,
+                                 txnAtomic: Boolean = true): Advance = {
     if (!Files.exists(Paths.get(path))) return Advance(startByte, false, None)
     val size = Files.size(Paths.get(path))
     val ch = java.nio.channels.FileChannel.open(
@@ -307,13 +325,16 @@ object MysqlBinlogSource {
       var lastType = -1
       var lastStart = -1L
       var lastSize = 0
+      var inTxn = false
       val hdr = java.nio.ByteBuffer.allocate(MysqlBinlog.CommonHeaderLen)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      // the byte cap stops at the first SAFE boundary at or past it —
-      // whole events only, and ≥1 event per trigger so a single event
-      // larger than the cap still makes progress
-      while (pos + MysqlBinlog.CommonHeaderLen <= size && rowEvents < maxEvents
-             && (safe == first || safe - first < maxBytes)) {
+      // caps stop at the first SAFE boundary at or past them — whole
+      // events (whole transactions under txnAtomic) only, and the loop
+      // runs until at least ONE safe boundary exists so a single
+      // event/transaction larger than the cap still makes progress
+      while (pos + MysqlBinlog.CommonHeaderLen <= size &&
+             (safe == first ||
+               (rowEvents < maxEvents && safe - first < maxBytes))) {
         hdr.clear()
         var off = pos
         while (hdr.hasRemaining) {
@@ -326,6 +347,24 @@ object MysqlBinlogSource {
         if (eventSize < MysqlBinlog.CommonHeaderLen || pos + eventSize > size)
           return Advance(safe, false, None) // partial/corrupt tail
         lastType = eventType; lastStart = pos; lastSize = eventSize
+        // transaction fences (header-only, except QUERY): GTID or
+        // BEGIN opens; XID, a whole-txn payload wrapper, or a
+        // non-BEGIN statement (DDL / COMMIT) closes. TABLE_MAP / rows
+        // / ROWS_QUERY also open, for fixture logs with no GTID
+        // preamble (gtid_mode=OFF).
+        eventType match {
+          case MysqlBinlog.GTID_EVENT | MysqlBinlog.ANONYMOUS_GTID_EVENT |
+               MysqlBinlog.TABLE_MAP_EVENT | MysqlBinlog.ROWS_QUERY_EVENT |
+               MysqlBinlog.WRITE_ROWS_EVENT | MysqlBinlog.UPDATE_ROWS_EVENT |
+               MysqlBinlog.DELETE_ROWS_EVENT |
+               MysqlBinlog.PARTIAL_UPDATE_ROWS_EVENT =>
+            inTxn = true
+          case MysqlBinlog.XID_EVENT | MysqlBinlog.TRANSACTION_PAYLOAD_EVENT =>
+            inTxn = false
+          case MysqlBinlog.QUERY_EVENT =>
+            inTxn = queryIsBegin(ch, pos, eventSize)
+          case _ => () // FDE / PREVIOUS_GTIDS / ROTATE / STOP: outside
+        }
         pos += eventSize
         // a TRANSACTION_PAYLOAD wrapper counts as one row event for
         // pacing: its rows are invisible until decompression, and a
@@ -333,9 +372,12 @@ object MysqlBinlogSource {
         if (eventType == MysqlBinlog.WRITE_ROWS_EVENT ||
             eventType == MysqlBinlog.UPDATE_ROWS_EVENT ||
             eventType == MysqlBinlog.DELETE_ROWS_EVENT ||
+            eventType == MysqlBinlog.PARTIAL_UPDATE_ROWS_EVENT ||
             eventType == MysqlBinlog.TRANSACTION_PAYLOAD_EVENT) rowEvents += 1
-        // a boundary directly after TABLE_MAP would orphan its rows
-        if (eventType != MysqlBinlog.TABLE_MAP_EVENT) safe = pos
+        // a boundary directly after TABLE_MAP would orphan its rows;
+        // under txnAtomic a boundary inside a transaction would tear it
+        if (eventType != MysqlBinlog.TABLE_MAP_EVENT &&
+            !(txnAtomic && inTxn)) safe = pos
       }
       // authoritative for the file at this size only if this call's
       // scan actually reached the last whole event from below
@@ -347,6 +389,36 @@ object MysqlBinlogSource {
         else None
       Advance(safe, coveredEof, rotate)
     } finally ch.close()
+  }
+
+  /** Does the QUERY event at `start` carry the statement `BEGIN` (a
+    * transaction opener) rather than a DDL / COMMIT (closers)? One
+    * bounded pread of the event prefix; checksum-agnostic — only the
+    * text's first bytes are compared. Layout per the FDE's declared
+    * 13-byte post-header: thread_id(4) exec_time(4) schema_len(1)
+    * error_code(2) status_len(2), then status vars, schema, NUL, text.
+    */
+  private def queryIsBegin(ch: java.nio.channels.FileChannel,
+                           start: Long, eventSize: Int): Boolean = {
+    val want = math.min(eventSize, 512)
+    val buf = java.nio.ByteBuffer.allocate(want)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = start
+    while (buf.hasRemaining) {
+      val n = ch.read(buf, off)
+      if (n < 0) return false
+      off += n
+    }
+    val h = MysqlBinlog.CommonHeaderLen
+    if (want < h + 13) return false
+    val schemaLen = buf.get(h + 8) & 0xff
+    val statusLen = ((buf.get(h + 11) & 0xff) |
+      ((buf.get(h + 12) & 0xff) << 8))
+    val textAt = h + 13 + statusLen + schemaLen + 1
+    textAt + 5 <= want &&
+      buf.get(textAt) == 'B' && buf.get(textAt + 1) == 'E' &&
+      buf.get(textAt + 2) == 'G' && buf.get(textAt + 3) == 'I' &&
+      buf.get(textAt + 4) == 'N'
   }
 
   /** Header-scan the whole file to find whether its FINAL whole event
@@ -407,7 +479,8 @@ class MysqlBinlogTable(props: Map[String, String]) extends Table with SupportsRe
             options.getLong("maxBytesPerTrigger", Long.MaxValue),
             Option(options.get("startFile")),
             Option(options.get("startPos")).map(_.toLong),
-            Option(options.get("startGtid")))
+            Option(options.get("startGtid")),
+            options.getBoolean("txnAtomic", true))
       }
     }
 }
@@ -470,7 +543,8 @@ class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long,
                                   maxBytesPerTrigger: Long = Long.MaxValue,
                                   startFile: Option[String] = None,
                                   startPos: Option[Long] = None,
-                                  startGtid: Option[String] = None)
+                                  startGtid: Option[String] = None,
+                                  txnAtomic: Boolean = true)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
@@ -525,7 +599,7 @@ class MysqlBinlogMicroBatchStream(path: String, maxEventsPerTrigger: Long,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[MysqlBinlogOffset]
     val a = MysqlBinlogSource.advance(s.file, s.bytes, maxEventsPerTrigger,
-      maxBytesPerTrigger)
+      maxBytesPerTrigger, txnAtomic)
     // a scan that covered the file's tail is authoritative at this
     // size — remember its verdict (rotate name OR no-rotate) so idle
     // triggers never rescan, and a rotate whose successor is still

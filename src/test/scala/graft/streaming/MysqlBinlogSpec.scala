@@ -750,12 +750,19 @@ class MysqlBinlogSpec extends AnyFunSuite {
     }
     assert(off == bytes.length, "pacing walks to exactly the file end")
     assert(seen.size >= 3, "one row event per trigger needs >= 3 triggers")
-    // a partial tail is never admitted
+    // a partial tail is never admitted. Truncating the final XID by 3
+    // bytes leaves txn 3 fence-less: txn-atomic admission (the default)
+    // stops at txn 2's commit — the mid-commit rows must not surface
+    // torn — while event-granular admission (txnAtomic=false) admits
+    // every whole event.
     val cut = Files.createTempFile("graft_binlog_cut_", ".binlog")
     Files.write(cut, java.util.Arrays.copyOf(bytes, bytes.length - 3))
-    val lastWhole = MysqlBinlogSource.advance(cut.toString, 4L, Long.MaxValue).safe
-    assert(lastWhole == parse(java.util.Arrays.copyOf(bytes, bytes.length - 3))
-      .last.header.nextPos)
+    val whole = parse(java.util.Arrays.copyOf(bytes, bytes.length - 3))
+    val lastFence = whole.collect { case x: Xid => x }.last.header.nextPos
+    assert(MysqlBinlogSource.advance(cut.toString, 4L, Long.MaxValue).safe
+      == lastFence)
+    assert(MysqlBinlogSource.advance(cut.toString, 4L, Long.MaxValue,
+      txnAtomic = false).safe == whole.last.header.nextPos)
   }
   test("GTID set algebra: parse, containment, subset") {
     val u1 = "3e11fa47-71ca-11e1-9e33-c80aa9429562"

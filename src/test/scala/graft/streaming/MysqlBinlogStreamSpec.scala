@@ -122,6 +122,65 @@ class MysqlBinlogStreamSpec extends SparkSpec {
     assert(MysqlBinlogSource.advance(log, 4L, Long.MaxValue, 1L << 30).safe == size)
   }
 
+  test("txn-atomic admission never tears a multi-table transaction; event-granular does") {
+    // each transaction double-writes t_a and t_b inside one BEGIN…XID
+    // fence; the invariant at every transaction-consistent point is
+    // per-batch balance (#t_a rows == #t_b rows). A 1-byte cap forces
+    // the smallest admissible step: one whole TRANSACTION under the
+    // default, one whole EVENT with txnAtomic=false — where a batch
+    // carries t_a's insert without its t_b partner, proving the
+    // default's balance is load-bearing, not vacuous.
+    val base = Files.createTempDirectory("graft_binlog_txn_").toString
+    val ta = TableDef(21L, "graft", "t_a",
+      Seq(Col.bigint("k"), Col.varchar("v", 64)))
+    val tb = TableDef(22L, "graft", "t_b",
+      Seq(Col.bigint("k"), Col.varchar("v", 64)))
+    val log = s"$base/server_0.binlog"
+    val w = new Writer(log, serverId = 1L)
+    w.setClock(1700000000L); w.begin()
+    (1L to 12L).foreach { i =>
+      w.query("graft", "BEGIN")
+      w.tableMap(ta); w.writeRows(ta, Seq(img(i, s"a$i")))
+      w.tableMap(tb); w.writeRows(tb, Seq(img(i, s"b$i")))
+      w.xid(i)
+    }
+    w.flush(); w.close()
+
+    def run(atomic: Boolean): (Long, Long, Long) = {
+      val out = Files.createTempDirectory("graft_txn_run_").toString
+      var batches = 0L; var torn = 0L
+      val q = spark.readStream
+        .format(classOf[MysqlBinlogSourceProvider].getName)
+        .option("path", log)
+        .option("maxBytesPerTrigger", "1")
+        .option("txnAtomic", atomic.toString)
+        .load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val c = b.groupBy("table").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          if (c.nonEmpty) {
+            batches += 1
+            if (c.getOrElse("t_a", 0L) != c.getOrElse("t_b", 0L)) torn += 1
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$out/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      (batches, torn, 0L)
+    }
+
+    val (nAtomic, tornAtomic, _) = run(atomic = true)
+    assert(nAtomic == 12L,
+      s"a 1-byte cap admits exactly one transaction per trigger: $nAtomic")
+    assert(tornAtomic == 0L, "no batch may tear a transaction")
+    val (nRaw, tornRaw, _) = run(atomic = false)
+    assert(tornRaw > 0L,
+      s"event-granular admission under the same cap must tear " +
+        s"(discriminating check), batches=$nRaw")
+  }
+
   test("pre-rotation checkpoint offsets deserialize to the head file") {
     val s = new MysqlBinlogMicroBatchStream("/srv/bin.000007", 10L)
     // a round-7 checkpoint carries no file field: it means the head file

@@ -3014,6 +3014,64 @@ object Queries {
         | FROM events GROUP BY user_id ORDER BY user_id"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // St2 the APPLIED-STATE LIFECYCLE in the correctness gate: the
+    // bucketed parquet state table (CdcPipeline) driven end to end —
+    // decode the mixed-op wire log, split the change stream into three
+    // ARBITRARY batches (by key hash, deliberately NOT log order:
+    // applyBatch's per-key (ts, seq) collapse is commutative across
+    // batches, and this row pins that), apply them into a fresh
+    // 8-bucket state, REBUCKET to 16 mid-sequence (the recorded-count
+    // contract: later applies adopt the new count), then
+    // pruneTombstones past every event (the retention op must not
+    // change live state), and read currentState back. Output identical
+    // to st_cdc_binlog_mixed's collapse — same oracle — but produced
+    // by the state MACHINERY (stage-and-swap writes, recorded bucket
+    // meta, Hadoop-FS listings) instead of one window function.
+    Q("st_cdc_state_apply",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val dir = graft.streaming.MysqlBinlogFixture
+          .encodeEvents(s, d, mixed = true)
+        val scratch = graft.ops.CoreOps.scratchDirUnique("cdc_state_apply")
+        // land the decoded change table once (the real pipeline's shape:
+        // decode → change table → apply), not three lazy wire re-scans
+        s.read
+          .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
+          .option("path", dir).load()
+          .filter(col("table") === "events")
+          .select("op", "table", "key", "ts", "seq", "payload")
+          .write.parquet(s"$scratch/changes")
+        val raw = s.read.parquet(s"$scratch/changes")
+        val stateDir = s"$scratch/state"
+        import graft.streaming.CdcPipeline
+        CdcPipeline.applyBatch(s, raw.filter(pmod(col("key"), lit(3)) === 0),
+          stateDir, numBuckets = 8)
+        CdcPipeline.rebucket(s, stateDir, 16)
+        CdcPipeline.applyBatch(s, raw.filter(pmod(col("key"), lit(3)) === 1),
+          stateDir)
+        CdcPipeline.applyBatch(s, raw.filter(pmod(col("key"), lit(3)) === 2),
+          stateDir)
+        CdcPipeline.pruneTombstones(s, stateDir,
+          java.sql.Timestamp.valueOf("2100-01-01 00:00:00"))
+        val pSchema = StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("ts", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        CdcPipeline.currentState(s, stateDir)
+          .select(from_json(col("payload"), pSchema).as("p"))
+          .select(col("p.user_id").as("user_id"),
+            col("p.event_id").as("last_event_id"),
+            col("p.event_type").as("last_event_type"),
+            col("p.value").as("last_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id AS last_event_id,
+        | event_type AS last_event_type, value AS last_value FROM (
+        | SELECT *, row_number() OVER (PARTITION BY user_id
+        |   ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        | WHERE rn = 1 AND event_id % 17 <> 0
+        | ORDER BY user_id""".stripMargin.replaceAll("\n", ""))),
+
     // St2 the downstream CONSUMER shape every audited CDC deployment
     // materializes: a Type-2 slowly-changing-dimension history built
     // from the change stream. Each non-delete change event opens a

@@ -309,7 +309,7 @@ object MysqlBinlogSource {
                                               scannedToEof: Boolean,
                                               rotate: Option[String])
 
-  private[streaming] def advance(path: String, startByte: Long,
+  private[graft] def advance(path: String, startByte: Long,
                                  maxEvents: Long,
                                  maxBytes: Long = Long.MaxValue,
                                  txnAtomic: Boolean = true): Advance = {

@@ -242,5 +242,30 @@ object CdcBench {
       java.nio.file.Files.delete(java.nio.file.Paths.get(path))
       println(f"""{"rows":$rows,"bytes":$bytes,"mode":"$mode","sec":$sec%.3f,"events_per_sec":${(rows / sec).toLong},"mb_per_sec":${bytes / 1e6 / sec}%.1f}""")
     }
+    // admission-scan leg: the per-trigger pacing pass (header walk +
+    // one bounded pread per QUERY event under txn-atomic admission)
+    // must stay far cheaper than decode — this is the number that says
+    // the txn-fence semantics cost nothing at the tail's throughput
+    // ceiling
+    for (scale <- Seq(1, 10)) {
+      val nTxn = baseTxn * scale
+      val path = java.nio.file.Files
+        .createTempFile("graft_cdc_bench_adm_", ".binlog").toString
+      val bytes = writeLog(path, nTxn, compressed = false)
+      for (atomic <- Seq(true, false)) {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          val a = graft.streaming.MysqlBinlogSource
+            .advance(path, 4L, Long.MaxValue, Long.MaxValue, atomic)
+          require(a.safe == bytes, s"scan must drain: ${a.safe} of $bytes")
+          (System.nanoTime() - t0) / 1e9
+        }
+        once()
+        val sec = (1 to 3).map(_ => once()).min
+        val mode = if (atomic) "admission_txn" else "admission_event"
+        println(f"""{"rows":${nTxn * 64L},"bytes":$bytes,"mode":"$mode","sec":$sec%.3f,"events_per_sec":${(nTxn * 64L / sec).toLong},"mb_per_sec":${bytes / 1e6 / sec}%.1f}""")
+      }
+      java.nio.file.Files.delete(java.nio.file.Paths.get(path))
+    }
   }
 }

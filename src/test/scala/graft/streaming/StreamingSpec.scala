@@ -1160,6 +1160,31 @@ class StreamingSpec extends SparkSpec {
     assert(inertia(next) <= inertia(seed) + rows.length * 64L * 4L)
   }
 
+  test("state apply stages ~1 parquet file per touched bucket, not one per task") {
+    // the staged write clusters by bucket before partitionBy: without
+    // it every upstream task writes a file into every bucket it holds
+    // (~tasks × touched files per apply — measured 7× the whole apply
+    // at 256 buckets, docs/SCALE.md) and every later apply re-opens
+    // them. Pin the file bound so the clustering can't silently
+    // regress: repartition hashes bucket→partition, so a bucket gets
+    // 1 file, plus rare collision doubles — ≤2 is the invariant.
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_files_").toString + "/state"
+    val seed = (0 until 2000).map(i =>
+      ChangeEvent("insert", "t", i.toLong, ts(1), i.toLong, s"""{"v":$i}"""))
+    CdcPipeline.applyBatch(spark, seed.toDF().repartition(32), stateDir,
+      numBuckets = 32)
+    val buckets = new java.io.File(stateDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(buckets.length == 32)
+    buckets.foreach { b =>
+      val parts = b.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parts >= 1 && parts <= 2,
+        s"${b.getName} holds $parts parquet files; the staged write " +
+          "must cluster by bucket (~1 file each), not fan out per task")
+    }
+  }
+
   test("CDC state apply/read/heal rides the Hadoop FS: file:-scheme stateDir") {
     // same hazard class as the JoinIvm r10 defect: java.io.File on an
     // HDFS/object-store stateDir reports "no state" and every batch

@@ -262,16 +262,17 @@ object JoinIvm {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Completed round ids under `stateDir`, via the Hadoop FS API —
-    * NEVER java.io.File, which on an HDFS/object-store stateDir
-    * returns null and would silently read as "no previous rounds"
-    * (every batch applying against empty pre-state: a wrong view with
-    * no error). Listing a not-yet-created stateDir is the legitimate
-    * "first batch" case. Heals an interrupted prune swap FIRST — a
-    * crash between the delete and the rename would otherwise leave
-    * `round_<r>` missing and its view-delta rows stranded in
-    * `.prune_<r>`, silently shrinking the view (the NearDupIngest
-    * recoverState stance).
+  /** Completed STATE-carrying round ids under `stateDir` (`round_<id>`
+    * dirs — pruned rounds live on as v-only `view_<id>` dirs and are
+    * not pre-state candidates), via the Hadoop FS API — NEVER
+    * java.io.File, which on an HDFS/object-store stateDir returns null
+    * and would silently read as "no previous rounds" (every batch
+    * applying against empty pre-state: a wrong view with no error).
+    * Listing a not-yet-created stateDir is the legitimate "first
+    * batch" case. Heals an interrupted prune swap FIRST — a crash
+    * between the delete and the rename would otherwise strand the
+    * round's view-delta rows in `.prune_<r>`, silently shrinking the
+    * view (the NearDupIngest recoverState stance).
     */
   private def stateRounds(spark: SparkSession, stateDir: String): Seq[Long] = {
     val f = fs(spark, stateDir)
@@ -281,9 +282,12 @@ object JoinIvm {
       val entries = f.listStatus(p).toSeq.filter(_.isDirectory)
       entries.filter(_.getPath.getName.startsWith(".prune_")).foreach { st =>
         val r = st.getPath.getName.stripPrefix(".prune_")
-        val dir = new org.apache.hadoop.fs.Path(s"$stateDir/round_$r")
-        if (f.exists(dir)) f.delete(st.getPath, true) // swap never started
-        else f.rename(st.getPath, dir) // complete the interrupted swap
+        val round = new org.apache.hadoop.fs.Path(s"$stateDir/round_$r")
+        // swap never started (source round intact) → drop the staging;
+        // otherwise complete the interrupted swap into the v-only dir
+        if (f.exists(round)) f.delete(st.getPath, true)
+        else f.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(s"$stateDir/view_$r"))
         ()
       }
       f.listStatus(p).toSeq
@@ -291,6 +295,19 @@ object JoinIvm {
         .flatMap(_.getPath.getName.stripPrefix("round_").toLongOption)
         .sorted
     }
+  }
+
+  /** All view-delta-carrying dirs: live rounds plus pruned v-only
+    * `view_<id>` dirs — the view is the sum of every round's 'v' rows.
+    */
+  private def viewDirs(spark: SparkSession, stateDir: String): Seq[String] = {
+    val rounds = stateRounds(spark, stateDir) // heals prune swaps first
+    val f = fs(spark, stateDir)
+    val pruned = f.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("view_"))
+      .flatMap(_.getPath.getName.stripPrefix("view_").toLongOption)
+    (rounds.map(r => s"$stateDir/round_$r")
+      ++ pruned.sorted.map(r => s"$stateDir/view_$r"))
   }
 
   /** One maintenance round against the PRE-state of micro-batch `id`,
@@ -318,23 +335,23 @@ object JoinIvm {
     tagParts(dView, dState, fState).coalesce(4)
       .write.mode("overwrite").parquet(s"$stateDir/round_$id")
     dD.unpersist(); dF.unpersist()
-    // prune STATE parts of rounds older than the previous round —
-    // `prev` must survive whole so a redelivery of THIS batch can
-    // rebuild from it; pruned rounds keep only their view-delta rows
-    // (the view is the sum of ALL rounds' 'v' parts)
+    // prune rounds older than the previous round — `prev` must survive
+    // whole so a redelivery of THIS batch can rebuild from it. A
+    // pruned round keeps only its view-delta rows and is RENAMED to
+    // `view_<r>` (the view is the sum of all rounds' 'v' parts), so it
+    // leaves the pre-state/prune candidate set: `rounds` holds only
+    // state-carrying dirs and the candidate count stays O(1) per batch
+    // (one round ages out per batch), not O(#rounds) re-checked reads.
     rounds.filter(r => prev.exists(r < _)).foreach { r =>
       val dir = s"$stateDir/round_$r"
-      val round = spark.read.parquet(dir)
-      if (!round.filter(col("part") =!= "v").isEmpty) {
-        val tmp = s"$stateDir/.prune_$r"
-        round.filter(col("part") === "v")
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val f = fs(spark, stateDir)
-        f.delete(new org.apache.hadoop.fs.Path(dir), true)
-        f.rename(new org.apache.hadoop.fs.Path(tmp),
-          new org.apache.hadoop.fs.Path(dir))
-        ()
-      }
+      val tmp = s"$stateDir/.prune_$r"
+      spark.read.parquet(dir).filter(col("part") === "v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = fs(spark, stateDir)
+      f.delete(new org.apache.hadoop.fs.Path(dir), true)
+      f.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$stateDir/view_$r"))
+      ()
     }
   }
 
@@ -355,11 +372,8 @@ object JoinIvm {
     * every round's view-delta rows.
     */
   def view(spark: SparkSession, stateDir: String,
-           spec: IvmJoinSpec = ordersLineitem): DataFrame = {
-    val rounds = stateRounds(spark, stateDir)
-      .map(r => s"$stateDir/round_$r")
-    aggView(spark.read.parquet(rounds: _*), spec)
-  }
+           spec: IvmJoinSpec = ordersLineitem): DataFrame =
+    aggView(spark.read.parquet(viewDirs(spark, stateDir): _*), spec)
 
   /** Replay the change log through `batches` maintenance rounds and
     * return the maintained view: per dimension group, the live joined

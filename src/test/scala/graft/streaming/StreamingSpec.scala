@@ -464,30 +464,46 @@ class StreamingSpec extends SparkSpec {
     assert(want == Set(("C", 1L, 2.5), ("A", 1L, 1.0)))
     assert(got == want,
       "state must survive across batches through the Hadoop FS listing")
-    // round 0 is older than batch 2's pre-state (round 1): its state
-    // parts are pruned, its view-delta rows must survive
-    val r0 = spark.read.parquet(s"$stateDir/round_0")
-    assert(r0.filter(col("part") =!= "v").count() == 0,
-      "old rounds keep only view deltas after pruning")
-    assert(r0.filter(col("part") === "v").count() > 0)
+    // round 0 is older than batch 2's pre-state (round 1): it is
+    // pruned to a v-only `view_0` dir and leaves the pre-state
+    // candidate set (round_0 gone — the O(1)-candidates-per-batch
+    // invariant), its view-delta rows surviving
+    import org.apache.hadoop.fs.Path
+    val hfs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!hfs.exists(new Path(s"$stateDir/round_0")),
+      "a pruned round must leave the round_* candidate set")
+    val v0 = spark.read.parquet(s"$stateDir/view_0")
+    assert(v0.filter(col("part") =!= "v").count() == 0,
+      "pruned rounds keep only view deltas")
+    assert(v0.filter(col("part") === "v").count() > 0)
     // and rounds 1+2 still carry state for a batch-2 redelivery
     assert(spark.read.parquet(s"$stateDir/round_1")
       .filter(col("part") === "d").count() > 0)
     // crash-safety: a prune swap interrupted between its delete and
-    // rename strands the round's view rows in .prune_<r> with no
-    // round_<r> — the next listing must complete the swap, not lose
-    // the rows
-    import org.apache.hadoop.fs.Path
-    val hfs = new Path(stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    hfs.rename(new Path(s"$stateDir/round_0"),
+    // rename strands the round's view rows in .prune_<r> with neither
+    // round_<r> nor view_<r> — the next listing must complete the
+    // swap, not lose the rows
+    hfs.rename(new Path(s"$stateDir/view_0"),
       new Path(s"$stateDir/.prune_0"))
-    assert(!hfs.exists(new Path(s"$stateDir/round_0")))
+    assert(!hfs.exists(new Path(s"$stateDir/view_0")))
     val healed = JoinIvm.view(spark, stateDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(healed == want, "an interrupted prune swap must heal on read")
-    assert(hfs.exists(new Path(s"$stateDir/round_0")),
-      "the stranded tmp dir must be renamed back into place")
+    assert(hfs.exists(new Path(s"$stateDir/view_0")),
+      "the stranded tmp dir must be renamed into the v-only dir")
+    // ...and a staging left BESIDE an intact source round is dropped,
+    // never double-counted
+    hfs.rename(new Path(s"$stateDir/round_1"),
+      new Path(s"$stateDir/.prune_1_copy_src"))
+    hfs.rename(new Path(s"$stateDir/.prune_1_copy_src"),
+      new Path(s"$stateDir/round_1")) // round_1 untouched; now fake a stale staging
+    val stale = new Path(s"$stateDir/.prune_1")
+    hfs.mkdirs(stale)
+    assert(JoinIvm.view(spark, stateDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet == want,
+      "a stale staging beside an intact round must be dropped")
+    assert(!hfs.exists(stale))
   }
 
   test("generalized IvmJoinSpec drives the streaming form: customer x orders view over batches") {

@@ -297,17 +297,41 @@ object JoinIvm {
     }
   }
 
-  /** All view-delta-carrying dirs: live rounds plus pruned v-only
-    * `view_<id>` dirs — the view is the sum of every round's 'v' rows.
+  private def dirIds(f: org.apache.hadoop.fs.FileSystem, stateDir: String,
+                     prefix: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .flatMap(_.getPath.getName.stripPrefix(prefix).toLongOption)
+      .sorted
+  }
+
+  /** All view-delta-carrying dirs: the newest `viewbase_<m>` (the
+    * compacted aggregate of every pruned round ≤ m), pruned v-only
+    * `view_<r>` dirs with r > m, and every live round — the view is
+    * the sum of their 'v' rows. Dirs a published base SUPERSEDES
+    * (view_ ≤ m, older bases) are never read — a compaction crash
+    * after publish leaves them harmless — and are reaped here,
+    * heal-on-read. A `.compactstage` without its publish is inert
+    * (dot-prefixed, never listed here) and is cleared by the next
+    * compaction itself — readers must NOT touch it, they may be
+    * concurrent with the writer mid-stage.
     */
   private def viewDirs(spark: SparkSession, stateDir: String): Seq[String] = {
     val rounds = stateRounds(spark, stateDir) // heals prune swaps first
     val f = fs(spark, stateDir)
-    val pruned = f.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("view_"))
-      .flatMap(_.getPath.getName.stripPrefix("view_").toLongOption)
+    val base = dirIds(f, stateDir, "viewbase_").lastOption
+    base.foreach { m =>
+      dirIds(f, stateDir, "viewbase_").filter(_ < m).foreach(b =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/viewbase_$b"), true))
+      dirIds(f, stateDir, "view_").filter(_ <= m).foreach(r =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/view_$r"), true))
+    }
     (rounds.map(r => s"$stateDir/round_$r")
-      ++ pruned.sorted.map(r => s"$stateDir/view_$r"))
+      ++ dirIds(f, stateDir, "view_")
+        .filter(r => base.forall(r > _)).map(r => s"$stateDir/view_$r")
+      ++ base.map(m => s"$stateDir/viewbase_$m"))
   }
 
   /** One maintenance round against the PRE-state of micro-batch `id`,
@@ -319,7 +343,8 @@ object JoinIvm {
     * mutated in place.
     */
   def applyBatch(batch: DataFrame, stateDir: String, id: Long,
-                 spec: IvmJoinSpec = ordersLineitem): Unit = {
+                 spec: IvmJoinSpec = ordersLineitem,
+                 compactEvery: Int = 32): Unit = {
     val spark = batch.sparkSession
     val rounds = stateRounds(spark, stateDir)
     val prev = rounds.filter(_ < id).lastOption
@@ -353,18 +378,60 @@ object JoinIvm {
         new org.apache.hadoop.fs.Path(s"$stateDir/view_$r"))
       ()
     }
+    compactViews(spark, stateDir, compactEvery)
+  }
+
+  /** Cap what [[view]] reads: once more than `threshold` pruned
+    * `view_<r>` dirs have accumulated past the newest base, fold them
+    * (plus that base) into ONE group-aggregated `viewbase_<maxR>` dir.
+    * Crash-safe by a single atomic publish: the staged aggregate
+    * renames into place, at which instant readers switch to it and
+    * every input it covers becomes dead weight that [[viewDirs]] reaps
+    * lazily — a crash anywhere leaves either the old readable set
+    * (stage dropped on next read) or the new one (reap resumes).
+    * Amortized cost: group-sized, every `threshold` batches; without
+    * it a long-running stream's view read is O(#batches ever) dirs.
+    */
+  private def compactViews(spark: SparkSession, stateDir: String,
+                           threshold: Int): Unit = {
+    val f = fs(spark, stateDir)
+    val base = dirIds(f, stateDir, "viewbase_").lastOption
+    val views = dirIds(f, stateDir, "view_").filter(r => base.forall(r > _))
+    if (views.size <= threshold) return
+    val inputs = views.map(r => s"$stateDir/view_$r") ++
+      base.map(m => s"$stateDir/viewbase_$m")
+    val stage = s"$stateDir/.compactstage"
+    f.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val in = spark.read.parquet(inputs: _*)
+    val kType = in.schema("okey").dataType
+    in.filter(col("part") === "v")
+      .groupBy(col("g"))
+      .agg(sum(col("a")).as("a"), sum(col("b")).cast(Money).as("b"))
+      .select(lit("v").as("part"), lit(null).cast(kType).as("okey"),
+        col("g"), col("a"), col("b"))
+      .coalesce(1).write.parquet(stage)
+    if (!f.rename(new org.apache.hadoop.fs.Path(stage),
+        new org.apache.hadoop.fs.Path(s"$stateDir/viewbase_${views.max}")))
+      throw new java.io.IOException(s"cannot publish compacted view base")
+    // reap the covered inputs now; a crash mid-reap is healed on read
+    views.foreach(r =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/view_$r"), true))
+    base.foreach(m =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/viewbase_$m"), true))
+    ()
   }
 
   /** Structured Streaming form: maintain the join view continuously
     * over a stream of change rows (the binlog source's columns).
     */
   def start(changes: DataFrame, stateDir: String, checkpointDir: String,
-            spec: IvmJoinSpec = ordersLineitem)
+            spec: IvmJoinSpec = ordersLineitem,
+            compactEvery: Int = 32)
       : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyBatch(batch, stateDir, id, spec)
+        applyBatch(batch, stateDir, id, spec, compactEvery)
       }
       .start()
 

@@ -506,6 +506,59 @@ class StreamingSpec extends SparkSpec {
     assert(!hfs.exists(stale))
   }
 
+  test("join-view compaction caps what view() reads; a published base supersedes, never double-counts") {
+    // without compaction a long-running stream accumulates one pruned
+    // view_<r> dir per batch and view() reads O(#batches ever) dirs;
+    // with compactEvery=2 the pruned dirs fold into one aggregated
+    // viewbase_<m> by a single atomic publish
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("joinivm_compact_").toString
+    val stateDir = s"$dir/state"
+    def batchOf(i: Int): Seq[CdcRow] = Seq(
+      CdcRow("orders_cdc", "insert",
+        s"""{"o_orderkey":$i,"o_orderpriority":"P${i % 2}"}""", null),
+      CdcRow("lineitem_cdc", "insert",
+        s"""{"l_id":${100 + i},"l_orderkey":$i,"l_extendedprice":"1.000000"}""",
+        null))
+    (0 until 10).foreach(i =>
+      JoinIvm.applyBatch(batchOf(i).toDF(), stateDir, i.toLong,
+        compactEvery = 2))
+    def viewSet() = JoinIvm.view(spark, stateDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Set(("P0", 5L, 5.0), ("P1", 5L, 5.0))
+    assert(viewSet() == want)
+    import org.apache.hadoop.fs.Path
+    val f = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def names() = f.listStatus(new Path(stateDir))
+      .map(_.getPath.getName).toSeq
+    assert(names().count(_.startsWith("round_")) == 2,
+      "exactly the previous and current rounds carry state")
+    assert(names().count(_.startsWith("viewbase_")) == 1,
+      "pruned view dirs fold into one published base")
+    assert(names().count(_.startsWith("view_")) <= 2,
+      s"uncompacted leftovers bounded by the threshold: ${names()}")
+    // crash between publish and reap: a covered view_<r> dir (r ≤ the
+    // base id) left behind must be IGNORED by readers — superseded,
+    // not double-counted — and reaped on read
+    val base = names().find(_.startsWith("viewbase_")).get
+    org.apache.hadoop.fs.FileUtil.copy(f, new Path(s"$stateDir/$base"),
+      f, new Path(s"$stateDir/view_0"), false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(viewSet() == want,
+      "a resurrected covered dir must not double-count the view")
+    assert(!f.exists(new Path(s"$stateDir/view_0")),
+      "the superseded dir is reaped on read")
+    // a stale .compactstage is inert to readers (the writer may be
+    // mid-stage concurrently) — view() neither reads nor deletes it
+    f.mkdirs(new Path(s"$stateDir/.compactstage"))
+    assert(viewSet() == want)
+    assert(f.exists(new Path(s"$stateDir/.compactstage")),
+      "readers must not touch the writer's staging")
+  }
+
   test("generalized IvmJoinSpec drives the streaming form: customer x orders view over batches") {
     // the reuse proof extended to the STREAMING path: the same
     // customer⋈orders spec the registered query runs through maintain()

@@ -2901,6 +2901,55 @@ object Queries {
         | FROM events GROUP BY user_id ORDER BY user_id"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // St2, the BUCKETED deferred-JSON consumer in the gate: the same
+    // wire-minimal log as st_cdc_binlog_partial_minimal, but the
+    // reconstruction runs through the production-shape state — three
+    // seq-ordered micro-batches folded into the bucketed applyBatch
+    // table (touched-buckets-only rewrites, recorded count, per-key
+    // seq gate), then the THIRD batch REPLAYED (an at-least-once
+    // redelivery: the gate must skip the already-applied events, or
+    // double-applied diffs corrupt every replayed document and the
+    // hash breaks). Same oracle as the one-shot fold.
+    Q("st_cdc_partial_minimal_bucketed",
+      (s, d) => {
+        val dir = graft.streaming.MysqlBinlogFixture
+          .encodeEventsPartialMinimal(s, d)
+        val scratch = graft.ops.CoreOps
+          .scratchDirUnique("partial_bucketed")
+        s.read
+          .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
+          .option("path", dir).load()
+          .filter(col("table") === "events")
+          .select(col("src"), col("key"), col("seq"), col("payload"))
+          // batch id = thirds of the global seq order: per-key event
+          // order (a single server's log order) survives the split,
+          // which is the deferred fold's stream contract
+          .withColumn("b", ntile(3).over(
+            Window.orderBy(col("seq"), col("src"), col("key"))))
+          .write.parquet(s"$scratch/changes")
+        val changes = s.read.parquet(s"$scratch/changes")
+        val stateDir = s"$scratch/state"
+        import graft.streaming.CdcPipeline
+        (1 to 3).foreach { b =>
+          CdcPipeline.applyDeferredJsonBucketed(
+            changes.filter(col("b") === b), "props", stateDir,
+            numBuckets = 16)
+        }
+        CdcPipeline.applyDeferredJsonBucketed(
+          changes.filter(col("b") === 3), "props", stateDir) // redelivery
+        CdcPipeline.deferredJsonStateBucketed(s, stateDir)
+          .select(col("key").as("user_id"), col("doc").as("props"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+        | '{"n":' || CAST(count(*) AS VARCHAR) ||
+        | ',"last":' || CAST(list_extract(list(event_id ORDER BY ts, event_id),
+        |   CAST(count(*) AS INT)) AS VARCHAR) ||
+        | ',"types":[' || string_agg('"' || substr(event_type, 1, 1) || '"',
+        |   ',' ORDER BY ts, event_id) || ']}' AS props
+        | FROM events GROUP BY user_id ORDER BY user_id"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // St2, MID-LOG SCHEMA EVOLUTION consumed to a unified view (judge
     // r10 item 7): each server's log starts WITHOUT the props column,
     // carries the ALTER as a QUERY event, and continues with it under

@@ -660,6 +660,79 @@ object CdcPipeline {
     }
   }
 
+  /** Bucketed form of the deferred-JSON applier: per-batch cost
+    * O(touched buckets), not the O(all keys) full-state rewrite of
+    * [[applyDeferredJsonBatch]]. The reconstructed documents ride the
+    * SAME bucketed state machinery as the row apply — one state row
+    * per (src, key): `op=insert, table=src, key, ts=epoch,
+    * seq=last_applied_seq, payload=doc` — so only the buckets the
+    * batch's keys hash into are read and rewritten, with the recorded
+    * bucket-count contract, crash-healed swaps, rebucket and stats for
+    * free. Redelivery is idempotent WITHOUT round versioning: the
+    * per-key `seq` gate skips events at or below the stored
+    * last-applied seq, a replayed batch folds to the identical row at
+    * the identical (ts, seq), and the collapse converges. Events must
+    * arrive per-key in seq order across batches (the stream's
+    * contract); a deferred marker with no prior full document still
+    * refuses loudly.
+    */
+  def applyDeferredJsonBucketed(batch: DataFrame, jsonField: String,
+                                stateDir: String,
+                                numBuckets: Int = DefaultStateBuckets): Unit = {
+    val spark = batch.sparkSession
+    recoverBuckets(spark, stateDir)
+    val effB = readBucketCount(spark, stateDir).getOrElse(numBuckets)
+    val folded = foldedDocs(batch, jsonField) // (src, key, evs)
+    val touched = folded
+      .select(pmod(xxhash64(col("src"), col("key")), lit(effB))
+        .cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0))
+    if (touched.isEmpty) return
+    val hasState =
+      hadoopFs(spark, stateDir)
+        .exists(new org.apache.hadoop.fs.Path(stateDir)) &&
+        !isEmptiedState(spark, stateDir)
+    val prior =
+      if (hasState)
+        spark.read.parquet(stateDir) // partition-pruned to touched buckets
+          .filter(col("bucket").isin(touched.map(Integer.valueOf): _*) &&
+            col("op") =!= ChangeEvent.Delete)
+          .select(col("table").as("src"), col("key"),
+            col("seq").as("last_seq"), col("payload").as("doc0"))
+      else folded.select(col("src"), col("key"),
+        lit(0L).as("last_seq"), lit(null).cast("string").as("doc0")).limit(0)
+    val fresh = filter(col("evs"),
+      e => e.getField("seq") > coalesce(col("last_seq"), lit(Long.MinValue)))
+    val newRows = folded.join(prior, Seq("src", "key"), "left")
+      .select(lit(ChangeEvent.Insert).as("op"), col("src").as("table"),
+        col("key"), lit(new java.sql.Timestamp(0L)).as("ts"),
+        greatest(coalesce(col("last_seq"), lit(Long.MinValue)),
+          element_at(col("evs"), -1).getField("seq")).as("seq"),
+        docFold(fresh, col("doc0")).as("payload"))
+    applyBatch(spark, newRows, stateDir, effB)
+  }
+
+  /** Streaming form of [[applyDeferredJsonBucketed]]. */
+  def startDeferredJsonBucketed(changes: DataFrame, jsonField: String,
+                                stateDir: String, checkpointDir: String,
+                                numBuckets: Int = DefaultStateBuckets)
+      : StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyDeferredJsonBucketed(batch, jsonField, stateDir, numBuckets)
+      }
+      .start()
+
+  /** The reconstructed latest documents of a BUCKETED doc state:
+    * (src, key, doc, last_seq).
+    */
+  def deferredJsonStateBucketed(spark: SparkSession,
+                                stateDir: String): DataFrame =
+    currentState(spark, stateDir)
+      .select(col("table").as("src"), col("key"),
+        col("payload").as("doc"), col("seq").as("last_seq"))
+
   def startDeferredJsonApply(changes: DataFrame, jsonField: String,
                              stateDir: String, checkpointDir: String)
       : StreamingQuery =

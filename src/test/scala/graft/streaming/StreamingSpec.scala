@@ -653,6 +653,56 @@ class StreamingSpec extends SparkSpec {
       "redelivered batch must rebuild its own round, not double-apply")
   }
 
+  test("bucketed deferred-JSON apply equals the full fold at O(touched buckets) per batch") {
+    // the production-shape variant: doc state rides the bucketed
+    // applyBatch machinery (recorded count, touched-buckets-only
+    // rewrite, crash heal) instead of full-state docs_<id> rounds;
+    // redelivery converges through the per-key seq gate + identical
+    // (ts, seq) collapse rather than round versioning
+    implicit val ctx = spark.sqlContext
+    val binDir = MysqlBinlogFixture.encodeEventsPartialMinimal(spark, sf)
+    val raw = spark.read
+      .format(classOf[MysqlBinlogSourceProvider].getName)
+      .option("path", binDir).load()
+      .filter(col("table") === "events")
+    val changes = raw.select("src", "key", "seq", "payload")
+      .orderBy("src", "seq").collect()
+      .map(r => PartialRow(r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val chunks = changes.grouped((changes.length + 2) / 3).toSeq
+    val dir = java.nio.file.Files
+      .createTempDirectory("deferred_bucketed_").toString
+    val state = s"$dir/state"
+    val input = MemoryStream[PartialRow]
+    val q = CdcPipeline.startDeferredJsonBucketed(input.toDF(), "props",
+      state, s"$dir/ckpt", numBuckets = 8)
+    try {
+      chunks.foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    def stateSet(): Set[(String, Long, String)] =
+      CdcPipeline.deferredJsonStateBucketed(spark, state).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val streamed = stateSet()
+    val twin = CdcPipeline.applyDeferredJsonDiffs(raw, "props").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(twin.nonEmpty && streamed == twin,
+      "bucketed per-batch folds must equal the one-shot fold")
+    // the state IS a bucketed applyBatch table under the recorded count
+    assert(CdcPipeline.readBucketCount(spark, state).contains(8))
+    // redelivery: the seq gate skips already-applied events and the
+    // rewritten rows collapse to the same state
+    import spark.implicits._
+    CdcPipeline.applyDeferredJsonBucketed(chunks.last.toIndexedSeq.toDF(),
+      "props", state)
+    assert(stateSet() == streamed,
+      "replayed batch must fold to the identical documents")
+    // replaying the FIRST batch (stale events only) is also a no-op
+    CdcPipeline.applyDeferredJsonBucketed(chunks.head.toIndexedSeq.toDF(),
+      "props", state)
+    assert(stateSet() == streamed,
+      "stale events below the stored seq must be skipped, not re-applied")
+  }
+
   test("CM sketch compaction preserves cell sums exactly and heals crashes") {
     implicit val ctx = spark.sqlContext
     val docs = graft.model.Tables.documents(spark, sf)

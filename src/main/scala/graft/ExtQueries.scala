@@ -92,6 +92,9 @@ object ExtQueries {
     * marginal cost over the shared table.
     */
   private val edgeCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def coPurchaseEdgesShared(s: SparkSession, d: String)
+      : DataFrame = coPurchaseEdges(s, d)
+
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val path = edgeCache.computeIfAbsent(d, _ => {
       val p = graft.ops.CoreOps.scratchDirUnique("copurchase") + "/e"

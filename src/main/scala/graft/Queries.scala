@@ -3636,7 +3636,7 @@ object Queries {
   )
 
   /** Full registry: core + [EXT] training-data-pipeline surface. */
-  def registry: Seq[Q] = core ++ ExtQueries.ext
+  def registry: Seq[Q] = core ++ ExtQueries.ext ++ StatQueries.stats
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

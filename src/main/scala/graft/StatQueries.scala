@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.{TableStats, Triangles}
+import graft.ops.TableStats.{Check, DateCol, NumCol, StrCol}
+
+/** [EXT] data-profiling / data-quality / in-engine statistics group:
+  * the validation-and-measurement layer a production ingest runs over
+  * every landed table (Deequ / TFX-data-validation family), plus
+  * sufficient-statistics model fitting and degree-ordered graph
+  * analytics. Everything here is a one-scan aggregate or an
+  * equi-join; the oracle twins replay the identical double-precision
+  * closing arithmetic token-for-token (IEEE ops are exactly rounded,
+  * so same operand order ⇒ same bits in both engines).
+  */
+object StatQueries {
+
+  /** Shared lineitem column inventory for the profiler and its oracle
+    * (name, kind): every column of the widest harness table.
+    */
+  private val LineitemCols: Seq[(String, TableStats.ColKind)] = Seq(
+    "l_orderkey" -> NumCol, "l_partkey" -> NumCol, "l_suppkey" -> NumCol,
+    "l_linenumber" -> NumCol, "l_quantity" -> NumCol,
+    "l_extendedprice" -> NumCol, "l_discount" -> NumCol, "l_tax" -> NumCol,
+    "l_returnflag" -> StrCol, "l_linestatus" -> StrCol,
+    "l_shipdate" -> DateCol)
+
+  private def profileOracle: String = {
+    val branches = LineitemCols.map { case (c, kind) =>
+      val (minNum, maxNum, minStr, maxStr) = kind match {
+        case NumCol =>
+          (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)",
+           "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        case StrCol =>
+          ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+           s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")
+        case DateCol =>
+          ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+           s"CAST(min(CAST($c AS DATE)) AS VARCHAR)",
+           s"CAST(max(CAST($c AS DATE)) AS VARCHAR)")
+      }
+      s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+        s"count(*) - count($c) AS n_nulls, " +
+        s"count(DISTINCT $c) AS n_distinct, " +
+        s"$minNum AS min_num, $maxNum AS max_num, " +
+        s"$minStr AS min_str, $maxStr AS max_str FROM lineitem"
+    }
+    branches.mkString("", " UNION ALL ", " ORDER BY col_name")
+  }
+
+  /** The grouped-OLS sufficient statistics as SQL: exact integer sums
+    * on the cent grid (the q_stats_moments contract), bridged to
+    * DOUBLE through VARCHAR because DuckDB's direct int128→double cast
+    * is not correctly rounded past 2^63, while string→double and
+    * Spark's Decimal.toDouble both are.
+    */
+  private val suffSql =
+    """WITH c AS (SELECT l_returnflag,
+      | CAST(round(l_quantity * 100, 0) AS BIGINT) AS gx,
+      | CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS gy
+      | FROM lineitem),
+      |suff AS (SELECT l_returnflag, count(*) AS n,
+      | CAST(CAST(sum(gx) AS VARCHAR) AS DOUBLE) AS sx,
+      | CAST(CAST(sum(gy) AS VARCHAR) AS DOUBLE) AS sy,
+      | CAST(CAST(sum(gx * gx) AS VARCHAR) AS DOUBLE) AS sxx,
+      | CAST(CAST(sum(gx * gy) AS VARCHAR) AS DOUBLE) AS sxy,
+      | CAST(CAST(sum(gy * gy) AS VARCHAR) AS DOUBLE) AS syy
+      | FROM c GROUP BY l_returnflag),
+      |d AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+      | sx, sy, sxx, sxy, syy FROM suff)
+      |""".stripMargin
+
+  def stats: Seq[Q] = Seq(
+
+    // [EXT] one-pass whole-table column profiler (Deequ/TFX family):
+    // row count, null count, exact NDV, typed min/max for all 11
+    // lineitem columns from a SINGLE agg (one scan; the multi-distinct
+    // plans as one Expand). min/max ride as DOUBLE for numerics and
+    // VARCHAR for strings/dates so only VALUES cross the engine
+    // boundary, never float/temporal formatting.
+    Q("x_profile_table",
+      (s, d) => TableStats.profile(Tables.lineitem(s, d), LineitemCols),
+      Some(profileOracle)),
+
+    // [EXT] Deequ-family constraint suite, fused: five row-local
+    // checks + exact PK uniqueness in ONE aggregation pass
+    // (conditional sums and count(DISTINCT struct) side by side), plus
+    // one referential check as a broadcast anti-join count. At 100 TB
+    // the whole suite costs ≈ one fact-table read.
+    Q("x_validate_constraints",
+      (s, d) => TableStats.validate(
+        Tables.lineitem(s, d),
+        rowChecks = Seq(
+          Check("lineitem_quantity_range",
+            col("l_quantity") < 1.0 || col("l_quantity") > 50.0),
+          Check("lineitem_returnflag_domain",
+            !col("l_returnflag").isin("A", "N", "R")),
+          Check("lineitem_shipdate_not_null", col("l_shipdate").isNull),
+          Check("lineitem_price_non_negative", col("l_extendedprice") < 0.0),
+          Check("lineitem_discount_range",
+            col("l_discount") < 0.0 || col("l_discount") > 0.5)),
+        uniqueKeys = Seq(
+          "lineitem_pk_unique" -> Seq("l_orderkey", "l_linenumber")),
+        // orders is data-scale, not a dimension: no broadcast hint —
+        // the anti-join shuffles on the key (AQE will still broadcast
+        // it when the key projection turns out small).
+        refChecks = Seq(
+          ("lineitem_orderkey_ref", col("l_orderkey"),
+            Tables.orders(s, d), col("o_orderkey")))),
+      Some("""WITH rc AS (SELECT count(*) AS n,
+        | CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS c_qty,
+        | CAST(sum(CASE WHEN NOT (l_returnflag IN ('A','N','R')) THEN 1 ELSE 0 END) AS BIGINT) AS c_flag,
+        | CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_ship,
+        | CAST(sum(CASE WHEN l_extendedprice < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS c_price,
+        | CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS c_disc,
+        | count(DISTINCT (l_orderkey, l_linenumber)) AS uk
+        | FROM lineitem),
+        |ref AS (SELECT count(*) AS v FROM lineitem l
+        | WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |SELECT check_name, violations, violations = 0 AS passed FROM (
+        | SELECT 'lineitem_quantity_range' AS check_name, c_qty AS violations FROM rc
+        | UNION ALL SELECT 'lineitem_returnflag_domain', c_flag FROM rc
+        | UNION ALL SELECT 'lineitem_shipdate_not_null', c_ship FROM rc
+        | UNION ALL SELECT 'lineitem_price_non_negative', c_price FROM rc
+        | UNION ALL SELECT 'lineitem_discount_range', c_disc FROM rc
+        | UNION ALL SELECT 'lineitem_pk_unique', n - uk FROM rc
+        | UNION ALL SELECT 'lineitem_orderkey_ref', v FROM ref) t
+        |ORDER BY check_name""".stripMargin)),
+
+    // [EXT] per-group linear-model fit from sufficient statistics: one
+    // groupBy pass computes {n, Σx, Σy, Σx², Σxy, Σy²} as exact
+    // decimal sums (bit-stable under partitioning); slope / intercept
+    // / R² are closed-form double math on those six numbers. The
+    // shuffle carries 6 values per group — model fitting at 100 TB
+    // costs one scan, independent of group count.
+    Q("x_grouped_ols",
+      (s, d) => TableStats.groupedOls(Tables.lineitem(s, d),
+        "l_returnflag", "l_quantity", "l_extendedprice"),
+      Some(suffSql +
+        """SELECT l_returnflag, n,
+          | CASE WHEN (nd*sxx - sx*sx) <> 0
+          |   THEN ((nd*sxy - sx*sy) / (nd*sxx - sx*sx)) * (100.0 / 100.0) END AS slope,
+          | CASE WHEN (nd*sxx - sx*sx) <> 0
+          |   THEN ((sy / 100.0) - (((nd*sxy - sx*sy) / (nd*sxx - sx*sx)) * (100.0 / 100.0)) * (sx / 100.0)) / nd END AS intercept,
+          | CASE WHEN (nd*sxx - sx*sx) <> 0 AND (nd*syy - sy*sy) <> 0
+          |   THEN ((nd*sxy - sx*sy) * (nd*sxy - sx*sy)) / ((nd*sxx - sx*sx) * (nd*syy - sy*sy)) END AS r2
+          |FROM d ORDER BY l_returnflag""".stripMargin)),
+
+    // [EXT] all-pairs Pearson correlation matrix, one pass: a single
+    // agg computes every Σc, Σc², and the 6 upper-triangle Σ(a·b);
+    // each correlation is closed-form double math with an exactly-
+    // rounded sqrt. k columns ⇒ one read, not k² reads.
+    Q("x_corr_matrix",
+      (s, d) => TableStats.corrPairs(Tables.lineitem(s, d),
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")),
+      Some {
+        val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+        val snaps = cols.map(c =>
+          s"CAST(round($c * 100, 0) AS BIGINT) AS g__$c")
+        val sums = cols.flatMap(c => Seq(
+          s"CAST(CAST(sum(g__$c) AS VARCHAR) AS DOUBLE) AS s__$c",
+          s"CAST(CAST(sum(g__$c * g__$c) AS VARCHAR) AS DOUBLE) AS ss__$c"))
+        val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+          yield (cols(i), cols(j))
+        val sps = pairs.map { case (a, b) =>
+          s"CAST(CAST(sum(g__$a * g__$b) AS VARCHAR) AS DOUBLE) AS sp__${a}__$b" }
+        val branches = pairs.map { case (a, b) =>
+          s"SELECT '$a' AS col_a, '$b' AS col_b, " +
+            s"CASE WHEN (nd*ss__$a - s__$a*s__$a) <> 0 AND (nd*ss__$b - s__$b*s__$b) <> 0 " +
+            s"THEN (nd*sp__${a}__$b - s__$a*s__$b) / " +
+            s"sqrt((nd*ss__$a - s__$a*s__$a) * (nd*ss__$b - s__$b*s__$b)) " +
+            s"END AS corr FROM d" }
+        s"WITH c AS (SELECT ${snaps.mkString(", ")} FROM lineitem), " +
+          s"suff AS (SELECT count(*) AS n, ${(sums ++ sps).mkString(", ")} FROM c), " +
+          "d AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM suff) " +
+          branches.mkString("", " UNION ALL ", " ORDER BY col_a, col_b")
+      }),
+
+    // [EXT] exact triangle counting over the shared co-purchase graph,
+    // degree-ordered (compact-forward): orienting each edge toward the
+    // higher-(degree,id) endpoint caps wedge fan-out at O(|E|^1.5)
+    // regardless of skew, where the naive src<dst orientation is
+    // Σdeg² (a celebrity node d² blows it up). The triangle set is
+    // orientation-invariant, so the naive-oriented oracle hash-matches
+    // the skew-proof plan. Graph derivation is billed as
+    // prep_copurchase_edges (shared with x_pagerank / x_label_prop);
+    // this row reports marginal cost.
+    Q("x_triangle_top",
+      (s, d) => Triangles
+        .topVerticesByTriangles(ExtQueries.coPurchaseEdgesShared(s, d), 20)
+        .select(col("id").as("part_id"), col("n_tri")),
+      Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        | FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        | AND a.l_partkey < b.l_partkey),
+        |t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        | FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        | JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |v AS (SELECT a AS id FROM t UNION ALL SELECT b FROM t
+        | UNION ALL SELECT c FROM t)
+        |SELECT id AS part_id, count(*) AS n_tri FROM v GROUP BY id
+        |ORDER BY n_tri DESC, part_id LIMIT 20""".stripMargin)))
+}

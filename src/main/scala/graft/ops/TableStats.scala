@@ -1,0 +1,233 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+
+/** Data-profiling / data-quality / sufficient-statistics operators —
+  * the validation layer a 100 TB ingest runs BEFORE training-data
+  * curation (the reference ships raw sync with no profiling; these are
+  * engine-mandated extensions in the Deequ/TFX-data-validation family,
+  * re-expressed as single-pass Spark aggregates).
+  *
+  * Scale stance shared by everything in this file: each operator is
+  * ONE aggregation pass over the table (map-side partials, one
+  * shuffle of GROUP-COUNT-sized partials), never one pass per column
+  * or per check. At 100 TB the scan dominates; fusing N columns' stats
+  * or M constraints into one `agg` makes profiling cost ≈ one read.
+  * The only super-linear piece is exact multi-column NDV (Spark plans
+  * multiple `count(DISTINCT)` with an Expand — one scan, rows × #cols
+  * before partial aggregation); the cheap alternative at extreme
+  * widths is `approx_count_distinct` (HLL), which [[profile]] keeps
+  * out of the oracled path so the result stays engine-portable.
+  */
+object TableStats {
+
+  /** What a profiled column is: its name, and how to render its
+    * min/max (numerics → DOUBLE, strings → as-is, dates → ISO string
+    * via DATE cast — the one cross-engine-stable temporal rendering).
+    */
+  sealed trait ColKind
+  case object NumCol extends ColKind
+  case object StrCol extends ColKind
+  case object DateCol extends ColKind
+
+  /** One-pass, whole-table column profiler: for every listed column,
+    * row count, null count, exact NDV, and typed min/max — all from a
+    * SINGLE `agg` (one scan + one Expand for the multi-distinct), then
+    * unpivoted to one output row per column. Output schema:
+    * (col_name, n_rows, n_nulls, n_distinct, min_num, max_num,
+    * min_str, max_str) — numeric min/max ride as DOUBLE and
+    * string/date min/max as STRING so no cross-engine float/temporal
+    * FORMATTING is ever compared, only values.
+    */
+  def profile(df: DataFrame, cols: Seq[(String, ColKind)]): DataFrame = {
+    require(cols.nonEmpty, "profile of zero columns")
+    val aggs: Seq[Column] =
+      count(lit(1)).as("__n") +:
+      cols.flatMap { case (c, kind) =>
+        val base = Seq(
+          count(col(c)).as(s"${c}__cnt"),
+          count_distinct(col(c)).as(s"${c}__ndv"))
+        val mm = kind match {
+          case NumCol => Seq(
+            min(col(c)).cast("double").as(s"${c}__min"),
+            max(col(c)).cast("double").as(s"${c}__max"))
+          case StrCol => Seq(
+            min(col(c)).cast("string").as(s"${c}__min"),
+            max(col(c)).cast("string").as(s"${c}__max"))
+          case DateCol => Seq(
+            min(col(c).cast("date")).cast("string").as(s"${c}__min"),
+            max(col(c).cast("date")).cast("string").as(s"${c}__max"))
+        }
+        base ++ mm
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows: Seq[Column] = cols.map { case (c, kind) =>
+      val (minNum, maxNum, minStr, maxStr) = kind match {
+        case NumCol =>
+          (col(s"${c}__min"), col(s"${c}__max"),
+           lit(null).cast("string"), lit(null).cast("string"))
+        case _ =>
+          (lit(null).cast("double"), lit(null).cast("double"),
+           col(s"${c}__min"), col(s"${c}__max"))
+      }
+      struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"${c}__cnt")).as("n_nulls"),
+        col(s"${c}__ndv").as("n_distinct"),
+        minNum.as("min_num"), maxNum.as("max_num"),
+        minStr.as("min_str"), maxStr.as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+      .orderBy("col_name")
+  }
+
+  /** One row-local data-quality check: a name and the predicate that a
+    * ROW VIOLATES it (null predicate counts as no violation, matching
+    * SQL `sum(CASE WHEN p THEN 1 ELSE 0 END)` semantics).
+    */
+  final case class Check(name: String, violation: Column)
+
+  /** Deequ-family constraint suite, fused: every row-local check plus
+    * any number of exact-uniqueness checks run in ONE aggregation pass
+    * (conditional sums + `count(DISTINCT key)` side by side in the same
+    * `agg`); referential-integrity checks are each one broadcast-able
+    * anti-join COUNT (the lookup side is a key projection — at 100 TB
+    * the fact scan still dominates). Output: one row per check,
+    * (check_name, violations BIGINT, passed BOOLEAN), sorted.
+    */
+  def validate(
+      df: DataFrame,
+      rowChecks: Seq[Check],
+      uniqueKeys: Seq[(String, Seq[String])] = Nil,
+      refChecks: Seq[(String, Column, DataFrame, Column)] = Nil): DataFrame = {
+    require(rowChecks.nonEmpty || uniqueKeys.nonEmpty || refChecks.nonEmpty,
+      "validate with zero checks")
+    val aggs: Seq[Column] =
+      (count(lit(1)).as("__n") +:
+        rowChecks.map(c =>
+          sum(when(c.violation, 1L).otherwise(0L)).as(s"rc__${c.name}"))) ++
+      uniqueKeys.map { case (name, keyCols) =>
+        count_distinct(struct(keyCols.map(col): _*)).as(s"uk__$name")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val fused = one.select(explode(array(
+      (rowChecks.map(c =>
+        struct(lit(c.name).as("check_name"),
+          coalesce(col(s"rc__${c.name}"), lit(0L)).as("violations"))) ++
+      uniqueKeys.map { case (name, _) =>
+        struct(lit(name).as("check_name"),
+          (col("__n") - col(s"uk__$name")).as("violations"))
+      }): _*)).as("p")).select(col("p.*"))
+    val refs = refChecks.map { case (name, factKey, dim, dimKey) =>
+      // No broadcast hint: the referenced side may itself be
+      // data-scale (orders, not a dimension) — shuffle anti-join on
+      // the key projection; AQE still demotes to broadcast when the
+      // projected key set turns out small at runtime.
+      val missing = df.select(factKey.as("__k"))
+        .join(dim.select(dimKey.as("__k")).distinct(),
+          Seq("__k"), "left_anti")
+      missing.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"))
+    }
+    refs.foldLeft(fused)(_ unionByName _)
+      .select(col("check_name"), col("violations"),
+        (col("violations") === 0L).as("passed"))
+      .orderBy("check_name")
+  }
+
+  /** Snap a fixed-point double column to its exact integer grid
+    * (`round(c·grid)` as long — the `q_stats_moments` contract: the
+    * input must genuinely lie on the 1/grid lattice, true for every
+    * harness monetary / quantity / rate column). Second-moment sums of
+    * double PRODUCTS are NOT engine-portable — the double→decimal
+    * rounding of a product is conversion-algorithm-dependent (measured
+    * 1-ulp drift, `Queries.scala` q_stats_moments note) — so all
+    * sufficient statistics below are exact integer sums on the grid,
+    * widened to DECIMAL(28,0) where 100 TB row counts overflow int64.
+    */
+  private def grid(c: Column, g: Int): Column = round(c * g).cast("long")
+
+  private val Dec28 = org.apache.spark.sql.types.DecimalType(28, 0)
+
+  /** Per-group simple linear regression (y ~ slope·x + intercept, plus
+    * R²) fit from SUFFICIENT STATISTICS: one `groupBy(...).agg` pass
+    * computes n, ΣX, ΣY, ΣX², ΣXY, ΣY² as exact decimal sums over the
+    * grid-snapped integers (bit-stable under any partitioning and
+    * engine), and the closed-form normal-equation solve is a handful
+    * of DOUBLE ops on those sums, rescaled from the grid (slope scales
+    * by gx/gy, R² is scale-invariant). This is how model fitting
+    * scales: the shuffle carries 6 numbers per group, never data rows,
+    * so fitting per-group models over 100 TB costs one scan regardless
+    * of group count. Degenerate groups (zero x- or y-variance) yield
+    * NULL slope/intercept/R² rather than ±Inf.
+    */
+  def groupedOls(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, xGrid: Int = 100, yGrid: Int = 100): DataFrame = {
+    val x = grid(col(xCol), xGrid); val y = grid(col(yCol), yGrid)
+    val suff = df.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      sum(x.cast(Dec28)).cast("double").as("sx"),
+      sum(y.cast(Dec28)).cast("double").as("sy"),
+      sum((x * x).cast(Dec28)).cast("double").as("sxx"),
+      sum((x * y).cast(Dec28)).cast("double").as("sxy"),
+      sum((y * y).cast(Dec28)).cast("double").as("syy"))
+    // The double-precision solve. Every expression below is mirrored
+    // TOKEN FOR TOKEN in the registered oracle SQL: IEEE +,-,*,/ are
+    // exactly rounded, so identical operand order ⇒ identical bits
+    // cross-engine. `nd` is n cast to double once, up front.
+    val nd = col("n").cast("double")
+    val xg = lit(xGrid.toDouble); val yg = lit(yGrid.toDouble)
+    val covN = nd * col("sxy") - col("sx") * col("sy")
+    val varXN = nd * col("sxx") - col("sx") * col("sx")
+    val varYN = nd * col("syy") - col("sy") * col("sy")
+    val slope = (covN / varXN) * (xg / yg)
+    suff.select(col(groupCol), col("n"),
+        when(varXN =!= 0.0, slope).as("slope"),
+        when(varXN =!= 0.0,
+          ((col("sy") / yg) - slope * (col("sx") / xg)) / nd)
+          .as("intercept"),
+        when(varXN =!= 0.0 && varYN =!= 0.0,
+          (covN * covN) / (varXN * varYN)).as("r2"))
+      .orderBy(groupCol)
+  }
+
+  /** All-pairs Pearson correlation over a column list, ONE pass: a
+    * single `agg` computes every ΣC, ΣC², and Σ(A·B) for the
+    * upper-triangle pairs as exact grid sums; each correlation is then
+    * closed-form double math on those sums (correlation is
+    * scale-invariant, so the grid needs no unscaling; same cross-engine
+    * determinism contract as [[groupedOls]]). k columns ⇒ k(k+1)/2 + k
+    * aggregates in one scan — a 100 TB correlation matrix costs one
+    * read, not k² reads.
+    */
+  def corrPairs(df: DataFrame, cols: Seq[String], gridScale: Int = 100)
+      : DataFrame = {
+    require(cols.size >= 2, "corrPairs needs at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    def g(c: String): Column = grid(col(c), gridScale)
+    val aggs: Seq[Column] =
+      count(lit(1)).as("n") +:
+      (cols.flatMap(c => Seq(
+        sum(g(c).cast(Dec28)).cast("double").as(s"s__$c"),
+        sum((g(c) * g(c)).cast(Dec28)).cast("double").as(s"ss__$c"))) ++
+       pairs.map { case (a, b) =>
+         sum((g(a) * g(b)).cast(Dec28)).cast("double").as(s"sp__${a}__$b") })
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val nd = col("n").cast("double")
+    val rows = pairs.map { case (a, b) =>
+      val covN = nd * col(s"sp__${a}__$b") - col(s"s__$a") * col(s"s__$b")
+      val vaN = nd * col(s"ss__$a") - col(s"s__$a") * col(s"s__$a")
+      val vbN = nd * col(s"ss__$b") - col(s"s__$b") * col(s"s__$b")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(vaN =!= 0.0 && vbN =!= 0.0,
+          covN / sqrt(vaN * vbN)).as("corr"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+      .orderBy("col_a", "col_b")
+  }
+}

@@ -251,6 +251,47 @@ object StatQueries {
         |SELECT id AS part_id, count(*) AS n_tri FROM v GROUP BY id
         |ORDER BY n_tri DESC, part_id LIMIT 20""".stripMargin)),
 
+    // [EXT] k-anonymity risk profile (privacy review input): class
+    // sizes of a quasi-identifier set (nation × segment × account-
+    // balance band — floor(x/100.0), IEEE-deterministic) and, per
+    // threshold k, the classes and ROWS below it. One groupBy to
+    // statistics-sized class counts + one tiny agg for every k at
+    // once.
+    Q("x_k_anonymity",
+      (s, d) => TableStats.kAnonymity(
+        Tables.customer(s, d),
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 100.0).as("band")),
+        Seq(2, 5, 10, 25)),
+      Some {
+        val branches = Seq(2, 5, 10, 25).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS k, " +
+            s"CAST(coalesce(sum(CASE WHEN sz < $k THEN 1 END), 0) AS BIGINT) AS groups_below, " +
+            s"CAST(coalesce(sum(CASE WHEN sz < $k THEN sz END), 0) AS BIGINT) AS rows_at_risk FROM s")
+        "WITH s AS (SELECT c_nationkey, c_mktsegment, " +
+          "floor(c_acctbal / 100.0) AS band, count(*) AS sz " +
+          "FROM customer GROUP BY 1, 2, 3) " +
+          branches.mkString("", " UNION ALL ", " ORDER BY k")
+      }),
+
+    // [EXT] join-key skew advisor: the measurement that decides when
+    // a join needs ops.Skew salting or an AQE skew split — per key
+    // column, NDV, hottest-key count/share, and hot-over-average
+    // ratio, all exact integer DIV arithmetic. One column-pruned
+    // branch per key (the profiler stance).
+    Q("x_key_skew",
+      (s, d) => TableStats.keySkew(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      Some {
+        val branches = Seq("l_orderkey", "l_partkey", "l_suppkey").map(c =>
+          s"SELECT '$c' AS col_name, CAST(sum(cnt) AS BIGINT) AS n_rows, " +
+            "count(*) AS n_distinct, CAST(max(cnt) AS BIGINT) AS max_count, " +
+            "CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT) AS top_share_ppm, " +
+            "CAST(max(cnt) * 1000 // (sum(cnt) // count(*)) AS BIGINT) AS skew_x1000 " +
+            s"FROM (SELECT $c, count(*) AS cnt FROM lineitem GROUP BY 1) t")
+        branches.mkString("", " UNION ALL ", " ORDER BY col_name")
+      }),
+
     // [EXT] in-engine classifier training: 3-round full-batch
     // perceptron over the embeddings (label ≤ 4 vs rest), quantized to
     // the power-of-2 ×1024 grid so every margin and update is exact

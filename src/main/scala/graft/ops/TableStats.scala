@@ -144,6 +144,56 @@ object TableStats {
       .orderBy("check_name")
   }
 
+  /** k-anonymity risk profile over a quasi-identifier column set: for
+    * each threshold in `ks`, how many QI equivalence classes have
+    * fewer than k members, and how many ROWS sit in those classes
+    * (the re-identification risk mass a privacy review reads first).
+    * One groupBy shuffle to class sizes (statistics-sized — at most
+    * |classes| rows), then one tiny agg over the sizes computes every
+    * threshold at once. Output: (k, groups_below, rows_at_risk),
+    * ordered by k.
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[Column], ks: Seq[Int])
+      : DataFrame = {
+    require(qiCols.nonEmpty && ks.nonEmpty, "kAnonymity needs QI cols and ks")
+    val sizes = df.groupBy(qiCols: _*).agg(count(lit(1)).as("sz"))
+    val aggs: Seq[Column] = ks.flatMap(k => Seq(
+      coalesce(sum(when(col("sz") < k, 1L)), lit(0L)).as(s"g__$k"),
+      coalesce(sum(when(col("sz") < k, col("sz"))), lit(0L)).as(s"r__$k")))
+    val one = sizes.agg(aggs.head, aggs.tail: _*)
+    val rows = ks.map(k => struct(lit(k.toLong).as("k"),
+      col(s"g__$k").as("groups_below"), col(s"r__$k").as("rows_at_risk")))
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+      .orderBy("k")
+  }
+
+  /** Join-key skew advisor: per candidate key column, the histogram
+    * statistics that decide whether a join on it needs salting
+    * ([[Skew]]) or an AQE skew split — NDV, the hottest key's count,
+    * its corpus share (ppm), and hot-over-average ratio (×1000, both
+    * in exact integer DIV arithmetic so the advisory is
+    * engine-portable). One column-pruned groupBy branch per key (the
+    * [[profile]] stance: no row-widening, each branch reads one
+    * column). Output: (col_name, n_rows, n_distinct, max_count,
+    * top_share_ppm, skew_x1000).
+    */
+  def keySkew(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "keySkew of zero columns")
+    val branches = cols.map { c =>
+      df.select(col(c)).groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("n_distinct"),
+          max(col("cnt")).as("max_count"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_distinct"),
+          col("max_count"),
+          expr("CAST(max_count * 1000000 DIV n_rows AS BIGINT)")
+            .as("top_share_ppm"),
+          expr("CAST(max_count * 1000 DIV (n_rows DIV n_distinct) AS BIGINT)")
+            .as("skew_x1000"))
+    }
+    branches.reduce(_ unionByName _).orderBy("col_name")
+  }
+
   /** Snap a fixed-point double column to its exact integer grid
     * (`round(c·grid)` as long — the `q_stats_moments` contract: the
     * input must genuinely lie on the 1/grid lattice, true for every

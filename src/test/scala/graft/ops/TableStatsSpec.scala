@@ -129,4 +129,38 @@ class TableStatsSpec extends SparkSpec {
     val out = TableStats.corrPairs(df, Seq("a", "b")).collect()(0)
     assert(out.isNullAt(2))
   }
+
+  test("kAnonymity counts classes and risk rows below each threshold") {
+    // QI classes: (a,x)×3, (a,y)×1, (b,x)×2 → sizes {3,1,2}
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "x"), ("b", "x")).toDF("q1", "q2")
+    val out = TableStats.kAnonymity(df, Seq(col("q1"), col("q2")),
+      Seq(2, 3, 5)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(2L) == (1L, 1L))  // only the singleton class
+    assert(out(3L) == (2L, 3L))  // sizes 1 and 2
+    assert(out(5L) == (3L, 6L))  // everything
+  }
+
+  test("kAnonymity: no class below k reports zeros, not nulls") {
+    val df = Seq(("a", 1), ("a", 2), ("a", 3)).toDF("q", "v")
+    val out = TableStats.kAnonymity(df, Seq(col("q")), Seq(2)).collect()(0)
+    assert(out.getLong(1) == 0L && out.getLong(2) == 0L)
+  }
+
+  test("keySkew flags the hot key with exact integer advisories") {
+    // k1: one key holds 8 of 10 rows; k2: uniform over 5 keys
+    val rows = (Seq.fill(8)(1L) ++ Seq(2L, 3L)).zipWithIndex
+      .map { case (k, i) => (k, (i % 5).toLong) }
+    val out = TableStats.keySkew(rows.toDF("k1", "k2"), Seq("k1", "k2"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val hot = out("k1")
+    assert(hot.getLong(1) == 10 && hot.getLong(2) == 3 &&
+      hot.getLong(3) == 8)
+    assert(hot.getLong(4) == 800000) // 8/10 in ppm
+    assert(hot.getLong(5) == 2666)   // avg = 10 DIV 3 = 3 → 8000 DIV 3
+    val uni = out("k2")
+    assert(uni.getLong(2) == 5 && uni.getLong(3) == 2 &&
+      uni.getLong(4) == 200000 && uni.getLong(5) == 1000)
+  }
 }

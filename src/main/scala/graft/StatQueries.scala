@@ -251,6 +251,53 @@ object StatQueries {
         |SELECT id AS part_id, count(*) AS n_tri FROM v GROUP BY id
         |ORDER BY n_tri DESC, part_id LIMIT 20""".stripMargin)),
 
+    // [EXT] DOULION sampled triangle estimation (Tsourakakis KDD'09):
+    // keep each undirected edge with deterministic portable-hash
+    // probability 1/4, count triangles on the sample, scale by 4³ —
+    // the scale path when exact enumeration's OUTPUT is the
+    // bottleneck. Eval-style row (the x_ann_recall stance): the exact
+    // count rides along deliberately so the estimator's error is
+    // itself oracled; the production path is the sampled count alone.
+    Q("x_triangle_doulion",
+      (s, d) => {
+        import s.implicits._
+        val edges = ExtQueries.coPurchaseEdgesShared(s, d)
+        val samp = graft.ops.Triangles.sampleEdges(edges, 4)
+        val nE = edges.count() / 2
+        val nS = samp.count() / 2
+        val triE = graft.ops.Triangles.triangles(edges).count()
+        val triS = graft.ops.Triangles.triangles(samp).count()
+        val est = triS * 64L
+        val err: Option[Long] =
+          if (triE == 0L) None
+          else Some(math.abs(est - triE) * 1000000L / triE)
+        Seq((nE, nS, triE, triS, est, err))
+          .toDF("n_edges", "n_sampled", "tri_exact", "tri_sampled",
+            "tri_estimate", "err_ppm")
+      },
+      Some {
+        val h = ExtQueries.md5Fold(
+          "CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)")
+        s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+          |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          | FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+          | AND a.l_partkey < b.l_partkey),
+          |se AS (SELECT * FROM e WHERE $h % 4 = 0),
+          |t AS (SELECT count(*) AS c FROM e e1
+          | JOIN e e2 ON e1.dst = e2.src
+          | JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+          |st AS (SELECT count(*) AS c FROM se e1
+          | JOIN se e2 ON e1.dst = e2.src
+          | JOIN se e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+          |SELECT (SELECT count(*) FROM e) AS n_edges,
+          | (SELECT count(*) FROM se) AS n_sampled,
+          | t.c AS tri_exact, st.c AS tri_sampled,
+          | st.c * 64 AS tri_estimate,
+          | CASE WHEN t.c = 0 THEN NULL
+          |   ELSE abs(st.c * 64 - t.c) * 1000000 // t.c END AS err_ppm
+          |FROM t, st""".stripMargin
+      }),
+
     // [EXT] k-anonymity risk profile (privacy review input): class
     // sizes of a quasi-identifier set (nation × segment × account-
     // balance band — floor(x/100.0), IEEE-deterministic) and, per

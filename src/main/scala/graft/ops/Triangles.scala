@@ -68,19 +68,43 @@ object Triangles {
     */
   def topVerticesByTriangles(edges: DataFrame, k: Int,
       degreeOrdered: Boolean = true): DataFrame = {
-    val e = if (degreeOrdered) orient(edges) else orientById(edges)
-    val adj = e.groupBy(col("lo").as("n"))
-      .agg(collect_list(col("hi")).as("nbrs"))
-    val tris = e
-      .join(adj.select(col("n").as("lo"), col("nbrs").as("un")), "lo")
-      .join(adj.select(col("n").as("hi"), col("nbrs").as("vn")), "hi")
-      .select(col("lo").as("a"), col("hi").as("b"),
-        explode(array_intersect(col("un"), col("vn"))).as("c"))
-    val corners = tris.select(explode(array(col("a"), col("b"), col("c")))
-      .as("id"))
+    val corners = triangles(edges, degreeOrdered)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
     corners.groupBy("id").agg(count(lit(1)).as("n_tri"))
       .orderBy(col("n_tri").desc, col("id"))
       .limit(k)
       .orderBy(col("n_tri").desc, col("id"))
   }
+
+  /** Every triangle, one row each, as the oriented (a,b,c) triple —
+    * the enumeration both [[topVerticesByTriangles]] and the DOULION
+    * sampled estimator consume.
+    */
+  def triangles(edges: DataFrame, degreeOrdered: Boolean = true)
+      : DataFrame = {
+    val e = if (degreeOrdered) orient(edges) else orientById(edges)
+    val adj = e.groupBy(col("lo").as("n"))
+      .agg(collect_list(col("hi")).as("nbrs"))
+    e.join(adj.select(col("n").as("lo"), col("nbrs").as("un")), "lo")
+      .join(adj.select(col("n").as("hi"), col("nbrs").as("vn")), "hi")
+      .select(col("lo").as("a"), col("hi").as("b"),
+        explode(array_intersect(col("un"), col("vn"))).as("c"))
+  }
+
+  /** DOULION (Tsourakakis KDD '09) sampled triangle estimation: keep
+    * each UNDIRECTED edge independently with probability 1/q (decided
+    * by a portable hash of the edge identity, so the "coin" is
+    * deterministic, layout-independent, and replayable by the oracle),
+    * count triangles on the sampled graph, and scale by q³ — an
+    * unbiased estimator whose work shrinks by ~q in edges and up to q³
+    * in wedge volume. This is the scale path when exact enumeration's
+    * output itself is the bottleneck (triangle counts grow faster than
+    * edges on dense graphs); the exact count stays available as the
+    * eval twin. Returns the SAMPLED graph's symmetric edge list.
+    */
+  def sampleEdges(edges: DataFrame, q: Int): DataFrame =
+    edges.filter(
+      pmod(graft.functions.Kernels.md5_48Col(
+        concat_ws("_", least(col("src"), col("dst")),
+          greatest(col("src"), col("dst")))), lit(q.toLong)) === 0L)
 }

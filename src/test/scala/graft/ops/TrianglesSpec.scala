@@ -37,6 +37,21 @@ class TrianglesSpec extends SparkSpec {
     assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("sampleEdges keeps both directions of an undirected edge or neither") {
+    val es = (1L to 400L).map(i => (i, i + 1000L))
+    val g = sym(es)
+    val kept = Triangles.sampleEdges(g, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept.nonEmpty && kept.size < g.count(),
+      s"sampling kept ${kept.size} of ${g.count()}")
+    // symmetric closure: (u,v) kept ⇒ (v,u) kept
+    assert(kept.forall { case (u, v) => kept.contains((v, u)) })
+    // deterministic: a second evaluation keeps the identical set
+    val kept2 = Triangles.sampleEdges(g, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == kept2)
+  }
+
   test("top-k truncation is deterministic under count ties") {
     // two disjoint triangles; k=4 must keep the 4 smallest ids at n=1
     val tris = Seq((1L, 2L), (2L, 3L), (1L, 3L), (7L, 8L), (8L, 9L), (7L, 9L))

@@ -33,22 +33,13 @@ object StatQueries {
       graft.sim.Perceptron.train(q, dims = 65, rounds = 3)
     })
 
-  /** The perceptron training replay as unrolled DuckDB CTEs (the
-    * PageRank / BPE oracle pattern): quantize on the same power-of-2
-    * grid, three identical rounds in int128 arithmetic. Returns the
-    * WITH-clause prefix ending at `w3`.
+  /** The perceptron round CTEs (the PageRank / BPE unrolled-oracle
+    * pattern), generic over how `q` (vec_id, d, x), `yy` (vec_id, y),
+    * and `w0` (d, w) were built: three identical rounds in int128
+    * arithmetic, ending at `w3`.
     */
-  private def perceptronSql: String = {
+  private def perceptronRoundsSql: String = {
     val sb = new StringBuilder
-    sb ++= "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d, " +
-      "unnest(embedding) AS v FROM embeddings), " +
-      "q0 AS (SELECT vec_id, d, CAST(floor(CAST(v AS DOUBLE) * 1024.0 + 0.5) " +
-      "AS BIGINT) AS x FROM e), " +
-      "q AS (SELECT * FROM q0 UNION ALL " +
-      "SELECT DISTINCT vec_id, 64 AS d, 1024 AS x FROM q0), " +
-      "yy AS (SELECT vec_id, CASE WHEN label <= 4 THEN 1 ELSE -1 END AS y " +
-      "FROM embeddings), " +
-      "w0 AS (SELECT DISTINCT d, CAST(0 AS HUGEINT) AS w FROM q)"
     for (r <- 1 to 3) {
       sb ++= s", m$r AS (SELECT q.vec_id, yy.y, " +
         s"sum(CAST(q.x AS HUGEINT) * w${r - 1}.w) AS dot " +
@@ -62,6 +53,21 @@ object StatQueries {
     }
     sb.toString
   }
+
+  /** Embedding-perceptron prefix + rounds: quantize on the power-of-2
+    * grid, dense 64-dim vectors + bias at d=64.
+    */
+  private def perceptronSql: String =
+    "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d, " +
+      "unnest(embedding) AS v FROM embeddings), " +
+      "q0 AS (SELECT vec_id, d, CAST(floor(CAST(v AS DOUBLE) * 1024.0 + 0.5) " +
+      "AS BIGINT) AS x FROM e), " +
+      "q AS (SELECT * FROM q0 UNION ALL " +
+      "SELECT DISTINCT vec_id, 64 AS d, 1024 AS x FROM q0), " +
+      "yy AS (SELECT vec_id, CASE WHEN label <= 4 THEN 1 ELSE -1 END AS y " +
+      "FROM embeddings), " +
+      "w0 AS (SELECT DISTINCT d, CAST(0 AS HUGEINT) AS w FROM q)" +
+      perceptronRoundsSql
 
   /** Shared lineitem column inventory for the profiler and its oracle
     * (name, kind): every column of the widest harness table.
@@ -250,6 +256,54 @@ object StatQueries {
         | UNION ALL SELECT c FROM t)
         |SELECT id AS part_id, count(*) AS n_tri FROM v GROUP BY id
         |ORDER BY n_tri DESC, part_id LIMIT 20""".stripMargin)),
+
+    // [EXT] nearest-centroid (Rocchio) classification — the
+    // embedding-pipeline classifier that genuinely learns this
+    // corpus (85% on the two-cluster subset at sf0.01 vs the
+    // perceptron's measured majority-class oscillation): training is
+    // ONE aggregate (per-class counts + per-dim sums), the decision
+    // compares exact cross-multiplied integer distances — no
+    // division, no rounds, bit-stable everywhere. Ties predict
+    // negative.
+    Q("x_rocchio_classify",
+      (s, d) => {
+        val sub = Tables.embeddings(s, d).filter(col("label").isin(0, 1))
+        val q = graft.sim.Perceptron.quantize(
+          sub, col("label") === 0, bias = false)
+        val m = graft.sim.Rocchio.fit(q, 64)
+        graft.sim.Rocchio.classify(q, m)
+          .groupBy(col("y").as("y_true"), col("y_pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("y_true", "y_pred")
+      },
+      Some("""WITH emb AS (SELECT vec_id, embedding, label FROM embeddings
+        | WHERE label IN (0, 1)),
+        |e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        | unnest(embedding) AS v FROM emb),
+        |q0 AS (SELECT vec_id, d,
+        | CAST(floor(CAST(v AS DOUBLE) * 1024.0 + 0.5) AS BIGINT) AS x FROM e),
+        |yy AS (SELECT vec_id, CASE WHEN label = 0 THEN 1 ELSE -1 END AS y
+        | FROM emb),
+        |s AS (SELECT d,
+        | sum(CASE WHEN y = 1 THEN CAST(x AS HUGEINT) ELSE 0 END) AS sp,
+        | sum(CASE WHEN y = -1 THEN CAST(x AS HUGEINT) ELSE 0 END) AS sn
+        | FROM q0 JOIN yy USING (vec_id) GROUP BY d),
+        |nc AS (SELECT sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
+        | sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS nn FROM yy),
+        |cs AS (SELECT (SELECT sum(sp * sp) FROM s) AS normp,
+        | (SELECT sum(sn * sn) FROM s) AS normn, np, nn FROM nc),
+        |dots AS (SELECT q0.vec_id,
+        | sum(CAST(q0.x AS HUGEINT) * s.sp) AS dotp,
+        | sum(CAST(q0.x AS HUGEINT) * s.sn) AS dotn
+        | FROM q0 JOIN s USING (d) GROUP BY 1),
+        |dc AS (SELECT dots.vec_id, yy.y,
+        | CASE WHEN cs.nn * cs.nn * cs.normp - cs.nn * cs.nn * 2 * cs.np * dots.dotp
+        |   < cs.np * cs.np * cs.normn - cs.np * cs.np * 2 * cs.nn * dots.dotn
+        | THEN 1 ELSE -1 END AS y_pred
+        | FROM dots JOIN yy USING (vec_id), cs)
+        |SELECT CAST(y AS BIGINT) AS y_true, CAST(y_pred AS BIGINT) AS y_pred,
+        | count(*) AS n FROM dc GROUP BY 1, 2 ORDER BY y_true, y_pred"""
+        .stripMargin)),
 
     // [EXT] DOULION sampled triangle estimation (Tsourakakis KDD'09):
     // keep each undirected edge with deterministic portable-hash

@@ -25,23 +25,35 @@ import org.apache.spark.sql.functions._
   * the all-zero w₀ updates on every row) contributes y·x to the next
   * round's weight delta. Fixed `rounds`, no early stopping — the
   * determinism contract over convergence heuristics.
+  *
+  * Honest limit (measured, docs/SCALE.md): on LINEARLY SEPARABLE
+  * classes the fixed-round result converges (spec-pinned); on
+  * overlapping classes the full-batch simultaneous update
+  * OSCILLATES between near-majority states — the harness embedding
+  * labels are such a case. The deterministic classifier that learns
+  * overlapping-class data is [[Rocchio]] (nearest centroid — no
+  * rounds to oscillate); this file remains the round-based member of
+  * the family and the machinery the oracle round-replay pins.
   */
 object Perceptron {
 
   /** Power-of-two feature grid. */
   val Grid = 1024
 
-  /** Quantize `embedding` to the integer grid, append the bias
-    * feature (constant `Grid` ≡ 1.0), and derive the ±1 target from
-    * `yPlus` (true → +1). Output: (vec_id, y, x: array<long>).
+  /** Quantize `embedding` to the integer grid, optionally append the
+    * bias feature (constant `Grid` ≡ 1.0 — wanted by the perceptron's
+    * affine decision, pointless for [[Rocchio]]'s distance decision),
+    * and derive the ±1 target from `yPlus` (true → +1). Output:
+    * (vec_id, y, x: array<long>).
     */
-  def quantize(emb: DataFrame, yPlus: Column): DataFrame =
+  def quantize(emb: DataFrame, yPlus: Column, bias: Boolean = true)
+      : DataFrame = {
+    val qx = transform(col("embedding"),
+      v => floor(v.cast("double") * Grid + lit(0.5)).cast("long"))
     emb.select(col("vec_id"),
       when(yPlus, 1L).otherwise(-1L).as("y"),
-      concat(
-        transform(col("embedding"),
-          v => floor(v.cast("double") * Grid + lit(0.5)).cast("long")),
-        array(lit(Grid.toLong))).as("x"))
+      (if (bias) concat(qx, array(lit(Grid.toLong))) else qx).as("x"))
+  }
 
   /** The dot product w·x as a codegen'd higher-order aggregate (no
     * UDF): zip_with product + aggregate sum over the array.

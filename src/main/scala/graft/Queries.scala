@@ -3242,6 +3242,52 @@ object Queries {
     // live states; a deleted order's surviving lineitems dropping out
     // of the join is precisely what two independent table
     // maintenances would get wrong.
+    // St2 × X5 continuous data-quality on the CDC stream (CdcQuality —
+    // the IvmIngest delta algebra applied to the validate() check
+    // suite): Σ signed 0/1 violation indicators over the change log
+    // IS the live table's violation count, maintained at O(changes)
+    // per refresh with no base-table scan. The oracle counts the same
+    // checks directly on the replayed LIVE state — delta-derived ==
+    // state-derived is the IVM correctness statement applied to
+    // quality gates.
+    Q("st_cdc_quality",
+      (s, d) => {
+        val dir = graft.streaming.MysqlBinlogFixture
+          .encodeEventsConsistent(s, d)
+        val raw = s.read
+          .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
+          .option("path", dir).load()
+        graft.streaming.CdcQuality.batchTwin(
+          raw.filter(col("table") === "events"),
+          graft.streaming.CdcQuality.eventsChecks)
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, ts, event_type, value,
+        |  CASE WHEN event_id % 17 = 0 THEN 'delete' ELSE 'other' END AS mop,
+        |  lag(CASE WHEN event_id % 17 = 0 THEN 'delete' ELSE 'other' END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pmop
+        |  FROM events),
+        | f AS (SELECT *,
+        |  CASE WHEN (pmop IS NULL OR pmop = 'delete') AND mop = 'delete'
+        |        THEN 'skip'
+        |       WHEN (pmop IS NULL OR pmop = 'delete') THEN 'insert'
+        |       WHEN mop = 'delete' THEN 'delete' ELSE 'update' END AS op
+        |  FROM e),
+        | latest AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |   FROM f WHERE op <> 'skip') t WHERE rn = 1 AND op <> 'delete')
+        | SELECT check_name, violations, violations = 0 AS passed FROM (
+        |  SELECT 'event_type_domain' AS check_name,
+        |   CAST(coalesce(sum(CASE WHEN NOT (event_type IN
+        |     ('click','view','purchase','signup')) THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS violations FROM latest
+        |  UNION ALL SELECT 'value_in_range',
+        |   CAST(coalesce(sum(CASE WHEN value < 0.0 OR value > 400.0
+        |     THEN 1 ELSE 0 END), 0) AS BIGINT) FROM latest
+        |  UNION ALL SELECT 'value_not_null',
+        |   CAST(coalesce(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) FROM latest) t
+        | ORDER BY check_name""".stripMargin.replaceAll("\n", ""))),
+
     Q("st_cdc_join_ivm",
       (s, d) => {
         // 2 rounds: batching invariance is spec-proved separately at

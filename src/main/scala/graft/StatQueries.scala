@@ -375,6 +375,27 @@ object StatQueries {
           branches.mkString("", " UNION ALL ", " ORDER BY k")
       }),
 
+    // [EXT] l-diversity, k-anonymity's companion: a large QI class
+    // still leaks if all members share one sensitive value (here the
+    // market segment under a nation × balance-band QI). Per threshold
+    // l: classes with sensitive-NDV below l, and the rows in them.
+    Q("x_l_diversity",
+      (s, d) => TableStats.lDiversity(
+        Tables.customer(s, d),
+        Seq(col("c_nationkey"), floor(col("c_acctbal") / 100.0).as("band")),
+        col("c_mktsegment"),
+        Seq(2, 3, 5)),
+      Some {
+        val branches = Seq(2, 3, 5).map(l =>
+          s"SELECT CAST($l AS BIGINT) AS l, " +
+            s"CAST(coalesce(sum(CASE WHEN div < $l THEN 1 END), 0) AS BIGINT) AS groups_below, " +
+            s"CAST(coalesce(sum(CASE WHEN div < $l THEN sz END), 0) AS BIGINT) AS rows_at_risk FROM s")
+        "WITH s AS (SELECT c_nationkey, floor(c_acctbal / 100.0) AS band, " +
+          "count(*) AS sz, count(DISTINCT c_mktsegment) AS div " +
+          "FROM customer GROUP BY 1, 2) " +
+          branches.mkString("", " UNION ALL ", " ORDER BY l")
+      }),
+
     // [EXT] join-key skew advisor: the measurement that decides when
     // a join needs ops.Skew salting or an AQE skew split — per key
     // column, NDV, hottest-key count/share, and hot-over-average

@@ -167,6 +167,29 @@ object TableStats {
       .orderBy("k")
   }
 
+  /** l-diversity risk profile, [[kAnonymity]]'s companion: a QI class
+    * can be large (k-anonymous) yet still leak if every member shares
+    * one SENSITIVE value — so per threshold l, count the classes whose
+    * distinct-sensitive-value count is below l, and the rows inside
+    * them. Same shape: one groupBy to class statistics (size + exact
+    * sensitive NDV via `count_distinct` per class), one tiny agg for
+    * every threshold.
+    */
+  def lDiversity(df: DataFrame, qiCols: Seq[Column], sensitive: Column,
+      ls: Seq[Int]): DataFrame = {
+    require(qiCols.nonEmpty && ls.nonEmpty, "lDiversity needs QI cols and ls")
+    val classes = df.groupBy(qiCols: _*).agg(
+      count(lit(1)).as("sz"), count_distinct(sensitive).as("div"))
+    val aggs: Seq[Column] = ls.flatMap(l => Seq(
+      coalesce(sum(when(col("div") < l, 1L)), lit(0L)).as(s"g__$l"),
+      coalesce(sum(when(col("div") < l, col("sz"))), lit(0L)).as(s"r__$l")))
+    val one = classes.agg(aggs.head, aggs.tail: _*)
+    val rows = ls.map(l => struct(lit(l.toLong).as("l"),
+      col(s"g__$l").as("groups_below"), col(s"r__$l").as("rows_at_risk")))
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+      .orderBy("l")
+  }
+
   /** Join-key skew advisor: per candidate key column, the histogram
     * statistics that decide whether a join on it needs salting
     * ([[Skew]]) or an AQE skew split — NDV, the hottest key's count,

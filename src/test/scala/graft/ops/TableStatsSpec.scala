@@ -148,6 +148,17 @@ class TableStatsSpec extends SparkSpec {
     assert(out.getLong(1) == 0L && out.getLong(2) == 0L)
   }
 
+  test("lDiversity flags classes whose sensitive values collapse") {
+    // class (a): 3 rows, 1 sensitive value — k-anonymous but 1-diverse;
+    // class (b): 2 rows, 2 values — 2-diverse
+    val df = Seq(("a", "s1"), ("a", "s1"), ("a", "s1"),
+      ("b", "s1"), ("b", "s2")).toDF("q", "sv")
+    val out = TableStats.lDiversity(df, Seq(col("q")), col("sv"), Seq(2, 3))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(2L) == (1L, 3L)) // only class a is under-diverse at l=2
+    assert(out(3L) == (2L, 5L)) // both classes below l=3
+  }
+
   test("keySkew flags the hot key with exact integer advisories") {
     // k1: one key holds 8 of 10 rows; k2: uniform over 5 keys
     val rows = (Seq.fill(8)(1L) ++ Seq(2L, 3L)).zipWithIndex

@@ -111,22 +111,6 @@ object TableStats {
       refChecks: Seq[(String, Column, DataFrame, Column)] = Nil): DataFrame = {
     require(rowChecks.nonEmpty || uniqueKeys.nonEmpty || refChecks.nonEmpty,
       "validate with zero checks")
-    val aggs: Seq[Column] =
-      (count(lit(1)).as("__n") +:
-        rowChecks.map(c =>
-          sum(when(c.violation, 1L).otherwise(0L)).as(s"rc__${c.name}"))) ++
-      uniqueKeys.map { case (name, keyCols) =>
-        count_distinct(struct(keyCols.map(col): _*)).as(s"uk__$name")
-      }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val fused = one.select(explode(array(
-      (rowChecks.map(c =>
-        struct(lit(c.name).as("check_name"),
-          coalesce(col(s"rc__${c.name}"), lit(0L)).as("violations"))) ++
-      uniqueKeys.map { case (name, _) =>
-        struct(lit(name).as("check_name"),
-          (col("__n") - col(s"uk__$name")).as("violations"))
-      }): _*)).as("p")).select(col("p.*"))
     val refs = refChecks.map { case (name, factKey, dim, dimKey) =>
       // No broadcast hint: the referenced side may itself be
       // data-scale (orders, not a dimension) — shuffle anti-join on
@@ -138,7 +122,31 @@ object TableStats {
       missing.agg(count(lit(1)).as("violations"))
         .select(lit(name).as("check_name"), col("violations"))
     }
-    refs.foldLeft(fused)(_ unionByName _)
+    // the fused branch only exists when it carries a check: explode of
+    // an empty `array()` is ArrayType(NullType) and `p.*` fails
+    // analysis, so a refs-only suite starts from the ref branches alone
+    val branches =
+      if (rowChecks.isEmpty && uniqueKeys.isEmpty) refs
+      else {
+        val aggs: Seq[Column] =
+          (count(lit(1)).as("__n") +:
+            rowChecks.map(c =>
+              sum(when(c.violation, 1L).otherwise(0L)).as(s"rc__${c.name}"))) ++
+          uniqueKeys.map { case (name, keyCols) =>
+            count_distinct(struct(keyCols.map(col): _*)).as(s"uk__$name")
+          }
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        val fused = one.select(explode(array(
+          (rowChecks.map(c =>
+            struct(lit(c.name).as("check_name"),
+              coalesce(col(s"rc__${c.name}"), lit(0L)).as("violations"))) ++
+          uniqueKeys.map { case (name, _) =>
+            struct(lit(name).as("check_name"),
+              (col("__n") - col(s"uk__$name")).as("violations"))
+          }): _*)).as("p")).select(col("p.*"))
+        fused +: refs
+      }
+    branches.reduce(_ unionByName _)
       .select(col("check_name"), col("violations"),
         (col("violations") === 0L).as("passed"))
       .orderBy("check_name")

@@ -26,6 +26,18 @@ import org.apache.spark.sql.functions._
   * round's weight delta. Fixed `rounds`, no early stopping — the
   * determinism contract over convergence heuristics.
   *
+  * Validity bound (the [[Rocchio]] doc discipline): margins and the
+  * per-round update sums accumulate in 64-bit longs, while the oracle
+  * replays them in int128 — so the fixed-round identity holds exactly
+  * while every intermediate stays under 2^63. Weights grow at most
+  * |w| ≤ rounds·n·Grid per dimension and the dot accumulates
+  * dims·Grid·|w|, so the binding constraint is
+  * rounds·n·dims·Grid² < 2^63 — with rounds=3, dims=65, Grid=1024
+  * that is n ≲ 4.5e10 rows. Past that, either train on a sample
+  * (what any perceptron needs at that scale anyway) or switch the
+  * accumulators to DECIMAL(38,0) like [[Rocchio]]'s dot; the harness
+  * scales sit ~6 orders of magnitude inside the bound.
+  *
   * Honest limit (measured, docs/SCALE.md): on LINEARLY SEPARABLE
   * classes the fixed-round result converges (spec-pinned); on
   * overlapping classes the full-batch simultaneous update

@@ -47,13 +47,16 @@ object CdcQuality {
 
   /** Signed per-check indicator deltas for one change batch. Input
     * needs `op`, `payload`, `payload_before` (the binlog source's
-    * shape); payloads decode with [[IvmIngest.payloadSchema]].
+    * shape); payloads decode with `schema` (defaulting to the events
+    * table's [[IvmIngest.payloadSchema]] — pass the right schema for
+    * any other monitored table, e.g. [[CdcQualityKeyed]]'s fact).
     */
-  def indicatorDeltas(changes: DataFrame, checks: Seq[QCheck])
+  def indicatorDeltas(changes: DataFrame, checks: Seq[QCheck],
+      schema: org.apache.spark.sql.types.StructType = IvmIngest.payloadSchema)
       : DataFrame = {
     val ev = changes.select(col("op"),
-      from_json(col("payload"), IvmIngest.payloadSchema).as("a"),
-      from_json(col("payload_before"), IvmIngest.payloadSchema).as("b"))
+      from_json(col("payload"), schema).as("a"),
+      from_json(col("payload_before"), schema).as("b"))
     def img(c: Column, sign: Long): Column = struct(checks.map(k =>
       (lit(sign) * when(k.violation(c), 1L).otherwise(0L)).as(k.name)): _*)
     val add = img(col("a"), 1L); val retract = img(col("b"), -1L)
@@ -69,8 +72,10 @@ object CdcQuality {
   }
 
   /** Per-batch partial: ≤ |checks| rows regardless of batch size. */
-  def partial(changes: DataFrame, checks: Seq[QCheck]): DataFrame =
-    indicatorDeltas(changes, checks)
+  def partial(changes: DataFrame, checks: Seq[QCheck],
+      schema: org.apache.spark.sql.types.StructType = IvmIngest.payloadSchema)
+      : DataFrame =
+    indicatorDeltas(changes, checks, schema)
       .groupBy("check_name").agg(sum(col("dvi")).as("dvi"))
 
   /** Start the monitor over a stream of change rows. */
@@ -89,10 +94,29 @@ object CdcQuality {
       }
       .start()
 
-  /** The live quality report at the current stream position. */
-  def view(spark: SparkSession, stateDir: String): DataFrame =
-    report(spark.read.parquet(stateDir)
-      .groupBy("check_name").agg(sum(col("dvi")).as("violations")))
+  /** The live quality report at the current stream position. TOTAL
+    * from batch zero: the report is seeded with the check list and the
+    * state partials left-join onto it, so before the first non-empty
+    * batch lands (no state dir yet) every check reads `violations = 0`,
+    * and a check absent from every partial still surfaces — a
+    * dashboard that silently drops rows is how a failing check goes
+    * unread.
+    */
+  def view(spark: SparkSession, stateDir: String,
+           checks: Seq[QCheck]): DataFrame = {
+    require(checks.nonEmpty, "quality view of zero checks")
+    import spark.implicits._
+    val seed = checks.map(_.name).toDF("check_name")
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partials =
+      if (fs.exists(p))
+        spark.read.parquet(stateDir)
+          .groupBy("check_name").agg(sum(col("dvi")).as("v"))
+      else seed.select(col("check_name"), lit(0L).as("v")).limit(0)
+    report(seed.join(partials, Seq("check_name"), "left")
+      .select(col("check_name"), coalesce(col("v"), lit(0L)).as("violations")))
+  }
 
   /** One-pass batch twin over the full change set — what the stream's
     * merged state must equal exactly (spec-pinned; oracled as

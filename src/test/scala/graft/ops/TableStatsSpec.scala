@@ -73,6 +73,15 @@ class TableStatsSpec extends SparkSpec {
       ("pk_unique", 1L, false)))
   }
 
+  test("validate: a refs-only suite works (no fused branch to build)") {
+    val fact = Seq(1L, 2L, 9L).toDF("k")
+    val dim = Seq(1L, 2L).toDF("dk")
+    val out = TableStats.validate(fact, rowChecks = Nil,
+      refChecks = Seq(("k_ref", col("k"), dim, col("dk"))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(("k_ref", 1L, false)))
+  }
+
   test("validate: all-green suite reports passed=true everywhere") {
     val fact = Seq((1L, 1), (1L, 2)).toDF("k", "ln")
     val out = TableStats.validate(fact,

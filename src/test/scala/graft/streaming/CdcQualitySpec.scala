@@ -54,7 +54,8 @@ class CdcQualitySpec extends SparkSpec {
       s"$dir/state", s"$dir/ckpt")
     try {
       chunks.foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
-      val streamed = CdcQuality.view(spark, s"$dir/state").collect()
+      val streamed = CdcQuality
+        .view(spark, s"$dir/state", CdcQuality.eventsChecks).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
       val twin = CdcQuality.batchTwin(raw, CdcQuality.eventsChecks)
         .collect()
@@ -78,5 +79,14 @@ class CdcQualitySpec extends SparkSpec {
       assert(state.groupBy("batch_id").count()
         .filter(col("count") > CdcQuality.eventsChecks.size).count() == 0)
     } finally q.stop()
+  }
+
+  test("view is total from batch zero: no state dir yet reads all-zero") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc_q0_").toString
+    val out = CdcQuality.view(spark, s"$dir/never_written",
+      CdcQuality.eventsChecks).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq ==
+      CdcQuality.eventsChecks.map(_.name).sorted.map(n => (n, 0L, true)))
   }
 }

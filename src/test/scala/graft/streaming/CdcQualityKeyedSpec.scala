@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Keyed CDC quality: PK-uniqueness and referential violation counts
+  * maintained from deltas must equal direct evaluation on the live
+  * multiset, under ANY batching (the telescoping identity), including
+  * through the streaming form's versioned state.
+  */
+final case class KeyedChangeRow(table: String, op: String, payload: String,
+                                payload_before: String, src: String, seq: Long)
+
+class CdcQualityKeyedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val factSchema = StructType(Seq(
+    StructField("k", LongType), StructField("fk", LongType),
+    StructField("amt", DoubleType)))
+  private val dimSchema = StructType(Seq(StructField("dk", LongType)))
+
+  private val spec = CdcQualityKeyed.KeyedSpec(
+    factTable = "fact", factSchema = factSchema,
+    rowChecks = Seq(CdcQuality.QCheck("amt_non_negative",
+      c => c.getField("amt") < 0.0)),
+    uniqueName = "pk_unique", uniqueKey = p => p("k"),
+    refName = "fk_ref", refKey = p => p("fk"),
+    dimTable = "dim", dimSchema = dimSchema, dimKey = p => p("dk"))
+
+  private def f(k: Long, fk: Long, amt: Double): String =
+    s"""{"k":$k,"fk":$fk,"amt":$amt}"""
+  private def d(dk: Long): String = s"""{"dk":$dk}"""
+
+  /** A change set exercising every keyed transition: duplicate keys
+    * appearing and healing, orphans created by dim delete and healed by
+    * fact delete, an update moving a fact between dims, row-local
+    * violations arriving and retracting.
+    *
+    * Final live state: dims {1}, facts: k=1(fk=1), k=2(fk=2, orphan),
+    * k=2 dup (fk=1), k=3(fk=9, orphan), amt of k=3 is -5 (violation).
+    * Expected: pk_unique = 1 (k=2 twice), fk_ref = 2 (fk=2 and fk=9),
+    * amt_non_negative = 1.
+    */
+  private def changes: Seq[KeyedChangeRow] = Seq(
+    KeyedChangeRow("dim", "insert", d(1), null, "a", 1),
+    KeyedChangeRow("dim", "insert", d(2), null, "a", 2),
+    KeyedChangeRow("fact", "insert", f(1, 1, 10.0), null, "b", 3),
+    KeyedChangeRow("fact", "insert", f(2, 2, 20.0), null, "b", 4),
+    // duplicate PK arrives (k=2 now twice), referencing dim 1
+    KeyedChangeRow("fact", "insert", f(2, 1, 21.0), null, "b", 5),
+    // a second duplicate, then healed by a delete
+    KeyedChangeRow("fact", "insert", f(1, 1, 11.0), null, "c", 6),
+    KeyedChangeRow("fact", "delete", null, f(1, 1, 11.0), "c", 7),
+    // orphan from birth (fk=9 never existed) with a row-local violation
+    KeyedChangeRow("fact", "insert", f(3, 9, -5.0), null, "c", 8),
+    // dim 2 deleted → fact k=2 (fk=2) becomes an orphan
+    KeyedChangeRow("dim", "delete", null, d(2), "a", 9),
+    // an update that moves a fact's fk and fixes nothing else:
+    // fk 1 → 1 (no-op move, still exercises retract+add)
+    KeyedChangeRow("fact", "update", f(1, 1, 12.0), f(1, 1, 10.0), "b", 10))
+
+  private def asReport(df: DataFrame): Map[String, (Long, Boolean)] =
+    df.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+
+  test("hand-built transitions: dup keys, orphans, healing, retraction") {
+    val out = asReport(
+      CdcQualityKeyed.maintain(changes.toDF(), batches = 1, spec))
+    assert(out("pk_unique") == (1L, false))
+    assert(out("fk_ref") == (2L, false))
+    assert(out("amt_non_negative") == (1L, false))
+  }
+
+  test("batching invariance: 1 == 3 == 5 batches (telescoping deltas)") {
+    val r1 = asReport(CdcQualityKeyed.maintain(changes.toDF(), 1, spec))
+    val r3 = asReport(CdcQualityKeyed.maintain(changes.toDF(), 3, spec))
+    val r5 = asReport(CdcQualityKeyed.maintain(changes.toDF(), 5, spec))
+    assert(r1 == r3)
+    assert(r1 == r5)
+  }
+
+  test("streaming form: view equals the replay twin; total from batch zero") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdcqk_").toString
+    // batch zero: no state yet → all checks present, zero violations
+    val empty = asReport(CdcQualityKeyed.view(spark, s"$dir/state", spec))
+    assert(empty == spec.checkNames.map(n => n -> (0L, true)).toMap)
+    val input = MemoryStream[KeyedChangeRow]
+    val q = CdcQualityKeyed.start(input.toDF(), s"$dir/state",
+      s"$dir/ckpt", spec)
+    try {
+      changes.grouped(4).foreach { c =>
+        input.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+      val streamed = asReport(CdcQualityKeyed.view(spark, s"$dir/state", spec))
+      val twin = asReport(CdcQualityKeyed.maintain(changes.toDF(), 1, spec))
+      assert(streamed == twin)
+    } finally q.stop()
+    // old rounds pruned to view-only dirs: at most one state round kept
+    // beyond the latest (the redelivery window)
+    val kept = new java.io.File(s"$dir/state").listFiles()
+      .map(_.getName).filter(_.startsWith("round_"))
+    assert(kept.length <= 2, kept.mkString(","))
+  }
+}

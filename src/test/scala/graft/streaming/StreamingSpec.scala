@@ -382,6 +382,65 @@ class StreamingSpec extends SparkSpec {
       "maintained view must equal the direct join over live states")
   }
 
+  test("three-table chain maintenance: batching-invariant, deletes cascade") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    def c(k: Long, seg: String) = s"""{"c_custkey":$k,"c_mktsegment":"$seg"}"""
+    def o(k: Long, ck: Long) = s"""{"o_orderkey":$k,"o_custkey":$ck}"""
+    def l(ok: Long, cents: Long) = s"""{"l_orderkey":$ok,"l_cents":$cents}"""
+    // deletes on every level + a middle-table update that MOVES an
+    // order between customers (the chain-key change case)
+    val rows = Seq(
+      ("cust_cdc", "insert", c(1, "SEG-A"), null, "s", 1L),
+      ("cust_cdc", "insert", c(2, "SEG-B"), null, "s", 2L),
+      ("cust_cdc", "insert", c(3, "SEG-A"), null, "s", 3L),
+      ("ord_cdc", "insert", o(10, 1), null, "s", 4L),
+      ("ord_cdc", "insert", o(11, 1), null, "s", 5L),
+      ("ord_cdc", "insert", o(12, 2), null, "s", 6L),
+      ("ord_cdc", "insert", o(13, 3), null, "s", 7L),
+      ("ord_cdc", "insert", o(14, 9), null, "s", 8L), // orphan custkey
+      ("line_cdc", "insert", l(10, 100), null, "s", 9L),
+      ("line_cdc", "insert", l(10, 200), null, "s", 10L),
+      ("line_cdc", "insert", l(11, 300), null, "s", 11L),
+      ("line_cdc", "insert", l(12, 400), null, "s", 12L),
+      ("line_cdc", "insert", l(12, 500), null, "s", 13L),
+      ("line_cdc", "insert", l(13, 600), null, "s", 14L),
+      ("line_cdc", "insert", l(14, 700), null, "s", 15L),
+      ("ord_cdc", "delete", null, o(11, 1), "s", 16L),   // drops line 300
+      ("line_cdc", "delete", null, l(12, 500), "s", 17L),
+      ("cust_cdc", "delete", null, c(3, "SEG-A"), "s", 18L), // drops 600
+      ("ord_cdc", "update", o(12, 1), o(12, 2), "s", 19L))   // moves 400
+      .toDF("table", "op", "payload", "payload_before", "src", "seq")
+    val inner = JoinIvm.IvmJoinSpec(
+      dimTable = "ord_cdc",
+      dimSchema = StructType(Seq(StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType))),
+      dimKey = p => p("o_orderkey"),
+      dimCols = Seq("o_custkey" -> (p => p("o_custkey"))),
+      factTable = "line_cdc",
+      factSchema = StructType(Seq(StructField("l_orderkey", LongType),
+        StructField("l_cents", LongType))),
+      factKey = p => p("l_orderkey"),
+      factMeasure = p => p("l_cents"))
+    val spec = JoinIvm.IvmChainSpec(inner = inner,
+      dimTable = "cust_cdc",
+      dimSchema = StructType(Seq(StructField("c_custkey", LongType),
+        StructField("c_mktsegment", StringType))),
+      dimKey = p => p("c_custkey"),
+      dimCols = Seq("c_mktsegment" -> (p => p("c_mktsegment"))),
+      sumName = "sum_cents")
+    def viewSet(batches: Int): Set[(String, Long, Double)] =
+      JoinIvm.maintainChain(rows, batches, spec).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val v1 = viewSet(1)
+    // live: cust1 ⋈ {order10: 100+200, order12(moved): 400} → n=3, 700;
+    // cust2 lost its only order to the move (dropped by n>0); cust3
+    // deleted (line 600 retracted); order14's customer never existed
+    assert(v1 == Set(("SEG-A", 3L, 700.0)))
+    assert(viewSet(4) == v1, "4-batch chain replay must equal 1-batch")
+    assert(viewSet(7) == v1, "7-batch chain replay must equal 1-batch")
+  }
+
   test("streaming join-view maintenance: view tracks batches, redelivery is idempotent") {
     implicit val ctx = spark.sqlContext
     val dir0 = MysqlBinlogFixture.encodeOrdersLineitemCdc(spark, sf)

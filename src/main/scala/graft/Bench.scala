@@ -150,7 +150,11 @@ object Bench {
       "prep_copurchase_edges" ->
         (() => ExtQueries.prepCoPurchaseEdges(spark, sfDir)),
       "prep_joinivm_changes" ->
-        (() => Queries.prepJoinIvmChanges(spark, sfDir)))
+        (() => Queries.prepJoinIvmChanges(spark, sfDir)),
+      "prep_partial_minimal_log" ->
+        (() => Queries.prepPartialMinimalLog(spark, sfDir)),
+      "prep_cdc_synth_changes" ->
+        (() => Queries.prepCdcSynthChanges(spark, sfDir)))
     // -1 marks a failed entry — a swallowed exception must not read as
     // a normal (fast!) timing
     val prepResults = preps
@@ -192,7 +196,7 @@ object Bench {
       val tot = basis.collect { case (_, v) if v >= 0 => v }.sum
       s"""{"metric":"total","value":${fmt(tot)},"unit":"sec","n":${basis.size},"failed":$failed,"wall_sec":${fmt(wallSec)},"loadavg_start":${fmt(load0)},"loadavg_end":${fmt(load1)},"queries":${toJson(queries)},$extra"sf":"$sfDir","note":"$note"}"""
     }
-    val fullNote = "noop-sink, min of 2-3 warm runs timed (bursty-host noise); -1=failed; rows >2x their prior-round artifact re-measured up to 2x (min kept, names in readjudicated) so no row needs manual noise adjudication; row_loadavg is the 1-min /proc/loadavg as each row finished; prep_* lines bill the shared derived-table materializations (partsupp, neardup CC, BPE merges, co-purchase edges) and the queries reading them report marginal cost under that warm cache (noise protocol, docs/SCALE.md)"
+    val fullNote = "noop-sink, min of 2-3 warm runs timed (bursty-host noise); -1=failed; rows >2x their prior-round artifact re-measured up to 2x (min kept, names in readjudicated) so no row needs manual noise adjudication; row_loadavg is the 1-min /proc/loadavg as each row finished; prep_* lines bill the shared derived-table materializations (partsupp, neardup CC, BPE merges, co-purchase edges, joinivm/partial-minimal wire logs) and the queries reading them report marginal cost under that warm cache (noise protocol, docs/SCALE.md)"
     val extraFull =
       "\"readjudicated\":" + readjudicated.map("\"" + _ + "\"")
         .mkString("[", ",", "]") +

@@ -219,6 +219,7 @@ object CdcQualityKeyed {
     * `workDir` (the [[JoinIvm.maintain]] contract).
     */
   def maintain(changes: DataFrame, batches: Int, spec: KeyedSpec,
+               materializeInput: Boolean = true,
                workDir: Option[String] = None): DataFrame = {
     require(batches >= 1, s"need at least one batch, got $batches")
     val spark = changes.sparkSession
@@ -232,8 +233,14 @@ object CdcQualityKeyed {
       }
     val scratch =
       s"$base/cdcqk_${java.util.UUID.randomUUID().toString.take(8)}"
-    changes.write.mode("overwrite").parquet(s"$scratch/changes")
-    val landed = spark.read.parquet(s"$scratch/changes")
+    // land the change stream ONCE (each round parses only its batch);
+    // pass materializeInput=false when `changes` is ALREADY landed
+    val landed =
+      if (!materializeInput) changes
+      else {
+        changes.write.mode("overwrite").parquet(s"$scratch/changes")
+        spark.read.parquet(s"$scratch/changes")
+      }
     val batched = landed.withColumn("bk",
       pmod(xxhash64(col("src"), col("seq")), lit(batches)))
     (0 until batches).foreach { k =>

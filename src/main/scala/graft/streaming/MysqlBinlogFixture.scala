@@ -337,8 +337,29 @@ object MysqlBinlogFixture {
     * full images (MySQL logs complete rows for inserts under every
     * row-image mode — there is no smaller correct form).
     */
+  /** Memoized per (JVM, sfDir) — the joinIvmCache stance: the log is a
+    * pure function of the events table, TWO registered queries read it
+    * (the one-shot fold and the bucketed consumer), and the writer cost
+    * is billed once as the bench's `prep_partial_minimal_log` line.
+    */
+  private val partialMinCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def encodeEventsPartialMinimal(spark: SparkSession, sfDir: String,
-                                 nServers: Int = 4): String = {
+                                 nServers: Int = 4): String =
+    partialMinCache.computeIfAbsent(sfDir, _ =>
+      encodeEventsPartialMinimalNow(spark, sfDir, nServers))
+
+  /** Bench hook: drop the encode memo so a prep line can bill the
+    * full writer cost.
+    */
+  private[graft] def resetPartialMinimalEncode(sfDir: String): Unit = {
+    partialMinCache.remove(sfDir)
+    ()
+  }
+
+  private def encodeEventsPartialMinimalNow(spark: SparkSession, sfDir: String,
+                                            nServers: Int): String = {
     import MysqlJsonBinary.{JInt, JStr}
     import MysqlJsonDiff.{Diff, Diffs, OpInsert, OpRemove, OpReplace}
     val dir = CoreOps.scratchDir("mysql_binlog_partial_min", sfDir)
@@ -529,11 +550,18 @@ object MysqlBinlogFixture {
     * exactly.
     */
   def encodeEventsConsistent(spark: SparkSession, sfDir: String,
-                             nServers: Int = 4): String = {
-    val dir = CoreOps.scratchDir("mysql_binlog_consistent", sfDir)
+                             nServers: Int = 4,
+                             fenceCutoffMicros: Option[Long] = None): String = {
+    // the fenced variant (snapshot-then-stream gate) gets its own dir:
+    // its txn grouping differs at the phase boundary, and the plain
+    // consistent log is read by several other registered rows
+    val dir = CoreOps.scratchDir(
+      if (fenceCutoffMicros.isDefined) "mysql_binlog_consistent_fence"
+      else "mysql_binlog_consistent", sfDir)
     val d = new java.io.File(dir)
     Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".binlog")).foreach(_.delete())
+      .filter(f => f.getName.endsWith(".binlog") || f.getName.endsWith(".fence"))
+      .foreach(_.delete())
     Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("ts"),
         col("event_type"), col("value"), col("props"))
@@ -551,7 +579,8 @@ object MysqlBinlogFixture {
           val live = scala.collection.mutable.HashMap.empty[Long, Array[AnyRef]]
           var began = false
           var txn = 0L
-          rows.grouped(64).foreach { group =>
+          def writeGroups(it: Iterator[Row]): Unit =
+          it.grouped(64).foreach { group =>
             val prepared = group.flatMap { r =>
               val t = r.getTimestamp(2)
               val micros = t.getTime * 1000L + (t.getNanos / 1000) % 1000
@@ -601,6 +630,26 @@ object MysqlBinlogFixture {
               txn += 1
               w.xid(txn)
             }
+          }
+          fenceCutoffMicros match {
+            case Some(cut) =>
+              // the encodeEvents fence mechanics, over the CONSISTENT
+              // op script: phase 1 is the strict ts-prefix, the fence
+              // file records this server's executed set at the
+              // boundary, and the per-key live store carries across the
+              // phases so post-fence updates/deletes log TRUE priors —
+              // what the snapshot-then-stream quality algebra needs
+              val (p1, p2) = rows.span { r =>
+                val t = r.getTimestamp(2)
+                t.getTime * 1000L + (t.getNanos / 1000) % 1000 < cut
+              }
+              writeGroups(p1)
+              val frag = if (txn > 0) s"$uuid:1-$txn" else ""
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$dir/server_$pid.fence"),
+                frag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              writeGroups(p2)
+            case None => writeGroups(rows)
           }
           if (!began) w.begin()
         } finally w.close()

@@ -57,9 +57,10 @@ object SyncCli {
       op: String,
       stateDir: String,
       watermark: Option[java.sql.Timestamp],
-      buckets: Option[Int])
+      buckets: Option[Int],
+      bucket: Option[Int] = None)
 
-  val StateOps = Set("stats", "prune-tombstones", "rebucket")
+  val StateOps = Set("stats", "prune-tombstones", "rebucket", "split-bucket")
 
   /** `drift-gate` verb knobs: which source table/column the KS gate
     * watches, and the statistic threshold that flips a batch's gate
@@ -421,7 +422,7 @@ object SyncCli {
     * so the sync flags do not apply (and are rejected, not ignored).
     */
   private def parseState(args: Array[String]): Either[String, CliConfig] = {
-    val known = Set("state_dir", "state_op", "watermark", "buckets")
+    val known = Set("state_dir", "state_op", "watermark", "buckets", "bucket")
     val kv = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     while (i < args.length) {
@@ -461,9 +462,20 @@ object SyncCli {
         case some => some
       }
     }
+    val bucket = kv.get("bucket") match {
+      case None if op == "split-bucket" =>
+        return Left("split-bucket requires --bucket TAG " +
+          "(a stats-reported bucket id)")
+      case None => None
+      case Some(v) => v.toIntOption.filter(_ >= 0) match {
+        case None => return Left(
+          s"--bucket must be a non-negative integer, got '$v'")
+        case some => some
+      }
+    }
     Right(CliConfig("state", "", "", new Properties(), new Properties(),
       ".", SyncJob.SyncConfig(), None, "cdc_state",
-      state = Some(StateConfig(op, dir, wm, buckets))))
+      state = Some(StateConfig(op, dir, wm, buckets, bucket))))
   }
 
   /** Execute the `state` verb: stats print one JSON line per bucket
@@ -480,6 +492,8 @@ object SyncCli {
         CdcPipeline.pruneTombstones(spark, st.stateDir, st.watermark.get)
       case "rebucket" =>
         CdcPipeline.rebucket(spark, st.stateDir, st.buckets.get)
+      case "split-bucket" =>
+        CdcPipeline.splitBucket(spark, st.stateDir, st.bucket.get)
     }
     CdcPipeline.stateStats(spark, st.stateDir).collect().foreach { r =>
       println(s"""{"bucket":${r.getAs[Int]("bucket")},""" +
@@ -495,7 +509,8 @@ object SyncCli {
       System.err.println("usage: SyncCli [sync|snapshot-then-stream|" +
         "drift-gate|state] " +
         "state: --state_dir DIR [--state_op stats|prune-tombstones|" +
-        "rebucket] [--watermark 'Y-m-d H:M:S'] [--buckets N] | sync: " +
+        "rebucket|split-bucket] [--watermark 'Y-m-d H:M:S'] [--buckets N] " +
+        "[--bucket TAG] | sync: " +
         "--mysql_host H --mysql_port P " +
         "--mysql_user U --mysql_password PW --mysql_db DB " +
         "--clickhouse_host H --clickhouse_port P --clickhouse_user U " +

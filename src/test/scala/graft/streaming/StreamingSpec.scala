@@ -1495,6 +1495,80 @@ class StreamingSpec extends SparkSpec {
     assert(fs.exists(new Path(stateDir)) && !fs.exists(new Path(stateDir + "__old")))
   }
 
+  test("split-bucket refines ONE bucket in place; applies stay correct across it") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cdc_split_").toString
+    val stateDir = s"file:$base/state"
+    val seed = (0 until 400).map(i =>
+      ChangeEvent("insert", "t", i.toLong, ts(1), i.toLong, s"""{"v":$i}"""))
+    CdcPipeline.applyBatch(spark, seed.toDF(), stateDir, numBuckets = 8)
+    // a tombstone that must survive the split (it is load-bearing)
+    CdcPipeline.applyBatch(spark, Seq(
+      ChangeEvent("delete", "t", 9L, ts(2), 500L, null)).toDF(), stateDir)
+    def snapshot() = CdcPipeline.currentState(spark, stateDir)
+      .select("key", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val before = snapshot()
+    assert(before.size == 399 && !before.contains(9L))
+    // the advisory drives the choice: split the stats-hottest bucket
+    val hot = CdcPipeline.stateStats(spark, stateDir)
+      .orderBy(col("live_rows").desc, col("bucket")).head().getInt(0)
+    CdcPipeline.splitBucket(spark, stateDir, hot)
+    val (b1, levels1) = CdcPipeline.readMeta(spark, stateDir).get
+    assert(b1 == 8)
+    assert(levels1 == Map(hot + 8 -> 1, hot + 16 -> 1),
+      s"children of $hot must be recorded at level 1, got $levels1")
+    assert(snapshot() == before, "split must preserve live state exactly")
+    assert(!new java.io.File(s"$base/state/bucket=$hot").exists(),
+      "the split parent dir must be gone")
+    // a later apply touching a key of the SPLIT bucket must land in the
+    // refined child — the meta-miss failure mode leaves two live versions
+    val kStar = (0 until 400).map(_.toLong).map { k =>
+      k -> spark.range(1).select(
+        pmod(xxhash64(lit("t"), lit(k)), lit(8)).cast("int")).head().getInt(0)
+    }.collectFirst { case (k, t) if t == hot && k != 9L => k }.get
+    CdcPipeline.applyBatch(spark, Seq(
+      ChangeEvent("update", "t", kStar, ts(3), 600L, """{"v":"u"}""")).toDF(),
+      stateDir)
+    val liveK = CdcPipeline.currentState(spark, stateDir)
+      .filter(col("key") === kStar).select("payload").collect()
+    assert(liveK.map(_.getString(0)).toSeq == Seq("""{"v":"u"}"""),
+      s"exactly one live refined version expected, got ${liveK.length}")
+    // tombstone still blocks resurrection across the refinement
+    if (spark.range(1).select(pmod(xxhash64(lit("t"), lit(9L)), lit(8))
+        .cast("int")).head().getInt(0) == hot) {
+      CdcPipeline.applyBatch(spark, Seq(
+        ChangeEvent("insert", "t", 9L, ts(1), 400L, """{"v":"stale"}""")).toDF(),
+        stateDir)
+      assert(!snapshot().contains(9L), "tombstone lost in split")
+    }
+    // split a CHILD: second-level refinement composes
+    val child = Seq(hot + 8, hot + 16)
+      .find(c => new java.io.File(s"$base/state/bucket=$c").exists()).get
+    CdcPipeline.splitBucket(spark, stateDir, child)
+    val (_, levels2) = CdcPipeline.readMeta(spark, stateDir).get
+    assert(levels2.values.max == 2 && !levels2.contains(child))
+    val after2 = snapshot()
+    assert(after2 == before + (kStar -> """{"v":"u"}"""),
+      "second split must preserve live state")
+    // pre-commit crash rollback: orphan staging + staged meta are swept
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stateDir/.split_999"))
+    val junkMeta = new org.apache.hadoop.fs.Path(
+      s"$stateDir/_graft_buckets.json.next")
+    val o = fs.create(junkMeta, true)
+    try o.write("""{"buckets":8}""".getBytes("UTF-8")) finally o.close()
+    assert(snapshot() == after2, "recovery must roll back an uncommitted split")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/.split_999")))
+    assert(!fs.exists(junkMeta))
+    // rebucket after splits resets the refinement map
+    CdcPipeline.rebucket(spark, stateDir, 16)
+    val (b3, levels3) = CdcPipeline.readMeta(spark, stateDir).get
+    assert(b3 == 16 && levels3.isEmpty)
+    assert(snapshot() == after2)
+  }
+
   test("tombstone retention prunes past-watermark tombstones, incrementally") {
     val stateDir = java.nio.file.Files
       .createTempDirectory("graft_cdc_prune_").toString + "/state"

@@ -96,6 +96,32 @@ object Perceptron {
     w
   }
 
+  /** AVERAGED full-batch perceptron (Freund & Schapire 1999, the
+    * classical stabilizer): identical rounds to [[train]], but the
+    * returned vector is the SUM Σᵣ wᵣ of the weight vector after each
+    * round — still exact integer arithmetic, still one scan + one
+    * (d+1)-number aggregate per round, and classifying with the sum is
+    * classifying with the average (a positive 1/rounds scaling never
+    * changes a sign). Where the plain full-batch update OSCILLATES on
+    * overlapping classes (the honest limit above), the running sum
+    * damps the oscillation: states the trajectory keeps revisiting
+    * dominate the average.
+    */
+  def trainAveraged(q: DataFrame, dims: Int, rounds: Int): Array[Long] = {
+    var w = Array.fill(dims)(0L)
+    val acc = Array.fill(dims)(0L)
+    for (_ <- 1 to rounds) {
+      val sums = (0 until dims).map(i =>
+        sum(col("y") * element_at(col("x"), i + 1)).as(s"s$i"))
+      val row = q.filter(margin(w) <= 0L)
+        .agg(sums.head, sums.tail: _*).collect()(0)
+      w = Array.tabulate(dims)(i =>
+        w(i) + (if (row.isNullAt(i)) 0L else row.getLong(i)))
+      for (i <- 0 until dims) acc(i) += w(i)
+    }
+    acc
+  }
+
   /** Classify the quantized frame under `w`: sign of the dot product,
     * zero predicted negative (mirror of the ≤-0-is-an-error training
     * tie rule). Output: (vec_id, y, y_pred).

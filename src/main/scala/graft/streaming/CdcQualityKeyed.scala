@@ -79,29 +79,6 @@ object CdcQualityKeyed {
       (rowChecks.map(_.name) :+ uniqueName :+ refName).sorted
   }
 
-  /** ±1-weighted images of one batch's changes for `table`, keyed by
-    * `keys` derivations over the parsed payload: insert weighs the
-    * after image +1, delete the before image −1, update both — the
-    * [[JoinIvm]] weighting. Output: (k0..kN, w).
-    */
-  private def keyedDeltas(changes: DataFrame, table: String,
-                          schema: StructType,
-                          keys: Seq[(String, Column => Column)]): DataFrame = {
-    val ev = changes.filter(col("table") === table)
-      .select(col("op"),
-        from_json(col("payload"), schema).as("a"),
-        from_json(col("payload_before"), schema).as("b"))
-    def img(side: String, w: Long) = {
-      val p = col(side)
-      struct((keys.map { case (n, f) => f(p).as(n) } :+ lit(w).as("w")): _*)
-    }
-    ev.select(explode(
-        when(col("op") === "insert", array(img("a", 1L)))
-          .when(col("op") === "update", array(img("b", -1L), img("a", 1L)))
-          .otherwise(array(img("b", -1L)))).as("d"))
-      .select(col("d.*"))
-  }
-
   /** max(n−1, 0): a key's contribution to the uniqueness violation
     * count (`count(*) − count(DISTINCT)` restated per key).
     */
@@ -113,22 +90,62 @@ object CdcQualityKeyed {
   private def rContrib(fn: Column, dn: Column): Column =
     when(coalesce(dn, lit(0L)) === 0L, coalesce(fn, lit(0L))).otherwise(0L)
 
+  /** The landed weighted-delta form of the two-stream change log (the
+    * [[JoinIvm.weightedDeltas]] stance): one ±1-weighted row per image
+    * touched, BOTH tables in one table — fact rows (`tab='f'`) carry
+    * both keyed derivations and every row-check's signed indicator,
+    * dim rows (`tab='d'`) carry the referenced key. The JSON payload
+    * decode happens exactly once, here; every maintenance round is
+    * pure arithmetic over this.
+    */
+  def weightedDeltas(changes: DataFrame, spec: KeyedSpec): DataFrame = {
+    def exploded(table: String, schema: StructType,
+                 mk: (String, Long) => Column): DataFrame =
+      changes.filter(col("table") === table)
+        .select(col("src"), col("seq"), col("op"),
+          from_json(col("payload"), schema).as("a"),
+          from_json(col("payload_before"), schema).as("b"))
+        .select(col("src"), col("seq"), explode(
+            when(col("op") === "insert", array(mk("a", 1L)))
+              .when(col("op") === "update", array(mk("b", -1L), mk("a", 1L)))
+              .otherwise(array(mk("b", -1L)))).as("d"))
+    val f = exploded(spec.factTable, spec.factSchema, (side, w) => {
+      val p = col(side)
+      struct((Seq(spec.uniqueKey(p).as("ku"), spec.refKey(p).as("kr"),
+        lit(w).as("w")) ++
+        spec.rowChecks.zipWithIndex.map { case (k, i) =>
+          (lit(w) * when(k.violation(p), 1L).otherwise(0L)).as(s"i$i")
+        }): _*)
+    }).select((Seq(lit("f").as("tab"), col("src"), col("seq"),
+      col("d.ku").as("ku"), col("d.kr").as("kr"), col("d.w").as("w")) ++
+      spec.rowChecks.indices.map(i => col(s"d.i$i").as(s"i$i"))): _*)
+    val kuType = f.schema("ku").dataType
+    val krType = f.schema("kr").dataType
+    val d = exploded(spec.dimTable, spec.dimSchema, (side, w) => {
+      val p = col(side)
+      struct(spec.dimKey(p).cast(krType).as("kr"), lit(w).as("w"))
+    }).select((Seq(lit("d").as("tab"), col("src"), col("seq"),
+      lit(null).cast(kuType).as("ku"), col("d.kr").as("kr"),
+      col("d.w").as("w")) ++
+      spec.rowChecks.indices.map(i => lit(0L).as(s"i$i"))): _*)
+    f.unionAll(d)
+  }
+
   /** One maintenance round: given the batch and the previous round's
     * netted states, the advanced states and this round's per-check
     * violation deltas, tagged into ONE frame (part 'u' = unique-key
     * counts (ku, a=n); 'r' = ref-key counts (kr, a=fn, b=dn); 'v' =
     * check partials (check_name, a=dvi)).
     */
-  private def roundPlan(batch: DataFrame, uPre: DataFrame, rPre: DataFrame,
-                        spec: KeyedSpec): DataFrame = {
-    val dU = keyedDeltas(batch, spec.factTable, spec.factSchema,
-        Seq("ku" -> spec.uniqueKey))
-      .groupBy("ku").agg(sum(col("w")).as("du"))
-    val dF = keyedDeltas(batch, spec.factTable, spec.factSchema,
-        Seq("kr" -> spec.refKey))
-      .groupBy("kr").agg(sum(col("w")).as("dfn"))
-    val dD = keyedDeltas(batch, spec.dimTable, spec.dimSchema,
-        Seq("kr" -> spec.dimKey))
+  private def writeRound(delta: DataFrame, uPre: DataFrame, rPre: DataFrame,
+                         spec: KeyedSpec, outPath: String): Unit = {
+    // `delta` is the round's slice of the landed weighted form: the
+    // consumers below are filters + aggregates over it, cheap to re-run
+    // per consumer (the JoinIvm maintain stance)
+    val fact = delta.filter(col("tab") === "f")
+    val dU = fact.groupBy("ku").agg(sum(col("w")).as("du"))
+    val dF = fact.groupBy("kr").agg(sum(col("w")).as("dfn"))
+    val dD = delta.filter(col("tab") === "d")
       .groupBy("kr").agg(sum(col("w")).as("ddn"))
     val dR = dF.join(dD, Seq("kr"), "full_outer")
       .select(col("kr"), coalesce(col("dfn"), lit(0L)).as("dfn"),
@@ -151,9 +168,15 @@ object CdcQualityKeyed {
       .agg(coalesce(sum(rContrib(col("fn1"), col("dn1"))
           - rContrib(col("fn0"), col("dn0"))), lit(0L)).as("dvi"))
       .select(lit(spec.refName).as("check_name"), col("dvi"))
-    val dViolRows = CdcQuality.partial(
-      batch.filter(col("table") === spec.factTable),
-      spec.rowChecks, spec.factSchema)
+    val dViolRows = {
+      val sums = spec.rowChecks.zipWithIndex.map { case (k, i) =>
+        coalesce(sum(col(s"i$i")), lit(0L)).as(s"s$i") }
+      fact.agg(sums.head, sums.tail: _*)
+        .select(explode(array(spec.rowChecks.zipWithIndex.map {
+          case (k, i) => struct(lit(k.name).as("check_name"),
+            col(s"s$i").as("dvi"))
+        }: _*)).as("p")).select(col("p.*"))
+    }
 
     // advanced netted states (zero-count keys drop out; they contribute
     // nothing and a revisiting key restarts from 0 identically)
@@ -182,6 +205,8 @@ object CdcQualityKeyed {
       .unionAll(tag("v", col("check_name"), lit(null).cast(kuType),
         lit(null).cast(krType), col("dvi"), lit(null).cast("long"))(
         dViolRows.unionByName(dViolU).unionByName(dViolR)))
+      .coalesce(4)
+      .write.mode("overwrite").parquet(outPath)
   }
 
   private def partU(round: DataFrame): DataFrame =
@@ -190,14 +215,9 @@ object CdcQualityKeyed {
     round.filter(col("part") === "r")
       .select(col("kr"), col("a").as("fn"), col("b").as("dn"))
 
-  private def emptyStates(batch: DataFrame, spec: KeyedSpec)
-      : (DataFrame, DataFrame) = {
-    val p = from_json(lit(null).cast("string"), spec.factSchema)
-    val dp = from_json(lit(null).cast("string"), spec.dimSchema)
-    (batch.select(spec.uniqueKey(p).as("ku"), lit(0L).as("n")).limit(0),
-     batch.select(spec.refKey(p).as("kr"), lit(0L).as("fn"),
-       lit(0L).as("dn")).limit(0))
-  }
+  private def emptyStates(deltas: DataFrame): (DataFrame, DataFrame) =
+    (deltas.select(col("ku"), lit(0L).as("n")).limit(0),
+     deltas.select(col("kr"), lit(0L).as("fn"), lit(0L).as("dn")).limit(0))
 
   private def report(spark: SparkSession, partials: DataFrame,
                      spec: KeyedSpec): DataFrame = {
@@ -233,26 +253,26 @@ object CdcQualityKeyed {
       }
     val scratch =
       s"$base/cdcqk_${java.util.UUID.randomUUID().toString.take(8)}"
-    // land the change stream ONCE (each round parses only its batch);
-    // pass materializeInput=false when `changes` is ALREADY landed
+    // land the weighted-delta form ONCE (one JSON decode, ever); pass
+    // materializeInput=false when `changes` is ALREADY that landed form
     val landed =
       if (!materializeInput) changes
       else {
-        changes.write.mode("overwrite").parquet(s"$scratch/changes")
+        weightedDeltas(changes, spec)
+          .write.mode("overwrite").parquet(s"$scratch/changes")
         spark.read.parquet(s"$scratch/changes")
       }
     val batched = landed.withColumn("bk",
       pmod(xxhash64(col("src"), col("seq")), lit(batches)))
     (0 until batches).foreach { k =>
-      val batch = batched.filter(col("bk") === k)
+      val delta = batched.filter(col("bk") === k)
       val prev =
         if (k == 0) None
         else Some(spark.read.parquet(s"$scratch/round_${k - 1}"))
-      val (u0, r0) = emptyStates(landed, spec)
+      val (u0, r0) = emptyStates(landed)
       val uPre = prev.map(partU).getOrElse(u0)
       val rPre = prev.map(partR).getOrElse(r0)
-      roundPlan(batch, uPre, rPre, spec).coalesce(4)
-        .write.mode("overwrite").parquet(s"$scratch/round_$k")
+      writeRound(delta, uPre, rPre, spec, s"$scratch/round_$k")
     }
     report(spark,
       spark.read.parquet((0 until batches)
@@ -310,11 +330,14 @@ object CdcQualityKeyed {
     val rounds = stateRounds(spark, stateDir)
     val prev = rounds.filter(_ < id).lastOption
     val prevParts = prev.map(r => spark.read.parquet(s"$stateDir/round_$r"))
-    val (u0, r0) = emptyStates(batch, spec)
-    val uPre = prevParts.map(partU).getOrElse(u0)
-    val rPre = prevParts.map(partR).getOrElse(r0)
-    roundPlan(batch, uPre, rPre, spec).coalesce(4)
-      .write.mode("overwrite").parquet(s"$stateDir/round_$id")
+    // decode the micro-batch once; the round's consumers share the cache
+    val delta = weightedDeltas(batch, spec).persist()
+    try {
+      val (u0, r0) = emptyStates(delta)
+      val uPre = prevParts.map(partU).getOrElse(u0)
+      val rPre = prevParts.map(partR).getOrElse(r0)
+      writeRound(delta, uPre, rPre, spec, s"$stateDir/round_$id")
+    } finally { delta.unpersist(); () }
     rounds.filter(r => prev.exists(r < _)).foreach { r =>
       val dir = s"$stateDir/round_$r"
       val tmp = s"$stateDir/.prune_$r"

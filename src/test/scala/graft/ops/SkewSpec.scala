@@ -37,4 +37,30 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(saltedSum == plainSum) // decimal sums: bit-exact under salting
   }
+
+  test("autoSalt picks the factor the advisory demands, 1 when balanced") {
+    import spark.implicits._
+    // hot fixture: one key holds 900 of 1000 rows; at P=10 the average
+    // reducer load is 100, so the hot key must split ceil(900*10/1000)=9 ways
+    val hot = ((1 to 900).map(_ => "hot") ++ (1 to 100).map(i => s"k$i"))
+      .toDF("k")
+    assert(Skew.autoSalt(hot, Seq("k"), parallelism = 10) == 9)
+    // balanced fixture: every key equally loaded → factor 1 (don't salt)
+    val flat = (1 to 1000).map(i => s"k${i % 20}").toDF("k")
+    assert(Skew.autoSalt(flat, Seq("k"), parallelism = 10) == 1)
+    // the factor is clamped to the parallelism even for a 1-key table
+    val one = (1 to 500).map(_ => "only").toDF("k")
+    assert(Skew.autoSalt(one, Seq("k"), parallelism = 8) == 8)
+    // pure decision arithmetic, pinned
+    assert(Skew.autoSaltFactor(1000L, 900L, 10) == 9)
+    assert(Skew.autoSaltFactor(1000L, 100L, 10) == 1)
+    assert(Skew.autoSaltFactor(0L, 0L, 10) == 1)
+    // ...and the advisory-chosen salted plan returns the unsalted truth
+    val plain = hot.groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val auto = Skew.saltedCount(hot, Seq("k"),
+        Skew.autoSalt(hot, Seq("k"), 10))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(auto == plain)
+  }
 }

@@ -32,6 +32,26 @@ class PerceptronSpec extends SparkSpec {
     assert(conf.keySet == Set((1L, 1L), (-1L, -1L)))
   }
 
+  test("trainAveraged is the exact sum of per-round weights; separable still exact") {
+    val pts = (0 until 20).map { i =>
+      val s = if (i % 2 == 0) 1f else -1f
+      val jitter = (i % 5) * 0.01f
+      (i.toLong, Seq(s * (1f + jitter), s * (1f - jitter)),
+        if (s > 0) 0 else 9)
+    }
+    val q = Perceptron.quantize(frame(pts), col("label") <= 4)
+    // identity: the averaged vector IS Σ_r w_r (r = 1..rounds)
+    val avg = Perceptron.trainAveraged(q, dims = 3, rounds = 3)
+    val sums = (1 to 3).map(r => Perceptron.train(q, dims = 3, rounds = r))
+    assert(avg.toSeq == sums.transpose.map(_.sum).toSeq)
+    // on separable data the averaged classifier is still exact
+    val conf = Perceptron.classify(q, avg)
+      .groupBy("y", "y_pred").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(conf.keySet == Set((1L, 1L), (-1L, -1L)))
+  }
+
   test("round 1 from w=0 updates on EVERY row (ties are errors)") {
     val pts = Seq(
       (0L, Seq(0.5f, 0.25f), 0),

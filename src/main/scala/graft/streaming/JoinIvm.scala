@@ -590,77 +590,50 @@ object JoinIvm {
         col("w"), col("p")))
   }
 
-  /** Replay a three-stream change log through `batches` chained
-    * maintenance rounds: stage 1 advances the inner-join states and its
+  private def part1D(r: DataFrame) = r.filter(col("part") === "1d")
+    .select(col("okey1").as("okey"), col("g1").as("g"), col("a").as("w"))
+  private def part1F(r: DataFrame) = r.filter(col("part") === "1f")
+    .select(col("okey1").as("okey"), col("a").as("n"), col("b").as("s"))
+  private def part2D(r: DataFrame) = r.filter(col("part") === "2d")
+    .select(col("okey2").as("okey"), col("g2").as("g"), col("a").as("w"))
+  private def part2F(r: DataFrame) = r.filter(col("part") === "2f")
+    .select(col("okey2").as("okey"), col("a").as("n"), col("b").as("s"))
+
+  /** One chained maintenance round over `delta` (a slice of the landed
+    * weighted form) against `prev`'s states, written part-tagged to
+    * `outPath`: stage 1 advances the inner-join states and its
     * per-chain-key view deltas; stage 2 consumes those deltas as its
-    * fact deltas against the outer dimension. Both stages' netted
-    * states plus the final view delta ride ONE part-tagged write per
-    * round (parts '1d'/'1f'/'2d'/'2f'/'v'); per-round work is
-    * O(changes · state-lookup), never a re-join of any base table.
-    * Batching invariance holds by bilinearity at each stage
-    * (spec-pinned at 1/4/7).
+    * fact deltas against the outer dimension (parts '1d'/'1f'/'2d'/
+    * '2f'/'v'). Per-round work is O(changes · state-lookup), never a
+    * re-join of any base table.
     */
-  def maintainChain(changes: DataFrame, batches: Int, spec: IvmChainSpec,
-                    materializeInput: Boolean = true,
-                    workDir: Option[String] = None): DataFrame = {
-    require(batches >= 1, s"need at least one batch, got $batches")
-    val spark = changes.sparkSession
-    val base = workDir
-      .orElse(spark.sparkContext.getCheckpointDir)
-      .getOrElse {
-        require(spark.sparkContext.isLocal,
-          "JoinIvm.maintainChain on a cluster needs a shared-FS workDir " +
-            "— a driver-local temp dir is invisible to executors")
-        graft.ops.CoreOps.scratchDirUnique("join_ivm_chain")
-      }
-    val scratch =
-      s"$base/chain_${java.util.UUID.randomUUID().toString.take(8)}"
-    val deltas =
-      if (!materializeInput) changes
-      else {
-        weightedDeltasChain(changes, spec)
-          .write.mode("overwrite").parquet(s"$scratch/changes")
-        spark.read.parquet(s"$scratch/changes")
-      }
-    val k1Type = deltas.schema("k1").dataType
-    val k2Type = deltas.schema("k2").dataType
-    val g2Type = deltas.schema("g2").dataType
+  private def writeChainRound(delta: DataFrame, prev: Option[DataFrame],
+                              spec: IvmChainSpec, outPath: String): Unit = {
+    val k1Type = delta.schema("k1").dataType
+    val k2Type = delta.schema("k2").dataType
+    val g2Type = delta.schema("g2").dataType
     val g1 = struct(col("k2").as(spec.chainKey))
-    val g1Type = deltas.select(g1.as("g1")).schema("g1").dataType
-    def part1D(r: DataFrame) = r.filter(col("part") === "1d")
-      .select(col("okey1").as("okey"), col("g1").as("g"), col("a").as("w"))
-    def part1F(r: DataFrame) = r.filter(col("part") === "1f")
-      .select(col("okey1").as("okey"), col("a").as("n"), col("b").as("s"))
-    def part2D(r: DataFrame) = r.filter(col("part") === "2d")
-      .select(col("okey2").as("okey"), col("g2").as("g"), col("a").as("w"))
-    def part2F(r: DataFrame) = r.filter(col("part") === "2f")
-      .select(col("okey2").as("okey"), col("a").as("n"), col("b").as("s"))
-    val batched = deltas.withColumn("bk",
-      pmod(xxhash64(col("src"), col("seq")), lit(batches)))
-    (0 until batches).foreach { k =>
-      val delta = batched.filter(col("bk") === k)
-      val dD1 = delta.filter(col("tab") === "o")
-        .select(col("k1").as("okey"), g1.as("g"), col("w"))
-      val dF1 = delta.filter(col("tab") === "f")
-        .groupBy(col("k1").as("okey"))
-        .agg(sum(col("w")).as("dn"), sum(col("p")).cast(Money).as("ds"))
-      val prev =
-        if (k == 0) None
-        else Some(spark.read.parquet(s"$scratch/round_${k - 1}"))
-      val d1Pre = prev.map(part1D)
-        .getOrElse(emptyLike(dD1))
-      val f1Pre = prev.map(part1F)
-        .getOrElse(emptyLike(dF1.select(col("okey"), col("dn").as("n"),
-          col("ds").as("s"))))
-      val (dView1, dState1, fState1) = roundPlans(dD1, dF1, d1Pre, f1Pre)
-      // stage 1's view deltas are stage 2's fact deltas; netted to
-      // chain-key-count-sized rows and persisted — the three bilinear
-      // terms of stage 2 each consume it, and its lineage is three
-      // joins deep
-      val dF2 = dView1
-        .groupBy(col(s"g.${spec.chainKey}").as("okey"))
-        .agg(sum(col("dn")).as("dn"), sum(col("ds")).cast(Money).as("ds"))
-        .persist()
+    val g1Type = delta.select(g1.as("g1")).schema("g1").dataType
+    val dD1 = delta.filter(col("tab") === "o")
+      .select(col("k1").as("okey"), g1.as("g"), col("w"))
+    val dF1 = delta.filter(col("tab") === "f")
+      .groupBy(col("k1").as("okey"))
+      .agg(sum(col("w")).as("dn"), sum(col("p")).cast(Money).as("ds"))
+    val d1Pre = prev.map(part1D)
+      .getOrElse(emptyLike(dD1))
+    val f1Pre = prev.map(part1F)
+      .getOrElse(emptyLike(dF1.select(col("okey"), col("dn").as("n"),
+        col("ds").as("s"))))
+    val (dView1, dState1, fState1) = roundPlans(dD1, dF1, d1Pre, f1Pre)
+    // stage 1's view deltas are stage 2's fact deltas; netted to
+    // chain-key-count-sized rows and persisted — the three bilinear
+    // terms of stage 2 each consume it, and its lineage is three
+    // joins deep
+    val dF2 = dView1
+      .groupBy(col(s"g.${spec.chainKey}").as("okey"))
+      .agg(sum(col("dn")).as("dn"), sum(col("ds")).cast(Money).as("ds"))
+      .persist()
+    try {
       val dD2 = delta.filter(col("tab") === "c")
         .select(col("k2").as("okey"), col("g2").as("g"), col("w"))
       val d2Pre = prev.map(part2D).getOrElse(emptyLike(dD2))
@@ -686,16 +659,105 @@ object JoinIvm {
         .unionAll(tag("v", nullK1, nullK2, nullG1, col("g"),
           col("dn"), col("ds"))(dView2))
         .coalesce(4)
-        .write.mode("overwrite").parquet(s"$scratch/round_$k")
-      dF2.unpersist()
-      ()
-    }
-    spark.read.parquet(
-        (0 until batches).map(k => s"$scratch/round_$k"): _*)
-      .filter(col("part") === "v")
+        .write.mode("overwrite").parquet(outPath)
+    } finally { dF2.unpersist(); () }
+  }
+
+  private def aggChainView(parts: DataFrame, spec: IvmChainSpec): DataFrame =
+    parts.filter(col("part") === "v")
       .groupBy(spec.dimCols.map { case (n, _) => col(s"g2.$n").as(n) }: _*)
       .agg(sum(col("a")).as(spec.countName),
         sum(col("b")).cast("double").as(spec.sumName))
       .filter(col(spec.countName) > 0)
+
+  /** Replay a three-stream change log through `batches` chained
+    * maintenance rounds. Batching invariance holds by bilinearity at
+    * each stage (spec-pinned at 1/4/7).
+    */
+  def maintainChain(changes: DataFrame, batches: Int, spec: IvmChainSpec,
+                    materializeInput: Boolean = true,
+                    workDir: Option[String] = None): DataFrame = {
+    require(batches >= 1, s"need at least one batch, got $batches")
+    val spark = changes.sparkSession
+    val base = workDir
+      .orElse(spark.sparkContext.getCheckpointDir)
+      .getOrElse {
+        require(spark.sparkContext.isLocal,
+          "JoinIvm.maintainChain on a cluster needs a shared-FS workDir " +
+            "— a driver-local temp dir is invisible to executors")
+        graft.ops.CoreOps.scratchDirUnique("join_ivm_chain")
+      }
+    val scratch =
+      s"$base/chain_${java.util.UUID.randomUUID().toString.take(8)}"
+    val deltas =
+      if (!materializeInput) changes
+      else {
+        weightedDeltasChain(changes, spec)
+          .write.mode("overwrite").parquet(s"$scratch/changes")
+        spark.read.parquet(s"$scratch/changes")
+      }
+    val batched = deltas.withColumn("bk",
+      pmod(xxhash64(col("src"), col("seq")), lit(batches)))
+    (0 until batches).foreach { k =>
+      val delta = batched.filter(col("bk") === k)
+      val prev =
+        if (k == 0) None
+        else Some(spark.read.parquet(s"$scratch/round_${k - 1}"))
+      writeChainRound(delta, prev, spec, s"$scratch/round_$k")
+    }
+    aggChainView(spark.read.parquet(
+      (0 until batches).map(k => s"$scratch/round_$k"): _*), spec)
+  }
+
+  /** Streaming form of the chain: one maintenance round per
+    * micro-batch against batch-id-versioned state (`round_<id>` — the
+    * [[applyBatch]] redelivery contract), older rounds pruned to their
+    * view-delta rows. The dir discipline is shared with the two-table
+    * form ([[stateRounds]] heals interrupted prunes); the `viewbase_`
+    * compaction is the one piece deliberately not duplicated here
+    * (group-sized 'v' rows; the two-table form proves the mechanism).
+    */
+  def applyChainBatch(batch: DataFrame, stateDir: String, id: Long,
+                      spec: IvmChainSpec): Unit = {
+    val spark = batch.sparkSession
+    val rounds = stateRounds(spark, stateDir)
+    val prev = rounds.filter(_ < id).lastOption
+    val prevParts = prev.map(p => spark.read.parquet(s"$stateDir/round_$p"))
+    val delta = weightedDeltasChain(batch, spec).persist()
+    try writeChainRound(delta, prevParts, spec, s"$stateDir/round_$id")
+    finally { delta.unpersist(); () }
+    rounds.filter(r => prev.exists(r < _)).foreach { r =>
+      val dir = s"$stateDir/round_$r"
+      val tmp = s"$stateDir/.prune_$r"
+      spark.read.parquet(dir).filter(col("part") === "v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = fs(spark, stateDir)
+      f.delete(new org.apache.hadoop.fs.Path(dir), true)
+      f.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$stateDir/view_$r"))
+      ()
+    }
+  }
+
+  /** Continuous chain maintenance over a stream of change rows. */
+  def startChain(changes: DataFrame, stateDir: String, checkpointDir: String,
+                 spec: IvmChainSpec)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyChainBatch(batch, stateDir, id, spec)
+      }
+      .start()
+
+  /** The maintained chain view at the current stream position. */
+  def chainView(spark: SparkSession, stateDir: String,
+                spec: IvmChainSpec): DataFrame = {
+    val rounds = stateRounds(spark, stateDir)
+    val f = fs(spark, stateDir)
+    val dirs = rounds.map(r => s"$stateDir/round_$r") ++
+      dirIds(f, stateDir, "view_").map(r => s"$stateDir/view_$r")
+    require(dirs.nonEmpty, s"no chain state under $stateDir")
+    aggChainView(spark.read.parquet(dirs: _*), spec)
   }
 }

@@ -382,15 +382,14 @@ class StreamingSpec extends SparkSpec {
       "maintained view must equal the direct join over live states")
   }
 
-  test("three-table chain maintenance: batching-invariant, deletes cascade") {
-    import spark.implicits._
-    import org.apache.spark.sql.types._
+  // three-table chain fixture shared by the replay and streaming tests:
+  // deletes on every level + a middle-table update that MOVES an order
+  // between customers (the chain-key change case)
+  private def chainFixtureRows: Seq[(String, String, String, String, String, Long)] = {
     def c(k: Long, seg: String) = s"""{"c_custkey":$k,"c_mktsegment":"$seg"}"""
     def o(k: Long, ck: Long) = s"""{"o_orderkey":$k,"o_custkey":$ck}"""
     def l(ok: Long, cents: Long) = s"""{"l_orderkey":$ok,"l_cents":$cents}"""
-    // deletes on every level + a middle-table update that MOVES an
-    // order between customers (the chain-key change case)
-    val rows = Seq(
+    Seq(
       ("cust_cdc", "insert", c(1, "SEG-A"), null, "s", 1L),
       ("cust_cdc", "insert", c(2, "SEG-B"), null, "s", 2L),
       ("cust_cdc", "insert", c(3, "SEG-A"), null, "s", 3L),
@@ -410,7 +409,10 @@ class StreamingSpec extends SparkSpec {
       ("line_cdc", "delete", null, l(12, 500), "s", 17L),
       ("cust_cdc", "delete", null, c(3, "SEG-A"), "s", 18L), // drops 600
       ("ord_cdc", "update", o(12, 1), o(12, 2), "s", 19L))   // moves 400
-      .toDF("table", "op", "payload", "payload_before", "src", "seq")
+  }
+
+  private lazy val chainFixtureSpec: JoinIvm.IvmChainSpec = {
+    import org.apache.spark.sql.types._
     val inner = JoinIvm.IvmJoinSpec(
       dimTable = "ord_cdc",
       dimSchema = StructType(Seq(StructField("o_orderkey", LongType),
@@ -422,13 +424,20 @@ class StreamingSpec extends SparkSpec {
         StructField("l_cents", LongType))),
       factKey = p => p("l_orderkey"),
       factMeasure = p => p("l_cents"))
-    val spec = JoinIvm.IvmChainSpec(inner = inner,
+    JoinIvm.IvmChainSpec(inner = inner,
       dimTable = "cust_cdc",
       dimSchema = StructType(Seq(StructField("c_custkey", LongType),
         StructField("c_mktsegment", StringType))),
       dimKey = p => p("c_custkey"),
       dimCols = Seq("c_mktsegment" -> (p => p("c_mktsegment"))),
       sumName = "sum_cents")
+  }
+
+  test("three-table chain maintenance: batching-invariant, deletes cascade") {
+    import spark.implicits._
+    val rows = chainFixtureRows
+      .toDF("table", "op", "payload", "payload_before", "src", "seq")
+    val spec = chainFixtureSpec
     def viewSet(batches: Int): Set[(String, Long, Double)] =
       JoinIvm.maintainChain(rows, batches, spec).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
@@ -439,6 +448,41 @@ class StreamingSpec extends SparkSpec {
     assert(v1 == Set(("SEG-A", 3L, 700.0)))
     assert(viewSet(4) == v1, "4-batch chain replay must equal 1-batch")
     assert(viewSet(7) == v1, "7-batch chain replay must equal 1-batch")
+  }
+
+  test("streaming chain maintenance tracks batches; redelivery is idempotent") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val spec = chainFixtureSpec
+    val dir = java.nio.file.Files.createTempDirectory("chain_stream_").toString
+    val input = MemoryStream[KeyedChangeRow]
+    val q = JoinIvm.startChain(input.toDF(), s"$dir/state", s"$dir/ckpt", spec)
+    val asRows = chainFixtureRows.map(r =>
+      KeyedChangeRow(r._1, r._2, r._3, r._4, r._5, r._6))
+    try {
+      asRows.grouped(7).foreach { c =>
+        input.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+      def view(): Set[(String, Long, Double)] =
+        JoinIvm.chainView(spark, s"$dir/state", spec).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val streamed = view()
+      val twin = JoinIvm.maintainChain(chainFixtureRows
+          .toDF("table", "op", "payload", "payload_before", "src", "seq"),
+          1, spec).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == twin,
+        "streamed chain view must equal the one-batch replay twin")
+      // redelivery: re-applying the LAST batch id rebuilds its own round
+      // from the intact previous round — the view must not change
+      val lastId = new java.io.File(s"$dir/state").listFiles()
+        .map(_.getName).filter(_.startsWith("round_"))
+        .map(_.stripPrefix("round_").toLong).max
+      JoinIvm.applyChainBatch(asRows.grouped(7).toSeq.last
+          .toDF().toDF("table", "op", "payload", "payload_before", "src", "seq"),
+        s"$dir/state", lastId, spec)
+      assert(view() == twin, "redelivered chain batch must be idempotent")
+    } finally q.stop()
   }
 
   test("streaming join-view maintenance: view tracks batches, redelivery is idempotent") {

@@ -329,6 +329,24 @@ object CdcPipeline {
     ()
   }
 
+  /** The mechanical split advisory — [[stateStats]] wired to
+    * [[splitBucket]] the way `Skew.autoSalt` wires the key-skew
+    * measurement to salting: bucket tags whose live-row count exceeds
+    * `factor` × the mean live rows per bucket, hottest first. Empty
+    * output = no split warranted. One stats pass; no state rewrite.
+    */
+  def adviseSplit(spark: SparkSession, stateDir: String,
+                  factor: Double = 2.0): Seq[Int] = {
+    require(factor > 1.0, s"a split threshold at or below the mean is " +
+      s"self-defeating: $factor")
+    val rows = stateStats(spark, stateDir)
+      .select("bucket", "live_rows").collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    if (rows.isEmpty) return Seq.empty
+    val mean = rows.map(_._2).sum.toDouble / rows.length
+    rows.filter(_._2 > factor * mean).sortBy(-_._2).map(_._1).toSeq
+  }
+
   /** Derived refinement level of a bucket TAG under base count B: the
     * unique ℓ with B·(2^ℓ−1) ≤ tag < B·(2^(ℓ+1)−1).
     */

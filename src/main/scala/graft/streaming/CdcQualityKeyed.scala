@@ -45,10 +45,14 @@ import org.apache.spark.sql.types.StructType
   * long stream's scale the partial dirs would fold into a compacted
   * base exactly as [[JoinIvm.applyBatch]]'s `viewbase_` machinery does
   * (checks-sized rows; deliberately not duplicated here). The per-round
-  * state write is keys-sized — the netted key counts, never data rows;
-  * at 100 TB the same netted states ride the bucketed
-  * [[CdcPipeline.applyBatch]] layout (touched-buckets-only rewrites),
-  * which this module's state schema is deliberately shaped for.
+  * state write is keys-sized — the netted key counts, never data rows.
+  * Honest scale note: the SHIPPED state form rewrites the full netted
+  * count tables each round (the [[JoinIvm]] stance, accepted there for
+  * the same keys-sized-not-data-sized reason); the further cheapening
+  * at extreme key cardinality is a bucketed touched-buckets-only
+  * layout like [[CdcPipeline.applyBatch]]'s — a design path, not
+  * shipped code (its per-key seq-gate redelivery trick is proved on
+  * the deferred-JSON applier).
   */
 object CdcQualityKeyed {
 

@@ -1567,10 +1567,17 @@ class StreamingSpec extends SparkSpec {
       "the split parent dir must be gone")
     // a later apply touching a key of the SPLIT bucket must land in the
     // refined child — the meta-miss failure mode leaves two live versions
-    val kStar = (0 until 400).map(_.toLong).map { k =>
-      k -> spark.range(1).select(
-        pmod(xxhash64(lit("t"), lit(k)), lit(8)).cast("int")).head().getInt(0)
-    }.collectFirst { case (k, t) if t == hot && k != 9L => k }.get
+    val tagOf: Map[Long, Int] = spark.range(0, 3000)
+      .select(col("id"), pmod(xxhash64(lit("t"), col("id")), lit(8))
+        .cast("int").as("t8"),
+        pmod(xxhash64(lit("t"), col("id")), lit(16)).cast("int").as("t16"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val tag16Of: Map[Long, Int] = spark.range(0, 3000)
+      .select(col("id"), pmod(xxhash64(lit("t"), col("id")), lit(16))
+        .cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kStar = (0L until 400L)
+      .collectFirst { case k if tagOf(k) == hot && k != 9L => k }.get
     CdcPipeline.applyBatch(spark, Seq(
       ChangeEvent("update", "t", kStar, ts(3), 600L, """{"v":"u"}""")).toDF(),
       stateDir)
@@ -1579,8 +1586,7 @@ class StreamingSpec extends SparkSpec {
     assert(liveK.map(_.getString(0)).toSeq == Seq("""{"v":"u"}"""),
       s"exactly one live refined version expected, got ${liveK.length}")
     // tombstone still blocks resurrection across the refinement
-    if (spark.range(1).select(pmod(xxhash64(lit("t"), lit(9L)), lit(8))
-        .cast("int")).head().getInt(0) == hot) {
+    if (tagOf(9L) == hot) {
       CdcPipeline.applyBatch(spark, Seq(
         ChangeEvent("insert", "t", 9L, ts(1), 400L, """{"v":"stale"}""")).toDF(),
         stateDir)
@@ -1611,6 +1617,23 @@ class StreamingSpec extends SparkSpec {
     val (b3, levels3) = CdcPipeline.readMeta(spark, stateDir).get
     assert(b3 == 16 && levels3.isEmpty)
     assert(snapshot() == after2)
+    // the ADVISORY drives the split mechanically: make one bucket hot
+    // (inserts of fresh keys chosen to hash into it), adviseSplit must
+    // name exactly that bucket, and splitting it must preserve state
+    assert(CdcPipeline.adviseSplit(spark, stateDir, factor = 2.0).isEmpty,
+      "a balanced state must advise no split")
+    val target = 3
+    val hotKeys = (400L until 3000L).filter(tag16Of(_) == target).take(120)
+    CdcPipeline.applyBatch(spark, hotKeys.map(k =>
+      ChangeEvent("insert", "t", k, ts(4), 1000L + k, s"""{"v":$k}""")).toDF(),
+      stateDir)
+    val advised = CdcPipeline.adviseSplit(spark, stateDir, factor = 2.0)
+    assert(advised == Seq(target),
+      s"the hot bucket must be the sole advisory, got $advised")
+    val beforeAdvSplit = snapshot()
+    CdcPipeline.splitBucket(spark, stateDir, advised.head)
+    assert(snapshot() == beforeAdvSplit,
+      "the advised split must preserve live state")
   }
 
   test("tombstone retention prunes past-watermark tombstones, incrementally") {

@@ -120,9 +120,10 @@ object Queries {
     * weighted deltas) with full cost inside the caller's timer.
     */
   private[graft] def prepCdcSynthChanges(s: SparkSession, d: String): Unit = {
-    Seq("qualkeyed", "chaindeltas", "compdeltas")
+    Seq("qualkeyed", "qualkeyedord", "chaindeltas", "compdeltas")
       .foreach(n => synthCache.remove(s"$n|$d"))
     qualityKeyedChanges(s, d)
+    qualityKeyedOrdChanges(s, d)
     chainDeltas(s, d)
     compositeDeltas(s, d)
     ()
@@ -229,6 +230,71 @@ object Queries {
       ins.unionAll(upd).unionAll(dup).unionAll(del)
         .unionAll(oIns).unionAll(oDel),
       qualityKeyedSpec)
+  }
+
+  // ---- st_cdc_quality_keyed_ord: SECOND KeyedSpec instance ----
+
+  /** Second registered instance of the keyed-quality operator (the
+    * JoinIvm reuse discipline: proved, not claimed) — a DIFFERENT
+    * table pair with different key shapes: a single-column long unique
+    * key that genuinely IS unique (the check must report 0, not just
+    * fail loudly), a referential check against the customer stream,
+    * and a row-local check violated by updates.
+    */
+  private[graft] lazy val qualityKeyedOrdSpec
+      : graft.streaming.CdcQualityKeyed.KeyedSpec = {
+    import org.apache.spark.sql.types._
+    import graft.streaming.CdcQuality.QCheck
+    val factSchema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType)))
+    val dimSchema = StructType(Seq(StructField("c_custkey", LongType)))
+    graft.streaming.CdcQualityKeyed.KeyedSpec(
+      factTable = "orders_cdc", factSchema = factSchema,
+      rowChecks = Seq(
+        QCheck("orders_totalprice_non_negative", c =>
+          c.getField("o_totalprice") < 0.0)),
+      uniqueName = "orders_pk_unique",
+      uniqueKey = p => p("o_orderkey"),
+      refName = "orders_custkey_ref",
+      refKey = p => p("o_custkey"),
+      dimTable = "customer_cdc", dimSchema = dimSchema,
+      dimKey = p => p("c_custkey"))
+  }
+
+  private def qualityKeyedOrdChanges(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = landed(s, s"qualkeyedord|$d") {
+    val nullS = lit(null).cast("string")
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_custkey").as("ck"),
+      col("o_totalprice").cast("double").as("tp"))
+    def pay(tp: Column) = to_json(struct(col("k").as("o_orderkey"),
+      col("ck").as("o_custkey"), tp.as("o_totalprice")))
+    def ev(op: String, p: Column, b: Column, stmt: Int) = Seq(
+      lit("orders_cdc").as("table"), lit(op).as("op"), p.as("payload"),
+      b.as("payload_before"), (col("k") % 4).cast("string").as("src"),
+      (col("k") * 10 + stmt).as("seq"))
+    val ins = o.select(ev("insert", pay(col("tp")), nullS, 3): _*)
+    // updates push a slice's price negative; deletes carry the TRUE
+    // live before image (post-update where both slices intersect)
+    val upd = o.filter(col("k") % 23 === 0)
+      .select(ev("update", pay(lit(-1.0)), pay(col("tp")), 4): _*)
+    val liveTp = when(col("k") % 23 === 0, lit(-1.0)).otherwise(col("tp"))
+    val del = o.filter(col("k") % 6 === 0)
+      .select(ev("delete", nullS, pay(liveTp), 5): _*)
+    val c = Tables.customer(s, d).select(col("c_custkey").as("k"))
+    val cPay = to_json(struct(col("k").as("c_custkey")))
+    def cev(op: String, p: Column, b: Column, stmt: Int) = Seq(
+      lit("customer_cdc").as("table"), lit(op).as("op"), p.as("payload"),
+      b.as("payload_before"), (col("k") % 4).cast("string").as("src"),
+      (col("k") * 10 + stmt).as("seq"))
+    val cIns = c.select(cev("insert", cPay, nullS, 1): _*)
+    val cDel = c.filter(col("k") % 11 === 0)
+      .select(cev("delete", nullS, cPay, 2): _*)
+    graft.streaming.CdcQualityKeyed.weightedDeltas(
+      ins.unionAll(upd).unionAll(del).unionAll(cIns).unionAll(cDel),
+      qualityKeyedOrdSpec)
   }
 
   // ---- st_cdc_join_ivm_chain: spec + landed weighted deltas ----
@@ -3734,6 +3800,30 @@ object Queries {
     // duplicate inserts break the declared PK, order deletes orphan
     // their surviving lineitems (the reference's swallowed-error
     // corruption, sync.py:87-89, made visible live).
+    // SECOND KeyedSpec instance (reuse proved, not claimed — the
+    // st_cdc_join_ivm_cust discipline): orders under a single-column
+    // unique key that IS unique (0 violations, and the oracle pins the
+    // 0), a referential check orphaned by customer deletes, and a
+    // row-local check violated by price-negating updates. Zero
+    // operator-side code specific to this view.
+    Q("st_cdc_quality_keyed_ord",
+      (s, d) => graft.streaming.CdcQualityKeyed.maintain(
+        qualityKeyedOrdChanges(s, d), batches = 2, qualityKeyedOrdSpec,
+        materializeInput = false),
+      Some("""WITH live_o AS (SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 23 = 0 THEN -1.0 ELSE o_totalprice END AS tp
+        | FROM orders WHERE o_orderkey % 6 <> 0),
+        |live_c AS (SELECT c_custkey FROM customer WHERE c_custkey % 11 <> 0)
+        |SELECT check_name, violations, violations = 0 AS passed FROM (
+        | SELECT 'orders_totalprice_non_negative' AS check_name,
+        |  CAST(coalesce(sum(CASE WHEN tp < 0.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations FROM live_o
+        | UNION ALL SELECT 'orders_pk_unique',
+        |  count(*) - count(DISTINCT o_orderkey) FROM live_o
+        | UNION ALL SELECT 'orders_custkey_ref',
+        |  (SELECT count(*) FROM live_o o WHERE NOT EXISTS
+        |    (SELECT 1 FROM live_c c WHERE c.c_custkey = o.o_custkey))) t
+        |ORDER BY check_name""".stripMargin)),
+
     // 2 rounds (the st_cdc_join_ivm stance): each round's state write
     // is keys-sized fixed cost; the cross-batch handoff is exercised at
     // k=2 and batching invariance is spec-proved separately at 1/3/5

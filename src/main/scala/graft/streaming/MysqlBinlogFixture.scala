@@ -549,6 +549,27 @@ object MysqlBinlogFixture {
     * retract-old/add-new algebra must reconstruct the live state
     * exactly.
     */
+  /** The FENCED consistent encode is memoized per (JVM, sfDir) — the
+    * cut is itself a pure function of the dataset (the ts midpoint),
+    * so the log is too; the writer cost is billed as the bench's
+    * `prep_cdc_synth_changes` line. The UNfenced consistent encode
+    * stays per-call (several rows share its dir and re-encode is their
+    * documented transport cost).
+    */
+  private val consistentFenceCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def encodeEventsConsistentFenced(spark: SparkSession, sfDir: String,
+                                   cutMicros: Long): String =
+    consistentFenceCache.computeIfAbsent(sfDir, _ =>
+      encodeEventsConsistent(spark, sfDir,
+        fenceCutoffMicros = Some(cutMicros)))
+
+  private[graft] def resetConsistentFenceEncode(sfDir: String): Unit = {
+    consistentFenceCache.remove(sfDir)
+    ()
+  }
+
   def encodeEventsConsistent(spark: SparkSession, sfDir: String,
                              nServers: Int = 4,
                              fenceCutoffMicros: Option[Long] = None): String = {

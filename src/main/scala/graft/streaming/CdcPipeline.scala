@@ -899,6 +899,9 @@ object CdcPipeline {
           lit(0L).as("last_seq"), lit(null).cast("string").as("doc0")).limit(0)
       val fresh = filter(col("evs"),
         e => e.getField("seq") > coalesce(col("last_seq"), lit(Long.MinValue)))
+      // applyBatch consumes newRows twice (touched probe + staged
+      // write); its lineage re-runs off the CACHED folded frame, which
+      // measured cheaper than materializing the folded documents twice
       val newRows = folded.join(prior, Seq("src", "key"), "left")
         .select(lit(ChangeEvent.Insert).as("op"), col("src").as("table"),
           col("key"), lit(new java.sql.Timestamp(0L)).as("ts"),

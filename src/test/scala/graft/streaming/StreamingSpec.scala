@@ -1636,6 +1636,62 @@ class StreamingSpec extends SparkSpec {
       "the advised split must preserve live state")
   }
 
+  test("a COMMITTED split interrupted before completion heals forward on read") {
+    // simulate the crash window between the commit rename and the child
+    // publications: stage the children + staged meta by hand, rename the
+    // live parent to the marker — exactly splitBucket's state right
+    // after its commit point — then read; recovery must publish the
+    // children, swap the meta in, drop the marker, and lose nothing
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cdc_splitheal_").toString
+    val stateDir = s"file:$base/state"
+    val seed = (0 until 200).map(i =>
+      ChangeEvent("insert", "t", i.toLong, ts(1), i.toLong, s"""{"v":$i}"""))
+    CdcPipeline.applyBatch(spark, seed.toDF(), stateDir, numBuckets = 8)
+    val before = CdcPipeline.currentState(spark, stateDir)
+      .select("key", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val parent = 5
+    val loTag = parent + 8; val hiTag = parent + 16
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stage refined children (what splitBucket writes before commit)
+    val cols = Seq("op", "table", "key", "ts", "seq", "payload")
+    spark.read.parquet(stateDir).filter(col("bucket") === parent)
+      .select(cols.map(col): _*)
+      .withColumn("bucket",
+        (pmod(xxhash64(col("table"), col("key")), lit(16L)) + lit(8L))
+          .cast("int"))
+      .repartition(2, col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$stateDir/.split_$parent")
+    val next = new Path(s"$stateDir/_graft_buckets.json.next")
+    val o = fs.create(next, true)
+    try o.write(
+      s"""{"buckets":8,"levels":{"$loTag":1,"$hiTag":1}}""".getBytes("UTF-8"))
+    finally o.close()
+    // COMMIT, then "crash": the parent dir becomes the marker
+    assert(fs.rename(new Path(s"$stateDir/bucket=$parent"),
+      new Path(s"$stateDir/.splitting_${parent}_${loTag}_$hiTag")))
+    // any entry point heals forward
+    val after = CdcPipeline.currentState(spark, stateDir)
+      .select("key", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == before, "forward heal must lose no rows")
+    val (b, levels) = CdcPipeline.readMeta(spark, stateDir).get
+    assert(b == 8 && levels == Map(loTag -> 1, hiTag -> 1))
+    assert(!fs.exists(new Path(s"$stateDir/.splitting_${parent}_${loTag}_$hiTag")))
+    assert(!fs.exists(new Path(s"$stateDir/.split_$parent")))
+    assert(!fs.exists(next))
+    // and applies under the healed refinement still converge
+    CdcPipeline.applyBatch(spark, Seq(
+      ChangeEvent("update", "t", 5L, ts(2), 900L, """{"v":"u"}""")).toDF(),
+      stateDir)
+    val live5 = CdcPipeline.currentState(spark, stateDir)
+      .filter(col("key") === 5L).select("payload").collect()
+    assert(live5.map(_.getString(0)).toSeq == Seq("""{"v":"u"}"""))
+  }
+
   test("tombstone retention prunes past-watermark tombstones, incrementally") {
     val stateDir = java.nio.file.Files
       .createTempDirectory("graft_cdc_prune_").toString + "/state"

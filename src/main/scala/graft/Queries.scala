@@ -120,12 +120,14 @@ object Queries {
     * weighted deltas) with full cost inside the caller's timer.
     */
   private[graft] def prepCdcSynthChanges(s: SparkSession, d: String): Unit = {
-    Seq("qualkeyed", "qualkeyedord", "chaindeltas", "compdeltas")
+    Seq("qualkeyed", "qualkeyedord", "chaindeltas", "compdeltas",
+        "profdeltas")
       .foreach(n => synthCache.remove(s"$n|$d"))
     qualityKeyedChanges(s, d)
     qualityKeyedOrdChanges(s, d)
     chainDeltas(s, d)
     compositeDeltas(s, d)
+    profileDeltas(s, d)
     // the snapshot-then-stream gate's fenced wire log (memoized per
     // (JVM, dataset); the cut is the dataset's ts midpoint)
     graft.streaming.MysqlBinlogFixture.resetConsistentFenceEncode(d)
@@ -238,6 +240,23 @@ object Queries {
       ins.unionAll(upd).unionAll(dup).unionAll(del)
         .unionAll(oIns).unionAll(oDel),
       qualityKeyedSpec)
+  }
+
+  // ---- st_cdc_profile: continuous column profiling ----
+
+  private[graft] lazy val profileSpec: graft.streaming.CdcProfile.ProfileSpec =
+    graft.streaming.CdcProfile.ProfileSpec("events",
+      graft.streaming.IvmIngest.payloadSchema, Seq("event_type", "value"))
+
+  private def profileDeltas(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = landed(s, s"profdeltas|$d") {
+    val dir = graft.streaming.MysqlBinlogFixture.encodeEventsConsistent(s, d)
+    graft.streaming.CdcProfile.weightedDeltas(
+      s.read
+        .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
+        .option("path", dir).load()
+        .filter(col("table") === "events"),
+      profileSpec)
   }
 
   // ---- st_cdc_quality_keyed_ord: SECOND KeyedSpec instance ----
@@ -3811,6 +3830,41 @@ object Queries {
     // duplicate inserts break the declared PK, order deletes orphan
     // their surviving lineitems (the reference's swallowed-error
     // corruption, sync.py:87-89, made visible live).
+    // St2 × X5 continuous column PROFILING (CdcProfile — the
+    // TableStats.profile statistics maintained over the live table at
+    // O(changes)): rows/nulls are linear indicator sums; exact NDV is
+    // NOT, and a mergeable HLL cannot RETRACT a deleted value, so
+    // exactness under deletes/updates rides per-(column, value) keyed
+    // counts whose presence-indicator deltas TELESCOPE (the
+    // CdcQualityKeyed algebra with 1[n>0] as the contribution). The
+    // oracle profiles the replayed live state directly — delta-derived
+    // == state-derived, for the statistics a pipeline reads first.
+    Q("st_cdc_profile",
+      (s, d) => graft.streaming.CdcProfile.maintain(
+        profileDeltas(s, d), batches = 2, profileSpec,
+        materializeInput = false),
+      Some("""WITH e AS (SELECT user_id, event_id, ts, event_type, value,
+        |  CASE WHEN event_id % 17 = 0 THEN 'delete' ELSE 'other' END AS mop,
+        |  lag(CASE WHEN event_id % 17 = 0 THEN 'delete' ELSE 'other' END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pmop
+        |  FROM events),
+        | f AS (SELECT *,
+        |  CASE WHEN (pmop IS NULL OR pmop = 'delete') AND mop = 'delete'
+        |        THEN 'skip'
+        |       WHEN (pmop IS NULL OR pmop = 'delete') THEN 'insert'
+        |       WHEN mop = 'delete' THEN 'delete' ELSE 'update' END AS op
+        |  FROM e),
+        | latest AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |   FROM f WHERE op <> 'skip') t WHERE rn = 1 AND op <> 'delete')
+        |SELECT col_name, n_rows, n_nulls, n_distinct FROM (
+        | SELECT 'event_type' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(event_type) AS n_nulls,
+        |  count(DISTINCT event_type) AS n_distinct FROM latest
+        | UNION ALL SELECT 'value', count(*),
+        |  count(*) - count(value), count(DISTINCT value) FROM latest) t
+        |ORDER BY col_name""".stripMargin)),
+
     // SECOND KeyedSpec instance (reuse proved, not claimed — the
     // st_cdc_join_ivm_cust discipline): orders under a single-column
     // unique key that IS unique (0 violations, and the oracle pins the

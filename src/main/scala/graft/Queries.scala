@@ -145,9 +145,14 @@ object Queries {
     */
   private def readFences(dir: String): String = {
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      .iterator().asScala.map(_.toString)
-      .filter(_.endsWith(".fence")).toSeq.sorted
+    // Files.list holds a directory handle until closed — leak one per
+    // call and a long-lived driver accumulates fds
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val files =
+      try listing.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".fence")).toSeq.sorted
+      finally listing.close()
+    files
       .map(f => new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(f)),
         java.nio.charset.StandardCharsets.UTF_8).trim)
@@ -3085,16 +3090,7 @@ object Queries {
         val cut = (mm.getLong(0) + mm.getLong(1)) / 2
         val dir = graft.streaming.MysqlBinlogFixture
           .encodeEvents(s, d, fenceCutoffMicros = Some(cut))
-        val executed = {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-            .iterator().asScala.map(_.toString)
-            .filter(_.endsWith(".fence")).toSeq.sorted
-            .map(f => new String(java.nio.file.Files.readAllBytes(
-              java.nio.file.Paths.get(f)),
-              java.nio.charset.StandardCharsets.UTF_8).trim)
-            .filter(_.nonEmpty).mkString(",")
-        }
+        val executed = readFences(dir)
         val raw = graft.streaming.MysqlBinlogSource.expand(dir)
           .map(f => graft.streaming.MysqlBinlogSource
             .batchReadFromGtid(s, f, executed))

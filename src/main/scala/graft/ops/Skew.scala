@@ -64,7 +64,10 @@ object Skew {
     val r = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
       .agg(sum(col("cnt")).as("n"), count(lit(1)).as("ndv"),
         max(col("cnt")).as("mx")).head()
-    (r.getLong(0), r.getLong(1), r.getLong(2))
+    // an empty input aggregates to NULL sum/max (zero groups): the
+    // advisory is (0, 0, 0) — and autoSaltFactor then answers 1
+    if (r.isNullAt(0)) (0L, 0L, 0L)
+    else (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
   /** The mechanical salt decision (judge r11 item 7 — the advisory and

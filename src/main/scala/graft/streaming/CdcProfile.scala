@@ -172,38 +172,6 @@ object CdcProfile {
 
   // ---- streaming form (the CdcQualityKeyed dir discipline) ----
 
-  private def fs(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def dirIds(spark: SparkSession, stateDir: String,
-                     prefix: String): Seq[Long] = {
-    val f = fs(spark, stateDir)
-    val p = new org.apache.hadoop.fs.Path(stateDir)
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-      .flatMap(_.getPath.getName.stripPrefix(prefix).toLongOption)
-      .sorted
-  }
-
-  private def stateRounds(spark: SparkSession, stateDir: String): Seq[Long] = {
-    val f = fs(spark, stateDir)
-    val p = new org.apache.hadoop.fs.Path(stateDir)
-    if (!f.exists(p)) return Seq.empty
-    f.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".prune_"))
-      .foreach { st =>
-        val r = st.getPath.getName.stripPrefix(".prune_")
-        val round = new org.apache.hadoop.fs.Path(s"$stateDir/round_$r")
-        if (f.exists(round)) f.delete(st.getPath, true)
-        else f.rename(st.getPath,
-          new org.apache.hadoop.fs.Path(s"$stateDir/view_$r"))
-        ()
-      }
-    dirIds(spark, stateDir, "round_")
-  }
-
   /** One micro-batch against the pre-state of batch `id` — the
     * batch-id-versioned redelivery contract; older rounds pruned to
     * their partial rows.
@@ -211,25 +179,13 @@ object CdcProfile {
   def applyBatch(batch: DataFrame, stateDir: String, id: Long,
                  spec: ProfileSpec): Unit = {
     val spark = batch.sparkSession
-    val rounds = stateRounds(spark, stateDir)
-    val prev = rounds.filter(_ < id).lastOption
-    val prevParts = prev.map(r => spark.read.parquet(s"$stateDir/round_$r"))
+    val (rounds, prev, prevParts) = RoundState.prevRound(spark, stateDir, id)
     val delta = weightedDeltas(batch, spec).persist()
     try {
       val sPre = prevParts.map(partS).getOrElse(emptyState(delta))
       writeRound(delta, sPre, s"$stateDir/round_$id")
     } finally { delta.unpersist(); () }
-    rounds.filter(r => prev.exists(r < _)).foreach { r =>
-      val dir = s"$stateDir/round_$r"
-      val tmp = s"$stateDir/.prune_$r"
-      spark.read.parquet(dir).filter(col("part") === "v")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val f = fs(spark, stateDir)
-      f.delete(new org.apache.hadoop.fs.Path(dir), true)
-      f.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(s"$stateDir/view_$r"))
-      ()
-    }
+    RoundState.pruneToViews(spark, stateDir, rounds, prev)
   }
 
   /** Continuous form over a stream of change rows. */
@@ -248,9 +204,7 @@ object CdcProfile {
   def view(spark: SparkSession, stateDir: String, spec: ProfileSpec)
       : DataFrame = {
     import spark.implicits._
-    val rounds = stateRounds(spark, stateDir)
-    val dirs = rounds.map(r => s"$stateDir/round_$r") ++
-      dirIds(spark, stateDir, "view_").map(r => s"$stateDir/view_$r")
+    val dirs = RoundState.deltaDirs(spark, stateDir)
     if (dirs.isEmpty)
       report(spark, spec.cols.toDF("c")
         .select(col("c"), lit("rows").as("metric"), lit(0L).as("a"))

@@ -286,42 +286,10 @@ object CdcQualityKeyed {
 
   // ---- streaming form: batch-id-versioned rounds, Hadoop-FS discovery ----
 
-  private def fs(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def dirIds(spark: SparkSession, stateDir: String,
-                     prefix: String): Seq[Long] = {
-    val f = fs(spark, stateDir)
-    val p = new org.apache.hadoop.fs.Path(stateDir)
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-      .flatMap(_.getPath.getName.stripPrefix(prefix).toLongOption)
-      .sorted
-  }
-
   /** Heal an interrupted prune swap, then list state-carrying rounds —
     * the [[JoinIvm.applyBatch]] recovery stance (Hadoop FS throughout;
     * `java.io.File` on a cluster stateDir silently reads "no state").
     */
-  private def stateRounds(spark: SparkSession, stateDir: String): Seq[Long] = {
-    val f = fs(spark, stateDir)
-    val p = new org.apache.hadoop.fs.Path(stateDir)
-    if (!f.exists(p)) return Seq.empty
-    f.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".prune_"))
-      .foreach { st =>
-        val r = st.getPath.getName.stripPrefix(".prune_")
-        val round = new org.apache.hadoop.fs.Path(s"$stateDir/round_$r")
-        if (f.exists(round)) f.delete(st.getPath, true)
-        else f.rename(st.getPath,
-          new org.apache.hadoop.fs.Path(s"$stateDir/view_$r"))
-        ()
-      }
-    dirIds(spark, stateDir, "round_")
-  }
-
   /** One micro-batch against the pre-state of batch `id`, written
     * entirely under `round_<id>` — an at-least-once redelivery rebuilds
     * exactly its own round from the intact previous round. Rounds older
@@ -331,9 +299,7 @@ object CdcQualityKeyed {
   def applyBatch(batch: DataFrame, stateDir: String, id: Long,
                  spec: KeyedSpec): Unit = {
     val spark = batch.sparkSession
-    val rounds = stateRounds(spark, stateDir)
-    val prev = rounds.filter(_ < id).lastOption
-    val prevParts = prev.map(r => spark.read.parquet(s"$stateDir/round_$r"))
+    val (rounds, prev, prevParts) = RoundState.prevRound(spark, stateDir, id)
     // decode the micro-batch once; the round's consumers share the cache
     val delta = weightedDeltas(batch, spec).persist()
     try {
@@ -342,17 +308,7 @@ object CdcQualityKeyed {
       val rPre = prevParts.map(partR).getOrElse(r0)
       writeRound(delta, uPre, rPre, spec, s"$stateDir/round_$id")
     } finally { delta.unpersist(); () }
-    rounds.filter(r => prev.exists(r < _)).foreach { r =>
-      val dir = s"$stateDir/round_$r"
-      val tmp = s"$stateDir/.prune_$r"
-      spark.read.parquet(dir).filter(col("part") === "v")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val f = fs(spark, stateDir)
-      f.delete(new org.apache.hadoop.fs.Path(dir), true)
-      f.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(s"$stateDir/view_$r"))
-      ()
-    }
+    RoundState.pruneToViews(spark, stateDir, rounds, prev)
   }
 
   /** Continuous form over a stream of change rows. */
@@ -371,9 +327,7 @@ object CdcQualityKeyed {
   def view(spark: SparkSession, stateDir: String, spec: KeyedSpec)
       : DataFrame = {
     import spark.implicits._
-    val rounds = stateRounds(spark, stateDir)
-    val dirs = rounds.map(r => s"$stateDir/round_$r") ++
-      dirIds(spark, stateDir, "view_").map(r => s"$stateDir/view_$r")
+    val dirs = RoundState.deltaDirs(spark, stateDir)
     if (dirs.isEmpty)
       report(spark, spec.checkNames.toDF("check_name")
         .select(col("check_name"), lit(0L).as("a")).limit(0), spec)

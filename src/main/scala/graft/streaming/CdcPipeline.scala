@@ -75,14 +75,8 @@ object CdcPipeline {
   /** An existing state dir whose every bucket was legitimately pruned
     * away: recorded bucket meta present, zero `bucket=` dirs.
     */
-  private def isEmptiedState(spark: SparkSession, stateDir: String): Boolean = {
-    import org.apache.hadoop.fs.Path
-    val fs = hadoopFs(spark, stateDir)
-    val p = new Path(stateDir)
-    fs.exists(p) &&
-      readBucketCount(spark, stateDir).isDefined &&
-      !fs.listStatus(p).exists(_.getPath.getName.startsWith("bucket="))
-  }
+  private def isEmptiedState(spark: SparkSession, stateDir: String): Boolean =
+    BucketStore.isEmptied(spark, stateDir)
 
   /** Number of hash buckets a NEW state table is partitioned into. The
     * count is part of the state dir's on-disk contract, so it is
@@ -96,33 +90,13 @@ object CdcPipeline {
     */
   val DefaultStateBuckets = 64
 
-  /** Deterministic state bucket TAG of a change row under linear-hash
-    * refinement: a bucket at refinement level ℓ covers the keys with
-    * `hash mod B·2^ℓ == b`, and its on-disk partition value is the
-    * globally unique tag `b + B·(2^ℓ − 1)` (level-0 tags coincide with
-    * the plain `hash mod B` ids, so an unsplit state's layout is
-    * byte-identical to the pre-split contract). A key's live bucket is
-    * its DEEPEST candidate present in the recorded `levels` map
-    * (level-0 default-live): the live buckets form the leaves of a
-    * binary trie over the hash, so exactly one candidate on the key's
-    * ancestor chain is live, and a deeper match always wins over the
-    * level-0 default — see [[splitBucket]] for why this is sound.
+  /** Deterministic state bucket TAG of a change row — the
+    * [[BucketStore.bucketTag]] linear-hash refinement over this
+    * layout's key hash, `xxhash64(table, key)`.
     */
   private def bucketTag(tableCol: Column, keyCol: Column, numBuckets: Int,
-                        levels: Map[Int, Int]): Column = {
-    val raw = xxhash64(tableCol, keyCol)
-    def tagAt(l: Int): Column =
-      (pmod(raw, lit(numBuckets.toLong << l)) +
-        lit(numBuckets.toLong * ((1L << l) - 1L))).cast("int")
-    val maxLevel = if (levels.isEmpty) 0 else levels.values.max
-    val deeper = (maxLevel to 1 by -1).flatMap { l =>
-      val live = levels.collect { case (t, lv) if lv == l => t }.toSeq
-      if (live.isEmpty) None
-      else Some(when(tagAt(l).isin(live.map(Integer.valueOf): _*), tagAt(l)))
-    }
-    if (deeper.isEmpty) tagAt(0)
-    else coalesce((deeper :+ tagAt(0)): _*)
-  }
+                        levels: Map[Int, Int]): Column =
+    BucketStore.bucketTag(xxhash64(tableCol, keyCol), numBuckets, levels)
 
   private def withBucket(df: DataFrame, numBuckets: Int,
                          levels: Map[Int, Int] = Map.empty): DataFrame =
@@ -183,51 +157,15 @@ object CdcPipeline {
   }
 
   /** Stage `rows` (already bucketed) and swap each touched bucket into
-    * place: live → `__old`, staged → live, drop `__old` — healed by
-    * [[recoverBuckets]]. A touched bucket with NO staged rows (every
-    * row pruned) is dropped. Untouched buckets are neither read nor
-    * written.
+    * place — [[BucketStore.writeAndSwap]] (shared staged-swap + heal).
     */
   private def writeBucketsAndSwap(spark: SparkSession, rows: DataFrame,
                                   stateDir: String, touched: Array[Int],
-                                  numBuckets: Int): Unit = {
-    import org.apache.hadoop.fs.Path
-    val fs = hadoopFs(spark, stateDir)
-    val staging = new Path(stateDir + "_staging")
-    fs.delete(staging, true)
-    // cluster by bucket before the partitionBy write: without it every
-    // upstream task holds rows of MANY buckets and writes a file into
-    // each (tasks × touched files per apply — measured 3× the whole
-    // apply cost at 256 buckets, docs/SCALE.md); with it the staged
-    // output is ~1 file per touched bucket, and every LATER apply's
-    // read pays fewer opens too. The one extra shuffle moves only the
-    // touched volume, and one task per bucket is exactly the
-    // bucket-sizing contract (S/B sized to a worker).
-    rows.repartition(math.max(touched.length, 1), col("bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(staging.toString)
-    fs.mkdirs(new Path(stateDir))
-    writeBucketCount(spark, stateDir, numBuckets)
-    touched.foreach { b =>
-      val live = new Path(s"$stateDir/bucket=$b")
-      val old = new Path(s"$stateDir/bucket=${b}__old")
-      val staged = new Path(s"$staging/bucket=$b")
-      fs.delete(old, true)
-      if (fs.exists(live) && !fs.rename(live, old))
-        throw new java.io.IOException(s"cannot set aside $live")
-      if (fs.exists(staged)) {
-        if (!fs.rename(staged, live))
-          throw new java.io.IOException(s"cannot publish $staged")
-      }
-      fs.delete(old, true)
-    }
-    fs.delete(staging, true)
-    ()
-  }
+                                  numBuckets: Int): Unit =
+    BucketStore.writeAndSwap(spark, rows, stateDir, touched, numBuckets)
 
   private def hadoopFs(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    BucketStore.fs(spark, dir)
 
   /** The recorded bucket count of a state dir (None for a dir that does
     * not exist yet, or a pre-contract legacy dir — both adopt the
@@ -243,50 +181,18 @@ object CdcPipeline {
     * `{"buckets":B}` form).
     */
   def readMeta(spark: SparkSession, stateDir: String)
-      : Option[(Int, Map[Int, Int])] = {
-    import org.apache.hadoop.fs.Path
-    val fs = hadoopFs(spark, stateDir)
-    val f = new Path(stateDir, BucketMetaName)
-    if (!fs.exists(f)) None
-    else {
-      val in = fs.open(f)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                 finally in.close()
-      val b = """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(body) match {
-        case Some(m) => m.group(1).toInt
-        case None => throw new java.io.IOException(
-          s"unreadable bucket metadata at $f: $body")
-      }
-      val levels = """"(\d+)"\s*:\s*(\d+)""".r.findAllMatchIn(body)
-        .map(m => m.group(1).toInt -> m.group(2).toInt).toMap
-      Some((b, levels))
-    }
-  }
+      : Option[(Int, Map[Int, Int])] =
+    BucketStore.readMeta(spark, stateDir)
 
-  private def renderMeta(n: Int, levels: Map[Int, Int]): String =
-    if (levels.isEmpty) s"""{"buckets":$n}"""
-    else s"""{"buckets":$n,"levels":{${
-      levels.toSeq.sorted.map { case (t, l) => s""""$t":$l""" }
-        .mkString(",")}}}"""
-
-  private val BucketMetaName = "_graft_buckets.json"
+  private val BucketMetaName = BucketStore.MetaName
 
   /** Record the bucket count once, at state creation (atomic tmp+rename;
     * no-op when already recorded — the caller has already resolved
     * against the recorded value).
     */
   private def writeBucketCount(spark: SparkSession, stateDir: String,
-                               n: Int): Unit = {
-    import org.apache.hadoop.fs.Path
-    val fs = hadoopFs(spark, stateDir)
-    val f = new Path(stateDir, BucketMetaName)
-    if (fs.exists(f)) return
-    val tmp = new Path(stateDir, BucketMetaName + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"""{"buckets":$n}""".getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, f) && !fs.exists(f))
-      throw new java.io.IOException(s"cannot record bucket count at $f")
-  }
+                               n: Int): Unit =
+    BucketStore.writeBucketCount(spark, stateDir, n)
 
   /** Change the bucket count of an existing state table — the growth
     * path when the keyspace outgrows its creation-time count (more
@@ -347,14 +253,9 @@ object CdcPipeline {
     rows.filter(_._2 > factor * mean).sortBy(-_._2).map(_._1).toSeq
   }
 
-  /** Derived refinement level of a bucket TAG under base count B: the
-    * unique ℓ with B·(2^ℓ−1) ≤ tag < B·(2^(ℓ+1)−1).
-    */
-  private def levelOfTag(tag: Int, b: Int): Int = {
-    var l = 0
-    while (tag >= b * ((1L << (l + 1)) - 1)) l += 1
-    l
-  }
+  /** Derived refinement level of a bucket TAG under base count B. */
+  private def levelOfTag(tag: Int, b: Int): Int =
+    BucketStore.levelOfTag(tag, b)
 
   /** Split ONE bucket in place — the online growth path [[rebucket]] is
     * too blunt for (judge r11 item 5): when [[stateStats]] shows one
@@ -410,7 +311,7 @@ object CdcPipeline {
     val newLevels = levels - tag + (loTag -> (l + 1)) + (hiTag -> (l + 1))
     val next = new Path(stateDir, BucketMetaName + ".next")
     val out = fs.create(next, true)
-    try out.write(renderMeta(b, newLevels).getBytes("UTF-8"))
+    try out.write(BucketStore.renderMeta(b, newLevels).getBytes("UTF-8"))
     finally out.close()
     // 3. COMMIT: the parent leaves the readable set in one rename
     val marker = new Path(s"$stateDir/.splitting_${tag}_${loTag}_$hiTag")
@@ -422,40 +323,13 @@ object CdcPipeline {
     finishSplit(fs, stateDir, marker.getName)
   }
 
-  /** Complete a committed split from its marker dir name
-    * `.splitting_<parent>_<lo>_<hi>`: publish any staged child not yet
-    * live, swap the staged meta in, then drop marker + staging.
-    * Idempotent — safe to replay from any interruption point.
+  /** Complete a committed split from its marker dir name —
+    * [[BucketStore.finishSplit]] (idempotent replay from any
+    * interruption point).
     */
   private def finishSplit(fs: org.apache.hadoop.fs.FileSystem,
-                          stateDir: String, markerName: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val Array(parent, lo, hi) =
-      markerName.stripPrefix(".splitting_").split("_").map(_.toInt)
-    val staging = s"$stateDir/.split_$parent"
-    Seq(lo, hi).foreach { c =>
-      val liveC = new Path(s"$stateDir/bucket=$c")
-      val stagedC = new Path(s"$staging/bucket=$c")
-      if (!fs.exists(liveC) && fs.exists(stagedC)) {
-        if (!fs.rename(stagedC, liveC))
-          throw new java.io.IOException(s"cannot publish split child $c")
-      }
-      // a child with neither staged nor live dir got no rows — legal
-    }
-    val meta = new Path(stateDir, BucketMetaName)
-    val next = new Path(stateDir, BucketMetaName + ".next")
-    if (fs.exists(next)) {
-      fs.delete(meta, false)
-      if (!fs.rename(next, meta))
-        throw new java.io.IOException(s"cannot publish split meta at $meta")
-    } else if (!fs.exists(meta))
-      throw new java.io.IOException(
-        s"split of bucket $parent committed but neither live nor staged " +
-          s"meta exists at $stateDir — refusing to guess the contract")
-    fs.delete(new Path(s"$stateDir/$markerName"), true)
-    fs.delete(new Path(staging), true)
-    ()
-  }
+                          stateDir: String, markerName: String): Unit =
+    BucketStore.finishSplit(fs, stateDir, markerName)
 
   /** Drop tombstones older than `watermark` — the retention half of the
     * ReplacingMergeTree contract. Tombstones are load-bearing for
@@ -521,53 +395,13 @@ object CdcPipeline {
       .orderBy("bucket")
   }
 
-  /** Heal an interrupted bucket swap: a `bucket=N__old` with no live
-    * `bucket=N` means the crash hit between the two renames — restore
-    * the old data; with a live dir present the swap completed — drop the
-    * leftover. Also heals an interrupted [[rebucket]] whole-dir swap by
-    * the same rule one level up (`stateDir__old` restores when the live
-    * dir is missing, drops when it survived), and clears any abandoned
-    * `__rebucket` staging (its source is intact either live or as
-    * `__old`). Idempotent; runs before every apply and read.
+  /** Heal every interrupted state-op crash window —
+    * [[BucketStore.recover]] (bucket swaps, whole-dir rebucket swaps,
+    * committed/uncommitted splits). Idempotent; runs before every apply
+    * and read.
     */
-  private def recoverBuckets(spark: SparkSession, stateDir: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val fs = hadoopFs(spark, stateDir)
-    val dir = new Path(stateDir)
-    val dirOld = new Path(stateDir + "__old")
-    if (fs.exists(dirOld)) {
-      if (fs.exists(dir)) fs.delete(dirOld, true)
-      else if (!fs.rename(dirOld, dir))
-        throw new java.io.IOException(s"cannot restore $dirOld")
-    }
-    fs.delete(new Path(stateDir + "__rebucket"), true)
-    if (!fs.exists(dir)) return
-    fs.listStatus(dir).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.endsWith("__old"))
-      .foreach { old =>
-        val live = new Path(dir, old.getPath.getName.stripSuffix("__old"))
-        if (fs.exists(live)) fs.delete(old.getPath, true)
-        else if (!fs.rename(old.getPath, live))
-          throw new java.io.IOException(s"cannot restore ${old.getPath}")
-        ()
-      }
-    // heal an interrupted splitBucket: a `.splitting_*` marker means the
-    // split COMMITTED (the parent already left the readable set) —
-    // replay its completion; `.split_*` staging with no marker means the
-    // crash hit before commit — roll the staging (and any staged meta)
-    // back, the parent is intact
-    val entries = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-    val markers = entries.filter(_.startsWith(".splitting_"))
-    markers.foreach(m => finishSplit(fs, stateDir, m))
-    entries.filter(_.startsWith(".split_")).foreach { st =>
-      val parent = st.stripPrefix(".split_")
-      if (!markers.exists(_.startsWith(s".splitting_${parent}_"))) {
-        fs.delete(new Path(s"$stateDir/$st"), true)
-        fs.delete(new Path(stateDir, BucketMetaName + ".next"), false)
-        ()
-      }
-    }
-  }
+  private def recoverBuckets(spark: SparkSession, stateDir: String): Unit =
+    BucketStore.recover(spark, stateDir)
 
   /** Launch the continuous apply: change files → micro-batch upsert into
     * the parquet state table, offsets tracked in `checkpointDir` (the

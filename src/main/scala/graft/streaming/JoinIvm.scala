@@ -284,56 +284,19 @@ object JoinIvm {
         sum(col("b")).cast("double").as(spec.sumName))
       .filter(col(spec.countName) > 0)
 
-  // ---- Hadoop-FS round discovery (cluster-safe state listing) ----
+  // ---- round discovery: the shared RoundState protocol ----
 
-  private def fs(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def fs(spark: SparkSession, dir: String) = RoundState.fs(spark, dir)
 
-  /** Completed STATE-carrying round ids under `stateDir` (`round_<id>`
-    * dirs — pruned rounds live on as v-only `view_<id>` dirs and are
-    * not pre-state candidates), via the Hadoop FS API — NEVER
-    * java.io.File, which on an HDFS/object-store stateDir returns null
-    * and would silently read as "no previous rounds" (every batch
-    * applying against empty pre-state: a wrong view with no error).
-    * Listing a not-yet-created stateDir is the legitimate "first
-    * batch" case. Heals an interrupted prune swap FIRST — a crash
-    * between the delete and the rename would otherwise strand the
-    * round's view-delta rows in `.prune_<r>`, silently shrinking the
-    * view (the NearDupIngest recoverState stance).
+  /** Completed STATE-carrying round ids — [[RoundState.stateRounds]]
+    * (heals interrupted prune swaps first; Hadoop FS throughout).
     */
-  private def stateRounds(spark: SparkSession, stateDir: String): Seq[Long] = {
-    val f = fs(spark, stateDir)
-    val p = new org.apache.hadoop.fs.Path(stateDir)
-    if (!f.exists(p)) Seq.empty
-    else {
-      val entries = f.listStatus(p).toSeq.filter(_.isDirectory)
-      entries.filter(_.getPath.getName.startsWith(".prune_")).foreach { st =>
-        val r = st.getPath.getName.stripPrefix(".prune_")
-        val round = new org.apache.hadoop.fs.Path(s"$stateDir/round_$r")
-        // swap never started (source round intact) → drop the staging;
-        // otherwise complete the interrupted swap into the v-only dir
-        if (f.exists(round)) f.delete(st.getPath, true)
-        else f.rename(st.getPath,
-          new org.apache.hadoop.fs.Path(s"$stateDir/view_$r"))
-        ()
-      }
-      f.listStatus(p).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("round_"))
-        .flatMap(_.getPath.getName.stripPrefix("round_").toLongOption)
-        .sorted
-    }
-  }
+  private def stateRounds(spark: SparkSession, stateDir: String): Seq[Long] =
+    RoundState.stateRounds(spark, stateDir)
 
-  private def dirIds(f: org.apache.hadoop.fs.FileSystem, stateDir: String,
-                     prefix: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(stateDir)
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-      .flatMap(_.getPath.getName.stripPrefix(prefix).toLongOption)
-      .sorted
-  }
+  private def dirIds(spark: SparkSession, stateDir: String,
+                     prefix: String): Seq[Long] =
+    RoundState.dirIds(spark, stateDir, prefix)
 
   /** All view-delta-carrying dirs: the newest `viewbase_<m>` (the
     * compacted aggregate of every pruned round ≤ m), pruned v-only
@@ -349,15 +312,15 @@ object JoinIvm {
   private def viewDirs(spark: SparkSession, stateDir: String): Seq[String] = {
     val rounds = stateRounds(spark, stateDir) // heals prune swaps first
     val f = fs(spark, stateDir)
-    val base = dirIds(f, stateDir, "viewbase_").lastOption
+    val base = dirIds(spark, stateDir, "viewbase_").lastOption
     base.foreach { m =>
-      dirIds(f, stateDir, "viewbase_").filter(_ < m).foreach(b =>
+      dirIds(spark, stateDir, "viewbase_").filter(_ < m).foreach(b =>
         f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/viewbase_$b"), true))
-      dirIds(f, stateDir, "view_").filter(_ <= m).foreach(r =>
+      dirIds(spark, stateDir, "view_").filter(_ <= m).foreach(r =>
         f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/view_$r"), true))
     }
     (rounds.map(r => s"$stateDir/round_$r")
-      ++ dirIds(f, stateDir, "view_")
+      ++ dirIds(spark, stateDir, "view_")
         .filter(r => base.forall(r > _)).map(r => s"$stateDir/view_$r")
       ++ base.map(m => s"$stateDir/viewbase_$m"))
   }
@@ -389,23 +352,9 @@ object JoinIvm {
       .write.mode("overwrite").parquet(s"$stateDir/round_$id")
     dD.unpersist(); dF.unpersist()
     // prune rounds older than the previous round — `prev` must survive
-    // whole so a redelivery of THIS batch can rebuild from it. A
-    // pruned round keeps only its view-delta rows and is RENAMED to
-    // `view_<r>` (the view is the sum of all rounds' 'v' parts), so it
-    // leaves the pre-state/prune candidate set: `rounds` holds only
-    // state-carrying dirs and the candidate count stays O(1) per batch
-    // (one round ages out per batch), not O(#rounds) re-checked reads.
-    rounds.filter(r => prev.exists(r < _)).foreach { r =>
-      val dir = s"$stateDir/round_$r"
-      val tmp = s"$stateDir/.prune_$r"
-      spark.read.parquet(dir).filter(col("part") === "v")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val f = fs(spark, stateDir)
-      f.delete(new org.apache.hadoop.fs.Path(dir), true)
-      f.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(s"$stateDir/view_$r"))
-      ()
-    }
+    // whole so a redelivery of THIS batch can rebuild from it
+    // (RoundState.pruneToViews: staged .prune_<r> swap, healed on read)
+    RoundState.pruneToViews(spark, stateDir, rounds, prev)
     compactViews(spark, stateDir, compactEvery)
   }
 
@@ -423,8 +372,8 @@ object JoinIvm {
   private def compactViews(spark: SparkSession, stateDir: String,
                            threshold: Int): Unit = {
     val f = fs(spark, stateDir)
-    val base = dirIds(f, stateDir, "viewbase_").lastOption
-    val views = dirIds(f, stateDir, "view_").filter(r => base.forall(r > _))
+    val base = dirIds(spark, stateDir, "viewbase_").lastOption
+    val views = dirIds(spark, stateDir, "view_").filter(r => base.forall(r > _))
     if (views.size <= threshold) return
     val inputs = views.map(r => s"$stateDir/view_$r") ++
       base.map(m => s"$stateDir/viewbase_$m")
@@ -726,17 +675,7 @@ object JoinIvm {
     val delta = weightedDeltasChain(batch, spec).persist()
     try writeChainRound(delta, prevParts, spec, s"$stateDir/round_$id")
     finally { delta.unpersist(); () }
-    rounds.filter(r => prev.exists(r < _)).foreach { r =>
-      val dir = s"$stateDir/round_$r"
-      val tmp = s"$stateDir/.prune_$r"
-      spark.read.parquet(dir).filter(col("part") === "v")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val f = fs(spark, stateDir)
-      f.delete(new org.apache.hadoop.fs.Path(dir), true)
-      f.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(s"$stateDir/view_$r"))
-      ()
-    }
+    RoundState.pruneToViews(spark, stateDir, rounds, prev)
   }
 
   /** Continuous chain maintenance over a stream of change rows. */
@@ -756,7 +695,7 @@ object JoinIvm {
     val rounds = stateRounds(spark, stateDir)
     val f = fs(spark, stateDir)
     val dirs = rounds.map(r => s"$stateDir/round_$r") ++
-      dirIds(f, stateDir, "view_").map(r => s"$stateDir/view_$r")
+      dirIds(spark, stateDir, "view_").map(r => s"$stateDir/view_$r")
     require(dirs.nonEmpty, s"no chain state under $stateDir")
     aggChainView(spark.read.parquet(dirs: _*), spec)
   }

@@ -37,22 +37,16 @@ import org.apache.spark.sql.types.StructType
   * functionals are not bilinear; sequential telescoping replaces
   * bilinearity as the invariance argument).
   *
-  * State shape follows [[JoinIvm]]: one part-tagged parquet write per
-  * round (`round_<id>` — netted keyed states + this round's ≤|checks|
-  * delta partials), versioned by batch id so an at-least-once
-  * redelivery rebuilds exactly its own round from the intact previous
-  * round. Old rounds are pruned to partial-only `view_<r>` dirs; at a
-  * long stream's scale the partial dirs would fold into a compacted
-  * base exactly as [[JoinIvm.applyBatch]]'s `viewbase_` machinery does
-  * (checks-sized rows; deliberately not duplicated here). The per-round
-  * state write is keys-sized — the netted key counts, never data rows.
-  * Honest scale note: the SHIPPED state form rewrites the full netted
-  * count tables each round (the [[JoinIvm]] stance, accepted there for
-  * the same keys-sized-not-data-sized reason); the further cheapening
-  * at extreme key cardinality is a bucketed touched-buckets-only
-  * layout like [[CdcPipeline.applyBatch]]'s — a design path, not
-  * shipped code (its per-key seq-gate redelivery trick is proved on
-  * the deferred-JSON applier).
+  * State shape, batch form ([[maintain]], the oracle-gated replay):
+  * one part-tagged parquet write per round — netted keyed states +
+  * the round's ≤|checks| delta partials — whose hash-split batching
+  * exercises the telescoping identity directly. State shape, STREAMING
+  * form ([[applyBatch]]/[[start]]/[[view]]): the [[BucketStore]]
+  * bucketed layout — per micro-batch only the buckets the batch's keys
+  * hash into are read and rewritten (O(touched buckets), closing the
+  * r12 O(keys)-per-round gap), redelivery gated per key by the stored
+  * last-applied seq, and the report read from per-bucket summary rows
+  * (see the streaming section below for the full contract).
   */
 object CdcQualityKeyed {
 
@@ -284,55 +278,247 @@ object CdcQualityKeyed {
         .filter(col("part") === "v"), spec)
   }
 
-  // ---- streaming form: batch-id-versioned rounds, Hadoop-FS discovery ----
+  // ---- streaming form: bucketed keyed state (the BucketStore layout) ----
+  //
+  // The r12-shipped streaming form rewrote the FULL netted count tables
+  // each round (keys-sized — the stated 100 TB gap). This form buckets
+  // both keyed states on their key hash ([[BucketStore]], the exact
+  // machinery the row apply proves): a micro-batch rewrites ONLY the
+  // buckets its keys fall into, and redelivery idempotence comes from a
+  // PER-KEY SEQ GATE instead of round versioning — each state row
+  // stores the max event seq applied to its key, a replayed event is at
+  // or below it and contributes nothing, so a replayed batch rewrites
+  // every touched bucket to byte-identical values (the
+  // [[CdcPipeline.applyDeferredJsonBucketed]] trick). The gate's
+  // contract is the stream's: per key, event seqs strictly increase
+  // across micro-batches (commit order); within a batch order is free.
+  // Keys whose live count nets to zero REMAIN as gate tombstones
+  // (dropping them would let a replay after a crash re-apply their
+  // deletes against nothing and go negative) — retention is the
+  // [[CdcPipeline.pruneTombstones]] watermark discipline.
+  //
+  // The report is derived from STATE, not accumulated round partials:
+  // each bucket carries one summary row (part 't') holding the bucket's
+  // uniqueness/referential violation subtotal (recomputed from the
+  // bucket's netted rows during the rewrite the apply already pays) and
+  // the cumulative row-local check sums (advanced by the batch's fresh
+  // events). [[view]] reads only the O(buckets) summary rows — a
+  // parquet filter on `part`, skipping the keyed row groups on column
+  // stats — so the r12 "view_<r> dirs grow O(rounds)" gap is gone by
+  // construction: there are no round dirs at all.
 
-  /** Heal an interrupted prune swap, then list state-carrying rounds —
-    * the [[JoinIvm.applyBatch]] recovery stance (Hadoop FS throughout;
-    * `java.io.File` on a cluster stateDir silently reads "no state").
+  /** Buckets a NEW monitor state is partitioned into — the
+    * [[BucketStore]] recorded-contract semantics: an existing state's
+    * recorded count wins over the parameter.
     */
-  /** One micro-batch against the pre-state of batch `id`, written
-    * entirely under `round_<id>` — an at-least-once redelivery rebuilds
-    * exactly its own round from the intact previous round. Rounds older
-    * than the previous are pruned to their partial rows (`view_<r>`),
-    * keeping the pre-state candidate set O(1) per batch.
+  val DefaultStateBuckets = 64
+
+  private def uDir(stateDir: String) = s"$stateDir/u"
+  private def rDir(stateDir: String) = s"$stateDir/r"
+
+  /** One micro-batch merged into the bucketed keyed state at O(touched
+    * buckets): the uniqueness state (`<stateDir>/u`, bucketed on the
+    * unique key) and the referential state (`<stateDir>/r`, bucketed on
+    * the join key) each read and rewrite only the buckets the batch's
+    * keys hash into. Crash-converged per bucket: the staged swap is
+    * atomic per bucket and healed on entry, and the seq gate makes the
+    * replay of an interrupted batch re-apply exactly the buckets that
+    * missed their swap.
     */
-  def applyBatch(batch: DataFrame, stateDir: String, id: Long,
-                 spec: KeyedSpec): Unit = {
-    val spark = batch.sparkSession
-    val (rounds, prev, prevParts) = RoundState.prevRound(spark, stateDir, id)
-    // decode the micro-batch once; the round's consumers share the cache
+  def applyBatch(batch: DataFrame, stateDir: String, spec: KeyedSpec,
+                 numBuckets: Int = DefaultStateBuckets): Unit = {
+    // decode the micro-batch once; both keyed applies share the cache
     val delta = weightedDeltas(batch, spec).persist()
     try {
-      val (u0, r0) = emptyStates(delta)
-      val uPre = prevParts.map(partU).getOrElse(u0)
-      val rPre = prevParts.map(partR).getOrElse(r0)
-      writeRound(delta, uPre, rPre, spec, s"$stateDir/round_$id")
+      applyUnique(delta, uDir(stateDir), spec, numBuckets)
+      applyRef(delta, rDir(stateDir), spec, numBuckets)
     } finally { delta.unpersist(); () }
-    RoundState.pruneToViews(spark, stateDir, rounds, prev)
+  }
+
+  /** The uniqueness side: per unique-key live count n + last-applied
+    * seq, per-bucket summary = Σ max(n−1, 0) over the bucket's keys
+    * plus the cumulative row-local check sums (they ride the u state
+    * because fact events hash here exactly once).
+    */
+  private def applyUnique(delta: DataFrame, dir: String, spec: KeyedSpec,
+                          numBuckets: Int): Unit = {
+    val spark = delta.sparkSession
+    BucketStore.recover(spark, dir)
+    val (effB, levels) = BucketStore.readMeta(spark, dir)
+      .getOrElse((numBuckets, Map.empty[Int, Int]))
+    val iCols = spec.rowChecks.indices.map(i => s"i$i")
+    val ev = delta.filter(col("tab") === "f")
+      .select((Seq(col("ku"), col("seq"), col("w")) ++ iCols.map(col)): _*)
+      .withColumn("bucket",
+        BucketStore.bucketTag(xxhash64(col("ku")), effB, levels))
+    val touched = ev.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted            // ≤ numBuckets values
+    if (touched.isEmpty) return
+    val kuT = ev.schema("ku").dataType
+    val prior =
+      if (BucketStore.hasRows(spark, dir))
+        spark.read.parquet(dir)                     // pruned to touched
+          .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      else
+        spark.range(0).select(lit("s").as("part"),
+          lit(0).cast("int").as("bucket"), lit(null).cast(kuT).as("ku"),
+          lit(0L).as("n"), lit(0L).as("last_seq"), lit(0L).as("uv"),
+          lit(null).cast("array<bigint>").as("tot"))
+    val priorS = prior.filter(col("part") === "s")
+      .select(col("bucket"), col("ku"), col("n"), col("last_seq"))
+    val priorT = prior.filter(col("part") === "t")
+      .select(col("bucket"), col("tot"))
+    // per-key seq gate: a replayed event is at or below its key's
+    // stored last-applied seq and contributes nothing
+    val fresh = ev.as("e")
+      .join(priorS.select(col("ku").as("gku"), col("last_seq")),
+        col("e.ku") <=> col("gku"), "left")
+      .filter(col("seq") > coalesce(col("last_seq"), lit(Long.MinValue)))
+      .select((Seq(col("e.bucket").as("bucket"), col("e.ku").as("ku"),
+        col("seq"), col("w")) ++ iCols.map(c => col(s"e.$c").as(c))): _*)
+    val dU = fresh.groupBy("bucket", "ku")
+      .agg(sum(col("w")).as("du"), max(col("seq")).as("mseq"))
+    val newS = priorS.as("p").join(dU.as("d"),
+        col("p.ku") <=> col("d.ku"), "full_outer")
+      .select(coalesce(col("p.bucket"), col("d.bucket")).as("bucket"),
+        coalesce(col("p.ku"), col("d.ku")).as("ku"),
+        (coalesce(col("p.n"), lit(0L)) + coalesce(col("d.du"), lit(0L)))
+          .as("n"),
+        greatest(col("p.last_seq"), col("d.mseq")).as("last_seq"))
+    val uvB = newS.groupBy("bucket")
+      .agg(sum(uContrib(col("n"))).as("uv"))
+    val zeros =
+      if (iCols.isEmpty) lit(Array.empty[Long])
+      else array(iCols.map(_ => lit(0L)): _*)
+    val dTot =
+      if (iCols.isEmpty)
+        fresh.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+          .select(col("bucket"), lit(Array.empty[Long]).as("dtot"))
+      else fresh.groupBy("bucket")
+        .agg(array(iCols.map(c => coalesce(sum(col(c)), lit(0L))): _*)
+          .as("dtot"))
+    val newT = priorT.as("pt").join(dTot.as("dt"), Seq("bucket"),
+        "full_outer")
+      .select(col("bucket"),
+        zip_with(coalesce(col("pt.tot"), zeros),
+          coalesce(col("dt.dtot"), zeros), (a, b) => a + b).as("tot"))
+      .join(uvB, Seq("bucket"), "left")
+    val out = newS.select(lit("s").as("part"), col("bucket"), col("ku"),
+        col("n"), col("last_seq"), lit(null).cast("bigint").as("uv"),
+        lit(null).cast("array<bigint>").as("tot"))
+      .unionByName(newT.select(lit("t").as("part"), col("bucket"),
+        lit(null).cast(kuT).as("ku"), lit(null).cast("bigint").as("n"),
+        lit(null).cast("bigint").as("last_seq"),
+        coalesce(col("uv"), lit(0L)).as("uv"), col("tot")))
+    BucketStore.writeAndSwap(spark, out, dir, touched, effB, Seq("part"))
+  }
+
+  /** The referential side: per join-key live (fact, dim) counts with
+    * TWO seq gates — fact and dim seq domains are independent streams,
+    * and one shared gate could wrongly drop a slower stream's genuinely
+    * new events. Per-bucket summary = Σ fn·[dn = 0].
+    */
+  private def applyRef(delta: DataFrame, dir: String, spec: KeyedSpec,
+                       numBuckets: Int): Unit = {
+    val spark = delta.sparkSession
+    BucketStore.recover(spark, dir)
+    val (effB, levels) = BucketStore.readMeta(spark, dir)
+      .getOrElse((numBuckets, Map.empty[Int, Int]))
+    val ev = delta.select(col("tab"), col("kr"), col("seq"), col("w"))
+      .withColumn("bucket",
+        BucketStore.bucketTag(xxhash64(col("kr")), effB, levels))
+    val touched = ev.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val krT = ev.schema("kr").dataType
+    val prior =
+      if (BucketStore.hasRows(spark, dir))
+        spark.read.parquet(dir)
+          .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      else
+        spark.range(0).select(lit("s").as("part"),
+          lit(0).cast("int").as("bucket"), lit(null).cast(krT).as("kr"),
+          lit(0L).as("fn"), lit(0L).as("dn"), lit(0L).as("seq_f"),
+          lit(0L).as("seq_d"), lit(0L).as("rv"))
+    val priorS = prior.filter(col("part") === "s")
+      .select(col("bucket"), col("kr"), col("fn"), col("dn"),
+        col("seq_f"), col("seq_d"))
+    val fresh = ev.as("e")
+      .join(priorS.select(col("kr").as("gkr"), col("seq_f"), col("seq_d")),
+        col("e.kr") <=> col("gkr"), "left")
+      .filter(col("seq") > coalesce(
+        when(col("tab") === "f", col("seq_f")).otherwise(col("seq_d")),
+        lit(Long.MinValue)))
+      .select(col("e.bucket").as("bucket"), col("e.kr").as("kr"),
+        col("tab"), col("seq"), col("w"))
+    val dR = fresh.groupBy("bucket", "kr").agg(
+      sum(when(col("tab") === "f", col("w")).otherwise(0L)).as("dfn"),
+      sum(when(col("tab") === "d", col("w")).otherwise(0L)).as("ddn"),
+      max(when(col("tab") === "f", col("seq"))).as("msf"),
+      max(when(col("tab") === "d", col("seq"))).as("msd"))
+    val newS = priorS.as("p").join(dR.as("d"),
+        col("p.kr") <=> col("d.kr"), "full_outer")
+      .select(coalesce(col("p.bucket"), col("d.bucket")).as("bucket"),
+        coalesce(col("p.kr"), col("d.kr")).as("kr"),
+        (coalesce(col("p.fn"), lit(0L)) + coalesce(col("d.dfn"), lit(0L)))
+          .as("fn"),
+        (coalesce(col("p.dn"), lit(0L)) + coalesce(col("d.ddn"), lit(0L)))
+          .as("dn"),
+        greatest(col("p.seq_f"), col("d.msf")).as("seq_f"),
+        greatest(col("p.seq_d"), col("d.msd")).as("seq_d"))
+    val rvB = newS.groupBy("bucket")
+      .agg(sum(rContrib(col("fn"), col("dn"))).as("rv"))
+    val out = newS.select(lit("s").as("part"), col("bucket"), col("kr"),
+        col("fn"), col("dn"), col("seq_f"), col("seq_d"),
+        lit(null).cast("bigint").as("rv"))
+      .unionByName(rvB.select(lit("t").as("part"), col("bucket"),
+        lit(null).cast(krT).as("kr"), lit(null).cast("bigint").as("fn"),
+        lit(null).cast("bigint").as("dn"),
+        lit(null).cast("bigint").as("seq_f"),
+        lit(null).cast("bigint").as("seq_d"),
+        coalesce(col("rv"), lit(0L)).as("rv")))
+    BucketStore.writeAndSwap(spark, out, dir, touched, effB, Seq("part"))
   }
 
   /** Continuous form over a stream of change rows. */
   def start(changes: DataFrame, stateDir: String, checkpointDir: String,
-            spec: KeyedSpec): StreamingQuery =
+            spec: KeyedSpec,
+            numBuckets: Int = DefaultStateBuckets): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyBatch(batch, stateDir, id, spec)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(batch, stateDir, spec, numBuckets)
       }
       .start()
 
   /** The live full-suite quality report at the current stream position
-    * — total from batch zero (the [[CdcQuality.view]] contract).
+    * — total from batch zero (the [[CdcQuality.view]] contract), read
+    * from the O(buckets) per-bucket summary rows only (checks-sized
+    * driver data; the keyed rows are never aggregated at view time).
     */
   def view(spark: SparkSession, stateDir: String, spec: KeyedSpec)
       : DataFrame = {
     import spark.implicits._
-    val dirs = RoundState.deltaDirs(spark, stateDir)
-    if (dirs.isEmpty)
-      report(spark, spec.checkNames.toDF("check_name")
-        .select(col("check_name"), lit(0L).as("a")).limit(0), spec)
-    else
-      report(spark, spark.read.parquet(dirs: _*)
-        .filter(col("part") === "v"), spec)
+    var uv = 0L
+    var rowTot = Map.empty[Int, Long]
+    if (BucketStore.hasRows(spark, uDir(stateDir))) {
+      val t = spark.read.parquet(uDir(stateDir)).filter(col("part") === "t")
+      uv = t.agg(coalesce(sum(col("uv")), lit(0L))).head.getLong(0)
+      if (spec.rowChecks.nonEmpty)
+        rowTot = t.select(posexplode(col("tot")).as(Seq("pos", "v")))
+          .groupBy("pos").agg(sum(col("v")).as("v"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    val rv =
+      if (!BucketStore.hasRows(spark, rDir(stateDir))) 0L
+      else spark.read.parquet(rDir(stateDir)).filter(col("part") === "t")
+        .agg(coalesce(sum(col("rv")), lit(0L))).head.getLong(0)
+    val rows = (spec.rowChecks.zipWithIndex.map { case (k, i) =>
+        k.name -> rowTot.getOrElse(i, 0L) }
+      :+ (spec.uniqueName -> uv) :+ (spec.refName -> rv))
+    rows.toDF("check_name", "violations")
+      .select(col("check_name"), col("violations"),
+        (col("violations") === 0L).as("passed"))
+      .orderBy("check_name")
   }
 }

@@ -1,22 +1,31 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 
-/** The batch-id-versioned round-dir state protocol shared by the
-  * incremental-maintenance consumers ([[JoinIvm]], [[CdcQualityKeyed]],
-  * [[CdcProfile]]): each micro-batch writes its states + view/partial
-  * deltas under `round_<id>` (so an at-least-once redelivery rebuilds
-  * exactly its own round from the intact previous round), rounds older
-  * than the previous are pruned to their delta-only `view_<r>` dirs via
-  * a staged `.prune_<r>` swap, and discovery heals an interrupted swap
-  * before every listing. ONE implementation — a fix to the heal/prune
-  * windows must not be hand-propagated across private copies (judge
-  * r12 review finding). Everything rides the Hadoop FS API:
-  * `java.io.File` on an HDFS/object-store stateDir silently lists "no
-  * state" and every batch would re-apply against empty pre-state.
-  * [[JoinIvm]] additionally folds old `view_<r>` dirs into a compacted
-  * `viewbase_` (its own extension, layered on these primitives).
+/** The batch-id-versioned round-dir state protocol of the join-view
+  * maintainers ([[JoinIvm]]'s two-table and chain appliers): each
+  * micro-batch writes its states + view deltas under `round_<id>` (so
+  * an at-least-once redelivery rebuilds exactly its own round from the
+  * intact previous round), rounds older than the previous are pruned to
+  * their delta-only `view_<r>` dirs via a staged `.prune_<r>` swap, and
+  * discovery heals an interrupted swap before every listing. ONE
+  * implementation — a fix to the heal/prune windows must not be
+  * hand-propagated across private copies (judge r12 review finding).
+  * Everything rides the Hadoop FS API: `java.io.File` on an
+  * HDFS/object-store stateDir silently lists "no state" and every batch
+  * would re-apply against empty pre-state. [[JoinIvm]] additionally
+  * folds old `view_<r>` dirs into a compacted `viewbase_` (its own
+  * extension, layered on these primitives).
+  *
+  * Why a round dir and not a bucket swap: a join-view round's OUTPUT is
+  * group-sized (view deltas + netted states whose every key a bilinear
+  * term may touch), so versioning whole rounds is the cheap shape. The
+  * keyed MONITORS ([[CdcQualityKeyed]], [[CdcProfile]]) are the
+  * opposite — value-cardinality-sized state, checks-sized output — and
+  * ride the other shared discipline, [[BucketStore]], which rewrites
+  * touched buckets only (r13; previously they versioned full rounds
+  * here and paid O(keys) per micro-batch).
   */
 private[streaming] object RoundState {
 
@@ -80,18 +89,4 @@ private[streaming] object RoundState {
       ()
     }
 
-  /** All delta-carrying dirs: live rounds + pruned `view_<r>` dirs. */
-  def deltaDirs(spark: SparkSession, stateDir: String): Seq[String] = {
-    val rounds = stateRounds(spark, stateDir) // heals prune swaps first
-    rounds.map(r => s"$stateDir/round_$r") ++
-      dirIds(spark, stateDir, "view_").map(r => s"$stateDir/view_$r")
-  }
-
-  /** The round frames a consumer reads or writes. */
-  def prevRound(spark: SparkSession, stateDir: String,
-                id: Long): (Seq[Long], Option[Long], Option[DataFrame]) = {
-    val rounds = stateRounds(spark, stateDir)
-    val prev = rounds.filter(_ < id).lastOption
-    (rounds, prev, prev.map(r => spark.read.parquet(s"$stateDir/round_$r")))
-  }
 }

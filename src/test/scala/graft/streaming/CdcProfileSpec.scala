@@ -71,7 +71,8 @@ class CdcProfileSpec extends SparkSpec {
     val empty = asMap(CdcProfile.view(spark, s"$dir/state", spec))
     assert(empty == Map("cat" -> (0L, 0L, 0L), "amt" -> (0L, 0L, 0L)))
     val input = MemoryStream[KeyedChangeRow]
-    val q = CdcProfile.start(input.toDF(), s"$dir/state", s"$dir/ckpt", spec)
+    val q = CdcProfile.start(input.toDF(), s"$dir/state", s"$dir/ckpt",
+      spec, numBuckets = 8)
     try {
       changes.grouped(2).foreach { c =>
         input.addData(c.toIndexedSeq); q.processAllAvailable()
@@ -80,5 +81,105 @@ class CdcProfileSpec extends SparkSpec {
       val twin = asMap(CdcProfile.maintain(changes.toDF(), 1, spec))
       assert(streamed == twin)
     } finally q.stop()
+    // the streaming state is the BucketStore layout: recorded bucket
+    // contract, no round dirs
+    val names = new java.io.File(s"$dir/state").listFiles().map(_.getName)
+    assert(names.contains("_graft_buckets.json"), names.mkString(","))
+    assert(!names.exists(_.startsWith("round_")), names.mkString(","))
+  }
+
+  private val amtSpec = CdcProfile.ProfileSpec("fact", schema, Seq("amt"))
+
+  test("min/max under retraction: a delete removes the current maximum") {
+    // live amt multiset: {1.0, null, 2.0} — the 9.0 maximum existed
+    // mid-history and was DELETED; a retraction-blind running max
+    // would still report 9.0
+    val out = CdcProfile.maintain(changes.toDF(), 2, amtSpec,
+        minMax = true).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "amt")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (3L, 1L, 2L))
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 2.0,
+      s"min/max = ${r.getDouble(4)}/${r.getDouble(5)}")
+  }
+
+  test("streaming min/max view equals the replay twin, and moves when " +
+      "a later delete removes the live maximum") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdcprofmm_").toString
+    val input = MemoryStream[KeyedChangeRow]
+    val q = CdcProfile.start(input.toDF(), s"$dir/state", s"$dir/ckpt",
+      amtSpec, numBuckets = 8)
+    try {
+      input.addData(changes.toIndexedSeq); q.processAllAvailable()
+      val v1 = CdcProfile.view(spark, s"$dir/state", amtSpec,
+        minMax = true).collect().head
+      assert(v1.getDouble(4) == 1.0 && v1.getDouble(5) == 2.0)
+      // delete the CURRENT max (k=4, amt 2.0) in a later micro-batch:
+      // the max must fall back to 1.0 — only state recomputation gets
+      // this right
+      input.addData(IndexedSeq(
+        KeyedChangeRow("fact", "delete", null, f(4, "a", 2.0), "s", 7)))
+      q.processAllAvailable()
+      val v2 = CdcProfile.view(spark, s"$dir/state", amtSpec,
+        minMax = true).collect().head
+      assert(v2.getDouble(4) == 1.0 && v2.getDouble(5) == 1.0,
+        s"max after deleting the maximum: ${v2.getDouble(5)}")
+    } finally q.stop()
+  }
+
+  test("floating-point -0.0 normalizes to 0.0 before rendering (NDV " +
+      "matches SQL DISTINCT)") {
+    val zeros = Seq(
+      KeyedChangeRow("fact", "insert", f(10, "z", 0.0), null, "s", 10),
+      KeyedChangeRow("fact", "insert",
+        """{"k":11,"cat":"z","amt":-0.0}""", null, "s", 11))
+    val out = asMap(CdcProfile.maintain((changes ++ zeros).toDF(), 1, spec))
+    // live amt values: {1.0, null, 2.0, 0.0, -0.0} — DISTINCT counts
+    // -0.0 = 0.0 as ONE value: ndv 3, not 4
+    assert(out("amt") == (5L, 1L, 3L), out.toString)
+  }
+
+  test("a batch's state writes touch only its buckets; a replayed " +
+      "batch changes nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("cdcprof_tb_")
+      .toString + "/state"
+    def listing: Map[String, Long] = {
+      val base = java.nio.file.Paths.get(dir)
+      val s = java.nio.file.Files.walk(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => base.relativize(p).toString ->
+            java.nio.file.Files.size(p)).toMap
+      } finally s.close()
+    }
+    CdcProfile.applyBatch(changes.toDF(), dir, spec, numBuckets = 16)
+    val afterA = listing
+    val reportA = asMap(CdcProfile.view(spark, dir, spec))
+    // batch B touches ONE (column, value) pair
+    val batchB = Seq(KeyedChangeRow("fact", "insert",
+      f(20, "a", 1.0), null, "s", 20))
+    CdcProfile.applyBatch(batchB.toDF(), dir, spec, numBuckets = 16)
+    val afterB = listing
+    def bucketOf(p: String): Option[String] =
+      p.split("/").find(_.startsWith("bucket="))
+    val changed = afterB.keySet.union(afterA.keySet)
+      .filter(p => afterA.get(p) != afterB.get(p)).flatMap(bucketOf)
+    val all = afterB.keySet.flatMap(bucketOf)
+    assert(changed.nonEmpty && changed.size < all.size,
+      s"batch B rewrote $changed of $all")
+    afterA.keySet
+      .filter(p => bucketOf(p).exists(b => !changed(b)))
+      .foreach(p => assert(afterA.get(p) == afterB.get(p), p))
+    val reportB = asMap(CdcProfile.view(spark, dir, spec))
+    // replay batch B, then replay the FULL original batch: the
+    // per-(column, value) seq gates drop every event
+    CdcProfile.applyBatch(batchB.toDF(), dir, spec, numBuckets = 16)
+    assert(asMap(CdcProfile.view(spark, dir, spec)) == reportB)
+    CdcProfile.applyBatch(changes.toDF(), dir, spec, numBuckets = 16)
+    assert(asMap(CdcProfile.view(spark, dir, spec)) == reportB)
+    assert(reportB("cat") == (reportA("cat")._1 + 1, 0L, reportA("cat")._3))
   }
 }

@@ -90,7 +90,7 @@ class CdcQualityKeyedSpec extends SparkSpec {
     assert(empty == spec.checkNames.map(n => n -> (0L, true)).toMap)
     val input = MemoryStream[KeyedChangeRow]
     val q = CdcQualityKeyed.start(input.toDF(), s"$dir/state",
-      s"$dir/ckpt", spec)
+      s"$dir/ckpt", spec, numBuckets = 8)
     try {
       changes.grouped(4).foreach { c =>
         input.addData(c.toIndexedSeq); q.processAllAvailable()
@@ -99,10 +99,74 @@ class CdcQualityKeyedSpec extends SparkSpec {
       val twin = asReport(CdcQualityKeyed.maintain(changes.toDF(), 1, spec))
       assert(streamed == twin)
     } finally q.stop()
-    // old rounds pruned to view-only dirs: at most one state round kept
-    // beyond the latest (the redelivery window)
-    val kept = new java.io.File(s"$dir/state").listFiles()
-      .map(_.getName).filter(_.startsWith("round_"))
-    assert(kept.length <= 2, kept.mkString(","))
+    // the streaming state is the BucketStore layout — both keyed
+    // states recorded their bucket contract, no round dirs exist
+    Seq("u", "r").foreach { side =>
+      val names = new java.io.File(s"$dir/state/$side").listFiles()
+        .map(_.getName)
+      assert(names.contains("_graft_buckets.json"), names.mkString(","))
+      assert(names.exists(_.startsWith("bucket=")), names.mkString(","))
+      assert(!names.exists(_.startsWith("round_")), names.mkString(","))
+    }
+  }
+
+  /** Recursive (relative path → length) listing of a state side — the
+    * discriminator for "this dir was rewritten": a rewrite stages new
+    * part files under fresh UUID names, so an untouched bucket's
+    * listing is byte-identical and a touched one's never is.
+    */
+  private def listing(dir: String): Map[String, Long] = {
+    val base = java.nio.file.Paths.get(dir)
+    val s = java.nio.file.Files.walk(base)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => base.relativize(p).toString -> java.nio.file.Files.size(p))
+        .toMap
+    } finally s.close()
+  }
+
+  test("a round's state writes touch only the batch's buckets; " +
+      "a replayed batch changes nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("cdcqk_tb_")
+      .toString + "/state"
+    // batch A: a spread of keys; batch B: ONE fact key (k=42) — with 8
+    // buckets B touches exactly one u bucket and one r bucket
+    val batchA = changes.take(8)
+    val batchB = Seq(
+      KeyedChangeRow("fact", "insert", f(42, 1, 1.0), null, "z", 100))
+    CdcQualityKeyed.applyBatch(batchA.toDF(), dir, spec, numBuckets = 8)
+    val afterA = listing(dir)
+    CdcQualityKeyed.applyBatch(batchB.toDF(), dir, spec, numBuckets = 8)
+    val afterB = listing(dir)
+    val reportB = asReport(CdcQualityKeyed.view(spark, dir, spec))
+    // the batch-B rewrite touched SOME buckets but not all of batch A's:
+    // every changed path sits under a bucket dir B's keys hash into
+    // bucket identity = side + tag ("u/bucket=3"): the same tag exists
+    // on both sides
+    def bucketOf(p: String): Option[String] = {
+      val parts = p.split("/")
+      val i = parts.indexWhere(_.startsWith("bucket="))
+      if (i < 0) None else Some(parts.take(i + 1).mkString("/"))
+    }
+    val changed = afterB.keySet.union(afterA.keySet)
+      .filter(p => afterA.get(p) != afterB.get(p))
+      .flatMap(bucketOf)
+    assert(changed.nonEmpty)
+    val allBuckets = afterB.keySet.flatMap(bucketOf)
+    assert(changed.size < allBuckets.size,
+      s"batch B rewrote every bucket: $changed")
+    // untouched buckets byte-identical
+    afterA.keySet
+      .filter(p => bucketOf(p).exists(b => !changed(b)))
+      .foreach(p => assert(afterA.get(p) == afterB.get(p), p))
+    // replay of batch B: the per-key seq gate drops every event, the
+    // rewrite is value-identical, and the report does not move
+    CdcQualityKeyed.applyBatch(batchB.toDF(), dir, spec, numBuckets = 8)
+    assert(asReport(CdcQualityKeyed.view(spark, dir, spec)) == reportB)
+    // and a replay of the FULL prefix (crash-redelivery of an old
+    // batch) also changes nothing
+    CdcQualityKeyed.applyBatch(batchA.toDF(), dir, spec, numBuckets = 8)
+    assert(asReport(CdcQualityKeyed.view(spark, dir, spec)) == reportB)
   }
 }

@@ -153,8 +153,22 @@ object Bench {
         (() => Queries.prepJoinIvmChanges(spark, sfDir)),
       "prep_partial_minimal_log" ->
         (() => Queries.prepPartialMinimalLog(spark, sfDir)),
-      "prep_cdc_synth_changes" ->
-        (() => Queries.prepCdcSynthChanges(spark, sfDir)))
+      // the former prep_cdc_synth_changes line, split per consumer so
+      // each synthesized CDC input is billed beside its reader
+      "prep_qualkeyed_changes" ->
+        (() => Queries.prepQualityKeyedChanges(spark, sfDir)),
+      "prep_qualkeyed_ord_changes" ->
+        (() => Queries.prepQualityKeyedOrdChanges(spark, sfDir)),
+      "prep_chain_deltas" ->
+        (() => Queries.prepChainDeltas(spark, sfDir)),
+      "prep_composite_deltas" ->
+        (() => Queries.prepCompositeDeltas(spark, sfDir)),
+      "prep_profile_deltas" ->
+        (() => Queries.prepProfileDeltas(spark, sfDir)),
+      "prep_profile_minmax_deltas" ->
+        (() => Queries.prepProfileMinMaxDeltas(spark, sfDir)),
+      "prep_snapshot_fence_log" ->
+        (() => Queries.prepSnapshotFenceLog(spark, sfDir)))
     // -1 marks a failed entry — a swallowed exception must not read as
     // a normal (fast!) timing
     val prepResults = preps

@@ -60,7 +60,8 @@ object SyncCli {
       buckets: Option[Int],
       bucket: Option[Int] = None)
 
-  val StateOps = Set("stats", "prune-tombstones", "rebucket", "split-bucket")
+  val StateOps =
+    Set("stats", "prune-tombstones", "rebucket", "split-bucket", "auto-split")
 
   /** `drift-gate` verb knobs: which source table/column the KS gate
     * watches, and the statistic threshold that flips a batch's gate
@@ -494,6 +495,14 @@ object SyncCli {
         CdcPipeline.rebucket(spark, st.stateDir, st.buckets.get)
       case "split-bucket" =>
         CdcPipeline.splitBucket(spark, st.stateDir, st.bucket.get)
+      case "auto-split" =>
+        // the advisory drives the choice (CdcPipeline.autoSplitOne):
+        // split the hottest outgrown bucket, or report none
+        CdcPipeline.autoSplitOne(spark, st.stateDir,
+            CdcPipeline.AutoSplit()) match {
+          case Some(t) => println(s"""{"auto_split":$t}""")
+          case None => println("""{"auto_split":null}""")
+        }
     }
     CdcPipeline.stateStats(spark, st.stateDir).collect().foreach { r =>
       println(s"""{"bucket":${r.getAs[Int]("bucket")},""" +
@@ -509,7 +518,8 @@ object SyncCli {
       System.err.println("usage: SyncCli [sync|snapshot-then-stream|" +
         "drift-gate|state] " +
         "state: --state_dir DIR [--state_op stats|prune-tombstones|" +
-        "rebucket|split-bucket] [--watermark 'Y-m-d H:M:S'] [--buckets N] " +
+        "rebucket|split-bucket|auto-split] [--watermark 'Y-m-d H:M:S'] " +
+        "[--buckets N] " +
         "[--bucket TAG] | sync: " +
         "--mysql_host H --mysql_port P " +
         "--mysql_user U --mysql_password PW --mysql_db DB " +

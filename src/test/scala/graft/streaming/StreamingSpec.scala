@@ -1636,6 +1636,59 @@ class StreamingSpec extends SparkSpec {
       "the advised split must preserve live state")
   }
 
+  test("auto-split: a hot-key stream triggers exactly one between-trigger " +
+      "split; applies stay correct across it") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_autosplit_").toString
+    val changesDir = s"$base/changes"; new java.io.File(changesDir).mkdirs()
+    val stateDir = s"$base/state"; val ckpt = s"$base/ckpt"
+    val tag4: Map[Long, Int] = spark.range(0, 20000)
+      .select(col("id"), pmod(xxhash64(lit("t"), col("id")), lit(4))
+        .cast("int").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // create the state with a SMALL recorded bucket count and all four
+    // buckets populated (the recorded contract wins over the streaming
+    // default; the byte advisory's mean is over existing bucket dirs)
+    val seed = (0L until 600L).map(k =>
+      ChangeEvent("insert", "t", k, ts(1), k, s"""{"v":$k}"""))
+    CdcPipeline.applyBatch(spark, seed.toDF(), stateDir, numBuckets = 4)
+    assert(CdcPipeline.readMeta(spark, stateDir).get._2.isEmpty)
+    val hot = tag4(601L)
+    val hotKeys = (1000L until 20000L).filter(tag4(_) == hot).take(1200)
+    val q = CdcPipeline.start(spark, changesDir, stateDir, ckpt,
+      autoSplit = Some(CdcPipeline.AutoSplit(factor = 2.2, minBytes = 1L)))
+    try {
+      // trigger 1: the hot slice — afterwards the advisory names the
+      // hot bucket (≈3× the mean) and the loop splits it ONCE; its
+      // halves sit under the 2.2× bar, so no cascade
+      hotKeys.map(k => ChangeEvent("insert", "t", k, ts(2), 100000L + k,
+          s"""{"v":$k}""")).toDF()
+        .coalesce(1).write.mode("append").json(changesDir)
+      q.processAllAvailable()
+      val (b1, levels1) = CdcPipeline.readMeta(spark, stateDir).get
+      assert(b1 == 4)
+      assert(levels1 == Map(hot + 4 -> 1, hot + 8 -> 1),
+        s"exactly one split of the hot bucket expected, got $levels1")
+      // trigger 2: a balanced slice — applies land in the refined
+      // children, and the advisory stays quiet
+      (100000L until 100400L).map(k =>
+          ChangeEvent("insert", "t", k, ts(3), 200000L + k,
+            s"""{"v":$k}""")).toDF()
+        .coalesce(1).write.mode("append").json(changesDir)
+      q.processAllAvailable()
+      val (_, levels2) = CdcPipeline.readMeta(spark, stateDir).get
+      assert(levels2 == levels1, s"no second split expected, got $levels2")
+    } finally q.stop()
+    assert(!new java.io.File(s"$stateDir/bucket=$hot").exists(),
+      "the split parent dir must be gone")
+    val state = CdcPipeline.currentState(spark, stateDir)
+    assert(state.count() == 600L + 1200L + 400L)
+    val probe = state.filter(col("key") === hotKeys.head)
+      .select("payload").collect().map(_.getString(0)).toSeq
+    assert(probe == Seq(s"""{"v":${hotKeys.head}}"""),
+      "exactly one live version of a refined key expected")
+  }
+
   test("a COMMITTED split interrupted before completion heals forward on read") {
     // simulate the crash window between the commit rename and the child
     // publications: stage the children + staged meta by hand, rename the

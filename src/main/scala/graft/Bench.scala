@@ -161,6 +161,8 @@ object Bench {
         (() => Queries.prepQualityKeyedOrdChanges(spark, sfDir)),
       "prep_chain_deltas" ->
         (() => Queries.prepChainDeltas(spark, sfDir)),
+      "prep_cascade4_deltas" ->
+        (() => Queries.prepCascade4Deltas(spark, sfDir)),
       "prep_composite_deltas" ->
         (() => Queries.prepCompositeDeltas(spark, sfDir)),
       "prep_profile_deltas" ->

@@ -450,6 +450,66 @@ class StreamingSpec extends SparkSpec {
     assert(viewSet(7) == v1, "7-batch chain replay must equal 1-batch")
   }
 
+  test("four-table cascade: one more stage-list element, batching-invariant, " +
+      "deletes cascade through three levels") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    def n(k: Long, nm: String) = s"""{"n_nationkey":$k,"n_name":"$nm"}"""
+    def c(k: Long, nk: Long) = s"""{"c_custkey":$k,"c_nationkey":$nk}"""
+    def o(k: Long, ck: Long) = s"""{"o_orderkey":$k,"o_custkey":$ck}"""
+    def l(ok: Long, cents: Long) = s"""{"l_orderkey":$ok,"l_cents":$cents}"""
+    val rows = Seq(
+      ("nat4_cdc", "insert", n(1, "NAT-A"), null, "s", 1L),
+      ("nat4_cdc", "insert", n(2, "NAT-B"), null, "s", 2L),
+      ("cust4_cdc", "insert", c(10, 1), null, "s", 3L),
+      ("cust4_cdc", "insert", c(11, 2), null, "s", 4L),
+      ("cust4_cdc", "insert", c(12, 2), null, "s", 5L),
+      ("ord4_cdc", "insert", o(100, 10), null, "s", 6L),
+      ("ord4_cdc", "insert", o(101, 11), null, "s", 7L),
+      ("ord4_cdc", "insert", o(102, 12), null, "s", 8L),
+      ("line4_cdc", "insert", l(100, 100), null, "s", 9L),
+      ("line4_cdc", "insert", l(100, 200), null, "s", 10L),
+      ("line4_cdc", "insert", l(101, 300), null, "s", 11L),
+      ("line4_cdc", "insert", l(102, 400), null, "s", 12L),
+      // deletes cascade through THREE composed stages: a deleted
+      // customer retracts its orders' surviving lines; a nation rename
+      // moves a whole group; a line delete retracts one leaf
+      ("cust4_cdc", "delete", null, c(12, 2), "s", 13L),
+      ("nat4_cdc", "update", n(1, "NAT-Z"), n(1, "NAT-A"), "s", 14L),
+      ("line4_cdc", "delete", null, l(100, 100), "s", 15L))
+    val df = rows.toDF("table", "op", "payload", "payload_before",
+      "src", "seq")
+    val spec = JoinIvm.IvmCascadeSpec(
+      factTable = "line4_cdc",
+      factSchema = StructType(Seq(StructField("l_orderkey", LongType),
+        StructField("l_cents", LongType))),
+      factKey = p => p("l_orderkey"), factMeasure = p => p("l_cents"),
+      mids = Seq(
+        JoinIvm.IvmStage("ord4_cdc",
+          StructType(Seq(StructField("o_orderkey", LongType),
+            StructField("o_custkey", LongType))),
+          key = p => p("o_orderkey"), next = p => p("o_custkey")),
+        JoinIvm.IvmStage("cust4_cdc",
+          StructType(Seq(StructField("c_custkey", LongType),
+            StructField("c_nationkey", LongType))),
+          key = p => p("c_custkey"), next = p => p("c_nationkey"))),
+      dimTable = "nat4_cdc",
+      dimSchema = StructType(Seq(StructField("n_nationkey", LongType),
+        StructField("n_name", StringType))),
+      dimKey = p => p("n_nationkey"),
+      dimCols = Seq("n_name" -> (p => p("n_name"))),
+      sumName = "sum_cents")
+    def viewSet(b: Int): Set[(String, Long, Double)] =
+      JoinIvm.maintainCascade(df, b, spec).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val v1 = viewSet(1)
+    // live: NAT-Z ← cust10 ← ord100 ← line 200 (line 100 deleted);
+    // NAT-B ← cust11 ← ord101 ← line 300 (cust12's 400 retracted)
+    assert(v1 == Set(("NAT-Z", 1L, 200.0), ("NAT-B", 1L, 300.0)), v1)
+    assert(viewSet(4) == v1, "4-batch cascade replay must equal 1-batch")
+    assert(viewSet(7) == v1, "7-batch cascade replay must equal 1-batch")
+  }
+
   test("streaming chain maintenance tracks batches; redelivery is idempotent") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -754,42 +754,50 @@ object CdcPipeline {
     recoverBuckets(spark, stateDir)
     val (effB, levels) =
       readMeta(spark, stateDir).getOrElse((numBuckets, Map.empty[Int, Int]))
-    // persist the folded batch: its lineage (JSON extract + per-key
-    // sort_array collect) would otherwise re-run for every downstream
-    // job of this apply — the touched-buckets probe here, applyBatch's
-    // own touched probe, and the staged write (measured ~3 plans per
-    // apply on the bucketed gate row)
-    val folded = foldedDocs(batch, jsonField).persist() // (src, key, evs)
+    // persist the folded batch WITH its bucket tags: its lineage (JSON
+    // extract + per-key sort_array collect) would otherwise re-run for
+    // every downstream job of this apply — the touched-buckets probe
+    // and the staged write
+    val folded = foldedDocs(batch, jsonField)
+      .withColumn("bucket", bucketTag(col("src"), col("key"), effB, levels))
+      .persist()                                   // (src, key, evs, bucket)
     try {
-      val touched = folded
-        .select(bucketTag(col("src"), col("key"), effB, levels).as("bucket"))
-        .distinct().collect().map(_.getInt(0))
+      val touched = folded.select("bucket")
+        .distinct().collect().map(_.getInt(0)).sorted
       if (touched.isEmpty) return
-      val hasState =
-        hadoopFs(spark, stateDir)
-          .exists(new org.apache.hadoop.fs.Path(stateDir)) &&
-          !isEmptiedState(spark, stateDir)
-      val prior =
-        if (hasState)
+      val cols = Seq("op", "table", "key", "ts", "seq", "payload")
+      val stateRows =
+        if (BucketStore.hasRows(spark, stateDir))
           spark.read.parquet(stateDir) // partition-pruned to touched buckets
-            .filter(col("bucket").isin(touched.map(Integer.valueOf): _*) &&
-              col("op") =!= ChangeEvent.Delete)
-            .select(col("table").as("src"), col("key"),
-              col("seq").as("last_seq"), col("payload").as("doc0"))
-        else folded.select(col("src"), col("key"),
-          lit(0L).as("last_seq"), lit(null).cast("string").as("doc0")).limit(0)
+            .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+        else folded.select(lit("").as("op"), col("src").as("table"),
+          col("key"), lit(new java.sql.Timestamp(0L)).as("ts"),
+          lit(0L).as("seq"), lit(null).cast("string").as("payload"),
+          col("bucket")).limit(0)
+      val prior = stateRows
+        .select(col("table").as("src"), col("key"),
+          col("seq").as("last_seq"), col("payload").as("doc0"),
+          col("bucket").as("b0"))
       val fresh = filter(col("evs"),
         e => e.getField("seq") > coalesce(col("last_seq"), lit(Long.MinValue)))
-      // applyBatch consumes newRows twice (touched probe + staged
-      // write); its lineage re-runs off the CACHED folded frame, which
-      // measured cheaper than materializing the folded documents twice
-      val newRows = folded.join(prior, Seq("src", "key"), "left")
+      // merge in ONE full-outer join + ONE staged write per apply (the
+      // r12 ≤~4 s shave): the doc store's invariants — exactly one row
+      // per key on each side (the fold nets the batch, the state IS the
+      // collapse, and this store never writes tombstones) and
+      // seq-gated monotone advancement — make the general latestState
+      // window redundant here; untouched keys of touched buckets carry
+      // over, touched keys fold their fresh events onto the stored doc
+      val merged = folded.join(prior, Seq("src", "key"), "full_outer")
         .select(lit(ChangeEvent.Insert).as("op"), col("src").as("table"),
           col("key"), lit(new java.sql.Timestamp(0L)).as("ts"),
           greatest(coalesce(col("last_seq"), lit(Long.MinValue)),
-            element_at(col("evs"), -1).getField("seq")).as("seq"),
-          docFold(fresh, col("doc0")).as("payload"))
-      applyBatch(spark, newRows, stateDir, effB)
+            coalesce(element_at(col("evs"), -1).getField("seq"),
+              lit(Long.MinValue))).as("seq"),
+          when(col("evs").isNull, col("doc0"))
+            .otherwise(docFold(fresh, col("doc0"))).as("payload"),
+          coalesce(col("bucket"), col("b0")).as("bucket"))
+        .select((cols :+ "bucket").map(col): _*)
+      writeBucketsAndSwap(spark, merged, stateDir, touched, effB)
     } finally { folded.unpersist(); () }
   }
 

@@ -110,6 +110,23 @@ class CdcQualityKeyedSpec extends SparkSpec {
     }
   }
 
+  test("bucketed streaming state carries composite struct keys " +
+      "(xxhash64 bucket tag + null-safe state join)") {
+    import org.apache.spark.sql.functions.struct
+    val compSpec = spec.copy(
+      uniqueName = "pk_pair_unique",
+      uniqueKey = p => struct(p("k"), p("fk")))
+    val dir = java.nio.file.Files.createTempDirectory("cdcqk_comp_")
+      .toString + "/state"
+    changes.grouped(3).foreach(c =>
+      CdcQualityKeyed.applyBatch(c.toDF(), dir, compSpec, numBuckets = 8))
+    val streamed = asReport(CdcQualityKeyed.view(spark, dir, compSpec))
+    val twin = asReport(CdcQualityKeyed.maintain(changes.toDF(), 1, compSpec))
+    assert(streamed == twin)
+    // (k=2, fk=2) and (k=2, fk=1) are now DISTINCT pairs: no duplicate
+    assert(streamed("pk_pair_unique") == (0L, true), streamed.toString)
+  }
+
   /** Recursive (relative path → length) listing of a state side — the
     * discriminator for "this dir was rewritten": a rewrite stages new
     * part files under fresh UUID names, so an untouched bucket's

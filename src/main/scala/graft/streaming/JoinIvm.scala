@@ -555,7 +555,9 @@ object JoinIvm {
       val i = idx + 1
       val f0 = exploded(m.table, m.schema, (side, w) => {
         val p = col(side)
-        val ka = if (i == 1) m.key(p) else m.key(p).cast(kTypes(i - 2))
+        // mid i joins at k_i, whose canonical type is mid_{i-1}'s next
+        // (kTypes is 0-indexed: kTypes(i-1) = type of k_i)
+        val ka = if (i == 1) m.key(p) else m.key(p).cast(kTypes(i - 1))
         struct(ka.as("ka"), m.next(p).as("kb"), lit(w).as("w"))
       }).select(lit(s"m$i").as("tab"), col("src"), col("seq"),
         col("d.ka").as(s"k$i"), col("d.kb").as(s"k${i + 1}"),

@@ -479,6 +479,11 @@ class StreamingSpec extends SparkSpec {
       ("line4_cdc", "delete", null, l(100, 100), "s", 15L))
     val df = rows.toDF("table", "op", "payload", "payload_before",
       "src", "seq")
+    // k1 is deliberately STRING while k2/k3 stay LONG: the canonical
+    // key types come from mid_i's derivations and every other side
+    // must cast to them — a mixed-type cascade pins the index
+    // arithmetic (an off-by-one casts mid-2's key to k1's type and
+    // either corrupts the join or breaks the union schema)
     val spec = JoinIvm.IvmCascadeSpec(
       factTable = "line4_cdc",
       factSchema = StructType(Seq(StructField("l_orderkey", LongType),
@@ -488,7 +493,8 @@ class StreamingSpec extends SparkSpec {
         JoinIvm.IvmStage("ord4_cdc",
           StructType(Seq(StructField("o_orderkey", LongType),
             StructField("o_custkey", LongType))),
-          key = p => p("o_orderkey"), next = p => p("o_custkey")),
+          key = p => p("o_orderkey").cast("string"),
+          next = p => p("o_custkey")),
         JoinIvm.IvmStage("cust4_cdc",
           StructType(Seq(StructField("c_custkey", LongType),
             StructField("c_nationkey", LongType))),

@@ -801,15 +801,21 @@ object CdcPipeline {
     } finally { folded.unpersist(); () }
   }
 
-  /** Streaming form of [[applyDeferredJsonBucketed]]. */
+  /** Streaming form of [[applyDeferredJsonBucketed]] — same optional
+    * between-trigger auto-split as the row-apply loops (the doc store
+    * rides the identical bucket layout and `(table, key)` hash, so
+    * [[splitBucket]] applies verbatim).
+    */
   def startDeferredJsonBucketed(changes: DataFrame, jsonField: String,
                                 stateDir: String, checkpointDir: String,
-                                numBuckets: Int = DefaultStateBuckets)
+                                numBuckets: Int = DefaultStateBuckets,
+                                autoSplit: Option[AutoSplit] = None)
       : StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyDeferredJsonBucketed(batch, jsonField, stateDir, numBuckets)
+        autoSplit.foreach(a => autoSplitOne(batch.sparkSession, stateDir, a))
       }
       .start()
 

@@ -278,6 +278,36 @@ private[streaming] object BucketStore {
     ()
   }
 
+  /** Whole-state rebucket PUBLISH: write `rows` (already carrying the
+    * NEW bucket tags) into the `__rebucket` staging sibling with the
+    * new recorded count, then swap the whole dir atomically (live →
+    * `__old`, staged → live, drop `__old`) — every crash window healed
+    * by [[recover]] (the staging's sources stay intact live or as
+    * `__old`). The caller derives the re-tagged rows — keyed rows plus
+    * whatever per-bucket summaries its layout carries. Concurrent
+    * writers must be quiesced: the same single-writer discipline as
+    * any repartitioning DDL.
+    */
+  def publishRebucket(spark: SparkSession, rows: DataFrame,
+                      stateDir: String, newBuckets: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val f = fs(spark, stateDir)
+    val staging = stateDir + "__rebucket"
+    f.delete(new Path(staging), true)
+    rows.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(staging)
+    writeBucketCount(spark, staging, newBuckets)
+    val live = new Path(stateDir)
+    val old = new Path(stateDir + "__old")
+    f.delete(old, true)
+    if (!f.rename(live, old))
+      throw new java.io.IOException(s"cannot set aside $live")
+    if (!f.rename(new Path(staging), live))
+      throw new java.io.IOException(s"cannot publish $staging")
+    f.delete(old, true)
+    ()
+  }
+
   /** Per-bucket on-disk bytes from FS METADATA only — no data scan, so
     * it is cheap enough to run between stream triggers (the auto-split
     * advisory input; a full [[CdcPipeline.stateStats]] pass per trigger

@@ -218,21 +218,10 @@ object CdcPipeline {
       return
     }
     val cols = Seq("op", "table", "key", "ts", "seq", "payload")
-    val staging = stateDir + "__rebucket"
-    fs.delete(new Path(staging), true)
-    withBucket(spark.read.parquet(stateDir).select(cols.map(col): _*),
-        newBuckets)
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging)
-    writeBucketCount(spark, staging, newBuckets)
-    val live = new Path(stateDir)
-    val old = new Path(stateDir + "__old")
-    fs.delete(old, true)
-    if (!fs.rename(live, old))
-      throw new java.io.IOException(s"cannot set aside $live")
-    if (!fs.rename(new Path(staging), live))
-      throw new java.io.IOException(s"cannot publish $staging")
-    fs.delete(old, true)
-    ()
+    BucketStore.publishRebucket(spark,
+      withBucket(spark.read.parquet(stateDir).select(cols.map(col): _*),
+        newBuckets),
+      stateDir, newBuckets)
   }
 
   /** The mechanical split advisory — [[stateStats]] wired to

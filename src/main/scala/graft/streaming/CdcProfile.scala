@@ -332,6 +332,51 @@ object CdcProfile {
     } finally { ev.unpersist(); () }
   }
 
+  /** Change the bucket count of an existing profile state — lifecycle
+    * parity with [[CdcPipeline.rebucket]] (single-writer, `__rebucket`
+    * swap healed by [[BucketStore.recover]]). Every per-bucket summary
+    * here is a state function of the netted rows, so the rewrite
+    * recomputes all of them under the new tags; seq gates ride along
+    * in the keyed rows.
+    */
+  def rebucket(spark: SparkSession, stateDir: String, newBuckets: Int,
+               spec: ProfileSpec): Unit = {
+    require(newBuckets > 0, s"newBuckets must be positive: $newBuckets")
+    BucketStore.recover(spark, stateDir)
+    if (!BucketStore.hasRows(spark, stateDir)) return // nothing landed yet
+    val s = spark.read.parquet(stateDir).filter(col("part") === "s")
+      .select(col("c"), col("v"), col("n"), col("last_seq"))
+      .withColumn("bucket",
+        BucketStore.bucketTag(xxhash64(col("c"), col("v")), newBuckets,
+          Map.empty))
+    val tRows = spec.cols.map { cn =>
+      val dt = spec.schema(cn).dataType
+      s.filter(col("c") === cn).groupBy("bucket").agg(
+          sum(col("n")).as("rows"),
+          sum(when(col("v").isNull, col("n")).otherwise(0L)).as("nulls"),
+          sum(when(col("v").isNotNull && col("n") > 0L, 1L)
+            .otherwise(0L)).as("ndv"),
+          min(when(col("n") > 0L, col("v").cast(dt))).cast("string")
+            .as("mn"),
+          max(when(col("n") > 0L, col("v").cast(dt))).cast("string")
+            .as("mx"))
+        .select(col("bucket"), lit(cn).as("c"), col("rows"), col("nulls"),
+          col("ndv"), col("mn"), col("mx"))
+    }.reduce(_ unionByName _)
+    val nullL = lit(null).cast("bigint")
+    val out = s.select(lit("s").as("part"), col("bucket"), col("c"),
+        col("v"), col("n"), col("last_seq"), nullL.as("rows"),
+        nullL.as("nulls"), nullL.as("ndv"),
+        lit(null).cast("string").as("mn"),
+        lit(null).cast("string").as("mx"))
+      .unionByName(tRows.select(lit("t").as("part"), col("bucket"),
+        col("c"), lit(null).cast("string").as("v"), nullL.as("n"),
+        nullL.as("last_seq"), coalesce(col("rows"), lit(0L)).as("rows"),
+        coalesce(col("nulls"), lit(0L)).as("nulls"),
+        coalesce(col("ndv"), lit(0L)).as("ndv"), col("mn"), col("mx")))
+    BucketStore.publishRebucket(spark, out, stateDir, newBuckets)
+  }
+
   /** Continuous form over a stream of change rows. */
   def start(changes: DataFrame, stateDir: String, checkpointDir: String,
             spec: ProfileSpec,

@@ -480,6 +480,78 @@ object CdcQualityKeyed {
     BucketStore.writeAndSwap(spark, out, dir, touched, effB, Seq("part"))
   }
 
+  /** Change the bucket count of an existing monitor state — the growth
+    * path when the keyspace outgrows its creation-time count, at
+    * lifecycle parity with the row apply's [[CdcPipeline.rebucket]]
+    * (same single-writer discipline, same `__rebucket`/`__old` swap
+    * healed by [[BucketStore.recover]]). Keyed rows re-tag under the
+    * new count with their seq gates intact; per-bucket violation
+    * SUBTOTALS are recomputed from the re-tagged rows (they are state
+    * functions); the cumulative row-local check totals are HISTORY
+    * summands with no per-key identity — the view only ever sums them
+    * — so the global total parks on the smallest populated bucket.
+    */
+  def rebucket(spark: SparkSession, stateDir: String, newBuckets: Int,
+               spec: KeyedSpec): Unit = {
+    require(newBuckets > 0, s"newBuckets must be positive: $newBuckets")
+    rebucketUnique(spark, uDir(stateDir), newBuckets, spec)
+    rebucketRef(spark, rDir(stateDir), newBuckets)
+  }
+
+  private def rebucketUnique(spark: SparkSession, dir: String,
+                             newBuckets: Int, spec: KeyedSpec): Unit = {
+    BucketStore.recover(spark, dir)
+    if (!BucketStore.hasRows(spark, dir)) return // nothing landed yet
+    val all = spark.read.parquet(dir)
+    val s = all.filter(col("part") === "s")
+      .select(col("ku"), col("n"), col("last_seq"))
+      .withColumn("bucket",
+        BucketStore.bucketTag(xxhash64(col("ku")), newBuckets, Map.empty))
+    val kuT = s.schema("ku").dataType
+    val iCols = spec.rowChecks.indices
+    // global cumulative row-check totals (checks-sized driver read)
+    val totG: Seq[Long] =
+      if (iCols.isEmpty) Seq.empty
+      else all.filter(col("part") === "t")
+        .select(posexplode(col("tot")).as(Seq("pos", "v")))
+        .groupBy("pos").agg(sum(col("v")).as("v"))
+        .collect().sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+    val uvB = s.groupBy("bucket").agg(sum(uContrib(col("n"))).as("uv"))
+    val minBucket = uvB.agg(min(col("bucket"))).head.getInt(0)
+    val tRows = uvB.select(lit("t").as("part"), col("bucket"),
+      lit(null).cast(kuT).as("ku"), lit(null).cast("bigint").as("n"),
+      lit(null).cast("bigint").as("last_seq"), col("uv"),
+      when(col("bucket") === minBucket, lit(totG.toArray))
+        .otherwise(lit(Array.fill(totG.size)(0L))).as("tot"))
+    val out = s.select(lit("s").as("part"), col("bucket"), col("ku"),
+        col("n"), col("last_seq"), lit(null).cast("bigint").as("uv"),
+        lit(null).cast("array<bigint>").as("tot"))
+      .unionByName(tRows)
+    BucketStore.publishRebucket(spark, out, dir, newBuckets)
+  }
+
+  private def rebucketRef(spark: SparkSession, dir: String,
+                          newBuckets: Int): Unit = {
+    BucketStore.recover(spark, dir)
+    if (!BucketStore.hasRows(spark, dir)) return
+    val s = spark.read.parquet(dir).filter(col("part") === "s")
+      .select(col("kr"), col("fn"), col("dn"), col("seq_f"), col("seq_d"))
+      .withColumn("bucket",
+        BucketStore.bucketTag(xxhash64(col("kr")), newBuckets, Map.empty))
+    val krT = s.schema("kr").dataType
+    val rvB = s.groupBy("bucket")
+      .agg(sum(rContrib(col("fn"), col("dn"))).as("rv"))
+    val out = s.select(lit("s").as("part"), col("bucket"), col("kr"),
+        col("fn"), col("dn"), col("seq_f"), col("seq_d"),
+        lit(null).cast("bigint").as("rv"))
+      .unionByName(rvB.select(lit("t").as("part"), col("bucket"),
+        lit(null).cast(krT).as("kr"), lit(null).cast("bigint").as("fn"),
+        lit(null).cast("bigint").as("dn"),
+        lit(null).cast("bigint").as("seq_f"),
+        lit(null).cast("bigint").as("seq_d"), col("rv")))
+    BucketStore.publishRebucket(spark, out, dir, newBuckets)
+  }
+
   /** Continuous form over a stream of change rows. */
   def start(changes: DataFrame, stateDir: String, checkpointDir: String,
             spec: KeyedSpec,

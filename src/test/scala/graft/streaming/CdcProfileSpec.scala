@@ -141,6 +141,30 @@ class CdcProfileSpec extends SparkSpec {
     assert(out("amt") == (5L, 1L, 3L), out.toString)
   }
 
+  test("rebucket grows the profile state: counts, NDV and typed min/max " +
+      "identical; retraction still lands after the rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("cdcprof_rb_")
+      .toString + "/state"
+    CdcProfile.applyBatch(changes.toDF(), dir, amtSpec, numBuckets = 4)
+    def mm() = CdcProfile.view(spark, dir, amtSpec, minMax = true)
+      .collect().head
+    val before = mm()
+    CdcProfile.rebucket(spark, dir, 16, amtSpec)
+    assert(graft.streaming.BucketStore.readMeta(spark, dir)
+      .map(_._1).contains(16))
+    val after = mm()
+    assert(after.toSeq == before.toSeq,
+      s"rebucket must preserve the profile: $before vs $after")
+    // gates intact (replay is a no-op) and the delete-removes-max case
+    // still lands under the new count
+    CdcProfile.applyBatch(changes.toDF(), dir, amtSpec)
+    assert(mm().toSeq == before.toSeq)
+    CdcProfile.applyBatch(Seq(KeyedChangeRow("fact", "delete", null,
+      f(4, "a", 2.0), "s", 7)).toDF(), dir, amtSpec)
+    val v2 = mm()
+    assert(v2.getDouble(5) == 1.0, s"max after delete: ${v2.getDouble(5)}")
+  }
+
   test("a batch's state writes touch only its buckets; a replayed " +
       "batch changes nothing") {
     val dir = java.nio.file.Files.createTempDirectory("cdcprof_tb_")

@@ -110,6 +110,29 @@ class CdcQualityKeyedSpec extends SparkSpec {
     }
   }
 
+  test("rebucket grows the monitor state mid-stream: report identical, " +
+      "seq gates intact, later applies land under the new count") {
+    val dir = java.nio.file.Files.createTempDirectory("cdcqk_rb_")
+      .toString + "/state"
+    val (a, b) = changes.splitAt(6)
+    CdcQualityKeyed.applyBatch(a.toDF(), dir, spec, numBuckets = 4)
+    val before = asReport(CdcQualityKeyed.view(spark, dir, spec))
+    CdcQualityKeyed.rebucket(spark, dir, 16, spec)
+    Seq("u", "r").foreach { side =>
+      assert(graft.streaming.BucketStore
+        .readMeta(spark, s"$dir/$side").map(_._1).contains(16))
+    }
+    assert(asReport(CdcQualityKeyed.view(spark, dir, spec)) == before,
+      "rebucket must preserve the report exactly")
+    // the gates survived the rewrite: a REPLAY of batch A changes
+    // nothing, and the remaining batch applies under the new count
+    CdcQualityKeyed.applyBatch(a.toDF(), dir, spec)
+    assert(asReport(CdcQualityKeyed.view(spark, dir, spec)) == before)
+    CdcQualityKeyed.applyBatch(b.toDF(), dir, spec)
+    val full = asReport(CdcQualityKeyed.view(spark, dir, spec))
+    assert(full == asReport(CdcQualityKeyed.maintain(changes.toDF(), 1, spec)))
+  }
+
   test("bucketed streaming state carries composite struct keys " +
       "(xxhash64 bucket tag + null-safe state join)") {
     import org.apache.spark.sql.functions.struct

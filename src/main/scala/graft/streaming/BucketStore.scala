@@ -278,6 +278,31 @@ private[streaming] object BucketStore {
     ()
   }
 
+  /** Rewrite ONLY the buckets holding rows matching `prunable`,
+    * dropping those rows — the incremental retention primitive (the
+    * [[CdcPipeline.pruneTombstones]] shape, generic over the row
+    * schema): untouched buckets are neither read nor written, and the
+    * caller guarantees the dropped rows carry no summary weight (the
+    * monitors' gate tombstones contribute to no per-bucket summary).
+    */
+  def pruneRows(spark: SparkSession, stateDir: String,
+                prunable: Column, sortCols: Seq[String] = Nil): Unit = {
+    recover(spark, stateDir)
+    if (!hasRows(spark, stateDir)) return
+    val (effB, _) = readMeta(spark, stateDir).getOrElse(
+      throw new java.io.IOException(
+        s"no recorded bucket contract at $stateDir — prune refuses " +
+          "to guess"))
+    val state = spark.read.parquet(stateDir)
+    val touched = state.filter(prunable).select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val kept = state
+      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      .filter(!prunable)
+    writeAndSwap(spark, kept, stateDir, touched, effB, sortCols)
+  }
+
   /** Whole-state rebucket PUBLISH: write `rows` (already carrying the
     * NEW bucket tags) into the `__rebucket` staging sibling with the
     * new recorded count, then swap the whole dir atomically (live →

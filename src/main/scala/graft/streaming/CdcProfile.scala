@@ -332,6 +332,18 @@ object CdcProfile {
     } finally { ev.unpersist(); () }
   }
 
+  /** Drop gate tombstones (zero-count values) whose last event is older
+    * than `seqWatermark` — [[CdcQualityKeyed.pruneGateTombstones]]'s
+    * contract applied to the value state: only buckets holding
+    * prunable rows are rewritten, summaries untouched (a zero-count
+    * value contributes to none of them).
+    */
+  def pruneGateTombstones(spark: SparkSession, stateDir: String,
+                          seqWatermark: Long): Unit =
+    BucketStore.pruneRows(spark, stateDir,
+      col("part") === "s" && col("n") === 0L &&
+        col("last_seq") < seqWatermark, Seq("part"))
+
   /** Change the bucket count of an existing profile state — lifecycle
     * parity with [[CdcPipeline.rebucket]] (single-writer, `__rebucket`
     * swap healed by [[BucketStore.recover]]). Every per-bucket summary

@@ -480,6 +480,30 @@ object CdcQualityKeyed {
     BucketStore.writeAndSwap(spark, out, dir, touched, effB, Seq("part"))
   }
 
+  /** Drop gate tombstones whose last event is older than
+    * `seqWatermark` — the retention half of the seq-gate contract (the
+    * [[CdcPipeline.pruneTombstones]] stance one algebra over): a
+    * zero-count key's row exists only to gate a replay of the batches
+    * that netted it to zero, and once the stream's redelivery window
+    * has passed its last event (the caller owns that bound — at most
+    * the checkpoint's uncommitted range) it is dead weight that would
+    * otherwise grow with key churn forever. Only buckets holding
+    * prunable rows are rewritten, dropping those rows; the per-bucket
+    * summaries are UNTOUCHED because a zero-count key contributes
+    * nothing to any of them (spec-pinned: the report cannot move).
+    */
+  def pruneGateTombstones(spark: SparkSession, stateDir: String,
+                          seqWatermark: Long): Unit = {
+    BucketStore.pruneRows(spark, uDir(stateDir),
+      col("part") === "s" && col("n") === 0L &&
+        col("last_seq") < seqWatermark, Seq("part"))
+    BucketStore.pruneRows(spark, rDir(stateDir),
+      col("part") === "s" && col("fn") === 0L && col("dn") === 0L &&
+        greatest(coalesce(col("seq_f"), lit(Long.MinValue)),
+          coalesce(col("seq_d"), lit(Long.MinValue))) < seqWatermark,
+      Seq("part"))
+  }
+
   /** Change the bucket count of an existing monitor state — the growth
     * path when the keyspace outgrows its creation-time count, at
     * lifecycle parity with the row apply's [[CdcPipeline.rebucket]]

@@ -141,6 +141,28 @@ class CdcProfileSpec extends SparkSpec {
     assert(out("amt") == (5L, 1L, 3L), out.toString)
   }
 
+  test("gate-tombstone retention: zero-count values prune past the seq " +
+      "watermark; profile unchanged; a re-insert still lands") {
+    val dir = java.nio.file.Files.createTempDirectory("cdcprof_gc_")
+      .toString + "/state"
+    // `changes` nets ('c', 9.0) to zero mid-history — its rows remain
+    // only as seq gates
+    CdcProfile.applyBatch(changes.toDF(), dir, spec, numBuckets = 8)
+    val before = asMap(CdcProfile.view(spark, dir, spec))
+    def zeroRows(): Long = spark.read.parquet(dir)
+      .filter(col("part") === "s" && col("n") === 0L).count()
+    assert(zeroRows() >= 2L) // cat='c' and amt=9.0
+    CdcProfile.pruneGateTombstones(spark, dir, seqWatermark = 100)
+    assert(zeroRows() == 0L)
+    assert(asMap(CdcProfile.view(spark, dir, spec)) == before)
+    // a post-prune re-insert of the retired value re-creates its row
+    CdcProfile.applyBatch(Seq(KeyedChangeRow("fact", "insert",
+      f(9, "c", 9.0), null, "s", 100)).toDF(), dir, spec)
+    val after = asMap(CdcProfile.view(spark, dir, spec))
+    assert(after("cat") == (before("cat")._1 + 1, before("cat")._2,
+      before("cat")._3 + 1), after.toString)
+  }
+
   test("rebucket grows the profile state: counts, NDV and typed min/max " +
       "identical; retraction still lands after the rewrite") {
     val dir = java.nio.file.Files.createTempDirectory("cdcprof_rb_")

@@ -110,6 +110,39 @@ class CdcQualityKeyedSpec extends SparkSpec {
     }
   }
 
+  test("gate-tombstone retention: zero-count keys prune past the seq " +
+      "watermark, report unchanged, live keys untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("cdcqk_gc_")
+      .toString + "/state"
+    CdcQualityKeyed.applyBatch(changes.toDF(), dir, spec, numBuckets = 8)
+    // churn: a fact key and a dim key live briefly and die — their
+    // zero-count rows exist only to gate a replay
+    val churn = Seq(
+      KeyedChangeRow("fact", "insert", f(50, 1, 1.0), null, "z", 50),
+      KeyedChangeRow("fact", "delete", null, f(50, 1, 1.0), "z", 51),
+      KeyedChangeRow("dim", "insert", d(7), null, "z", 52),
+      KeyedChangeRow("dim", "delete", null, d(7), "z", 53))
+    CdcQualityKeyed.applyBatch(churn.toDF(), dir, spec)
+    val before = asReport(CdcQualityKeyed.view(spark, dir, spec))
+    def zeros(side: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(s"$dir/$side")
+        .filter(col("part") === "s" && pred).count()
+    assert(zeros("u", col("n") === 0L) >= 1L)
+    assert(zeros("r", col("fn") === 0L && col("dn") === 0L) >= 1L)
+    val liveU = zeros("u", col("n") =!= 0L)
+    // a watermark below the churn's last events prunes NOTHING of it
+    CdcQualityKeyed.pruneGateTombstones(spark, dir, seqWatermark = 51)
+    assert(zeros("u", col("n") === 0L) >= 1L,
+      "rows at or past the watermark must survive")
+    // past the redelivery window: the gate rows go, the report does not
+    // move, live keys are untouched
+    CdcQualityKeyed.pruneGateTombstones(spark, dir, seqWatermark = 100)
+    assert(zeros("u", col("n") === 0L) == 0L)
+    assert(zeros("r", col("fn") === 0L && col("dn") === 0L) == 0L)
+    assert(zeros("u", col("n") =!= 0L) == liveU)
+    assert(asReport(CdcQualityKeyed.view(spark, dir, spec)) == before)
+  }
+
   test("rebucket grows the monitor state mid-stream: report identical, " +
       "seq gates intact, later applies land under the new count") {
     val dir = java.nio.file.Files.createTempDirectory("cdcqk_rb_")

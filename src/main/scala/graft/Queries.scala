@@ -214,6 +214,16 @@ object Queries {
 
   private def qualityKeyedChanges(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = landed(s, s"qualkeyed|$d") {
+    graft.streaming.CdcQualityKeyed.weightedDeltas(
+      qualityKeyedRawStream(s, d), qualityKeyedSpec)
+  }
+
+  /** The RAW change rows behind [[qualityKeyedChanges]] — also the
+    * input of `tools.MonitorProbe`, which feeds the bucketed streaming
+    * apply (that path takes raw rows, not the landed weighted form).
+    */
+  private[graft] def qualityKeyedRawStream(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
     val li = Tables.lineitem(s, d).select(
       col("l_orderkey"),
       col("l_linenumber").cast("long").as("l_linenumber"),
@@ -256,12 +266,11 @@ object Queries {
     val oIns = o.select(oev("insert", oPay, nullS, 1): _*)
     val oDel = o.filter(col("o_orderkey") % 13 === 0)
       .select(oev("delete", nullS, oPay, 2): _*)
-    // land the WEIGHTED form (one JSON decode, ever — the joinIvm
-    // stance); the registered row's rounds are pure arithmetic over it
-    graft.streaming.CdcQualityKeyed.weightedDeltas(
-      ins.unionAll(upd).unionAll(dup).unionAll(del)
-        .unionAll(oIns).unionAll(oDel),
-      qualityKeyedSpec)
+    // the caller lands the WEIGHTED form (one JSON decode, ever — the
+    // joinIvm stance); the registered row's rounds are pure arithmetic
+    // over it
+    ins.unionAll(upd).unionAll(dup).unionAll(del)
+      .unionAll(oIns).unionAll(oDel)
   }
 
   // ---- st_cdc_profile: continuous column profiling ----

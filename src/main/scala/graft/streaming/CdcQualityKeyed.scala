@@ -540,12 +540,18 @@ object CdcQualityKeyed {
         .select(posexplode(col("tot")).as(Seq("pos", "v")))
         .groupBy("pos").agg(sum(col("v")).as("v"))
         .collect().sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+    // the global totals park on bucket 0 — always a live level-0 tag,
+    // and guaranteed a summary row via the seed union even when a
+    // prior prune left it (or the whole state) without keyed rows
+    val seed0 = spark.range(1)
+      .select(lit(0).cast("int").as("bucket"), lit(0L).as("uv"))
     val uvB = s.groupBy("bucket").agg(sum(uContrib(col("n"))).as("uv"))
-    val minBucket = uvB.agg(min(col("bucket"))).head.getInt(0)
+      .unionByName(seed0)
+      .groupBy("bucket").agg(sum(col("uv")).as("uv"))
     val tRows = uvB.select(lit("t").as("part"), col("bucket"),
       lit(null).cast(kuT).as("ku"), lit(null).cast("bigint").as("n"),
       lit(null).cast("bigint").as("last_seq"), col("uv"),
-      when(col("bucket") === minBucket, lit(totG.toArray))
+      when(col("bucket") === 0, lit(totG.toArray))
         .otherwise(lit(Array.fill(totG.size)(0L))).as("tot"))
     val out = s.select(lit("s").as("part"), col("bucket"), col("ku"),
         col("n"), col("last_seq"), lit(null).cast("bigint").as("uv"),

@@ -141,6 +141,10 @@ class CdcQualityKeyedSpec extends SparkSpec {
     assert(zeros("r", col("fn") === 0L && col("dn") === 0L) == 0L)
     assert(zeros("u", col("n") =!= 0L) == liveU)
     assert(asReport(CdcQualityKeyed.view(spark, dir, spec)) == before)
+    // rebucket AFTER the prune (buckets may now hold only their summary
+    // row): the cumulative totals must survive the rewrite
+    CdcQualityKeyed.rebucket(spark, dir, 4, spec)
+    assert(asReport(CdcQualityKeyed.view(spark, dir, spec)) == before)
   }
 
   test("rebucket grows the monitor state mid-stream: report identical, " +

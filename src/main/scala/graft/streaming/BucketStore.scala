@@ -333,6 +333,81 @@ private[streaming] object BucketStore {
     ()
   }
 
+  /** Split ONE bucket in place — linear-hash refinement generic over
+    * the row schema (the machinery [[CdcPipeline.splitBucket]] proved,
+    * hoisted so layouts with per-bucket summary rows can recompute them
+    * per child): `refine(parentRows, childTagOf, loTag, hiTag)` returns
+    * the children's rows carrying their `bucket` tags, where
+    * `childTagOf` maps the layout's raw key-hash column to its
+    * level-(ℓ+1) child tag. Crash windows unchanged: children stage
+    * under a dot-prefixed dir Spark readers never list; the COMMIT
+    * POINT is the single rename of the live parent to the
+    * `.splitting_<parent>_<lo>_<hi>` marker; completion (publish
+    * children + staged meta, drop marker) is replayed by [[recover]]
+    * from any interruption. Single-writer discipline, as every
+    * repartitioning op here.
+    */
+  def splitBucket(spark: SparkSession, stateDir: String, tag: Int,
+                  refine: (DataFrame, Column => Column, Int, Int)
+                    => DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    recover(spark, stateDir)
+    val f = fs(spark, stateDir)
+    val (b, levels) = readMeta(spark, stateDir).getOrElse(
+      throw new java.io.IOException(
+        s"no recorded bucket contract at $stateDir — nothing to split"))
+    val l = levelOfTag(tag, b)
+    require(levels.get(tag).forall(_ == l),
+      s"bucket $tag is not live at its derived level $l (levels=$levels)")
+    val live = new Path(s"$stateDir/bucket=$tag")
+    if (!f.exists(live))
+      throw new java.io.IOException(
+        s"bucket $tag has no rows at $stateDir — splitting it is a no-op")
+    val base = tag - b * ((1 << l) - 1)
+    val loTag = base + b * ((1 << (l + 1)) - 1)
+    val hiTag = base + (b << l) + b * ((1 << (l + 1)) - 1)
+    def childTagOf(raw: Column): Column =
+      (pmod(raw, lit(b.toLong << (l + 1))) +
+        lit(b.toLong * ((1L << (l + 1)) - 1L))).cast("int")
+    // 1. stage the refined children (dot-prefixed: invisible to readers)
+    val staging = s"$stateDir/.split_$tag"
+    f.delete(new Path(staging), true)
+    refine(spark.read.parquet(stateDir).filter(col("bucket") === tag),
+        childTagOf, loTag, hiTag)
+      .repartition(2, col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging)
+    // 2. stage the new meta
+    val newLevels = levels - tag + (loTag -> (l + 1)) + (hiTag -> (l + 1))
+    val next = new Path(stateDir, MetaName + ".next")
+    val out = f.create(next, true)
+    try out.write(renderMeta(b, newLevels).getBytes("UTF-8"))
+    finally out.close()
+    // 3. COMMIT: the parent leaves the readable set in one rename
+    val marker = new Path(s"$stateDir/.splitting_${tag}_${loTag}_$hiTag")
+    f.delete(marker, true)
+    if (!f.rename(live, marker))
+      throw new java.io.IOException(s"cannot commit split of bucket $tag")
+    // 4-6. publish children + meta, drop the marker (recovery replays
+    // these same steps if interrupted)
+    finishSplit(f, stateDir, marker.getName)
+  }
+
+  /** Bucket tags whose on-disk bytes exceed `factor` × the mean bucket
+    * bytes AND `minBytes`, hottest first — the FS-metadata split
+    * advisory shared by every store (see the [[CdcPipeline]] wrapper
+    * for the rationale vs the stateStats-driven advisory).
+    */
+  def adviseSplitByBytes(spark: SparkSession, stateDir: String,
+                         factor: Double, minBytes: Long): Seq[Int] = {
+    require(factor > 1.0, s"a split threshold at or below the mean is " +
+      s"self-defeating: $factor")
+    val rows = bucketBytes(spark, stateDir)
+    if (rows.isEmpty) return Seq.empty
+    val mean = rows.map(_._2).sum.toDouble / rows.length
+    rows.filter { case (_, bytes) => bytes > factor * mean &&
+      bytes >= minBytes }.sortBy(-_._2).map(_._1)
+  }
+
   /** Per-bucket on-disk bytes from FS METADATA only — no data scan, so
     * it is cheap enough to run between stream triggers (the auto-split
     * advisory input; a full [[CdcPipeline.stateStats]] pass per trigger

@@ -252,15 +252,8 @@ object CdcPipeline {
     */
   def adviseSplitByBytes(spark: SparkSession, stateDir: String,
                          factor: Double = 2.0,
-                         minBytes: Long = 64L << 20): Seq[Int] = {
-    require(factor > 1.0, s"a split threshold at or below the mean is " +
-      s"self-defeating: $factor")
-    val rows = BucketStore.bucketBytes(spark, stateDir)
-    if (rows.isEmpty) return Seq.empty
-    val mean = rows.map(_._2).sum.toDouble / rows.length
-    rows.filter { case (_, b) => b > factor * mean && b >= minBytes }
-      .sortBy(-_._2).map(_._1)
-  }
+                         minBytes: Long = 64L << 20): Seq[Int] =
+    BucketStore.adviseSplitByBytes(spark, stateDir, factor, minBytes)
 
   /** Auto-split policy for the streaming apply loops: between triggers,
     * split the hottest advised bucket — the advisory and the mechanism
@@ -307,50 +300,13 @@ object CdcPipeline {
     * Concurrent WRITERS must be quiesced — the same single-writer
     * discipline as [[rebucket]] and any repartitioning DDL.
     */
-  def splitBucket(spark: SparkSession, stateDir: String, tag: Int): Unit = {
-    import org.apache.hadoop.fs.Path
-    recoverBuckets(spark, stateDir)
-    val fs = hadoopFs(spark, stateDir)
-    val (b, levels) = readMeta(spark, stateDir).getOrElse(
-      throw new java.io.IOException(
-        s"no recorded bucket contract at $stateDir — nothing to split"))
-    val l = levelOfTag(tag, b)
-    require(levels.get(tag).forall(_ == l),
-      s"bucket $tag is not live at its derived level $l (levels=$levels)")
-    val live = new Path(s"$stateDir/bucket=$tag")
-    if (!fs.exists(live))
-      throw new java.io.IOException(
-        s"bucket $tag has no rows at $stateDir — splitting it is a no-op")
-    val base = tag - b * ((1 << l) - 1)
-    val loTag = base + b * ((1 << (l + 1)) - 1)
-    val hiTag = base + (b << l) + b * ((1 << (l + 1)) - 1)
-    val cols = Seq("op", "table", "key", "ts", "seq", "payload")
-    // 1. stage the refined children (dot-prefixed: invisible to readers)
-    val staging = s"$stateDir/.split_$tag"
-    fs.delete(new Path(staging), true)
-    val refined = spark.read.parquet(stateDir)
-      .filter(col("bucket") === tag)
-      .select(cols.map(col): _*)
-      .withColumn("bucket",
-        (pmod(xxhash64(col("table"), col("key")), lit(b.toLong << (l + 1))) +
-          lit(b.toLong * ((1L << (l + 1)) - 1L))).cast("int"))
-    refined.repartition(2, col("bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging)
-    // 2. stage the new meta
-    val newLevels = levels - tag + (loTag -> (l + 1)) + (hiTag -> (l + 1))
-    val next = new Path(stateDir, BucketMetaName + ".next")
-    val out = fs.create(next, true)
-    try out.write(BucketStore.renderMeta(b, newLevels).getBytes("UTF-8"))
-    finally out.close()
-    // 3. COMMIT: the parent leaves the readable set in one rename
-    val marker = new Path(s"$stateDir/.splitting_${tag}_${loTag}_$hiTag")
-    fs.delete(marker, true)
-    if (!fs.rename(live, marker))
-      throw new java.io.IOException(s"cannot commit split of bucket $tag")
-    // 4-6. publish children + meta, drop the marker (recovery replays
-    // these same steps if interrupted)
-    finishSplit(fs, stateDir, marker.getName)
-  }
+  def splitBucket(spark: SparkSession, stateDir: String, tag: Int): Unit =
+    BucketStore.splitBucket(spark, stateDir, tag, (rows, childTagOf, _, _) => {
+      val cols = Seq("op", "table", "key", "ts", "seq", "payload")
+      rows.select(cols.map(col): _*)
+        .withColumn("bucket",
+          childTagOf(xxhash64(col("table"), col("key"))))
+    })
 
   /** Complete a committed split from its marker dir name —
     * [[BucketStore.finishSplit]] (idempotent replay from any

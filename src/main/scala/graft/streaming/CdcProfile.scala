@@ -344,6 +344,49 @@ object CdcProfile {
       col("part") === "s" && col("n") === 0L &&
         col("last_seq") < seqWatermark, Seq("part"))
 
+  /** Split ONE outgrown bucket of the value state in place — the
+    * O(1-bucket) hot-spot path ([[BucketStore.splitBucket]] staged
+    * split): every summary here is a state function, so each child's
+    * per-column rows recompute from its half of the parent's keyed
+    * rows.
+    */
+  def splitBucket(spark: SparkSession, stateDir: String, tag: Int,
+                  spec: ProfileSpec): Unit =
+    BucketStore.splitBucket(spark, stateDir, tag,
+      (rows, childTagOf, _, _) => {
+        val s = rows.filter(col("part") === "s")
+          .select(col("c"), col("v"), col("n"), col("last_seq"))
+          .withColumn("bucket", childTagOf(xxhash64(col("c"), col("v"))))
+        val tRows = spec.cols.map { cn =>
+          val dt = spec.schema(cn).dataType
+          s.filter(col("c") === cn).groupBy("bucket").agg(
+              sum(col("n")).as("rows"),
+              sum(when(col("v").isNull, col("n")).otherwise(0L))
+                .as("nulls"),
+              sum(when(col("v").isNotNull && col("n") > 0L, 1L)
+                .otherwise(0L)).as("ndv"),
+              min(when(col("n") > 0L, col("v").cast(dt))).cast("string")
+                .as("mn"),
+              max(when(col("n") > 0L, col("v").cast(dt))).cast("string")
+                .as("mx"))
+            .select(col("bucket"), lit(cn).as("c"), col("rows"),
+              col("nulls"), col("ndv"), col("mn"), col("mx"))
+        }.reduce(_ unionByName _)
+        val nullL = lit(null).cast("bigint")
+        s.select(lit("s").as("part"), col("bucket"), col("c"), col("v"),
+            col("n"), col("last_seq"), nullL.as("rows"),
+            nullL.as("nulls"), nullL.as("ndv"),
+            lit(null).cast("string").as("mn"),
+            lit(null).cast("string").as("mx"))
+          .unionByName(tRows.select(lit("t").as("part"), col("bucket"),
+            col("c"), lit(null).cast("string").as("v"), nullL.as("n"),
+            nullL.as("last_seq"),
+            coalesce(col("rows"), lit(0L)).as("rows"),
+            coalesce(col("nulls"), lit(0L)).as("nulls"),
+            coalesce(col("ndv"), lit(0L)).as("ndv"), col("mn"),
+            col("mx")))
+      })
+
   /** Change the bucket count of an existing profile state — lifecycle
     * parity with [[CdcPipeline.rebucket]] (single-writer, `__rebucket`
     * swap healed by [[BucketStore.recover]]). Every per-bucket summary
@@ -389,14 +432,21 @@ object CdcProfile {
     BucketStore.publishRebucket(spark, out, stateDir, newBuckets)
   }
 
-  /** Continuous form over a stream of change rows. */
+  /** Continuous form over a stream of change rows — same optional
+    * between-trigger auto-split as the row-apply loops.
+    */
   def start(changes: DataFrame, stateDir: String, checkpointDir: String,
             spec: ProfileSpec,
-            numBuckets: Int = DefaultStateBuckets): StreamingQuery =
+            numBuckets: Int = DefaultStateBuckets,
+            autoSplit: Option[CdcPipeline.AutoSplit] = None): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyBatch(batch, stateDir, spec, numBuckets)
+        autoSplit.foreach(a =>
+          BucketStore.adviseSplitByBytes(batch.sparkSession, stateDir,
+              a.factor, a.minBytes).headOption
+            .foreach(splitBucket(batch.sparkSession, stateDir, _, spec)))
       }
       .start()
 

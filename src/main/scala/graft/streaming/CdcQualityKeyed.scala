@@ -504,6 +504,68 @@ object CdcQualityKeyed {
       Seq("part"))
   }
 
+  /** Split ONE outgrown bucket of the uniqueness state in place — the
+    * O(1-bucket) hot-spot path at lifecycle parity with
+    * [[CdcPipeline.splitBucket]] (the [[BucketStore.splitBucket]]
+    * staged split; single-writer between triggers). Child summary rows
+    * recompute from each child's keyed rows (state functions); the
+    * parent's cumulative row-check totals are bucket-parked history
+    * summands and move wholly to the LO child — the view only ever
+    * sums them.
+    */
+  def splitUniqueBucket(spark: SparkSession, stateDir: String, tag: Int,
+                        spec: KeyedSpec): Unit =
+    BucketStore.splitBucket(spark, uDir(stateDir), tag,
+      (rows, childTagOf, loTag, _) => {
+        val s = rows.filter(col("part") === "s")
+          .select(col("ku"), col("n"), col("last_seq"))
+          .withColumn("bucket", childTagOf(xxhash64(col("ku"))))
+        val kuT = s.schema("ku").dataType
+        val totP: Array[Long] = {
+          val t = rows.filter(col("part") === "t").select("tot").collect()
+          if (t.isEmpty) Array.fill(spec.rowChecks.size)(0L)
+          else t.head.getSeq[Long](0).toArray
+        }
+        val seedLo = spark.range(1)
+          .select(lit(loTag).cast("int").as("bucket"), lit(0L).as("uv"))
+        val uvB = s.groupBy("bucket").agg(sum(uContrib(col("n"))).as("uv"))
+          .unionByName(seedLo)
+          .groupBy("bucket").agg(sum(col("uv")).as("uv"))
+        val tRows = uvB.select(lit("t").as("part"), col("bucket"),
+          lit(null).cast(kuT).as("ku"), lit(null).cast("bigint").as("n"),
+          lit(null).cast("bigint").as("last_seq"), col("uv"),
+          when(col("bucket") === loTag, lit(totP))
+            .otherwise(lit(Array.fill(totP.length)(0L))).as("tot"))
+        s.select(lit("s").as("part"), col("bucket"), col("ku"), col("n"),
+            col("last_seq"), lit(null).cast("bigint").as("uv"),
+            lit(null).cast("array<bigint>").as("tot"))
+          .unionByName(tRows)
+      })
+
+  /** [[splitUniqueBucket]] for the referential state (no cumulative
+    * part — both summaries are state functions).
+    */
+  def splitRefBucket(spark: SparkSession, stateDir: String,
+                     tag: Int): Unit =
+    BucketStore.splitBucket(spark, rDir(stateDir), tag,
+      (rows, childTagOf, loTag, _) => {
+        val s = rows.filter(col("part") === "s")
+          .select(col("kr"), col("fn"), col("dn"), col("seq_f"),
+            col("seq_d"))
+          .withColumn("bucket", childTagOf(xxhash64(col("kr"))))
+        val krT = s.schema("kr").dataType
+        val rvB = s.groupBy("bucket")
+          .agg(sum(rContrib(col("fn"), col("dn"))).as("rv"))
+        s.select(lit("s").as("part"), col("bucket"), col("kr"), col("fn"),
+            col("dn"), col("seq_f"), col("seq_d"),
+            lit(null).cast("bigint").as("rv"))
+          .unionByName(rvB.select(lit("t").as("part"), col("bucket"),
+            lit(null).cast(krT).as("kr"), lit(null).cast("bigint").as("fn"),
+            lit(null).cast("bigint").as("dn"),
+            lit(null).cast("bigint").as("seq_f"),
+            lit(null).cast("bigint").as("seq_d"), col("rv")))
+      })
+
   /** Change the bucket count of an existing monitor state — the growth
     * path when the keyspace outgrows its creation-time count, at
     * lifecycle parity with the row apply's [[CdcPipeline.rebucket]]
@@ -582,14 +644,27 @@ object CdcQualityKeyed {
     BucketStore.publishRebucket(spark, out, dir, newBuckets)
   }
 
-  /** Continuous form over a stream of change rows. */
+  /** Continuous form over a stream of change rows — same optional
+    * between-trigger auto-split as the row-apply loops, applied to
+    * BOTH keyed states (at most one split per side per trigger).
+    */
   def start(changes: DataFrame, stateDir: String, checkpointDir: String,
             spec: KeyedSpec,
-            numBuckets: Int = DefaultStateBuckets): StreamingQuery =
+            numBuckets: Int = DefaultStateBuckets,
+            autoSplit: Option[CdcPipeline.AutoSplit] = None): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyBatch(batch, stateDir, spec, numBuckets)
+        autoSplit.foreach { a =>
+          val s = batch.sparkSession
+          BucketStore.adviseSplitByBytes(s, uDir(stateDir), a.factor,
+            a.minBytes).headOption
+            .foreach(splitUniqueBucket(s, stateDir, _, spec))
+          BucketStore.adviseSplitByBytes(s, rDir(stateDir), a.factor,
+            a.minBytes).headOption
+            .foreach(splitRefBucket(s, stateDir, _))
+        }
       }
       .start()
 

@@ -163,6 +163,30 @@ class CdcProfileSpec extends SparkSpec {
       before("cat")._3 + 1), after.toString)
   }
 
+  test("single-bucket split on the profile state preserves counts, NDV " +
+      "and typed min/max; retraction lands in the refined children") {
+    val dir = java.nio.file.Files.createTempDirectory("cdcprof_split_")
+      .toString + "/state"
+    CdcProfile.applyBatch(changes.toDF(), dir, amtSpec, numBuckets = 2)
+    def mm() = CdcProfile.view(spark, dir, amtSpec, minMax = true)
+      .collect().head
+    val before = mm()
+    val hot = graft.streaming.BucketStore.bucketBytes(spark, dir)
+      .maxBy(_._2)._1
+    CdcProfile.splitBucket(spark, dir, hot, amtSpec)
+    val (b, levels) = graft.streaming.BucketStore.readMeta(spark, dir).get
+    assert(b == 2 && levels == Map(hot + 2 -> 1, hot + 4 -> 1), levels)
+    assert(mm().toSeq == before.toSeq,
+      s"split must preserve the profile: $before vs ${mm()}")
+    // replay is still gated, and deleting the live maximum lands in
+    // whichever refined child holds it
+    CdcProfile.applyBatch(changes.toDF(), dir, amtSpec)
+    assert(mm().toSeq == before.toSeq)
+    CdcProfile.applyBatch(Seq(KeyedChangeRow("fact", "delete", null,
+      f(4, "a", 2.0), "s", 7)).toDF(), dir, amtSpec)
+    assert(mm().getDouble(5) == 1.0, s"max after delete: ${mm()}")
+  }
+
   test("rebucket grows the profile state: counts, NDV and typed min/max " +
       "identical; retraction still lands after the rewrite") {
     val dir = java.nio.file.Files.createTempDirectory("cdcprof_rb_")

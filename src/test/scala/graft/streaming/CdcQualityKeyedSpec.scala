@@ -147,6 +147,34 @@ class CdcQualityKeyedSpec extends SparkSpec {
     assert(asReport(CdcQualityKeyed.view(spark, dir, spec)) == before)
   }
 
+  test("single-bucket split on the monitor state: report identical, " +
+      "totals and gates survive, later applies land in the children") {
+    val dir = java.nio.file.Files.createTempDirectory("cdcqk_split_")
+      .toString + "/state"
+    CdcQualityKeyed.applyBatch(changes.toDF(), dir, spec, numBuckets = 2)
+    val before = asReport(CdcQualityKeyed.view(spark, dir, spec))
+    val hotU = BucketStore.bucketBytes(spark, s"$dir/u").maxBy(_._2)._1
+    CdcQualityKeyed.splitUniqueBucket(spark, dir, hotU, spec)
+    val (b, levels) = BucketStore.readMeta(spark, s"$dir/u").get
+    assert(b == 2 && levels == Map(hotU + 2 -> 1, hotU + 4 -> 1), levels)
+    assert(asReport(CdcQualityKeyed.view(spark, dir, spec)) == before,
+      "the u split must preserve the report (incl. the parked totals)")
+    val hotR = BucketStore.bucketBytes(spark, s"$dir/r").maxBy(_._2)._1
+    CdcQualityKeyed.splitRefBucket(spark, dir, hotR)
+    assert(asReport(CdcQualityKeyed.view(spark, dir, spec)) == before)
+    // the seq gates crossed the refinement: a full replay is a no-op
+    CdcQualityKeyed.applyBatch(changes.toDF(), dir, spec)
+    assert(asReport(CdcQualityKeyed.view(spark, dir, spec)) == before)
+    // new events land in the refined children: a fresh duplicate pair
+    // raises pk_unique by exactly one
+    CdcQualityKeyed.applyBatch(Seq(
+      KeyedChangeRow("fact", "insert", f(77, 1, 1.0), null, "z", 90),
+      KeyedChangeRow("fact", "insert", f(77, 1, 2.0), null, "z", 91))
+      .toDF(), dir, spec)
+    val after = asReport(CdcQualityKeyed.view(spark, dir, spec))
+    assert(after("pk_unique")._1 == before("pk_unique")._1 + 1, after)
+  }
+
   test("rebucket grows the monitor state mid-stream: report identical, " +
       "seq gates intact, later applies land under the new count") {
     val dir = java.nio.file.Files.createTempDirectory("cdcqk_rb_")

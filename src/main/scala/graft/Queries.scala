@@ -3703,6 +3703,69 @@ object Queries {
         | WHERE rn = 1 AND event_id % 17 <> 0
         | ORDER BY user_id""".stripMargin.replaceAll("\n", ""))),
 
+    // St2 + S5: detect-and-repair over the bucketed applied state — the
+    // full pt-table-sync loop on the exact failure the reference ships
+    // (sync.py:87-89 swallows insert errors mid-stream). A sink state
+    // is built with every 13th wire event silently dropped; chunked
+    // reconciliation (ops/Reconcile.scala) localizes the divergent keys
+    // against the fully-replayed truth state, repairChanges emits the
+    // converging upserts/tombstones in a fresh version domain, one
+    // applyBatch lands them, and a SECOND reconcile pass feeds the
+    // `resid` output column — so the oracle gate itself enforces that
+    // repair converged (resid must equal the oracle's literal 0).
+    Q("st_cdc_reconcile_repair",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        import graft.streaming.CdcPipeline
+        val dir = graft.streaming.MysqlBinlogFixture
+          .encodeEvents(s, d, mixed = true)
+        val scratch = graft.ops.CoreOps.scratchDirUnique("cdc_reconcile")
+        s.read
+          .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
+          .option("path", dir).load()
+          .filter(col("table") === "events")
+          .select("op", "table", "key", "ts", "seq", "payload")
+          .write.parquet(s"$scratch/changes")
+        val raw = s.read.parquet(s"$scratch/changes")
+        val sinkDir = s"$scratch/sink"
+        val truthDir = s"$scratch/truth"
+        CdcPipeline.applyBatch(s, raw.filter(pmod(col("seq"), lit(13)) =!= 0),
+          sinkDir, numBuckets = 8)
+        CdcPipeline.applyBatch(s, raw, truthDir, numBuckets = 8)
+        val payloadOnly =
+          (df: org.apache.spark.sql.DataFrame) => Seq(df.col("payload"))
+        def liveDiff(): org.apache.spark.sql.DataFrame =
+          graft.ops.Reconcile.diffKeys(
+            CdcPipeline.currentState(s, truthDir),
+            CdcPipeline.currentState(s, sinkDir),
+            "key", payloadOnly, chunkWidth = 1024L)
+        val repair = graft.ops.Reconcile.repairChanges(
+          CdcPipeline.currentState(s, truthDir), liveDiff(), "events",
+          java.sql.Timestamp.valueOf("2100-01-01 00:00:00"),
+          seqBase = 1L << 40)
+        CdcPipeline.applyBatch(s, repair, sinkDir)
+        val resid = liveDiff().agg(count(lit(1)).as("resid"))
+        val pSchema = StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("ts", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        CdcPipeline.currentState(s, sinkDir)
+          .select(from_json(col("payload"), pSchema).as("p"))
+          .select(col("p.user_id").as("user_id"),
+            col("p.event_id").as("last_event_id"),
+            col("p.event_type").as("last_event_type"),
+            col("p.value").as("last_value"))
+          .crossJoin(resid)
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id AS last_event_id,
+        | event_type AS last_event_type, value AS last_value,
+        | CAST(0 AS BIGINT) AS resid FROM (
+        | SELECT *, row_number() OVER (PARTITION BY user_id
+        |   ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        | WHERE rn = 1 AND event_id % 17 <> 0
+        | ORDER BY user_id""".stripMargin.replaceAll("\n", ""))),
+
     // St2 the reference's ACTUAL deployment shape, end to end in one
     // gate row (judge r11 item 6): fenced snapshot (the batch copy the
     // reference's whole program performs, with the executed-GTID set
@@ -4062,6 +4125,43 @@ object Queries {
         |  count(DISTINCT value),
         |  CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE) FROM live) t
         |ORDER BY col_name""".stripMargin)),
+
+    // Exact discrete quantiles under retraction, read from the same
+    // netted value state (CdcProfile.quantilesOf): quantile(q) = the
+    // sorted live multiset's element at position ⌈q·n⌉ — a statistic no
+    // mergeable sketch can maintain under deletes (the median can be
+    // retracted), exactly the min/max argument one rank up. Same
+    // synthesized stream as st_cdc_profile_minmax, so mid-history
+    // deletes and nulling updates make retraction load-bearing; the
+    // oracle recomputes each quantile by row_number rank arithmetic
+    // over the live multiset. The q fractions are binary-exact (0.25,
+    // 0.5, 0.75) so ⌈q·n⌉ is engine-independent; both sides still cast
+    // q to DOUBLE before multiplying.
+    Q("st_cdc_profile_quantile",
+      (s, d) => graft.streaming.CdcProfile.maintain(
+        profileMinMaxDeltas(s, d), batches = 2, profileMinMaxSpec,
+        materializeInput = false, minMax = true,
+        quantiles = Seq(0.25, 0.5, 0.75)),
+      Some {
+        def quant(x: String, q: String): String =
+          s"(SELECT CAST(min(x) AS DOUBLE) FROM (SELECT $x AS x, " +
+            s"row_number() OVER (ORDER BY $x) AS rn FROM live " +
+            s"WHERE $x IS NOT NULL) t WHERE rn >= " +
+            s"ceiling(CAST($q AS DOUBLE) * (SELECT count($x) FROM live)))"
+        def colRow(c: String): String =
+          s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+            s"count(*) - count($c) AS n_nulls, " +
+            s"count(DISTINCT $c) AS n_distinct, " +
+            s"CAST(min($c) AS DOUBLE) AS min_val, " +
+            s"CAST(max($c) AS DOUBLE) AS max_val, " +
+            s"${quant(c, "0.25")} AS q25, ${quant(c, "0.5")} AS q50, " +
+            s"${quant(c, "0.75")} AS q75 FROM live"
+        "WITH live AS (SELECT user_id, CASE WHEN event_id % 31 = 0 " +
+          "THEN NULL ELSE value END AS value FROM events WHERE " +
+          "event_id % 19 <> 0 AND event_id % 23 <> 0) " +
+          s"SELECT * FROM (${colRow("user_id")} UNION ALL " +
+          s"${colRow("value")}) t ORDER BY col_name"
+      }),
 
     // SECOND KeyedSpec instance (reuse proved, not claimed — the
     // st_cdc_join_ivm_cust discipline): orders under a single-column
@@ -4598,7 +4698,54 @@ object Queries {
         "SELECT count(*) AS n_rows, CAST(CAST(sum(" +
           ExtQueries.md5Fold(rendered) +
           ") AS DECIMAL(38,0)) AS VARCHAR) AS digest FROM orders"
-      })
+      }),
+
+    // S5/St2 follow-up to q_sync_digest: the digest says WHETHER the
+    // copy diverged; this says WHICH rows, pt-table-checksum-style
+    // (ops/Reconcile.scala) — per-PK-range-chunk count+bit_xor summaries
+    // (one linear scan per side), then a row-level full-outer diff over
+    // ONLY the mismatched chunks. The sink here is the corruption the
+    // reference's swallowed INSERT errors (sync.py:87-89) actually
+    // produce, derived identically in both engines: every 97th key
+    // lost, every 101st mutated, every 103rd duplicated under a
+    // shifted key (a retried re-insert landing beside the original).
+    // The oracle computes the same diff the expensive way — one
+    // whole-table full outer join with per-column IS DISTINCT FROM.
+    Q("q_sync_reconcile",
+      (s, d) => {
+        val src = Tables.orders(s, d)
+        val dst = src.filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 101 === 0,
+              col("o_totalprice") + lit(1.0)).otherwise(col("o_totalprice")))
+          .unionByName(src.filter(col("o_orderkey") % 103 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+        graft.ops.Reconcile.diffKeys(src, dst, "o_orderkey",
+            df => df.columns.toSeq.map(df.col), chunkWidth = 4096L)
+          .orderBy("pk", "kind")
+      },
+      Some("""WITH dst AS (
+        | SELECT o_orderkey, o_custkey, o_orderstatus,
+        |   CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+        |        ELSE o_totalprice END AS o_totalprice,
+        |   o_orderdate, o_orderpriority
+        | FROM orders WHERE o_orderkey % 97 <> 0
+        | UNION ALL
+        | SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |   o_totalprice, o_orderdate, o_orderpriority
+        | FROM orders WHERE o_orderkey % 103 = 0)
+        |SELECT CAST(coalesce(s.o_orderkey, t.o_orderkey) AS BIGINT) AS pk,
+        |  CASE WHEN t.o_orderkey IS NULL THEN 'missing_in_dst'
+        |       WHEN s.o_orderkey IS NULL THEN 'extra_in_dst'
+        |       ELSE 'differs' END AS kind
+        |FROM orders s FULL OUTER JOIN dst t ON s.o_orderkey = t.o_orderkey
+        |WHERE t.o_orderkey IS NULL OR s.o_orderkey IS NULL
+        |  OR s.o_custkey IS DISTINCT FROM t.o_custkey
+        |  OR s.o_orderstatus IS DISTINCT FROM t.o_orderstatus
+        |  OR s.o_totalprice IS DISTINCT FROM t.o_totalprice
+        |  OR s.o_orderdate IS DISTINCT FROM t.o_orderdate
+        |  OR s.o_orderpriority IS DISTINCT FROM t.o_orderpriority
+        |ORDER BY pk, kind""".stripMargin.replaceAll("\n", " ")))
   )
 
   /** Full registry: core + [EXT] training-data-pipeline surface. */

@@ -172,6 +172,49 @@ object CdcProfile {
     }.reduce(_ unionByName _)
   }
 
+  /** Column label of a quantile output column: q25, q50, q90, … */
+  private def qName(q: Double): String = s"q${(q * 100).round}"
+
+  /** Exact discrete quantiles over the LIVE values of a netted
+    * (c, v, n) state: quantile(q) = the element at 1-based position
+    * ⌈q·n⌉ of the SORTED live multiset — equivalently the smallest
+    * value whose cumulative live count reaches ⌈q·n⌉, which is how it
+    * is computed here: one running-sum window + one conditional-min
+    * aggregate per column, over VALUE-CARDINALITY-sized rows. Like
+    * exact NDV, exact quantiles under retraction are impossible from
+    * mergeable per-partition summaries (a delete can remove the
+    * current median; a quantile sketch cannot retract) — the keyed
+    * value state the profile already carries IS the sufficient
+    * statistic, and reading it costs O(distinct values), never
+    * O(rows). The per-column global window is the documented
+    * vocab-sized-rank exception: it orders the distinct-value state,
+    * not data.
+    */
+  def quantilesOf(state: DataFrame, spec: ProfileSpec,
+                  qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1]: $qs")
+    import org.apache.spark.sql.expressions.Window
+    spec.cols.map { cn =>
+      val dt = spec.schema(cn).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"quantile profile of non-numeric column $cn (${dt.simpleString})")
+      val vals = state
+        .filter(col("c") === cn && col("n") > 0L && col("v").isNotNull)
+        .select(col("v").cast(dt).as("x"), col("n"))
+      val cum = vals.withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = vals.agg(sum(col("n")).as("tot"))
+      val qCols = qs.map(q =>
+        min(when(col("cum") >= ceil(lit(q) * col("tot")), col("x")))
+          .cast("double").as(qName(q)))
+      cum.crossJoin(broadcast(tot))
+        .agg(qCols.head, qCols.tail: _*)
+        .select(lit(cn).as("col_name") +: qs.map(q => col(qName(q))): _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** Replay the change log through `batches` sequential rounds and
     * return the live profile — batching-invariant (rows/nulls are
     * linear, NDV telescopes). The [[CdcQualityKeyed.maintain]]
@@ -179,12 +222,15 @@ object CdcProfile {
     * report adds typed `min_val`/`max_val` per column, read from the
     * FINAL round's netted value state ([[minMaxOf]]) — correct under
     * retraction because the state is, including a delete that removes
-    * the current maximum.
+    * the current maximum. A non-empty `quantiles` likewise appends one
+    * exact-discrete-quantile column per requested q ([[quantilesOf]]),
+    * read from the same final state.
     */
   def maintain(changes: DataFrame, batches: Int, spec: ProfileSpec,
                materializeInput: Boolean = true,
                workDir: Option[String] = None,
-               minMax: Boolean = false): DataFrame = {
+               minMax: Boolean = false,
+               quantiles: Seq[Double] = Nil): DataFrame = {
     require(batches >= 1, s"need at least one batch, got $batches")
     val spark = changes.sparkSession
     val base = workDir
@@ -218,12 +264,16 @@ object CdcProfile {
       spark.read.parquet((0 until batches)
           .map(k => s"$scratch/round_$k"): _*)
         .filter(col("part") === "v"), spec)
-    if (!minMax) rep
-    else rep.join(
-        minMaxOf(partS(
-          spark.read.parquet(s"$scratch/round_${batches - 1}")), spec),
+    def finalState() =
+      partS(spark.read.parquet(s"$scratch/round_${batches - 1}"))
+    val withMm =
+      if (!minMax) rep
+      else rep.join(minMaxOf(finalState(), spec), Seq("col_name"), "left")
+    val withQ =
+      if (quantiles.isEmpty) withMm
+      else withMm.join(quantilesOf(finalState(), spec, quantiles),
         Seq("col_name"), "left")
-      .orderBy("col_name")
+    if (!minMax && quantiles.isEmpty) withQ else withQ.orderBy("col_name")
   }
 
   // ---- streaming form: bucketed value state (the BucketStore layout,
@@ -489,5 +539,25 @@ object CdcProfile {
       }
     (if (minMax) counts
      else counts.drop("min_val", "max_val")).orderBy("col_name")
+  }
+
+  /** Exact discrete quantiles of the LIVE streaming state — unlike
+    * [[view]] this reads the keyed value rows (part 's', live counts),
+    * not the per-bucket summaries: a quantile is not decomposable into
+    * mergeable per-bucket constants, so its honest read cost is
+    * O(distinct values) ([[quantilesOf]]'s argument). Correct under
+    * retraction by the same token as min/max: the state nets deletes
+    * out before the read.
+    */
+  def quantileView(spark: SparkSession, stateDir: String,
+                   spec: ProfileSpec, qs: Seq[Double]): DataFrame = {
+    val state =
+      if (!BucketStore.hasRows(spark, stateDir))
+        spark.range(0).select(lit("").as("c"),
+          lit(null).cast("string").as("v"), lit(0L).as("n"))
+      else
+        spark.read.parquet(stateDir).filter(col("part") === "s")
+          .select(col("c"), col("v"), col("n"))
+    quantilesOf(state, spec, qs).orderBy("col_name")
   }
 }

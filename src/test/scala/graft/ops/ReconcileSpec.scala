@@ -1,0 +1,165 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.model.Tables
+import graft.streaming.CdcPipeline
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Reconcile = chunked checksum diff + repair (ops/Reconcile.scala).
+  *
+  * The properties that make it usable at 100 TB, each pinned here:
+  * the row-level pass touches ONLY mismatched chunks (and its range
+  * filter reaches the parquet scan), the chunk summary is partition-
+  * independent, clean tables diff to empty without a drill-down, the
+  * scattered-corruption fallback is a broadcast semi-join, and the
+  * repair batch converges the bucketed applied state idempotently.
+  */
+class ReconcileSpec extends SparkSpec {
+
+  private def ordersCols(df: DataFrame) = df.columns.toSeq.map(df.col)
+
+  test("diffKeys matches the direct full-outer diff on orders corruption") {
+    val src = Tables.orders(spark, sf)
+    val dst = src.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 101 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+      .unionByName(src.filter(col("o_orderkey") % 103 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+
+    val got = Reconcile.diffKeys(src, dst, "o_orderkey", ordersCols, 512L)
+      .orderBy("pk").collect().map(r => (r.getLong(0), r.getString(1)))
+
+    val s = src.select(col("o_orderkey").as("pk"),
+      Reconcile.rowHash128(ordersCols(src)).as("hs"))
+    val d = dst.select(col("o_orderkey").cast("long").as("pk"),
+      Reconcile.rowHash128(ordersCols(dst)).as("hd"))
+    val want = s.join(d, Seq("pk"), "full_outer")
+      .select(col("pk"),
+        when(col("hd").isNull, "missing_in_dst")
+          .when(col("hs").isNull, "extra_in_dst")
+          .when(col("hs") =!= col("hd"), "differs").as("kind"))
+      .filter(col("kind").isNotNull)
+      .orderBy("pk").collect().map(r => (r.getLong(0), r.getString(1)))
+
+    assert(want.nonEmpty && want.exists(_._2 == "missing_in_dst") &&
+      want.exists(_._2 == "extra_in_dst") && want.exists(_._2 == "differs"))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("localized corruption mismatches exactly its one chunk") {
+    val src = Tables.orders(spark, sf)
+    val victim = src.select(min("o_orderkey")).collect()(0).getLong(0)
+    val dst = src.withColumn("o_totalprice",
+      when(col("o_orderkey") === victim, col("o_totalprice") + 1.0)
+        .otherwise(col("o_totalprice")))
+    val chunks =
+      Reconcile.mismatchedChunks(src, dst, "o_orderkey", ordersCols, 256L)
+    assert(chunks.toSeq == Seq(victim / 256L))
+    val diff = Reconcile.diffKeys(src, dst, "o_orderkey", ordersCols, 256L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(diff.toSeq == Seq((victim, "differs")))
+  }
+
+  test("clean tables: no mismatched chunks, empty diff") {
+    val src = Tables.orders(spark, sf)
+    assert(Reconcile.mismatchedChunks(src, src, "o_orderkey",
+      ordersCols, 1024L).isEmpty)
+    assert(Reconcile.diffKeys(src, src, "o_orderkey",
+      ordersCols, 1024L).count() == 0L)
+  }
+
+  test("chunk summary is partition-independent") {
+    val src = Tables.orders(spark, sf)
+    val a = Reconcile.chunkSummary(src, "o_orderkey", ordersCols(src), 512L)
+      .orderBy("chunk").collect().toSeq
+    val b = Reconcile.chunkSummary(src.repartition(7), "o_orderkey",
+      ordersCols(src.repartition(7)), 512L).orderBy("chunk").collect().toSeq
+    assert(a == b)
+  }
+
+  test("drill-down range filter reaches the parquet scan") {
+    val dir = CoreOps.scratchDirUnique("reconcile_pushdown")
+    Tables.orders(spark, sf).write.parquet(s"$dir/src")
+    val src = spark.read.parquet(s"$dir/src")
+    val drilled = Reconcile.drillFilter(src, "o_orderkey",
+      Array(3L, 9L), 512L)
+    val plan = drilled.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("GreaterThanOrEqual(o_orderkey,1536)") ||
+      plan.contains("GreaterThanOrEqual(o_orderkey, 1536)"),
+      s"range predicate not pushed:\n$plan")
+  }
+
+  test("scattered corruption (> RangePredicateMaxChunks) rides a broadcast semi-join") {
+    // 100 chunks of width 4, every chunk corrupted: mutate one value per
+    // chunk, so the fallback path (no 100-term predicate tree) engages.
+    val n = 400L
+    val src = spark.range(n).select(col("id").as("pk"),
+      (col("id") * 3).as("v"))
+    val dst = src.withColumn("v",
+      when(pmod(col("pk"), lit(4)) === 0, col("v") + 1).otherwise(col("v")))
+    val cols = (df: DataFrame) => Seq(df.col("pk"), df.col("v"))
+    val chunks = Reconcile.mismatchedChunks(src, dst, "pk", cols, 4L)
+    assert(chunks.length == 100 &&
+      chunks.length > Reconcile.RangePredicateMaxChunks)
+    val drilledPlan = Reconcile.drillFilter(src, "pk", chunks, 4L)
+      .queryExecution.executedPlan.toString
+    assert(drilledPlan.contains("BroadcastHashJoin") &&
+      drilledPlan.contains("LeftSemi"), s"expected semi-join:\n$drilledPlan")
+    val diff = Reconcile.diffKeys(src, dst, "pk", cols, 4L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(diff.toSeq == (0L until n by 4).map(k => (k, "differs")))
+  }
+
+  private def changes(rows: Seq[(String, Long, Long, Long, String)]) = {
+    import org.apache.spark.sql.Row
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (op, k, ts, seq, p) =>
+        Row(op, "t", k, new java.sql.Timestamp(ts), seq, p)
+      }),
+      CdcPipeline.changeEventSchema)
+  }
+
+  test("repairChanges converges the sink state, idempotently") {
+    val scratch = CoreOps.scratchDirUnique("reconcile_repair")
+    val full = changes(Seq(
+      ("create", 1L, 1000L, 1L, """{"v":1}"""),
+      ("create", 2L, 1000L, 2L, """{"v":2}"""),
+      ("update", 2L, 2000L, 3L, """{"v":22}"""), // dropped below → differs
+      ("create", 3L, 1000L, 4L, """{"v":3}"""),  // dropped below → missing
+      ("create", 4L, 1000L, 5L, """{"v":4}"""),
+      ("delete", 4L, 2000L, 6L, null)))          // dropped below → extra
+    val dropped = full.filter(!col("seq").isin(3L, 4L, 6L))
+    CdcPipeline.applyBatch(spark, full, s"$scratch/truth", numBuckets = 4)
+    CdcPipeline.applyBatch(spark, dropped, s"$scratch/sink", numBuckets = 4)
+
+    val payloadOnly = (df: DataFrame) => Seq(df.col("payload"))
+    def diff() = Reconcile.diffKeys(
+      CdcPipeline.currentState(spark, s"$scratch/truth"),
+      CdcPipeline.currentState(spark, s"$scratch/sink"),
+      "key", payloadOnly, 16L)
+    val pre = diff().collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(pre.toSeq == Seq((2L, "differs"), (3L, "missing_in_dst"),
+      (4L, "extra_in_dst")))
+
+    val repair = Reconcile.repairChanges(
+      CdcPipeline.currentState(spark, s"$scratch/truth"), diff(), "t",
+      new java.sql.Timestamp(9000L), seqBase = 1000L)
+    CdcPipeline.applyBatch(spark, repair, s"$scratch/sink")
+    assert(diff().count() == 0L)
+    val live = CdcPipeline.currentState(spark, s"$scratch/sink")
+      .select("key", "payload").orderBy("key")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(live.toSeq == Seq((1L, """{"v":1}"""), (2L, """{"v":22}"""),
+      (3L, """{"v":3}""")))
+
+    // re-applying the same repair batch is a no-op (apply idempotence +
+    // the fresh version domain): state bytes aside, the content holds
+    CdcPipeline.applyBatch(spark, Reconcile.repairChanges(
+      CdcPipeline.currentState(spark, s"$scratch/truth"), diff(), "t",
+      new java.sql.Timestamp(9000L), seqBase = 1000L), s"$scratch/sink")
+    assert(diff().count() == 0L)
+  }
+}

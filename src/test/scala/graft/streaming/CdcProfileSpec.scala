@@ -104,6 +104,59 @@ class CdcProfileSpec extends SparkSpec {
       s"min/max = ${r.getDouble(4)}/${r.getDouble(5)}")
   }
 
+  test("exact quantiles under retraction: the deleted 9.0 cannot be the " +
+      "upper quartile") {
+    // live amt multiset {1.0, 2.0} (9.0 retracted, one null): the
+    // sorted positions are ⌈q·2⌉ → q25/q50 = 1.0, q75 = 2.0. A
+    // retraction-blind quantile sketch still carries the 9.0.
+    val out = CdcProfile.maintain(changes.toDF(), 2, amtSpec,
+        quantiles = Seq(0.25, 0.5, 0.75)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getDouble(4), r.getDouble(5), r.getDouble(6)) ==
+      ((1.0, 1.0, 2.0)), out.mkString(","))
+  }
+
+  test("quantiles weight duplicate values and move when a delete " +
+      "removes the median") {
+    def ins(k: Long, amt: Double, seq: Long) =
+      KeyedChangeRow("fact", "insert", f(k, "x", amt), null, "s", seq)
+    val base = Seq(ins(1, 1.0, 1), ins(2, 2.0, 2), ins(3, 3.0, 3),
+      ins(4, 4.0, 4))
+    def q50(rows: Seq[KeyedChangeRow]): Double =
+      CdcProfile.maintain(rows.toDF(), 1, amtSpec,
+        quantiles = Seq(0.5)).collect().head.getDouble(4)
+    assert(q50(base) == 2.0) // {1,2,3,4}: position ⌈2⌉ = 2
+    val afterDelete = base :+
+      KeyedChangeRow("fact", "delete", null, f(2, "x", 2.0), "s", 5)
+    assert(q50(afterDelete) == 3.0) // {1,3,4}: position ⌈1.5⌉ = 2 → 3.0
+    // duplicates weight: {1,1,1,4} — the median sits inside the run
+    val dup = Seq(ins(1, 1.0, 1), ins(2, 1.0, 2), ins(3, 1.0, 3),
+      ins(4, 4.0, 4))
+    assert(q50(dup) == 1.0)
+  }
+
+  test("streaming quantile view equals the replay twin") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdcprofq_").toString
+    val input = MemoryStream[KeyedChangeRow]
+    val q = CdcProfile.start(input.toDF(), s"$dir/state", s"$dir/ckpt",
+      amtSpec, numBuckets = 8)
+    try {
+      changes.grouped(2).foreach { c =>
+        input.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+      val qs = Seq(0.25, 0.5, 0.75)
+      val streamed = CdcProfile.quantileView(spark, s"$dir/state",
+        amtSpec, qs).collect().head
+      val twin = CdcProfile.maintain(changes.toDF(), 1, amtSpec,
+        quantiles = qs).collect().head
+      assert((streamed.getDouble(1), streamed.getDouble(2),
+        streamed.getDouble(3)) ==
+        ((twin.getDouble(4), twin.getDouble(5), twin.getDouble(6))))
+    } finally q.stop()
+  }
+
   test("streaming min/max view equals the replay twin, and moves when " +
       "a later delete removes the live maximum") {
     implicit val ctx = spark.sqlContext

@@ -47,7 +47,8 @@ object SyncCli {
       binlogFormat: String = "tsv",
       binlogStartPos: Option[Long] = None,
       binlogStartGtid: Option[String] = None,
-      state: Option[StateConfig] = None)
+      state: Option[StateConfig] = None,
+      reconcile: Option[ReconcileConfig] = None)
 
   /** `state` verb: operate the applied CDC state table itself — the
     * maintenance half of the pipeline's lifecycle (stats to watch it,
@@ -62,6 +63,20 @@ object SyncCli {
 
   val StateOps =
     Set("stats", "prune-tombstones", "rebucket", "split-bucket", "auto-split")
+
+  /** `reconcile` verb: which rows of a synced copy diverged from the
+    * source ([[graft.ops.Reconcile]] — the answer to the reference's
+    * swallowed INSERT errors, sync.py:87-89). Compares the columns the
+    * two sides SHARE (sorted for a deterministic rendering order);
+    * `maxPrint` caps the per-row diff lines (the summary line always
+    * carries the full count).
+    */
+  final case class ReconcileConfig(
+      src: String,
+      dst: String,
+      pk: String,
+      chunkWidth: Long,
+      maxPrint: Int)
 
   /** `drift-gate` verb knobs: which source table/column the KS gate
     * watches, and the statistic threshold that flips a batch's gate
@@ -80,7 +95,8 @@ object SyncCli {
   /** argv → config. `--flag value` pairs only (the reference's argparse
     * shape); unknown flags and dangling values are errors, not warnings.
     */
-  val Verbs = Set("sync", "snapshot-then-stream", "drift-gate", "state")
+  val Verbs =
+    Set("sync", "snapshot-then-stream", "drift-gate", "state", "reconcile")
 
   def parse(rawArgs: Array[String]): Either[String, CliConfig] = {
     val (verb, args) = rawArgs.headOption match {
@@ -91,6 +107,7 @@ object SyncCli {
       case _ => ("sync", rawArgs)
     }
     if (verb == "state") return parseState(args)
+    if (verb == "reconcile") return parseReconcile(args)
     val known = (mysqlKeys ++ chKeys ++ Seq("batch_size", "max_workers",
       "include_tables", "exclude_tables", "src_url", "dst_url",
       "checkpoint_dir", "binlog", "cdc_table",
@@ -479,6 +496,70 @@ object SyncCli {
       state = Some(StateConfig(op, dir, wm, buckets, bucket))))
   }
 
+  /** The `reconcile` verb's flag surface — two parquet paths and the
+    * PK, nothing else required (shared columns are discovered).
+    */
+  private def parseReconcile(args: Array[String]): Either[String, CliConfig] = {
+    val known = Set("src_path", "dst_path", "pk", "chunk_width", "max_print")
+    val kv = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (!a.startsWith("--")) return Left(s"expected --flag, got '$a'")
+      val key = a.drop(2)
+      if (!known(key)) return Left(s"unknown flag --$key for verb reconcile")
+      if (i + 1 >= args.length) return Left(s"--$key requires a value")
+      kv(key) = args(i + 1)
+      i += 2
+    }
+    val src = kv.getOrElse("src_path",
+      return Left("reconcile requires --src_path PATH"))
+    val dst = kv.getOrElse("dst_path",
+      return Left("reconcile requires --dst_path PATH"))
+    val pk = kv.getOrElse("pk", return Left("reconcile requires --pk COL"))
+    val width = kv.get("chunk_width") match {
+      case None => 1L << 20
+      case Some(v) => v.toLongOption.filter(_ > 0L) match {
+        case None => return Left(
+          s"--chunk_width must be a positive integer, got '$v'")
+        case Some(w) => w
+      }
+    }
+    val maxPrint = kv.get("max_print") match {
+      case None => 100
+      case Some(v) => v.toIntOption.filter(_ >= 0) match {
+        case None => return Left(
+          s"--max_print must be a non-negative integer, got '$v'")
+        case Some(m) => m
+      }
+    }
+    Right(CliConfig("reconcile", "", "", new Properties(), new Properties(),
+      ".", SyncJob.SyncConfig(), None, "cdc_state",
+      reconcile = Some(ReconcileConfig(src, dst, pk, width, maxPrint))))
+  }
+
+  /** Execute the `reconcile` verb: one JSON line per divergent key (up
+    * to `maxPrint`, ordered by PK) and a final summary line with the
+    * full count — the machine-consumable contract of the other verbs.
+    */
+  def runReconcile(spark: SparkSession, cfg: CliConfig): Unit = {
+    val rc = cfg.reconcile.get
+    val src = spark.read.parquet(rc.src)
+    val dst = spark.read.parquet(rc.dst)
+    val shared = src.columns.toSet.intersect(dst.columns.toSet).toSeq.sorted
+    require(shared.contains(rc.pk),
+      s"--pk ${rc.pk} must exist on both sides (shared: " +
+        s"${shared.mkString(", ")})")
+    val colsOf = (df: org.apache.spark.sql.DataFrame) => shared.map(df.col)
+    val diff = graft.ops.Reconcile
+      .diffKeys(src, dst, rc.pk, colsOf, rc.chunkWidth)
+    val n = diff.count()
+    diff.orderBy("pk").limit(rc.maxPrint).collect().foreach { r =>
+      println(s"""{"pk":${r.getLong(0)},"kind":"${r.getString(1)}"}""")
+    }
+    println(s"""{"diff_rows":$n,"printed":${math.min(n, rc.maxPrint)}}""")
+  }
+
   /** Execute the `state` verb: stats print one JSON line per bucket
     * (machine-consumable, the CLI contract everywhere else); prune and
     * rebucket run the respective [[graft.streaming.CdcPipeline]]
@@ -516,11 +597,12 @@ object SyncCli {
     case Left(err) =>
       System.err.println(s"error: $err")
       System.err.println("usage: SyncCli [sync|snapshot-then-stream|" +
-        "drift-gate|state] " +
+        "drift-gate|state|reconcile] " +
         "state: --state_dir DIR [--state_op stats|prune-tombstones|" +
         "rebucket|split-bucket|auto-split] [--watermark 'Y-m-d H:M:S'] " +
         "[--buckets N] " +
-        "[--bucket TAG] | sync: " +
+        "[--bucket TAG] | reconcile: --src_path P --dst_path P --pk COL " +
+        "[--chunk_width N] [--max_print N] | sync: " +
         "--mysql_host H --mysql_port P " +
         "--mysql_user U --mysql_password PW --mysql_db DB " +
         "--clickhouse_host H --clickhouse_port P --clickhouse_user U " +
@@ -546,6 +628,7 @@ object SyncCli {
           case "drift-gate" =>
             runDriftGate(spark, cfg).awaitTermination()
           case "state" => runState(spark, cfg)
+          case "reconcile" => runReconcile(spark, cfg)
           case _ => runWith(spark, cfg)
         }
       } finally spark.stop()

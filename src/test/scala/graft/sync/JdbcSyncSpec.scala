@@ -742,4 +742,38 @@ class JdbcSyncSpec extends SparkSpec {
     assert(CdcPipeline.readBucketCount(spark, stateDir).contains(8))
     assert(CdcPipeline.currentState(spark, stateDir).count() == 39L)
   }
+
+  test("reconcile verb: validation, diff lines and summary through the CLI") {
+    // flag validation — its own surface, loud refusals
+    assert(SyncCli.parse(Array("reconcile")).isLeft)             // no paths
+    assert(SyncCli.parse(Array("reconcile", "--src_path", "a",
+      "--dst_path", "b")).isLeft)                                // no pk
+    assert(SyncCli.parse(Array("reconcile", "--src_path", "a",
+      "--dst_path", "b", "--pk", "k", "--chunk_width", "0")).isLeft)
+    assert(SyncCli.parse(Array("reconcile", "--src_path", "a",
+      "--dst_path", "b", "--pk", "k", "--mysql_host", "h")).isLeft)
+
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cli_reconcile_").toString
+    val src = (0L until 50L).map(i => (i, s"v$i"))
+    src.toDF("k", "v").write.parquet(s"$dir/src")
+    // dst: key 7 missing, key 11 mutated, key 999 extra
+    (src.filterNot(_._1 == 7L).map { case (k, v) =>
+      (k, if (k == 11L) "CORRUPT" else v) } :+ ((999L, "phantom")))
+      .toDF("k", "v").write.parquet(s"$dir/dst")
+    val Right(cfg) = SyncCli.parse(Array("reconcile",
+      "--src_path", s"$dir/src", "--dst_path", s"$dir/dst",
+      "--pk", "k", "--chunk_width", "16")): @unchecked
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      SyncCli.runReconcile(spark, cfg)
+    }
+    val lines = out.toString("UTF-8").linesIterator.toSeq
+    assert(lines.init == Seq(
+      """{"pk":7,"kind":"missing_in_dst"}""",
+      """{"pk":11,"kind":"differs"}""",
+      """{"pk":999,"kind":"extra_in_dst"}"""), lines.mkString("\n"))
+    assert(lines.last == """{"diff_rows":3,"printed":3}""")
+  }
 }

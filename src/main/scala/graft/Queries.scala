@@ -3739,11 +3739,16 @@ object Queries {
             CdcPipeline.currentState(s, truthDir),
             CdcPipeline.currentState(s, sinkDir),
             "key", payloadOnly, chunkWidth = 1024L)
+        // persist: applyBatch evaluates its batch twice (touched-bucket
+        // probe + staged write), and the repair plan embeds the drill
+        // joins over both states — cache the small repair set instead
+        // of re-running them
         val repair = graft.ops.Reconcile.repairChanges(
           CdcPipeline.currentState(s, truthDir), liveDiff(), "events",
           java.sql.Timestamp.valueOf("2100-01-01 00:00:00"),
-          seqBase = 1L << 40)
-        CdcPipeline.applyBatch(s, repair, sinkDir)
+          seqBase = 1L << 40).persist()
+        try CdcPipeline.applyBatch(s, repair, sinkDir)
+        finally { repair.unpersist(); () }
         val resid = liveDiff().agg(count(lit(1)).as("resid"))
         val pSchema = StructType(Seq(
           StructField("user_id", LongType), StructField("event_id", LongType),

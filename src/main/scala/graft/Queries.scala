@@ -3771,6 +3771,85 @@ object Queries {
         | WHERE rn = 1 AND event_id % 17 <> 0
         | ORDER BY user_id""".stripMargin.replaceAll("\n", ""))),
 
+    // St2 + S5: reconciliation WITHOUT the sink scan — the per-chunk
+    // (count, xor) summaries maintained INCREMENTALLY from the CDC
+    // stream (streaming/ReconcileIngest.scala: count is ±1-linear, xor
+    // is its own inverse, so true before images telescope the state to
+    // exactly chunkSummary of the live table). The maintained sink
+    // summary is then compared against a diverged source snapshot
+    // (every 97th live key lost, every 101st mutated, every 103rd
+    // duplicated under a shifted key — the q_sync_reconcile corruption
+    // on the CDC-built live table) and the output is the chunk ids
+    // worth re-reading — computed with ZERO sink I/O beyond the
+    // O(chunks) state. Oracle: the divergent keys' chunk memberships
+    // by integer arithmetic over the replayed live set.
+    Q("st_cdc_reconcile_monitor",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        import graft.streaming.{CdcPipeline, ReconcileIngest}
+        // the CONSISTENT encode: true before images (the xor algebra's
+        // contract — the mixed encode's sentinel/PK-only befores are a
+        // different wire mode and would retract hashes never added)
+        val dir = graft.streaming.MysqlBinlogFixture
+          .encodeEventsConsistent(s, d)
+        val scratch = graft.ops.CoreOps.scratchDirUnique("cdc_rec_monitor")
+        s.read
+          .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
+          .option("path", dir).load()
+          .filter(col("table") === "events")
+          .select("op", "table", "key", "ts", "seq", "payload",
+            "payload_before")
+          .write.parquet(s"$scratch/changes")
+        val raw = s.read.parquet(s"$scratch/changes")
+        val pSchema = StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("ts", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val cols = Seq("user_id", "event_id", "event_type", "value")
+        val mSpec = ReconcileIngest.SummarySpec("events", pSchema,
+          "user_id", cols, chunkWidth = 16L)
+        val stateDir = s"$scratch/summary"
+        // xor/sum deltas are commutative: any batch split converges
+        (0 until 3).foreach(k => ReconcileIngest.applyBatch(
+          raw.filter(pmod(col("seq"), lit(3)) === k), stateDir, mSpec, k))
+        val live = CdcPipeline.latestState(raw)
+          .filter(col("op") =!= "delete")
+          .select(from_json(col("payload"), pSchema).as("p"))
+          .select(cols.map(c => col(s"p.$c").as(c)): _*)
+        val srcCorrupt = live.filter(col("user_id") % 97 =!= 0)
+          .withColumn("event_id",
+            when(col("user_id") % 101 === 0, col("event_id") + 1L)
+              .otherwise(col("event_id")))
+          .unionByName(live.filter(col("user_id") % 103 === 0)
+            .withColumn("user_id", col("user_id") + lit(10000000L)))
+        val srcSummary = graft.ops.Reconcile.chunkSummary(srcCorrupt,
+          "user_id", cols.map(srcCorrupt.col), 16L)
+        ReconcileIngest.diffAgainst(s, stateDir, srcSummary)
+          .orderBy("chunk")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN event_id % 17 = 0 THEN 'delete' ELSE 'other' END AS mop,
+        |  lag(CASE WHEN event_id % 17 = 0 THEN 'delete' ELSE 'other' END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pmop
+        |  FROM events),
+        | f AS (SELECT *,
+        |  CASE WHEN (pmop IS NULL OR pmop = 'delete') AND mop = 'delete'
+        |        THEN 'skip'
+        |       WHEN (pmop IS NULL OR pmop = 'delete') THEN 'insert'
+        |       WHEN mop = 'delete' THEN 'delete' ELSE 'update' END AS op
+        |  FROM e),
+        | live AS (SELECT user_id FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |   FROM f WHERE op <> 'skip') t WHERE rn = 1 AND op <> 'delete')
+        |SELECT DISTINCT chunk FROM (
+        | SELECT CAST(floor(user_id / 16) AS BIGINT) AS chunk FROM live
+        |  WHERE user_id % 97 = 0
+        | UNION ALL SELECT CAST(floor(user_id / 16) AS BIGINT) FROM live
+        |  WHERE user_id % 101 = 0
+        | UNION ALL SELECT CAST(floor((user_id + 10000000) / 16) AS BIGINT)
+        |  FROM live WHERE user_id % 103 = 0) t
+        |ORDER BY chunk""".stripMargin.replaceAll("\n", " "))),
+
     // St2 the reference's ACTUAL deployment shape, end to end in one
     // gate row (judge r11 item 6): fenced snapshot (the batch copy the
     // reference's whole program performs, with the executed-GTID set

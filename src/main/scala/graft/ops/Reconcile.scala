@@ -74,20 +74,31 @@ object Reconcile {
       .groupBy("chunk")
       .agg(count(lit(1)).as("n_rows"), bit_xor(col("__h")).as("digest"))
 
-  /** Chunk ids whose `(n_rows, digest)` disagree between the two sides
-    * (either side missing a chunk counts as disagreement). Driver-side
-    * array by design — chunk-count-sized (the bucket-id-list stance),
-    * bounded by table/chunkWidth, never by rows.
+  /** Chunks whose `(n_rows, digest)` disagree between two SUMMARY
+    * frames (either side missing a chunk counts as disagreement) —
+    * the comparison both the scan path ([[mismatchedChunks]]) and the
+    * incrementally-maintained path
+    * ([[graft.streaming.ReconcileIngest]]) share. One tiny full-outer
+    * join over O(table/chunkWidth) rows.
+    */
+  def summaryDiff(a: DataFrame, b: DataFrame): DataFrame =
+    a.as("a").join(b.as("b"), col("a.chunk") === col("b.chunk"),
+        "full_outer")
+      .filter(!(col("a.n_rows") <=> col("b.n_rows")) ||
+        !(col("a.digest") <=> col("b.digest")))
+      .select(coalesce(col("a.chunk"), col("b.chunk")).as("chunk"))
+
+  /** Chunk ids whose `(n_rows, digest)` disagree between the two sides.
+    * Driver-side array by design — chunk-count-sized (the
+    * bucket-id-list stance), bounded by table/chunkWidth, never by
+    * rows.
     */
   def mismatchedChunks(src: DataFrame, dst: DataFrame, pkName: String,
                        compareCols: DataFrame => Seq[Column],
                        chunkWidth: Long): Array[Long] = {
-    val a = chunkSummary(src, pkName, compareCols(src), chunkWidth).as("a")
-    val b = chunkSummary(dst, pkName, compareCols(dst), chunkWidth).as("b")
-    a.join(b, col("a.chunk") === col("b.chunk"), "full_outer")
-      .filter(!(col("a.n_rows") <=> col("b.n_rows")) ||
-        !(col("a.digest") <=> col("b.digest")))
-      .select(coalesce(col("a.chunk"), col("b.chunk")).as("chunk"))
+    summaryDiff(
+      chunkSummary(src, pkName, compareCols(src), chunkWidth),
+      chunkSummary(dst, pkName, compareCols(dst), chunkWidth))
       .collect().map(_.getLong(0)).sorted
   }
 

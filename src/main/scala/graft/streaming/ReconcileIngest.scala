@@ -1,0 +1,144 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.Reconcile
+
+/** Reconciliation WITHOUT the sink scan: the per-chunk `(count,
+  * bit_xor(row hash))` summaries [[graft.ops.Reconcile]] computes by
+  * scanning a table, maintained INCREMENTALLY from the CDC stream at
+  * O(changes) per micro-batch.
+  *
+  * Why it works: both summary aggregates are group-wise INVERTIBLE —
+  * count is ±1-linear, and xor is its own inverse, so retracting a row
+  * is xor-ing its hash right back out. An insert contributes
+  * `(+1, h(after))`, a delete `(−1, h(before))`, an update
+  * `(0-net, h(before) ⊕ h(after))` — with TRUE before images (the
+  * [[CdcQuality]] contract) the maintained summary telescopes to
+  * exactly [[Reconcile.chunkSummary]] of the live table (spec-pinned).
+  * So "which chunks of a 100 TB sink disagree with the source?" costs
+  * the SOURCE's linear scan plus an O(chunks) join against this state —
+  * the sink is never read, let alone row-compared.
+  *
+  * Contract: the stream MUST carry full true before images. The
+  * MINIMAL / sentinel-before wire modes (PK-only or changed-column
+  * images) would retract hashes that were never added — feed those
+  * through a keyed image-recovering consumer
+  * ([[CdcPipeline.applyDeferredJsonBucketed]]'s territory) before this
+  * monitor, or scan-reconcile instead.
+  *
+  * State shape: per-batch partial summaries under `batch_id=N`
+  * partitions (the [[CdcQuality]] layout) — a replayed micro-batch
+  * dynamically overwrites ITS OWN partition, so at-least-once delivery
+  * cannot double-xor (no keyed gates needed: idempotence here is
+  * per-batch, not per-key, because the state is chunk-count-sized, not
+  * key-sized). [[BatchState.compact]] bounds the partial count; the
+  * xor/sum merge is exactly its sum-shaped contract.
+  */
+object ReconcileIngest {
+
+  /** The monitored stream and how its rows summarize: `pkField` drives
+    * the chunk id (cast to long, [[Reconcile.chunkOf]]), `cols` are the
+    * compared columns — rendered EXACTLY as [[Reconcile.chunkSummary]]
+    * renders the live table's, so the two sides are comparable.
+    */
+  final case class SummarySpec(table: String, schema: StructType,
+                               pkField: String, cols: Seq[String],
+                               chunkWidth: Long) {
+    require(cols.nonEmpty, "summary of zero columns")
+    require(chunkWidth > 0, s"chunkWidth must be positive: $chunkWidth")
+  }
+
+  /** One batch's per-chunk summary delta: `(chunk, d_rows, d_digest)`,
+    * ≤ touched-chunk-count rows regardless of batch size.
+    */
+  def summaryDelta(changes: DataFrame, spec: SummarySpec): DataFrame = {
+    val ev = changes.filter(col("table") === spec.table)
+      .select(col("op"),
+        from_json(col("payload"), spec.schema).as("a"),
+        from_json(col("payload_before"), spec.schema).as("b"))
+    def img(side: String, w: Long) = {
+      val p = col(side)
+      val imgCols: Seq[Column] = spec.cols.map(c => p.getField(c))
+      struct(
+        Reconcile.chunkOf(p.getField(spec.pkField).cast("long"),
+          spec.chunkWidth).as("chunk"),
+        lit(w).as("w"),
+        Reconcile.rowHash64(imgCols).as("h"))
+    }
+    ev.select(explode(
+        when(col("op") === "insert", array(img("a", 1L)))
+          .when(col("op") === "update", array(img("b", -1L), img("a", 1L)))
+          .otherwise(array(img("b", -1L)))).as("d"))
+      .groupBy(col("d.chunk").as("chunk"))
+      .agg(sum(col("d.w")).as("d_rows"), bit_xor(col("d.h")).as("d_digest"))
+  }
+
+  /** Start the monitor over a stream of change rows: one partial per
+    * micro-batch, replay-idempotent via its own `batch_id` partition.
+    */
+  def start(changes: DataFrame, stateDir: String, checkpointDir: String,
+            spec: SummarySpec): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, stateDir, spec, batchId)
+      }
+      .start()
+
+  /** One micro-batch's partial landed under its `batch_id` partition —
+    * the [[CdcQuality.start]] body, factored so batch replays (and the
+    * registered replay twin) drive the identical code.
+    */
+  def applyBatch(batch: DataFrame, stateDir: String, spec: SummarySpec,
+                 batchId: Long): Unit = {
+    summaryDelta(batch, spec)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(stateDir)
+    ()
+  }
+
+  /** Merge all but the newest batch partial ([[BatchState.compact]]'s
+    * sum-shaped contract): the partial count stays bounded no matter
+    * how long the stream runs.
+    */
+  def compact(spark: SparkSession, stateDir: String): Unit =
+    BatchState.compact(spark, stateDir, merged => merged
+      .groupBy("chunk", "batch_id")
+      .agg(sum(col("d_rows")).as("d_rows"),
+        bit_xor(col("d_digest")).as("d_digest"))
+      .select("chunk", "d_rows", "d_digest", "batch_id"))
+
+  /** The maintained live-table summary at the current stream position —
+    * `(chunk, n_rows, digest)`, [[Reconcile.chunkSummary]]'s exact
+    * shape. Chunks netting to zero rows drop out (their digest is
+    * necessarily 0 too: every added hash was retracted).
+    */
+  def view(spark: SparkSession, stateDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      return spark.range(0).select(col("id").as("chunk"),
+        col("id").as("n_rows"), col("id").as("digest"))
+    BatchState.recover(spark, stateDir)
+    spark.read.parquet(stateDir)
+      .groupBy("chunk")
+      .agg(sum(col("d_rows")).as("n_rows"),
+        bit_xor(col("d_digest")).as("digest"))
+      .filter(col("n_rows") =!= 0L || col("digest") =!= 0L)
+  }
+
+  /** Chunks where a SOURCE summary disagrees with the maintained sink
+    * summary — the chunks worth re-reading on the source side, computed
+    * with zero sink I/O beyond the O(chunks) state.
+    */
+  def diffAgainst(spark: SparkSession, stateDir: String,
+                  sourceSummary: DataFrame): DataFrame =
+    Reconcile.summaryDiff(sourceSummary, view(spark, stateDir))
+}

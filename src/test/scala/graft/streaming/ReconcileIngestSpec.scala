@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.Reconcile
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incrementally-maintained reconcile summaries: the per-chunk
+  * (count, xor) state fed by CDC deltas must equal
+  * Reconcile.chunkSummary of the live table — including retraction
+  * (count is ±1-linear, xor is its own inverse) — and stay equal under
+  * batch replays and compaction.
+  */
+class ReconcileIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType),
+    StructField("amt", DoubleType)))
+  private val spec = ReconcileIngest.SummarySpec("t", schema, "id",
+    Seq("id", "v", "amt"), chunkWidth = 8L)
+
+  private def f(id: Long, v: String, amt: Double): String =
+    s"""{"id":$id,"v":"$v","amt":$amt}"""
+
+  /** insert 0..15 (two chunks), mutate id=3, delete id=9, and a chunk
+    * that empties out entirely (id 20..21 inserted then deleted).
+    */
+  private def history: Seq[KeyedChangeRow] = {
+    val inserts = (0L until 16L).map(i =>
+      KeyedChangeRow("t", "insert", f(i, s"v$i", i * 1.5), null, "s", i))
+    inserts ++ Seq(
+      KeyedChangeRow("t", "insert", f(20, "x", 1.0), null, "s", 16),
+      KeyedChangeRow("t", "insert", f(21, "y", 2.0), null, "s", 17),
+      KeyedChangeRow("t", "update", f(3, "CHANGED", 4.5),
+        f(3, "v3", 4.5), "s", 18),
+      KeyedChangeRow("t", "delete", null, f(9, "v9", 13.5), "s", 19),
+      KeyedChangeRow("t", "delete", null, f(20, "x", 1.0), "s", 20),
+      KeyedChangeRow("t", "delete", null, f(21, "y", 2.0), "s", 21))
+  }
+
+  /** The live table the history nets to, as typed columns. */
+  private def liveTable: DataFrame =
+    (0L until 16L).filter(_ != 9L)
+      .map(i => (i, if (i == 3L) "CHANGED" else s"v$i", i * 1.5))
+      .toDF("id", "v", "amt")
+
+  private def directSummary: Seq[(Long, Long, Long)] =
+    Reconcile.chunkSummary(liveTable, "id",
+        Seq(col("id"), col("v"), col("amt")), 8L)
+      .orderBy("chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  private def viewOf(dir: String): Seq[(Long, Long, Long)] =
+    ReconcileIngest.view(spark, dir).orderBy("chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("maintained summary equals the live table's direct chunk scan, " +
+      "and a zero-net chunk drops out") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("recingest_").toString + "/state"
+    history.grouped(5).zipWithIndex.foreach { case (b, i) =>
+      ReconcileIngest.applyBatch(b.toDF(), dir, spec, i.toLong)
+    }
+    val got = viewOf(dir)
+    assert(got == directSummary, s"got $got\nwant $directSummary")
+    // ids 20/21 (chunk 2) were inserted and fully deleted: no chunk-2
+    // row on either side
+    assert(!got.exists(_._1 == 2L))
+  }
+
+  test("a replayed batch overwrites its own partition: view unchanged") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("recingest_replay_").toString + "/state"
+    val batches = history.grouped(5).toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      ReconcileIngest.applyBatch(b.toDF(), dir, spec, i.toLong)
+    }
+    val before = viewOf(dir)
+    // at-least-once redelivery of batch 1 (same batch_id)
+    ReconcileIngest.applyBatch(batches(1).toDF(), dir, spec, 1L)
+    assert(viewOf(dir) == before)
+    assert(before == directSummary)
+  }
+
+  test("compaction bounds the partial count; view unchanged") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("recingest_compact_").toString + "/state"
+    history.grouped(3).zipWithIndex.foreach { case (b, i) =>
+      ReconcileIngest.applyBatch(b.toDF(), dir, spec, i.toLong)
+    }
+    val before = viewOf(dir)
+    ReconcileIngest.compact(spark, dir)
+    def batchDirs() = new java.io.File(dir).listFiles()
+      .map(_.getName).count(_.startsWith("batch_id="))
+    assert(batchDirs() == 2)
+    assert(viewOf(dir) == before)
+  }
+
+  test("diffAgainst localizes diverged chunks with zero sink I/O") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("recingest_diff_").toString + "/state"
+    history.grouped(5).zipWithIndex.foreach { case (b, i) =>
+      ReconcileIngest.applyBatch(b.toDF(), dir, spec, i.toLong)
+    }
+    // a source snapshot that lost id=5 (chunk 0) and mutated id=12
+    // (chunk 1): exactly those chunks must surface
+    val srcCorrupt = liveTable.filter(col("id") =!= 5L)
+      .withColumn("v", when(col("id") === 12L, "ROT").otherwise(col("v")))
+    val srcSummary = Reconcile.chunkSummary(srcCorrupt, "id",
+      Seq(col("id"), col("v"), col("amt")), 8L)
+    val diverged = ReconcileIngest.diffAgainst(spark, dir, srcSummary)
+      .orderBy("chunk").collect().map(_.getLong(0)).toSeq
+    assert(diverged == Seq(0L, 1L))
+    // and the clean source diffs to nothing
+    val cleanSummary = Reconcile.chunkSummary(liveTable, "id",
+      Seq(col("id"), col("v"), col("amt")), 8L)
+    assert(ReconcileIngest.diffAgainst(spark, dir, cleanSummary)
+      .count() == 0L)
+  }
+}

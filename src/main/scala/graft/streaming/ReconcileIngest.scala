@@ -95,13 +95,19 @@ object ReconcileIngest {
     */
   def applyBatch(batch: DataFrame, stateDir: String, spec: SummarySpec,
                  batchId: Long): Unit = {
-    summaryDelta(batch, spec)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(stateDir)
-    ()
+    val delta = summaryDelta(batch, spec).persist()
+    try {
+      // an all-empty batch (no rows for this table) writes nothing: an
+      // empty partitioned write would still create a file-less dir that
+      // breaks the view's schema inference, and a replay of an empty
+      // batch is empty again, so skipping stays idempotent
+      if (!delta.isEmpty)
+        delta.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(stateDir)
+    } finally { delta.unpersist(); () }
   }
 
   /** Merge all but the newest batch partial ([[BatchState.compact]]'s

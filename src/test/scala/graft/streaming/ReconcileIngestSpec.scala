@@ -70,6 +70,18 @@ class ReconcileIngestSpec extends SparkSpec {
     assert(!got.exists(_._1 == 2L))
   }
 
+  test("an all-empty batch writes nothing; view stays readable") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("recingest_empty_").toString + "/state"
+    // a batch carrying only another table's rows is empty for this spec
+    val other = Seq(KeyedChangeRow("elsewhere", "insert",
+      f(1, "a", 1.0), null, "s", 1))
+    ReconcileIngest.applyBatch(other.toDF(), dir, spec, 0L)
+    assert(viewOf(dir).isEmpty)
+    ReconcileIngest.applyBatch(history.take(4).toDF(), dir, spec, 1L)
+    assert(viewOf(dir).nonEmpty)
+  }
+
   test("a replayed batch overwrites its own partition: view unchanged") {
     val dir = java.nio.file.Files
       .createTempDirectory("recingest_replay_").toString + "/state"

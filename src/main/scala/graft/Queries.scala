@@ -469,8 +469,15 @@ object Queries {
       dimKey = p => p("c_custkey"))
   }
 
-  private def qualityKeyedOrdChanges(s: SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = landed(s, s"qualkeyedord|$d") {
+  /** The RAW change rows behind [[qualityKeyedOrdChanges]] — a
+    * CONSISTENT per-key history with true before images (each key one
+    * insert, %23 updates retracting the true prior price, %6 deletes
+    * retracting the true live image), so it also feeds the maintained
+    * reconcile summaries (`st_cdc_reconcile_monitor_ord`), whose xor
+    * algebra requires exactly that contract.
+    */
+  private[graft] def qualityKeyedOrdRawStream(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
     val nullS = lit(null).cast("string")
     val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
       col("o_custkey").as("ck"),
@@ -498,9 +505,13 @@ object Queries {
     val cIns = c.select(cev("insert", cPay, nullS, 1): _*)
     val cDel = c.filter(col("k") % 11 === 0)
       .select(cev("delete", nullS, cPay, 2): _*)
+    ins.unionAll(upd).unionAll(del).unionAll(cIns).unionAll(cDel)
+  }
+
+  private def qualityKeyedOrdChanges(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = landed(s, s"qualkeyedord|$d") {
     graft.streaming.CdcQualityKeyed.weightedDeltas(
-      ins.unionAll(upd).unionAll(del).unionAll(cIns).unionAll(cDel),
-      qualityKeyedOrdSpec)
+      qualityKeyedOrdRawStream(s, d), qualityKeyedOrdSpec)
   }
 
   // ---- st_cdc_join_ivm_chain: spec + landed weighted deltas ----
@@ -3848,6 +3859,66 @@ object Queries {
         |  WHERE user_id % 101 = 0
         | UNION ALL SELECT CAST(floor((user_id + 10000000) / 16) AS BIGINT)
         |  FROM live WHERE user_id % 103 = 0) t
+        |ORDER BY chunk""".stripMargin.replaceAll("\n", " "))),
+
+    // SECOND SummarySpec instance (reuse proved, not claimed — the
+    // st_cdc_join_ivm_cust discipline): the orders CDC synth through
+    // the UNCHANGED ReconcileIngest — different table, different
+    // schema, customer_cdc events in the same stream proving the
+    // spec-scoped table filter. The live table here includes the %23
+    // price mutations (part of the history, not a divergence); the
+    // source snapshot diverges by the q_sync_reconcile corruption.
+    Q("st_cdc_reconcile_monitor_ord",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        import graft.streaming.ReconcileIngest
+        val raw = qualityKeyedOrdRawStream(s, d)
+        val scratch = graft.ops.CoreOps.scratchDirUnique("cdc_rec_mon_ord")
+        raw.write.parquet(s"$scratch/changes")
+        val landed = s.read.parquet(s"$scratch/changes")
+        val pSchema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType),
+          StructField("o_totalprice", DoubleType)))
+        val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+        val mSpec = ReconcileIngest.SummarySpec("orders_cdc", pSchema,
+          "o_orderkey", cols, chunkWidth = 4096L)
+        val stateDir = s"$scratch/summary"
+        (0 until 3).foreach(k => ReconcileIngest.applyBatch(
+          landed.filter(pmod(col("seq"), lit(3)) === k), stateDir,
+          mSpec, k))
+        // the history's net live table, derived directly (typed
+        // columns are parity-safe: to_json/from_json round-trips
+        // doubles exactly — Jackson writes the shortest
+        // round-tripping decimal)
+        val live = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+          .filter(col("o_orderkey") % 6 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 23 === 0, lit(-1.0))
+              .otherwise(col("o_totalprice")))
+        val srcCorrupt = live.filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_custkey",
+            when(col("o_orderkey") % 101 === 0, col("o_custkey") + 1L)
+              .otherwise(col("o_custkey")))
+          .unionByName(live.filter(col("o_orderkey") % 103 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+        val srcSummary = graft.ops.Reconcile.chunkSummary(srcCorrupt,
+          "o_orderkey", cols.map(srcCorrupt.col), 4096L)
+        ReconcileIngest.diffAgainst(s, stateDir, srcSummary)
+          .orderBy("chunk")
+      },
+      Some("""WITH live AS (SELECT o_orderkey FROM orders
+        |  WHERE o_orderkey % 6 <> 0)
+        |SELECT DISTINCT chunk FROM (
+        | SELECT CAST(floor(o_orderkey / 4096) AS BIGINT) AS chunk
+        |  FROM live WHERE o_orderkey % 97 = 0
+        | UNION ALL SELECT CAST(floor(o_orderkey / 4096) AS BIGINT)
+        |  FROM live WHERE o_orderkey % 101 = 0
+        | UNION ALL SELECT
+        |  CAST(floor((o_orderkey + 100000000) / 4096) AS BIGINT)
+        |  FROM live WHERE o_orderkey % 103 = 0) t
         |ORDER BY chunk""".stripMargin.replaceAll("\n", " "))),
 
     // St2 the reference's ACTUAL deployment shape, end to end in one

@@ -202,15 +202,19 @@ object CdcProfile {
       val vals = state
         .filter(col("c") === cn && col("n") > 0L && col("v").isNotNull)
         .select(col("v").cast(dt).as("x"), col("n"))
-      val cum = vals.withColumn("cum", sum(col("n")).over(
-        Window.orderBy(col("x"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val tot = vals.agg(sum(col("n")).as("tot"))
+      // cum and tot ride the SAME ordered window pass (tot = the
+      // unbounded frame) — no 1-row combine join in the plan
+      val w = Window.orderBy(col("x"))
+      val cum = vals
+        .withColumn("cum", sum(col("n")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum(col("n")).over(
+          w.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
       val qCols = qs.map(q =>
         min(when(col("cum") >= ceil(lit(q) * col("tot")), col("x")))
           .cast("double").as(qName(q)))
-      cum.crossJoin(broadcast(tot))
-        .agg(qCols.head, qCols.tail: _*)
+      cum.agg(qCols.head, qCols.tail: _*)
         .select(lit(cn).as("col_name") +: qs.map(q => col(qName(q))): _*)
     }.reduce(_ unionByName _)
   }

@@ -167,6 +167,8 @@ object Bench {
         (() => Queries.prepCompositeDeltas(spark, sfDir)),
       "prep_profile_deltas" ->
         (() => Queries.prepProfileDeltas(spark, sfDir)),
+      "prep_consistent_raw_changes" ->
+        (() => Queries.prepConsistentRawChanges(spark, sfDir)),
       "prep_profile_minmax_deltas" ->
         (() => Queries.prepProfileMinMaxDeltas(spark, sfDir)),
       "prep_snapshot_fence_log" ->

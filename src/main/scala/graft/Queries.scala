@@ -141,6 +141,22 @@ object Queries {
     prepSynth("profdeltas", profileDeltas)
   private[graft] val prepProfileMinMaxDeltas =
     prepSynth("profminmax", profileMinMaxDeltas)
+  private[graft] val prepConsistentRawChanges =
+    prepSynth("consraw", consistentRawChanges)
+
+  /** The consistent-encode events log decoded and landed ONCE as raw
+    * change rows — shared by the two consumers that need TRUE before
+    * images at the raw layer (`st_cdc_reconcile_monitor`,
+    * `st_cdc_profile_topk`); billed as `prep_consistent_raw_changes`.
+    */
+  private def consistentRawChanges(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = landed(s, s"consraw|$d") {
+    val dir = graft.streaming.MysqlBinlogFixture.encodeEventsConsistent(s, d)
+    s.read
+      .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
+      .option("path", dir).load()
+      .filter(col("table") === "events")
+  }
 
   /** Bench hook for the snapshot-then-stream gate's fenced wire log
     * (memoized per (JVM, dataset); the cut is the dataset's ts
@@ -3801,17 +3817,8 @@ object Queries {
         // the CONSISTENT encode: true before images (the xor algebra's
         // contract — the mixed encode's sentinel/PK-only befores are a
         // different wire mode and would retract hashes never added)
-        val dir = graft.streaming.MysqlBinlogFixture
-          .encodeEventsConsistent(s, d)
         val scratch = graft.ops.CoreOps.scratchDirUnique("cdc_rec_monitor")
-        s.read
-          .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
-          .option("path", dir).load()
-          .filter(col("table") === "events")
-          .select("op", "table", "key", "ts", "seq", "payload",
-            "payload_before")
-          .write.parquet(s"$scratch/changes")
-        val raw = s.read.parquet(s"$scratch/changes")
+        val raw = consistentRawChanges(s, d)
         val pSchema = StructType(Seq(
           StructField("user_id", LongType), StructField("event_id", LongType),
           StructField("ts", LongType), StructField("event_type", StringType),
@@ -4317,6 +4324,46 @@ object Queries {
           s"SELECT * FROM (${colRow("user_id")} UNION ALL " +
           s"${colRow("value")}) t ORDER BY col_name"
       }),
+
+    // Exact top-k values (the profiler's mode panel) under retraction,
+    // AND the first oracle row driving the profile's PRODUCTION path:
+    // the bucketed streaming applyBatch (BucketStore layout, per-key
+    // seq gates — previously spec-covered only). Batches split on a
+    // global seq midpoint, the per-key-nondecreasing order the gates
+    // assume. A deleted value's count nets down and it falls out of
+    // the top-k — what no insert-only heavy-hitter sketch can do.
+    Q("st_cdc_profile_topk",
+      (s, d) => {
+        import graft.streaming.CdcProfile
+        val scratch = graft.ops.CoreOps.scratchDirUnique("cdc_prof_topk")
+        val raw = consistentRawChanges(s, d)
+        val mid = raw.agg(max(col("seq"))).collect()(0).getLong(0) / 2
+        val stateDir = s"$scratch/state"
+        CdcProfile.applyBatch(raw.filter(col("seq") <= mid), stateDir,
+          profileSpec, numBuckets = 16)
+        CdcProfile.applyBatch(raw.filter(col("seq") > mid), stateDir,
+          profileSpec)
+        CdcProfile.topValuesView(s, stateDir, "event_type", 5)
+          .orderBy(col("n").desc, col("v").asc)
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, ts, event_type,
+        |  CASE WHEN event_id % 17 = 0 THEN 'delete' ELSE 'other' END AS mop,
+        |  lag(CASE WHEN event_id % 17 = 0 THEN 'delete' ELSE 'other' END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pmop
+        |  FROM events),
+        | f AS (SELECT *,
+        |  CASE WHEN (pmop IS NULL OR pmop = 'delete') AND mop = 'delete'
+        |        THEN 'skip'
+        |       WHEN (pmop IS NULL OR pmop = 'delete') THEN 'insert'
+        |       WHEN mop = 'delete' THEN 'delete' ELSE 'update' END AS op
+        |  FROM e),
+        | latest AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |   FROM f WHERE op <> 'skip') t WHERE rn = 1 AND op <> 'delete')
+        |SELECT 'event_type' AS col_name, event_type AS v,
+        |  count(*) AS n FROM latest WHERE event_type IS NOT NULL
+        |GROUP BY event_type ORDER BY n DESC, v ASC LIMIT 5"""
+        .stripMargin.replaceAll("\n", " "))),
 
     // SECOND KeyedSpec instance (reuse proved, not claimed — the
     // st_cdc_join_ivm_cust discipline): orders under a single-column

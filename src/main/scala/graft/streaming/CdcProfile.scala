@@ -545,6 +545,36 @@ object CdcProfile {
      else counts.drop("min_val", "max_val")).orderBy("col_name")
   }
 
+  /** Exact top-k most frequent LIVE values of one profiled column (the
+    * profiler's mode/top-values panel), read from a netted (c, v, n)
+    * state — exact under retraction by the same argument as NDV: a
+    * deleted value's count nets down and it falls out of the top-k,
+    * which no insert-only heavy-hitter sketch (CM, Misra-Gries) can do.
+    * Ties break on the value rendering, so the output is total-ordered.
+    * The read is a TakeOrderedAndProject over value-cardinality rows —
+    * k-sized output, no global sort materialized.
+    */
+  def topValuesOf(state: DataFrame, column: String, k: Int): DataFrame = {
+    require(k > 0, s"top-k of $k values")
+    state.filter(col("c") === column && col("n") > 0L && col("v").isNotNull)
+      .select(lit(column).as("col_name"), col("v"), col("n"))
+      .orderBy(col("n").desc, col("v").asc)
+      .limit(k)
+  }
+
+  /** [[topValuesOf]] over the bucketed STREAMING state's live rows. */
+  def topValuesView(spark: SparkSession, stateDir: String, column: String,
+                    k: Int): DataFrame = {
+    val state =
+      if (!BucketStore.hasRows(spark, stateDir))
+        spark.range(0).select(lit("").as("c"),
+          lit(null).cast("string").as("v"), lit(0L).as("n"))
+      else
+        spark.read.parquet(stateDir).filter(col("part") === "s")
+          .select(col("c"), col("v"), col("n"))
+    topValuesOf(state, column, k)
+  }
+
   /** Exact discrete quantiles of the LIVE streaming state — unlike
     * [[view]] this reads the keyed value rows (part 's', live counts),
     * not the per-bucket summaries: a quantile is not decomposable into

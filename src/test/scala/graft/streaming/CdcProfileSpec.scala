@@ -136,6 +136,33 @@ class CdcProfileSpec extends SparkSpec {
     assert(q50(dup) == 1.0)
   }
 
+  test("top values: the retracted category drops out, ties break on the " +
+      "value, streaming view agrees") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdcproftop_").toString
+    val input = MemoryStream[KeyedChangeRow]
+    val q = CdcProfile.start(input.toDF(), s"$dir/state", s"$dir/ckpt",
+      spec, numBuckets = 8)
+    try {
+      changes.grouped(2).foreach { c =>
+        input.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+      // live cat multiset {a, b, a}: top = (a,2), (b,1) — the 'c'
+      // category existed mid-history, was deleted, and must NOT rank
+      // (an insert-only heavy-hitter sketch would still carry it)
+      val top = CdcProfile.topValuesView(spark, s"$dir/state", "cat", 3)
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+      assert(top == Seq(("a", 2L), ("b", 1L)))
+      // k cuts, and the n=1 tie between 'b' and a re-inserted 'c'
+      // breaks on the value rendering
+      input.addData(KeyedChangeRow("fact", "insert",
+        f(9, "c", 7.0), null, "s", 99)); q.processAllAvailable()
+      val top2 = CdcProfile.topValuesView(spark, s"$dir/state", "cat", 2)
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+      assert(top2 == Seq(("a", 2L), ("b", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming quantile view equals the replay twin") {
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("cdcprofq_").toString

@@ -169,6 +169,8 @@ object Bench {
         (() => Queries.prepProfileDeltas(spark, sfDir)),
       "prep_consistent_raw_changes" ->
         (() => Queries.prepConsistentRawChanges(spark, sfDir)),
+      "prep_qualkeyed_ord_raw" ->
+        (() => Queries.prepQualityKeyedOrdRaw(spark, sfDir)),
       "prep_profile_minmax_deltas" ->
         (() => Queries.prepProfileMinMaxDeltas(spark, sfDir)),
       "prep_snapshot_fence_log" ->

@@ -132,6 +132,8 @@ object Queries {
     prepSynth("qualkeyed", qualityKeyedChanges)
   private[graft] val prepQualityKeyedOrdChanges =
     prepSynth("qualkeyedord", qualityKeyedOrdChanges)
+  private[graft] val prepQualityKeyedOrdRaw =
+    prepSynth("qualkeyedordraw", qualityKeyedOrdRawLanded)
   private[graft] val prepChainDeltas = prepSynth("chaindeltas", chainDeltas)
   private[graft] val prepCascade4Deltas =
     prepSynth("casc4deltas", cascade4Deltas)
@@ -524,10 +526,19 @@ object Queries {
     ins.unionAll(upd).unionAll(del).unionAll(cIns).unionAll(cDel)
   }
 
+  /** [[qualityKeyedOrdRawStream]] landed once — read by THREE rows
+    * (the weighted quality twin, the streaming quality gate, the ord
+    * reconcile monitor); billed as `prep_qualkeyed_ord_raw`.
+    */
+  private def qualityKeyedOrdRawLanded(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = landed(s, s"qualkeyedordraw|$d") {
+    qualityKeyedOrdRawStream(s, d)
+  }
+
   private def qualityKeyedOrdChanges(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = landed(s, s"qualkeyedord|$d") {
     graft.streaming.CdcQualityKeyed.weightedDeltas(
-      qualityKeyedOrdRawStream(s, d), qualityKeyedOrdSpec)
+      qualityKeyedOrdRawLanded(s, d), qualityKeyedOrdSpec)
   }
 
   // ---- st_cdc_join_ivm_chain: spec + landed weighted deltas ----
@@ -3879,10 +3890,8 @@ object Queries {
       (s, d) => {
         import org.apache.spark.sql.types._
         import graft.streaming.ReconcileIngest
-        val raw = qualityKeyedOrdRawStream(s, d)
         val scratch = graft.ops.CoreOps.scratchDirUnique("cdc_rec_mon_ord")
-        raw.write.parquet(s"$scratch/changes")
-        val landed = s.read.parquet(s"$scratch/changes")
+        val landed = qualityKeyedOrdRawLanded(s, d)
         val pSchema = StructType(Seq(
           StructField("o_orderkey", LongType),
           StructField("o_custkey", LongType),
@@ -4375,6 +4384,39 @@ object Queries {
       (s, d) => graft.streaming.CdcQualityKeyed.maintain(
         qualityKeyedOrdChanges(s, d), batches = 2, qualityKeyedOrdSpec,
         materializeInput = false),
+      Some("""WITH live_o AS (SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 23 = 0 THEN -1.0 ELSE o_totalprice END AS tp
+        | FROM orders WHERE o_orderkey % 6 <> 0),
+        |live_c AS (SELECT c_custkey FROM customer WHERE c_custkey % 11 <> 0)
+        |SELECT check_name, violations, violations = 0 AS passed FROM (
+        | SELECT 'orders_totalprice_non_negative' AS check_name,
+        |  CAST(coalesce(sum(CASE WHEN tp < 0.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations FROM live_o
+        | UNION ALL SELECT 'orders_pk_unique',
+        |  count(*) - count(DISTINCT o_orderkey) FROM live_o
+        | UNION ALL SELECT 'orders_custkey_ref',
+        |  (SELECT count(*) FROM live_o o WHERE NOT EXISTS
+        |    (SELECT 1 FROM live_c c WHERE c.c_custkey = o.o_custkey))) t
+        |ORDER BY check_name""".stripMargin)),
+
+    // The keyed-quality monitor's PRODUCTION path under the oracle
+    // gate (the st_cdc_profile_topk symmetry): the bucketed streaming
+    // applyBatch — per-key seq gates on the uniqueness side, per-(key,
+    // stream) gates on the referential side, touched-buckets-only
+    // writes — driven over two seq-range micro-batches of the ord raw
+    // stream, view checked against the same SQL as the maintain twin.
+    Q("st_cdc_quality_keyed_stream",
+      (s, d) => {
+        import graft.streaming.CdcQualityKeyed
+        val scratch = graft.ops.CoreOps.scratchDirUnique("qualkeyed_stream")
+        val raw = qualityKeyedOrdRawLanded(s, d)
+        val mid = raw.agg(max(col("seq"))).collect()(0).getLong(0) / 2
+        val stateDir = s"$scratch/state"
+        CdcQualityKeyed.applyBatch(raw.filter(col("seq") <= mid),
+          stateDir, qualityKeyedOrdSpec, numBuckets = 8)
+        CdcQualityKeyed.applyBatch(raw.filter(col("seq") > mid),
+          stateDir, qualityKeyedOrdSpec)
+        CdcQualityKeyed.view(s, stateDir, qualityKeyedOrdSpec)
+      },
       Some("""WITH live_o AS (SELECT o_orderkey, o_custkey,
         |  CASE WHEN o_orderkey % 23 = 0 THEN -1.0 ELSE o_totalprice END AS tp
         | FROM orders WHERE o_orderkey % 6 <> 0),

@@ -171,6 +171,8 @@ object Bench {
         (() => Queries.prepConsistentRawChanges(spark, sfDir)),
       "prep_qualkeyed_ord_raw" ->
         (() => Queries.prepQualityKeyedOrdRaw(spark, sfDir)),
+      "prep_joinivm_raw" ->
+        (() => Queries.prepJoinIvmRaw(spark, sfDir)),
       "prep_profile_minmax_deltas" ->
         (() => Queries.prepProfileMinMaxDeltas(spark, sfDir)),
       "prep_snapshot_fence_log" ->

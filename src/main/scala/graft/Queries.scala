@@ -146,6 +146,21 @@ object Queries {
   private[graft] val prepConsistentRawChanges =
     prepSynth("consraw", consistentRawChanges)
 
+  /** The orders⋈lineitem CDC wire log decoded and landed ONCE as raw
+    * change rows — the input of the join-IVM STREAMING gate row (the
+    * maintain twin reads the landed weighted form instead); billed as
+    * `prep_joinivm_raw`.
+    */
+  private def joinIvmRawChanges(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = landed(s, s"joinivmraw|$d") {
+    val dir = graft.streaming.MysqlBinlogFixture.encodeOrdersLineitemCdc(s, d)
+    s.read
+      .format(classOf[graft.streaming.MysqlBinlogSourceProvider].getName)
+      .option("path", dir).load()
+  }
+  private[graft] val prepJoinIvmRaw =
+    prepSynth("joinivmraw", joinIvmRawChanges)
+
   /** The consistent-encode events log decoded and landed ONCE as raw
     * change rows — shared by the two consumers that need TRUE before
     * images at the raw layer (`st_cdc_reconcile_monitor`,
@@ -4478,6 +4493,39 @@ object Queries {
           .maintain(joinIvmChanges(s, d), batches = 2,
             materializeInput = false)
           .orderBy("o_orderpriority")
+      },
+      Some("""WITH o AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'Z-MOVED'
+        |       ELSE o_orderpriority END AS pr
+        |  FROM orders WHERE o_orderkey % 13 <> 0),
+        | l AS (SELECT l_orderkey,
+        |   CAST(round(min(l_extendedprice) * 100) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_linenumber % 4 <> 0
+        |  GROUP BY l_orderkey, l_linenumber)
+        | SELECT pr AS o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(cents) AS DOUBLE) / 100 AS sum_price
+        | FROM o JOIN l ON o.o_orderkey = l.l_orderkey
+        | GROUP BY pr ORDER BY pr"""
+        .stripMargin.replaceAll("\n", ""))),
+
+    // The join-IVM STREAMING path under the oracle gate (completing
+    // the production-path trilogy with st_cdc_profile_topk and
+    // st_cdc_quality_keyed_stream): JoinIvm.applyBatch — the
+    // batch-versioned round-dir protocol with RoundState prune +
+    // viewbase compaction — driven over two micro-batches of the raw
+    // wire log, view checked against the maintain twin's SQL. Splits
+    // are arbitrary: the bilinear rule is batching-invariant.
+    Q("st_cdc_join_ivm_stream",
+      (s, d) => {
+        import graft.streaming.JoinIvm
+        val raw = joinIvmRawChanges(s, d)
+        val stateDir =
+          graft.ops.CoreOps.scratchDirUnique("joinivm_stream") + "/state"
+        JoinIvm.applyBatch(raw.filter(pmod(col("seq"), lit(2)) === 0),
+          stateDir, id = 0L)
+        JoinIvm.applyBatch(raw.filter(pmod(col("seq"), lit(2)) === 1),
+          stateDir, id = 1L)
+        JoinIvm.view(s, stateDir).orderBy("o_orderpriority")
       },
       Some("""WITH o AS (SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 7 = 0 THEN 'Z-MOVED'

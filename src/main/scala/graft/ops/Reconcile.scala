@@ -127,6 +127,16 @@ object Reconcile {
     * {missing_in_dst, extra_in_dst, differs}, computed by full-outer
     * joining ONLY the mismatched chunks' rows. Clean tables return an
     * empty frame without scheduling the drill-down at all.
+    *
+    * Each drilled side first nets to ONE row per PK — `(count,
+    * xor-of-128-bit-row-hash-halves)` — before the join. That makes
+    * duplicate PKs a first-class divergence instead of a blind spot:
+    * the swallowed-retry failure mode duplicates a row UNDER ITS OWN
+    * KEY with identical content (a plain MergeTree sink keeps both),
+    * which a naive row-level full-outer join fans out into equal-hash
+    * pairs and filters away. Here the counts disagree, so the key
+    * surfaces as `differs`. The per-PK digest folds the md5 rendering
+    * through xor (order-independent within the key's rows).
     */
   def diffKeys(src: DataFrame, dst: DataFrame, pkName: String,
                compareCols: DataFrame => Seq[Column],
@@ -140,17 +150,21 @@ object Reconcile {
         StructType(Seq(StructField("pk", LongType),
           StructField("kind", StringType))))
     }
-    val s2 = drillFilter(src, pkName, chunks, chunkWidth)
-      .select(col(pkName).cast("long").as("pk"),
-        rowHash128(compareCols(src)).as("__hs"))
-    val d2 = drillFilter(dst, pkName, chunks, chunkWidth)
-      .select(col(pkName).cast("long").as("pk"),
-        rowHash128(compareCols(dst)).as("__hd"))
-    s2.join(d2, Seq("pk"), "full_outer")
+    def keyed(df: DataFrame, suffix: String): DataFrame =
+      drillFilter(df, pkName, chunks, chunkWidth)
+        .select(col(pkName).cast("long").as("pk"),
+          rowHash128(compareCols(df)).as("__h"))
+        .groupBy("pk")
+        .agg(count(lit(1)).as(s"__n$suffix"),
+          bit_xor(xxhash64(col("__h"))).as(s"__hi$suffix"),
+          bit_xor(xxhash64(col("__h"), lit(1))).as(s"__lo$suffix"))
+    keyed(src, "s").join(keyed(dst, "d"), Seq("pk"), "full_outer")
       .select(col("pk"),
-        when(col("__hd").isNull, lit("missing_in_dst"))
-          .when(col("__hs").isNull, lit("extra_in_dst"))
-          .when(col("__hs") =!= col("__hd"), lit("differs"))
+        when(col("__nd").isNull, lit("missing_in_dst"))
+          .when(col("__ns").isNull, lit("extra_in_dst"))
+          .when(col("__ns") =!= col("__nd") ||
+            col("__his") =!= col("__hid") || col("__los") =!= col("__lod"),
+            lit("differs"))
           .as("kind"))
       .filter(col("kind").isNotNull)
   }

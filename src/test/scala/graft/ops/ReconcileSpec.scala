@@ -113,6 +113,20 @@ class ReconcileSpec extends SparkSpec {
     assert(diff.toSeq == (0L until n by 4).map(k => (k, "differs")))
   }
 
+  test("duplicate-PK corruption with identical content surfaces as differs") {
+    // the swallowed-retry failure mode: the row re-inserted UNDER ITS
+    // OWN KEY with identical content (a plain MergeTree keeps both).
+    // A naive row-level full-outer join fans the equal-hash pair out
+    // and filters it away — the per-PK (count, xor) netting must not.
+    val src = spark.range(50).select(col("id").as("pk"),
+      (col("id") * 3).as("v"))
+    val dst = src.unionByName(src.filter(col("pk") === 17L))
+    val cols = (df: DataFrame) => Seq(df.col("pk"), df.col("v"))
+    val diff = Reconcile.diffKeys(src, dst, "pk", cols, 8L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(diff.toSeq == Seq((17L, "differs")))
+  }
+
   private def changes(rows: Seq[(String, Long, Long, Long, String)]) = {
     import org.apache.spark.sql.Row
     spark.createDataFrame(

@@ -3585,6 +3585,52 @@ object Queries {
         | FROM events GROUP BY user_id ORDER BY user_id"""
         .stripMargin.replaceAll("\n", ""))),
 
+    // St2 + S5: reconcile summaries under a PARTIAL-image wire mode —
+    // the image-recovery bridge (ReconcileIngest.scala). The
+    // MINIMAL×PARTIAL_JSON stream carries no full before images; the
+    // bucketed doc store recovers them, its merge's net (before, after)
+    // pairs maintain the per-chunk summaries (at-most-once per batch
+    // id, emitted before the bucket swaps — the crash-window contract),
+    // and the gate enforces BOTH halves: the folded documents match
+    // the DuckDB reconstruction AND `summary_mismatch` (the diff of
+    // the maintained summary against a direct scan of the live doc
+    // state) is the oracle's literal 0. Same fixture, applies and
+    // load-bearing redelivery as st_cdc_partial_minimal_bucketed.
+    Q("st_cdc_reconcile_docstore",
+      (s, d) => {
+        val changes = partialMinBucketChanges(s, d)
+        val scratch = graft.ops.CoreOps
+          .scratchDirUnique("reconcile_docstore")
+        val docDir = s"$scratch/docs"
+        val sumDir = s"$scratch/sums"
+        import graft.streaming.{CdcPipeline, ReconcileIngest}
+        (1 to 3).foreach { b =>
+          ReconcileIngest.applyDeferredJsonWithSummary(
+            changes.filter(col("b") === b), "props", docDir, sumDir,
+            batchId = b.toLong, chunkWidth = 64L, numBuckets = 16)
+        }
+        ReconcileIngest.applyDeferredJsonWithSummary( // redelivery
+          changes.filter(col("b") === 3), "props", docDir, sumDir,
+          batchId = 3L, chunkWidth = 64L)
+        val live = CdcPipeline.deferredJsonStateBucketed(s, docDir)
+        val direct = graft.ops.Reconcile.chunkSummary(live, "key",
+          Seq(col("key"), col("doc")), 64L)
+        val mismatch = ReconcileIngest.diffAgainst(s, sumDir, direct)
+          .agg(count(lit(1)).as("summary_mismatch"))
+        live.select(col("key").as("user_id"), col("doc").as("props"))
+          .crossJoin(mismatch)
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+        | '{"n":' || CAST(count(*) AS VARCHAR) ||
+        | ',"last":' || CAST(list_extract(list(event_id ORDER BY ts, event_id),
+        |   CAST(count(*) AS INT)) AS VARCHAR) ||
+        | ',"types":[' || string_agg('"' || substr(event_type, 1, 1) || '"',
+        |   ',' ORDER BY ts, event_id) || ']}' AS props,
+        | CAST(0 AS BIGINT) AS summary_mismatch
+        | FROM events GROUP BY user_id ORDER BY user_id"""
+        .stripMargin.replaceAll("\n", ""))),
+
     // St2, MID-LOG SCHEMA EVOLUTION consumed to a unified view (judge
     // r10 item 7): each server's log starts WITHOUT the props column,
     // carries the ALTER as a QUERY event, and continues with it under

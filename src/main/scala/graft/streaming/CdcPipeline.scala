@@ -694,7 +694,9 @@ object CdcPipeline {
     */
   def applyDeferredJsonBucketed(batch: DataFrame, jsonField: String,
                                 stateDir: String,
-                                numBuckets: Int = DefaultStateBuckets): Unit = {
+                                numBuckets: Int = DefaultStateBuckets,
+                                onNetPairs: Option[DataFrame => Unit] = None)
+      : Unit = {
     val spark = batch.sparkSession
     recoverBuckets(spark, stateDir)
     val (effB, levels) =
@@ -732,7 +734,8 @@ object CdcPipeline {
       // seq-gated monotone advancement — make the general latestState
       // window redundant here; untouched keys of touched buckets carry
       // over, touched keys fold their fresh events onto the stored doc
-      val merged = folded.join(prior, Seq("src", "key"), "full_outer")
+      val joined = folded.join(prior, Seq("src", "key"), "full_outer")
+      val merged = joined
         .select(lit(ChangeEvent.Insert).as("op"), col("src").as("table"),
           col("key"), lit(new java.sql.Timestamp(0L)).as("ts"),
           greatest(coalesce(col("last_seq"), lit(Long.MinValue)),
@@ -742,6 +745,18 @@ object CdcPipeline {
             .otherwise(docFold(fresh, col("doc0"))).as("payload"),
           coalesce(col("bucket"), col("b0")).as("bucket"))
         .select((cols :+ "bucket").map(col): _*)
+      // net per-key (before, after) document pairs for downstream
+      // monitors ([[graft.streaming.ReconcileIngest]]'s image-recovery
+      // bridge): emitted BEFORE the bucket swaps — a replay after a
+      // mid-swap crash sees the seq gates eat the swapped keys' events,
+      // so pairs recomputed then would be a subset; the consumer pairs
+      // this ordering with an at-most-once write per batch id
+      onNetPairs.foreach { hook =>
+        hook(joined
+          .filter(col("evs").isNotNull && size(fresh) > 0)
+          .select(col("src"), col("key"), col("doc0").as("before"),
+            docFold(fresh, col("doc0")).as("after")))
+      }
       writeBucketsAndSwap(spark, merged, stateDir, touched, effB)
     } finally { folded.unpersist(); () }
   }

@@ -94,13 +94,19 @@ object ReconcileIngest {
     * registered replay twin) drive the identical code.
     */
   def applyBatch(batch: DataFrame, stateDir: String, spec: SummarySpec,
-                 batchId: Long): Unit = {
-    val delta = summaryDelta(batch, spec).persist()
+                 batchId: Long): Unit =
+    writeDelta(summaryDelta(batch, spec), stateDir, batchId)
+
+  /** Land one batch's delta under its `batch_id` partition. An
+    * all-empty delta writes nothing: an empty partitioned write would
+    * still create a file-less dir that breaks the view's schema
+    * inference, and a replay of an empty batch is empty again, so
+    * skipping stays idempotent.
+    */
+  private def writeDelta(d: DataFrame, stateDir: String,
+                         batchId: Long): Unit = {
+    val delta = d.persist()
     try {
-      // an all-empty batch (no rows for this table) writes nothing: an
-      // empty partitioned write would still create a file-less dir that
-      // breaks the view's schema inference, and a replay of an empty
-      // batch is empty again, so skipping stays idempotent
       if (!delta.isEmpty)
         delta.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
@@ -109,6 +115,71 @@ object ReconcileIngest {
           .parquet(stateDir)
     } finally { delta.unpersist(); () }
   }
+
+  // ---- the image-recovery bridge: summaries under PARTIAL-image wire
+  // modes ----
+  //
+  // The summary algebra needs full before images, which MINIMAL /
+  // PARTIAL_JSON streams do not carry. The keyed doc store
+  // ([[CdcPipeline.applyDeferredJsonBucketed]]) RECOVERS them: its
+  // merge holds, per touched key, the stored document (the true before)
+  // and the folded result (the true after) — intra-batch churn
+  // telescopes away, and the net pair is exactly what the xor algebra
+  // consumes. Exactly-once across the two states is the ordering
+  // contract: the doc apply emits pairs BEFORE its bucket swaps, and
+  // [[applyDocPairsOnce]] skips a batch id whose partition already
+  // committed — a replay after a mid-swap crash (where the seq gates
+  // have eaten the swapped keys' events, so recomputed pairs would be
+  // a SUBSET) therefore cannot shrink the landed delta.
+
+  /** Per-chunk summary delta from net per-key (before, after) document
+    * pairs: retract the before (when the key existed), add the after.
+    * Zero-net chunk rows (e.g. a fold that reproduced the same
+    * document) drop out.
+    */
+  def docPairsDelta(pairs: DataFrame, chunkWidth: Long): DataFrame =
+    pairs.select(col("key"), explode(array(
+        struct(lit(-1L).as("w"), col("before").as("doc")),
+        struct(lit(1L).as("w"), col("after").as("doc")))).as("d"))
+      .filter(col("d.doc").isNotNull)
+      .select(col("key"), col("d.w").as("w"), col("d.doc").as("doc"))
+      .select(Reconcile.chunkOf(col("key"), chunkWidth).as("chunk"),
+        col("w"),
+        Reconcile.rowHash64(Seq(col("key"), col("doc"))).as("h"))
+      .groupBy("chunk")
+      .agg(sum(col("w")).as("d_rows"), bit_xor(col("h")).as("d_digest"))
+      .filter(col("d_rows") =!= 0L || col("d_digest") =!= 0L)
+
+  /** Land a doc-pair delta AT MOST ONCE per batch id: a committed
+    * `batch_id=N` partition means the full delta landed, so a replay —
+    * whose recomputed pairs may be a gate-eaten subset — must not
+    * overwrite it (see the bridge contract above).
+    */
+  def applyDocPairsOnce(pairs: DataFrame, stateDir: String, batchId: Long,
+                        chunkWidth: Long): Unit = {
+    val spark = pairs.sparkSession
+    val part = new org.apache.hadoop.fs.Path(s"$stateDir/batch_id=$batchId")
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(part)) return
+    writeDelta(docPairsDelta(pairs, chunkWidth), stateDir, batchId)
+  }
+
+  /** One micro-batch through the doc store AND the maintained summary:
+    * the deferred-JSON bucketed apply with its net-pair hook wired to
+    * [[applyDocPairsOnce]]. After this, [[view]] of `summaryDir`
+    * equals [[Reconcile.chunkSummary]] of the doc store's live
+    * documents over `(key, doc)` (spec-pinned) — reconciliation
+    * against a source snapshot with zero doc-store I/O, even though
+    * the wire never carried a full before image.
+    */
+  def applyDeferredJsonWithSummary(batch: DataFrame, jsonField: String,
+                                   docStateDir: String, summaryDir: String,
+                                   batchId: Long, chunkWidth: Long,
+                                   numBuckets: Int = 64): Unit =
+    CdcPipeline.applyDeferredJsonBucketed(batch, jsonField, docStateDir,
+      numBuckets,
+      onNetPairs =
+        Some(applyDocPairsOnce(_, summaryDir, batchId, chunkWidth)))
 
   /** Merge all but the newest batch partial ([[BatchState.compact]]'s
     * sum-shaped contract): the partial count stays bounded no matter

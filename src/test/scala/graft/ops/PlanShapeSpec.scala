@@ -108,10 +108,12 @@ class PlanShapeSpec extends SparkSpec {
       "x_ann_recall",       // recall EVAL: the ground-truth side is the
                             // deliberate brute-force panel × corpus scan
       "x_knn_classify",     // same panel × corpus ground-truth stance
-      "st_cdc_reconcile_repair") // state rows × the 1-row post-repair
+      "st_cdc_reconcile_repair", // state rows × the 1-row post-repair
                                  // residual count (the q_approx_percentile
                                  // 1-row combine shape) — the resid column
                                  // is the row's proof obligation
+      "st_cdc_reconcile_docstore") // same shape: doc rows × the 1-row
+                                   // maintained-vs-direct mismatch count
     // iterative/eager queries run real jobs just to build their plan —
     // their join shapes are asserted in their own suites
     val eager = Set("x_dedup_clusters", "x_knn_ivf", "x_knn_ivf_probeall",

@@ -110,6 +110,50 @@ class ReconcileIngestSpec extends SparkSpec {
     assert(viewOf(dir) == before)
   }
 
+  test("image-recovery bridge: maintained doc summaries equal the " +
+      "direct scan under MINIMAL x PARTIAL_JSON, replays change nothing") {
+    // the wire carries NO full before images — the doc store recovers
+    // them, and its net (before, after) pairs feed the summary
+    val binDir = MysqlBinlogFixture.encodeEventsPartialMinimal(spark, sf)
+    val rows = spark.read
+      .format(classOf[MysqlBinlogSourceProvider].getName)
+      .option("path", binDir).load()
+      .filter(col("table") === "events")
+      .select("src", "key", "seq", "payload")
+      .orderBy("src", "seq").collect()
+      .map(r => PartialRow(r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val chunks = rows.grouped((rows.length + 2) / 3).toSeq
+    val dir = java.nio.file.Files
+      .createTempDirectory("recingest_bridge_").toString
+    val (docs, sums) = (s"$dir/docs", s"$dir/sums")
+    import spark.implicits._
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      ReconcileIngest.applyDeferredJsonWithSummary(c.toIndexedSeq.toDF(),
+        "props", docs, sums, i.toLong, chunkWidth = 4L, numBuckets = 8)
+    }
+    val live = CdcPipeline.deferredJsonStateBucketed(spark, docs)
+    def direct() = Reconcile.chunkSummary(live, "key",
+      Seq(col("key"), col("doc")), 4L)
+    def maintained() = viewOf(sums)
+    val want = direct().orderBy("chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(want.nonEmpty && maintained() == want)
+    assert(ReconcileIngest.diffAgainst(spark, sums, direct()).count() == 0L)
+    // replay of the last batch under ITS OWN id: the committed
+    // partition is skipped (at-most-once), the doc gates no-op
+    ReconcileIngest.applyDeferredJsonWithSummary(
+      chunks.last.toIndexedSeq.toDF(), "props", docs, sums,
+      (chunks.size - 1).toLong, chunkWidth = 4L)
+    assert(maintained() == want)
+    // replay under a NEW id: the gates eat every event, the recomputed
+    // pairs are empty, nothing lands
+    ReconcileIngest.applyDeferredJsonWithSummary(
+      chunks.last.toIndexedSeq.toDF(), "props", docs, sums, 99L,
+      chunkWidth = 4L)
+    assert(maintained() == want)
+  }
+
   test("diffAgainst localizes diverged chunks with zero sink I/O") {
     val dir = java.nio.file.Files
       .createTempDirectory("recingest_diff_").toString + "/state"

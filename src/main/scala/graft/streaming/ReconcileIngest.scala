@@ -78,14 +78,19 @@ object ReconcileIngest {
   }
 
   /** Start the monitor over a stream of change rows: one partial per
-    * micro-batch, replay-idempotent via its own `batch_id` partition.
+    * micro-batch, replay-idempotent via its own `batch_id` partition,
+    * and auto-compacted every `compactEvery` batches so the partial
+    * count stays bounded for the stream's whole life (never touching
+    * the newest partial — it must stay replayable).
     */
   def start(changes: DataFrame, stateDir: String, checkpointDir: String,
-            spec: SummarySpec): StreamingQuery =
+            spec: SummarySpec, compactEvery: Int = 32): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, stateDir, spec, batchId)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compact(batch.sparkSession, stateDir)
       }
       .start()
 

@@ -154,6 +154,25 @@ class ReconcileIngestSpec extends SparkSpec {
     assert(maintained() == want)
   }
 
+  test("streaming form auto-compacts: partials bounded, summary intact") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("recingest_stream_").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[KeyedChangeRow]
+    val q = ReconcileIngest.start(input.toDF(), s"$dir/state",
+      s"$dir/ckpt", spec, compactEvery = 2)
+    try {
+      history.grouped(4).foreach { c =>
+        input.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val dirs = new java.io.File(s"$dir/state").listFiles()
+      .map(_.getName).count(_.startsWith("batch_id="))
+    assert(dirs <= 3, s"expected compacted partials, got $dirs")
+    assert(viewOf(s"$dir/state") == directSummary)
+  }
+
   test("diffAgainst localizes diverged chunks with zero sink I/O") {
     val dir = java.nio.file.Files
       .createTempDirectory("recingest_diff_").toString + "/state"

@@ -192,10 +192,9 @@ object ReconcileIngest {
     */
   def compact(spark: SparkSession, stateDir: String): Unit =
     BatchState.compact(spark, stateDir, merged => merged
-      .groupBy("chunk", "batch_id")
+      .groupBy("chunk")
       .agg(sum(col("d_rows")).as("d_rows"),
-        bit_xor(col("d_digest")).as("d_digest"))
-      .select("chunk", "d_rows", "d_digest", "batch_id"))
+        bit_xor(col("d_digest")).as("d_digest")))
 
   /** The maintained live-table summary at the current stream position —
     * `(chunk, n_rows, digest)`, [[Reconcile.chunkSummary]]'s exact

@@ -108,6 +108,14 @@ class ReconcileIngestSpec extends SparkSpec {
       .map(_.getName).count(_.startsWith("batch_id="))
     assert(batchDirs() == 2)
     assert(viewOf(dir) == before)
+    // the folded partial really merged: one row per chunk outside the
+    // newest (replayable) partial
+    val st = spark.read.parquet(dir)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    val newest = st.agg(max(col("batch_id"))).collect()(0).getLong(0)
+    val perChunk = st.filter(col("batch_id") =!= newest)
+      .groupBy("chunk").count().agg(max(col("count"))).collect()(0).getLong(0)
+    assert(perChunk == 1L, s"compacted partial holds $perChunk rows/chunk")
   }
 
   test("image-recovery bridge: maintained doc summaries equal the " +

@@ -23,12 +23,12 @@ import graft.ops.Reconcile
   * the SOURCE's linear scan plus an O(chunks) join against this state —
   * the sink is never read, let alone row-compared.
   *
-  * Contract: the stream MUST carry full true before images. The
-  * MINIMAL / sentinel-before wire modes (PK-only or changed-column
-  * images) would retract hashes that were never added — feed those
-  * through a keyed image-recovering consumer
-  * ([[CdcPipeline.applyDeferredJsonBucketed]]'s territory) before this
-  * monitor, or scan-reconcile instead.
+  * Contract: [[summaryDelta]]'s direct path requires full true before
+  * images — the MINIMAL / sentinel-before wire modes (PK-only or
+  * changed-column images) would retract hashes that were never added.
+  * For those, use the image-recovery bridge shipped below
+  * ([[applyDeferredJsonWithSummary]]): the keyed doc store
+  * reconstructs the befores and its net pairs feed the same summary.
   *
   * State shape: per-batch partial summaries under `batch_id=N`
   * partitions (the [[CdcQuality]] layout) — a replayed micro-batch

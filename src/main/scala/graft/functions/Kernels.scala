@@ -660,6 +660,40 @@ object Kernels {
     acc
   }
 
+  /** Canonical-field escaping in ONE byte scan: `\` → `\\`, `|` → `\|`
+    * — bit-identical to the two-pass
+    * `regexp_replace(regexp_replace(s, \\, \\\\), \|, \\|)` it replaces
+    * on every digest/reconcile row (backslashes inserted FOR pipes are
+    * not re-doubled, exactly the two-pass order). Byte-level is safe:
+    * 0x5C and 0x7C are ASCII and never occur inside a UTF-8 multi-byte
+    * sequence. Strings containing neither char return unchanged, no
+    * copy.
+    */
+  def escapeCanonical(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var extra = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b == '\\'.toByte || b == '|'.toByte) extra += 1
+      i += 1
+    }
+    if (extra == 0) return s
+    val out = new Array[Byte](bytes.length + extra)
+    var j = 0
+    i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b == '\\'.toByte) {
+        out(j) = '\\'.toByte; out(j + 1) = '\\'.toByte; j += 2
+      } else if (b == '|'.toByte) {
+        out(j) = '\\'.toByte; out(j + 1) = '|'.toByte; j += 2
+      } else { out(j) = b; j += 1 }
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
   // ---- Column wrappers ----------------------------------------------
 
   import org.apache.spark.sql.catalyst.expressions.Expression
@@ -709,6 +743,9 @@ object Kernels {
   def simhash48Col(text: Column): Column = invoke(LongType, "simhash48", text)
 
   def md5_48Col(text: Column): Column = invoke(LongType, "md5_48", text)
+
+  def escapeCanonicalCol(text: Column): Column =
+    invoke(StringType, "escapeCanonical", text)
 
   def morton2Col(a: Column, b: Column): Column =
     invoke(LongType, "morton2", a, b)

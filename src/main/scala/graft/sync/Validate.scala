@@ -34,9 +34,7 @@ object Validate {
     */
   def canonicalField(c: Column): Column =
     coalesce(
-      regexp_replace(
-        regexp_replace(c.cast("string"), "\\\\", "\\\\\\\\"),
-        "\\|", "\\\\|"),
+      graft.functions.Kernels.escapeCanonicalCol(c.cast("string")),
       lit("\\N"))
 
   /** Canonical row rendering: escaped fields joined with '|'. Callers

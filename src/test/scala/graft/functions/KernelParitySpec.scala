@@ -28,6 +28,31 @@ class KernelParitySpec extends SparkSpec {
     assert(k == e)
   }
 
+  test("escapeCanonical kernel equals the two-pass regexp_replace form") {
+    import spark.implicits._
+    val tricky = Seq("plain", "", "a|b", "a\\b", "\\", "|", "\\|",
+      "|\\", "a\\\\|b", "\\\\\\", "|||", "a\\|b\\\\c|",
+      "unicodeé|café\\", "tab\t|nl\n\\")
+    val df = tricky.toDF("s")
+    val twoPass = regexp_replace(
+      regexp_replace(col("s"), "\\\\", "\\\\\\\\"), "\\|", "\\\\|")
+    val rows = df.select(col("s"),
+        Kernels.escapeCanonicalCol(col("s")).as("k"), twoPass.as("r"))
+      .collect()
+    rows.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"mismatch for '${r.getString(0)}': " +
+        s"kernel='${r.getString(1)}' regex='${r.getString(2)}'"))
+    // and on real data: the whole-table digest is unchanged by the swap
+    val o = Tables.orders(spark, sf)
+    val viaKernel = o.select(
+      graft.sync.Validate.canonicalRow(o.columns.toSeq.map(col)).as("c"))
+    val viaRegex = o.select(concat_ws("|", o.columns.toSeq.map(c =>
+      coalesce(regexp_replace(regexp_replace(col(c).cast("string"),
+        "\\\\", "\\\\\\\\"), "\\|", "\\\\|"), lit("\\N"))): _*).as("c"))
+    assert(viaKernel.collect().map(_.getString(0)).sorted.toSeq ==
+      viaRegex.collect().map(_.getString(0)).sorted.toSeq)
+  }
+
   test("minhash kernel equals per-seed xxhash64 minima") {
     val docs = Tables.documents(spark, sf).limit(30)
     val viaKernel = graft.sim.DedupOps

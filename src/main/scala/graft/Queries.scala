@@ -4435,6 +4435,60 @@ object Queries {
         |GROUP BY event_type ORDER BY n DESC, v ASC LIMIT 5"""
         .stripMargin.replaceAll("\n", " "))),
 
+    // Exact equi-width histogram under retraction — the last panel of
+    // the continuous profiler (counts/NDV/min-max/quantiles/top-k/
+    // histogram): bin edges are data-dependent (a delete can move the
+    // extremum AND the mass), so only the netted value state answers;
+    // the clamp arithmetic runs in DOUBLE with the identical expression
+    // shape on both engines so every value lands in the same bin.
+    // Driven through the bucketed streaming applyBatch like
+    // st_cdc_profile_topk.
+    Q("st_cdc_profile_hist",
+      (s, d) => {
+        import graft.streaming.CdcProfile
+        val raw = consistentRawChanges(s, d)
+        val mid = raw.agg(max(col("seq"))).collect()(0).getLong(0) / 2
+        val scratch = graft.ops.CoreOps.scratchDirUnique("cdc_prof_hist")
+        val stateDir = s"$scratch/state"
+        val pSpec = CdcProfile.ProfileSpec("events",
+          graft.streaming.IvmIngest.payloadSchema,
+          Seq("user_id", "value"))
+        CdcProfile.applyBatch(raw.filter(col("seq") <= mid), stateDir,
+          pSpec, numBuckets = 16)
+        CdcProfile.applyBatch(raw.filter(col("seq") > mid), stateDir,
+          pSpec)
+        CdcProfile.histogramView(s, stateDir, pSpec, bins = 8)
+      },
+      Some {
+        def binOf(x: String): String = {
+          val mn = s"(SELECT min($x) FROM live)"
+          val mx = s"(SELECT max($x) FROM live)"
+          val raw = s"floor(($x - $mn) / (($mx - $mn) / CAST(8 AS DOUBLE)))"
+          s"CAST(CASE WHEN $mx = $mn THEN 0 WHEN $raw > 7 THEN 7 " +
+            s"ELSE $raw END AS BIGINT)"
+        }
+        def colRows(c: String, x: String): String =
+          s"SELECT '$c' AS col_name, ${binOf(x)} AS bin, count(*) AS n " +
+            s"FROM live WHERE $x IS NOT NULL GROUP BY 2"
+        "WITH e AS (SELECT user_id, event_id, ts, value, " +
+          "CASE WHEN event_id % 17 = 0 THEN 'delete' ELSE 'other' END " +
+          "AS mop, lag(CASE WHEN event_id % 17 = 0 THEN 'delete' ELSE " +
+          "'other' END) OVER (PARTITION BY user_id ORDER BY ts, " +
+          "event_id) AS pmop FROM events), " +
+          "f AS (SELECT *, CASE WHEN (pmop IS NULL OR pmop = 'delete') " +
+          "AND mop = 'delete' THEN 'skip' WHEN (pmop IS NULL OR pmop = " +
+          "'delete') THEN 'insert' WHEN mop = 'delete' THEN 'delete' " +
+          "ELSE 'update' END AS op FROM e), " +
+          "latest AS (SELECT * FROM (SELECT *, row_number() OVER " +
+          "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+          "FROM f WHERE op <> 'skip') t WHERE rn = 1 AND op <> " +
+          "'delete'), " +
+          "live AS (SELECT CAST(user_id AS DOUBLE) AS u, " +
+          "CAST(value AS DOUBLE) AS v FROM latest) " +
+          s"SELECT col_name, bin, n FROM (${colRows("user_id", "u")} " +
+          s"UNION ALL ${colRows("value", "v")}) t ORDER BY col_name, bin"
+      }),
+
     // SECOND KeyedSpec instance (reuse proved, not claimed — the
     // st_cdc_join_ivm_cust discipline): orders under a single-column
     // unique key that IS unique (0 violations, and the oracle pins the

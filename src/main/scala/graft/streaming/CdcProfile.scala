@@ -575,6 +575,61 @@ object CdcProfile {
     topValuesOf(state, column, k)
   }
 
+  /** Exact equi-width histogram over the LIVE values of a netted
+    * (c, v, n) state: `bins` buckets spanning [min, max], bin =
+    * clamp(⌊(x − min) / ((max − min) / bins)⌋, bins−1), weighted by
+    * live counts — exact under retraction for the same reason as
+    * min/max AND quantiles (a delete can move the mass OR the edges;
+    * only the netted state answers both), completing the profiler
+    * panel. All arithmetic runs in DOUBLE with this exact expression
+    * shape so an engine evaluating the same formula (the DuckDB
+    * oracle) lands every value in the identical bin. Empty bins emit
+    * no row (a group-by, both engines). min/max ride the same ordered
+    * one-pass window as the quantiles — no scalar-combine join.
+    */
+  def histogramOf(state: DataFrame, spec: ProfileSpec,
+                  bins: Int): DataFrame = {
+    require(bins > 0, s"histogram of $bins bins")
+    import org.apache.spark.sql.expressions.Window
+    spec.cols.map { cn =>
+      val dt = spec.schema(cn).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"histogram of non-numeric column $cn (${dt.simpleString})")
+      val vals = state
+        .filter(col("c") === cn && col("n") > 0L && col("v").isNotNull)
+        .select(col("v").cast(dt).cast("double").as("x"), col("n"))
+      val w = Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val withMm = vals
+        .withColumn("mn", min(col("x")).over(w))
+        .withColumn("mx", max(col("x")).over(w))
+      val raw = floor((col("x") - col("mn")) /
+        ((col("mx") - col("mn")) / lit(bins.toDouble)))
+      val bin = when(col("mx") === col("mn"), lit(0L))
+        .otherwise(when(raw > lit((bins - 1).toDouble),
+          lit((bins - 1).toDouble)).otherwise(raw).cast("long"))
+      withMm.groupBy(bin.as("bin"))
+        .agg(sum(col("n")).as("n"))
+        .select(lit(cn).as("col_name"), col("bin"), col("n"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[histogramOf]] over the bucketed STREAMING state's live rows —
+    * like quantiles, a histogram's edges are data-dependent, so the
+    * honest read is the O(distinct values) keyed rows.
+    */
+  def histogramView(spark: SparkSession, stateDir: String,
+                    spec: ProfileSpec, bins: Int): DataFrame = {
+    val state =
+      if (!BucketStore.hasRows(spark, stateDir))
+        spark.range(0).select(lit("").as("c"),
+          lit(null).cast("string").as("v"), lit(0L).as("n"))
+      else
+        spark.read.parquet(stateDir).filter(col("part") === "s")
+          .select(col("c"), col("v"), col("n"))
+    histogramOf(state, spec, bins).orderBy("col_name", "bin")
+  }
+
   /** Exact discrete quantiles of the LIVE streaming state — unlike
     * [[view]] this reads the keyed value rows (part 's', live counts),
     * not the per-bucket summaries: a quantile is not decomposable into

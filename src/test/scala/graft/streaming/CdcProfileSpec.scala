@@ -163,6 +163,26 @@ class CdcProfileSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("histogram under retraction: the deleted 9.0 cannot stretch the " +
+      "bin edges") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdcprofh_").toString
+    val input = MemoryStream[KeyedChangeRow]
+    val q = CdcProfile.start(input.toDF(), s"$dir/state", s"$dir/ckpt",
+      amtSpec, numBuckets = 8)
+    try {
+      changes.grouped(2).foreach { c =>
+        input.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+      // live amt multiset {1.0, 2.0}: edges [1, 2], width 1/8 — 1.0 in
+      // bin 0, 2.0 clamps to bin 7. Were the retracted 9.0 still in
+      // the edges (mx = 9), BOTH values would land in bin 0.
+      val h = CdcProfile.histogramView(spark, s"$dir/state", amtSpec, 8)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+      assert(h == Seq((0L, 1L), (7L, 1L)), h.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming quantile view equals the replay twin") {
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("cdcprofq_").toString

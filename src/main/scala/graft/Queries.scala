@@ -3613,8 +3613,10 @@ object Queries {
           changes.filter(col("b") === 3), "props", docDir, sumDir,
           batchId = 3L, chunkWidth = 64L)
         val live = CdcPipeline.deferredJsonStateBucketed(s, docDir)
+        // the maintained digest hashes (src, key, doc) — the store is
+        // multi-table by design — so the direct scan renders the same
         val direct = graft.ops.Reconcile.chunkSummary(live, "key",
-          Seq(col("key"), col("doc")), 64L)
+          Seq(col("src"), col("key"), col("doc")), 64L)
         val mismatch = ReconcileIngest.diffAgainst(s, sumDir, direct)
           .agg(count(lit(1)).as("summary_mismatch"))
         live.select(col("key").as("user_id"), col("doc").as("props"))

@@ -142,7 +142,7 @@ class ReconcileIngestSpec extends SparkSpec {
     }
     val live = CdcPipeline.deferredJsonStateBucketed(spark, docs)
     def direct() = Reconcile.chunkSummary(live, "key",
-      Seq(col("key"), col("doc")), 4L)
+      Seq(col("src"), col("key"), col("doc")), 4L)
     def maintained() = viewOf(sums)
     val want = direct().orderBy("chunk").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

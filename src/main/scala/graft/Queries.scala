@@ -4360,11 +4360,15 @@ object Queries {
         |  CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE) FROM live) t
         |ORDER BY col_name""".stripMargin)),
 
-    // Exact discrete quantiles under retraction, read from the same
-    // netted value state (CdcProfile.quantilesOf): quantile(q) = the
-    // sorted live multiset's element at position ⌈q·n⌉ — a statistic no
-    // mergeable sketch can maintain under deletes (the median can be
-    // retracted), exactly the min/max argument one rank up. Same
+    // Exact discrete quantiles under retraction over the
+    // RANGE-bucketed value state (CdcProfileRanged, the r13 top item):
+    // quantile(q) = the sorted live multiset's element at position
+    // ⌈q·n⌉ — a statistic no mergeable sketch can maintain under
+    // deletes (the median can be retracted). The view reads the
+    // O(buckets) per-bucket summaries, prefix-sums live counts in
+    // range order to locate each rank's bucket, and ranks within
+    // EXACTLY that bucket — never the O(distinct values) keyed state
+    // (read-path spec-pinned in CdcProfileRangedSpec). Same
     // synthesized stream as st_cdc_profile_minmax, so mid-history
     // deletes and nulling updates make retraction load-bearing; the
     // oracle recomputes each quantile by row_number rank arithmetic
@@ -4372,10 +4376,19 @@ object Queries {
     // 0.5, 0.75) so ⌈q·n⌉ is engine-independent; both sides still cast
     // q to DOUBLE before multiplying.
     Q("st_cdc_profile_quantile",
-      (s, d) => graft.streaming.CdcProfile.maintain(
-        profileMinMaxDeltas(s, d), batches = 2, profileMinMaxSpec,
-        materializeInput = false, minMax = true,
-        quantiles = Seq(0.25, 0.5, 0.75)),
+      (s, d) => {
+        import graft.streaming.CdcProfileRanged
+        val deltas = profileMinMaxDeltas(s, d)
+        val mid = deltas.agg(max(col("seq"))).collect()(0).getLong(0) / 2
+        val stateDir =
+          graft.ops.CoreOps.scratchDirUnique("cdc_prof_rq") + "/state"
+        CdcProfileRanged.applyDeltas(deltas.filter(col("seq") <= mid),
+          stateDir, profileMinMaxSpec, numBuckets = 8)
+        CdcProfileRanged.applyDeltas(deltas.filter(col("seq") > mid),
+          stateDir, profileMinMaxSpec)
+        CdcProfileRanged.profileView(s, stateDir, profileMinMaxSpec,
+          Seq(0.25, 0.5, 0.75))
+      },
       Some {
         def quant(x: String, q: String): String =
           s"(SELECT CAST(min(x) AS DOUBLE) FROM (SELECT $x AS x, " +
@@ -4404,6 +4417,10 @@ object Queries {
     // global seq midpoint, the per-key-nondecreasing order the gates
     // assume. A deleted value's count nets down and it falls out of
     // the top-k — what no insert-only heavy-hitter sketch can do.
+    // Since r14 the view reads the per-bucket top-K CANDIDATE rows
+    // (buckets partition values, so the global top-k lives in the
+    // candidate union): O(buckets × K), never the O(distinct values)
+    // keyed state — read-path spec-pinned in CdcProfileSpec.
     Q("st_cdc_profile_topk",
       (s, d) => {
         import graft.streaming.CdcProfile
@@ -4443,11 +4460,13 @@ object Queries {
     // extremum AND the mass), so only the netted value state answers;
     // the clamp arithmetic runs in DOUBLE with the identical expression
     // shape on both engines so every value lands in the same bin.
-    // Driven through the bucketed streaming applyBatch like
-    // st_cdc_profile_topk.
+    // Driven through the RANGE-bucketed streaming applyBatch
+    // (CdcProfileRanged): edges come from the per-bucket summaries, a
+    // bucket contained in one bin bills its summary count without a
+    // read, and only edge-straddling buckets' keyed rows are scanned.
     Q("st_cdc_profile_hist",
       (s, d) => {
-        import graft.streaming.CdcProfile
+        import graft.streaming.{CdcProfile, CdcProfileRanged}
         val raw = consistentRawChanges(s, d)
         val mid = raw.agg(max(col("seq"))).collect()(0).getLong(0) / 2
         val scratch = graft.ops.CoreOps.scratchDirUnique("cdc_prof_hist")
@@ -4455,11 +4474,11 @@ object Queries {
         val pSpec = CdcProfile.ProfileSpec("events",
           graft.streaming.IvmIngest.payloadSchema,
           Seq("user_id", "value"))
-        CdcProfile.applyBatch(raw.filter(col("seq") <= mid), stateDir,
-          pSpec, numBuckets = 16)
-        CdcProfile.applyBatch(raw.filter(col("seq") > mid), stateDir,
-          pSpec)
-        CdcProfile.histogramView(s, stateDir, pSpec, bins = 8)
+        CdcProfileRanged.applyBatch(raw.filter(col("seq") <= mid),
+          stateDir, pSpec, numBuckets = 16)
+        CdcProfileRanged.applyBatch(raw.filter(col("seq") > mid),
+          stateDir, pSpec)
+        CdcProfileRanged.histogramView(s, stateDir, pSpec, bins = 8)
       },
       Some {
         def binOf(x: String): String = {

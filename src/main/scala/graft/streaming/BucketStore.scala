@@ -37,6 +37,14 @@ private[streaming] object BucketStore {
 
   val MetaName = "_graft_buckets.json"
 
+  /** Sibling meta for RANGE-bucketed layouts ([[CdcProfileRanged]]):
+    * value-range boundaries + stable bucket ids. Hash layouts never
+    * write it; the split commit machinery below swaps its `.next`
+    * exactly like [[MetaName]]'s when present, so a range split rides
+    * the same marker protocol and crash windows.
+    */
+  val RangesName = "_graft_ranges.json"
+
   def fs(spark: SparkSession, dir: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -238,6 +246,7 @@ private[streaming] object BucketStore {
       if (!markers.exists(_.startsWith(s".splitting_${parent}_"))) {
         f.delete(new Path(s"$stateDir/$st"), true)
         f.delete(new Path(stateDir, MetaName + ".next"), false)
+        f.delete(new Path(stateDir, RangesName + ".next"), false)
         ()
       }
     }
@@ -273,6 +282,16 @@ private[streaming] object BucketStore {
       throw new java.io.IOException(
         s"split of bucket $parent committed but neither live nor staged " +
           s"meta exists at $stateDir — refusing to guess the contract")
+    // a RANGE layout's boundary meta rides the same staged swap; hash
+    // layouts never stage one, so this is their no-op
+    val ranges = new Path(stateDir, RangesName)
+    val rangesNext = new Path(stateDir, RangesName + ".next")
+    if (f.exists(rangesNext)) {
+      f.delete(ranges, false)
+      if (!f.rename(rangesNext, ranges))
+        throw new java.io.IOException(
+          s"cannot publish split range meta at $ranges")
+    }
     f.delete(new Path(s"$stateDir/$markerName"), true)
     f.delete(new Path(staging), true)
     ()

@@ -309,6 +309,77 @@ object CdcProfile {
     */
   val DefaultStateBuckets = 64
 
+  /** Candidate values each bucket's top-k summary carries (part 'k'):
+    * buckets PARTITION the value space, so the global top-k by live
+    * count is contained in the union of per-bucket top-K whenever
+    * k ≤ K — [[topValuesView]] therefore reads O(buckets × K) summary
+    * rows, never the O(distinct values) keyed state (the r13 stated
+    * read-path gap, closed for the mode panel). Recomputed per touched
+    * bucket from the netted rows the rewrite already holds, so a
+    * retraction that knocks a value out of a bucket's top-K rewrites
+    * exactly that bucket's candidates.
+    */
+  val TopKSummaryK = 8
+
+  /** Per-bucket summary rows recomputed from netted keyed rows carrying
+    * their `bucket` tags — part 't' (one row per (bucket, column):
+    * live row/null/distinct subtotals + typed min/max) and part 'k'
+    * (up to [[TopKSummaryK]] top-live-count candidate values per
+    * (bucket, column)). Factored out of apply/split/rebucket: every
+    * summary is a pure state function, so all three recompute
+    * identically.
+    */
+  private[streaming] def summaryRows(newS: DataFrame,
+                                     spec: ProfileSpec): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nullL = lit(null).cast("bigint")
+    val nullS = lit(null).cast("string")
+    // the cast type differs per column, so the t-aggregates cannot
+    // share one expression — one slice per profiled column
+    val tRows = spec.cols.map { cn =>
+      val dt = spec.schema(cn).dataType
+      newS.filter(col("c") === cn).groupBy("bucket").agg(
+          sum(col("n")).as("rows"),
+          sum(when(col("v").isNull, col("n")).otherwise(0L)).as("nulls"),
+          sum(when(col("v").isNotNull && col("n") > 0L, 1L)
+            .otherwise(0L)).as("ndv"),
+          min(when(col("n") > 0L, col("v").cast(dt))).cast("string")
+            .as("mn"),
+          max(when(col("n") > 0L, col("v").cast(dt))).cast("string")
+            .as("mx"))
+        .select(col("bucket"), lit(cn).as("c"), col("rows"),
+          col("nulls"), col("ndv"), col("mn"), col("mx"))
+    }.reduce(_ unionByName _)
+    // top-K candidates: a PARTITIONED window (per bucket per column) —
+    // each partition is one bucket's values, never a global sort
+    val w = Window.partitionBy(col("bucket"), col("c"))
+      .orderBy(col("n").desc, col("v").asc)
+    val kRows = newS
+      .filter(col("n") > 0L && col("v").isNotNull)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= TopKSummaryK)
+      .select(col("bucket"), col("c"), col("v"), col("n"))
+    tRows.select(lit("t").as("part"), col("bucket"),
+        col("c"), nullS.as("v"), nullL.as("n"),
+        nullL.as("last_seq"), coalesce(col("rows"), lit(0L)).as("rows"),
+        coalesce(col("nulls"), lit(0L)).as("nulls"),
+        coalesce(col("ndv"), lit(0L)).as("ndv"), col("mn"), col("mx"))
+      .unionByName(kRows.select(lit("k").as("part"), col("bucket"),
+        col("c"), col("v"), col("n"), nullL.as("last_seq"),
+        nullL.as("rows"), nullL.as("nulls"), nullL.as("ndv"),
+        nullS.as("mn"), nullS.as("mx")))
+  }
+
+  /** Keyed part-'s' rows rendered into the unified state schema. */
+  private[streaming] def keyedRows(s: DataFrame): DataFrame = {
+    val nullL = lit(null).cast("bigint")
+    s.select(lit("s").as("part"), col("bucket"), col("c"),
+      col("v"), col("n"), col("last_seq"), nullL.as("rows"),
+      nullL.as("nulls"), nullL.as("ndv"),
+      lit(null).cast("string").as("mn"),
+      lit(null).cast("string").as("mx"))
+  }
+
   /** One micro-batch merged into the bucketed value state at O(touched
     * buckets).
     */
@@ -326,71 +397,59 @@ object CdcProfile {
       val touched = ev.select("bucket").distinct()
         .collect().map(_.getInt(0)).sorted          // ≤ numBuckets values
       if (touched.isEmpty) return
-      val prior =
-        if (BucketStore.hasRows(spark, stateDir))
-          spark.read.parquet(stateDir)              // pruned to touched
-            .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
-        else
-          spark.range(0).select(lit("s").as("part"),
-            lit(0).cast("int").as("bucket"), lit("").as("c"),
-            lit(null).cast("string").as("v"), lit(0L).as("n"),
-            lit(0L).as("last_seq"), lit(0L).as("rows"), lit(0L).as("nulls"),
-            lit(0L).as("ndv"), lit(null).cast("string").as("mn"),
-            lit(null).cast("string").as("mx"))
-      val priorS = prior.filter(col("part") === "s")
-        .select(col("bucket"), col("c"), col("v"), col("n"),
-          col("last_seq"))
-      // per-(column, value) seq gate — replayed events contribute nothing
-      val fresh = ev.as("e")
-        .join(priorS.select(col("c").as("gc"), col("v").as("gv"),
-            col("last_seq")),
-          col("e.c") <=> col("gc") && col("e.v") <=> col("gv"), "left")
-        .filter(col("seq") > coalesce(col("last_seq"), lit(Long.MinValue)))
-        .select(col("e.bucket").as("bucket"), col("e.c").as("c"),
-          col("e.v").as("v"), col("seq"), col("w"))
-      val dV = fresh.groupBy("bucket", "c", "v")
-        .agg(sum(col("w")).as("dn"), max(col("seq")).as("mseq"))
-      val newS = priorS.as("p").join(dV.as("d"),
-          col("p.c") <=> col("d.c") && col("p.v") <=> col("d.v"),
-          "full_outer")
-        .select(coalesce(col("p.bucket"), col("d.bucket")).as("bucket"),
-          coalesce(col("p.c"), col("d.c")).as("c"),
-          coalesce(col("p.v"), col("d.v")).as("v"),
-          (coalesce(col("p.n"), lit(0L)) + coalesce(col("d.dn"), lit(0L)))
-            .as("n"),
-          greatest(col("p.last_seq"), col("d.mseq")).as("last_seq"))
-      // per-(bucket, column) summary: counts + typed min/max recomputed
-      // from the bucket's netted rows (one slice per profiled column —
-      // the cast type differs per column, so the aggregates cannot
-      // share one expression)
-      val tRows = spec.cols.map { cn =>
-        val dt = spec.schema(cn).dataType
-        newS.filter(col("c") === cn).groupBy("bucket").agg(
-            sum(col("n")).as("rows"),
-            sum(when(col("v").isNull, col("n")).otherwise(0L)).as("nulls"),
-            sum(when(col("v").isNotNull && col("n") > 0L, 1L)
-              .otherwise(0L)).as("ndv"),
-            min(when(col("n") > 0L, col("v").cast(dt))).cast("string")
-              .as("mn"),
-            max(when(col("n") > 0L, col("v").cast(dt))).cast("string")
-              .as("mx"))
-          .select(col("bucket"), lit(cn).as("c"), col("rows"),
-            col("nulls"), col("ndv"), col("mn"), col("mx"))
-      }.reduce(_ unionByName _)
-      val nullL = lit(null).cast("bigint")
-      val out = newS.select(lit("s").as("part"), col("bucket"), col("c"),
-          col("v"), col("n"), col("last_seq"), nullL.as("rows"),
-          nullL.as("nulls"), nullL.as("ndv"),
-          lit(null).cast("string").as("mn"),
-          lit(null).cast("string").as("mx"))
-        .unionByName(tRows.select(lit("t").as("part"), col("bucket"),
-          col("c"), lit(null).cast("string").as("v"), nullL.as("n"),
-          nullL.as("last_seq"), coalesce(col("rows"), lit(0L)).as("rows"),
-          coalesce(col("nulls"), lit(0L)).as("nulls"),
-          coalesce(col("ndv"), lit(0L)).as("ndv"), col("mn"), col("mx")))
+      val newS = mergeTouched(spark, stateDir, ev, touched)
+      // per-(bucket, column) summaries (counts + typed min/max + top-K
+      // candidates) recomputed from the bucket's netted rows
+      val out = keyedRows(newS).unionByName(summaryRows(newS, spec))
       BucketStore.writeAndSwap(spark, out, stateDir, touched, effB,
         Seq("part"))
     } finally { ev.unpersist(); () }
+  }
+
+  /** The netted-merge core shared by the hash-bucketed apply above and
+    * the range-bucketed one ([[CdcProfileRanged]]): given the batch's
+    * tagged weighted deltas `ev` (bucket, c, v, seq, w) and the touched
+    * bucket set, advance the per-(column, value) counts of exactly
+    * those buckets — per-key seq gates make a redelivered event
+    * contribute nothing, untouched keys of touched buckets carry over
+    * through the full-outer merge.
+    */
+  private[streaming] def mergeTouched(spark: SparkSession, stateDir: String,
+                                      ev: DataFrame,
+                                      touched: Array[Int]): DataFrame = {
+    val prior =
+      if (BucketStore.hasRows(spark, stateDir))
+        spark.read.parquet(stateDir)              // pruned to touched
+          .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      else
+        spark.range(0).select(lit("s").as("part"),
+          lit(0).cast("int").as("bucket"), lit("").as("c"),
+          lit(null).cast("string").as("v"), lit(0L).as("n"),
+          lit(0L).as("last_seq"), lit(0L).as("rows"), lit(0L).as("nulls"),
+          lit(0L).as("ndv"), lit(null).cast("string").as("mn"),
+          lit(null).cast("string").as("mx"))
+    val priorS = prior.filter(col("part") === "s")
+      .select(col("bucket"), col("c"), col("v"), col("n"),
+        col("last_seq"))
+    // per-(column, value) seq gate — replayed events contribute nothing
+    val fresh = ev.as("e")
+      .join(priorS.select(col("c").as("gc"), col("v").as("gv"),
+          col("last_seq")),
+        col("e.c") <=> col("gc") && col("e.v") <=> col("gv"), "left")
+      .filter(col("seq") > coalesce(col("last_seq"), lit(Long.MinValue)))
+      .select(col("e.bucket").as("bucket"), col("e.c").as("c"),
+        col("e.v").as("v"), col("seq"), col("w"))
+    val dV = fresh.groupBy("bucket", "c", "v")
+      .agg(sum(col("w")).as("dn"), max(col("seq")).as("mseq"))
+    priorS.as("p").join(dV.as("d"),
+        col("p.c") <=> col("d.c") && col("p.v") <=> col("d.v"),
+        "full_outer")
+      .select(coalesce(col("p.bucket"), col("d.bucket")).as("bucket"),
+        coalesce(col("p.c"), col("d.c")).as("c"),
+        coalesce(col("p.v"), col("d.v")).as("v"),
+        (coalesce(col("p.n"), lit(0L)) + coalesce(col("d.dn"), lit(0L)))
+          .as("n"),
+        greatest(col("p.last_seq"), col("d.mseq")).as("last_seq"))
   }
 
   /** Drop gate tombstones (zero-count values) whose last event is older
@@ -418,34 +477,7 @@ object CdcProfile {
         val s = rows.filter(col("part") === "s")
           .select(col("c"), col("v"), col("n"), col("last_seq"))
           .withColumn("bucket", childTagOf(xxhash64(col("c"), col("v"))))
-        val tRows = spec.cols.map { cn =>
-          val dt = spec.schema(cn).dataType
-          s.filter(col("c") === cn).groupBy("bucket").agg(
-              sum(col("n")).as("rows"),
-              sum(when(col("v").isNull, col("n")).otherwise(0L))
-                .as("nulls"),
-              sum(when(col("v").isNotNull && col("n") > 0L, 1L)
-                .otherwise(0L)).as("ndv"),
-              min(when(col("n") > 0L, col("v").cast(dt))).cast("string")
-                .as("mn"),
-              max(when(col("n") > 0L, col("v").cast(dt))).cast("string")
-                .as("mx"))
-            .select(col("bucket"), lit(cn).as("c"), col("rows"),
-              col("nulls"), col("ndv"), col("mn"), col("mx"))
-        }.reduce(_ unionByName _)
-        val nullL = lit(null).cast("bigint")
-        s.select(lit("s").as("part"), col("bucket"), col("c"), col("v"),
-            col("n"), col("last_seq"), nullL.as("rows"),
-            nullL.as("nulls"), nullL.as("ndv"),
-            lit(null).cast("string").as("mn"),
-            lit(null).cast("string").as("mx"))
-          .unionByName(tRows.select(lit("t").as("part"), col("bucket"),
-            col("c"), lit(null).cast("string").as("v"), nullL.as("n"),
-            nullL.as("last_seq"),
-            coalesce(col("rows"), lit(0L)).as("rows"),
-            coalesce(col("nulls"), lit(0L)).as("nulls"),
-            coalesce(col("ndv"), lit(0L)).as("ndv"), col("mn"),
-            col("mx")))
+        keyedRows(s).unionByName(summaryRows(s, spec))
       })
 
   /** Change the bucket count of an existing profile state — lifecycle
@@ -465,31 +497,7 @@ object CdcProfile {
       .withColumn("bucket",
         BucketStore.bucketTag(xxhash64(col("c"), col("v")), newBuckets,
           Map.empty))
-    val tRows = spec.cols.map { cn =>
-      val dt = spec.schema(cn).dataType
-      s.filter(col("c") === cn).groupBy("bucket").agg(
-          sum(col("n")).as("rows"),
-          sum(when(col("v").isNull, col("n")).otherwise(0L)).as("nulls"),
-          sum(when(col("v").isNotNull && col("n") > 0L, 1L)
-            .otherwise(0L)).as("ndv"),
-          min(when(col("n") > 0L, col("v").cast(dt))).cast("string")
-            .as("mn"),
-          max(when(col("n") > 0L, col("v").cast(dt))).cast("string")
-            .as("mx"))
-        .select(col("bucket"), lit(cn).as("c"), col("rows"), col("nulls"),
-          col("ndv"), col("mn"), col("mx"))
-    }.reduce(_ unionByName _)
-    val nullL = lit(null).cast("bigint")
-    val out = s.select(lit("s").as("part"), col("bucket"), col("c"),
-        col("v"), col("n"), col("last_seq"), nullL.as("rows"),
-        nullL.as("nulls"), nullL.as("ndv"),
-        lit(null).cast("string").as("mn"),
-        lit(null).cast("string").as("mx"))
-      .unionByName(tRows.select(lit("t").as("part"), col("bucket"),
-        col("c"), lit(null).cast("string").as("v"), nullL.as("n"),
-        nullL.as("last_seq"), coalesce(col("rows"), lit(0L)).as("rows"),
-        coalesce(col("nulls"), lit(0L)).as("nulls"),
-        coalesce(col("ndv"), lit(0L)).as("ndv"), col("mn"), col("mx")))
+    val out = keyedRows(s).unionByName(summaryRows(s, spec))
     BucketStore.publishRebucket(spark, out, stateDir, newBuckets)
   }
 
@@ -569,13 +577,25 @@ object CdcProfile {
       .limit(k)
   }
 
-  /** [[topValuesOf]] over the bucketed STREAMING state's live rows. */
+  /** [[topValuesOf]] over the bucketed STREAMING state — read from the
+    * part-'k' per-bucket candidate rows, O(buckets × [[TopKSummaryK]]),
+    * NOT the O(distinct values) keyed state: buckets partition the
+    * value space, so for k ≤ K every global top-k value sits in its own
+    * bucket's top-K and the global answer is the top-k of the candidate
+    * union (ties broken on the value rendering in both layers, so the
+    * per-bucket cut and the global cut agree). A k above the recorded
+    * candidate depth falls back to the keyed rows — honest, and stated
+    * here rather than silently wrong.
+    */
   def topValuesView(spark: SparkSession, stateDir: String, column: String,
                     k: Int): DataFrame = {
+    val empty = spark.range(0).select(lit("").as("c"),
+      lit(null).cast("string").as("v"), lit(0L).as("n"))
     val state =
-      if (!BucketStore.hasRows(spark, stateDir))
-        spark.range(0).select(lit("").as("c"),
-          lit(null).cast("string").as("v"), lit(0L).as("n"))
+      if (!BucketStore.hasRows(spark, stateDir)) empty
+      else if (k <= TopKSummaryK)
+        spark.read.parquet(stateDir).filter(col("part") === "k")
+          .select(col("c"), col("v"), col("n"))
       else
         spark.read.parquet(stateDir).filter(col("part") === "s")
           .select(col("c"), col("v"), col("n"))

@@ -1,0 +1,272 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Range-bucketed profile state (CdcProfileRanged.scala): the exact
+  * quantile/histogram panel answered from per-bucket summaries plus
+  * ONLY the touched buckets' keyed rows.
+  *
+  * The load-bearing pin here is the READ PATH, not just the answers:
+  * after corrupting every NON-target bucket's keyed rows (summaries
+  * intact), the ranged views still answer correctly — while the
+  * O(distinct values) full-state read visibly breaks on the same
+  * corruption — proving the view never opens keyed rows outside its
+  * computed target set.
+  */
+class CdcProfileRangedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("amt", DoubleType),
+    StructField("cnt", LongType)))
+  private val spec = CdcProfile.ProfileSpec("m", schema, Seq("amt", "cnt"))
+  private val qs = Seq(0.25, 0.5, 0.75)
+
+  private def f(k: Long, amt: java.lang.Double, cnt: java.lang.Long) = {
+    val a = if (amt == null) "null" else amt.toString
+    val c = if (cnt == null) "null" else cnt.toString
+    s"""{"k":$k,"amt":$a,"cnt":$c}"""
+  }
+
+  /** 40 inserts spreading amt over [1, 40] (cnt = k % 7), then: every
+    * 5th row DELETED (true before images — the retraction must move
+    * ranks), every 11th row's amt NULLED by an update, and a burst of
+    * duplicate amt=17 rows (weights matter). Deletes remove mass from
+    * LOW buckets so the median crosses a bucket boundary vs the
+    * insert-only view.
+    */
+  private def changes: Seq[KeyedChangeRow] = {
+    var seq = 0L
+    def next() = { seq += 1; seq }
+    val ins = (1 to 40).map { k =>
+      KeyedChangeRow("m", "insert", f(k, k.toDouble, k % 7), null, "s",
+        next())
+    }
+    val dups = (1 to 6).map { i =>
+      KeyedChangeRow("m", "insert", f(100 + i, 17.0, 3), null, "s", next())
+    }
+    val dels = (1 to 40).filter(_ % 5 == 0).map { k =>
+      KeyedChangeRow("m", "delete", null, f(k, k.toDouble, k % 7), "s",
+        next())
+    }
+    val nulls = (1 to 40).filter(k => k % 11 == 0 && k % 5 != 0).map { k =>
+      KeyedChangeRow("m", "update", f(k, null, k % 7),
+        f(k, k.toDouble, k % 7), "s", next())
+    }
+    ins ++ dups ++ dels ++ nulls
+  }
+
+  /** Build a ranged state from the fixture in two seq-halves (the
+    * per-key-nondecreasing order the gates assume).
+    */
+  private def buildState(dir: String): Unit = {
+    val all = changes
+    val mid = all.map(_.seq).max / 2
+    CdcProfileRanged.applyBatch(
+      all.filter(_.seq <= mid).toDF(), dir, spec, numBuckets = 8)
+    CdcProfileRanged.applyBatch(all.filter(_.seq > mid).toDF(), dir, spec)
+  }
+
+  private def keyedState(dir: String): DataFrame =
+    spark.read.parquet(dir).filter(col("part") === "s")
+      .select(col("c"), col("v"), col("n"))
+
+  private def quantRows(df: DataFrame): Seq[(String, Double, Double, Double)] =
+    df.collect().map(r => (r.getString(0), r.getDouble(r.fieldIndex("q25")),
+      r.getDouble(r.fieldIndex("q50")), r.getDouble(r.fieldIndex("q75"))))
+      .toSeq
+
+  test("ranged quantile view equals the O(distinct) twin under " +
+      "retraction and duplicate weights") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cdcprofr_q_").toString + "/state"
+    buildState(dir)
+    val got = quantRows(
+      CdcProfileRanged.quantileView(spark, dir, spec, qs))
+    val want = quantRows(
+      CdcProfile.quantilesOf(keyedState(dir), spec, qs)
+        .orderBy("col_name"))
+    assert(got == want, s"got $got want $want")
+    // sanity vs first principles on amt: live multiset is
+    // {1..40} minus multiples of 5, minus %11 non-%5 (nulled), plus
+    // six extra 17.0 — computed directly here
+    val live = ((1 to 40).filterNot(_ % 5 == 0)
+      .filterNot(k => k % 11 == 0 && k % 5 != 0).map(_.toDouble)
+      ++ Seq.fill(6)(17.0)).sorted
+    def q(p: Double) = live(math.ceil(p * live.size).toInt - 1)
+    val amt = got.find(_._1 == "amt").get
+    assert((amt._2, amt._3, amt._4) == ((q(0.25), q(0.5), q(0.75))),
+      s"amt quantiles $amt vs direct ${(q(0.25), q(0.5), q(0.75))}")
+  }
+
+  test("profile view: counts/NDV/min-max/quantiles match the maintain " +
+      "twin end to end") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cdcprofr_p_").toString + "/state"
+    buildState(dir)
+    val got = CdcProfileRanged.profileView(spark, dir, spec, qs)
+      .collect().map(_.toSeq).toSeq
+    val want = CdcProfile.maintain(changes.toDF(), 2, spec,
+        minMax = true, quantiles = qs)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("ranged histogram view equals the O(distinct) twin, straddlers " +
+      "and contained buckets both accounted") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cdcprofr_h_").toString + "/state"
+    buildState(dir)
+    val got = CdcProfileRanged.histogramView(spark, dir, spec, bins = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val want = CdcProfile.histogramOf(keyedState(dir), spec, bins = 5)
+      .orderBy("col_name", "bin")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got.nonEmpty && got == want, s"got $got want $want")
+  }
+
+  test("read-path pin: corrupting every non-target bucket's keyed rows " +
+      "changes nothing in the ranged views — and breaks the full read") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cdcprofr_pin_").toString + "/state"
+    buildState(dir)
+    val meta = CdcProfileRanged.readRanges(spark, dir).get
+    val targets = CdcProfileRanged.quantileTargets(spark, dir, spec, qs)
+    // each quantile resolves to exactly one bucket per column
+    targets.foreach { case (cn, ts) =>
+      assert(ts.size == qs.size, s"$cn targets: $ts")
+    }
+    val targetIds = targets.values.flatten.map(_._2).toSet
+    val wantQ = quantRows(
+      CdcProfileRanged.quantileView(spark, dir, spec, qs))
+    val wantH = CdcProfileRanged.histogramView(spark, dir, spec, 5)
+      .collect().map(_.toSeq).toSeq
+    val fullBefore = quantRows(CdcProfile
+      .quantilesOf(keyedState(dir), spec, qs).orderBy("col_name"))
+    // corrupt the keyed rows of every live bucket OUTSIDE the quantile
+    // target set (per-bucket summaries kept byte-identical): histogram
+    // straddlers may legitimately read more buckets than the quantile
+    // targets, so the histogram is re-checked only on the quantile
+    // assertion's buckets' complement that ISN'T straddling either —
+    // quantiles are the O(one bucket) claim under test here
+    val allLive = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.getName.stripPrefix("bucket=").toInt).toSet
+    val corrupt = allLive -- targetIds -- meta.allNullIds
+    assert(corrupt.nonEmpty, s"fixture too small: live=$allLive " +
+      s"targets=$targetIds")
+    corrupt.foreach { b =>
+      val p = s"$dir/bucket=$b"
+      // perturb through each column's declared type so the rendering
+      // stays castable — the control read must fail by VALUE, not by a
+      // cast error
+      val perturbed = spec.cols.map { cn =>
+        val dt = spec.schema(cn).dataType
+        when(col("c") === cn,
+          ((col("v").cast(dt) cast "double") * 1000 + 1)
+            .cast(dt).cast("string"))
+      }.reduce(_ otherwise _)
+      val rows = spark.read.parquet(p)
+        .withColumn("v", when(col("part") === "s" && col("v").isNotNull,
+          perturbed).otherwise(col("v")))
+        .withColumn("n", when(col("part") === "s", col("n") * 7)
+          .otherwise(col("n")))
+        .collect()
+      val schema0 = spark.read.parquet(p).schema
+      val tmp = s"$dir/.tmp_corrupt_$b"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq), schema0)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = BucketStore.fs(spark, dir)
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(p)))
+    }
+    // the ranged quantiles never open the corrupted buckets' keyed rows
+    val gotQ = quantRows(
+      CdcProfileRanged.quantileView(spark, dir, spec, qs))
+    assert(gotQ == wantQ, s"ranged read touched non-target buckets: " +
+      s"$gotQ vs $wantQ")
+    // ...while the O(distinct values) full-state read visibly breaks —
+    // the corruption WOULD have been seen had those rows been read
+    val fullAfter = quantRows(CdcProfile
+      .quantilesOf(keyedState(dir), spec, qs).orderBy("col_name"))
+    assert(fullAfter != fullBefore,
+      "perturbation was not observable — the pin proves nothing")
+  }
+
+  test("redelivered batch is a no-op (per-key seq gates on the ranged " +
+      "layout)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cdcprofr_replay_").toString + "/state"
+    buildState(dir)
+    val before = CdcProfileRanged.profileView(spark, dir, spec, qs)
+      .collect().map(_.toSeq).toSeq
+    val all = changes
+    val mid = all.map(_.seq).max / 2
+    CdcProfileRanged.applyBatch(all.filter(_.seq > mid).toDF(), dir, spec)
+    val after = CdcProfileRanged.profileView(spark, dir, spec, qs)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before)
+  }
+
+  test("range split moves only the split bucket, preserves every view, " +
+      "and records the new boundary") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cdcprofr_split_").toString + "/state"
+    buildState(dir)
+    val meta0 = CdcProfileRanged.readRanges(spark, dir).get
+    val wantP = CdcProfileRanged.profileView(spark, dir, spec, qs)
+      .collect().map(_.toSeq).toSeq
+    val wantH = CdcProfileRanged.histogramView(spark, dir, spec, 5)
+      .collect().map(_.toSeq).toSeq
+    // split a live multi-value range bucket of amt: the busiest target
+    val victim = CdcProfileRanged.quantileTargets(spark, dir, spec,
+      Seq(0.5))("amt").head._2
+    CdcProfileRanged.splitBucket(spark, dir, victim, spec)
+    val meta1 = CdcProfileRanged.readRanges(spark, dir).get
+    assert(meta1.nextId == meta0.nextId + 1)
+    val amt1 = meta1.col("amt")
+    assert(amt1.orderedIds.size == meta0.col("amt").orderedIds.size + 1)
+    assert(amt1.orderedIds.contains(meta0.nextId))
+    // no crash leftovers; recover is a no-op
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!names.exists(n => n.startsWith(".split") ||
+      n.endsWith(".next")), names.mkString(","))
+    BucketStore.recover(spark, dir)
+    val gotP = CdcProfileRanged.profileView(spark, dir, spec, qs)
+      .collect().map(_.toSeq).toSeq
+    val gotH = CdcProfileRanged.histogramView(spark, dir, spec, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(gotP == wantP && gotH == wantH)
+  }
+
+  test("null and single-value buckets refuse to split; auto-split " +
+      "skips them") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cdcprofr_refuse_").toString + "/state"
+    buildState(dir)
+    val meta = CdcProfileRanged.readRanges(spark, dir).get
+    val nullId = meta.col("amt").nullId
+    val e = intercept[IllegalArgumentException] {
+      CdcProfileRanged.splitBucket(spark, dir, nullId, spec)
+    }
+    assert(e.getMessage.contains("null bucket"))
+    // auto-split under a force-everything advisory still only splits
+    // splittable buckets
+    val t = CdcProfileRanged.autoSplitOne(spark, dir, spec,
+      CdcPipeline.AutoSplit(factor = 1.0000001, minBytes = 1L))
+    t.foreach(tag => assert(!meta.allNullIds.contains(tag)))
+    val after = CdcProfileRanged.profileView(spark, dir, spec, qs)
+      .collect().map(_.toSeq).toSeq
+    val twin = CdcProfile.maintain(changes.toDF(), 2, spec,
+        minMax = true, quantiles = qs)
+      .collect().map(_.toSeq).toSeq
+    assert(after == twin)
+  }
+}

@@ -163,6 +163,48 @@ class CdcProfileSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("top-k view reads the per-bucket candidate rows, not the keyed " +
+      "state") {
+    // build a state, then corrupt EVERY bucket's part-'s' keyed rows
+    // (candidate part-'k' rows kept intact): the k ≤ K view must not
+    // notice, while the full-state read visibly breaks — proving the
+    // view's O(buckets × K) claim is a read path, not just a plan
+    val dir = java.nio.file.Files.createTempDirectory("cdcproftopk_")
+      .toString + "/state"
+    CdcProfile.applyBatch(changes.toDF(), dir, spec, numBuckets = 8)
+    val want = CdcProfile.topValuesView(spark, dir, "cat", 3)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(want == Seq(("a", 2L), ("b", 1L)))
+    val fs = BucketStore.fs(spark, dir)
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .foreach { b =>
+        val p = b.getPath
+        val rows = spark.read.parquet(p)
+          .withColumn("v", when(col("part") === "s" && col("v").isNotNull,
+            concat(lit("zz_"), col("v"))).otherwise(col("v")))
+          .collect()
+        val schema0 = spark.read.parquet(p).schema
+        val tmp = s"$dir/.tmp_corrupt_${b.getName}"
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq), schema0)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
+        assert(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(p)))
+      }
+    val got = CdcProfile.topValuesView(spark, dir, "cat", 3)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(got == want, s"candidate read touched keyed rows: $got")
+    // control: a k past the candidate depth falls back to the keyed
+    // rows and sees the corruption
+    val full = CdcProfile.topValuesView(spark, dir, "cat",
+        CdcProfile.TopKSummaryK + 1)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(full != want,
+      "perturbation was not observable — the pin proves nothing")
+  }
+
   test("histogram under retraction: the deleted 9.0 cannot stretch the " +
       "bin edges") {
     implicit val ctx = spark.sqlContext

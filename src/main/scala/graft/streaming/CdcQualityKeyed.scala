@@ -324,14 +324,45 @@ object CdcQualityKeyed {
     * atomic per bucket and healed on entry, and the seq gate makes the
     * replay of an interrupted batch re-apply exactly the buckets that
     * missed their swap.
+    *
+    * Round shape (the r13 item-7 shave, the doc-store precedent): ONE
+    * probe job collects both sides' touched buckets, and each side is
+    * ONE per-key aggregation + ONE full-outer merge + ONE staged write.
+    * The former per-EVENT gate join is folded into the merge as a
+    * per-KEY gate: under the stream contract (per key — and per stream
+    * on the referential side — seqs strictly increase across
+    * micro-batches, a redelivery replays the batch verbatim) a key's
+    * batch events are all-fresh or all-stale, so gating on the
+    * aggregated max seq is exactly the event-level filter without its
+    * extra event-sized shuffle.
     */
   def applyBatch(batch: DataFrame, stateDir: String, spec: KeyedSpec,
                  numBuckets: Int = DefaultStateBuckets): Unit = {
-    // decode the micro-batch once; both keyed applies share the cache
-    val delta = weightedDeltas(batch, spec).persist()
+    val spark = batch.sparkSession
+    BucketStore.recover(spark, uDir(stateDir))
+    BucketStore.recover(spark, rDir(stateDir))
+    val (uB, uL) = BucketStore.readMeta(spark, uDir(stateDir))
+      .getOrElse((numBuckets, Map.empty[Int, Int]))
+    val (rB, rL) = BucketStore.readMeta(spark, rDir(stateDir))
+      .getOrElse((numBuckets, Map.empty[Int, Int]))
+    // decode the micro-batch once; the probe and both merges share it
+    val delta = weightedDeltas(batch, spec)
+      .withColumn("bu", when(col("tab") === "f",
+        BucketStore.bucketTag(xxhash64(col("ku")), uB, uL)))
+      .withColumn("br", BucketStore.bucketTag(xxhash64(col("kr")), rB, rL))
+      .persist()
     try {
-      applyUnique(delta, uDir(stateDir), spec, numBuckets)
-      applyRef(delta, rDir(stateDir), spec, numBuckets)
+      // one probe job for BOTH sides' touched bucket sets (each ≤
+      // numBuckets values — the bucket-id-list stance)
+      val probe = delta.agg(
+        collect_set(col("bu")).as("us"), collect_set(col("br")).as("rs"))
+        .head()
+      val touchedU = probe.getSeq[Int](0).sorted.toArray
+      val touchedR = probe.getSeq[Int](1).sorted.toArray
+      if (touchedU.nonEmpty)
+        applyUnique(delta, uDir(stateDir), spec, uB, touchedU)
+      if (touchedR.nonEmpty)
+        applyRef(delta, rDir(stateDir), rB, touchedR)
     } finally { delta.unpersist(); () }
   }
 
@@ -341,19 +372,12 @@ object CdcQualityKeyed {
     * because fact events hash here exactly once).
     */
   private def applyUnique(delta: DataFrame, dir: String, spec: KeyedSpec,
-                          numBuckets: Int): Unit = {
+                          effB: Int, touched: Array[Int]): Unit = {
     val spark = delta.sparkSession
-    BucketStore.recover(spark, dir)
-    val (effB, levels) = BucketStore.readMeta(spark, dir)
-      .getOrElse((numBuckets, Map.empty[Int, Int]))
     val iCols = spec.rowChecks.indices.map(i => s"i$i")
     val ev = delta.filter(col("tab") === "f")
-      .select((Seq(col("ku"), col("seq"), col("w")) ++ iCols.map(col)): _*)
-      .withColumn("bucket",
-        BucketStore.bucketTag(xxhash64(col("ku")), effB, levels))
-    val touched = ev.select("bucket").distinct()
-      .collect().map(_.getInt(0)).sorted            // ≤ numBuckets values
-    if (touched.isEmpty) return
+      .select((Seq(col("bu").as("bucket"), col("ku"), col("seq"),
+        col("w")) ++ iCols.map(col)): _*)
     val kuT = ev.schema("ku").dataType
     val prior =
       if (BucketStore.hasRows(spark, dir))
@@ -368,48 +392,48 @@ object CdcQualityKeyed {
       .select(col("bucket"), col("ku"), col("n"), col("last_seq"))
     val priorT = prior.filter(col("part") === "t")
       .select(col("bucket"), col("tot"))
-    // per-key seq gate: a replayed event is at or below its key's
-    // stored last-applied seq and contributes nothing
-    val fresh = ev.as("e")
-      .join(priorS.select(col("ku").as("gku"), col("last_seq")),
-        col("e.ku") <=> col("gku"), "left")
-      .filter(col("seq") > coalesce(col("last_seq"), lit(Long.MinValue)))
-      .select((Seq(col("e.bucket").as("bucket"), col("e.ku").as("ku"),
-        col("seq"), col("w")) ++ iCols.map(c => col(s"e.$c").as(c))): _*)
-    val dU = fresh.groupBy("bucket", "ku")
-      .agg(sum(col("w")).as("du"), max(col("seq")).as("mseq"))
-    val newS = priorS.as("p").join(dU.as("d"),
+    // ONE per-key aggregation of the raw events, gated per key in the
+    // merge below
+    val dUAggs = Seq(sum(col("w")).as("du"), max(col("seq")).as("mseq")) ++
+      iCols.map(c => sum(col(c)).as(s"d$c"))
+    val dU = ev.groupBy("bucket", "ku").agg(dUAggs.head, dUAggs.tail: _*)
+    // ONE full-outer merge: the per-key seq gate decides whether the
+    // key's aggregated batch delta lands (all-or-nothing per the
+    // stream contract); greatest() keeps the stale side's gate intact
+    val freshKey = col("d.mseq") >
+      coalesce(col("p.last_seq"), lit(Long.MinValue))
+    val merged = priorS.as("p").join(dU.as("d"),
         col("p.ku") <=> col("d.ku"), "full_outer")
-      .select(coalesce(col("p.bucket"), col("d.bucket")).as("bucket"),
+      .select((Seq(
+        coalesce(col("p.bucket"), col("d.bucket")).as("bucket"),
         coalesce(col("p.ku"), col("d.ku")).as("ku"),
-        (coalesce(col("p.n"), lit(0L)) + coalesce(col("d.du"), lit(0L)))
-          .as("n"),
-        greatest(col("p.last_seq"), col("d.mseq")).as("last_seq"))
-    val uvB = newS.groupBy("bucket")
-      .agg(sum(uContrib(col("n"))).as("uv"))
+        (coalesce(col("p.n"), lit(0L)) +
+          when(freshKey, col("d.du")).otherwise(0L)).as("n"),
+        greatest(col("p.last_seq"), col("d.mseq")).as("last_seq")) ++
+        iCols.map(c => when(freshKey, col(s"d.d$c")).otherwise(0L)
+          .as(s"g$c"))): _*)
     val zeros =
       if (iCols.isEmpty) lit(Array.empty[Long])
       else array(iCols.map(_ => lit(0L)): _*)
-    val dTot =
-      if (iCols.isEmpty)
-        fresh.groupBy("bucket").agg(count(lit(1)).as("cnt"))
-          .select(col("bucket"), lit(Array.empty[Long]).as("dtot"))
-      else fresh.groupBy("bucket")
-        .agg(array(iCols.map(c => coalesce(sum(col(c)), lit(0L))): _*)
-          .as("dtot"))
-    val newT = priorT.as("pt").join(dTot.as("dt"), Seq("bucket"),
+    // one bucket-level aggregation carries BOTH summaries: the
+    // uniqueness subtotal (a state function of the merged counts) and
+    // the batch's gated row-local check deltas
+    val dSum = merged.groupBy("bucket").agg(
+      sum(uContrib(col("n"))).as("uv"),
+      (if (iCols.isEmpty) lit(Array.empty[Long])
+       else array(iCols.map(c => coalesce(sum(col(s"g$c")), lit(0L))): _*))
+        .as("dtot"))
+    val newT = priorT.as("pt").join(dSum.as("dt"), Seq("bucket"),
         "full_outer")
-      .select(col("bucket"),
+      .select(col("bucket"), coalesce(col("uv"), lit(0L)).as("uv"),
         zip_with(coalesce(col("pt.tot"), zeros),
           coalesce(col("dt.dtot"), zeros), (a, b) => a + b).as("tot"))
-      .join(uvB, Seq("bucket"), "left")
-    val out = newS.select(lit("s").as("part"), col("bucket"), col("ku"),
+    val out = merged.select(lit("s").as("part"), col("bucket"), col("ku"),
         col("n"), col("last_seq"), lit(null).cast("bigint").as("uv"),
         lit(null).cast("array<bigint>").as("tot"))
       .unionByName(newT.select(lit("t").as("part"), col("bucket"),
         lit(null).cast(kuT).as("ku"), lit(null).cast("bigint").as("n"),
-        lit(null).cast("bigint").as("last_seq"),
-        coalesce(col("uv"), lit(0L)).as("uv"), col("tot")))
+        lit(null).cast("bigint").as("last_seq"), col("uv"), col("tot")))
     BucketStore.writeAndSwap(spark, out, dir, touched, effB, Seq("part"))
   }
 
@@ -418,18 +442,11 @@ object CdcQualityKeyed {
     * and one shared gate could wrongly drop a slower stream's genuinely
     * new events. Per-bucket summary = Σ fn·[dn = 0].
     */
-  private def applyRef(delta: DataFrame, dir: String, spec: KeyedSpec,
-                       numBuckets: Int): Unit = {
+  private def applyRef(delta: DataFrame, dir: String,
+                       effB: Int, touched: Array[Int]): Unit = {
     val spark = delta.sparkSession
-    BucketStore.recover(spark, dir)
-    val (effB, levels) = BucketStore.readMeta(spark, dir)
-      .getOrElse((numBuckets, Map.empty[Int, Int]))
-    val ev = delta.select(col("tab"), col("kr"), col("seq"), col("w"))
-      .withColumn("bucket",
-        BucketStore.bucketTag(xxhash64(col("kr")), effB, levels))
-    val touched = ev.select("bucket").distinct()
-      .collect().map(_.getInt(0)).sorted
-    if (touched.isEmpty) return
+    val ev = delta.select(col("br").as("bucket"), col("kr"), col("tab"),
+      col("seq"), col("w"))
     val krT = ev.schema("kr").dataType
     val prior =
       if (BucketStore.hasRows(spark, dir))
@@ -443,27 +460,22 @@ object CdcQualityKeyed {
     val priorS = prior.filter(col("part") === "s")
       .select(col("bucket"), col("kr"), col("fn"), col("dn"),
         col("seq_f"), col("seq_d"))
-    val fresh = ev.as("e")
-      .join(priorS.select(col("kr").as("gkr"), col("seq_f"), col("seq_d")),
-        col("e.kr") <=> col("gkr"), "left")
-      .filter(col("seq") > coalesce(
-        when(col("tab") === "f", col("seq_f")).otherwise(col("seq_d")),
-        lit(Long.MinValue)))
-      .select(col("e.bucket").as("bucket"), col("e.kr").as("kr"),
-        col("tab"), col("seq"), col("w"))
-    val dR = fresh.groupBy("bucket", "kr").agg(
+    // ONE per-key aggregation, per-(key, stream) gates in the merge
+    val dR = ev.groupBy("bucket", "kr").agg(
       sum(when(col("tab") === "f", col("w")).otherwise(0L)).as("dfn"),
       sum(when(col("tab") === "d", col("w")).otherwise(0L)).as("ddn"),
       max(when(col("tab") === "f", col("seq"))).as("msf"),
       max(when(col("tab") === "d", col("seq"))).as("msd"))
+    val freshF = col("d.msf") > coalesce(col("p.seq_f"), lit(Long.MinValue))
+    val freshD = col("d.msd") > coalesce(col("p.seq_d"), lit(Long.MinValue))
     val newS = priorS.as("p").join(dR.as("d"),
         col("p.kr") <=> col("d.kr"), "full_outer")
       .select(coalesce(col("p.bucket"), col("d.bucket")).as("bucket"),
         coalesce(col("p.kr"), col("d.kr")).as("kr"),
-        (coalesce(col("p.fn"), lit(0L)) + coalesce(col("d.dfn"), lit(0L)))
-          .as("fn"),
-        (coalesce(col("p.dn"), lit(0L)) + coalesce(col("d.ddn"), lit(0L)))
-          .as("dn"),
+        (coalesce(col("p.fn"), lit(0L)) +
+          when(freshF, col("d.dfn")).otherwise(0L)).as("fn"),
+        (coalesce(col("p.dn"), lit(0L)) +
+          when(freshD, col("d.ddn")).otherwise(0L)).as("dn"),
         greatest(col("p.seq_f"), col("d.msf")).as("seq_f"),
         greatest(col("p.seq_d"), col("d.msd")).as("seq_d"))
     val rvB = newS.groupBy("bucket")

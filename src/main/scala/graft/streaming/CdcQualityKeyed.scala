@@ -710,4 +710,32 @@ object CdcQualityKeyed {
         (col("violations") === 0L).as("passed"))
       .orderBy("check_name")
   }
+
+  /** The keys currently violating the declared uniqueness (live count
+    * > 1) — the drill-down behind the `uniqueName` subtotal, read
+    * HOT-BUCKET-ONLY: the O(buckets) summaries name the buckets whose
+    * uniqueness subtotal is non-zero, and only those buckets' keyed
+    * rows are scanned (answer-bearing buckets, never the clean ones).
+    * Consumer contract: reconciliation's repair planner
+    * ([[graft.ops.Reconcile.repairPlanWithQuarantine]]) — a key the
+    * sink holds twice has no well-defined upsert until the duplicate
+    * is resolved, so repair quarantines it instead of guessing. A
+    * never-written monitor reports no keys (column `ku` typed long).
+    */
+  def violatingKeys(spark: SparkSession, stateDir: String): DataFrame = {
+    val dir = uDir(stateDir)
+    BucketStore.recover(spark, dir)
+    if (!BucketStore.hasRows(spark, dir))
+      return spark.range(0).select(col("id").as("ku"))
+    val hot = spark.read.parquet(dir)
+      .filter(col("part") === "t" && col("uv") > 0L)
+      .select("bucket").collect().map(_.getInt(0)).sorted
+    if (hot.isEmpty)
+      spark.read.parquet(dir).filter(col("part") === "s")
+        .select("ku").limit(0)
+    else
+      spark.read.parquet(hot.map(b => s"$dir/bucket=$b"): _*)
+        .filter(col("part") === "s" && col("n") > 1L)
+        .select("ku")
+  }
 }

@@ -274,4 +274,57 @@ class CdcQualityKeyedSpec extends SparkSpec {
     CdcQualityKeyed.applyBatch(batchA.toDF(), dir, spec, numBuckets = 8)
     assert(asReport(CdcQualityKeyed.view(spark, dir, spec)) == reportB)
   }
+
+  test("violatingKeys drills the pk_unique subtotal hot-bucket-only") {
+    // many keys spread across buckets; exactly keys 100 and 200 are
+    // duplicated. The drill must name them — and must not read clean
+    // buckets' keyed rows, pinned by corrupting every bucket whose
+    // summary holds no violations and asserting the answer (and the
+    // report) cannot tell.
+    val many = (1L to 64L).map(k => KeyedChangeRow("fact", "insert",
+        f(k, 1, 1.0), null, "s", k)) ++ Seq(
+      KeyedChangeRow("fact", "insert", f(100, 1, 1.0), null, "s", 100),
+      KeyedChangeRow("fact", "insert", f(100, 1, 2.0), null, "s", 101),
+      KeyedChangeRow("fact", "insert", f(200, 1, 1.0), null, "s", 200),
+      KeyedChangeRow("fact", "insert", f(200, 1, 2.0), null, "s", 201),
+      KeyedChangeRow("dim", "insert", d(1), null, "a", 1))
+    val dir = java.nio.file.Files.createTempDirectory("cdcqk_viol_")
+      .toString + "/state"
+    CdcQualityKeyed.applyBatch(many.toDF(), dir, spec, numBuckets = 8)
+    def viol() = CdcQualityKeyed.violatingKeys(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viol() == Seq(100L, 200L))
+    // hot buckets = the ones whose summary uv > 0; corrupt the REST
+    val uDir = s"$dir/u"
+    val hot = spark.read.parquet(uDir)
+      .filter(col("part") === "t" && col("uv") > 0L)
+      .select("bucket").collect().map(_.getInt(0)).toSet
+    val fs = BucketStore.fs(spark, uDir)
+    val clean = new java.io.File(uDir).listFiles()
+      .filter(fd => fd.isDirectory && fd.getName.startsWith("bucket="))
+      .map(_.getName.stripPrefix("bucket=").toInt).toSet -- hot
+    assert(clean.nonEmpty, s"fixture too small: hot=$hot")
+    clean.foreach { b =>
+      val p = s"$uDir/bucket=$b"
+      val rows = spark.read.parquet(p)
+        .withColumn("n", when(col("part") === "s", col("n") + 5)
+          .otherwise(col("n")))
+        .collect()
+      val schema0 = spark.read.parquet(p).schema
+      val tmp = s"$uDir/.tmp_corrupt_$b"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq), schema0)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(p)))
+    }
+    assert(viol() == Seq(100L, 200L),
+      "the drill read clean buckets' keyed rows")
+    // control: a full keyed read WOULD see the corruption
+    val full = spark.read.parquet(uDir)
+      .filter(col("part") === "s" && col("n") > 1L).count()
+    assert(full > 2L,
+      "perturbation was not observable — the pin proves nothing")
+  }
 }

@@ -776,4 +776,93 @@ class JdbcSyncSpec extends SparkSpec {
       """{"pk":999,"kind":"extra_in_dst"}"""), lines.mkString("\n"))
     assert(lines.last == """{"diff_rows":3,"printed":3}""")
   }
+
+  test("monitor verb: validation, gate pruning and summary compaction " +
+      "keep a long stream's state bounded") {
+    // flag validation — its own surface, loud refusals
+    assert(SyncCli.parse(Array("monitor")).isLeft)               // no dir
+    assert(SyncCli.parse(Array("monitor", "--state_dir", "d")).isLeft)
+    assert(SyncCli.parse(Array("monitor", "--state_dir", "d",
+      "--monitor_op", "bogus")).isLeft)
+    assert(SyncCli.parse(Array("monitor", "--state_dir", "d",
+      "--monitor_op", "prune-gates", "--kind", "reconcile")).isLeft)
+    assert(SyncCli.parse(Array("monitor", "--state_dir", "d",
+      "--monitor_op", "prune-gates", "--kind", "quality")).isLeft) // no wm
+    assert(SyncCli.parse(Array("monitor", "--state_dir", "d",
+      "--monitor_op", "compact", "--kind", "quality")).isLeft)
+    assert(SyncCli.parse(Array("monitor", "--state_dir", "d",
+      "--monitor_op", "compact", "--kind", "reconcile",
+      "--mysql_host", "h")).isLeft)                              // sync flag
+
+    import graft.streaming.{CdcQualityKeyed, KeyedChangeRow,
+      ReconcileIngest}
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    import spark.implicits._
+    def run(args: String*): Seq[String] = {
+      val Right(cfg) = SyncCli.parse(args.toArray): @unchecked
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        SyncCli.runMonitor(spark, cfg)
+      }
+      out.toString("UTF-8").linesIterator.toSeq
+    }
+
+    // prune-gates/quality: keys 1..8 inserted then deleted (pure gate
+    // tombstones), key 9 live — the CLI prune must drop the eight and
+    // keep the report identical
+    val fSchema = StructType(Seq(StructField("k", LongType),
+      StructField("fk", LongType)))
+    val dSchema = StructType(Seq(StructField("dk", LongType)))
+    val kSpec = CdcQualityKeyed.KeyedSpec(
+      "f", fSchema, rowChecks = Seq.empty,
+      uniqueName = "pk_unique", uniqueKey = p => p("k"),
+      refName = "fk_ref", refKey = p => p("fk"),
+      dimTable = "dd", dimSchema = dSchema, dimKey = p => p("dk"))
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft_cli_mon_q_").toString + "/state"
+    def fj(k: Long) = s"""{"k":$k,"fk":1}"""
+    val hist = (1L to 8L).flatMap(k => Seq(
+        KeyedChangeRow("f", "insert", fj(k), null, "s", k * 10),
+        KeyedChangeRow("f", "delete", null, fj(k), "s", k * 10 + 1))) ++ Seq(
+      KeyedChangeRow("f", "insert", fj(9), null, "s", 90),
+      KeyedChangeRow("dd", "insert", """{"dk":1}""", null, "d", 1))
+    CdcQualityKeyed.applyBatch(hist.toDF(), qDir, kSpec, numBuckets = 4)
+    val before = CdcQualityKeyed.view(spark, qDir, kSpec)
+      .collect().map(_.toSeq).toSeq
+    def uRows() = spark.read.parquet(s"$qDir/u")
+      .filter(col("part") === "s").count()
+    assert(uRows() == 9L)
+    val pruned = run("monitor", "--state_dir", qDir,
+      "--monitor_op", "prune-gates", "--kind", "quality",
+      "--seq_watermark", "1000")
+    assert(pruned.size == 1 && pruned.head.contains("\"files\":"),
+      pruned.mkString("\n"))
+    assert(uRows() == 1L)
+    assert(CdcQualityKeyed.view(spark, qDir, kSpec)
+      .collect().map(_.toSeq).toSeq == before)
+
+    // compact/reconcile: 12 per-batch partials fold to merged + newest
+    // with the maintained summary unchanged — the file count an
+    // endless stream would otherwise grow without bound
+    val rSpec = ReconcileIngest.SummarySpec("t", fSchema, "k",
+      Seq("k", "fk"), chunkWidth = 4L)
+    val rDir = java.nio.file.Files
+      .createTempDirectory("graft_cli_mon_r_").toString + "/state"
+    (0 until 12).foreach { b =>
+      val rows = Seq(KeyedChangeRow("t", "insert",
+        s"""{"k":${b * 4},"fk":$b}""", null, "s", b.toLong))
+      ReconcileIngest.applyBatch(rows.toDF(), rDir, rSpec, b.toLong)
+    }
+    def partials() = new java.io.File(rDir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    val sumBefore = ReconcileIngest.view(spark, rDir)
+      .orderBy("chunk").collect().map(_.toSeq).toSeq
+    assert(partials() == 12)
+    val comp = run("monitor", "--state_dir", rDir,
+      "--monitor_op", "compact", "--kind", "reconcile")
+    assert(comp.size == 1 && comp.head.contains("\"monitor_op\":\"compact\""))
+    assert(partials() <= 2, s"partials not bounded: ${partials()}")
+    assert(ReconcileIngest.view(spark, rDir)
+      .orderBy("chunk").collect().map(_.toSeq).toSeq == sumBefore)
+  }
 }

@@ -1878,6 +1878,56 @@ class StreamingSpec extends SparkSpec {
         stateDir + "_nope").count()
     }
   }
+
+  test("a crash between two tables' applies of one transaction heals " +
+      "on redelivery; the torn window is bounded by the batch") {
+    // admission is transaction-atomic on the wire
+    // (st_cdc_binlog_txn_atomic), but a multi-table transaction's
+    // changes land in per-table stateDirs in SEQUENCE — a crash
+    // between the two applies leaves a torn pair. This pins the
+    // documented contract (docs/SCALE.md): the tear is (a) bounded to
+    // the crashed batch and (b) fully healed by the stream's
+    // redelivery of that batch, because the first table's replay is a
+    // no-op (the latest-(ts, seq) collapse re-lands identical
+    // versions) while the second table's apply finally lands.
+    import spark.implicits._
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // one transaction: inserts to A and B, plus an update pair that
+    // must not be observable half-applied after the heal
+    val txn = Seq(
+      ChangeEvent("insert", "ta", 1L, t(1), 10L, """{"v":"a1"}"""),
+      ChangeEvent("insert", "ta", 2L, t(1), 11L, """{"v":"a2"}"""),
+      ChangeEvent("insert", "tb", 1L, t(1), 12L, """{"v":"b1"}"""),
+      ChangeEvent("update", "tb", 1L, t(1), 13L, """{"v":"b1x"}"""))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_txn_pair_").toString
+    def applyTable(tbl: String, dir: String): Unit =
+      CdcPipeline.applyBatch(spark, txn.filter(_.table == tbl).toDF(),
+        dir, numBuckets = 4)
+    def live(dir: String): Seq[(Long, String)] =
+      CdcPipeline.currentState(spark, dir)
+        .select("key", "payload").orderBy("key")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // clean run: both tables applied
+    applyTable("ta", s"$base/ref_a"); applyTable("tb", s"$base/ref_b")
+    // torn run: the crash hits after ta's apply, before tb's
+    applyTable("ta", s"$base/a")
+    // the torn window IS observable (honest contract, not hidden):
+    // ta has the transaction, tb has nothing yet
+    assert(live(s"$base/a") == live(s"$base/ref_a"))
+    assert(!BucketStore.hasRows(spark, s"$base/b"))
+    // redelivery replays the WHOLE batch: ta's re-apply converges to
+    // the identical state (latest-version collapse), tb's apply lands
+    applyTable("ta", s"$base/a"); applyTable("tb", s"$base/b")
+    assert(live(s"$base/a") == live(s"$base/ref_a"))
+    assert(live(s"$base/b") == live(s"$base/ref_b"))
+    // and a SECOND redelivery (crash after the heal, before the
+    // checkpoint commit) changes nothing on either side
+    applyTable("ta", s"$base/a"); applyTable("tb", s"$base/b")
+    assert(live(s"$base/a") == live(s"$base/ref_a"))
+    assert(live(s"$base/b") == live(s"$base/ref_b"))
+  }
+
 }
 
 /** Test-only row for the KS drift ingest (MemoryStream needs a product

@@ -278,19 +278,22 @@ object CdcProfileRanged {
 
   // ---- views ----
 
-  /** Per-column collected range-bucket live counts, in VALUE order:
-    * (orderedIds, rows-per-bucket). Driver-side and O(buckets) by
-    * design — the bucket-id-list stance.
+  /** ALL columns' collected range-bucket summaries in ONE job:
+    * (column, bucket) → (rows, mn, mx). Driver-side and
+    * O(buckets × columns) by design — the bucket-id-list stance; one
+    * collect instead of one per column (the view is fixed-cost-bound
+    * at small SF, and the summaries are one frame anyway).
     */
-  private def liveCounts(spark: SparkSession, stateDir: String,
-                         meta: RangesMeta, cn: String): Map[Int, Long] = {
+  private def collectSummaries(spark: SparkSession, stateDir: String,
+                               spec: ProfileSpec)
+      : Map[(String, Int), (Long, String, String)] = {
     if (!BucketStore.hasRows(spark, stateDir)) return Map.empty
-    val ids = meta.col(cn).orderedIds
     spark.read.parquet(stateDir)
-      .filter(col("part") === "t" && col("c") === cn &&
-        col("bucket").isin(ids.map(Integer.valueOf): _*))
-      .select(col("bucket"), col("rows"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .filter(col("part") === "t" &&
+        col("c").isin(spec.cols.map(c => c: Any): _*))
+      .select(col("c"), col("bucket"), col("rows"), col("mn"), col("mx"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getString(3), r.getString(4)))).toMap
   }
 
   /** Where each requested quantile's answer lives: per column, the
@@ -304,10 +307,10 @@ object CdcProfileRanged {
       : Map[String, Seq[(Double, Int, Long)]] = {
     val meta = readRanges(spark, stateDir).getOrElse(
       return spec.cols.map(_ -> Seq.empty[(Double, Int, Long)]).toMap)
+    val sums = collectSummaries(spark, stateDir, spec)
     spec.cols.map { cn =>
-      val counts = liveCounts(spark, stateDir, meta, cn)
       val ordered = meta.col(cn).orderedIds.map(id =>
-        id -> counts.getOrElse(id, 0L))
+        id -> sums.get((cn, id)).map(_._1).getOrElse(0L))
       val tot = ordered.map(_._2).sum
       val targets =
         if (tot == 0L) Seq.empty[(Double, Int, Long)]
@@ -416,19 +419,18 @@ object CdcProfileRanged {
     if (metaOpt.isEmpty || !BucketStore.hasRows(spark, stateDir))
       return empty
     val meta = metaOpt.get
+    val allSums = collectSummaries(spark, stateDir, spec)
     val parts = spec.cols.flatMap { cn =>
       val dt = spec.schema(cn).dataType
-      val ids = meta.col(cn).orderedIds
-      // (bucket, rows, mn, mx) for the column's live range buckets
-      val sums = spark.read.parquet(stateDir)
-        .filter(col("part") === "t" && col("c") === cn &&
-          col("bucket").isin(ids.map(Integer.valueOf): _*) &&
-          col("rows") > 0L && col("mn").isNotNull)
-        .select(col("bucket"), col("rows"), col("mn").cast(dt)
-          .cast("double").as("bmn"), col("mx").cast(dt).cast("double")
-          .as("bmx"))
-        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
-          r.getDouble(3)))
+      // (bucket, rows, mn, mx) for the column's live range buckets —
+      // mn/mx strings parse to the same nearest-double the Spark cast
+      // chain produces for every numeric type
+      val sums = meta.col(cn).orderedIds.flatMap { id =>
+        allSums.get((cn, id)).collect {
+          case (rows, mn, mx) if rows > 0L && mn != null =>
+            (id, rows, mn.toDouble, mx.toDouble)
+        }
+      }
       if (sums.isEmpty) Nil
       else {
         val mn = sums.map(_._3).min

@@ -333,7 +333,8 @@ private[streaming] object BucketStore {
     * any repartitioning DDL.
     */
   def publishRebucket(spark: SparkSession, rows: DataFrame,
-                      stateDir: String, newBuckets: Int): Unit = {
+                      stateDir: String, newBuckets: Int,
+                      stageExtras: Option[String => Unit] = None): Unit = {
     import org.apache.hadoop.fs.Path
     val f = fs(spark, stateDir)
     val staging = stateDir + "__rebucket"
@@ -341,6 +342,9 @@ private[streaming] object BucketStore {
     rows.write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(staging)
     writeBucketCount(spark, staging, newBuckets)
+    // layout-specific sidecars (e.g. a RANGE layout's boundary meta)
+    // land INSIDE the staging dir and ride the same atomic dir swap
+    stageExtras.foreach(_(staging))
     val live = new Path(stateDir)
     val old = new Path(stateDir + "__old")
     f.delete(old, true)

@@ -560,6 +560,73 @@ object CdcProfileRanged {
     BucketStore.finishSplit(f, stateDir, marker.getName)
   }
 
+  /** Whole-state boundary REDISTRIBUTION — the [[CdcProfile.rebucket]]
+    * lifecycle analog for the range layout (single-writer DDL, the
+    * same quiesce discipline): fresh per-column boundaries are cut at
+    * the exact weighted quantiles of the LIVE values (the netted state
+    * IS the value histogram — no sample needed), every row re-tags,
+    * summaries recompute, and the new contract rides the SAME atomic
+    * whole-dir swap as the rows (the ranges meta is staged inside the
+    * `__rebucket` sibling, so a crash leaves either the old state with
+    * its old boundaries or the new with its new — never a mix; healed
+    * by [[BucketStore.recover]]). Splits cover incremental growth;
+    * this covers drift — a distribution that wandered away from the
+    * seeded cuts until most mass sat in few buckets.
+    *
+    * The cut computation reads O(distinct values) per column — a
+    * DDL-class cost (like rebucket's full rewrite), not a view cost.
+    */
+  def reseed(spark: SparkSession, stateDir: String, spec: ProfileSpec,
+             numBuckets: Int = DefaultRangeBuckets): Unit = {
+    requireNumeric(spec, "a ranged profile reseed")
+    require(numBuckets >= 1, s"numBuckets must be positive: $numBuckets")
+    BucketStore.recover(spark, stateDir)
+    readRanges(spark, stateDir).getOrElse(
+      throw new java.io.IOException(
+        s"no recorded range contract at $stateDir — nothing to reseed"))
+    if (!BucketStore.hasRows(spark, stateDir)) return // empty: keep as is
+    val s = spark.read.parquet(stateDir).filter(col("part") === "s")
+      .select(col("c"), col("v"), col("n"), col("last_seq"))
+    // exact weighted quantile cuts per column: rank ⌈k·tot/N⌉ values
+    // off one ordered cum-window pass over the column's live values
+    var nextId = 0
+    val cols = spec.cols.map { cn =>
+      val vals = s.filter(col("c") === cn && col("n") > 0L &&
+          col("v").isNotNull)
+        .select(col("v").cast("double").as("xd"), col("n"))
+      val w = Window.orderBy(col("xd"))
+      val cum = vals
+        .withColumn("cum", sum(col("n")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum(col("n")).over(
+          w.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      val cutCols = (1 until numBuckets).map(k =>
+        min(when(col("cum") * numBuckets >= col("tot") * k, col("xd")))
+          .as(s"k$k")) :+ max(col("xd")).as("mxv")
+      val row = cum.agg(cutCols.head, cutCols.tail: _*).head()
+      val mxv = if (row.isNullAt(numBuckets - 1)) None
+                else Some(row.getDouble(numBuckets - 1))
+      val cuts = (0 until numBuckets - 1)
+        .flatMap(i => if (row.isNullAt(i)) None else Some(row.getDouble(i)))
+        .filter(c => java.lang.Double.isFinite(c) &&
+          mxv.exists(c < _)) // a cut at the max leaves an empty top half
+        .distinct.sorted
+      val nullId = nextId
+      val entryIds = cuts.indices.map(i => nextId + 1 + i)
+      val lastId = nextId + 1 + cuts.length
+      nextId = lastId + 1
+      ColRanges(cn, nullId, lastId,
+        cuts.zip(entryIds).map { case (ub, id) => RangeEntry(ub, id) })
+    }
+    val meta = RangesMeta(nextId, cols)
+    val retagged = s.withColumn("bucket", bucketOf(meta, spec))
+    val out = CdcProfile.keyedRows(retagged)
+      .unionByName(CdcProfile.summaryRows(retagged, spec))
+    BucketStore.publishRebucket(spark, out, stateDir, meta.nextId,
+      stageExtras = Some(staging => writeRanges(spark, staging, meta)))
+  }
+
   /** Split the hottest outgrown bucket per the byte advisory, skipping
     * null buckets (no order to refine) and single-value buckets (the
     * split refuses) — returns the split tag, or None.

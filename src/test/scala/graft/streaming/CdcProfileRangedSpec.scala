@@ -246,6 +246,48 @@ class CdcProfileRangedSpec extends SparkSpec {
     assert(gotP == wantP && gotH == wantH)
   }
 
+  test("reseed redistributes boundaries at the live quantiles: views " +
+      "unchanged, fresh contract, gates survive, later applies land") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cdcprofr_reseed_").toString + "/state"
+    buildState(dir)
+    val meta0 = CdcProfileRanged.readRanges(spark, dir).get
+    val wantP = CdcProfileRanged.profileView(spark, dir, spec, qs)
+      .collect().map(_.toSeq).toSeq
+    CdcProfileRanged.reseed(spark, dir, spec, numBuckets = 4)
+    val meta1 = CdcProfileRanged.readRanges(spark, dir).get
+    assert(meta1 != meta0)
+    spec.cols.foreach { cn =>
+      val ids = meta1.col(cn).orderedIds
+      assert(ids.size <= 4, s"$cn: $ids")
+      // boundaries sit at the live quantiles: roughly balanced mass
+      assert(ids.size >= 3, s"$cn reseed produced too few buckets: $ids")
+    }
+    val gotP = CdcProfileRanged.profileView(spark, dir, spec, qs)
+      .collect().map(_.toSeq).toSeq
+    assert(gotP == wantP)
+    val gotH = CdcProfileRanged.histogramView(spark, dir, spec, 5)
+      .collect().map(_.toSeq).toSeq
+    val twinH = CdcProfile.histogramOf(keyedState(dir), spec, 5)
+      .orderBy("col_name", "bin").collect().map(_.toSeq).toSeq
+    assert(gotH == twinH)
+    // a replay of the last batch is STILL a no-op (gates rode the
+    // rewrite), and a genuinely new event lands under the new contract
+    val all = changes
+    val mid = all.map(_.seq).max / 2
+    CdcProfileRanged.applyBatch(all.filter(_.seq > mid).toDF(), dir, spec)
+    assert(CdcProfileRanged.profileView(spark, dir, spec, qs)
+      .collect().map(_.toSeq).toSeq == wantP)
+    val extra = Seq(KeyedChangeRow("m", "insert", f(500, 17.0, 3), null,
+      "s", all.map(_.seq).max + 1))
+    CdcProfileRanged.applyBatch(extra.toDF(), dir, spec)
+    val after = CdcProfileRanged.profileView(spark, dir, spec, qs)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val before = wantP.map(r => (r.head.asInstanceOf[String],
+      r(1).asInstanceOf[Long])).toMap
+    assert(after("amt") == before("amt") + 1)
+  }
+
   test("null and single-value buckets refuse to split; auto-split " +
       "skips them") {
     val dir = java.nio.file.Files

@@ -186,19 +186,24 @@ object CdcProfileRanged {
                          numBuckets: Int): RangesMeta = {
     require(numBuckets >= 1, s"numBuckets must be positive: $numBuckets")
     val fracs = (1 until numBuckets).map(_.toDouble / numBuckets)
+    val cutsByCol: Map[String, Seq[Double]] =
+      if (fracs.isEmpty) Map.empty
+      else {
+        // one job for every column's seed percentiles
+        val aggs = spec.cols.map(cn =>
+          percentile_approx(when(col("c") === cn, col("v").cast("double")),
+            lit(fracs.toArray), lit(1000)).as(cn))
+        val r = deltas.filter(col("v").isNotNull)
+          .agg(aggs.head, aggs.tail: _*).head()
+        spec.cols.zipWithIndex.map { case (cn, i) =>
+          cn -> (if (r.isNullAt(i)) Seq.empty[Double]
+                 else r.getSeq[Double](i)
+                   .filter(java.lang.Double.isFinite).distinct.sorted)
+        }.toMap
+      }
     var nextId = 0
     val cols = spec.cols.map { cn =>
-      val cuts: Seq[Double] =
-        if (fracs.isEmpty) Nil
-        else {
-          val r = deltas.filter(col("c") === cn && col("v").isNotNull)
-            .agg(percentile_approx(col("v").cast("double"),
-              lit(fracs.toArray), lit(1000)).as("qs"))
-            .head()
-          if (r.isNullAt(0)) Nil
-          else r.getSeq[Double](0).filter(java.lang.Double.isFinite)
-            .distinct.sorted
-        }
+      val cuts = cutsByCol.getOrElse(cn, Nil)
       val nullId = nextId
       val entryIds = cuts.indices.map(i => nextId + 1 + i)
       val lastId = nextId + 1 + cuts.length
@@ -380,10 +385,9 @@ object CdcProfileRanged {
         qs.map(q => lit(null).cast("double").as(qn(q))): _*)
         .orderBy("col_name")
     val stacked = perBucket.reduce(_ unionByName _)
-    val wide = stacked.groupBy("col_name")
-      .agg(qs.map(q => max(when(col("ql") === qn(q), col("qv"))).as(qn(q)))
-        .head, qs.map(q =>
-          max(when(col("ql") === qn(q), col("qv"))).as(qn(q))).tail: _*)
+    val qAggs = qs.map(q =>
+      max(when(col("ql") === qn(q), col("qv"))).as(qn(q)))
+    val wide = stacked.groupBy("col_name").agg(qAggs.head, qAggs.tail: _*)
     seed.join(wide, Seq("col_name"), "left").orderBy("col_name")
   }
 

@@ -288,6 +288,38 @@ class CdcProfileRangedSpec extends SparkSpec {
     assert(after("amt") == before("amt") + 1)
   }
 
+  test("streaming form: the foreachBatch loop with auto-split matches " +
+      "the twin; the candidate top-k view works on the ranged layout") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("cdcprofr_stream_").toString
+    val input = MemoryStream[KeyedChangeRow]
+    val q = CdcProfileRanged.start(input.toDF(), s"$dir/state",
+      s"$dir/ckpt", spec, numBuckets = 8,
+      autoSplit = Some(CdcPipeline.AutoSplit(factor = 1.0000001,
+        minBytes = 1L)))
+    try {
+      changes.grouped(16).foreach { c =>
+        input.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = CdcProfileRanged.profileView(spark, s"$dir/state", spec, qs)
+      .collect().map(_.toSeq).toSeq
+    val twin = CdcProfile.maintain(changes.toDF(), 1, spec,
+        minMax = true, quantiles = qs)
+      .collect().map(_.toSeq).toSeq
+    assert(got == twin)
+    // the aggressive advisory split at least one bucket mid-stream
+    val meta = CdcProfileRanged.readRanges(spark, s"$dir/state").get
+    assert(meta.cols.map(_.orderedIds.size).sum > 0)
+    // the hash layout's candidate top-k view works verbatim (shared
+    // row schema): live amt 17.0 carries the duplicate burst
+    val top = CdcProfile.topValuesView(spark, s"$dir/state", "amt", 1)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(top == Seq(("17.0", 7L)), top)
+  }
+
   test("null and single-value buckets refuse to split; auto-split " +
       "skips them") {
     val dir = java.nio.file.Files

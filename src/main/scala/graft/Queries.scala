@@ -3872,6 +3872,62 @@ object Queries {
         | WHERE rn = 1 AND event_id % 17 <> 0
         | ORDER BY user_id""".stripMargin.replaceAll("\n", ""))),
 
+    // St2 + X5: continuous PROFILING under a PARTIAL-image wire mode —
+    // the image-recovery bridge extended to the profile algebra
+    // (CdcProfileDocBridge.scala). The MINIMAL×PARTIAL_JSON stream
+    // carries no full before images, which retract-then-add profiling
+    // requires; the bucketed doc store recovers them, and its net
+    // (before, after) pairs drive the RANGE-bucketED profile through
+    // the two-phase land-then-apply contract (at-most-once landed
+    // deltas + batch-id seq gates — a gate-eaten replay cannot shrink
+    // what applies). Gate: the FULL panel (counts/NDV/min-max/exact
+    // quantiles) of the live documents' numeric fields vs DuckDB's
+    // independent reconstruction, with the b=3 redelivery in-line.
+    Q("st_cdc_profile_docstore",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        import graft.streaming.{CdcProfile, CdcProfileDocBridge,
+          CdcProfileRanged}
+        val changes = partialMinBucketChanges(s, d)
+        val scratch = graft.ops.CoreOps
+          .scratchDirUnique("profile_docstore")
+        val pSpec = CdcProfile.ProfileSpec("events",
+          StructType(Seq(StructField("n", LongType),
+            StructField("last", LongType))),
+          Seq("last", "n"))
+        (1 to 3).foreach { b =>
+          CdcProfileDocBridge.applyDeferredJsonWithProfile(
+            changes.filter(col("b") === b), "props", s"$scratch/docs",
+            s"$scratch/land", s"$scratch/prof", pSpec, b.toLong,
+            docBuckets = 16, profileBuckets = 8)
+        }
+        CdcProfileDocBridge.applyDeferredJsonWithProfile( // redelivery
+          changes.filter(col("b") === 3), "props", s"$scratch/docs",
+          s"$scratch/land", s"$scratch/prof", pSpec, 3L)
+        CdcProfileRanged.profileView(s, s"$scratch/prof", pSpec,
+          Seq(0.25, 0.5, 0.75))
+      },
+      Some {
+        def quant(x: String, q: String): String =
+          s"(SELECT CAST(min(x) AS DOUBLE) FROM (SELECT $x AS x, " +
+            s"row_number() OVER (ORDER BY $x) AS rn FROM live " +
+            s"WHERE $x IS NOT NULL) t WHERE rn >= " +
+            s"ceiling(CAST($q AS DOUBLE) * (SELECT count($x) FROM live)))"
+        def colRow(c: String): String =
+          s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+            s"count(*) - count($c) AS n_nulls, " +
+            s"count(DISTINCT $c) AS n_distinct, " +
+            s"CAST(min($c) AS DOUBLE) AS min_val, " +
+            s"CAST(max($c) AS DOUBLE) AS max_val, " +
+            s"${quant(c, "0.25")} AS q25, ${quant(c, "0.5")} AS q50, " +
+            s"${quant(c, "0.75")} AS q75 FROM live"
+        "WITH live AS (SELECT count(*) AS n, " +
+          "list_extract(list(event_id ORDER BY ts, event_id), " +
+          "CAST(count(*) AS INT)) AS last FROM events GROUP BY user_id) " +
+          s"SELECT * FROM (${colRow("last")} UNION ALL ${colRow("n")}) t " +
+          "ORDER BY col_name"
+      }),
+
     // St2 + S5 + X5: repair COMPOSED with the keyed quality monitor
     // (judge r13 item 4) — the duplicate-PK failure mode end to end. A
     // plain sink table (the reference's non-replacing MergeTree shape)

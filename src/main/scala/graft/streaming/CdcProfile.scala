@@ -173,7 +173,8 @@ object CdcProfile {
   }
 
   /** Column label of a quantile output column: q25, q50, q90, … */
-  private def qName(q: Double): String = s"q${(q * 100).round}"
+  private[streaming] def qName(q: Double): String =
+    s"q${(q * 100).round}"
 
   /** Exact discrete quantiles over the LIVE values of a netted
     * (c, v, n) state: quantile(q) = the element at 1-based position

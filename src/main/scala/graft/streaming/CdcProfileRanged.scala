@@ -351,7 +351,7 @@ object CdcProfileRanged {
     requireNumeric(spec, "a ranged quantile view")
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantiles must lie in (0, 1]: $qs")
-    val labels = qs.map(q => s"q${(q * 100).round}")
+    val labels = qs.map(CdcProfile.qName)
     require(labels.distinct.size == qs.size,
       s"quantile labels collide after percent rounding: $qs")
     def qn(q: Double) = labels(qs.indexOf(q))

@@ -398,12 +398,15 @@ object CdcProfile {
       val touched = ev.select("bucket").distinct()
         .collect().map(_.getInt(0)).sorted          // ≤ numBuckets values
       if (touched.isEmpty) return
-      val newS = mergeTouched(spark, stateDir, ev, touched)
-      // per-(bucket, column) summaries (counts + typed min/max + top-K
-      // candidates) recomputed from the bucket's netted rows
-      val out = keyedRows(newS).unionByName(summaryRows(newS, spec))
-      BucketStore.writeAndSwap(spark, out, stateDir, touched, effB,
-        Seq("part"))
+      // persist the merged rows: the keyed half and the summary
+      // recompute both read them, and without the cache the full-outer
+      // merge runs twice inside the one staged write
+      val newS = mergeTouched(spark, stateDir, ev, touched).persist()
+      try {
+        val out = keyedRows(newS).unionByName(summaryRows(newS, spec))
+        BucketStore.writeAndSwap(spark, out, stateDir, touched, effB,
+          Seq("part"))
+      } finally { newS.unpersist(); () }
     } finally { ev.unpersist(); () }
   }
 

@@ -244,11 +244,16 @@ object CdcProfileRanged {
       val touched = ev.select("bucket").distinct()
         .collect().map(_.getInt(0)).sorted          // ≤ allocated buckets
       if (touched.isEmpty) return
+      // persisted for the same reason as the hash apply: two consumers
+      // of one full-outer merge inside one staged write
       val newS = CdcProfile.mergeTouched(spark, stateDir, ev, touched)
-      val out = CdcProfile.keyedRows(newS)
-        .unionByName(CdcProfile.summaryRows(newS, spec))
-      BucketStore.writeAndSwap(spark, out, stateDir, touched, meta.nextId,
-        Seq("part"))
+        .persist()
+      try {
+        val out = CdcProfile.keyedRows(newS)
+          .unionByName(CdcProfile.summaryRows(newS, spec))
+        BucketStore.writeAndSwap(spark, out, stateDir, touched,
+          meta.nextId, Seq("part"))
+      } finally { newS.unpersist(); () }
     } finally { ev.unpersist(); () }
   }
 

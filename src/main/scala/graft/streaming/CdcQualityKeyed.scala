@@ -402,6 +402,9 @@ object CdcQualityKeyed {
     // stream contract); greatest() keeps the stale side's gate intact
     val freshKey = col("d.mseq") >
       coalesce(col("p.last_seq"), lit(Long.MinValue))
+    // persisted: the keyed half and the bucket summary both read the
+    // merge, and without the cache the full-outer join runs twice
+    // inside the one staged write
     val merged = priorS.as("p").join(dU.as("d"),
         col("p.ku") <=> col("d.ku"), "full_outer")
       .select((Seq(
@@ -412,6 +415,7 @@ object CdcQualityKeyed {
         greatest(col("p.last_seq"), col("d.mseq")).as("last_seq")) ++
         iCols.map(c => when(freshKey, col(s"d.d$c")).otherwise(0L)
           .as(s"g$c"))): _*)
+      .persist()
     val zeros =
       if (iCols.isEmpty) lit(Array.empty[Long])
       else array(iCols.map(_ => lit(0L)): _*)
@@ -434,7 +438,9 @@ object CdcQualityKeyed {
       .unionByName(newT.select(lit("t").as("part"), col("bucket"),
         lit(null).cast(kuT).as("ku"), lit(null).cast("bigint").as("n"),
         lit(null).cast("bigint").as("last_seq"), col("uv"), col("tot")))
-    BucketStore.writeAndSwap(spark, out, dir, touched, effB, Seq("part"))
+    try BucketStore.writeAndSwap(spark, out, dir, touched, effB,
+      Seq("part"))
+    finally { merged.unpersist(); () }
   }
 
   /** The referential side: per join-key live (fact, dim) counts with
@@ -468,6 +474,7 @@ object CdcQualityKeyed {
       max(when(col("tab") === "d", col("seq"))).as("msd"))
     val freshF = col("d.msf") > coalesce(col("p.seq_f"), lit(Long.MinValue))
     val freshD = col("d.msd") > coalesce(col("p.seq_d"), lit(Long.MinValue))
+    // persisted: two consumers of one merge (see the u side)
     val newS = priorS.as("p").join(dR.as("d"),
         col("p.kr") <=> col("d.kr"), "full_outer")
       .select(coalesce(col("p.bucket"), col("d.bucket")).as("bucket"),
@@ -478,6 +485,7 @@ object CdcQualityKeyed {
           when(freshD, col("d.ddn")).otherwise(0L)).as("dn"),
         greatest(col("p.seq_f"), col("d.msf")).as("seq_f"),
         greatest(col("p.seq_d"), col("d.msd")).as("seq_d"))
+      .persist()
     val rvB = newS.groupBy("bucket")
       .agg(sum(rContrib(col("fn"), col("dn"))).as("rv"))
     val out = newS.select(lit("s").as("part"), col("bucket"), col("kr"),
@@ -489,7 +497,9 @@ object CdcQualityKeyed {
         lit(null).cast("bigint").as("seq_f"),
         lit(null).cast("bigint").as("seq_d"),
         coalesce(col("rv"), lit(0L)).as("rv")))
-    BucketStore.writeAndSwap(spark, out, dir, touched, effB, Seq("part"))
+    try BucketStore.writeAndSwap(spark, out, dir, touched, effB,
+      Seq("part"))
+    finally { newS.unpersist(); () }
   }
 
   /** Drop gate tombstones whose last event is older than

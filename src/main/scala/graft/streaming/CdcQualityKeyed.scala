@@ -337,16 +337,26 @@ object CdcQualityKeyed {
     * extra event-sized shuffle.
     */
   def applyBatch(batch: DataFrame, stateDir: String, spec: KeyedSpec,
-                 numBuckets: Int = DefaultStateBuckets): Unit = {
-    val spark = batch.sparkSession
+                 numBuckets: Int = DefaultStateBuckets): Unit =
+    applyDeltas(weightedDeltas(batch, spec), stateDir, spec, numBuckets)
+
+  /** [[applyBatch]] over an ALREADY-WEIGHTED delta frame (the
+    * [[weightedDeltas]] form) — the entry point for consumers that
+    * land the weighted form durably first, e.g. the PARTIAL-image
+    * bridge ([[CdcQualityDocBridge]]), whose replay contract requires
+    * applying from a landed file rather than recomputing.
+    */
+  def applyDeltas(deltas: DataFrame, stateDir: String, spec: KeyedSpec,
+                  numBuckets: Int = DefaultStateBuckets): Unit = {
+    val spark = deltas.sparkSession
     BucketStore.recover(spark, uDir(stateDir))
     BucketStore.recover(spark, rDir(stateDir))
     val (uB, uL) = BucketStore.readMeta(spark, uDir(stateDir))
       .getOrElse((numBuckets, Map.empty[Int, Int]))
     val (rB, rL) = BucketStore.readMeta(spark, rDir(stateDir))
       .getOrElse((numBuckets, Map.empty[Int, Int]))
-    // decode the micro-batch once; the probe and both merges share it
-    val delta = weightedDeltas(batch, spec)
+    // the probe and both merges share one evaluation of the deltas
+    val delta = deltas
       .withColumn("bu", when(col("tab") === "f",
         BucketStore.bucketTag(xxhash64(col("ku")), uB, uL)))
       .withColumn("br", BucketStore.bucketTag(xxhash64(col("kr")), rB, rL))

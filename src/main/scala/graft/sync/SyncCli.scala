@@ -66,12 +66,23 @@ object SyncCli {
       op: String,
       kind: String,
       stateDir: String,
-      seqWatermark: Option[Long])
+      seqWatermark: Option[Long],
+      schemaDdl: Option[String] = None,
+      profileCols: Option[Seq[String]] = None,
+      buckets: Option[Int] = None,
+      bucket: Option[Int] = None)
 
-  val MonitorOps = Set("prune-gates", "compact")
+  val MonitorOps =
+    Set("prune-gates", "compact", "split-bucket", "auto-split", "reseed")
   val MonitorKinds = Map(
     "prune-gates" -> Set("quality", "profile"),
-    "compact" -> Set("reconcile"))
+    "compact" -> Set("reconcile"),
+    // the RANGE-bucketed profile's repartitioning DDL: these recompute
+    // per-bucket summaries, which needs the profiled columns' declared
+    // types — passed as a DDL schema string (--profile_schema)
+    "split-bucket" -> Set("profile"),
+    "auto-split" -> Set("profile"),
+    "reseed" -> Set("profile"))
 
   /** `state` verb: operate the applied CDC state table itself — the
     * maintenance half of the pipeline's lifecycle (stats to watch it,
@@ -527,7 +538,8 @@ object SyncCli {
     * that makes gate pruning safe, the prune-tombstones stance).
     */
   private def parseMonitor(args: Array[String]): Either[String, CliConfig] = {
-    val known = Set("state_dir", "monitor_op", "kind", "seq_watermark")
+    val known = Set("state_dir", "monitor_op", "kind", "seq_watermark",
+      "profile_schema", "profile_cols", "buckets", "bucket")
     val kv = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     while (i < args.length) {
@@ -565,9 +577,42 @@ object SyncCli {
         case some => some
       }
     }
+    val rangedOps = Set("split-bucket", "auto-split", "reseed")
+    val ddl = kv.get("profile_schema") match {
+      case None if rangedOps(op) =>
+        return Left(s"$op requires --profile_schema 'col TYPE, ...' " +
+          "(the summary recompute needs the profiled columns' declared " +
+          "types)")
+      case v =>
+        v.foreach(d =>
+          try org.apache.spark.sql.types.StructType.fromDDL(d)
+          catch { case e: Exception => return Left(
+            s"--profile_schema does not parse as DDL: ${e.getMessage}") })
+        v
+    }
+    val cols = kv.get("profile_cols").map(_.split(",").map(_.trim).toSeq)
+    val buckets = kv.get("buckets") match {
+      case None => None
+      case Some(v) => v.toIntOption.filter(_ > 0) match {
+        case None => return Left(
+          s"--buckets must be a positive integer, got '$v'")
+        case some => some
+      }
+    }
+    val bucket = kv.get("bucket") match {
+      case None if op == "split-bucket" =>
+        return Left("split-bucket requires --bucket TAG")
+      case None => None
+      case Some(v) => v.toIntOption.filter(_ >= 0) match {
+        case None => return Left(
+          s"--bucket must be a non-negative integer, got '$v'")
+        case some => some
+      }
+    }
     Right(CliConfig("monitor", "", "", new Properties(), new Properties(),
       ".", SyncJob.SyncConfig(), None, "cdc_state",
-      monitor = Some(MonitorConfig(op, kind, dir, wm))))
+      monitor = Some(MonitorConfig(op, kind, dir, wm, ddl, cols, buckets,
+        bucket))))
   }
 
   /** The `reconcile` verb's flag surface — two parquet paths and the
@@ -644,6 +689,14 @@ object SyncCli {
     */
   def runMonitor(spark: SparkSession, cfg: CliConfig): Unit = {
     val mc = cfg.monitor.get
+    // the ranged-profile DDL ops recompute per-bucket summaries, so
+    // they carry the profiled columns' declared types on the flag line
+    def pSpec(): graft.streaming.CdcProfile.ProfileSpec = {
+      val schema = org.apache.spark.sql.types.StructType
+        .fromDDL(mc.schemaDdl.get)
+      graft.streaming.CdcProfile.ProfileSpec("cli",
+        schema, mc.profileCols.getOrElse(schema.fieldNames.toSeq))
+    }
     (mc.op, mc.kind) match {
       case ("prune-gates", "quality") =>
         graft.streaming.CdcQualityKeyed.pruneGateTombstones(
@@ -653,6 +706,19 @@ object SyncCli {
           spark, mc.stateDir, mc.seqWatermark.get)
       case ("compact", "reconcile") =>
         graft.streaming.ReconcileIngest.compact(spark, mc.stateDir)
+      case ("split-bucket", "profile") =>
+        graft.streaming.CdcProfileRanged.splitBucket(spark, mc.stateDir,
+          mc.bucket.get, pSpec())
+      case ("auto-split", "profile") =>
+        graft.streaming.CdcProfileRanged.autoSplitOne(spark, mc.stateDir,
+            pSpec(), graft.streaming.CdcPipeline.AutoSplit()) match {
+          case Some(t) => println(s"""{"auto_split":$t}""")
+          case None => println("""{"auto_split":null}""")
+        }
+      case ("reseed", "profile") =>
+        graft.streaming.CdcProfileRanged.reseed(spark, mc.stateDir,
+          pSpec(), mc.buckets.getOrElse(
+            graft.streaming.CdcProfileRanged.DefaultRangeBuckets))
       case other => throw new IllegalStateException(
         s"unreachable op/kind $other — parseMonitor validates")
     }
@@ -708,8 +774,10 @@ object SyncCli {
         "[--buckets N] " +
         "[--bucket TAG] | reconcile: --src_path P --dst_path P --pk COL " +
         "[--chunk_width N] [--max_print N] | monitor: --state_dir DIR " +
-        "--monitor_op prune-gates|compact --kind quality|profile|" +
-        "reconcile [--seq_watermark N] | sync: " +
+        "--monitor_op prune-gates|compact|split-bucket|auto-split|" +
+        "reseed --kind quality|profile|reconcile [--seq_watermark N] " +
+        "[--profile_schema 'col TYPE, ...'] [--profile_cols a,b] " +
+        "[--buckets N] [--bucket TAG] | sync: " +
         "--mysql_host H --mysql_port P " +
         "--mysql_user U --mysql_password PW --mysql_db DB " +
         "--clickhouse_host H --clickhouse_port P --clickhouse_user U " +

@@ -865,4 +865,66 @@ class JdbcSyncSpec extends SparkSpec {
     assert(ReconcileIngest.view(spark, rDir)
       .orderBy("chunk").collect().map(_.toSeq).toSeq == sumBefore)
   }
+
+  test("monitor verb: the ranged profile's repartitioning DDL " +
+      "(split-bucket, auto-split, reseed) through the CLI") {
+    import graft.streaming.{CdcProfile, CdcProfileRanged, KeyedChangeRow}
+    import spark.implicits._
+    // flag validation: the DDL ops need the profiled types
+    assert(SyncCli.parse(Array("monitor", "--state_dir", "d",
+      "--monitor_op", "reseed", "--kind", "profile")).isLeft)
+    assert(SyncCli.parse(Array("monitor", "--state_dir", "d",
+      "--monitor_op", "reseed", "--kind", "quality",
+      "--profile_schema", "a DOUBLE")).isLeft)
+    assert(SyncCli.parse(Array("monitor", "--state_dir", "d",
+      "--monitor_op", "split-bucket", "--kind", "profile",
+      "--profile_schema", "a DOUBLE")).isLeft)           // no --bucket
+    assert(SyncCli.parse(Array("monitor", "--state_dir", "d",
+      "--monitor_op", "reseed", "--kind", "profile",
+      "--profile_schema", "not a ddl ((")).isLeft)
+    def run(args: String*): Seq[String] = {
+      val Right(cfg) = SyncCli.parse(args.toArray): @unchecked
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        SyncCli.runMonitor(spark, cfg)
+      }
+      out.toString("UTF-8").linesIterator.toSeq
+    }
+    // a ranged profile state over one numeric column
+    val pSpec = CdcProfile.ProfileSpec("m",
+      org.apache.spark.sql.types.StructType.fromDDL("amt DOUBLE"),
+      Seq("amt"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cli_ranged_").toString + "/state"
+    val rows = (1 to 60).map(k => KeyedChangeRow("m", "insert",
+      s"""{"amt":$k.0}""", null, "s", k.toLong))
+    CdcProfileRanged.applyBatch(rows.toDF(), dir, pSpec, numBuckets = 4)
+    val qs = Seq(0.25, 0.5, 0.75)
+    def view() = CdcProfileRanged.profileView(spark, dir, pSpec, qs)
+      .collect().map(_.toSeq).toSeq
+    val want = view()
+    val meta0 = CdcProfileRanged.readRanges(spark, dir).get
+    // reseed to 8 buckets through the CLI: views identical, contract new
+    run("monitor", "--state_dir", dir, "--monitor_op", "reseed",
+      "--kind", "profile", "--profile_schema", "amt DOUBLE",
+      "--buckets", "8")
+    val meta1 = CdcProfileRanged.readRanges(spark, dir).get
+    assert(meta1 != meta0 && meta1.col("amt").orderedIds.size <= 8)
+    assert(view() == want)
+    // split the median's bucket through the CLI
+    val victim = CdcProfileRanged
+      .quantileTargets(spark, dir, pSpec, Seq(0.5))("amt").head._2
+    run("monitor", "--state_dir", dir, "--monitor_op", "split-bucket",
+      "--kind", "profile", "--profile_schema", "amt DOUBLE",
+      "--bucket", victim.toString)
+    assert(CdcProfileRanged.readRanges(spark, dir).get.nextId ==
+      meta1.nextId + 1)
+    assert(view() == want)
+    // auto-split under a default advisory on a balanced state: none
+    val auto = run("monitor", "--state_dir", dir,
+      "--monitor_op", "auto-split", "--kind", "profile",
+      "--profile_schema", "amt DOUBLE")
+    assert(auto.exists(_.contains("\"auto_split\"")), auto.mkString("|"))
+    assert(view() == want)
+  }
 }

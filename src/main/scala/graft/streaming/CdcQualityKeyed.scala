@@ -335,6 +335,16 @@ object CdcQualityKeyed {
     * batch events are all-fresh or all-stale, so gating on the
     * aggregated max seq is exactly the event-level filter without its
     * extra event-sized shuffle.
+    *
+    * FAILURE MODE if the contract is broken (operator note): an
+    * upstream that re-windows or partially overlaps batches at a
+    * boundary can hand one key a batch mixing already-applied and new
+    * events. The per-key gate then admits the WHOLE key delta whenever
+    * the aggregated max seq passes — double-counting the stale events'
+    * weights — where the old per-event filter would have dropped them
+    * individually. Redelivery must therefore be VERBATIM (same batch,
+    * same events); checkpointed foreachBatch replays and the doc-bridge
+    * landed files both satisfy this by construction.
     */
   def applyBatch(batch: DataFrame, stateDir: String, spec: KeyedSpec,
                  numBuckets: Int = DefaultStateBuckets): Unit =

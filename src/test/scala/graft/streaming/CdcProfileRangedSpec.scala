@@ -320,6 +320,72 @@ class CdcProfileRangedSpec extends SparkSpec {
     assert(top == Seq(("17.0", 7L)), top)
   }
 
+  test("reseed cut computation is distributed — every window in the " +
+      "plan is partitioned — and cuts equal the single-sort answer") {
+    // first-principles fixture: weighted values with duplicates, enough
+    // distinct values to spread over several range partitions
+    val raw = (0 until 100).map(i => (i.toDouble, (i % 3 + 1).toLong))
+    val vals = raw.toDF("xd", "n")
+    var pinnedWindows = 0
+    val (cuts, mxv) = CdcProfileRanged.exactCuts(vals, 4, f => {
+      val wins = f.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(wins.nonEmpty, "no window in the cut plan — pin lost its " +
+        "target; re-point it at the rank computation")
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"single-partition global window in the reseed cut plan: $w — " +
+          "the r14 OOM bound is back"))
+      pinnedWindows = wins.size
+    })
+    assert(pinnedWindows > 0, "planPin hook was never invoked")
+    // the exact single-sort twin, computed directly: expand weights,
+    // sort, take the ⌈k·tot/B⌉-th element
+    val expanded = raw.flatMap { case (x, n) =>
+      Seq.fill(n.toInt)(x) }.sorted
+    def cut(k: Int): Double =
+      expanded(math.ceil(k.toDouble * expanded.size / 4.0).toInt - 1)
+    assert(cuts == (1 to 3).map(cut), s"cuts $cuts vs direct " +
+      s"${(1 to 3).map(cut)}")
+    assert(mxv.contains(expanded.max))
+    // degenerate shapes: empty input and B = 1
+    val (c0, m0) = CdcProfileRanged.exactCuts(vals.limit(0), 4)
+    assert(c0.isEmpty && m0.isEmpty)
+    val (c1, m1) = CdcProfileRanged.exactCuts(vals, 1)
+    assert(c1.isEmpty && m1.contains(99.0))
+  }
+
+  test("reseed and splitBucket refuse a spec that does not cover the " +
+      "recorded columns (orphaned-rows guard)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cdcprofr_cover_").toString + "/state"
+    buildState(dir)
+    // reseed with a SUBSET spec: the successor contract would drop cnt
+    // and orphan its rows under a NULL bucket tag — must refuse
+    val subset = CdcProfile.ProfileSpec("m", schema, Seq("amt"))
+    val e1 = intercept[IllegalArgumentException] {
+      CdcProfileRanged.reseed(spark, dir, subset, numBuckets = 4)
+    }
+    assert(e1.getMessage.contains("recorded columns"))
+    // splitBucket of a cnt bucket under the amt-only spec: the children
+    // would regenerate keyed rows but no cnt summaries — must refuse
+    val meta = CdcProfileRanged.readRanges(spark, dir).get
+    val cntBucket = meta.col("cnt").orderedIds.find { id =>
+      new java.io.File(s"$dir/bucket=$id").exists()
+    }.get
+    val e2 = intercept[IllegalArgumentException] {
+      CdcProfileRanged.splitBucket(spark, dir, cntBucket, subset)
+    }
+    assert(e2.getMessage.contains("does not profile"))
+    // state untouched by both refusals
+    val after = CdcProfileRanged.profileView(spark, dir, spec, qs)
+      .collect().map(_.toSeq).toSeq
+    val twin = CdcProfile.maintain(changes.toDF(), 2, spec,
+        minMax = true, quantiles = qs)
+      .collect().map(_.toSeq).toSeq
+    assert(after == twin)
+  }
+
   test("null and single-value buckets refuse to split; auto-split " +
       "skips them") {
     val dir = java.nio.file.Files

@@ -181,6 +181,8 @@ object Bench {
         (() => Queries.prepJoinIvmRaw(spark, sfDir)),
       "prep_profile_minmax_deltas" ->
         (() => Queries.prepProfileMinMaxDeltas(spark, sfDir)),
+      "prep_profile_ts_deltas" ->
+        (() => Queries.prepProfileTsDeltas(spark, sfDir)),
       "prep_snapshot_fence_log" ->
         (() => Queries.prepSnapshotFenceLog(spark, sfDir)))
     // -1 marks a failed entry — a swallowed exception must not read as

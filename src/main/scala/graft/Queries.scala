@@ -143,6 +143,8 @@ object Queries {
     prepSynth("profdeltas", profileDeltas)
   private[graft] val prepProfileMinMaxDeltas =
     prepSynth("profminmax", profileMinMaxDeltas)
+  private[graft] val prepProfileTsDeltas =
+    prepSynth("profts", profileTsDeltas)
   private[graft] val prepConsistentRawChanges =
     prepSynth("consraw", consistentRawChanges)
 
@@ -469,6 +471,69 @@ object Queries {
     graft.streaming.CdcProfile.weightedDeltas(
       ins.unionAll(upMax).unionAll(upMin).unionAll(upNull).unionAll(del),
       profileMinMaxSpec)
+  }
+
+  // ---- st_cdc_profile_ts: ordered-domain (timestamp + float) ranged
+  // profile — the r15 extension past numerics ----
+
+  private[graft] lazy val profileTsSpec
+      : graft.streaming.CdcProfile.ProfileSpec = {
+    import org.apache.spark.sql.types._
+    graft.streaming.CdcProfile.ProfileSpec("events_ts",
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("fval", FloatType))),
+      Seq("fval", "ts"))
+  }
+
+  /** The [[profileMinMaxDeltas]] retraction shape on a TIMESTAMP + a
+    * FLOAT column: one slice's timestamps pushed ~11 years out, one
+    * pushed back, both slices DELETED with live before images, a third
+    * nulled — the live extrema and ranks are the ordinary values and
+    * only state-recomputing maintenance reports them. Timestamps are
+    * second-truncated so the JSON wire round-trips exactly; floats are
+    * the cast of the events doubles, whose shortest-decimal renderings
+    * ("0.1"-likes) are exactly where a driver-side string parse
+    * diverges from the float→double cast chain — the r14 ADVICE case
+    * the oracle now pins against an independent engine.
+    */
+  private def profileTsDeltas(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = landed(s, s"profts|$d") {
+    val nullS = lit(null).cast("string")
+    val e = Tables.events(s, d).select(col("event_id"),
+      date_trunc("second", col("ts")).as("ts"),
+      col("value").cast("float").as("fval"))
+    def pay(t: Column, f: Column) = to_json(struct(col("event_id"),
+      t.as("ts"), f.as("fval")))
+    def ev(op: String, p: Column, b: Column, stmt: Int) = Seq(
+      lit("events_ts").as("table"), lit(op).as("op"), p.as("payload"),
+      b.as("payload_before"),
+      (col("event_id") % 4).cast("string").as("src"),
+      (col("event_id") * 10 + stmt).as("seq"))
+    val mMax = col("event_id") % 19 === 0
+    val mMin = col("event_id") % 23 === 0 && col("event_id") % 19 =!= 0
+    val mNull = col("event_id") % 31 === 0 &&
+      col("event_id") % 19 =!= 0 && col("event_id") % 23 =!= 0
+    val shift = expr("INTERVAL 100000 HOURS")
+    val ins = e.select(ev("insert", pay(col("ts"), col("fval")),
+      nullS, 1): _*)
+    val upMax = e.filter(mMax)
+      .select(ev("update", pay(col("ts") + shift, col("fval")),
+        pay(col("ts"), col("fval")), 2): _*)
+    val upMin = e.filter(mMin)
+      .select(ev("update", pay(col("ts") - shift, col("fval")),
+        pay(col("ts"), col("fval")), 2): _*)
+    val upNull = e.filter(mNull)
+      .select(ev("update",
+        pay(lit(null).cast("timestamp"), lit(null).cast("float")),
+        pay(col("ts"), col("fval")), 2): _*)
+    val liveT = when(mMax, col("ts") + shift)
+      .when(mMin, col("ts") - shift).otherwise(col("ts"))
+    val del = e.filter(mMax || mMin)
+      .select(ev("delete", nullS, pay(liveT, col("fval")), 3): _*)
+    graft.streaming.CdcProfile.weightedDeltas(
+      ins.unionAll(upMax).unionAll(upMin).unionAll(upNull).unionAll(del),
+      profileTsSpec)
   }
 
   // ---- st_cdc_quality_keyed_ord: SECOND KeyedSpec instance ----
@@ -4746,6 +4811,99 @@ object Queries {
           "CAST(value AS DOUBLE) AS v FROM latest) " +
           s"SELECT col_name, bin, n FROM (${colRows("user_id", "u")} " +
           s"UNION ALL ${colRows("value", "v")}) t ORDER BY col_name, bin"
+      }),
+
+    // X5 + St2: the ranged profile past numerics — a TIMESTAMP and a
+    // FLOAT column through the full panel (counts/NDV/min-max/exact
+    // quantiles), the r15 ordered-domain extension. Timestamps ride
+    // the same boundary algebra through their monotone epoch image;
+    // the panel's double columns are epoch seconds (DuckDB's epoch()
+    // performs the identical micros/1e6 IEEE division). The FLOAT
+    // column pins the r14 nearest-double ADVICE against an independent
+    // engine: every driver-side double image now rides the
+    // cast-chain (float → double widening), so "0.1"-like renderings
+    // cannot bin or rank differently than the oracle. Retraction is
+    // load-bearing (the profileMinMaxDeltas shape: pushed-out extrema
+    // deleted with live before images, a slice nulled).
+    Q("st_cdc_profile_ts",
+      (s, d) => {
+        import graft.streaming.CdcProfileRanged
+        val deltas = profileTsDeltas(s, d)
+        val mid = deltas.agg(max(col("seq"))).collect()(0).getLong(0) / 2
+        val stateDir =
+          graft.ops.CoreOps.scratchDirUnique("cdc_prof_ts") + "/state"
+        CdcProfileRanged.applyDeltas(deltas.filter(col("seq") <= mid),
+          stateDir, profileTsSpec, numBuckets = 8)
+        CdcProfileRanged.applyDeltas(deltas.filter(col("seq") > mid),
+          stateDir, profileTsSpec)
+        CdcProfileRanged.profileView(s, stateDir, profileTsSpec,
+          Seq(0.25, 0.5, 0.75))
+      },
+      Some {
+        def quant(x: String, q: String, toD: String => String): String =
+          s"(SELECT ${toD("min(x)")} FROM (SELECT $x AS x, " +
+            s"row_number() OVER (ORDER BY $x) AS rn FROM live " +
+            s"WHERE $x IS NOT NULL) t WHERE rn >= " +
+            s"ceiling(CAST($q AS DOUBLE) * (SELECT count($x) FROM live)))"
+        def colRow(c: String, toD: String => String): String =
+          s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+            s"count(*) - count($c) AS n_nulls, " +
+            s"count(DISTINCT $c) AS n_distinct, " +
+            s"${toD(s"min($c)")} AS min_val, " +
+            s"${toD(s"max($c)")} AS max_val, " +
+            s"${quant(c, "0.25", toD)} AS q25, " +
+            s"${quant(c, "0.5", toD)} AS q50, " +
+            s"${quant(c, "0.75", toD)} AS q75 FROM live"
+        val asD = (x: String) => s"CAST($x AS DOUBLE)"
+        val asE = (x: String) => s"epoch($x)"
+        "WITH live AS (SELECT CASE WHEN event_id % 31 = 0 THEN NULL " +
+          "ELSE date_trunc('second', ts) END AS ts, " +
+          "CASE WHEN event_id % 31 = 0 THEN NULL ELSE " +
+          "CAST(value AS REAL) END AS fval FROM events " +
+          "WHERE event_id % 19 <> 0 AND event_id % 23 <> 0) " +
+          s"SELECT * FROM (${colRow("fval", asD)} UNION ALL " +
+          s"${colRow("ts", asE)}) t ORDER BY col_name"
+      }),
+
+    // X5 + St2: the ranged HISTOGRAM past numerics, same state shape —
+    // timestamp bins over the epoch image, float bins over the
+    // cast-chain double; contained buckets bill from Spark-side-cast
+    // summary doubles, straddlers scan their keyed rows through the
+    // identical chain, so every value lands in the oracle's bin by
+    // construction (the former "strings parse to the same
+    // nearest-double" assumption is gone).
+    Q("st_cdc_profile_ts_hist",
+      (s, d) => {
+        import graft.streaming.CdcProfileRanged
+        val deltas = profileTsDeltas(s, d)
+        val mid = deltas.agg(max(col("seq"))).collect()(0).getLong(0) / 2
+        val stateDir =
+          graft.ops.CoreOps.scratchDirUnique("cdc_prof_tsh") + "/state"
+        CdcProfileRanged.applyDeltas(deltas.filter(col("seq") <= mid),
+          stateDir, profileTsSpec, numBuckets = 8)
+        CdcProfileRanged.applyDeltas(deltas.filter(col("seq") > mid),
+          stateDir, profileTsSpec)
+        CdcProfileRanged.histogramView(s, stateDir, profileTsSpec,
+          bins = 8)
+      },
+      Some {
+        def binOf(x: String): String = {
+          val mn = s"(SELECT min($x) FROM live)"
+          val mx = s"(SELECT max($x) FROM live)"
+          val raw = s"floor(($x - $mn) / (($mx - $mn) / CAST(8 AS DOUBLE)))"
+          s"CAST(CASE WHEN $mx = $mn THEN 0 WHEN $raw > 7 THEN 7 " +
+            s"ELSE $raw END AS BIGINT)"
+        }
+        def colRows(c: String, x: String): String =
+          s"SELECT '$c' AS col_name, ${binOf(x)} AS bin, count(*) AS n " +
+            s"FROM live WHERE $x IS NOT NULL GROUP BY 2"
+        "WITH live AS (SELECT epoch(CASE WHEN event_id % 31 = 0 THEN " +
+          "NULL ELSE date_trunc('second', ts) END) AS t, " +
+          "CAST(CASE WHEN event_id % 31 = 0 THEN NULL ELSE " +
+          "CAST(value AS REAL) END AS DOUBLE) AS f FROM events " +
+          "WHERE event_id % 19 <> 0 AND event_id % 23 <> 0) " +
+          s"SELECT col_name, bin, n FROM (${colRows("fval", "f")} " +
+          s"UNION ALL ${colRows("ts", "t")}) t ORDER BY col_name, bin"
       }),
 
     // SECOND KeyedSpec instance (reuse proved, not claimed — the

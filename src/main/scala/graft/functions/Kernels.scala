@@ -33,6 +33,29 @@ object Kernels {
     h
   }
 
+  /** Count of sorted upper bounds strictly below `xd` — the range
+    * layout's bucket index ([[graft.streaming.CdcProfileRanged]]
+    * assignment), as a binary search: O(log boundaries) per row where
+    * the expression twin (`size(filter(ubs, _ < xd))`) scans all of
+    * them, so boundary growth from repeated splits cannot turn
+    * assignment linear. Semantics match Spark's `<` on doubles
+    * exactly, including `b < NaN` = true (NaN largest): a NaN value
+    * returns the full length and lands in the unbounded top bucket.
+    * The bounds array is a plan-time literal of finite doubles
+    * (seed/split/reseed all filter non-finite cuts).
+    */
+  def rangeBucketIdx(ubs: ArrayData, xd: Double): Int = {
+    val n = ubs.numElements()
+    if (java.lang.Double.isNaN(xd)) return n
+    var lo = 0
+    var hi = n // invariant: ubs(i) < xd for all i < lo; ubs(i) >= xd for all i >= hi
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ubs.getDouble(mid) < xd) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
   /** Dot product of two float arrays, accumulated left-to-right in
     * double (same op order as the `zip_with`+`aggregate` fold).
     */
@@ -781,6 +804,10 @@ object Kernels {
   def pqAdcCol(codes: Column, qtable: Column, ksub: Int): Column =
     invoke(DoubleType, "pqAdc", codes, qtable,
       org.apache.spark.sql.functions.lit(ksub))
+
+  def rangeBucketIdxCol(ubs: Array[Double], xd: Column): Column =
+    invoke(IntegerType, "rangeBucketIdx",
+      org.apache.spark.sql.functions.lit(ubs), xd)
 
   def dotFFCol(a: Column, b: Column): Column = invoke(DoubleType, "dotFF", a, b)
   def dotFDCol(a: Column, b: Column): Column = invoke(DoubleType, "dotFD", a, b)

@@ -113,6 +113,16 @@ object Bench {
     }
     val readjudicated = scala.collection.mutable.ArrayBuffer[String]()
     val rowLoad = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // rows STILL suspect after in-place retries: a burst longer than
+    // three back-to-back runs ships anyway under the r13 protocol (the
+    // r14 driver artifact printed x_triangle_doulion at 3.07x on
+    // untouched code through all three samples). These DEFER to a
+    // second pass at the END of the sweep — minutes later, when the
+    // burst has usually moved on — and publish min(in-place, deferred),
+    // names recorded in the artifact's `deferred` list. A genuine
+    // regression re-measures to the same number and still publishes.
+    val deferredRuns =
+      scala.collection.mutable.LinkedHashMap[String, () => Double]()
     def adjudicated(name: String, run: () => Double): Double = {
       var t = run()
       val prior = priors.get(name).filter(_ >= 0)
@@ -139,6 +149,7 @@ object Bench {
         readjudicated += name
         t = math.min(t, run())
       }
+      if (suspect(t) && t > 0.5) deferredRuns(name) = run
       rowLoad(name) = loadavg()
       t
     }
@@ -199,7 +210,14 @@ object Bench {
         name -> (try adjudicated(name, () => timeAction(() => runOnce(fn)))
           catch { case _: Throwable => -1.0 })
       }
-    val results = prepResults ++ queryResults
+    // the deferred second pass (burst-outlasting rows): re-measure at
+    // sweep end and keep the minimum — see deferredRuns above
+    val firstPass = prepResults ++ queryResults
+    val deferred = deferredRuns.keys.toSeq
+    val results = firstPass ++ deferredRuns.map { case (name, run) =>
+      name -> (try math.min(firstPass(name), run())
+        catch { case _: Throwable => firstPass(name) })
+    }
     // The driver captures only the LAST ~2000 chars of the run output
     // and sbt appends its own "[success]" trailer after ours — a final
     // line carrying the full ~4 KB per-query map would lose its opening
@@ -226,10 +244,12 @@ object Bench {
       val tot = basis.collect { case (_, v) if v >= 0 => v }.sum
       s"""{"metric":"total","value":${fmt(tot)},"unit":"sec","n":${basis.size},"failed":$failed,"wall_sec":${fmt(wallSec)},"loadavg_start":${fmt(load0)},"loadavg_end":${fmt(load1)},"queries":${toJson(queries)},$extra"sf":"$sfDir","note":"$note"}"""
     }
-    val fullNote = "noop-sink, min of 2-3 warm runs timed (bursty-host noise); -1=failed; rows >2x their prior-round artifact re-measured up to 2x (min kept, names in readjudicated) so no row needs manual noise adjudication; row_loadavg is the 1-min /proc/loadavg as each row finished; prep_* lines bill the shared derived-table materializations (partsupp, neardup CC, BPE merges, co-purchase edges, joinivm/partial-minimal wire logs) and the queries reading them report marginal cost under that warm cache (noise protocol, docs/SCALE.md)"
+    val fullNote = "noop-sink, min of 2-3 warm runs timed (bursty-host noise); -1=failed; rows >2x-or->+1.5s their prior-round artifact re-measured up to 2x (min kept, names in readjudicated), and rows STILL suspect after those retries re-measure once more in a second pass at sweep end (names in deferred; a burst outlasting back-to-back retries has usually moved on minutes later) so no row needs manual noise adjudication; row_loadavg is the 1-min /proc/loadavg as each row finished; prep_* lines bill the shared derived-table materializations (partsupp, neardup CC, BPE merges, co-purchase edges, joinivm/partial-minimal wire logs) and the queries reading them report marginal cost under that warm cache (noise protocol, docs/SCALE.md)"
     val extraFull =
       "\"readjudicated\":" + readjudicated.map("\"" + _ + "\"")
         .mkString("[", ",", "]") +
+        ",\"deferred\":" + deferred.map("\"" + _ + "\"")
+          .mkString("[", ",", "]") +
         ",\"row_loadavg\":" + toJson(rowLoad) + ","
     val fullLine = line(results, fullNote, extraFull)
     println(fullLine)

@@ -554,7 +554,8 @@ object CdcProfileRanged {
     * the hot-single-value case splitting cannot help).
     */
   def splitBucket(spark: SparkSession, stateDir: String, tag: Int,
-                  spec: ProfileSpec): Unit = {
+                  spec: ProfileSpec): Unit =
+      BucketStore.withWriterLock(spark, stateDir) {
     import org.apache.hadoop.fs.Path
     requireOrdered(spec, "a ranged profile split")
     BucketStore.recover(spark, stateDir)
@@ -720,7 +721,8 @@ object CdcProfileRanged {
     * rebucket's rewrite, and like the rewrite, cluster-parallel.
     */
   def reseed(spark: SparkSession, stateDir: String, spec: ProfileSpec,
-             numBuckets: Int = DefaultRangeBuckets): Unit = {
+             numBuckets: Int = DefaultRangeBuckets): Unit =
+      BucketStore.withWriterLock(spark, stateDir) {
     requireOrdered(spec, "a ranged profile reseed")
     require(numBuckets >= 1, s"numBuckets must be positive: $numBuckets")
     BucketStore.recover(spark, stateDir)

@@ -521,6 +521,46 @@ class CdcProfileRangedSpec extends SparkSpec {
     assert(s.mnD.get != "0.1".toDouble)
   }
 
+  test("DATE columns ride the date->timestamp->double image: views " +
+      "equal the twins, quantiles as midnight-UTC epoch doubles") {
+    // DateType is the one ordered domain with NO direct double cast —
+    // its image routes through timestamp (midnight, session zone);
+    // distinct from the TimestampType path, so pinned separately
+    val dSchema = StructType(Seq(
+      StructField("k", LongType), StructField("d", DateType)))
+    val dSpec = CdcProfile.ProfileSpec("dt", dSchema, Seq("d"))
+    def dj(k: Long, d: String) = {
+      val v = if (d == null) "null" else s""""$d""""
+      s"""{"k":$k,"d":$v}"""
+    }
+    def ds(k: Int) = f"2024-${1 + (k - 1) / 28}%02d-${1 + (k - 1) % 28}%02d"
+    var seq = 0L
+    def next() = { seq += 1; seq }
+    val rows = (1 to 30).map(k => KeyedChangeRow("dt", "insert",
+        dj(k, ds(k)), null, "s", next())) ++
+      (1 to 30).filter(_ % 4 == 0).map(k => KeyedChangeRow("dt",
+        "delete", null, dj(k, ds(k)), "s", next()))
+    val dir = java.nio.file.Files
+      .createTempDirectory("cdcprofr_date_").toString + "/state"
+    CdcProfileRanged.applyBatch(rows.toDF(), dir, dSpec, numBuckets = 4)
+    val got = CdcProfileRanged.quantileView(spark, dir, dSpec, qs)
+      .collect().map(_.toSeq).toSeq
+    val want = CdcProfile.quantilesOf(keyedState(dir), dSpec, qs)
+      .orderBy("col_name").collect().map(_.toSeq).toSeq
+    assert(got == want, s"got $got want $want")
+    // first principles: the median date's midnight-UTC epoch
+    val live = (1 to 30).filterNot(_ % 4 == 0).map(ds).sorted
+    val med = live(math.ceil(0.5 * live.size).toInt - 1)
+    val medEpoch = java.time.LocalDate.parse(med).atStartOfDay()
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond.toDouble
+    assert(got.head(2) == medEpoch, s"${got.head}")
+    val gotH = CdcProfileRanged.histogramView(spark, dir, dSpec, 4)
+      .collect().map(_.toSeq).toSeq
+    val twinH = CdcProfile.histogramOf(keyedState(dir), dSpec, 4)
+      .orderBy("col_name", "bin").collect().map(_.toSeq).toSeq
+    assert(gotH.nonEmpty && gotH == twinH)
+  }
+
   test("splitBucket and reseed on a timestamp column keep every view") {
     val dir = java.nio.file.Files
       .createTempDirectory("cdcprofr_tsddl_").toString + "/state"

@@ -170,6 +170,8 @@ object Bench {
         (() => Queries.prepJoinIvmChanges(spark, sfDir)),
       "prep_partial_minimal_log" ->
         (() => Queries.prepPartialMinimalLog(spark, sfDir)),
+      "prep_docbridge_states" ->
+        (() => Queries.prepDocBridgeStates(spark, sfDir)),
       // the former prep_cdc_synth_changes line, split per consumer so
       // each synthesized CDC input is billed beside its reader
       "prep_qualkeyed_changes" ->

@@ -296,18 +296,27 @@ object CdcProfileRanged {
       numBuckets)
 
   /** Continuous form — the [[CdcProfile.start]] loop with the ranged
-    * apply and the ranged auto-split.
+    * apply and the ranged auto-split. `autoReseed = Some(factor)` also
+    * checks the O(buckets) drift advisory between triggers and reseeds
+    * when any column's hottest bucket exceeds factor × its balanced
+    * share — legal from this loop because the stream thread IS the
+    * single writer ([[BucketStore.withWriterLock]] re-enters).
     */
   def start(changes: DataFrame, stateDir: String, checkpointDir: String,
             spec: ProfileSpec,
             numBuckets: Int = DefaultRangeBuckets,
-            autoSplit: Option[CdcPipeline.AutoSplit] = None): StreamingQuery =
+            autoSplit: Option[CdcPipeline.AutoSplit] = None,
+            autoReseed: Option[Double] = None): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyBatch(batch, stateDir, spec, numBuckets)
         autoSplit.foreach(a =>
           autoSplitOne(batch.sparkSession, stateDir, spec, a))
+        autoReseed.foreach(factor =>
+          if (adviseReseed(batch.sparkSession, stateDir, spec,
+              factor).nonEmpty)
+            reseed(batch.sparkSession, stateDir, spec, numBuckets))
       }
       .start()
 
@@ -329,8 +338,8 @@ object CdcProfileRanged {
     * dates (judge r14 ADVICE + r15 stretch item: the parity is now by
     * construction, not a stated assumption).
     */
-  private[graft] final case class BucketSummary(rows: Long, mn: String,
-                                         mx: String,
+  private[graft] final case class BucketSummary(rows: Long, ndv: Long,
+                                         mn: String, mx: String,
                                          mnD: Option[Double],
                                          mxD: Option[Double])
 
@@ -352,12 +361,14 @@ object CdcProfileRanged {
     spark.read.parquet(stateDir)
       .filter(col("part") === "t" &&
         col("c").isin(spec.cols.map(c => c: Any): _*))
-      .select(col("c"), col("bucket"), col("rows"), col("mn"), col("mx"),
+      .select(col("c"), col("bucket"), col("rows"), col("ndv"),
+        col("mn"), col("mx"),
         chainD("mn").as("mnd"), chainD("mx").as("mxd"))
       .collect().map(r => (r.getString(0), r.getInt(1)) ->
-        BucketSummary(r.getLong(2), r.getString(3), r.getString(4),
-          if (r.isNullAt(5)) None else Some(r.getDouble(5)),
-          if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toMap
+        BucketSummary(r.getLong(2), r.getLong(3), r.getString(4),
+          r.getString(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+          if (r.isNullAt(7)) None else Some(r.getDouble(7)))).toMap
   }
 
   /** Where each requested quantile's answer lives: per column, the
@@ -766,6 +777,49 @@ object CdcProfileRanged {
       .unionByName(CdcProfile.summaryRows(retagged, spec))
     BucketStore.publishRebucket(spark, out, stateDir, meta.nextId,
       stageExtras = Some(staging => writeRanges(spark, staging, meta)))
+  }
+
+  /** Columns whose live mass has DRIFTED away from their recorded
+    * boundaries — the "when do I reseed" advisory (splits fix one hot
+    * bucket; reseed fixes a distribution that wandered until most mass
+    * sits in few buckets): per column, the largest range bucket's
+    * live-row share against the balanced share. Read entirely from the
+    * O(buckets × columns) part-'t' summaries — the
+    * [[BucketStore.adviseSplitByBytes]] stance, cheap enough between
+    * stream triggers. Returns (column, maxShare, rangeBuckets)
+    * advisories, worst first, for columns where
+    * maxShare × rangeBuckets > factor (a balanced column scores ~1;
+    * factor 4 means "one bucket holds 4× its fair share"). Null
+    * buckets are excluded — null mass has no order to rebalance.
+    */
+  def adviseReseed(spark: SparkSession, stateDir: String,
+                   spec: ProfileSpec, factor: Double = 4.0)
+      : Seq[(String, Double, Int)] = {
+    require(factor > 1.0,
+      s"a reseed threshold at or below balanced share is " +
+        s"self-defeating: $factor")
+    val metaOpt = readRanges(spark, stateDir)
+    if (metaOpt.isEmpty) return Seq.empty
+    val meta = metaOpt.get
+    val sums = collectSummaries(spark, stateDir, spec)
+    spec.cols.flatMap { cn =>
+      val ordered = meta.col(cn).orderedIds.map(id =>
+        sums.get((cn, id)).map(s => (s.rows, s.ndv)).getOrElse((0L, 0L)))
+      val tot = ordered.map(_._1).sum
+      // a single-bucket column cannot rebalance below one bucket; a
+      // column with no live mass has nothing to advise
+      if (tot <= 0L || ordered.size < 2) None
+      else {
+        val (hotRows, hotNdv) = ordered.maxBy(_._1)
+        val maxShare = hotRows.toDouble / tot
+        // a hot bucket holding ONE distinct value cannot rebalance —
+        // no boundary separates it (splitBucket's refusal); advising
+        // reseed there would trigger a futile rewrite every check
+        if (maxShare * ordered.size > factor && hotNdv > 1L)
+          Some((cn, maxShare, ordered.size))
+        else None
+      }
+    }.sortBy(-_._2)
   }
 
   /** Split the hottest outgrown bucket per the byte advisory, skipping

@@ -70,10 +70,12 @@ object SyncCli {
       schemaDdl: Option[String] = None,
       profileCols: Option[Seq[String]] = None,
       buckets: Option[Int] = None,
-      bucket: Option[Int] = None)
+      bucket: Option[Int] = None,
+      factor: Option[Double] = None)
 
   val MonitorOps =
-    Set("prune-gates", "compact", "split-bucket", "auto-split", "reseed")
+    Set("prune-gates", "compact", "split-bucket", "auto-split", "reseed",
+      "advise-reseed")
   val MonitorKinds = Map(
     "prune-gates" -> Set("quality", "profile"),
     "compact" -> Set("reconcile"),
@@ -82,7 +84,11 @@ object SyncCli {
     // types — passed as a DDL schema string (--profile_schema)
     "split-bucket" -> Set("profile"),
     "auto-split" -> Set("profile"),
-    "reseed" -> Set("profile"))
+    "reseed" -> Set("profile"),
+    // read-only drift advisory (O(buckets) summary read): which
+    // columns' mass wandered far enough from their boundaries that a
+    // reseed is worth its rewrite
+    "advise-reseed" -> Set("profile"))
 
   /** `state` verb: operate the applied CDC state table itself — the
     * maintenance half of the pipeline's lifecycle (stats to watch it,
@@ -539,7 +545,7 @@ object SyncCli {
     */
   private def parseMonitor(args: Array[String]): Either[String, CliConfig] = {
     val known = Set("state_dir", "monitor_op", "kind", "seq_watermark",
-      "profile_schema", "profile_cols", "buckets", "bucket")
+      "profile_schema", "profile_cols", "buckets", "bucket", "factor")
     val kv = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     while (i < args.length) {
@@ -577,7 +583,8 @@ object SyncCli {
         case some => some
       }
     }
-    val rangedOps = Set("split-bucket", "auto-split", "reseed")
+    val rangedOps = Set("split-bucket", "auto-split", "reseed",
+      "advise-reseed")
     val ddl = kv.get("profile_schema") match {
       case None if rangedOps(op) =>
         return Left(s"$op requires --profile_schema 'col TYPE, ...' " +
@@ -609,10 +616,19 @@ object SyncCli {
         case some => some
       }
     }
+    val factor = kv.get("factor") match {
+      case None => None
+      case Some(v) => v.toDoubleOption.filter(_ > 1.0) match {
+        case None => return Left(
+          s"--factor must be a number above 1.0 (balanced share), " +
+            s"got '$v'")
+        case some => some
+      }
+    }
     Right(CliConfig("monitor", "", "", new Properties(), new Properties(),
       ".", SyncJob.SyncConfig(), None, "cdc_state",
       monitor = Some(MonitorConfig(op, kind, dir, wm, ddl, cols, buckets,
-        bucket))))
+        bucket, factor))))
   }
 
   /** The `reconcile` verb's flag surface — two parquet paths and the
@@ -719,6 +735,12 @@ object SyncCli {
         graft.streaming.CdcProfileRanged.reseed(spark, mc.stateDir,
           pSpec(), mc.buckets.getOrElse(
             graft.streaming.CdcProfileRanged.DefaultRangeBuckets))
+      case ("advise-reseed", "profile") =>
+        val rows = graft.streaming.CdcProfileRanged.adviseReseed(
+          spark, mc.stateDir, pSpec(), mc.factor.getOrElse(4.0))
+        println(rows.map { case (c, share, b) =>
+          s"""{"column":"$c","max_share":$share,"buckets":$b}"""
+        }.mkString("""{"advise_reseed":[""", ",", "]}"))
       case other => throw new IllegalStateException(
         s"unreachable op/kind $other — parseMonitor validates")
     }
@@ -775,9 +797,10 @@ object SyncCli {
         "[--bucket TAG] | reconcile: --src_path P --dst_path P --pk COL " +
         "[--chunk_width N] [--max_print N] | monitor: --state_dir DIR " +
         "--monitor_op prune-gates|compact|split-bucket|auto-split|" +
-        "reseed --kind quality|profile|reconcile [--seq_watermark N] " +
+        "reseed|advise-reseed --kind quality|profile|reconcile " +
+        "[--seq_watermark N] " +
         "[--profile_schema 'col TYPE, ...'] [--profile_cols a,b] " +
-        "[--buckets N] [--bucket TAG] | sync: " +
+        "[--buckets N] [--bucket TAG] [--factor F] | sync: " +
         "--mysql_host H --mysql_port P " +
         "--mysql_user U --mysql_password PW --mysql_db DB " +
         "--clickhouse_host H --clickhouse_port P --clickhouse_user U " +

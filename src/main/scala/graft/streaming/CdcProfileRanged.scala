@@ -796,39 +796,52 @@ object CdcProfileRanged {
     * boundaries — the "when do I reseed" advisory (splits fix one hot
     * bucket; reseed fixes a distribution that wandered until most mass
     * sits in few buckets): per column, the largest range bucket's
-    * live-row share against the balanced share. Read entirely from the
-    * O(buckets × columns) part-'t' summaries — the
+    * live-row share against the best share a reseed could ACHIEVE —
+    * max(heaviest single value's share, 1/buckets). A boundary can
+    * never split below one value, so after an ideal reseed the hot
+    * bucket holds ~that maximum; flagging on the balanced share alone
+    * would re-flag a heavy-value column after every reseed and
+    * [[start]]'s autoReseed would pay a futile whole-state rewrite per
+    * trigger (review finding, r15). The heaviest value's share comes
+    * from the part-'k' candidate rows (buckets partition values, so
+    * the global heaviest is some bucket's top candidate); everything
+    * reads O(buckets × columns) summary parts — the
     * [[BucketStore.adviseSplitByBytes]] stance, cheap enough between
     * stream triggers. Returns (column, maxShare, rangeBuckets)
-    * advisories, worst first, for columns where
-    * maxShare × rangeBuckets > factor (a balanced column scores ~1;
-    * factor 4 means "one bucket holds 4× its fair share"). Null
-    * buckets are excluded — null mass has no order to rebalance.
+    * advisories, worst first, where maxShare > factor × achievable.
+    * Null buckets are excluded — null mass has no order to rebalance.
     */
   def adviseReseed(spark: SparkSession, stateDir: String,
                    spec: ProfileSpec, factor: Double = 4.0)
       : Seq[(String, Double, Int)] = {
     require(factor > 1.0,
-      s"a reseed threshold at or below balanced share is " +
+      s"a reseed threshold at or below the achievable share is " +
         s"self-defeating: $factor")
     val metaOpt = readRanges(spark, stateDir)
-    if (metaOpt.isEmpty) return Seq.empty
+    if (metaOpt.isEmpty || !BucketStore.hasRows(spark, stateDir))
+      return Seq.empty
     val meta = metaOpt.get
     val sums = collectSummaries(spark, stateDir, spec)
+    // heaviest live count per column from the candidate part (absent
+    // on a pre-candidate-layout state → 0 → the balanced floor rules)
+    val heaviest: Map[String, Long] = spark.read.parquet(stateDir)
+      .filter(col("part") === "k" &&
+        col("c").isin(spec.cols.map(c => c: Any): _*))
+      .groupBy("c").agg(max(col("n")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     spec.cols.flatMap { cn =>
       val ordered = meta.col(cn).orderedIds.map(id =>
-        sums.get((cn, id)).map(s => (s.rows, s.ndv)).getOrElse((0L, 0L)))
-      val tot = ordered.map(_._1).sum
+        sums.get((cn, id)).map(_.rows).getOrElse(0L))
+      val tot = ordered.sum
       // a single-bucket column cannot rebalance below one bucket; a
       // column with no live mass has nothing to advise
       if (tot <= 0L || ordered.size < 2) None
       else {
-        val (hotRows, hotNdv) = ordered.maxBy(_._1)
-        val maxShare = hotRows.toDouble / tot
-        // a hot bucket holding ONE distinct value cannot rebalance —
-        // no boundary separates it (splitBucket's refusal); advising
-        // reseed there would trigger a futile rewrite every check
-        if (maxShare * ordered.size > factor && hotNdv > 1L)
+        val maxShare = ordered.max.toDouble / tot
+        val achievable = math.max(
+          heaviest.getOrElse(cn, 0L).toDouble / tot,
+          1.0 / ordered.size)
+        if (maxShare > factor * achievable)
           Some((cn, maxShare, ordered.size))
         else None
       }

@@ -238,6 +238,43 @@ class CdcProfileSpec extends SparkSpec {
     assert(got == want, s"fallback read missing: $got")
   }
 
+  test("top-k view falls back when only SOME buckets carry candidate " +
+      "rows (mid-life layout upgrade)") {
+    // strip 'k' rows from ONE live bucket: a per-column probe would
+    // see candidates elsewhere and answer from the partial union,
+    // silently omitting the stripped bucket's values — the per-bucket
+    // probe must fall back to the keyed read instead (r15 review)
+    val dir = java.nio.file.Files.createTempDirectory("cdcproftopp_")
+      .toString + "/state"
+    CdcProfile.applyBatch(changes.toDF(), dir, spec, numBuckets = 8)
+    val want = CdcProfile.topValuesView(spark, dir, "cat", 3)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(want == Seq(("a", 2L), ("b", 1L)))
+    val fs = BucketStore.fs(spark, dir)
+    // the victim: a bucket holding live cat values AND candidate rows
+    val victim = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .find { b =>
+        spark.read.parquet(b.getPath)
+          .filter(col("part") === "k" && col("c") === "cat")
+          .limit(1).collect().nonEmpty
+      }.get
+    val p = victim.getPath
+    val rows = spark.read.parquet(p)
+      .filter(!(col("part") === "k" && col("c") === "cat")).collect()
+    val schema0 = spark.read.parquet(p).schema
+    val tmp = s"$dir/.tmp_partial_${victim.getName}"
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), schema0)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(p)))
+    val got = CdcProfile.topValuesView(spark, dir, "cat", 3)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(got == want, s"partial candidate union answered: $got")
+  }
+
   test("histogram under retraction: the deleted 9.0 cannot stretch the " +
       "bin edges") {
     implicit val ctx = spark.sqlContext

@@ -90,6 +90,32 @@ class WriterLockSpec extends SparkSpec {
     assert(n == 20L, s"second batch did not land: n_rows=$n")
   }
 
+  test("release is owner-checked: a span that lost its lock to a " +
+      "healer must not free the healer's fresh lock") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("wlock_owner_").toString + "/state"
+    CdcProfileRanged.applyBatch(changes(0).toDF(), dir, spec,
+      numBuckets = 4)
+    val lock = BucketStore.lockPath(dir)
+    val fs = fsOf(dir)
+    // simulate: our span outlived the TTL, a second writer healed our
+    // stale lock and acquired its own — by swapping in a foreign lock
+    // DURING our held span
+    BucketStore.withWriterLock(spark, dir) {
+      fs.delete(lock, false)
+      val out = fs.create(lock, false)
+      try out.write("healer@otherhost/stream-2".getBytes("UTF-8"))
+      finally out.close()
+    }
+    // our release must have left the healer's lock alone
+    assert(fs.exists(lock), "owner-checked release deleted a foreign lock")
+    val in = fs.open(lock)
+    val owner = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+    assert(owner.startsWith("healer@otherhost"), owner)
+    fs.delete(lock, false)
+  }
+
   test("a successful writer releases; DDLs hold one lock across their " +
       "inner primitives (reentrancy)") {
     val dir = java.nio.file.Files

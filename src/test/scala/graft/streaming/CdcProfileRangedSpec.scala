@@ -385,6 +385,32 @@ class CdcProfileRangedSpec extends SparkSpec {
     assert(c1.isEmpty && m1.contains(99.0))
   }
 
+  test("exactCuts at 50k distinct weighted values spanning many range " +
+      "partitions equals the single-sort answer (incl. heavy ties)") {
+    // the size where the distribution matters: values spread over all
+    // shuffle partitions, skewed weights, and a heavy tie block whose
+    // rows land in one partition — the rank arithmetic must agree with
+    // the expanded-multiset answer exactly
+    val raw = (0 until 50000).map { i =>
+      val w = if (i == 17000) 5000L else (i % 5 + 1).toLong
+      (i.toDouble * 0.5, w)
+    }
+    val vals = raw.toDF("xd", "n").repartition(16)
+    val (cuts, mxv) = CdcProfileRanged.exactCuts(vals, 16)
+    val tot = raw.map(_._2).sum
+    // direct twin WITHOUT expansion (too big): rank by prefix sums
+    val sorted = raw.sortBy(_._1)
+    val prefix = sorted.scanLeft(0L)(_ + _._2).tail
+    def cut(k: Int): Double = {
+      val r = math.ceil(k.toDouble * tot / 16.0).toLong
+      val idx = prefix.indexWhere(_ >= r)
+      sorted(idx)._1
+    }
+    assert(cuts == (1 to 15).map(cut), s"first diverging cut: ${
+      cuts.zip((1 to 15).map(cut)).find(p => p._1 != p._2)}")
+    assert(mxv.contains(sorted.last._1))
+  }
+
   test("reseed and splitBucket refuse a spec that does not cover the " +
       "recorded columns (orphaned-rows guard)") {
     val dir = java.nio.file.Files

@@ -99,16 +99,32 @@ object Bench {
           .exists(_.asText() == roundMarker))
         .map(queriesOf)
       frozen.getOrElse {
-        // first run of this round: freeze the committed prior-round map
+        // first run of this round: freeze the adjudication map as the
+        // per-row MIN of the previous round's frozen prior and the
+        // round-start BENCH_FULL.json (judge r16 item 2: the driver's
+        // own re-run lands in BENCH_FULL.json, sometimes under load —
+        // the r14 burst inflated x_triangle_doulion's prior to 9.72 s
+        // and the 2x trigger was disarmed for a row whose quiet truth
+        // was 2.4 s. A MIN-merge means an inflated handoff can never
+        // RAISE the bar, while a genuinely faster round still lowers
+        // it; a genuine regression re-measures every round until fixed,
+        // which is the trigger doing its job). Failed rows (-1) carry
+        // no timing and don't participate.
+        val stale = here.find(_.getName == "BENCH_PRIOR.json")
+          .flatMap(loadJson).map(queriesOf).getOrElse(Map.empty)
+        val merged = (priorFull.keySet ++ stale.keySet).map { k =>
+          val vs = (priorFull.get(k).toSeq ++ stale.get(k)).filter(_ >= 0)
+          k -> (if (vs.isEmpty) -1.0 else vs.min)
+        }.toMap
         try {
           val w = new java.io.PrintWriter("BENCH_PRIOR.json", "UTF-8")
           try w.println(s"""{"round_marker":"$roundMarker","queries":${
-            priorFull.map { case (k, v) =>
+            merged.map { case (k, v) =>
               "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
             }.mkString("{", ",", "}")}}""")
           finally w.close()
         } catch { case _: Throwable => }
-        priorFull
+        merged
       }
     }
     val readjudicated = scala.collection.mutable.ArrayBuffer[String]()
@@ -172,6 +188,8 @@ object Bench {
         (() => Queries.prepPartialMinimalLog(spark, sfDir)),
       "prep_docbridge_states" ->
         (() => Queries.prepDocBridgeStates(spark, sfDir)),
+      "prep_quarantine_fixture" ->
+        (() => Queries.prepQuarantineFixture(spark, sfDir)),
       // the former prep_cdc_synth_changes line, split per consumer so
       // each synthesized CDC input is billed beside its reader
       "prep_qualkeyed_changes" ->
@@ -246,7 +264,7 @@ object Bench {
       val tot = basis.collect { case (_, v) if v >= 0 => v }.sum
       s"""{"metric":"total","value":${fmt(tot)},"unit":"sec","n":${basis.size},"failed":$failed,"wall_sec":${fmt(wallSec)},"loadavg_start":${fmt(load0)},"loadavg_end":${fmt(load1)},"queries":${toJson(queries)},$extra"sf":"$sfDir","note":"$note"}"""
     }
-    val fullNote = "noop-sink, min of 2-3 warm runs timed (bursty-host noise); -1=failed; rows >2x-or->+1.5s their prior-round artifact re-measured up to 2x (min kept, names in readjudicated), and rows STILL suspect after those retries re-measure once more in a second pass at sweep end (names in deferred; a burst outlasting back-to-back retries has usually moved on minutes later) so no row needs manual noise adjudication; row_loadavg is the 1-min /proc/loadavg as each row finished; prep_* lines bill the shared derived-table materializations (partsupp, neardup CC, BPE merges, co-purchase edges, joinivm/partial-minimal wire logs) and the queries reading them report marginal cost under that warm cache (noise protocol, docs/SCALE.md)"
+    val fullNote = "noop-sink, min of 2-3 warm runs timed (bursty-host noise); -1=failed; rows >2x-or->+1.5s their frozen prior (per-row MIN of the previous prior and the round-start artifact, so a burst-inflated handoff cannot disarm the trigger) re-measured up to 2x (min kept, names in readjudicated), and rows STILL suspect after those retries re-measure once more in a second pass at sweep end (names in deferred; a burst outlasting back-to-back retries has usually moved on minutes later) so no row needs manual noise adjudication; row_loadavg is the 1-min /proc/loadavg as each row finished; prep_* lines bill the shared derived-table materializations (partsupp, neardup CC, BPE merges, co-purchase edges, joinivm/partial-minimal wire logs) and the queries reading them report marginal cost under that warm cache (noise protocol, docs/SCALE.md)"
     val extraFull =
       "\"readjudicated\":" + readjudicated.map("\"" + _ + "\"")
         .mkString("[", ",", "]") +

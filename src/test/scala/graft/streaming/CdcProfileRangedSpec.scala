@@ -746,6 +746,66 @@ class CdcProfileRangedSpec extends SparkSpec {
     assert(got == twin)
   }
 
+  test("the streaming drift advisory is CACHED: it equals the " +
+      "standalone full read at every step, and in steady state reads " +
+      "no summary/candidate parts — corrupting them cannot change " +
+      "its answer until invalidate()") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cdcprofr_advcache_").toString + "/state"
+    val advisor = new CdcProfileRanged.ReseedAdvisor
+    val all = changes
+    val mid = all.map(_.seq).max / 2
+    CdcProfileRanged.applyBatch(all.filter(_.seq <= mid).toDF(), dir,
+      spec, numBuckets = 8, advisor = Some(advisor))
+    // cold cache warms once, identical to the standalone read
+    val a0 = advisor.advise(spark, dir, spec, 4.0)
+    assert(a0 == CdcProfileRanged.adviseReseed(spark, dir, spec, 4.0))
+    // INCREMENTAL path: the next applies update touched buckets from
+    // the persisted merge — still byte-identical to the full read
+    CdcProfileRanged.applyBatch(all.filter(_.seq > mid).toDF(), dir,
+      spec, advisor = Some(advisor))
+    val a1 = advisor.advise(spark, dir, spec, 4.0)
+    assert(a1 == CdcProfileRanged.adviseReseed(spark, dir, spec, 4.0))
+    val base = all.map(_.seq).max
+    val burst = (1 to 60).map(i => KeyedChangeRow("m", "insert",
+      f(2000 + i, 1000.0 + i, 3), null, "s", base + i))
+    CdcProfileRanged.applyBatch(burst.toDF(), dir, spec,
+      advisor = Some(advisor))
+    val a2 = advisor.advise(spark, dir, spec, 4.0)
+    assert(a2.map(_._1) == Seq("amt") &&
+      a2 == CdcProfileRanged.adviseReseed(spark, dir, spec, 4.0),
+      s"cached advisory diverged on the drift burst: $a2")
+    // THE READ-PATH PIN: inflate one bucket's on-disk 't' summary
+    // 10000x (no apply touches it). The standalone full read visibly
+    // changes; the warm cache — same contract, no DDL — must not
+    // notice, proving steady-state advises scan no summary/candidate
+    // parts. invalidate() then re-warms and sees what the full read
+    // sees.
+    val meta = CdcProfileRanged.readRanges(spark, dir).get
+    val victim = meta.col("cnt").orderedIds.find(id =>
+      new java.io.File(s"$dir/bucket=$id").exists()).get
+    val bdir = s"$dir/bucket=$victim"
+    val inflated = spark.read.parquet(bdir)
+      .withColumn("rows", when(col("part") === "t",
+        col("rows") * 10000L).otherwise(col("rows")))
+    val frozen = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(
+        inflated.collect(): _*)), inflated.schema)
+    val fs = BucketStore.fs(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_corrupt_tmp")
+    frozen.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(bdir), true)
+    assert(fs.rename(tmp, new org.apache.hadoop.fs.Path(bdir)))
+    val direct = CdcProfileRanged.adviseReseed(spark, dir, spec, 4.0)
+    assert(direct != a2,
+      "corruption invisible to the full read — the pin lost its lever")
+    assert(advisor.advise(spark, dir, spec, 4.0) == a2,
+      "the cached advisory re-read summary state in steady state")
+    advisor.invalidate()
+    assert(advisor.advise(spark, dir, spec, 4.0) == direct,
+      "invalidate() did not re-warm from the state")
+  }
+
   test("null and single-value buckets refuse to split; auto-split " +
       "skips them") {
     val dir = java.nio.file.Files

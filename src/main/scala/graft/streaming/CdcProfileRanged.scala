@@ -606,6 +606,7 @@ object CdcProfileRanged {
     import org.apache.hadoop.fs.Path
     requireOrdered(spec, "a ranged profile split")
     BucketStore.recover(spark, stateDir)
+    BucketStore.refuseNewerLayout(spark, stateDir)
     val meta = readRanges(spark, stateDir).getOrElse(
       throw new java.io.IOException(
         s"no recorded range contract at $stateDir — nothing to split"))

@@ -163,6 +163,22 @@ class CdcProfileSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Simulate a PRE-STAMP state (r16: `_graft_buckets.json` records a
+    * `layout` generation; states written before it carry none): rewrite
+    * the meta without the field, leaving everything else intact.
+    */
+  private def stripLayoutStamp(dir: String): Unit = {
+    val fs = BucketStore.fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir, BucketStore.MetaName)
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val stripped = body.replaceAll(""","layout":\d+""", "")
+    assert(stripped != body, s"no layout stamp to strip in $body")
+    val out = fs.create(p, true)
+    try out.write(stripped.getBytes("UTF-8")) finally out.close()
+  }
+
   test("top-k view reads the per-bucket candidate rows, not the keyed " +
       "state") {
     // build a state, then corrupt EVERY bucket's part-'s' keyed rows
@@ -208,12 +224,17 @@ class CdcProfileSpec extends SparkSpec {
   test("top-k view falls back to the keyed read when a state carries " +
       "no candidate rows (pre-candidate layout)") {
     // simulate a state written before the part-'k' candidate layout:
-    // rewrite every bucket WITHOUT its 'k' rows — the k ≤ K view must
+    // rewrite every bucket WITHOUT its 'k' rows AND without the layout
+    // stamp (a genuinely old state has neither) — the k ≤ K view must
     // answer from the keyed rows instead of returning a silently empty
     // mode panel (judge r14 ADVICE)
     val dir = java.nio.file.Files.createTempDirectory("cdcproftopf_")
       .toString + "/state"
     CdcProfile.applyBatch(changes.toDF(), dir, spec, numBuckets = 8)
+    // creation stamped the current layout generation
+    assert(BucketStore.readLayout(spark, dir)
+      .contains(BucketStore.LayoutVersion))
+    stripLayoutStamp(dir)
     val want = CdcProfile.topValuesView(spark, dir, "cat", 3)
       .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
     assert(want == Seq(("a", 2L), ("b", 1L)))
@@ -239,11 +260,17 @@ class CdcProfileSpec extends SparkSpec {
   }
 
   test("top-k view falls back when only SOME buckets carry candidate " +
-      "rows (mid-life layout upgrade)") {
+      "rows (mid-life layout upgrade); the layout stamp decides " +
+      "trust-vs-probe") {
     // strip 'k' rows from ONE live bucket: a per-column probe would
     // see candidates elsewhere and answer from the partial union,
     // silently omitting the stripped bucket's values — the per-bucket
-    // probe must fall back to the keyed read instead (r15 review)
+    // probe must fall back to the keyed read instead (r15 review).
+    // With the r16 layout STAMP intact the view trusts the candidate
+    // union directly (a stamped state carries every bucket's
+    // candidates by construction — stripping them is out-of-contract
+    // corruption, and the changed answer here PROVES no probe ran);
+    // stripping the stamp restores the pre-version probe fallback.
     val dir = java.nio.file.Files.createTempDirectory("cdcproftopp_")
       .toString + "/state"
     CdcProfile.applyBatch(changes.toDF(), dir, spec, numBuckets = 8)
@@ -270,9 +297,46 @@ class CdcProfileSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(p), true)
     assert(fs.rename(new org.apache.hadoop.fs.Path(tmp),
       new org.apache.hadoop.fs.Path(p)))
+    // stamp intact: the view trusts the candidate union without
+    // probing — the (out-of-contract) stripped bucket's values are
+    // missing from the answer, proving no probe I/O happened
+    val trusted = CdcProfile.topValuesView(spark, dir, "cat", 3)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(trusted != want,
+      "stamped view still probed — the stamp is not load-bearing")
+    // stamp stripped (a genuinely mid-life-upgraded OLD state): the
+    // per-bucket probe detects the un-upgraded bucket and falls back
+    stripLayoutStamp(dir)
     val got = CdcProfile.topValuesView(spark, dir, "cat", 3)
       .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
     assert(got == want, s"partial candidate union answered: $got")
+  }
+
+  test("writers refuse a state recorded under a NEWER layout than the " +
+      "engine writes") {
+    // an old binary quietly applying batches to a newer-format state
+    // would strip the parts newer readers trust the stamp for — every
+    // mutating primitive must refuse instead
+    val dir = java.nio.file.Files.createTempDirectory("cdcproflay_")
+      .toString + "/state"
+    CdcProfile.applyBatch(changes.toDF(), dir, spec, numBuckets = 8)
+    val fs = BucketStore.fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir, BucketStore.MetaName)
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val forged = body.replace(
+      s""""layout":${BucketStore.LayoutVersion}""", """"layout":99""")
+    assert(forged != body)
+    val out = fs.create(p, true)
+    try out.write(forged.getBytes("UTF-8")) finally out.close()
+    val e = intercept[java.io.IOException] {
+      CdcProfile.applyBatch(changes.toDF(), dir, spec)
+    }
+    assert(e.getMessage.contains("newer than this engine"), e.getMessage)
+    // reads still work: the refusal is a WRITE guard only
+    assert(CdcProfile.topValuesView(spark, dir, "cat", 3)
+      .collect().nonEmpty)
   }
 
   test("histogram under retraction: the deleted 9.0 cannot stretch the " +

@@ -24,6 +24,9 @@ object Sinks {
            props: java.util.Properties = new java.util.Properties(),
            batchSize: Int = 1000, numPartitions: Option[Int] = None,
            overwrite: Boolean = false): Unit = {
+    // a ClickHouse URL gets the real dialect (type ladder, Nullable
+    // wrapping, backquote quoting) instead of Spark's generic guesses
+    if (ClickHouseDialect.canHandle(url)) ClickHouseDialect.register()
     val sized = numPartitions.fold(df)(n => df.coalesce(n))
     sized.write
       .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)

@@ -112,7 +112,12 @@ object Bench {
         // no timing and don't participate.
         val stale = here.find(_.getName == "BENCH_PRIOR.json")
           .flatMap(loadJson).map(queriesOf).getOrElse(Map.empty)
-        val merged = (priorFull.keySet ++ stale.keySet).map { k =>
+        // keys come from the round-start artifact so rows REMOVED from
+        // the suite expire instead of riding the prior forever (empty
+        // artifact → keep the stale keys rather than wipe the prior)
+        val keys = if (priorFull.nonEmpty) priorFull.keySet
+                   else stale.keySet
+        val merged = keys.map { k =>
           val vs = (priorFull.get(k).toSeq ++ stale.get(k)).filter(_ >= 0)
           k -> (if (vs.isEmpty) -1.0 else vs.min)
         }.toMap

@@ -245,6 +245,12 @@ private[streaming] object BucketStore {
       // microseconds — then the path's occupant is live and the
       // claimed foreign file is dropped (its owner already lost the
       // lock once when the healer reaped it).
+      // An unreadable claimed file restores conservatively (we cannot
+      // prove it is ours, and deleting a healer's lock is the worse
+      // failure) — worst case OUR lock stays held until the TTL heal, a
+      // liveness cost, never a second-writer admission. A crash between
+      // the claim and the delete orphans the rel file; [[recover]]
+      // reaps TTL-aged orphans.
       try {
         if (readOwner() == owner) {
           val rel = new Path(stateDir + "__writer.lock.rel_" +
@@ -453,6 +459,19 @@ private[streaming] object BucketStore {
     import org.apache.hadoop.fs.Path
     val f = fs(spark, stateDir)
     val dir = new Path(stateDir)
+    // reap TTL-aged release-claim leftovers (`__writer.lock.rel_*`): a
+    // crash between a release's claim-rename and its delete orphans
+    // one. Age-gated so a LIVE release mid-flight (ms-scale) is never
+    // raced; an aged one can belong to no live span.
+    val ttlMs =
+      try spark.conf.get("graft.writerLockTtlMs",
+        DefaultWriterLockTtlMs.toString).toLong
+      catch { case _: NumberFormatException => DefaultWriterLockTtlMs }
+    try f.globStatus(new Path(stateDir + "__writer.lock.rel_*"))
+      .filter(st => System.currentTimeMillis() -
+        st.getModificationTime > ttlMs)
+      .foreach(st => f.delete(st.getPath, false))
+    catch { case _: Throwable => () }
     val dirOld = new Path(stateDir + "__old")
     if (f.exists(dirOld)) {
       if (f.exists(dir)) f.delete(dirOld, true)

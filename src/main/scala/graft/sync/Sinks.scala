@@ -19,22 +19,41 @@ object Sinks {
     * its JDBC driver (none is shipped in this container, so this path is
     * exercised only by code review; the parquet sink is the tested
     * stand-in).
+    *
+    * ClickHouse targets: PRE-CREATE the table (the CDC shape via
+    * [[ClickHouseDialect.replacingMergeTreeDdl]]) rather than letting
+    * Spark auto-create it — auto-creation cannot render `Nullable(...)`
+    * wrapping (Spark's DDL builder only appends NOT NULL) and ClickHouse
+    * refuses a CREATE TABLE without an ENGINE clause anyway, so the
+    * missing-table path fails loudly unless `createTableOptions`
+    * supplies one. The dialect's decimal output-format session setting
+    * is issued per connection via Spark's `sessionInitStatement`.
     */
   def jdbc(df: DataFrame, url: String, table: String,
            props: java.util.Properties = new java.util.Properties(),
            batchSize: Int = 1000, numPartitions: Option[Int] = None,
-           overwrite: Boolean = false): Unit = {
+           overwrite: Boolean = false,
+           createTableOptions: Option[String] = None): Unit = {
     // a ClickHouse URL gets the real dialect (type ladder, Nullable
     // wrapping, backquote quoting) instead of Spark's generic guesses
-    if (ClickHouseDialect.canHandle(url)) ClickHouseDialect.register()
+    val ch = ClickHouseDialect.canHandle(url)
+    if (ch) ClickHouseDialect.register()
     val sized = numPartitions.fold(df)(n => df.coalesce(n))
-    sized.write
+    val base = sized.write
       .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
       // on overwrite, TRUNCATE the existing table instead of dropping it
       // (preserves target DDL — the reference never issues DDL either)
       .option("truncate", overwrite.toString)
       .option("batchsize", batchSize)
       .option("isolationLevel", "NONE") // ClickHouse has no transactions
+    // the reference's own decimal rendering workaround (sync.py:77-83)
+    // rides every ClickHouse connection, not a scaladoc aside
+    val withInit =
+      if (ch) base.option("sessionInitStatement",
+        ClickHouseDialect.sessionSetup.mkString("; "))
+      else base
+    createTableOptions.fold(withInit)(o =>
+        withInit.option("createTableOptions", o))
       .jdbc(url, table, props)
   }
 

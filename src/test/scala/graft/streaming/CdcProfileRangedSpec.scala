@@ -663,6 +663,63 @@ class CdcProfileRangedSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
   }
 
+  test("a pre-r16 (session-zone-image) DATE contract refuses apply " +
+      "and split; reseed migrates it to the current image") {
+    // an r15 contract written by a NON-UTC session has date boundaries
+    // this engine's session-independent image cannot reproduce — and
+    // the meta cannot prove which zone wrote it, so the write path
+    // refuses either way (self-review finding on the r16 image change).
+    // Reseed re-images and re-tags every row: the migration path.
+    val dSchema = StructType(Seq(
+      StructField("k", LongType), StructField("d", DateType)))
+    val dSpec = CdcProfile.ProfileSpec("dt", dSchema, Seq("d"))
+    def dj(k: Long, d: String) = s"""{"k":$k,"d":"$d"}"""
+    def ds(k: Int) = f"2024-${1 + (k - 1) / 28}%02d-${1 + (k - 1) % 28}%02d"
+    def rows(seq0: Long, n: Int) = (1 to n).map(k =>
+      KeyedChangeRow("dt", "insert", dj(k, ds(k)), null, "s", seq0 + k))
+    val dir = java.nio.file.Files
+      .createTempDirectory("cdcprofr_img_").toString + "/state"
+    CdcProfileRanged.applyBatch(rows(0, 30).toDF(), dir, dSpec,
+      numBuckets = 4)
+    // forge the r15 form: strip the img field from the contract
+    val fs = BucketStore.fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir, BucketStore.RangesName)
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val stripped = body.replaceAll(""""img":\d+,""", "")
+    assert(stripped != body, s"no img stamp in $body")
+    val out = fs.create(p, true)
+    try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    assert(CdcProfileRanged.readRanges(spark, dir).get.img == 1)
+    val e1 = intercept[java.io.IOException] {
+      CdcProfileRanged.applyBatch(rows(100, 5).toDF(), dir, dSpec)
+    }
+    assert(e1.getMessage.contains("value-image v1"), e1.getMessage)
+    val victim = CdcProfileRanged.readRanges(spark, dir).get.col("d")
+      .orderedIds.find(id => new java.io.File(s"$dir/bucket=$id")
+        .exists()).get
+    val e2 = intercept[java.io.IOException] {
+      CdcProfileRanged.splitBucket(spark, dir, victim, dSpec)
+    }
+    assert(e2.getMessage.contains("value-image v1"))
+    // views stay readable on the internally-consistent old state
+    val before = CdcProfileRanged.profileView(spark, dir, dSpec, qs)
+      .collect().map(_.toSeq).toSeq
+    assert(before.nonEmpty)
+    // reseed migrates: img stamped current, applies land again, views
+    // unchanged (the fixture was written under UTC where v1 == v2)
+    CdcProfileRanged.reseed(spark, dir, dSpec, numBuckets = 4)
+    assert(CdcProfileRanged.readRanges(spark, dir).get.img ==
+      CdcProfileRanged.ImgVersion)
+    assert(CdcProfileRanged.profileView(spark, dir, dSpec, qs)
+      .collect().map(_.toSeq).toSeq == before)
+    CdcProfileRanged.applyBatch(rows(100, 5).toDF(), dir, dSpec)
+    val n = CdcProfileRanged.profileView(spark, dir, dSpec, qs)
+      .collect().map(r => r.getLong(1)).head
+    assert(n == 35L, s"post-migration apply did not land: $n")
+  }
+
   test("splitBucket and reseed on a timestamp column keep every view") {
     val dir = java.nio.file.Files
       .createTempDirectory("cdcprofr_tsddl_").toString + "/state"

@@ -24,7 +24,7 @@ class ClickHouseDialectSpec extends AnyFunSuite {
   test("the type ladder maps every reference-ladder type; decimals " +
       "keep precision and scale") {
     val want = Seq(
-      BooleanType -> "UInt8",
+      BooleanType -> "Bool",
       ByteType -> "Int8",
       ShortType -> "Int16",
       IntegerType -> "Int32",
@@ -83,7 +83,15 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     assert(back("Nullable(DateTime64(6))").contains(TimestampType))
     assert(back("Decimal(18, 2)").contains(DecimalType(18, 2)))
     assert(back("Date32").contains(DateType))
-    assert(back("UInt64").contains(LongType))
+    assert(back("FixedString(16)").contains(StringType))
+    assert(back("Bool").contains(BooleanType))
+    // unsigned types WIDEN to the smallest Catalyst type holding the
+    // full range — a UInt32 holding 3e9 must not overflow IntegerType,
+    // and a UInt8 counter is a number, not a Boolean
+    assert(back("UInt8").contains(ShortType))
+    assert(back("UInt16").contains(IntegerType))
+    assert(back("UInt32").contains(LongType))
+    assert(back("UInt64").contains(DecimalType(20, 0)))
     // unknown names fall through to Spark's default code mapping
     assert(back("AggregateFunction(sum, UInt64)").isEmpty)
   }

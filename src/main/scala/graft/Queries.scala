@@ -725,8 +725,10 @@ object Queries {
       profileMinMaxSpec)
   }
 
-  // ---- st_cdc_profile_ts: ordered-domain (timestamp + float) ranged
-  // profile — the r15 extension past numerics ----
+  // ---- st_cdc_profile_ts: ordered-domain (date + timestamp + float)
+  // ranged profile — the r15 extension past numerics, plus the r16
+  // DATE column driving the session-independent day-count image
+  // through the production wire path against DuckDB's epoch(DATE) ----
 
   private[graft] lazy val profileTsSpec
       : graft.streaming.CdcProfile.ProfileSpec = {
@@ -734,29 +736,36 @@ object Queries {
     graft.streaming.CdcProfile.ProfileSpec("events_ts",
       StructType(Seq(StructField("event_id", LongType),
         StructField("ts", TimestampType),
+        StructField("dval", DateType),
         StructField("fval", FloatType))),
-      Seq("fval", "ts"))
+      Seq("dval", "fval", "ts"))
   }
 
-  /** The [[profileMinMaxDeltas]] retraction shape on a TIMESTAMP + a
-    * FLOAT column: one slice's timestamps pushed ~11 years out, one
-    * pushed back, both slices DELETED with live before images, a third
-    * nulled — the live extrema and ranks are the ordinary values and
-    * only state-recomputing maintenance reports them. Timestamps are
-    * second-truncated so the JSON wire round-trips exactly; floats are
-    * the cast of the events doubles, whose shortest-decimal renderings
-    * ("0.1"-likes) are exactly where a driver-side string parse
-    * diverges from the float→double cast chain — the r14 ADVICE case
-    * the oracle now pins against an independent engine.
+  /** The [[profileMinMaxDeltas]] retraction shape on a DATE + a
+    * TIMESTAMP + a FLOAT column: one slice's timestamps pushed ~11
+    * years out (dates ±4100 days alongside), one pushed back, both
+    * slices DELETED with live before images, a third nulled — the live
+    * extrema and ranks are the ordinary values and only
+    * state-recomputing maintenance reports them. Timestamps are
+    * second-truncated so the JSON wire round-trips exactly; dates ride
+    * the JSON wire as ISO strings (zone-independent both ways) and
+    * their panel doubles are the r16 day-count image — DuckDB's
+    * `epoch(DATE)` bit-for-bit in EVERY session zone, not just UTC;
+    * floats are the cast of the events doubles, whose shortest-decimal
+    * renderings ("0.1"-likes) are exactly where a driver-side string
+    * parse diverges from the float→double cast chain — the r14 ADVICE
+    * case the oracle now pins against an independent engine.
     */
   private def profileTsDeltas(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = landed(s, s"profts|$d") {
     val nullS = lit(null).cast("string")
     val e = Tables.events(s, d).select(col("event_id"),
       date_trunc("second", col("ts")).as("ts"),
+      to_date(col("ts")).as("dval"),
       col("value").cast("float").as("fval"))
-    def pay(t: Column, f: Column) = to_json(struct(col("event_id"),
-      t.as("ts"), f.as("fval")))
+    def pay(t: Column, dv: Column, f: Column) =
+      to_json(struct(col("event_id"), t.as("ts"), dv.as("dval"),
+        f.as("fval")))
     def ev(op: String, p: Column, b: Column, stmt: Int) = Seq(
       lit("events_ts").as("table"), lit(op).as("op"), p.as("payload"),
       b.as("payload_before"),
@@ -767,22 +776,30 @@ object Queries {
     val mNull = col("event_id") % 31 === 0 &&
       col("event_id") % 19 =!= 0 && col("event_id") % 23 =!= 0
     val shift = expr("INTERVAL 100000 HOURS")
-    val ins = e.select(ev("insert", pay(col("ts"), col("fval")),
-      nullS, 1): _*)
+    val dShift = 4100
+    val ins = e.select(ev("insert",
+      pay(col("ts"), col("dval"), col("fval")), nullS, 1): _*)
     val upMax = e.filter(mMax)
-      .select(ev("update", pay(col("ts") + shift, col("fval")),
-        pay(col("ts"), col("fval")), 2): _*)
+      .select(ev("update",
+        pay(col("ts") + shift, date_add(col("dval"), dShift),
+          col("fval")),
+        pay(col("ts"), col("dval"), col("fval")), 2): _*)
     val upMin = e.filter(mMin)
-      .select(ev("update", pay(col("ts") - shift, col("fval")),
-        pay(col("ts"), col("fval")), 2): _*)
+      .select(ev("update",
+        pay(col("ts") - shift, date_sub(col("dval"), dShift),
+          col("fval")),
+        pay(col("ts"), col("dval"), col("fval")), 2): _*)
     val upNull = e.filter(mNull)
       .select(ev("update",
-        pay(lit(null).cast("timestamp"), lit(null).cast("float")),
-        pay(col("ts"), col("fval")), 2): _*)
+        pay(lit(null).cast("timestamp"), lit(null).cast("date"),
+          lit(null).cast("float")),
+        pay(col("ts"), col("dval"), col("fval")), 2): _*)
     val liveT = when(mMax, col("ts") + shift)
       .when(mMin, col("ts") - shift).otherwise(col("ts"))
+    val liveD = when(mMax, date_add(col("dval"), dShift))
+      .when(mMin, date_sub(col("dval"), dShift)).otherwise(col("dval"))
     val del = e.filter(mMax || mMin)
-      .select(ev("delete", nullS, pay(liveT, col("fval")), 3): _*)
+      .select(ev("delete", nullS, pay(liveT, liveD, col("fval")), 3): _*)
     graft.streaming.CdcProfile.weightedDeltas(
       ins.unionAll(upMax).unionAll(upMin).unionAll(upNull).unionAll(del),
       profileTsSpec)
@@ -4946,12 +4963,16 @@ object Queries {
           s"UNION ALL ${colRows("value", "v")}) t ORDER BY col_name, bin"
       }),
 
-    // X5 + St2: the ranged profile past numerics — a TIMESTAMP and a
-    // FLOAT column through the full panel (counts/NDV/min-max/exact
-    // quantiles), the r15 ordered-domain extension. Timestamps ride
-    // the same boundary algebra through their monotone epoch image;
-    // the panel's double columns are epoch seconds (DuckDB's epoch()
-    // performs the identical micros/1e6 IEEE division). The FLOAT
+    // X5 + St2: the ranged profile past numerics — a DATE, a TIMESTAMP
+    // and a FLOAT column through the full panel (counts/NDV/min-max/
+    // exact quantiles), the r15 ordered-domain extension plus the r16
+    // DATE column. Timestamps ride the same boundary algebra through
+    // their monotone epoch image; the panel's double columns are epoch
+    // seconds (DuckDB's epoch() performs the identical micros/1e6 IEEE
+    // division), and the DATE column's is the session-INDEPENDENT
+    // day-count image (unix_date × 86400 = DuckDB epoch(DATE) in every
+    // zone — the r16 ADVICE fix, driven here through the production
+    // wire + ranged streaming path end to end). The FLOAT
     // column pins the r14 nearest-double ADVICE against an independent
     // engine: every driver-side double image now rides the
     // cast-chain (float → double widening), so "0.1"-like renderings
@@ -4979,9 +5000,12 @@ object Queries {
         "WITH live AS (SELECT CASE WHEN event_id % 31 = 0 THEN NULL " +
           "ELSE date_trunc('second', ts) END AS ts, " +
           "CASE WHEN event_id % 31 = 0 THEN NULL ELSE " +
+          "CAST(ts AS DATE) END AS dval, " +
+          "CASE WHEN event_id % 31 = 0 THEN NULL ELSE " +
           "CAST(value AS REAL) END AS fval FROM events " +
           "WHERE event_id % 19 <> 0 AND event_id % 23 <> 0) " +
-          s"SELECT * FROM (${colRow("fval", asD)} UNION ALL " +
+          s"SELECT * FROM (${colRow("dval", asE)} UNION ALL " +
+          s"${colRow("fval", asD)} UNION ALL " +
           s"${colRow("ts", asE)}) t ORDER BY col_name"
       }),
 
@@ -5010,10 +5034,13 @@ object Queries {
         def colRows(c: String, x: String): String = oracleHistRows(c, x)
         "WITH live AS (SELECT epoch(CASE WHEN event_id % 31 = 0 THEN " +
           "NULL ELSE date_trunc('second', ts) END) AS t, " +
+          "epoch(CASE WHEN event_id % 31 = 0 THEN NULL ELSE " +
+          "CAST(ts AS DATE) END) AS dv, " +
           "CAST(CASE WHEN event_id % 31 = 0 THEN NULL ELSE " +
           "CAST(value AS REAL) END AS DOUBLE) AS f FROM events " +
           "WHERE event_id % 19 <> 0 AND event_id % 23 <> 0) " +
-          s"SELECT col_name, bin, n FROM (${colRows("fval", "f")} " +
+          s"SELECT col_name, bin, n FROM (${colRows("dval", "dv")} " +
+          s"UNION ALL ${colRows("fval", "f")} " +
           s"UNION ALL ${colRows("ts", "t")}) t ORDER BY col_name, bin"
       }),
 

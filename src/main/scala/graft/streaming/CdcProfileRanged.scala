@@ -237,10 +237,15 @@ object CdcProfileRanged {
                                       xd: Column): Column =
     size(filter(lit(ubs), b => b < xd))
 
+  // coalesce over per-column whens, NOT `.reduce(_ otherwise _)`: an
+  // otherwise() completes a when-chain, so a second reduce step threw
+  // on any spec with MORE THAN TWO profiled columns (latent until the
+  // r16 three-column date+ts+float spec hit it). An unmatched when is
+  // null and falls through — identical semantics, any column count.
   private def bucketOf(meta: RangesMeta, spec: ProfileSpec): Column =
-    spec.cols.map(cn => when(col("c") === cn,
-        colTag(meta.col(cn), spec.schema(cn).dataType)(col("v"))))
-      .reduce(_ otherwise _).cast("int")
+    coalesce(spec.cols.map(cn => when(col("c") === cn,
+        colTag(meta.col(cn), spec.schema(cn).dataType)(col("v")))): _*)
+      .cast("int")
 
   private def requireOrdered(spec: ProfileSpec, what: String): Unit =
     spec.cols.foreach { cn =>
@@ -432,11 +437,13 @@ object CdcProfileRanged {
                                spec: ProfileSpec)
       : Map[(String, Int), BucketSummary] = {
     if (!BucketStore.hasRows(spark, stateDir)) return Map.empty
-    def chainD(side: String) = spec.cols.map { cn =>
+    // coalesce, not `.reduce(_ otherwise _)` — see bucketOf: the reduce
+    // threw on specs with more than two profiled columns
+    def chainD(side: String) = coalesce(spec.cols.map { cn =>
       val dt = spec.schema(cn).dataType
       when(col("c") === cn,
         CdcProfile.typedToDouble(dt)(col(side).cast(dt)))
-    }.reduce(_ otherwise _)
+    }: _*)
     spark.read.parquet(stateDir)
       .filter(col("part") === "t" &&
         col("c").isin(spec.cols.map(c => c: Any): _*))

@@ -107,6 +107,16 @@ private[streaming] object BucketStore {
       scala.collection.mutable.Map.empty[String, Long]
   }
 
+  // JVM-wide holder registry: same-process mutual exclusion must not
+  // depend on the FS's create-exclusive atomicity at all — Hadoop's
+  // LocalFileSystem create(overwrite = false) is an exists()-then-
+  // create TOCTOU that two threads can BOTH win (the contention stress
+  // spec caught three concurrent holders). An in-JVM holder cannot go
+  // stale (a thread cannot exit a span without its finally), so a
+  // registered dir is always a live writer: refuse, never heal.
+  private val jvmHolders =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Renew the held lock's lease by touching its mtime — the liveness
     * signal the TTL stale-heal reads. Called automatically on every
     * reentrant inner acquire (reseed/rebucket hit their inner
@@ -183,22 +193,56 @@ private[streaming] object BucketStore {
       } catch { case _: Throwable => "<unreadable>" }
     def readOwner(): String = ownerAt(lock)
     def tryAcquire(): Boolean = {
-      val out =
-        try f.create(lock, false) // create-exclusive: the commit point
-        catch { case _: java.io.IOException => return false }
-      try { out.write(owner.getBytes("UTF-8")); out.close(); true }
-      catch { case _: Throwable =>
-        // the file was created but the owner write failed (disk full,
-        // transient FS error): an empty lock left behind would wedge
-        // every writer until the TTL — clean it up before reporting
-        // failure
-        try out.close() catch { case _: Throwable => () }
-        try f.delete(lock, false) catch { case _: Throwable => () }
-        false
+      // file:// paths take the kernel's O_CREAT|O_EXCL (atomic across
+      // PROCESSES too — Hadoop's LocalFileSystem create(overwrite =
+      // false) is an exists-then-create TOCTOU); every other scheme
+      // relies on the FS's own create-exclusive (HDFS: atomic at the
+      // namenode; object stores without one: documented advisory)
+      if (f.getScheme == "file") {
+        val local = new java.io.File(lock.toUri.getPath)
+        val created =
+          try local.createNewFile() catch { case _: Throwable => false }
+        if (!created) return false
+        try {
+          val w = new java.io.FileOutputStream(local)
+          try w.write(owner.getBytes("UTF-8")) finally w.close()
+          true
+        } catch { case _: Throwable =>
+          try local.delete() catch { case _: Throwable => () }
+          false
+        }
+      } else {
+        val out =
+          try f.create(lock, false) // create-exclusive: the commit point
+          catch { case _: java.io.IOException => return false }
+        try { out.write(owner.getBytes("UTF-8")); out.close(); true }
+        catch { case _: Throwable =>
+          // the file was created but the owner write failed (disk full,
+          // transient FS error): an empty lock left behind would wedge
+          // every writer until the TTL — clean it up before reporting
+          // failure
+          try out.close() catch { case _: Throwable => () }
+          try f.delete(lock, false) catch { case _: Throwable => () }
+          false
+        }
       }
     }
-    var acquired = tryAcquire()
-    if (!acquired) {
+    // same-JVM exclusion FIRST, independent of FS atomicity: exactly
+    // one thread may register as the dir's holder; a registered holder
+    // is live by construction (no heal path applies)
+    val prevHolder = jvmHolders.putIfAbsent(stateDir, owner)
+    if (prevHolder != null)
+      throw new java.io.IOException(
+        s"another writer holds $lock (owner: $prevHolder, this JVM) — " +
+          "concurrent writers on one state dir corrupt it; quiesce the " +
+          "other writer thread")
+    var registered = true
+    def unregister(): Unit =
+      if (registered) { jvmHolders.remove(stateDir); registered = false }
+    var acquired =
+      try tryAcquire()
+      catch { case t: Throwable => unregister(); throw t }
+    if (!acquired) try {
       // one stale-heal retry: a lock older than the TTL is a crashed
       // writer's leftover (a LIVE writer renews its lease every TTL/4,
       // so only a dead one goes stale); a fresh one is a live
@@ -227,11 +271,12 @@ private[streaming] object BucketStore {
             "concurrent writers on one state dir corrupt it; quiesce " +
             "the other writer, or delete the lock if its owner crashed " +
             s"less than ${ttlMs / 1000}s ago and is known dead")
-    }
+    } catch { case t: Throwable => unregister(); throw t }
     held(stateDir) = System.currentTimeMillis()
     try body
     finally {
       held.remove(stateDir)
+      unregister()
       // release ONLY our own lock, ATOMICALLY: the r15 read-then-delete
       // left a window where a healer could claim our (stale) lock and
       // create its own between our read and our delete — the delete

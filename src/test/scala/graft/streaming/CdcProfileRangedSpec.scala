@@ -411,6 +411,51 @@ class CdcProfileRangedSpec extends SparkSpec {
     assert(mxv.contains(sorted.last._1))
   }
 
+  test("exactCuts property sweep: random weighted multisets (ties, " +
+      "heavy skew, negatives, infinities) equal the prefix-sum twin " +
+      "for every bucket count") {
+    // seeded manual generator (the offline cache has no scalacheck
+    // bridge): the distributed two-pass rank must agree with the
+    // direct expanded-multiset rank on ANY input the reseed can see —
+    // duplicate values accumulate weight through the groupBy-free
+    // path, ties share a range partition, ±Infinity sorts like Spark
+    val rng = new scala.util.Random(20260816L)
+    for (round <- 1 to 25) {
+      val nVals = 1 + rng.nextInt(400)
+      val b = 1 + rng.nextInt(12)
+      val raw0 = (0 until nVals).map { _ =>
+        val v0 = rng.nextInt(8) match {
+          case 0 => Double.PositiveInfinity
+          case 1 => Double.NegativeInfinity
+          case _ => math.floor((rng.nextDouble() - 0.5) * 2000) / 8.0
+        }
+        // the engine normalizes -0.0 at rendering (weightedDeltas);
+        // mirror it so the twin's comparisons see one zero class
+        val v = if (v0 == 0.0) 0.0 else v0
+        val w = if (rng.nextInt(10) == 0) 1L + rng.nextInt(5000)
+                else 1L + rng.nextInt(4)
+        (v, w)
+      }
+      // collapse duplicate values the way the state's netted rows are
+      // unique per value (exactCuts itself must not assume it, but the
+      // twin arithmetic below is cleanest on the collapsed form)
+      val raw = raw0.groupBy(_._1).map { case (v, g) =>
+        (v, g.map(_._2).sum) }.toSeq
+      val (cuts, mxv) = CdcProfileRanged.exactCuts(
+        raw.toDF("xd", "n").repartition(1 + rng.nextInt(8)), b)
+      val sorted = raw.sortBy(_._1)
+      val prefix = sorted.scanLeft(0L)(_ + _._2).tail
+      val tot = prefix.last
+      def cut(k: Int): Double = {
+        val r = math.ceil(k.toDouble * tot / b).toLong
+        sorted(prefix.indexWhere(_ >= r))._1
+      }
+      assert(mxv.contains(sorted.last._1), s"round $round max")
+      assert(cuts == (1 until b).map(cut),
+        s"round $round (n=$nVals b=$b): $cuts vs ${(1 until b).map(cut)}")
+    }
+  }
+
   test("exactCuts tolerates null double images: no crash, no weight " +
       "inflation — cuts equal the non-null subset's") {
     // a rendered value whose image is null (unparseable/cast-failed)

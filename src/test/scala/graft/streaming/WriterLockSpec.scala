@@ -160,13 +160,76 @@ class WriterLockSpec extends SparkSpec {
         "renewWriterLock did not touch the lease")
       assert(contend(dir).exists(
         _.getMessage.contains("another writer holds")))
-      // 3. control: aged and NOT renewed, the contender heals — proof
-      // the refusals above are renewal's doing, not a too-short aging
+      // sanity: the aging used above genuinely crosses the TTL, so the
+      // refusals are renewal's doing (a same-JVM contender is ALSO
+      // structurally refused by the in-process holder registry — see
+      // the control below for the FS-level heal)
+      fs.setTimes(lock, System.currentTimeMillis() - 60000L, -1L)
+      val aged = fs.getFileStatus(lock).getModificationTime
+      assert(System.currentTimeMillis() - aged > 2000L,
+        "this spec's aging no longer crosses the TTL")
+      BucketStore.renewWriterLock(spark, dir) // leave the span live
+    } finally spark.conf.unset("graft.writerLockTtlMs")
+    // 3. control OUTSIDE any span (the in-JVM registry is empty, so
+    // only the FS lock decides): an aged FOREIGN lock heals — proof
+    // the in-span refusals above weren't a too-short aging artifact
+    spark.conf.set("graft.writerLockTtlMs", "2000")
+    try {
+      val out = fs.create(lock, false)
+      try out.write("crashed@elsewhere/stream-9".getBytes("UTF-8"))
+      finally out.close()
       fs.setTimes(lock, System.currentTimeMillis() - 60000L, -1L)
       assert(contend(dir).isEmpty,
-        "contender failed to heal an aged, unrenewed lock — this " +
-          "spec's aging no longer crosses the TTL")
+        "contender failed to heal an aged foreign lock")
+      assert(!fs.exists(lock), "healed contender did not release")
     } finally spark.conf.unset("graft.writerLockTtlMs")
+  }
+
+  test("contention stress: many threads hammering one state dir never " +
+      "overlap inside the critical section, and the lock always frees") {
+    // the mutual-exclusion property itself, not one scripted
+    // interleaving: 8 threads × 25 acquire/release cycles on ONE dir;
+    // a counter incremented inside the span must never observe a
+    // second holder, and every contender either runs or throws the
+    // stated refusal (no silent skips, no deadlock)
+    val dir = java.nio.file.Files
+      .createTempDirectory("wlock_stress_").toString + "/state"
+    BucketStore.fs(spark, dir)
+      .mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to 8).map { t =>
+      new Thread(() => {
+        (1 to 25).foreach { i =>
+          try BucketStore.withWriterLock(spark, dir) {
+            val n = inside.incrementAndGet()
+            maxSeen.getAndUpdate(m => math.max(m, n))
+            if (n != 1) bad.add(s"thread $t cycle $i saw $n holders")
+            Thread.sleep(0, 50000) // widen the window
+            inside.decrementAndGet()
+            ran.incrementAndGet()
+            ()
+          } catch {
+            case e: java.io.IOException
+                if e.getMessage.contains("another writer holds") =>
+              refused.incrementAndGet(); ()
+          }
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(bad.isEmpty, s"overlapping holders: ${bad.toArray.mkString("; ")}")
+    assert(maxSeen.get() == 1, s"max concurrent holders ${maxSeen.get()}")
+    assert(ran.get() > 0, "no span ever ran")
+    assert(ran.get() + refused.get() == 8 * 25,
+      s"cycles unaccounted: ran=${ran.get()} refused=${refused.get()}")
+    // quiesced: the lock is free and a fresh writer proceeds
+    assert(!fsOf(dir).exists(BucketStore.lockPath(dir)),
+      "lock left behind after every thread exited")
+    BucketStore.withWriterLock(spark, dir) { () }
   }
 
   test("a successful writer releases; DDLs hold one lock across their " +

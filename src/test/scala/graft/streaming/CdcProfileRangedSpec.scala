@@ -908,6 +908,49 @@ class CdcProfileRangedSpec extends SparkSpec {
       "invalidate() did not re-warm from the state")
   }
 
+  test("a THREE-column ranged spec (long + double + timestamp) " +
+      "assigns and answers every view — the >2-column composition " +
+      "the r16 latent bucketOf bug broke") {
+    // bucketOf/collectSummaries composed per-column branches with
+    // reduce(_ otherwise _), which throws on a third column (an
+    // otherwise completes a when-chain) — every earlier ranged spec
+    // had exactly two, so only the oracle's new date+ts+float panel
+    // caught it; this pins the fix at unit level with mixed types
+    val schema3 = StructType(Seq(
+      StructField("k", LongType), StructField("amt", DoubleType),
+      StructField("cnt", LongType), StructField("ts", TimestampType)))
+    val spec3 = CdcProfile.ProfileSpec("m3", schema3,
+      Seq("amt", "cnt", "ts"))
+    def j(k: Long, amt: Double, cnt: Long, sec: Int) =
+      s"""{"k":$k,"amt":$amt,"cnt":$cnt,""" +
+        f""""ts":"2024-03-01 10:${sec / 60}%02d:${sec % 60}%02d"}"""
+    var seq = 0L
+    def next() = { seq += 1; seq }
+    val rows = (1 to 40).map(k => KeyedChangeRow("m3", "insert",
+        j(k, k * 1.5, k % 7, k * 13 % 3600), null, "s", next())) ++
+      (1 to 40).filter(_ % 5 == 0).map(k => KeyedChangeRow("m3",
+        "delete", null, j(k, k * 1.5, k % 7, k * 13 % 3600), "s",
+        next()))
+    val dir = java.nio.file.Files
+      .createTempDirectory("cdcprofr_3col_").toString + "/state"
+    CdcProfileRanged.applyBatch(rows.toDF(), dir, spec3, numBuckets = 4)
+    val got = CdcProfileRanged.profileView(spark, dir, spec3, qs)
+      .collect().map(_.toSeq).toSeq
+    val twin = CdcProfile.maintain(rows.toDF(), 1, spec3,
+        minMax = true, quantiles = qs)
+      .collect().map(_.toSeq).toSeq
+    assert(got == twin, s"3-col panel diverged:\n$got\nvs\n$twin")
+    val gotH = CdcProfileRanged.histogramView(spark, dir, spec3, 4)
+      .collect().map(_.toSeq).toSeq
+    val twinH = CdcProfile.histogramOf(keyedState(dir), spec3, 4)
+      .orderBy("col_name", "bin").collect().map(_.toSeq).toSeq
+    assert(gotH == twinH)
+    // DDLs compose at three columns too
+    CdcProfileRanged.reseed(spark, dir, spec3, numBuckets = 4)
+    assert(CdcProfileRanged.profileView(spark, dir, spec3, qs)
+      .collect().map(_.toSeq).toSeq == got)
+  }
+
   test("null and single-value buckets refuse to split; auto-split " +
       "skips them") {
     val dir = java.nio.file.Files

@@ -90,6 +90,13 @@ private[streaming] object BucketStore {
     */
   val DefaultWriterLockTtlMs: Long = 15L * 60 * 1000
 
+  // ONE TTL resolution for the heal and the orphan reap — two copies
+  // could silently disagree on staleness
+  private def lockTtlMs(spark: SparkSession): Long =
+    try spark.conf.get("graft.writerLockTtlMs",
+      DefaultWriterLockTtlMs.toString).toLong
+    catch { case _: NumberFormatException => DefaultWriterLockTtlMs }
+
   /** The single-writer lock SIBLING of a state dir: outside the dir so
     * it survives the whole-dir rebucket swap and never enters a Spark
     * listing.
@@ -162,10 +169,7 @@ private[streaming] object BucketStore {
                        (body: => T): T = {
     import org.apache.hadoop.fs.Path
     val held = heldLocks.get()
-    val ttlMs =
-      try spark.conf.get("graft.writerLockTtlMs",
-        DefaultWriterLockTtlMs.toString).toLong
-      catch { case _: NumberFormatException => DefaultWriterLockTtlMs }
+    val ttlMs = lockTtlMs(spark)
     held.get(stateDir) match {
       case Some(lastRenew) =>
         // reentrant inner acquire: RENEW the lease when a quarter of
@@ -198,7 +202,11 @@ private[streaming] object BucketStore {
       // false) is an exists-then-create TOCTOU); every other scheme
       // relies on the FS's own create-exclusive (HDFS: atomic at the
       // namenode; object stores without one: documented advisory)
-      if (f.getScheme == "file") {
+      // FileSystem.getScheme's BASE implementation throws
+      // UnsupportedOperationException — an FS that never overrode it
+      // must fall through to the generic branch, not fail every lock
+      val scheme = try f.getScheme catch { case _: Throwable => "" }
+      if (scheme == "file") {
         val local = new java.io.File(lock.toUri.getPath)
         val created =
           try local.createNewFile() catch { case _: Throwable => false }
@@ -504,19 +512,20 @@ private[streaming] object BucketStore {
     import org.apache.hadoop.fs.Path
     val f = fs(spark, stateDir)
     val dir = new Path(stateDir)
-    // reap TTL-aged release-claim leftovers (`__writer.lock.rel_*`): a
-    // crash between a release's claim-rename and its delete orphans
-    // one. Age-gated so a LIVE release mid-flight (ms-scale) is never
-    // raced; an aged one can belong to no live span.
-    val ttlMs =
-      try spark.conf.get("graft.writerLockTtlMs",
-        DefaultWriterLockTtlMs.toString).toLong
-      catch { case _: NumberFormatException => DefaultWriterLockTtlMs }
-    try f.globStatus(new Path(stateDir + "__writer.lock.rel_*"))
-      .filter(st => System.currentTimeMillis() -
-        st.getModificationTime > ttlMs)
-      .foreach(st => f.delete(st.getPath, false))
-    catch { case _: Throwable => () }
+    // reap TTL-aged claim leftovers: a crash between a release's
+    // claim-rename and its delete orphans a `__writer.lock.rel_*`
+    // file, and a crash inside the stale-heal claim orphans the
+    // symmetric `__writer.lock.reaped_*`. Age-gated so a LIVE
+    // release/heal mid-flight (ms-scale) is never raced; an aged one
+    // can belong to no live span.
+    val ttlMs = lockTtlMs(spark)
+    Seq("rel", "reaped").foreach { kind =>
+      try f.globStatus(new Path(s"${stateDir}__writer.lock.${kind}_*"))
+        .filter(st => System.currentTimeMillis() -
+          st.getModificationTime > ttlMs)
+        .foreach(st => f.delete(st.getPath, false))
+      catch { case _: Throwable => () }
+    }
     val dirOld = new Path(stateDir + "__old")
     if (f.exists(dirOld)) {
       if (f.exists(dir)) f.delete(dirOld, true)

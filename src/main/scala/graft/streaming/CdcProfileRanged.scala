@@ -121,7 +121,17 @@ object CdcProfileRanged {
     * order identically.
     */
   private def requireImgCurrent(meta: RangesMeta, spec: ProfileSpec,
-                                stateDir: String, what: String): Unit =
+                                stateDir: String, what: String): Unit = {
+    // a NEWER image generation refuses unconditionally — a future
+    // engine may have changed ANY column type's image, so the
+    // DateType-scoped check below cannot vouch for it (the
+    // BucketStore.refuseNewerLayout symmetry)
+    if (meta.img > ImgVersion)
+      throw new java.io.IOException(
+        s"$what refused: the range contract at $stateDir was recorded " +
+          s"under value-image v${meta.img}, newer than this engine's " +
+          s"v$ImgVersion — extending it with an older image would tag " +
+          "values into the wrong buckets; upgrade the engine")
     if (meta.img < ImgVersion && spec.cols.exists(cn =>
         spec.schema(cn).dataType == org.apache.spark.sql.types.DateType))
       throw new java.io.IOException(
@@ -133,6 +143,7 @@ object CdcProfileRanged {
           "add \"img\":" + ImgVersion + " to _graft_ranges.json if " +
           "every writer session was verifiably UTC (the two images " +
           "coincide there)")
+  }
 
   private val ColBlockRe =
     """\{"name":"([^"]*)","null_id":(\d+),"last_id":(\d+),"entries":\[([^\]]*)\]\}""".r

@@ -116,13 +116,24 @@ object ClickHouseDialect extends JdbcDialect {
   override def getCatalystType(sqlType: Int, typeName: String, size: Int,
                                md: MetadataBuilder): Option[DataType] = {
     val DecimalRe = """Decimal\((\d+),\s*(\d+)\)""".r
+    // strip wrappers to a FIXPOINT: the legal ClickHouse nesting is
+    // LowCardinality(Nullable(T)) — a single ordered pass unwrapped
+    // only the outer one and the inner Nullable then matched nothing,
+    // dodging the unsigned widening this mapping exists for
     def strip(t: String): String = {
       val wrappers = Seq("Nullable", "LowCardinality")
-      wrappers.foldLeft(t.trim) { (s, w) =>
-        if (s.startsWith(w + "(") && s.endsWith(")"))
-          s.substring(w.length + 1, s.length - 1).trim
-        else s
+      var s = t.trim
+      var changed = true
+      while (changed) {
+        changed = false
+        wrappers.foreach { w =>
+          if (s.startsWith(w + "(") && s.endsWith(")")) {
+            s = s.substring(w.length + 1, s.length - 1).trim
+            changed = true
+          }
+        }
       }
+      s
     }
     // unsigned types WIDEN (a UInt32 holding 3e9 overflows IntegerType;
     // a UInt8 counter is not a Boolean): UInt8→Short, UInt16→Int,
@@ -149,13 +160,22 @@ object ClickHouseDialect extends JdbcDialect {
   /** ClickHouse TRUNCATE never cascades (no foreign keys exist). */
   override def isCascadingTruncateTable(): Option[Boolean] = Some(false)
 
-  /** Session settings a writer should issue per connection — the
-    * reference's own workaround for decimal output rendering
-    * (sync.py:77-83: `4.00` stored exactly but PRINTED `4` without it;
-    * ClickHouse#51358/#39153).
+  /** Session settings a client should carry — the reference's own
+    * workaround for decimal output rendering (sync.py:77-83: `4.00`
+    * stored exactly but PRINTED `4` without it;
+    * ClickHouse#51358/#39153). Two forms because Spark's write path
+    * executes no init SQL (`sessionInitStatement` is read by JDBCRDD —
+    * the READ path — only, verified against the shipped Spark jars):
+    * [[connectionSettings]] rides the JDBC connection properties,
+    * which the ClickHouse drivers forward as per-session server
+    * settings — the route [[Sinks.jdbc]] wires; [[sessionSetup]] is
+    * the SQL form for clients that do execute init statements.
     */
-  val sessionSetup: Seq[String] =
-    Seq("SET output_format_decimal_trailing_zeros = 1")
+  val connectionSettings: Map[String, String] =
+    Map("output_format_decimal_trailing_zeros" -> "1")
+
+  val sessionSetup: Seq[String] = connectionSettings.toSeq.map {
+    case (k, v) => s"SET $k = $v" }
 
   /** The CDC sink table DDL: `ENGINE = ReplacingMergeTree(versionCol[,
     * tombstoneCol]) ORDER BY (orderBy...)` — version = the CDC seq the

@@ -27,7 +27,8 @@ object Sinks {
     * refuses a CREATE TABLE without an ENGINE clause anyway, so the
     * missing-table path fails loudly unless `createTableOptions`
     * supplies one. The dialect's decimal output-format session setting
-    * is issued per connection via Spark's `sessionInitStatement`.
+    * rides the connection properties (the drivers forward them as
+    * server settings; Spark's write path executes no init SQL).
     */
   def jdbc(df: DataFrame, url: String, table: String,
            props: java.util.Properties = new java.util.Properties(),
@@ -38,6 +39,19 @@ object Sinks {
     // wrapping, backquote quoting) instead of Spark's generic guesses
     val ch = ClickHouseDialect.canHandle(url)
     if (ch) ClickHouseDialect.register()
+    // the reference's decimal rendering workaround (sync.py:77-83)
+    // rides the CONNECTION PROPERTIES, which the ClickHouse drivers
+    // forward as per-session server settings — Spark's write path
+    // executes no init SQL (`sessionInitStatement` is a READ-path
+    // option: only JDBCRDD runs it), so an option-based SET would be
+    // a silent no-op here. Caller-supplied values win.
+    val effProps =
+      if (ch) {
+        val p = new java.util.Properties()
+        ClickHouseDialect.connectionSettings.foreach { case (k, v) =>
+          p.setProperty(k, v) }
+        p.putAll(props); p
+      } else props
     val sized = numPartitions.fold(df)(n => df.coalesce(n))
     val base = sized.write
       .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
@@ -46,15 +60,9 @@ object Sinks {
       .option("truncate", overwrite.toString)
       .option("batchsize", batchSize)
       .option("isolationLevel", "NONE") // ClickHouse has no transactions
-    // the reference's own decimal rendering workaround (sync.py:77-83)
-    // rides every ClickHouse connection, not a scaladoc aside
-    val withInit =
-      if (ch) base.option("sessionInitStatement",
-        ClickHouseDialect.sessionSetup.mkString("; "))
-      else base
-    createTableOptions.fold(withInit)(o =>
-        withInit.option("createTableOptions", o))
-      .jdbc(url, table, props)
+    createTableOptions.fold(base)(o =>
+        base.option("createTableOptions", o))
+      .jdbc(url, table, effProps)
   }
 
   /** Parquet sink with bounded file sizes — the tested sink. */

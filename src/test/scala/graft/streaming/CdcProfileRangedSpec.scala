@@ -763,6 +763,23 @@ class CdcProfileRangedSpec extends SparkSpec {
     val n = CdcProfileRanged.profileView(spark, dir, dSpec, qs)
       .collect().map(r => r.getLong(1)).head
     assert(n == 35L, s"post-migration apply did not land: $n")
+    // a NEWER image generation refuses unconditionally — a future
+    // engine may have changed any column type's image, so the
+    // DateType-scoped v1 check cannot vouch for it (the
+    // refuseNewerLayout symmetry; post-review fix)
+    val body2in = fs.open(p)
+    val body2 = try scala.io.Source.fromInputStream(body2in, "UTF-8")
+      .mkString finally body2in.close()
+    val forged = body2.replace(
+      s""""img":${CdcProfileRanged.ImgVersion}""", """"img":99""")
+    assert(forged != body2)
+    val out2 = fs.create(p, true)
+    try out2.write(forged.getBytes("UTF-8")) finally out2.close()
+    val e3 = intercept[java.io.IOException] {
+      CdcProfileRanged.applyBatch(rows(200, 5).toDF(), dir, dSpec)
+    }
+    assert(e3.getMessage.contains("newer than this engine"),
+      e3.getMessage)
   }
 
   test("splitBucket and reseed on a timestamp column keep every view") {

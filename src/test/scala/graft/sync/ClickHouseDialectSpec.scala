@@ -68,6 +68,11 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     assert(TypeRender.renderLiteral(new java.math.BigDecimal("4.00"))
       == "4.00")
     assert(D.clickHouseTypeOf(DecimalType(10, 2)) == "Decimal(10, 2)")
+    // the property form is what Sinks.jdbc wires (Spark's WRITE path
+    // executes no init SQL — sessionInitStatement is read-path only);
+    // the SQL form is derived from it for init-capable clients
+    assert(D.connectionSettings ==
+      Map("output_format_decimal_trailing_zeros" -> "1"))
     assert(D.sessionSetup
       .contains("SET output_format_decimal_trailing_zeros = 1"))
   }
@@ -80,6 +85,10 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     assert(back("Int64").contains(LongType))
     assert(back("Nullable(Int64)").contains(LongType))
     assert(back("LowCardinality(String)").contains(StringType))
+    // the LEGAL nesting order is LowCardinality(Nullable(T)) — the
+    // wrappers must strip to a fixpoint, not one ordered pass
+    assert(back("LowCardinality(Nullable(UInt32))").contains(LongType))
+    assert(back("LowCardinality(Nullable(String))").contains(StringType))
     assert(back("Nullable(DateTime64(6))").contains(TimestampType))
     assert(back("Decimal(18, 2)").contains(DecimalType(18, 2)))
     assert(back("Date32").contains(DateType))

@@ -182,12 +182,14 @@ object CdcProfile {
                      spec: ProfileSpec): DataFrame = {
     import spark.implicits._
     val seed = spec.cols.toDF("col_name")
-    val agg = partials.groupBy("c", "metric").agg(sum(col("a")).as("t"))
-    def metric(m: String) = agg.filter(col("metric") === m)
-      .select(col("c").as("col_name"), col("t").as(s"__$m"))
-    seed.join(metric("rows"), Seq("col_name"), "left")
-      .join(metric("nulls"), Seq("col_name"), "left")
-      .join(metric("ndv"), Seq("col_name"), "left")
+    // ONE aggregation pass with conditional sums (was: one shared agg
+    // + three filtered branches, each LEFT-joined to the seed — three
+    // joins for three scalars of the same group)
+    def m(name: String) =
+      coalesce(sum(when(col("metric") === name, col("a"))), lit(0L))
+    val agg = partials.groupBy(col("c").as("col_name")).agg(
+      m("rows").as("__rows"), m("nulls").as("__nulls"), m("ndv").as("__ndv"))
+    seed.join(agg, Seq("col_name"), "left")
       .select(col("col_name"),
         coalesce(col("__rows"), lit(0L)).as("n_rows"),
         coalesce(col("__nulls"), lit(0L)).as("n_nulls"),
@@ -206,14 +208,30 @@ object CdcProfile {
     * columns require numerically-castable profiled columns.
     */
   private def minMaxOf(state: DataFrame, spec: ProfileSpec): DataFrame = {
-    spec.cols.map { cn =>
+    // ONE aggregation pass over the live values of every profiled
+    // column (was: one filtered agg branch per column — N scans of the
+    // same state); per-column typed min/max ride conditional
+    // aggregates, the coalesce-of-whens picks each group's own pair
+    // (the [[summaryRows]] consolidation). The caller LEFT-joins the
+    // result, so a column with no live values (no group here, a
+    // null-valued row in the branch form) reads identically as nulls.
+    spec.cols.foreach(cn =>
+      requireOrdered(spec.schema(cn).dataType, cn, "a min/max profile"))
+    val mmAggs = spec.cols.zipWithIndex.flatMap { case (cn, i) =>
       val dt = spec.schema(cn).dataType
-      requireOrdered(dt, cn, "a min/max profile")
-      state.filter(col("c") === cn && col("n") > 0L && col("v").isNotNull)
-        .agg(typedToDouble(dt)(min(col("v").cast(dt))).as("min_val"),
-          typedToDouble(dt)(max(col("v").cast(dt))).as("max_val"))
-        .select(lit(cn).as("col_name"), col("min_val"), col("max_val"))
-    }.reduce(_ unionByName _)
+      Seq(typedToDouble(dt)(min(when(col("c") === cn, col("v").cast(dt))))
+            .as(s"__mn_$i"),
+          typedToDouble(dt)(max(when(col("c") === cn, col("v").cast(dt))))
+            .as(s"__mx_$i"))
+    }
+    def pick(pfx: String): Column = coalesce(spec.cols.zipWithIndex.map {
+      case (cn, i) => when(col("c") === cn, col(s"$pfx$i")) }: _*)
+    state.filter(col("c").isin(spec.cols.map(c => c: Any): _*) &&
+        col("n") > 0L && col("v").isNotNull)
+      .groupBy("c")
+      .agg(mmAggs.head, mmAggs.tail: _*)
+      .select(col("c").as("col_name"), pick("__mn_").as("min_val"),
+        pick("__mx_").as("max_val"))
   }
 
   /** Column label of a quantile output column: q25, q50, q90, … */
@@ -379,22 +397,37 @@ object CdcProfile {
     import org.apache.spark.sql.expressions.Window
     val nullL = lit(null).cast("bigint")
     val nullS = lit(null).cast("string")
-    // the cast type differs per column, so the t-aggregates cannot
-    // share one expression — one slice per profiled column
-    val tRows = spec.cols.map { cn =>
+    // ONE groupBy("bucket", "c") pass for every column's 't' row (was:
+    // one aggregation job + shuffle PER profiled column, each a full
+    // scan of the merged state — N−1 redundant passes per apply at any
+    // scale). The cast type differs per column, so min/max cannot share
+    // one expression — instead each column contributes its own typed
+    // min/max PAIR (null on every other column's groups, since a group
+    // holds exactly one c) and a coalesce-of-whens picks the group's
+    // own; rows/nulls/ndv are column-independent and shared.
+    val mmAggs = spec.cols.zipWithIndex.flatMap { case (cn, i) =>
       val dt = spec.schema(cn).dataType
-      newS.filter(col("c") === cn).groupBy("bucket").agg(
-          sum(col("n")).as("rows"),
-          sum(when(col("v").isNull, col("n")).otherwise(0L)).as("nulls"),
-          sum(when(col("v").isNotNull && col("n") > 0L, 1L)
-            .otherwise(0L)).as("ndv"),
-          min(when(col("n") > 0L, col("v").cast(dt))).cast("string")
-            .as("mn"),
-          max(when(col("n") > 0L, col("v").cast(dt))).cast("string")
-            .as("mx"))
-        .select(col("bucket"), lit(cn).as("c"), col("rows"),
-          col("nulls"), col("ndv"), col("mn"), col("mx"))
-    }.reduce(_ unionByName _)
+      Seq(min(when(col("c") === cn && col("n") > 0L, col("v").cast(dt)))
+            .cast("string").as(s"__mn_$i"),
+          max(when(col("c") === cn && col("n") > 0L, col("v").cast(dt)))
+            .cast("string").as(s"__mx_$i"))
+    }
+    val aggs = Seq(
+      sum(col("n")).as("rows"),
+      sum(when(col("v").isNull, col("n")).otherwise(0L)).as("nulls"),
+      sum(when(col("v").isNotNull && col("n") > 0L, 1L)
+        .otherwise(0L)).as("ndv")) ++ mmAggs
+    def pick(pfx: String): Column = coalesce(spec.cols.zipWithIndex.map {
+      case (cn, i) => when(col("c") === cn, col(s"$pfx$i")) }: _*)
+    // restrict to the spec's columns exactly as the per-column slices
+    // did: a state row under a column the spec does not profile gets no
+    // summary (the splitBucket require() documents that contract)
+    val tRows = newS
+      .filter(col("c").isin(spec.cols.map(c => c: Any): _*))
+      .groupBy("bucket", "c")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("bucket"), col("c"), col("rows"), col("nulls"),
+        col("ndv"), pick("__mn_").as("mn"), pick("__mx_").as("mx"))
     // top-K candidates: a PARTITIONED window (per bucket per column) —
     // each partition is one bucket's values, never a global sort
     val w = Window.partitionBy(col("bucket"), col("c"))
@@ -479,25 +512,36 @@ object CdcProfile {
     val priorS = prior.filter(col("part") === "s")
       .select(col("bucket"), col("c"), col("v"), col("n"),
         col("last_seq"))
-    // per-(column, value) seq gate — replayed events contribute nothing
-    val fresh = ev.as("e")
-      .join(priorS.select(col("c").as("gc"), col("v").as("gv"),
-          col("last_seq")),
-        col("e.c") <=> col("gc") && col("e.v") <=> col("gv"), "left")
-      .filter(col("seq") > coalesce(col("last_seq"), lit(Long.MinValue)))
-      .select(col("e.bucket").as("bucket"), col("e.c").as("c"),
-        col("e.v").as("v"), col("seq"), col("w"))
-    val dV = fresh.groupBy("bucket", "c", "v")
-      .agg(sum(col("w")).as("dn"), max(col("seq")).as("mseq"))
-    priorS.as("p").join(dV.as("d"),
-        col("p.c") <=> col("d.c") && col("p.v") <=> col("d.v"),
-        "full_outer")
-      .select(coalesce(col("p.bucket"), col("d.bucket")).as("bucket"),
-        coalesce(col("p.c"), col("d.c")).as("c"),
-        coalesce(col("p.v"), col("d.v")).as("v"),
-        (coalesce(col("p.n"), lit(0L)) + coalesce(col("d.dn"), lit(0L)))
-          .as("n"),
-        greatest(col("p.last_seq"), col("d.mseq")).as("last_seq"))
+    // ONE null-safe full-outer join of the batch's EVENTS against the
+    // prior keyed rows, then ONE aggregation on the join keys — the
+    // per-(column, value) seq gate (replayed events contribute nothing)
+    // rides as a conditional sum, so the gate costs no join of its own.
+    // Previously this was a gate join + a (bucket, c, v) re-aggregation
+    // + a second full-outer join against the SAME prior rows — two
+    // extra exchanges and a second shuffle of the prior per apply; the
+    // fused form shuffles each side once, and the aggregation reuses
+    // the join's (c, v) partitioning (no third exchange). No
+    // per-key event list is ever materialized, so a hot value's events
+    // stay a running sum exactly as before (skew-safe).
+    val e = ev.as("e"); val p = priorS.as("p")
+    val joined = e.join(p,
+      col("e.c") <=> col("p.c") && col("e.v") <=> col("p.v"),
+      "full_outer")
+    val freshW = when(
+      col("e.seq") > coalesce(col("p.last_seq"), lit(Long.MinValue)),
+      col("e.w"))
+    joined
+      .groupBy(coalesce(col("e.c"), col("p.c")).as("c"),
+        coalesce(col("e.v"), col("p.v")).as("v"))
+      .agg(
+        coalesce(first(col("p.bucket"), ignoreNulls = true),
+          first(col("e.bucket"), ignoreNulls = true)).as("bucket"),
+        (coalesce(first(col("p.n"), ignoreNulls = true), lit(0L)) +
+          coalesce(sum(freshW), lit(0L))).as("n"),
+        greatest(first(col("p.last_seq"), ignoreNulls = true),
+          max(when(freshW.isNotNull, col("e.seq")))).as("last_seq"))
+      .select(col("bucket"), col("c"), col("v"), col("n"),
+        col("last_seq"))
   }
 
   /** Drop gate tombstones (zero-count values) whose last event is older
@@ -587,17 +631,33 @@ object CdcProfile {
           lit(null).cast("double").as("max_val"))
       else {
         val t = spark.read.parquet(stateDir).filter(col("part") === "t")
-        val mm = spec.cols.map { cn =>
+        // ONE groupBy("c") over the O(buckets × columns) summary rows
+        // (was: one aggregation job per column — same consolidation as
+        // [[summaryRows]]); per-column typed min/max ride conditional
+        // aggregates, a coalesce-of-whens picks each group's own pair.
+        // A column with no summary rows yields no group; the left join
+        // + fill below restores its zero-count row exactly as before.
+        val mmAggs = spec.cols.zipWithIndex.flatMap { case (cn, i) =>
           val dt = spec.schema(cn).dataType
-          t.filter(col("c") === cn).agg(
-              coalesce(sum(col("rows")), lit(0L)).as("n_rows"),
-              coalesce(sum(col("nulls")), lit(0L)).as("n_nulls"),
-              coalesce(sum(col("ndv")), lit(0L)).as("n_distinct"),
-              typedToDouble(dt)(min(col("mn").cast(dt))).as("min_val"),
-              typedToDouble(dt)(max(col("mx").cast(dt))).as("max_val"))
-            .select(lit(cn).as("col_name"), col("n_rows"), col("n_nulls"),
-              col("n_distinct"), col("min_val"), col("max_val"))
-        }.reduce(_ unionByName _)
+          Seq(typedToDouble(dt)(
+                min(when(col("c") === cn, col("mn").cast(dt))))
+              .as(s"__mn_$i"),
+            typedToDouble(dt)(
+                max(when(col("c") === cn, col("mx").cast(dt))))
+              .as(s"__mx_$i"))
+        }
+        val aggs = Seq(
+          coalesce(sum(col("rows")), lit(0L)).as("n_rows"),
+          coalesce(sum(col("nulls")), lit(0L)).as("n_nulls"),
+          coalesce(sum(col("ndv")), lit(0L)).as("n_distinct")) ++ mmAggs
+        def pick(pfx: String): Column =
+          coalesce(spec.cols.zipWithIndex.map { case (cn, i) =>
+            when(col("c") === cn, col(s"$pfx$i")) }: _*)
+        val mm = t.filter(col("c").isin(spec.cols.map(c => c: Any): _*))
+          .groupBy("c").agg(aggs.head, aggs.tail: _*)
+          .select(col("c").as("col_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), pick("__mn_").as("min_val"),
+            pick("__mx_").as("max_val"))
         seed.join(mm, Seq("col_name"), "left")
           .na.fill(0L, Seq("n_rows", "n_nulls", "n_distinct"))
       }

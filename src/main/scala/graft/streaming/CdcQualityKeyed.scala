@@ -379,10 +379,22 @@ object CdcQualityKeyed {
         .head()
       val touchedU = probe.getSeq[Int](0).sorted.toArray
       val touchedR = probe.getSeq[Int](1).sorted.toArray
-      if (touchedU.nonEmpty)
-        applyUnique(delta, uDir(stateDir), spec, uB, touchedU)
-      if (touchedR.nonEmpty)
-        applyRef(delta, rDir(stateDir), rB, touchedR)
+      // the two sides are INDEPENDENT stores (separate dirs, separate
+      // writer locks, both reading the one persisted delta) — run them
+      // concurrently so each side's scheduling/commit tail back-fills
+      // the other's idle executors (guide §2.6); Spark's scheduler
+      // handles multi-threaded job submission natively, and Await
+      // rethrows either side's failure
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fu =
+        if (touchedU.isEmpty) Future.unit
+        else Future(applyUnique(delta, uDir(stateDir), spec, uB, touchedU))
+      val fr =
+        if (touchedR.isEmpty) Future.unit
+        else Future(applyRef(delta, rDir(stateDir), rB, touchedR))
+      Await.result(fu.zip(fr), scala.concurrent.duration.Duration.Inf)
+      ()
     } finally { delta.unpersist(); () }
   }
 

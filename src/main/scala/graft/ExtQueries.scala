@@ -871,8 +871,19 @@ object ExtQueries {
     // x_ks_drift SQL (bins on integer n_chars are the identity, so the
     // binned statistic IS the exact statistic here).
     Q("st_ks_drift",
-      (s, d) => graft.streaming.KsDriftIngest.batchTwin(
-        Tables.documents(s, d)),
+      (s, d) => {
+        // the batch twin decomposed around ONE landed histogram (the
+        // x_ks_drift landing discipline): cellCounts scans documents
+        // once; ksPairs — whose grid/pair/total branches reference its
+        // input many times — reads the |sources|×|bins| parquet, not
+        // the corpus. Value-identical to batchTwin (= ksPairs ∘
+        // cellCounts), which the KsDriftIngest stream stays pinned to.
+        val dir = graft.ops.CoreOps.scratchDirUnique("ks_twin")
+        graft.streaming.KsDriftIngest
+          .cellCounts(Tables.documents(s, d))
+          .write.mode("overwrite").parquet(s"$dir/hist")
+        graft.streaming.KsDriftIngest.ksPairs(s.read.parquet(s"$dir/hist"))
+      },
       Some("""WITH cnt AS (SELECT source, n_chars, count(*) AS c
         | FROM documents GROUP BY 1, 2),
         | sg AS (SELECT s.source, g.n_chars, coalesce(c.c, 0) AS c
@@ -2268,16 +2279,26 @@ object ExtQueries {
     Q("x_ks_drift",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // the histogram `counts` feeds the CDF grid (three references),
+        // both pair sides and the per-source totals — Spark inlines
+        // each reference into its own scan+aggregate of documents
+        // (measured: 8 base scans in the plan). Land it ONCE (it is
+        // |sources|×|bins|-sized by construction) and derive the totals
+        // from it: Σ_bkt c per source IS count(*) per source, so the
+        // base table is read exactly once per run at any scale.
         val docs = Tables.documents(s, d)
-        val counts = docs.groupBy(col("source"), col("n_chars"))
+        val dir = graft.ops.CoreOps.scratchDirUnique("ks_drift")
+        docs.groupBy(col("source"), col("n_chars"))
           .agg(count(lit(1)).as("c"))
+          .write.mode("overwrite").parquet(s"$dir/counts")
+        val counts = s.read.parquet(s"$dir/counts")
         val sg = counts.select("source").distinct()
           .crossJoin(counts.select("n_chars").distinct())
           .join(counts, Seq("source", "n_chars"), "left")
           .na.fill(0L, Seq("c"))
         val w = Window.partitionBy("source").orderBy("n_chars")
         val cdf = sg.withColumn("cum", sum(col("c")).over(w))
-        val tot = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        val tot = counts.groupBy("source").agg(sum(col("c")).as("n"))
         val a = cdf.join(tot, "source").select(col("source").as("src_a"),
           col("n_chars"), col("cum").as("cum_a"), col("n").as("n_a"))
         val b = cdf.join(tot, "source").select(col("source").as("src_b"),
@@ -2323,17 +2344,24 @@ object ExtQueries {
     Q("x_daily_drift",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // land the day×bucket histogram once and derive the per-day
+        // totals from it (Σ_bkt c per day = count(*) per day) — the
+        // x_ks_drift landing discipline: one events pass per run
+        // instead of one per CTE reference (10 base scans measured)
         val ev = Tables.events(s, d).select(
           date_format(col("ts"), "yyyy-MM-dd").as("day"),
           floor(col("value")).cast("long").as("bkt"))
-        val counts = ev.groupBy("day", "bkt").agg(count(lit(1)).as("c"))
+        val dir = graft.ops.CoreOps.scratchDirUnique("daily_drift")
+        ev.groupBy("day", "bkt").agg(count(lit(1)).as("c"))
+          .write.mode("overwrite").parquet(s"$dir/counts")
+        val counts = s.read.parquet(s"$dir/counts")
         val sg = counts.select("day").distinct()
           .crossJoin(counts.select("bkt").distinct())
           .join(counts, Seq("day", "bkt"), "left")
           .na.fill(0L, Seq("c"))
         val w = Window.partitionBy("day").orderBy("bkt")
         val cdf = sg.withColumn("cum", sum(col("c")).over(w))
-        val tot = ev.groupBy("day").agg(count(lit(1)).as("n"))
+        val tot = counts.groupBy("day").agg(sum(col("c")).as("n"))
         val di = counts.select("day").distinct()
           .withColumn("di", row_number().over(Window.orderBy("day")))
         val a = cdf.join(di, "day").join(tot, "day")
@@ -2843,9 +2871,23 @@ object ExtQueries {
     // x_containment_capped stance.
     Q("x_coactivity_peers",
       (s, d) => {
+        // Spark inlines SQL CTEs (no materialization), so the `hb`
+        // hour-bucket aggregate — referenced by nrm and both self-join
+        // sides — re-scanned and re-aggregated the events table per
+        // reference (measured: 33 parquet scans / 91 Exchanges in the
+        // capped twin's plan, zero ReusedExchange). Land it ONCE to
+        // scratch (the x_minhash_recall / RobustStats stance: computed
+        // from the inputs inside every timed run, never cached across
+        // runs) and point the pair pipeline at the landed view — at
+        // any scale this is one events pass instead of k.
         Tables.events(s, d).createOrReplaceTempView("events_cap")
-        s.sql("""WITH hb AS (SELECT user_id, date_trunc('hour', ts) AS h,
-          |   count(*) AS c FROM events_cap GROUP BY 1, 2),
+        val dir = graft.ops.CoreOps.scratchDirUnique("coact_peers")
+        s.sql("""SELECT user_id, date_trunc('hour', ts) AS h,
+          | count(*) AS c FROM events_cap GROUP BY 1, 2"""
+          .stripMargin.replaceAll("\n", ""))
+          .write.mode("overwrite").parquet(s"$dir/hb")
+        s.read.parquet(s"$dir/hb").createOrReplaceTempView("hb_peers")
+        s.sql("""WITH hb AS (SELECT * FROM hb_peers),
           | nrm AS (SELECT user_id, sum(c * c) AS n2 FROM hb GROUP BY 1),
           | dh AS (SELECT a.user_id AS a_id, b.user_id AS b_id,
           |   sum(a.c * b.c) AS dot
@@ -2913,17 +2955,31 @@ object ExtQueries {
     // engine and not the other.
     Q("x_coactivity_capped",
       (s, d) => {
+        // same landing discipline as x_coactivity_peers (Spark inlines
+        // CTEs): `hb` is derived once, and the PRUNED universe `hp` —
+        // which nrm and both self-join sides read, and whose cap chain
+        // (hd → r → cap → hot) re-derived hb per reference — is landed
+        // once too; the pair pipeline then reads one small parquet.
         Tables.events(s, d).createOrReplaceTempView("events_ccap")
-        s.sql("""WITH hb AS (SELECT user_id, date_trunc('hour', ts) AS h,
-          |   count(*) AS c FROM events_ccap GROUP BY 1, 2),
-          | hd AS (SELECT h, count(*) AS df FROM hb GROUP BY h),
+        val dir = graft.ops.CoreOps.scratchDirUnique("coact_capped")
+        s.sql("""SELECT user_id, date_trunc('hour', ts) AS h,
+          | count(*) AS c FROM events_ccap GROUP BY 1, 2"""
+          .stripMargin.replaceAll("\n", ""))
+          .write.mode("overwrite").parquet(s"$dir/hb")
+        s.read.parquet(s"$dir/hb").createOrReplaceTempView("hb_ccap")
+        s.sql("""WITH hd AS (SELECT h, count(*) AS df FROM hb_ccap
+          |   GROUP BY h),
           | r AS (SELECT df, row_number() OVER (ORDER BY df) AS rn,
           |   count(*) OVER () AS n FROM hd),
           | cap AS (SELECT (df * 3) div 2 AS cap FROM r
           |   WHERE rn = (n - 1) div 2 + 1),
-          | hot AS (SELECT h FROM hd WHERE df > (SELECT cap FROM cap)),
-          | hp AS (SELECT * FROM hb WHERE NOT EXISTS (
-          |   SELECT 1 FROM hot WHERE hot.h = hb.h)),
+          | hot AS (SELECT h FROM hd WHERE df > (SELECT cap FROM cap))
+          | SELECT hb.* FROM hb_ccap hb WHERE NOT EXISTS (
+          |   SELECT 1 FROM hot WHERE hot.h = hb.h)"""
+          .stripMargin.replaceAll("\n", ""))
+          .write.mode("overwrite").parquet(s"$dir/hp")
+        s.read.parquet(s"$dir/hp").createOrReplaceTempView("hp_ccap")
+        s.sql("""WITH hp AS (SELECT * FROM hp_ccap),
           | nrm AS (SELECT user_id, sum(c * c) AS n2 FROM hp GROUP BY 1),
           | dh AS (SELECT a.user_id AS a_id, b.user_id AS b_id,
           |   sum(a.c * b.c) AS dot

@@ -2956,10 +2956,11 @@ object ExtQueries {
     Q("x_coactivity_capped",
       (s, d) => {
         // same landing discipline as x_coactivity_peers (Spark inlines
-        // CTEs): `hb` is derived once, and the PRUNED universe `hp` —
-        // which nrm and both self-join sides read, and whose cap chain
-        // (hd → r → cap → hot) re-derived hb per reference — is landed
-        // once too; the pair pipeline then reads one small parquet.
+        // CTEs): `hb` — re-derived from events by the cap chain
+        // (hd → r → cap → hot), the prune, the norms and both self-join
+        // sides — is landed once; everything downstream (including the
+        // hot-bucket NOT-EXISTS prune, whose broadcast-anti-join shape
+        // stays plan-pinned in PlanShapeSpec) reads the small parquet.
         Tables.events(s, d).createOrReplaceTempView("events_ccap")
         val dir = graft.ops.CoreOps.scratchDirUnique("coact_capped")
         s.sql("""SELECT user_id, date_trunc('hour', ts) AS h,
@@ -2973,13 +2974,9 @@ object ExtQueries {
           |   count(*) OVER () AS n FROM hd),
           | cap AS (SELECT (df * 3) div 2 AS cap FROM r
           |   WHERE rn = (n - 1) div 2 + 1),
-          | hot AS (SELECT h FROM hd WHERE df > (SELECT cap FROM cap))
-          | SELECT hb.* FROM hb_ccap hb WHERE NOT EXISTS (
-          |   SELECT 1 FROM hot WHERE hot.h = hb.h)"""
-          .stripMargin.replaceAll("\n", ""))
-          .write.mode("overwrite").parquet(s"$dir/hp")
-        s.read.parquet(s"$dir/hp").createOrReplaceTempView("hp_ccap")
-        s.sql("""WITH hp AS (SELECT * FROM hp_ccap),
+          | hot AS (SELECT h FROM hd WHERE df > (SELECT cap FROM cap)),
+          | hp AS (SELECT hb.* FROM hb_ccap hb WHERE NOT EXISTS (
+          |   SELECT 1 FROM hot WHERE hot.h = hb.h)),
           | nrm AS (SELECT user_id, sum(c * c) AS n2 FROM hp GROUP BY 1),
           | dh AS (SELECT a.user_id AS a_id, b.user_id AS b_id,
           |   sum(a.c * b.c) AS dot

@@ -2887,14 +2887,30 @@ object ExtQueries {
           .stripMargin.replaceAll("\n", ""))
           .write.mode("overwrite").parquet(s"$dir/hb")
         s.read.parquet(s"$dir/hb").createOrReplaceTempView("hb_peers")
-        s.sql("""WITH hb AS (SELECT * FROM hb_peers),
+        // `dot` emits BOTH directed forms of each half pair with one
+        // inline() generator over dh — the former UNION ALL read dh
+        // twice, and CTE inlining re-ran the Σ_h n_h² pair join (the
+        // row's dominant cost) once per arm. The REPARTITION(P, h)
+        // hints pin the pair join's parallelism: AQE coalesces the
+        // exchange by INPUT bytes (hb is histogram-sized), but this
+        // join's OUTPUT explodes Σ_h n_h²-fold — measured locally as
+        // ONE 4-second task doing the whole row; P rides the session's
+        // shuffle-partition contract, so it scales with the cluster,
+        // not a local constant.
+        val np = s.conf.get("spark.sql.shuffle.partitions")
+        s.sql(s"""WITH hb AS (SELECT * FROM hb_peers),
           | nrm AS (SELECT user_id, sum(c * c) AS n2 FROM hb GROUP BY 1),
           | dh AS (SELECT a.user_id AS a_id, b.user_id AS b_id,
           |   sum(a.c * b.c) AS dot
-          |   FROM hb a JOIN hb b ON a.h = b.h AND a.user_id < b.user_id
+          |   FROM (SELECT /*+ REPARTITION($np, h) */ * FROM hb) a
+          |   JOIN (SELECT /*+ REPARTITION($np, h) */ * FROM hb) b
+          |   ON a.h = b.h AND a.user_id < b.user_id
           |   GROUP BY 1, 2),
-          | dot AS (SELECT a_id, b_id, dot FROM dh
-          |   UNION ALL SELECT b_id AS a_id, a_id AS b_id, dot FROM dh),
+          | dot AS (SELECT t.ai AS a_id, t.bi AS b_id, t.dt AS dot
+          |   FROM dh LATERAL VIEW inline(array(
+          |     named_struct('ai', a_id, 'bi', b_id, 'dt', dot),
+          |     named_struct('ai', b_id, 'bi', a_id, 'dt', dot))) t
+          |     AS ai, bi, dt),
           | sc AS (SELECT a_id, b_id, dot,
           |   (dot * dot * 1000000) div (na.n2 * nb.n2) AS score_ppm
           |   FROM dot JOIN nrm na ON na.user_id = a_id
@@ -2968,7 +2984,15 @@ object ExtQueries {
           .stripMargin.replaceAll("\n", ""))
           .write.mode("overwrite").parquet(s"$dir/hb")
         s.read.parquet(s"$dir/hb").createOrReplaceTempView("hb_ccap")
-        s.sql("""WITH hd AS (SELECT h, count(*) AS df FROM hb_ccap
+        // one inline() generator replaces the UNION ALL over dh (the
+        // x_coactivity_peers rationale): the pruned pair join runs
+        // ONCE per plan instead of once per directed arm, and the
+        // REPARTITION(P, h) hints keep AQE from coalescing the
+        // exploding pair join to one task (P = the session's
+        // shuffle-partition contract — cluster-scaled, not a local
+        // constant)
+        val np = s.conf.get("spark.sql.shuffle.partitions")
+        s.sql(s"""WITH hd AS (SELECT h, count(*) AS df FROM hb_ccap
           |   GROUP BY h),
           | r AS (SELECT df, row_number() OVER (ORDER BY df) AS rn,
           |   count(*) OVER () AS n FROM hd),
@@ -2980,10 +3004,15 @@ object ExtQueries {
           | nrm AS (SELECT user_id, sum(c * c) AS n2 FROM hp GROUP BY 1),
           | dh AS (SELECT a.user_id AS a_id, b.user_id AS b_id,
           |   sum(a.c * b.c) AS dot
-          |   FROM hp a JOIN hp b ON a.h = b.h AND a.user_id < b.user_id
+          |   FROM (SELECT /*+ REPARTITION($np, h) */ * FROM hp) a
+          |   JOIN (SELECT /*+ REPARTITION($np, h) */ * FROM hp) b
+          |   ON a.h = b.h AND a.user_id < b.user_id
           |   GROUP BY 1, 2),
-          | dot AS (SELECT a_id, b_id, dot FROM dh
-          |   UNION ALL SELECT b_id AS a_id, a_id AS b_id, dot FROM dh),
+          | dot AS (SELECT t.ai AS a_id, t.bi AS b_id, t.dt AS dot
+          |   FROM dh LATERAL VIEW inline(array(
+          |     named_struct('ai', a_id, 'bi', b_id, 'dt', dot),
+          |     named_struct('ai', b_id, 'bi', a_id, 'dt', dot))) t
+          |     AS ai, bi, dt),
           | sc AS (SELECT a_id, b_id, dot,
           |   (dot * dot * 1000000) div (na.n2 * nb.n2) AS score_ppm
           |   FROM dot JOIN nrm na ON na.user_id = a_id

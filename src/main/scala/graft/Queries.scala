@@ -173,15 +173,19 @@ object Queries {
                 numBuckets = 4))
           })
       }
-      Await.result(profChain, scala.concurrent.duration.Duration.Inf)
-      Await.result(qualChain, scala.concurrent.duration.Duration.Inf)
       val dim = Tables.events(s, d).select(col("event_id")).distinct()
         .filter(col("event_id") % 3 =!= 0)
         .select(lit("eid_dim").as("table"), lit("insert").as("op"),
           to_json(struct(col("event_id").as("eid"))).as("payload"),
           lit(null).cast("string").as("payload_before"),
           lit("d").as("src"), col("event_id").as("seq"))
-      CdcQualityKeyed.applyBatch(dim, s"$root/qual", docQualitySpec)
+      // the dim-side apply extends the QUALITY monitor's serial chain
+      // (same state dir, same writer) — ride the same future so it
+      // overlaps the profile chain's tail instead of waiting on it
+      val qualDone = qualChain.map(_ =>
+        CdcQualityKeyed.applyBatch(dim, s"$root/qual", docQualitySpec))
+      Await.result(profChain, scala.concurrent.duration.Duration.Inf)
+      Await.result(qualDone, scala.concurrent.duration.Duration.Inf)
       root
     })
 
@@ -211,14 +215,24 @@ object Queries {
       val pay = to_json(struct(col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus")))
       val truth = o.select(col("o_orderkey").as("key"), pay.as("payload"))
-      truth.write.parquet(s"$root/truth")
+      // the fixture's three build chains are independent until the
+      // repair step — truth write, corrupted-sink write, and the
+      // monitor's two bucketed applies (which read orders directly,
+      // not the landed files). Overlap them from driver threads (guide
+      // §2.6, the docBridgeStates / quality-keyed u/r stance), and
+      // start the detect reconciliation the moment both files exist so
+      // it back-fills the monitor chain's tail.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fTruth = Future { truth.write.parquet(s"$root/truth") }
       val kept = o.filter(col("o_orderkey") % 13 =!= 0)
-      kept.select(col("o_orderkey").as("key"), pay.as("payload"))
-        .unionByName(kept.filter(col("o_orderkey") % 17 === 0)
-          .select(col("o_orderkey").as("key"), pay.as("payload")))
-        .write.parquet(s"$root/sink")
-      val truthT = s.read.parquet(s"$root/truth")
-      val sinkT = s.read.parquet(s"$root/sink")
+      val fSink = Future {
+        kept.select(col("o_orderkey").as("key"), pay.as("payload"))
+          .unionByName(kept.filter(col("o_orderkey") % 17 === 0)
+            .select(col("o_orderkey").as("key"), pay.as("payload")))
+          .write.parquet(s"$root/sink")
+      }
       // the sink's INSERT history (primary insert + the duplicate's
       // re-insert under a fresh seq) + a customer dim stream, as CDC
       // rows for the keyed monitor
@@ -250,18 +264,28 @@ object Queries {
         dimTable = "cust_dim", dimSchema = custSchema,
         dimKey = p => p.getField("c_custkey"))
       val stateDir = s"$root/monitor"
-      val mid = kept.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
-      CdcQualityKeyed.applyBatch(hist.filter(col("seq") <= mid),
-        stateDir, kSpec, numBuckets = 8)
-      CdcQualityKeyed.applyBatch(hist.filter(col("seq") > mid),
-        stateDir, kSpec)
-      // plan + APPLY the clean-key repair once — the repaired sink the
-      // row's convergence reconciliation reads
-      val violating = CdcQualityKeyed.violatingKeys(s, stateDir)
+      val fMonitor = Future {
+        val mid = kept.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        CdcQualityKeyed.applyBatch(hist.filter(col("seq") <= mid),
+          stateDir, kSpec, numBuckets = 8)
+        CdcQualityKeyed.applyBatch(hist.filter(col("seq") > mid),
+          stateDir, kSpec)
+        CdcQualityKeyed.violatingKeys(s, stateDir)
+      }
       val payloadOnly =
         (df: org.apache.spark.sql.DataFrame) => Seq(df.col("payload"))
-      val diffs = graft.ops.Reconcile.diffKeys(truthT, sinkT, "key",
-        payloadOnly, chunkWidth = 1024L).persist()
+      // diffKeys runs its chunk-summary scans eagerly — chaining it on
+      // the two writes overlaps it with the monitor applies above
+      val fDiffs = for { _ <- fTruth; _ <- fSink } yield
+        graft.ops.Reconcile.diffKeys(
+          s.read.parquet(s"$root/truth"), s.read.parquet(s"$root/sink"),
+          "key", payloadOnly, chunkWidth = 1024L).persist()
+      // plan + APPLY the clean-key repair once — the repaired sink the
+      // row's convergence reconciliation reads
+      val violating = Await.result(fMonitor, Duration.Inf)
+      val diffs = Await.result(fDiffs, Duration.Inf)
+      val truthT = s.read.parquet(s"$root/truth")
+      val sinkT = s.read.parquet(s"$root/sink")
       val (repair, _) = graft.ops.Reconcile
         .repairPlanWithQuarantine(truthT, diffs, violating, "orders",
           java.sql.Timestamp.valueOf("2100-01-01 00:00:00"),
@@ -4519,17 +4543,37 @@ object Queries {
         val stateDir = s"$scratch/state"
         val qDir = s"$scratch/qstate"
         import graft.streaming.{CdcPipeline, CdcQuality}
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        // the pacing count is an independent decode pass — overlap it
+        // with the snapshot seeding below (guide §2.6)
+        val fCount = Future { suffix.count() }
+        // the snapshot's lineage (full decode, GTID anti-join, window
+        // collapse) previously re-ran for each of its three seed
+        // consumers (the apply's touched-bucket probe, the apply's
+        // staged write, the quality seed) — materialize it ONCE, then
+        // run the two independent seed sinks concurrently
+        val snapC = snap.select(cols.map(col): _*).persist()
+        snapC.count() // populate the cache before concurrent readers
         // snapshot = the state's batch zero (bucketed layout from birth)
-        CdcPipeline.applyBatch(s, snap.select(cols.map(col): _*),
-          stateDir, numBuckets = 16)
+        val fSeedState = Future {
+          CdcPipeline.applyBatch(s, snapC, stateDir, numBuckets = 16)
+        }
         // ...and the quality monitor's seed: live rows enter as insert
         // indicators, so stream-time retractions cancel them exactly
-        CdcQuality.partial(snap.select(lit("insert").as("op"),
-              col("payload"), lit(null).cast("string").as("payload_before")),
-            checks)
-          .withColumn("batch_id", lit(-1L))
-          .write.partitionBy("batch_id").parquet(qDir)
-        val nSuffix = suffix.count()
+        val fSeedQual = Future {
+          CdcQuality.partial(snapC.select(lit("insert").as("op"),
+                col("payload"),
+                lit(null).cast("string").as("payload_before")),
+              checks)
+            .withColumn("batch_id", lit(-1L))
+            .write.partitionBy("batch_id").parquet(qDir)
+        }
+        Await.result(fSeedState, Duration.Inf)
+        Await.result(fSeedQual, Duration.Inf)
+        snapC.unpersist()
+        val nSuffix = Await.result(fCount, Duration.Inf)
         val q = graft.streaming.MysqlBinlogSource.unionTails(s, heads, Map(
             "startGtid" -> executed,
             "maxEventsPerTrigger" ->
@@ -4537,12 +4581,24 @@ object Queries {
           .writeStream.option("checkpointLocation", s"$scratch/ckpt")
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
             val ev = b.filter(col("table") === "events")
-            CdcPipeline.applyBatch(s, ev.select(cols.map(col): _*), stateDir)
-            CdcQuality.partial(ev, checks)
-              .withColumn("batch_id", lit(id))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id").parquet(qDir)
+            // the two per-trigger sinks are independent (separate dirs,
+            // the state apply's writer lock never touches qDir) — run
+            // them from two driver threads so each trigger's tail
+            // back-fills the other's work; both must land before the
+            // trigger commits, so the await stays inside foreachBatch
+            val fState = Future {
+              CdcPipeline.applyBatch(s, ev.select(cols.map(col): _*),
+                stateDir)
+            }
+            val fQual = Future {
+              CdcQuality.partial(ev, checks)
+                .withColumn("batch_id", lit(id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id").parquet(qDir)
+            }
+            Await.result(fState, Duration.Inf)
+            Await.result(fQual, Duration.Inf)
             ()
           }
           .start()

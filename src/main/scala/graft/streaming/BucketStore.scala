@@ -454,10 +454,19 @@ private[streaming] object BucketStore {
     * `sortWithinPartitions` on `sortCols` orders row groups so a
     * view-time filter (e.g. `part = 't'` summary reads) skips the keyed
     * rows on parquet stats.
+    *
+    * `beforeSwap` (when given) runs after the staged write and BEFORE
+    * the first bucket rename — the barrier an apply uses to overlap
+    * side-channel work (e.g. landing net pairs for downstream
+    * monitors) with the staging job while still guaranteeing the work
+    * is durable before any bucket swaps: a throw here aborts with the
+    * live state untouched (the staging dir is reclaimed by the next
+    * writer's delete).
     */
   def writeAndSwap(spark: SparkSession, rows: DataFrame, stateDir: String,
                    touched: Array[Int], numBuckets: Int,
-                   sortCols: Seq[String] = Nil): Unit =
+                   sortCols: Seq[String] = Nil,
+                   beforeSwap: () => Unit = () => ()): Unit =
       withWriterLock(spark, stateDir) {
     import org.apache.hadoop.fs.Path
     refuseNewerLayout(spark, stateDir) // before staging work, not after
@@ -471,6 +480,7 @@ private[streaming] object BucketStore {
        (col("bucket") +: sortCols.map(col)): _*))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(staging.toString)
+    beforeSwap()
     // the staged write is the span's long pole — renew the lease before
     // the swap so a slow batch never lets the lock go stale mid-swap
     renewWriterLock(spark, stateDir)

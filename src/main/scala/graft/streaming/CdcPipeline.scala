@@ -747,17 +747,26 @@ object CdcPipeline {
         .select((cols :+ "bucket").map(col): _*)
       // net per-key (before, after) document pairs for downstream
       // monitors ([[graft.streaming.ReconcileIngest]]'s image-recovery
-      // bridge): emitted BEFORE the bucket swaps — a replay after a
-      // mid-swap crash sees the seq gates eat the swapped keys' events,
-      // so pairs recomputed then would be a subset; the consumer pairs
-      // this ordering with an at-most-once write per batch id
-      onNetPairs.foreach { hook =>
-        hook(joined
+      // bridge): the contract is pairs-DURABLE-before-any-bucket-SWAP —
+      // a replay after a mid-swap crash sees the seq gates eat the
+      // swapped keys' events, so pairs recomputed then would be a
+      // subset; the consumer pairs this ordering with an at-most-once
+      // write per batch id. The hook's work is INDEPENDENT of the
+      // staged bucket write (separate dirs, both read the persisted
+      // fold), so it runs on its own driver thread concurrent with the
+      // staging job, and the pre-swap barrier awaits it before the
+      // first rename — same crash window, one apply-tail less
+      val hookDone = onNetPairs.map { hook =>
+        val pairs = joined
           .filter(col("evs").isNotNull && size(fresh) > 0)
           .select(col("src"), col("key"), col("doc0").as("before"),
-            docFold(fresh, col("doc0")).as("after")))
+            docFold(fresh, col("doc0")).as("after"))
+        import scala.concurrent.ExecutionContext.Implicits.global
+        scala.concurrent.Future(hook(pairs))
       }
-      writeBucketsAndSwap(spark, merged, stateDir, touched, effB)
+      BucketStore.writeAndSwap(spark, merged, stateDir, touched, effB,
+        beforeSwap = () => hookDone.foreach(f => scala.concurrent.Await
+          .result(f, scala.concurrent.duration.Duration.Inf)))
     } finally { folded.unpersist(); () }
   }
 

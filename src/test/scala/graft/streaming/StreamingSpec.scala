@@ -872,6 +872,56 @@ class StreamingSpec extends SparkSpec {
       "stale events below the stored seq must be skipped, not re-applied")
   }
 
+  test("net-pairs hook overlaps the staged write but lands before any " +
+      "bucket swap; a hook failure leaves the live state untouched") {
+    // pins the r17 apply-tail overlap: the hook runs CONCURRENT with
+    // the staging job (its frame is forced on another driver thread),
+    // but the pre-swap barrier guarantees that when the hook's work is
+    // not yet durable, NO bucket has swapped — observed here by
+    // reading the LIVE state from inside the hook (must still be the
+    // pre-apply documents) while the staging dir already exists
+    import spark.implicits._
+    val binDir = MysqlBinlogFixture.encodeEventsPartialMinimal(spark, sf)
+    val raw = spark.read
+      .format(classOf[MysqlBinlogSourceProvider].getName)
+      .option("path", binDir).load()
+      .filter(col("table") === "events")
+      .select("src", "key", "seq", "payload")
+    val mid = raw.agg(max("seq")).head().getLong(0) / 2
+    val dir = java.nio.file.Files
+      .createTempDirectory("deferred_hook_barrier_").toString
+    val state = s"$dir/state"
+    CdcPipeline.applyDeferredJsonBucketed(raw.filter(col("seq") <= mid),
+      "props", state, numBuckets = 4)
+    def stateSet(): Set[(String, Long, String)] =
+      CdcPipeline.deferredJsonStateBucketed(spark, state).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val preApply = stateSet()
+    @volatile var liveAtHook: Set[(String, Long, String)] = null
+    CdcPipeline.applyDeferredJsonBucketed(raw.filter(col("seq") > mid),
+      "props", state,
+      onNetPairs = Some { pairs =>
+        pairs.write.mode("overwrite").parquet(s"$dir/pairs")
+        // the staging job may be complete or in flight here, but no
+        // swap can have happened: the barrier awaits this hook
+        liveAtHook = stateSet()
+      })
+    assert(liveAtHook == preApply,
+      "no bucket may swap before the hook's work is durable")
+    assert(stateSet() != preApply, "the apply itself must have landed")
+    val afterSecond = stateSet()
+    // a throwing hook must abort BEFORE any swap: live state unchanged
+    val boom = intercept[Exception] {
+      CdcPipeline.applyDeferredJsonBucketed(
+        raw.filter(col("seq") > mid), // redelivery slice, hook explodes
+        "props", state,
+        onNetPairs = Some(_ => throw new IllegalStateException("hookfail")))
+    }
+    assert(boom.getMessage != null)
+    assert(stateSet() == afterSecond,
+      "a hook failure must leave every live bucket untouched")
+  }
+
   test("CM sketch compaction preserves cell sums exactly and heals crashes") {
     implicit val ctx = spark.sqlContext
     val docs = graft.model.Tables.documents(spark, sf)

@@ -154,7 +154,8 @@ object ExtQueries {
     */
   private def wordpiecePieceCounts(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    docs.select(explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+    graft.ops.CoreOps.fanOut(docs)
+      .select(explode(TextFunctions.tokens(lower(col("text")))).as("word"))
       .filter(length(col("word")) > 0)
       .select(explode(expr(
         """flatten(transform(sequence(1, 4), L ->
@@ -1793,15 +1794,23 @@ object ExtQueries {
     Q("x_wordpiece_segment",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val counts = wordpiecePieceCounts(docs)
-        val vocab = counts.filter(length(col("piece")) === 1)
-          .unionAll(counts.filter(length(col("piece")) > 1)
-            .orderBy(col("cnt").desc, col("piece")).limit(200))
-          .collect().map(r => (r.getString(0), r.getLong(1)))
+        // persist the piece histogram: its two vocab branches (all
+        // single chars; top-200 multis) otherwise re-ran the whole
+        // tokenize+explode+count pass each (measured as two concurrent
+        // 1.5-1.7 s jobs)
+        val counts = wordpiecePieceCounts(docs).persist()
+        val vocab =
+          try {
+            counts.count() // populate once before the two branch reads
+            counts.filter(length(col("piece")) === 1)
+              .unionAll(counts.filter(length(col("piece")) > 1)
+                .orderBy(col("cnt").desc, col("piece")).limit(200))
+              .collect().map(r => (r.getString(0), r.getLong(1)))
+          } finally { counts.unpersist(); () }
         val vm = map_from_arrays(
           array(vocab.map(v => lit(v._1)).toIndexedSeq: _*),
           array(vocab.map(v => lit(v._2)).toIndexedSeq: _*))
-        docs.select(col("doc_id"),
+        graft.ops.CoreOps.fanOut(docs).select(col("doc_id"),
             explode(TextFunctions.tokens(lower(col("text")))).as("word"))
           .filter(length(col("word")) > 0)
           .withColumn("vm", vm)

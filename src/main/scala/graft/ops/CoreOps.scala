@@ -171,4 +171,22 @@ object CoreOps {
       s"graft_scratch_${purpose}_p${pid}_")
     p.toString
   }
+
+  /** Spread a narrow input across the cluster before CPU-heavy per-row
+    * work (guide §2.5 "input skew": one small/unsplittable file gives
+    * the scan ONE task, and every downstream map-side kernel —
+    * tokenizing, segmenting, vector math — serializes on it; measured
+    * locally as single-task 1-1.7 s jobs doing a whole row's work).
+    * Scale-adaptive, not a local tune: when the scan already has at
+    * least the session's default parallelism (any real corpus at any
+    * real SF), this is the identity — no shuffle is added at 100 TB;
+    * only a degenerate input (one tiny file, one gzip member, a
+    * filtered-to-one-split read) pays one small round-robin exchange.
+    * Values are untouched; callers' aggregations/sorts are
+    * order-insensitive.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }

@@ -179,7 +179,7 @@ object DedupOps {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefix filtering needs 0 < t <= 1, got $threshold")
     val spark = df.sparkSession
-    val sh = shingleArrays(df, textCol, idCol, n)
+    val sh = shingleArrays(graft.ops.CoreOps.fanOut(df), textCol, idCol, n)
     val pairs = sh.select(col(idCol), explode(col("sh")).as("shingle"))
     val dfreq = pairs.groupBy("shingle").agg(count(lit(1)).as("df"))
     // global token order = (df ASC, shingle ASC): total, corpus-wide,

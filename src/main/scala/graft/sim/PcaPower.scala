@@ -43,7 +43,11 @@ object PcaPower {
     val spark = vectors.sparkSession
     import spark.implicits._
 
-    val q = vectors.select(KMeansExact.quantizeCol(col(embCol)).as("qv"))
+    // fan a degenerate one-split scan out first: the dim² scatter
+    // explode below multiplies every row 64×64-fold, and a single-file
+    // input would run that whole expansion in one task (guide §2.5)
+    val q = graft.ops.CoreOps.fanOut(vectors)
+      .select(KMeansExact.quantizeCol(col(embCol)).as("qv"))
     val stats = q.select(posexplode(col("qv")).as(Seq("d", "v")))
       .groupBy("d").agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
       .collect()

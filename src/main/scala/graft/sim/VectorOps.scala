@@ -82,12 +82,19 @@ object VectorOps {
       "cosineDupPairsLsh / x_dedup_embedding_lsh")
     // norms are precomputed once per input row, not per pair — the pair
     // stage pays only the dot product (same IEEE ops as cosine(), so the
-    // oracle still matches bit-for-bit)
-    val a = guarded.select(col("vec_id").as("a_id"),
+    // oracle still matches bit-for-bit). The streamed side fans out
+    // first: the nested-loop join's parallelism IS its left side's
+    // partition count, and a one-file scan would run all n²/2 dot
+    // products in one task (guide §2.5)
+    val spread = graft.ops.CoreOps.fanOut(guarded)
+    val a = spread.select(col("vec_id").as("a_id"),
       col("embedding").as("ae"), Kernels.normFCol(col("embedding")).as("an"))
     val b = guarded.select(col("vec_id").as("b_id"),
       col("embedding").as("be"), Kernels.normFCol(col("embedding")).as("bn"))
-    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+    // broadcast the UN-spread side so the planner streams the fanned-out
+    // one (broadcasting `a` would put the single-partition side back on
+    // the streaming end of the nested loop)
+    a.crossJoin(broadcast(b)).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         round(Kernels.dotFFCol(col("ae"), col("be")) /
           (col("an") * col("bn")), 4).as("cos_sim"))

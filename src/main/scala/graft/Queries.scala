@@ -4188,9 +4188,24 @@ object Queries {
         val raw = s.read.parquet(s"$scratch/changes")
         val sinkDir = s"$scratch/sink"
         val truthDir = s"$scratch/truth"
-        CdcPipeline.applyBatch(s, raw.filter(pmod(col("seq"), lit(13)) =!= 0),
-          sinkDir, numBuckets = 8)
-        CdcPipeline.applyBatch(s, raw, truthDir, numBuckets = 8)
+        // the corrupted-sink and truth states are independent stores
+        // reading the one landed change table — build them concurrently
+        // (guide §2.6, the quality-keyed u/r stance)
+        locally {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val fSink = Future {
+            CdcPipeline.applyBatch(s,
+              raw.filter(pmod(col("seq"), lit(13)) =!= 0),
+              sinkDir, numBuckets = 8)
+          }
+          val fTruth = Future {
+            CdcPipeline.applyBatch(s, raw, truthDir, numBuckets = 8)
+          }
+          Await.result(fSink.zip(fTruth),
+            scala.concurrent.duration.Duration.Inf)
+          ()
+        }
         val payloadOnly =
           (df: org.apache.spark.sql.DataFrame) => Seq(df.col("payload"))
         def liveDiff(): org.apache.spark.sql.DataFrame =
